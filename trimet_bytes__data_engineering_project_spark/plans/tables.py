@@ -1,0 +1,57 @@
+"""Driver-table access + cross-engine-safe expression helpers.
+
+Hash-parity rules used throughout the corpus (the driver compares
+row-count + schema + order-insensitive value hashes against DuckDB):
+
+- **Timestamps**: ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark
+  cannot scan natively; we read it via ``spark.sql.legacy.parquet.
+  nanosAsLong`` and rebuild a microsecond TIMESTAMP_NTZ with integer
+  ``div`` (never double division — ns-epoch exceeds a double's 53-bit
+  mantissa).  DuckDB's parquet reader truncates ns→µs the same way, so
+  values match bit-for-bit.  Session timezone is pinned to UTC so
+  NTZ↔LTZ casts are identity.
+- **Double aggregates**: SUM/AVG over doubles is order-dependent, so a
+  shuffled Spark sum need not equal DuckDB's serial sum.  Every money/
+  measure aggregate goes through ``DECIMAL(18,2)`` (exact, associative),
+  is cast to DOUBLE once at the end, and averages are computed as one
+  IEEE division of two exact values — deterministic in both engines.
+- **Top-k**: every ORDER BY ... LIMIT carries a unique tie-break key so
+  the selected *set* is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table (TESTDATA.md shapes)."""
+    if name == "events":
+        # runtime-settable legacy conf; must stay set until the plan executes
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def epoch_us(col: Column) -> Column:
+    """Exact µs-since-epoch of an NTZ timestamp (session tz pinned UTC by
+    ``load_table``, so the NTZ→LTZ cast is identity).  DuckDB twin:
+    ``epoch_us(ts)``."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def dec_sum(col: Column) -> Column:
+    """Order-independent sum of a 2-decimal measure, emitted as DOUBLE.
+    DuckDB twin: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+def safe_avg(col: Column) -> Column:
+    """Deterministic mean: exact decimal sum, one IEEE division.
+    DuckDB twin: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x)``."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double") / F.count(col)
