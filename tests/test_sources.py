@@ -1,0 +1,43 @@
+"""Source-reader tests — S1-S4 landing readers and the X3 HTML-parse UDTF."""
+
+from __future__ import annotations
+
+from trimet_bytes__data_engineering_project_spark.schemas import STOP_EVENT_COLUMNS
+from trimet_bytes__data_engineering_project_spark.sources.readers import (
+    read_breadcrumb_json,
+    read_stop_event_html,
+    read_vehicle_ids,
+)
+
+from .fixtures import STOP_EVENT_HTML, breadcrumb_raw_records, write_breadcrumb_landing
+
+
+def test_breadcrumb_json_landing(spark, tmp_path):
+    records = breadcrumb_raw_records()
+    write_breadcrumb_landing(tmp_path, records)
+    df = read_breadcrumb_json(spark, str(tmp_path))
+    assert df.count() == len(records)
+    assert df.schema["EVENT_NO_TRIP"].dataType.simpleString() == "bigint"
+    # schema-enforced: a record's bad field shape surfaces as NULL, not error
+    assert df.filter("OPD_DATE IS NULL").count() == 0
+
+
+def test_vehicle_id_csv(spark, tmp_path):
+    (tmp_path / "vehicle_ids.csv").write_text(" 3001\n3002 \n 3003 \n")
+    df = read_vehicle_ids(spark, str(tmp_path / "vehicle_ids.csv"))
+    assert [r["vehicle_id"] for r in df.orderBy("vehicle_id").collect()] == [3001, 3002, 3003]
+
+
+def test_stop_event_html_parse(spark, tmp_path):
+    (tmp_path / "stop_events_3001.html").write_text(STOP_EVENT_HTML)
+    df = read_stop_event_html(spark, str(tmp_path))
+    rows = df.collect()
+    assert df.columns == STOP_EVENT_COLUMNS
+    assert len(rows) == 3  # header row excluded, all <tr> data rows kept
+    first = {c: rows[0][c] for c in ("vehicle_number", "trip_number", "service_key", "ons")}
+    assert first == {
+        "vehicle_number": "3001",
+        "trip_number": "238330000",
+        "service_key": "W",
+        "ons": "3",
+    }

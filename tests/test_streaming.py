@@ -1,0 +1,79 @@
+"""Streaming-tier tests — T1-T5: availableNow pipeline lands the same
+warehouse tables as the batch path, trip upsert is idempotent across
+restarts, quarantine captures corrupt rows."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from trimet_bytes__data_engineering_project_spark.operators.transform import (
+    breadcrumb_table,
+    enrich_breadcrumbs,
+    trip_table,
+)
+from trimet_bytes__data_engineering_project_spark.operators.validate import (
+    breadcrumb_validators,
+    quarantine_split,
+)
+from trimet_bytes__data_engineering_project_spark.schemas import BREADCRUMB_RAW
+from trimet_bytes__data_engineering_project_spark.sources.readers import read_breadcrumb_json
+from trimet_bytes__data_engineering_project_spark.streaming import run_ingest_pipeline
+
+from .fixtures import breadcrumb_raw_records, corrupt_breadcrumb_records, write_breadcrumb_landing
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    records = breadcrumb_raw_records() + corrupt_breadcrumb_records()
+    write_breadcrumb_landing(landing, records)
+
+    paths = {n: str(tmp_path / n) for n in ("trip", "breadcrumb", "ckpt", "quarantine")}
+    run_ingest_pipeline(
+        spark, str(landing), paths["trip"], paths["breadcrumb"], paths["ckpt"],
+        quarantine_path=paths["quarantine"],
+    )
+
+    # batch twin over the same landing files
+    raw = read_breadcrumb_json(spark, str(landing))
+    valid, quarantined = quarantine_split(enrich_breadcrumbs(raw), breadcrumb_validators())
+
+    streamed_bc = spark.read.parquet(paths["breadcrumb"])
+    assert streamed_bc.count() == breadcrumb_table(valid).count()
+    # Q1-style parity: per-date counts identical between stream and batch
+    s = {str(r[0]): r[1] for r in streamed_bc.groupBy(F.to_date("tstamp")).count().collect()}
+    b = {
+        str(r[0]): r[1]
+        for r in breadcrumb_table(valid).groupBy(F.to_date("tstamp")).count().collect()
+    }
+    assert s == b
+
+    streamed_trips = spark.read.parquet(paths["trip"])
+    assert streamed_trips.count() == trip_table(valid).count()
+    assert spark.read.parquet(paths["quarantine"]).count() == quarantined.count()
+
+
+def test_restart_is_idempotent_for_trips(spark, tmp_path):
+    """T3/T5 — a second availableNow run over new files for the SAME trips
+    must not duplicate trip dimension rows (left_anti upsert)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    records = breadcrumb_raw_records()
+    write_breadcrumb_landing(landing, records, files=2)
+
+    paths = {n: str(tmp_path / n) for n in ("trip", "breadcrumb", "ckpt")}
+    run_ingest_pipeline(spark, str(landing), paths["trip"], paths["breadcrumb"], paths["ckpt"])
+    n_trips_first = spark.read.parquet(paths["trip"]).count()
+
+    # new landing file, same trip ids (late pings for existing trips)
+    late = [dict(r, ACT_TIME=80000) for r in records[:30]]
+    with open(landing / "bus_late.json", "w") as f:
+        for r in late:
+            f.write(json.dumps(r) + "\n")
+    run_ingest_pipeline(spark, str(landing), paths["trip"], paths["breadcrumb"], paths["ckpt"])
+
+    trips = spark.read.parquet(paths["trip"])
+    assert trips.count() == n_trips_first  # no new trip ids → no new rows
+    assert trips.groupBy("trip_id").count().filter("count > 1").count() == 0

@@ -1,0 +1,94 @@
+"""Transform-chain unit tests — SURVEY.md §5 edge cases: first-row-per-
+trip speed, Δt=0, ACT_TIME clamp, unparseable OPD_DATE, per-trip
+backfill scope, deterministic trip dedup."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from trimet_bytes__data_engineering_project_spark.operators.transform import (
+    breadcrumb_table,
+    enrich_breadcrumbs,
+    trip_table,
+)
+from trimet_bytes__data_engineering_project_spark.schemas import BREADCRUMB_RAW
+
+from .fixtures import breadcrumb_raw_records
+
+
+def _enriched(spark):
+    raw = spark.createDataFrame(breadcrumb_raw_records(), schema=BREADCRUMB_RAW)
+    return enrich_breadcrumbs(raw)
+
+
+def test_timestamp_build_and_clamp(spark):
+    df = _enriched(spark)
+    # F1 coerce: the NOTADATE row parses to NULL
+    assert df.filter(F.col("OPD_DATE").startswith("NOTADATE")).select("OPD_TS").first()[0] is None
+    # F2+F3: ACT_TIME=90000 clamps to 86399 → 23:59:59 same day
+    clamped = df.filter(F.col("ACT_TIME") == 90000).select("TIMESTAMP").first()[0]
+    assert clamped.time() == datetime.time(23, 59, 59)
+
+
+def test_service_key_mapping(spark):
+    df = _enriched(spark)
+    got = {
+        r["d"]: r["service_key"]
+        for r in df.select(F.weekday("TIMESTAMP").alias("d"), "service_key").distinct().collect()
+        if r["d"] is not None
+    }
+    assert got[0] == "Weekday" and got[4] == "Weekday"
+    assert got[5] == "Saturday" and got[6] == "Sunday"
+
+
+def test_speed_window_edges(spark):
+    df = _enriched(spark).filter(F.col("EVENT_NO_TRIP") == 238330000)
+    rows = df.orderBy("TIMESTAMP").select("SPEED", "ACT_TIME", "METERS").collect()
+    # W2: first row backfilled from the next non-null (not NULL, not inf)
+    assert rows[0]["SPEED"] is not None
+    # all speeds clipped at 0 and finite (Δt=0 row normalized then filled)
+    assert all(r["SPEED"] is not None and r["SPEED"] >= 0 for r in rows)
+    # W1 spot check: a plain interior row equals Δmeters/5s
+    r1, r2 = rows[2], rows[3]
+    assert abs(r2["SPEED"] - (r2["METERS"] - r1["METERS"]) / 5.0) < 1e-9
+
+
+def test_backfill_is_per_trip(spark):
+    """SURVEY §7 decision: no cross-trip bleed (unlike the reference's
+    frame-global bfill)."""
+    df = _enriched(spark)
+    first_rows = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("EVENT_NO_TRIP").orderBy("TIMESTAMP", "VEHICLE_ID")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("EVENT_NO_TRIP", "SPEED")
+        .collect()
+    )
+    # every trip's first speed comes from its own trip's second row —
+    # defined for all trips in the fixture
+    assert all(r["SPEED"] is not None for r in first_rows)
+
+
+def test_trip_table_dedup(spark):
+    df = _enriched(spark)
+    trips = trip_table(df)
+    n_trips = df.select("EVENT_NO_TRIP").distinct().count()
+    assert trips.count() == n_trips
+    row = trips.first()
+    assert row["route_id"] == 0 and row["direction"] == "Out"
+    # deterministic: rerun yields identical rows
+    assert sorted(map(tuple, trips.collect())) == sorted(map(tuple, trip_table(df).collect()))
+
+
+def test_breadcrumb_projection(spark):
+    bc = breadcrumb_table(_enriched(spark))
+    assert bc.columns == ["tstamp", "latitude", "longitude", "speed", "trip_id"]
+    # P5: GPS nulls filled with 0.0
+    assert bc.filter(F.col("latitude").isNull() | F.col("longitude").isNull()).count() == 0

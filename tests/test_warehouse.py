@@ -1,0 +1,58 @@
+"""Warehouse tests — partitioned layout, partition pruning, and the J3
+trip_full_view fan-out semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from trimet_bytes__data_engineering_project_spark.operators.transform import (
+    breadcrumb_table,
+    enrich_breadcrumbs,
+    trip_table,
+)
+from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+    trip_full_view,
+    write_breadcrumb,
+    write_trip,
+)
+from trimet_bytes__data_engineering_project_spark.schemas import BREADCRUMB_RAW, STOP_EVENT_COLUMNS
+
+from .fixtures import breadcrumb_raw_records
+
+
+def _tables(spark):
+    raw = spark.createDataFrame(breadcrumb_raw_records(), schema=BREADCRUMB_RAW)
+    enriched = enrich_breadcrumbs(raw).filter(F.col("TIMESTAMP").isNotNull())
+    return trip_table(enriched), breadcrumb_table(enriched)
+
+
+def test_breadcrumb_partitioned_by_date(spark, tmp_path):
+    trip, bc = _tables(spark)
+    path = str(tmp_path / "breadcrumb")
+    write_breadcrumb(bc, path)
+    # physical layout: one directory per service date (partition pruning)
+    parts = [d for d in os.listdir(path) if d.startswith("service_date=")]
+    assert len(parts) == bc.select(F.to_date("tstamp")).distinct().count()
+
+    # date predicate prunes: only one partition's files are read
+    pruned = spark.read.parquet(path).filter(F.col("service_date") == "2023-01-09")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(service_date" in plan
+
+
+def test_trip_full_view_fanout(spark, tmp_path):
+    trip, bc = _tables(spark)
+    write_trip(trip, str(tmp_path / "trip"))
+    se_row = dict.fromkeys(STOP_EVENT_COLUMNS, "1")
+    se_row.update(trip_number="238330000", service_key="W", direction="0")
+    se = spark.createDataFrame([se_row, dict(se_row, direction="1")]).select(*STOP_EVENT_COLUMNS)
+
+    view = trip_full_view(spark.read.parquet(str(tmp_path / "trip")), bc, se)
+    # m×n fan-out per trip is the documented semantics (SURVEY §2.3 J3)
+    bc_per_trip = bc.filter(F.col("trip_id") == 238330000).count()
+    assert view.filter(F.col("trip_id") == 238330000).count() == bc_per_trip * 2
+    # trips without stop events keep their breadcrumbs (left join)
+    other = bc.filter(F.col("trip_id") == 238330001).count()
+    assert view.filter(F.col("trip_id") == 238330001).count() == other

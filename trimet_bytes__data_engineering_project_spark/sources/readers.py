@@ -12,6 +12,7 @@ engine's query path.
 from __future__ import annotations
 
 import re
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -19,6 +20,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import BREADCRUMB_RAW, STOP_EVENT_COLUMNS, STOP_EVENT_RAW
+
+
+def _pickle_module_by_value(module_name: str) -> None:
+    """Ship this module's code inside UDF closures instead of by import
+    reference.  Spark's Python workers don't share the driver's
+    ``sys.path`` mutations, so a ``mapInPandas`` closure that references
+    this (non-installed) package would fail to unpickle on workers when
+    the driver was launched from a foreign cwd.  By-value registration
+    makes the closure self-contained — the local-mode equivalent of
+    shipping the package with ``--py-files``."""
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[module_name])
 
 
 def load_driver_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -79,6 +93,7 @@ def read_stop_event_html(spark: SparkSession, path: str) -> DataFrame:
     genuinely UDF-shaped operator in the reference surface (SURVEY.md
     §2.10 X3); everything downstream is native expressions."""
     pages = spark.read.text(path, wholetext=True)
+    _pickle_module_by_value(__name__)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

