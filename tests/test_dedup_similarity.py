@@ -1,0 +1,116 @@
+"""Semantic tests for the dedup + similarity operators: known duplicates
+must be found, identical inputs must score 1.0, approximate indexes must
+agree with the exact baseline on easy cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+    exact_jaccard,
+    minhash_candidates,
+    minhash_estimate,
+    shingles,
+    simhash,
+)
+from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+    extract_features,
+    media_from_documents,
+)
+from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    (4, "completely different words about spark sql engines and columnar storage"),
+    (5, "ab"),  # shorter than one shingle
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_minhash_finds_known_dups(spark):
+    cands = minhash_candidates(_docs(spark)).withColumn(
+        "est", minhash_estimate(F.col("a_sig"), F.col("b_sig"))
+    )
+    rows = {(r["a_id"], r["b_id"]): r["est"] for r in cands.collect()}
+    assert rows[(1, 2)] == 1.0  # identical docs → identical signatures
+    assert (1, 3) in rows and rows[(1, 3)] > 0.25  # near dup banded together
+    assert (1, 4) not in rows  # unrelated doc shares no band
+
+
+def test_exact_jaccard_values(spark):
+    df = _docs(spark).select("doc_id", shingles(F.col("text")).alias("s"))
+    a = df.filter("doc_id = 1").select(F.col("s").alias("sa"))
+    for other, expected_full in ((2, True), (4, False)):
+        b = df.filter(f"doc_id = {other}").select(F.col("s").alias("sb"))
+        j = a.crossJoin(b).select(exact_jaccard(F.col("sa"), F.col("sb")).alias("j")).first()["j"]
+        assert (j == 1.0) is expected_full
+
+
+def test_short_doc_has_empty_shingles(spark):
+    s = _docs(spark).filter("doc_id = 5").select(F.size(shingles(F.col("text"))).alias("n"))
+    assert s.first()["n"] == 0  # no descending-sequence artifact
+
+
+def test_simhash_identical_and_different(spark):
+    out = {r["doc_id"]: r["sh"] for r in _docs(spark).select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+    assert 0 <= out[1] < (1 << 16)
+
+
+def _emb(spark):
+    import math
+
+    def vec(seed):
+        return [math.sin(seed * (j + 1)) for j in range(8)]
+
+    rows = [(i, vec(i % 4 + 1), i % 2) for i in range(20)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_top1_is_self(spark):
+    emb = _emb(spark)
+    q = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    top = brute_force_topk(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cos_sim"] - 1.0) < 1e-12
+
+
+def test_lsh_and_ivf_contain_query(spark):
+    emb = _emb(spark)
+    q = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    lsh_ids = [r["vec_id"] for r in lsh_topk(emb, q, k=5).collect()]
+    ivf_ids = [r["vec_id"] for r in ivf_topk(emb, q, k=5, n_centroids=4).collect()]
+    assert 0 in lsh_ids  # query's own bucket contains it
+    assert 0 in ivf_ids
+
+
+def test_embedding_near_dup_blocked_by_label(spark):
+    emb = _emb(spark)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.999999).collect()
+    # vecs with equal seed (i%4) are identical → cos 1.0; only same-label pairs emitted
+    assert pairs, "identical vectors must be found"
+    labels = {r["a_id"] % 2 for r in pairs} | {r["b_id"] % 2 for r in pairs}
+    for r in pairs:
+        assert r["a_id"] % 2 == r["b_id"] % 2
+
+
+def test_multimodal_feature_batch(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "Ωmega")], ["doc_id", "text"]
+    )
+    feats = {r["media_id"]: r for r in extract_features(media_from_documents(docs)).collect()}
+    assert feats[1]["byte_len"] == 5 and feats[1]["first_codepoint"] == ord("h")
+    assert feats[2]["byte_len"] == 0 and feats[2]["first_codepoint"] == -1
+    assert feats[3]["byte_len"] == 6  # Ω is 2 utf-8 bytes + 'mega'
+    assert feats[3]["first_codepoint"] == ord("Ω")
+    assert all(not r["decoded"] for r in feats.values())  # codec stubbed

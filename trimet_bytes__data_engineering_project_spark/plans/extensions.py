@@ -1,9 +1,15 @@
 """Scale extensions — the training-data-pipeline operators (BASELINE.json
-north star): dedup, text analysis, similarity search over the driver's
-``documents``/``embeddings`` tables.  Beyond the reference's surface;
-designed for the 100 TB path (hash-partitioned group-bys, band-bucketed
-candidate generation instead of O(n²) cross joins, broadcast of the
-single query vector).
+north star): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force, LSH, IVF), text
+analysis (tokens, quality, language-ID, fingerprints), and multimodal
+binary plumbing — over the driver's ``documents``/``embeddings`` tables.
+
+Every query has a DuckDB oracle twin.  Float-valued results are
+bit-exact across engines: cosine similarity is a *sequential fold*
+(``F.aggregate`` ↔ ``list_reduce``) in both — verified, not assumed.
+The oracle SQL for hash/LSH operators is generated from the same
+constants (hyperplane literals, band layout, md5 scheme) the Spark
+operators use.
 """
 
 from __future__ import annotations
@@ -11,9 +17,92 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import (
+    BAND_ROWS,
+    MAX_BUCKET,
+    MINHASH_K,
+    SIMHASH_BITS,
+    exact_jaccard,
+    minhash_candidates,
+    minhash_estimate,
+    minhash_signature,
+    shingles,
+    simhash,
+)
+from ..operators.multimodal import extract_features, media_from_documents
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    hyperplanes,
+    ivf_topk,
+    lsh_topk,
+)
 from ..operators.textstats import quality_stats, token_count_col
 from .registry import query
 from .tables import load_table
+
+# ---------------------------------------------------------------------------
+# Oracle SQL fragments (DuckDB) mirroring the Spark operators exactly
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+_SHINGLES = f"""
+CASE WHEN len({_TOKS}) >= 3 THEN
+  list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+                i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))
+ELSE [] END
+"""
+
+_SIG_ELEMS = ", ".join(
+    f"list_min(list_transform(s, x -> substr(md5('{i}:' || x), 1, 15)))"
+    for i in range(MINHASH_K)
+)
+
+_N_BANDS = MINHASH_K // BAND_ROWS
+
+_MATCHES = f"len(list_filter(range(1, {MINHASH_K + 1}), i -> a_sig[i] = b_sig[i]))"
+
+# candidate-pair CTE chain shared by x07/x08 (docs capped at doc_id < 1000)
+_CAND_CTES = f"""
+docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM docs),
+sigs AS (SELECT doc_id, s, [{_SIG_ELEMS}] AS sig FROM sh WHERE len(s) > 0),
+bands AS (
+  SELECT doc_id, s, sig, b.band_idx,
+         md5(array_to_string(list_slice(sig, b.band_idx * {BAND_ROWS} + 1,
+                                        b.band_idx * {BAND_ROWS} + {BAND_ROWS}), '|')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, {_N_BANDS})) AS band_idx) b
+),
+keep AS (SELECT band_idx, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) <= {MAX_BUCKET}),
+kept AS (SELECT bands.* FROM bands JOIN keep USING (band_idx, band_hash)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS a_sig, b.sig AS b_sig
+  FROM kept a JOIN kept b USING (band_idx, band_hash)
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Sequential-fold cosine — bit-identical to operators.similarity.cosine."""
+    def _fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, {products}), (acc, x) -> acc + x)"
+        )
+
+    dot = _fold(f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])")
+    na = f"sqrt({_fold(f'list_transform({a}, x -> x * x)')})"
+    nb = f"sqrt({_fold(f'list_transform({b}, x -> x * x)')})"
+    return f"({dot} / ({na} * {nb}))"
+
+
+_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
 
 
 @query(
@@ -25,28 +114,241 @@ from .tables import load_table
 )
 def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup — content-hash groupBy keeping the lowest doc_id.
-    One shuffle on the 128-bit digest; at 100 TB the digest (not the
-    document body) is the shuffle key, so skew tracks true duplicate
-    multiplicity only."""
+    The 128-bit digest (not the body) is the shuffle key, so at 100 TB
+    skew tracks true duplicate multiplicity only."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.md5("text").alias("text_hash"))
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
     )
 
 
 @query(
+    "x06_minhash_signature",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents)
+    SELECT doc_id, array_to_string([{_SIG_ELEMS}], '|') AS sig_str
+    FROM sh WHERE len(s) > 0
+    """,
+)
+def x06_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8, md5-derived, engine-portable): one pass,
+    no shuffle; the signature column is what gets banded/bucketed at
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(F.col("text"))
+    return (
+        docs.select("doc_id", sh.alias("s"))
+        .filter(F.size("s") > 0)
+        .select("doc_id", F.concat_ws("|", minhash_signature(F.col("s"))).alias("sig_str"))
+    )
+
+
+@query(
+    "x07_minhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_CAND_CTES}
+    SELECT a_id, b_id, {_MATCHES} / {float(MINHASH_K)} AS est_sim
+    FROM cands WHERE {_MATCHES} / {float(MINHASH_K)} >= 0.25
+    """,
+)
+def x07_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → signature → band-bucket
+    equi-join (never O(n²)), oversized buckets capped at 50, estimated
+    Jaccard = matching signature fraction ≥ 0.25."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    cands = minhash_candidates(docs)
+    est = minhash_estimate(F.col("a_sig"), F.col("b_sig"))
+    return (
+        cands.withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id", "est_sim")
+    )
+
+
+@query(
+    "x08_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_CAND_CTES}
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT c.a_id, c.b_id,
+             len(list_intersect(sa.s, sb.s))
+               / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.a_id
+      JOIN sh sb ON sb.doc_id = c.b_id
+    ) WHERE jaccard >= 0.2
+    """,
+)
+def x08_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of the LSH candidates (the
+    verify step of the dedup pipeline): intersection/union over distinct
+    3-gram shingle sets, threshold 0.2."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+    cands = minhash_candidates(docs).select("a_id", "b_id")
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jaccard", exact_jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    terms = []
+    for j in range(bits):
+        bit_sum = (
+            "list_reduce(list_prepend(0, list_transform(toks, "
+            f"t -> CASE WHEN substr(md5('{j}:' || t), 1, 1) >= '8' THEN 1 ELSE -1 END)), "
+            "(acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {bit_sum} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "x09_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents WHERE doc_id < 1000)
+    SELECT doc_id, {_simhash_sql()} AS simhash FROM tok
+    """,
+)
+def x09_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, portable md5 hash family): near-dup fingerprint
+    whose Hamming-distance bands bucket at scale the same way MinHash
+    bands do."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+@query(
+    "x13_embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_VEC} AS v FROM embeddings WHERE vec_id < 1000)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_cos_sql('a.v', 'b.v')} AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.v', 'b.v')} >= 0.35
+    """,
+)
+def x13_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the cluster
+    key is the shuffle key — no O(n²) cross join at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return embedding_near_dup_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+
+_QV_SQL = f"(SELECT {_VEC} FROM embeddings WHERE vec_id = 0)"
+
+
+@query(
+    "x10_ann_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings), q AS (SELECT {_QV_SQL} AS qv)
+    SELECT vec_id, {_cos_sql('v', '(SELECT qv FROM q)')} AS cos_sim
+    FROM e ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def x10_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN correctness baseline): one scan,
+    literal query vector in codegen, per-partition top-k merge — no
+    shuffle of vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        "p -> p[1] * p[2])), (acc, x) -> acc + x)"
+    )
+
+
+def _build_lsh_oracle() -> str:
+    planes = hyperplanes(4, 64)
+    lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
+    bucket = " + ".join(
+        f"CASE WHEN {_dot_sql('v', lits[p])} > 0 THEN {1 << p} ELSE 0 END" for p in range(4)
+    )
+    qbucket = " + ".join(
+        f"CASE WHEN {_dot_sql('qv', lits[p])} > 0 THEN {1 << p} ELSE 0 END" for p in range(4)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
+         q AS (SELECT {_QV_SQL} AS qv),
+         eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+         qb AS (SELECT {qbucket} AS bucket FROM q)
+    SELECT vec_id, {_cos_sql('v', '(SELECT qv FROM q)')} AS cos_sim
+    FROM eb WHERE bucket = (SELECT bucket FROM qb)
+    ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """
+
+
+@query("x11_ann_lsh", oracle=_build_lsh_oracle())
+def x11_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: 4 deterministic md5-derived
+    hyperplanes → 16 sign buckets; the query probes only its own bucket
+    (at scale: a storage partition)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _query_vec(spark, sf_dir), k=5, n_planes=4)
+
+
+@query(
+    "x12_ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < 16),
+         q AS (SELECT {_QV_SQL} AS qv),
+         assigned AS (
+           SELECT e.vec_id, e.v, c.centroid_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.centroid_id) AS rn
+           FROM e CROSS JOIN cents c
+         ),
+         best AS (SELECT vec_id, v, centroid_id FROM assigned WHERE rn = 1),
+         qc AS (SELECT centroid_id FROM cents
+                ORDER BY {_cos_sql('cvec', '(SELECT qv FROM q)')} DESC, centroid_id LIMIT 1)
+    SELECT vec_id, {_cos_sql('v', '(SELECT qv FROM q)')} AS cos_sim
+    FROM best JOIN qc USING (centroid_id)
+    ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-1 approximate top-k: 16 deterministic coarse centroids,
+    argmax-cosine assignment, query probes its own inverted list only
+    (at scale: a bucketed table keyed by centroid_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_centroids=16)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
     "x02_token_count",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(len({_TOKS}) AS INT) AS n_tokens,
            length(text) AS n_chars_measured
     FROM documents
     """,
 )
 def x02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting — whitespace tokenizer as a native split (no UDF);
-    the BPE-ish regex variant lives in operators/textstats.py."""
+    """Token counting — whitespace tokenizer as a native split (no UDF)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -57,14 +359,13 @@ def x02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x03_quality_stats",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            length(text) AS n_chars_measured,
            length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
            length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_spaces,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
-           CAST(length(text) AS DOUBLE)
-             / CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS avg_token_len
+           CAST(len({_TOKS}) AS INT) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / CAST(len({_TOKS}) AS INT) AS avg_token_len
     FROM documents
     """,
 )
@@ -73,3 +374,93 @@ def x03_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts + one IEEE division (hash-stable across engines)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", *quality_stats(F.col("text")))
+
+
+_LANG_CASE_SQL = """
+CASE WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
+     WHEN contains(text, ' el ') OR contains(text, ' los ') THEN 'es'
+     WHEN contains(text, ' le ') OR contains(text, ' une ') THEN 'fr'
+     WHEN contains(text, ' de ') THEN 'pt'
+     ELSE 'en' END
+"""
+
+
+@query(
+    "x04_lang_id",
+    oracle=f"""
+    SELECT lang, {_LANG_CASE_SQL} AS lang_pred, count(*) AS cnt
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def x04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic — stopword-marker classifier as a chained
+    CASE (the n-gram profile approach degenerates to marker words at
+    this corpus size); output is the (labeled, predicted) confusion
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    pred = (
+        F.when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" el ") | t.contains(" los "), "es")
+        .when(t.contains(" le ") | t.contains(" une "), "fr")
+        .when(t.contains(" de "), "pt")
+        .otherwise("en")
+    )
+    return docs.groupBy("lang", pred.alias("lang_pred")).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "x05_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(text), 1, 16) AS md5_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(unicode(text[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 2147483647) AS poly_hash
+    FROM documents WHERE doc_id < 1000
+    """,
+)
+def x05_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a content digest prefix plus a true
+    rolling polynomial hash (Rabin-Karp base-31 mod 2^31-1) computed as
+    a character fold — exact integer math, engine-identical."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    poly = F.aggregate(
+        F.sequence(F.lit(1), F.length("text")),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 31 + F.ascii(F.col("text").substr(i, F.lit(1)))) % 2147483647,
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("md5_fp"),
+        poly.alias("poly_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x14_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CASE WHEN length(text) = 0 THEN -1 ELSE unicode(text) END AS first_codepoint,
+           sha256(text) AS sha256_hex,
+           false AS decoded
+    FROM documents
+    """,
+)
+def x14_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: documents → fake media blobs (utf-8
+    payload, typed metadata) → Arrow-batched mapInPandas feature
+    extraction (byte length, first codepoint, sha256, decode status).
+    The codec is stubbed (no image libs in container); the Spark-side
+    schema/batching/UDF machinery is real and oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return extract_features(media)
