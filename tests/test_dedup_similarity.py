@@ -61,6 +61,36 @@ def test_short_doc_has_empty_shingles(spark):
     assert s.first()["n"] == 0  # no descending-sequence artifact
 
 
+def test_column_and_dataframe_minhash_agree(spark):
+    """The row-scoped fold and the explode+agg path must be the same hash
+    scheme — byte-identical signatures."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+        simhashes,
+    )
+
+    docs = _docs(spark)
+    col_sigs = {
+        r["doc_id"]: list(r["sig"]) if r["sig"] is not None else None
+        for r in docs.select(
+            "doc_id", minhash_signature(shingles(F.col("text"))).alias("sig")
+        ).collect()
+    }
+    df_sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs).collect()}
+    for doc_id, sig in df_sigs.items():
+        assert col_sigs[doc_id] == sig
+    assert col_sigs[5] is None  # <1 shingle → NULL in column form, absent in DF form
+    assert 5 not in df_sigs
+
+    col_sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
+    }
+    df_sh = {r["doc_id"]: r["simhash"] for r in simhashes(docs).collect()}
+    assert col_sh == df_sh
+
+
 def test_simhash_identical_and_different(spark):
     out = {r["doc_id"]: r["sh"] for r in _docs(spark).select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
     assert out[1] == out[2]

@@ -6,9 +6,19 @@ Scale design: every candidate-generation step is a *bucketed equi-join*
 buckets (degenerate hash collisions / boilerplate docs) are capped and
 the cap is part of the operator contract, mirrored in the oracles.
 
-All hashing is md5-based and engine-portable: a MinHash element is the
-lexicographic min of fixed-width hex digests, which equals the numeric
+Hashing is md5-based and engine-portable, and deliberately *single-digest*:
+each shingle/token is hashed ONCE and the k hash-family members are
+fixed-width hex slices of that one digest.  A MinHash element is then the
+lexicographic min of a fixed-width hex slice, which equals the numeric
 min — so Spark and DuckDB agree byte-for-byte.
+
+Execution shape: the hot path is ``explode → md5 → groupBy(min…)`` —
+whole-stage-codegen end to end with map-side partial aggregation, so at
+100 TB the shuffle carries k short strings per document, never the
+shingle sets.  (The per-row higher-order-function formulation is ~25×
+slower in Spark's interpreted HOF evaluator and is kept only as a
+Column-level equivalent for row-scoped contexts; a test pins the two to
+identical output.)
 """
 
 from __future__ import annotations
@@ -17,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MINHASH_K = 8
+SLICE_W = 4  # hex chars per hash-family slice (8 × 4 = 32 = full md5 hex)
 BAND_ROWS = 2  # 4 bands × 2 rows
 MAX_BUCKET = 50  # LSH bucket cap (skew control, part of the contract)
 
@@ -44,16 +55,55 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
-    """k-element MinHash signature: element i = min over shingles of
-    md5(i:shingle) (first 15 hex chars; fixed width ⇒ string min ≡
-    numeric min).  Empty shingle set → array of NULLs."""
-    def hasher(i: int):
-        # closure factory, not a default-arg lambda: PySpark infers the
-        # HOF arity from the Python signature, so extra params break it
-        return lambda s: F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15)
+def _slice(h: Column, i: int) -> Column:
+    return F.substring(h, SLICE_W * i + 1, SLICE_W)
 
-    return F.array(*[F.array_min(F.transform(shingle_col, hasher(i))) for i in range(k)])
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan a under-split scan out to the session's default parallelism.
+
+    The hash stages below are CPU-bound, and a small local parquet file
+    arrives as ONE split — which would serialize the whole operator on a
+    single core.  On the 100 TB path the scan already has thousands of
+    splits and this is a structural no-op (no shuffle is added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < target:
+        return df.repartition(target)
+    return df
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """(doc_id, sig) per document with ≥1 shingle.  Signature element i =
+    min over shingles of md5-hex slice [4i+1 .. 4i+4] — one digest per
+    shingle, k mins per doc.
+
+    explode → codegen md5 → hash-agg with map-side combine: the shuffle
+    key is doc_id and the shuffled payload is k 4-char strings, so the
+    stage scales with document count, not corpus bytes."""
+    ex = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("sh")
+    ).withColumn("h", F.md5("sh"))
+    agg = ex.groupBy("doc_id").agg(
+        *[F.min(_slice(F.col("h"), i)).alias(f"m{i}") for i in range(k)]
+    )
+    return agg.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
+    """Column-level equivalent of :func:`minhash_signatures` for
+    row-scoped contexts (streaming rows, tests): a single fold over the
+    shingle array, one md5 per shingle.  Empty shingle set → NULL."""
+    init = F.array_repeat(F.lit("z" * SLICE_W), k)
+
+    def merge(acc: Column, x: Column) -> Column:
+        h = F.md5(x)
+        return F.zip_with(
+            acc, F.array(*[_slice(h, i) for i in range(k)]), lambda a, b: F.least(a, b)
+        )
+
+    return F.when(F.size(shingle_col) > 0, F.aggregate(shingle_col, init, merge))
 
 
 def band_hashes(sig: Column, band_rows: int = BAND_ROWS, k: int = MINHASH_K) -> list[Column]:
@@ -70,8 +120,7 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
     One shuffle on (band_idx, band_hash); the pair join is bucket-local.
     Returns (a_id, b_id, a_sig, b_sig) for downstream verification."""
-    sig = minhash_signature(shingles(F.col(text_col)))
-    with_sig = docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    with_sig = minhash_signatures(docs, id_col, text_col)
 
     bands = with_sig.select(
         "doc_id",
@@ -119,23 +168,54 @@ def exact_jaccard(a_shingles: Column, b_shingles: Column) -> Column:
 SIMHASH_BITS = 16
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash: signature bit j is the sign of Σ over distinct tokens of
-    ±1, where the per-token bit is the high bit of md5(j:token)'s first
-    hex digit (an engine-portable hash family: '8' ≤ digit ≤ 'f' ⇔ 1).
-    ``bits`` conditional array-fold sums — pure codegen, one pass, and
-    byte-for-byte reproducible in the DuckDB oracle."""
-    toks = F.array_distinct(tokens(text))
+def _bit_col(h: Column, j: int) -> Column:
+    """±1 contribution of a token digest to simhash bit j: the high bit
+    of hex digit j+1 ('8' ≤ digit ⇔ +1).  One digest serves all bits."""
+    return F.when(F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1)
 
-    def bit_merge(j: int):
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), t)), 1, 1) >= "8", 1
-        ).otherwise(-1)
 
+def simhashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash) per document.  Bit j of the fingerprint is the
+    sign of Σ over distinct tokens of ±1 taken from hex digit j+1 of the
+    token's single md5 digest.
+
+    Same explode → md5 → partial-agg shape as minhash_signatures: the
+    shuffle payload is ``bits`` small integers per doc.  Whitespace
+    split never yields an empty array (splitting "" gives [""]) so every
+    input row survives the explode."""
+    ex = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    ).withColumn("h", F.md5("t"))
+    agg = ex.groupBy("doc_id").agg(
+        *[F.sum(_bit_col(F.col("h"), j)).alias(f"b{j}") for j in range(bits)]
+    )
     out = F.lit(0).cast("long")
     for j in range(bits):
-        bit_sum = F.aggregate(toks, F.lit(0), bit_merge(j))
-        out = out + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("doc_id", out.alias("simhash"))
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Column-level equivalent of :func:`simhashes` (row-scoped
+    contexts): one fold over distinct tokens accumulating the ``bits``
+    ±1 sums as an int array, then sign → bit assembly."""
+    toks = F.array_distinct(tokens(text))
+
+    def merge(acc: Column, t: Column) -> Column:
+        h = F.md5(t)
+        return F.zip_with(
+            acc, F.array(*[_bit_col(h, j) for j in range(bits)]), lambda a, b: a + b
+        )
+
+    sums = F.aggregate(toks, F.array_repeat(F.lit(0), bits), merge)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.element_at(sums, j + 1) > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return out

@@ -22,12 +22,13 @@ from ..operators.dedup import (
     MAX_BUCKET,
     MINHASH_K,
     SIMHASH_BITS,
+    SLICE_W,
     exact_jaccard,
     minhash_candidates,
     minhash_estimate,
-    minhash_signature,
+    minhash_signatures,
     shingles,
-    simhash,
+    simhashes,
 )
 from ..operators.multimodal import extract_features, media_from_documents
 from ..operators.similarity import (
@@ -55,7 +56,7 @@ ELSE [] END
 """
 
 _SIG_ELEMS = ", ".join(
-    f"list_min(list_transform(s, x -> substr(md5('{i}:' || x), 1, 15)))"
+    f"list_min(list_transform(s, x -> substr(md5(x), {SLICE_W * i + 1}, {SLICE_W})))"
     for i in range(MINHASH_K)
 )
 
@@ -131,15 +132,12 @@ def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x06_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8, md5-derived, engine-portable): one pass,
-    no shuffle; the signature column is what gets banded/bucketed at
-    scale."""
+    """MinHash signatures (k=8, single md5 digest per shingle sliced into
+    the hash family): explode → codegen md5 → map-side-combined min-agg;
+    the signature column is what gets banded/bucketed at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(F.col("text"))
-    return (
-        docs.select("doc_id", sh.alias("s"))
-        .filter(F.size("s") > 0)
-        .select("doc_id", F.concat_ws("|", minhash_signature(F.col("s"))).alias("sig_str"))
+    return minhash_signatures(docs).select(
+        "doc_id", F.concat_ws("|", "sig").alias("sig_str")
     )
 
 
@@ -202,7 +200,7 @@ def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
     for j in range(bits):
         bit_sum = (
             "list_reduce(list_prepend(0, list_transform(toks, "
-            f"t -> CASE WHEN substr(md5('{j}:' || t), 1, 1) >= '8' THEN 1 ELSE -1 END)), "
+            f"t -> CASE WHEN substr(md5(t), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)), "
             "(acc, x) -> acc + x)"
         )
         terms.append(f"CASE WHEN {bit_sum} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
@@ -217,11 +215,11 @@ def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
     """,
 )
 def x09_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16-bit, portable md5 hash family): near-dup fingerprint
-    whose Hamming-distance bands bucket at scale the same way MinHash
-    bands do."""
+    """SimHash (16-bit, one md5 digest per token serving all bit
+    positions): near-dup fingerprint whose Hamming-distance bands bucket
+    at scale the same way MinHash bands do."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    return simhashes(docs)
 
 
 @query(
