@@ -77,3 +77,46 @@ def test_restart_is_idempotent_for_trips(spark, tmp_path):
     trips = spark.read.parquet(paths["trip"])
     assert trips.count() == n_trips_first  # no new trip ids → no new rows
     assert trips.groupBy("trip_id").count().filter("count > 1").count() == 0
+
+
+def test_hourly_rollup_watermarked_window(spark, tmp_path):
+    """T4 — the watermarked tumbling window over the streamed landing
+    matches the same rollup computed in batch."""
+    from trimet_bytes__data_engineering_project_spark.functions.scalar import (
+        act_time_timestamp,
+        parse_opd_date,
+    )
+    from trimet_bytes__data_engineering_project_spark.schemas import BREADCRUMB_RAW
+    from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
+        hourly_rollup,
+        streaming_breadcrumbs,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_breadcrumb_landing(landing, breadcrumb_raw_records())
+
+    q = (
+        hourly_rollup(streaming_breadcrumbs(spark, str(landing)))
+        .writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["hour_start"]: r["n_readings"] for r in spark.sql("SELECT * FROM rollup").collect()
+    }
+
+    batch = spark.read.schema(BREADCRUMB_RAW).json(str(landing))
+    ts = act_time_timestamp(parse_opd_date("OPD_DATE"), F.col("ACT_TIME"))
+    want = {
+        r["hour_start"]: r["n"]
+        for r in batch.select(ts.alias("TIMESTAMP"))
+        .filter(F.col("TIMESTAMP").isNotNull())
+        .groupBy(F.date_trunc("hour", "TIMESTAMP").alias("hour_start"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and got

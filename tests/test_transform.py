@@ -92,3 +92,83 @@ def test_breadcrumb_projection(spark):
     assert bc.columns == ["tstamp", "latitude", "longitude", "speed", "trip_id"]
     # P5: GPS nulls filled with 0.0
     assert bc.filter(F.col("latitude").isNull() | F.col("longitude").isNull()).count() == 0
+
+
+def test_coerce_breadcrumbs_drops_unparseable_and_nulls_bad_numerics(spark):
+    """P6+P7 — try_cast coercion + dropna mirror load_breadcrumb.py:33-49."""
+    from trimet_bytes__data_engineering_project_spark.operators.transform import (
+        coerce_breadcrumbs,
+    )
+
+    raw = spark.createDataFrame(breadcrumb_raw_records(), schema=BREADCRUMB_RAW)
+    out = coerce_breadcrumbs(raw)
+    assert out.filter(F.col("OPD_TS").isNull()).count() == 0  # P6: bad dates dropped
+    assert out.count() < raw.count()
+
+
+def test_reorder_to_layout_fail_fast(spark):
+    """P3 — missing column raises (AnalysisException), present columns reorder."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from trimet_bytes__data_engineering_project_spark.operators.transform import (
+        reorder_to_layout,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["x", "y"])
+    assert reorder_to_layout(df, ["y", "x"]).columns == ["y", "x"]
+    with pytest.raises(AnalysisException):
+        reorder_to_layout(df, ["y", "x", "missing"]).collect()
+
+
+def test_pandas_udf_matches_native_timestamp(spark):
+    """X1 — the surface-parity pandas_udf equals the native expression."""
+    from trimet_bytes__data_engineering_project_spark.functions.scalar import (
+        act_time_timestamp,
+        act_time_timestamp_pandas,
+        parse_opd_date,
+    )
+
+    raw = spark.createDataFrame(breadcrumb_raw_records(), schema=BREADCRUMB_RAW)
+    df = raw.withColumn("OPD_TS", parse_opd_date("OPD_DATE")).filter(F.col("OPD_TS").isNotNull())
+    cmp = df.select(
+        act_time_timestamp(F.col("OPD_TS"), F.col("ACT_TIME")).alias("native"),
+        act_time_timestamp_pandas("OPD_TS", "ACT_TIME").alias("pandas"),
+    )
+    assert cmp.filter(F.col("native") != F.col("pandas")).count() == 0
+    assert cmp.filter(F.col("native").isNull()).count() == 0
+
+
+def test_applyinpandas_polyline_matches_declarative(spark):
+    """X4/A9 — grouped-map assembly equals sort_array(collect_list(struct))."""
+    from trimet_bytes__data_engineering_project_spark.operators.transform import (
+        trip_polylines_pandas,
+    )
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, s), 100 + s) for s in (3, 1, 2)
+    ] + [(2, datetime.datetime(2024, 1, 1, 0, 0, 1), 200)]
+    bc = spark.createDataFrame(rows, ["trip_id", "tstamp", "point_id"])
+    got = {r["trip_id"]: (r["n_points"], r["series"]) for r in trip_polylines_pandas(bc).collect()}
+    pts = F.sort_array(F.collect_list(F.struct("tstamp", "point_id")))
+    want = {
+        r["trip_id"]: (r["n_points"], r["series"])
+        for r in bc.groupBy("trip_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.concat_ws(";", F.transform(pts, lambda x: x["point_id"].cast("string"))).alias(
+                "series"
+            ),
+        )
+        .collect()
+    }
+    assert got == want == {1: (3, "101;102;103"), 2: (1, "200")}
+
+
+def test_load_audit_counts(spark):
+    """S10 — reconciliation probe returns per-table row counts."""
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import load_audit
+
+    t1 = spark.range(5)
+    t2 = spark.range(3)
+    assert load_audit({"a": t1, "b": t2}) == {"a": 5, "b": 3}

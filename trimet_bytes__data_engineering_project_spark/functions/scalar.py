@@ -7,6 +7,7 @@ transform chain stays inside whole-stage codegen.  No Python UDFs.
 
 from __future__ import annotations
 
+import pandas as pd  # annotation target for the X1 pandas_udf signature
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -88,3 +89,19 @@ def bounding_box(lat: Column, lon: Column, lat_min: float, lat_max: float, lon_m
     Plain float-pair ranges, exactly like the reference — both sides
     push down to the parquet scan as min/max row-group filters."""
     return lat.between(lat_min, lat_max) & lon.between(lon_min, lon_max)
+
+
+def act_time_timestamp_pandas(opd_ts_col: str, act_time_col: str):
+    """X1 — the reference's one scalar UDF (``create_timestamp``,
+    Part1/subscriber_project.py:55-64) kept as an Arrow-vectorized
+    ``pandas_udf`` for *surface* parity.  The native expression
+    :func:`act_time_timestamp` is the production path (stays in
+    codegen); a test pins the two to identical output."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("timestamp")
+    def _build(opd_ts: pd.Series, act_time: pd.Series) -> pd.Series:
+        secs = act_time.astype("int64").clip(upper=SECONDS_PER_DAY_MAX)
+        return opd_ts + pd.to_timedelta(secs, unit="s")
+
+    return _build(opd_ts_col, act_time_col)

@@ -66,3 +66,55 @@ def breadcrumb_table(enriched: DataFrame) -> DataFrame:
         F.col("SPEED").alias("speed"),
         F.col("EVENT_NO_TRIP").alias("trip_id"),
     )
+
+
+def coerce_breadcrumbs(raw: DataFrame) -> DataFrame:
+    """P6+P7 — lossy numeric coercion + unparseable-row drop, the direct
+    loader's cleanup (Part3/load_breadcrumb.py:33-49): ``try_cast`` turns
+    malformed numerics into NULL exactly like ``pd.to_numeric(errors=
+    'coerce')`` (and never raises under ANSI mode), then rows whose
+    OPD_DATE failed to parse are dropped."""
+    return (
+        raw.withColumn("OPD_TS", parse_opd_date("OPD_DATE"))
+        .withColumn("GPS_LATITUDE", F.col("GPS_LATITUDE").try_cast("double"))
+        .withColumn("GPS_LONGITUDE", F.col("GPS_LONGITUDE").try_cast("double"))
+        .withColumn("EVENT_NO_TRIP", F.col("EVENT_NO_TRIP").try_cast("long"))
+        .withColumn("ACT_TIME", F.col("ACT_TIME").try_cast("int"))
+        .dropna(subset=["OPD_TS"])
+    )
+
+
+def reorder_to_layout(df: DataFrame, expected: list[str]) -> DataFrame:
+    """P3 — fixed column layout with fail-fast on missing columns
+    (Part3/stop_event_subscriber.py:121-133): ``select`` raises
+    AnalysisException when a column is absent, the same error contract
+    as the reference's explicit KeyError check."""
+    return df.select(*expected)
+
+
+def trip_polylines_pandas(breadcrumb: DataFrame) -> DataFrame:
+    """X4/A9 — per-trip polyline assembly as a grouped-map
+    ``applyInPandas`` (the reference's ``df.groupby('trip_id')`` +
+    per-group sort, visualize_map.py:40-42).  Kept as surface parity for
+    genuinely imperative per-group logic; the declarative twin
+    (sort_array(collect_list(struct))) in plans/core.py:q31 is the
+    preferred plan — a test pins both to identical output."""
+    import pandas as pd
+
+    from ..sources.readers import _pickle_module_by_value
+
+    _pickle_module_by_value(__name__)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tstamp", "point_id"])
+        return pd.DataFrame(
+            {
+                "trip_id": [pdf["trip_id"].iloc[0]],
+                "n_points": [len(pdf)],
+                "series": [";".join(str(int(p)) for p in pdf["point_id"])],
+            }
+        )
+
+    return breadcrumb.groupBy("trip_id").applyInPandas(
+        assemble, "trip_id long, n_points long, series string"
+    )

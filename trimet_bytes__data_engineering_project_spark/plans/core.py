@@ -679,3 +679,41 @@ def q27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-series tier (A8/A9/O4/X4) — per-trip polyline assembly
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q31_user_series",
+    oracle="""
+    SELECT user_id AS trip_id, count(*) AS n_points,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+           string_agg(CAST(event_id AS VARCHAR), ';' ORDER BY ts, event_id) AS series
+    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10' GROUP BY 1
+    """,
+)
+def q31_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+A9+O4 — per-trip ordered series assembly (visualize_map.py:36-42:
+    group by trip, sort points, build the polyline, mean for centering).
+    ``sort_array(collect_list(struct))`` keeps assembly distributed — the
+    per-group sort happens inside the agg buffer, no global sort; the
+    series key is the (unique) event id so the string is engine-exact,
+    and the mean is a decimal sum with one IEEE division."""
+    ev = _events(spark, sf_dir)
+    pts = F.sort_array(F.collect_list(F.struct("ts", "event_id")))
+    return (
+        ev.filter(F.to_date("ts") == F.lit("2024-01-10").cast("date"))
+        .groupBy(F.col("user_id").alias("trip_id"))
+        .agg(
+            F.count("*").alias("n_points"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value")).alias(
+                "avg_value"
+            ),
+            F.concat_ws(";", F.transform(pts, lambda x: x["event_id"].cast("string"))).alias(
+                "series"
+            ),
+        )
+    )

@@ -84,3 +84,11 @@ def register_warehouse(spark: SparkSession, trip_path: str, breadcrumb_path: str
         FROM trip t LEFT JOIN breadcrumb b USING (trip_id)
         """
     )
+
+
+def load_audit(tables: dict[str, DataFrame]) -> dict[str, int]:
+    """S10 — post-load row-count probe (Part2/updated_subscriber.py:208-224):
+    the received/inserted/total reconciliation the reference prints per
+    run.  ``count()`` is a metadata-only parquet scan (row-group stats),
+    so auditing a 100 TB table reads footers, not data."""
+    return {name: df.count() for name, df in tables.items()}

@@ -75,3 +75,28 @@ def run_ingest_pipeline(
         .start()
         .awaitTermination()
     )
+
+
+def hourly_rollup(stream: DataFrame, lateness: str = "1 day") -> DataFrame:
+    """T4 — watermarked tumbling-window rollup, the capability upgrade the
+    reference lacks (SURVEY §2.9 T4: its only "window" is the whole daily
+    batch).  Per-hour reading counts with ``lateness`` tolerance for
+    out-of-order arrivals; the watermark lets Spark evict window state,
+    so the rollup runs indefinitely at fleet scale instead of growing
+    state per hour of history.
+
+    Takes the raw breadcrumb stream (windowed aggregation composes with
+    event-time parsing only — per-trip lag windows are a batch-side
+    concern) and returns a streaming DataFrame; callers attach the sink.
+    """
+    from ..functions.scalar import act_time_timestamp, parse_opd_date
+
+    ts = act_time_timestamp(parse_opd_date("OPD_DATE"), F.col("ACT_TIME"))
+    return (
+        stream.select(ts.alias("TIMESTAMP"))
+        .filter(F.col("TIMESTAMP").isNotNull())
+        .withWatermark("TIMESTAMP", lateness)
+        .groupBy(F.window("TIMESTAMP", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n_readings"))
+        .select(F.col("win.start").alias("hour_start"), "n_readings")
+    )
