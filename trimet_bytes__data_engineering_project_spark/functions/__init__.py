@@ -1,3 +1,4 @@
+from .geo import haversine_m  # noqa: F401
 from .scalar import (  # noqa: F401
     act_time_timestamp,
     bounding_box,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.geo import haversine_m
 from ..functions.scalar import day_name, pg_dow, service_key_from_ts
 from ..functions.windows import running_avg  # noqa: F401 (W3 building block)
 from .registry import query
@@ -717,3 +718,50 @@ def q31_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Geodesic tier — the described-but-unimplemented haversine speed basis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q32_haversine_segments",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             45.5 + (value - 50.0)/1000.0 AS lat,
+             -122.65 + CAST(event_id % 100 AS DOUBLE)/1000.0 AS lon
+      FROM events
+    ), lagged AS (
+      SELECT event_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           round(2.0*6371000.0*asin(sqrt(
+             sin((radians(lat)-radians(plat))/2)*sin((radians(lat)-radians(plat))/2)
+             + cos(radians(plat))*cos(radians(lat))
+               * sin((radians(lon)-radians(plon))/2)*sin((radians(lon)-radians(plon))/2)
+           )), 4) AS hav_m
+    FROM lagged
+    """,
+)
+def q32_haversine_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic segment length between consecutive per-trip GPS points —
+    the speed basis the reference *describes* ("distance/time between
+    consecutive GPS data", Presentation §Subscriber) but implements as
+    the odometer delta (Part1/subscriber_project.py:68).  Pure-expr
+    haversine over a lag window, no UDF.  The driver tables carry no
+    GPS columns, so coordinates are derived deterministically from
+    (value, event_id); rounded to 0.1 mm for cross-engine hash parity
+    (see functions/geo.py)."""
+    ev = _events(spark, sf_dir)
+    lat = F.lit(45.5) + (F.col("value") - F.lit(50.0)) / F.lit(1000.0)
+    lon = F.lit(-122.65) + (F.col("event_id") % F.lit(100)).cast("double") / F.lit(1000.0)
+    pts = ev.select("user_id", "event_id", "ts", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = haversine_m(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    return pts.select("event_id", F.round(seg, 4).alias("hav_m"))
