@@ -43,15 +43,24 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     Guarded for short docs: Spark's ``sequence(1, 0)`` yields a
     *descending* [1, 0], not empty, so docs with < n tokens must map to
-    an explicit empty array."""
-    toks = tokens(text)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    an explicit empty array.
+
+    The token array is bound ONCE via a single-element-array lambda:
+    Catalyst does not common-subexpression-eliminate across lambda
+    boundaries, so referencing ``split(text)`` directly inside the
+    per-shingle lambda would re-split the whole document once per
+    shingle — O(tokens²) per doc, measured ~4× slower at sf0.1."""
+
+    def _grams(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.element_at(F.transform(F.array(tokens(text)), _grams), 1)
     return F.array_distinct(grams)
 
 
@@ -80,15 +89,28 @@ def minhash_signatures(
     shingle, k mins per doc.
 
     explode → codegen md5 → hash-agg with map-side combine: the shuffle
-    key is doc_id and the shuffled payload is k 4-char strings, so the
-    stage scales with document count, not corpus bytes."""
+    key is doc_id and the shuffled payload is k small ints, so the
+    stage scales with document count, not corpus bytes.
+
+    The min-agg runs on the hash family's *numeric* value (each 4-hex
+    slice is 16 bits): ``min(string)`` carries a string agg buffer,
+    which forces Spark's SortAggregate fallback (two extra sorts of the
+    exploded rows); ``min(int)`` keeps the partial+final HashAggregate.
+    Numeric min equals lexicographic min for fixed-width hex, so the
+    hex signature re-formatted after the agg is byte-identical."""
     ex = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("sh")
     ).withColumn("h", F.md5("sh"))
     agg = ex.groupBy("doc_id").agg(
-        *[F.min(_slice(F.col("h"), i)).alias(f"m{i}") for i in range(k)]
+        *[
+            F.min(F.conv(_slice(F.col("h"), i), 16, 10).cast("int")).alias(f"m{i}")
+            for i in range(k)
+        ]
     )
-    return agg.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+    hex_elems = [
+        F.lower(F.lpad(F.hex(F.col(f"m{i}")), SLICE_W, "0")) for i in range(k)
+    ]
+    return agg.select("doc_id", F.array(*hex_elems).alias("sig"))
 
 
 def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
