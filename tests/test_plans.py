@@ -1,0 +1,108 @@
+"""Physical-plan regression tests — the 100 TB contract.
+
+Correctness tests prove the queries compute the right rows at sf0.01;
+these prove Catalyst compiles them to the plans that survive a 1000×
+scale-up: filters reach the parquet scan, small dims broadcast, top-k
+never global-sorts, aggregations stay hash-based with map-side
+partials.  A refactor that silently loses one of these properties
+still passes the oracle gate — this file is what catches it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from trimet_bytes__data_engineering_project_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    """q27: the l_shipdate predicate must reach the parquet scan
+    (row-group/page skipping at scale) and the scan must read only the
+    7 referenced columns, not all 16."""
+    plan = plan_of(spark, "q27_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_bbox_ranges_push_down(spark):
+    """q22: both range predicates (the bounding-box pattern) push to the
+    lineitem scan."""
+    plan = plan_of(spark, "q22_bbox_distinct_trips")
+    assert "GreaterThanOrEqual(l_quantity,10" in plan
+    assert "LessThanOrEqual(l_extendedprice,3000" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    """q20/q21: the dimension side is a broadcast hash join — no shuffle
+    of the fact table for the join itself."""
+    for name in ("q20_trip_full_view", "q21_join_using_segment"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    """q28: ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-
+    partition top-k + merge), never a full global Sort + Limit."""
+    plan = plan_of(spark, "q28_top_value_events")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_distinct_agg_is_two_phase_hash(spark):
+    """q11: COUNT(DISTINCT) plans as partial_count(distinct) hash
+    aggregation — the map-side combine is what keeps the shuffle
+    payload per (group, key) instead of per input row."""
+    plan = plan_of(spark, "q11_trips_per_date_dayname")
+    assert "partial_count(distinct" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_minhash_agg_is_hash_not_sort(spark):
+    """x06: the signature min-agg must stay a HashAggregate.  min over a
+    *string* buffer silently falls back to SortAggregate (two extra
+    sorts of the exploded shingle rows) — the numeric-slice formulation
+    exists precisely to avoid that."""
+    plan = plan_of(spark, "x06_minhash_signature")
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+    assert "partial_min" in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query in the corpus may plan a CartesianProduct or
+    BroadcastNestedLoopJoin on the *data* path — candidate generation is
+    always a bucketed equi-join.  (Scalar-subquery reuse shows up as
+    ReusedSubquery, not a nested loop.)"""
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_scalar_subquery_not_collected_on_driver(spark):
+    """q13: the trip-picker is a Spark scalar subquery inside one plan,
+    not a driver-side .first() round trip."""
+    plan = plan_of(spark, "q13_scalar_subquery_points")
+    assert "Subquery" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q01_count_on_date", "q23_tracking_daily", "q27_pricing_summary"]
+)
+def test_aggs_have_map_side_partials(spark, name):
+    """A1/A3/flagship: every shuffle-bound aggregation carries a partial
+    (map-side) phase so the exchange moves one row per group per task."""
+    plan = plan_of(spark, name)
+    assert "partial_" in plan
