@@ -71,6 +71,36 @@ def trip_full_view(trip: DataFrame, breadcrumb: DataFrame, stop_events: DataFram
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "trip_id",
+    sort: str = "tstamp",
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed fact layout for co-located joins (SURVEY §4 shuffle row;
+    brief: "bucketing for co-located joins").
+
+    ``bucketBy(n, key)`` fixes the hash-partitioning of the table ON
+    DISK, so any join or aggregation keyed on ``key`` between two
+    tables bucketed with the same ``n`` needs NO exchange at read time
+    — at 100 TB the fact⋈fact join (breadcrumb⋈stop_events on trip_id)
+    goes from two full shuffles to zero.  ``sortBy`` clusters rows
+    within each bucket so per-trip windows sort-merge cheaply.
+
+    Bucketed tables must live in the session catalog (``saveAsTable``)
+    — the bucket spec is catalog metadata, invisible to a plain
+    ``.parquet(path)`` reader."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key, sort)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def register_warehouse(spark: SparkSession, trip_path: str, breadcrumb_path: str) -> None:
     """Register the tables + view in the session catalog so the SQL
     surface (spark.sql over trip/breadcrumb/trip_full_view) matches the

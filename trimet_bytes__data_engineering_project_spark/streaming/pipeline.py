@@ -100,3 +100,36 @@ def hourly_rollup(stream: DataFrame, lateness: str = "1 day") -> DataFrame:
         .agg(F.count("*").alias("n_readings"))
         .select(F.col("win.start").alias("hour_start"), "n_readings")
     )
+
+
+def trip_sessions(stream: DataFrame, gap: str = "15 minutes", lateness: str = "1 day") -> DataFrame:
+    """Stateful trip sessionization — ``session_window`` per vehicle.
+
+    The reference reconstructs trips only because the feed labels them
+    (EVENT_NO_TRIP); a raw GPS feed without trip ids needs them
+    *derived*: consecutive pings of one vehicle separated by less than
+    ``gap`` belong to one trip (a layover longer than the gap starts
+    the next).  That is exactly Spark's dynamic-gap session window — a
+    stateful streaming aggregation with watermark-driven state
+    eviction, so per-vehicle session state is bounded by the gap, not
+    by stream history.  Declarative ``session_window`` is preferred
+    over ``applyInPandasWithState`` here (Spark-first rule: built-in
+    stateful operators before custom state).
+
+    Works identically in batch mode (the parity test runs both)."""
+    from ..functions.scalar import act_time_timestamp, parse_opd_date
+
+    ts = act_time_timestamp(parse_opd_date("OPD_DATE"), F.col("ACT_TIME"))
+    return (
+        stream.select(F.col("VEHICLE_ID").alias("vehicle_id"), ts.alias("TIMESTAMP"))
+        .filter(F.col("TIMESTAMP").isNotNull())
+        .withWatermark("TIMESTAMP", lateness)
+        .groupBy("vehicle_id", F.session_window("TIMESTAMP", gap).alias("win"))
+        .agg(F.count("*").alias("n_pings"))
+        .select(
+            "vehicle_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_pings",
+        )
+    )
