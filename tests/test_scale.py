@@ -162,3 +162,69 @@ def test_trip_sessions_stream_matches_batch(spark, tmp_path):
     # gap must yield strictly more sessions than vehicles
     n_vehicles = len({r[0] for r in got})
     assert len(got) > n_vehicles
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def test_stateful_trip_labels_match_batch_twin(spark, tmp_path):
+    """applyInPandasWithState per-ping trip labeling carries (last_ts,
+    seq) state ACROSS micro-batches (maxFilesPerTrigger=1 forces one
+    batch per file) and reproduces the batch window-expr twin exactly —
+    including trips that span the file boundary."""
+    import json as _json
+    import os
+
+    from trimet_bytes__data_engineering_project_spark.streaming.stateful import (
+        segment_trips_batch,
+        segment_trips_stateful,
+    )
+
+    landing = tmp_path / "pings"
+    landing.mkdir()
+
+    # 3 vehicles × bursts of 4 pings @5s, bursts 1200s apart (> the
+    # 900s gap); burst 2 straddles the two files so its state must
+    # survive the batch boundary.
+    def ping(v, t):
+        return {"vehicle_id": v, "event_ts": f"2023-01-09T06:{t//60:02d}:{t%60:02d}"}
+
+    rows_a, rows_b = [], []
+    for v in (1, 2, 3):
+        t0 = v * 7
+        burst1 = [ping(v, t0 + i * 5) for i in range(4)]
+        burst2 = [ping(v, t0 + 1500 + i * 5) for i in range(4)]
+        rows_a += burst1 + burst2[:2]
+        rows_b += burst2[2:]
+    for fname, rows in (("a_000.json", rows_a), ("b_001.json", rows_b)):
+        with open(landing / fname, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+    os.utime(landing / "a_000.json", (1000000000, 1000000000))
+    os.utime(landing / "b_001.json", (1000000100, 1000000100))
+
+    schema = "vehicle_id int, event_ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(landing))
+    )
+    q = (
+        segment_trips_stateful(stream, gap_seconds=900)
+        .writeStream.format("memory")
+        .queryName("trip_labels")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM trip_labels").collect()))
+
+    batch = spark.read.schema(schema).json(str(landing))
+    want = sorted(map(tuple, segment_trips_batch(batch, gap_seconds=900).collect()))
+    assert got == want and got
+    # burst structure: each vehicle has exactly trips {0, 1}
+    seqs = {(r[0], r[2]) for r in got}
+    assert seqs == {(v, s) for v in (1, 2, 3) for s in (0, 1)}
