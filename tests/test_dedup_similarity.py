@@ -144,3 +144,21 @@ def test_multimodal_feature_batch(spark):
     assert feats[3]["byte_len"] == 6  # Ω is 2 utf-8 bytes + 'mega'
     assert feats[3]["first_codepoint"] == ord("Ω")
     assert all(not r["decoded"] for r in feats.values())  # codec stubbed
+
+
+def test_arrow_cosine_matches_fold_baseline(spark):
+    """The Arrow/BLAS throughput variant ranks the same top-k set as the
+    fold-exact baseline, with cosines equal to 1e-9 (summation-order
+    difference only) — over the real embeddings table."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    fold = brute_force_topk(emb, q, k=10).collect()
+    arrow = brute_force_topk_arrow(emb, q, k=10).collect()
+    assert [r["vec_id"] for r in fold] == [r["vec_id"] for r in arrow]
+    for f, a in zip(fold, arrow):
+        assert abs(f["cos_sim"] - a["cos_sim"]) < 1e-9

@@ -21,8 +21,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def as_double_vec(col: Column | str) -> Column:
@@ -53,6 +56,38 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int, vec_col: st
     q = vector_literal(query_vec)
     return (
         emb.select("vec_id", cosine(v, q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def brute_force_topk_arrow(
+    emb: DataFrame, query_vec: list[float], k: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Throughput variant of :func:`brute_force_topk`: the cosine is an
+    Arrow-batched Pandas UDF doing one BLAS matrix-vector product per
+    batch instead of an interpreted per-element fold.
+
+    Spark's higher-order-function evaluator interprets the fold per
+    element — fine for the oracle-exact baseline, ~10-40× too slow for
+    a billion-vector scan.  Here each Arrow batch becomes one
+    ``(batch, dim) @ (dim,)`` numpy product.  Top-k stays
+    ``TakeOrderedAndProject`` (no shuffle of vectors).
+
+    numpy's pairwise-blocked summation ≠ the fold's sequential order,
+    so results may differ in the last ulp — this variant is pinned to
+    the fold baseline within 1e-9 by test, and the fold variant remains
+    the DuckDB-oracle path."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+
+    @pandas_udf("double")
+    def _cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series((m @ qv) / (np.linalg.norm(m, axis=1) * qn))
+
+    return (
+        emb.select("vec_id", _cos(F.col(vec_col)).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
