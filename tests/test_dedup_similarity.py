@@ -162,3 +162,37 @@ def test_arrow_cosine_matches_fold_baseline(spark):
     assert [r["vec_id"] for r in fold] == [r["vec_id"] for r in arrow]
     for f, a in zip(fold, arrow):
         assert abs(f["cos_sim"] - a["cos_sim"]) < 1e-9
+
+
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    """resize: 1:1 blob round-trip with the stub passthrough; frames:
+    1→N executor-side fan-out, deterministic slice frames, ≤max_frames
+    per blob, frame_idx dense from 0."""
+    from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+        sample_frames,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = media_from_documents(docs)
+    n_media = media.count()
+
+    resized = resize_images(media, 224, 224)
+    rows = resized.collect()
+    assert len(rows) == n_media
+    assert all(r["target_w"] == 224 and not r["resized"] for r in rows)
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in rows)  # stub passthrough
+
+    frames = sample_frames(media, max_frames=4).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert set(per) == set(orig)
+    for mid, idxs in per.items():
+        assert sorted(idxs) == list(range(len(idxs))) and len(idxs) <= 4
+    # deterministic across runs
+    again = sample_frames(media, max_frames=4).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))

@@ -105,3 +105,112 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized", T.BooleanType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over mapInPandas — 1:1 row mapping, blob in / blob
+    out.  The decode-resize-reencode core is gated behind a PIL
+    try-import (absent in this container): the stub passes the payload
+    through unchanged with ``resized=False``, so the Spark-side
+    contract (schema, Arrow batch shape, binary round-trip) is real and
+    tested while the codec is not faked."""
+    from ..sources.readers import _pickle_module_by_value
+
+    _pickle_module_by_value(__name__)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _resize(b: bytes) -> tuple[bytes, bool]:
+            try:  # pragma: no cover - library not present in this container
+                import io
+
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+                out = io.BytesIO()
+                img.save(out, format=img.format or "PNG")
+                return out.getvalue(), True
+            except Exception:
+                return bytes(b), False
+
+        for pdf in batches:
+            pairs = pdf["payload"].map(_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pairs.map(lambda p: p[0]),
+                    "target_w": width,
+                    "target_h": height,
+                    "resized": pairs.map(lambda p: p[1]),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+_STUB_FRAME_SIZE = 64
+
+
+def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Video frame sampling — the one genuinely table-generating
+    multimodal op: each blob row explodes into ≤ ``max_frames`` frame
+    rows.  The real decoder (``av``) is gated behind a try-import; the
+    stub emits evenly-spaced fixed-width byte slices of the payload as
+    stand-in frames (``decoded=False``) — deterministic, and exercising
+    exactly the 1→N Arrow batch shape the real codec needs.
+
+    At 100 TB the fan-out happens executor-side inside mapInPandas (no
+    explode of a collected array column), so frame rows never transit
+    the driver and downstream repartitioning sees a plain long table."""
+    from ..sources.readers import _pickle_module_by_value
+
+    _pickle_module_by_value(__name__)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _frames(b: bytes) -> list[bytes]:
+            try:  # pragma: no cover - library not present in this container
+                import av  # noqa: F401
+
+                raise NotImplementedError("real codec path requires av")
+            except ImportError:
+                raw = bytes(b)
+                n = min(max_frames, max(1, len(raw) // _STUB_FRAME_SIZE))
+                step = max(1, (len(raw) - _STUB_FRAME_SIZE) // max(1, n - 1)) if n > 1 else 1
+                return [raw[i * step : i * step + _STUB_FRAME_SIZE] for i in range(n)]
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in enumerate(_frames(payload)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                    "decoded": False,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
