@@ -17,6 +17,34 @@ def token_count_col(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+")).cast("int")
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the coarse split every BPE-family tokenizer (GPT-2 et al.)
+# applies before merges.  Restricted to constructs RE2 (DuckDB) and
+# Java regex compile identically, so the oracle can run the same
+# pattern verbatim.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Subword-style token count under :data:`BPE_PATTERN` — the cheap
+    proxy for "how many LLM tokens is this document" that a training-
+    data pipeline budgets with (whitespace counting undercounts code
+    and punctuation-heavy text badly)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast("int")
+
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords — the classic
+    quality signal (near-0 for keyword spam / boilerplate lists, ~0.3-
+    0.5 for natural prose).  Exact: int/int → one IEEE division."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.size(toks)
+
+
 def char_class_count(text: Column, char_class: str) -> Column:
     """Count of characters matching a regex character class, computed as
     length delta after global removal (identical semantics in DuckDB via
@@ -25,17 +53,20 @@ def char_class_count(text: Column, char_class: str) -> Column:
 
 
 def quality_stats(text: Column) -> list[Column]:
-    """Quality-scoring signal set (doc length, vowel/space density,
-    token shape).  Integer counts + one IEEE division — deterministic
-    across engines."""
+    """Quality-scoring signal set (doc length, vowel/space/punctuation
+    density, token shape, stopword ratio).  Integer counts + single
+    IEEE divisions — deterministic across engines."""
     n_chars = F.length(text).cast("long").alias("n_chars_measured")
     n_vowels = char_class_count(text, "[aeiou]").cast("long").alias("n_vowels")
     n_spaces = char_class_count(text, "[ ]").cast("long").alias("n_spaces")
+    n_punct = char_class_count(text, "[^A-Za-z0-9 ]").cast("long").alias("n_punct")
     n_tokens = token_count_col(text)
     return [
         n_chars,
         n_vowels,
         n_spaces,
+        n_punct,
         n_tokens.alias("n_tokens"),
         (F.length(text).cast("double") / n_tokens).alias("avg_token_len"),
+        stopword_ratio_col(text).alias("stopword_ratio"),
     ]

@@ -38,7 +38,7 @@ from ..operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
-from ..operators.textstats import quality_stats, token_count_col
+from ..operators.textstats import bpe_token_count_col, quality_stats, token_count_col
 from .registry import query
 from .tables import load_table
 
@@ -367,19 +367,25 @@ def x15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x02_token_count",
-    oracle=f"""
+    oracle=rf"""
     SELECT doc_id,
            CAST(len({_TOKS}) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS INT) AS n_tokens_bpe,
            length(text) AS n_chars_measured
     FROM documents
     """,
 )
 def x02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting — whitespace tokenizer as a native split (no UDF)."""
+    """Token counting — whitespace tokenizer plus the BPE-ish
+    pre-tokenizer regex (letters|digits|symbol), both native exprs, no
+    UDF; the pattern is RE2/Java-portable so the oracle runs it
+    verbatim."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_token_count_col(F.col("text")).alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars_measured"),
     )
 
@@ -391,14 +397,19 @@ def x02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text) AS n_chars_measured,
            length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
            length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_spaces,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct,
            CAST(len({_TOKS}) AS INT) AS n_tokens,
-           CAST(length(text) AS DOUBLE) / CAST(len({_TOKS}) AS INT) AS avg_token_len
+           CAST(length(text) AS DOUBLE) / CAST(len({_TOKS}) AS INT) AS avg_token_len,
+           CAST(len(list_filter({_TOKS},
+                t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
+             / len({_TOKS}) AS stopword_ratio
     FROM documents
     """,
 )
 def x03_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring — length/char-class/token-shape signals, all
-    integer counts + one IEEE division (hash-stable across engines)."""
+    """Quality scoring — length / char-class (vowel, space, punct)
+    densities, token shape, stopword ratio: all integer counts + single
+    IEEE divisions (hash-stable across engines)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", *quality_stats(F.col("text")))
 
