@@ -228,3 +228,64 @@ def test_stateful_trip_labels_match_batch_twin(spark, tmp_path):
     # burst structure: each vehicle has exactly trips {0, 1}
     seqs = {(r[0], r[2]) for r in got}
     assert seqs == {(v, s) for v in (1, 2, 3) for s in (0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Incremental streaming dedup
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_catches_cross_batch_near_dups(spark, tmp_path):
+    """Docs arriving in a later micro-batch are flagged against the
+    accumulated signature store; fresh docs are not flagged; the store
+    grows by every doc's bands."""
+    import json as _json
+    import os
+
+    from trimet_bytes__data_engineering_project_spark.streaming.dedup import (
+        run_streaming_dedup,
+    )
+
+    base = (
+        "spark shuffles data between stages when the partitioning of the "
+        "parent does not satisfy the required distribution of the child"
+    )
+    near = base.replace("child", "operator")  # high-Jaccard variant
+    other = (
+        "completely different content about breadcrumb telemetry feeds "
+        "arriving from transit vehicles every five seconds all day"
+    )
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    batches = [
+        [(1, base), (2, other)],
+        [(3, near), (4, "tiny"), (5, other + " with an extra trailing clause here")],
+    ]
+    for bi, rows in enumerate(batches):
+        with open(landing / f"batch_{bi}.json", "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(landing / f"batch_{bi}.json", (1000000000 + bi * 100,) * 2)
+
+    paths = {n: str(tmp_path / n) for n in ("store", "dups", "ckpt")}
+    # maxFilesPerTrigger isn't an option of run_streaming_dedup; emulate
+    # two arrivals with two availableNow runs sharing the checkpoint
+    with open(landing / "batch_1.json") as f:
+        pending = f.read()
+    os.remove(landing / "batch_1.json")
+    run_streaming_dedup(spark, str(landing), paths["store"], paths["dups"], paths["ckpt"])
+    with open(landing / "batch_1.json", "w") as f:
+        f.write(pending)
+    run_streaming_dedup(spark, str(landing), paths["store"], paths["dups"], paths["ckpt"])
+
+    dups = spark.read.parquet(paths["dups"]).collect()
+    flagged = {(r["new_id"], r["dup_of"]) for r in dups}
+    assert (3, 1) in flagged  # near-dup of batch-1 doc, caught cross-batch
+    assert (5, 2) in flagged  # prefix-extension of batch-1 doc
+    assert all(new != 4 for new, _ in flagged)  # fresh tiny doc not flagged
+
+    store = spark.read.parquet(paths["store"])
+    # every shingle-able doc indexed; doc 4 ("tiny", < 3 tokens) has no
+    # shingles → correctly unindexable (operator contract: sigs exist
+    # only for docs with ≥ 1 shingle)
+    assert {r["doc_id"] for r in store.select("doc_id").distinct().collect()} == {1, 2, 3, 5}

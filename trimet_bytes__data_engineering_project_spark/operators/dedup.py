@@ -136,19 +136,24 @@ def band_hashes(sig: Column, band_rows: int = BAND_ROWS, k: int = MINHASH_K) -> 
     ]
 
 
+def signature_bands(with_sig: DataFrame) -> DataFrame:
+    """(doc_id, sig, band_idx, band_hash) — one row per signature band;
+    the LSH index shape, both for in-query candidate joins and as the
+    persisted signature-store layout for incremental dedup."""
+    return with_sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(F.array(*band_hashes(F.col("sig")))).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """MinHash-LSH candidate pairs: explode (band_idx, band_hash), join
     within buckets, cap oversized buckets.
 
     One shuffle on (band_idx, band_hash); the pair join is bucket-local.
     Returns (a_id, b_id, a_sig, b_sig) for downstream verification."""
-    with_sig = minhash_signatures(docs, id_col, text_col)
-
-    bands = with_sig.select(
-        "doc_id",
-        "sig",
-        F.posexplode(F.array(*band_hashes(F.col("sig")))).alias("band_idx", "band_hash"),
-    )
+    bands = signature_bands(minhash_signatures(docs, id_col, text_col))
     # cap degenerate buckets (boilerplate/empty docs all colliding)
     bucket_sizes = bands.groupBy("band_idx", "band_hash").count()
     bands = bands.join(
