@@ -196,3 +196,19 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
     # deterministic across runs
     again = sample_frames(media, max_frames=4).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe = n_centroids probes every inverted list → identical
+    result set to exact brute-force top-k (the recall dial's upper
+    end); nprobe=1 returns a subset drawn from one list."""
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [(r["vec_id"], r["cos_sim"]) for r in brute_force_topk(emb, q, k=5).collect()]
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()
+    ]
+    assert full == exact

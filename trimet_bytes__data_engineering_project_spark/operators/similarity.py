@@ -145,11 +145,14 @@ def ivf_topk(
     k: int,
     n_centroids: int = 16,
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF probe-1: centroids are the first ``n_centroids`` vectors by id
+    """IVF: centroids are the first ``n_centroids`` vectors by id
     (deterministic coarse quantizer; k-means at scale), every vector is
-    assigned to its argmax-cosine centroid, the query probes its own
-    centroid's inverted list only.
+    assigned to its argmax-cosine centroid, the query probes its
+    ``nprobe`` nearest centroids' inverted lists (recall dial:
+    nprobe=1 fastest, nprobe=n_centroids ≡ brute force — pinned by
+    test).
 
     The centroid set is collected once (tiny) and joined as a literal-
     free broadcast; assignment is a rank-1 window over n_centroids rows
@@ -172,13 +175,13 @@ def ivf_topk(
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
     assigned = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
 
-    # query's centroid, computed the same way
+    # query's nprobe nearest centroids, computed the same way
     qdf = spark.range(1).select(q.alias("v"))
     qc = (
         qdf.crossJoin(F.broadcast(cents))
         .withColumn("c_cos", cosine(F.col("v"), F.col("cvec")))
         .orderBy(F.desc("c_cos"), "centroid_id")
-        .limit(1)
+        .limit(nprobe)
         .select("centroid_id")
     )
     return (
