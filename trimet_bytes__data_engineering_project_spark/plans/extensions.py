@@ -360,6 +360,40 @@ def x15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x16_asof_join",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         v1 AS (SELECT user_id, ts, max(event_id) AS view_id
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT c.event_id, v.view_id
+    FROM clicks c ASOF LEFT JOIN v1 v ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def x16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each click attached to the user's latest view at or
+    before it (the session-attribution primitive; transit form: each
+    ping to the stop-event window it follows).  Spark lacks the
+    operator; `operators/asof.py` composes it as union → one keyed
+    window → last(ignorenulls) carry: one equi-shuffle, linear pass, no
+    range explosion.  The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``
+    — the composition is pinned bit-exact against a first-class
+    implementation, inclusive-tie semantics and NULL no-prior rows
+    included."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return asof_join(clicks, views, key="user_id", ts="ts", payload_cols=["view_id"]).select(
+        "event_id", "view_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
