@@ -98,6 +98,19 @@ def test_scalar_subquery_not_collected_on_driver(spark):
     assert "Subquery" in plan
 
 
+def test_range_join_is_equi_not_nested_loop(spark):
+    """x17: the binned range join must plan as a hash or sort-merge
+    equi-join — the raw BETWEEN formulation degrades to
+    BroadcastNestedLoopJoin, which is exactly what the operator
+    exists to avoid."""
+    plan = plan_of(spark, "x17_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
 @pytest.mark.parametrize(
     "name", ["q01_count_on_date", "q23_tracking_daily", "q27_pricing_summary"]
 )

@@ -394,6 +394,53 @@ def x16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x17_range_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id,
+             ts - INTERVAL 30 MINUTE AS win_start, ts AS win_end
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (SELECT user_id, ts, event_id AS click_id FROM events
+               WHERE event_type = 'click')
+    SELECT DISTINCT c.click_id, p.purchase_id
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts BETWEEN p.win_start AND p.win_end
+    """,
+)
+def x17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — every click inside the 30-minute window before a
+    same-user purchase (attribution primitive; transit form: each ping
+    inside a stop-event [arrive, leave] dwell).  Spark plans the raw
+    BETWEEN predicate as a nested loop; `operators/rangejoin.py` bins
+    both sides (bin ≥ interval length → ≤ 2 bins per interval) and
+    equi-joins on (key, bin) + exact re-check — one shuffle per side,
+    no range explosion.  The oracle runs the naive inequality join; the
+    plan test pins the Spark side to a hash/merge join."""
+    from ..operators.rangejoin import interval_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return interval_range_join(
+        clicks,
+        purchases,
+        key="user_id",
+        point_ts="ts",
+        start_ts="win_start",
+        end_ts="win_end",
+        bin_width_s=1800,
+    ).select("click_id", "purchase_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
