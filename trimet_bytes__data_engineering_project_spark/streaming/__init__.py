@@ -1,1 +1,8 @@
-from .pipeline import run_ingest_pipeline, streaming_breadcrumbs  # noqa: F401
+from .dedup import run_streaming_dedup  # noqa: F401
+from .pipeline import (  # noqa: F401
+    hourly_rollup,
+    run_ingest_pipeline,
+    streaming_breadcrumbs,
+    trip_sessions,
+)
+from .stateful import segment_trips_batch, segment_trips_stateful  # noqa: F401
