@@ -192,6 +192,46 @@ def ivf_topk(
     )
 
 
+def quantize_vec(vec: Column) -> Column:
+    """Symmetric int8 quantization: q_i = round(x_i / scale · 127) with
+    scale = max|x| per vector — 4× smaller storage and integer-math
+    search at 100 TB.  All-zero vectors quantize to NULL (no scale).
+    round() is half-away-from-zero in both Spark (HALF_UP) and DuckDB
+    (C round), so the oracle mirrors this expression verbatim."""
+    scale = F.nullif(F.array_max(F.transform(vec, lambda x: F.abs(x))), F.lit(0.0))
+    return F.transform(vec, lambda x: F.round(x / scale * 127, 0).cast("int"))
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over int8-quantized vectors: integer dot / integer norms
+    — the sums are exact integer folds (order-independent!), the two
+    sqrts and one division are single IEEE ops, so the result is
+    bit-deterministic in any engine."""
+    def int_fold(products: Column) -> Column:
+        return F.aggregate(products, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    dot_q = int_fold(F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")))
+    na = F.sqrt(int_fold(F.transform(qa, lambda x: (x * x).cast("long"))).cast("double"))
+    nb = F.sqrt(int_fold(F.transform(qb, lambda x: (x * x).cast("long"))).cast("double"))
+    return dot_q.cast("double") / (na * nb)
+
+
+def quantized_topk(
+    emb: DataFrame, query_vec: list[float], k: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors — the compressed
+    search path: ~4× less data scanned per query at an accuracy cost
+    bounded by the quantization step."""
+    v_q = quantize_vec(as_double_vec(vec_col))
+    q_q = quantize_vec(vector_literal(query_vec))
+    return (
+        emb.select("vec_id", quantized_cosine(v_q, q_q).alias("q_cos"))
+        .filter(F.col("q_cos").isNotNull())
+        .orderBy(F.desc("q_cos"), "vec_id")
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -37,6 +37,7 @@ from ..operators.similarity import (
     hyperplanes,
     ivf_topk,
     lsh_topk,
+    quantized_topk,
 )
 from ..operators.textstats import bpe_token_count_col, quality_stats, token_count_col
 from .registry import query
@@ -358,6 +359,45 @@ def x15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.countDistinct("o_custkey")
         ).alias("approx_within_5pct"),
     )
+
+
+_QUANT = (
+    "list_transform({v}, x -> CAST(round(x / "
+    "nullif(list_max(list_transform({v}, y -> abs(y))), 0.0) * 127) AS INTEGER))"
+)
+
+
+def _int_fold_sql(products: str) -> str:
+    return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {products}), (acc, x) -> acc + x)"
+
+
+def _qcos_sql(a: str, b: str) -> str:
+    dot = _int_fold_sql(f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] * p[2] AS BIGINT))")
+    na = f"sqrt(CAST({_int_fold_sql(f'list_transform({a}, x -> CAST(x * x AS BIGINT))')} AS DOUBLE))"
+    nb = f"sqrt(CAST({_int_fold_sql(f'list_transform({b}, x -> CAST(x * x AS BIGINT))')} AS DOUBLE))"
+    return f"(CAST({dot} AS DOUBLE) / ({na} * {nb}))"
+
+
+@query(
+    "x18_quantized_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
+         q AS (SELECT {_QV_SQL} AS qv),
+         eq AS (SELECT vec_id, {_QUANT.format(v='v')} AS vq FROM e),
+         qq AS (SELECT {_QUANT.format(v='qv')} AS vq FROM q)
+    SELECT vec_id, {_qcos_sql('eq.vq', '(SELECT vq FROM qq)')} AS q_cos
+    FROM eq WHERE {_qcos_sql('eq.vq', '(SELECT vq FROM qq)')} IS NOT NULL
+    ORDER BY q_cos DESC, vec_id LIMIT 10
+    """,
+)
+def x18_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized vector search: symmetric per-vector quantization
+    (4× storage/scan reduction at 100 TB), integer-exact dot/norm sums
+    (order-independent — no float summation nondeterminism at all),
+    single IEEE division.  The compressed path of the ANN tier; the
+    fold-exact float path (x10) is the accuracy baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
 @query(
