@@ -1,4 +1,4 @@
-from .asof import asof_join  # noqa: F401
+from .asof import asof_join, asof_join_skewed  # noqa: F401
 from .rangejoin import interval_range_join  # noqa: F401
 from .skew import salted_agg, salted_join, with_salt  # noqa: F401
 from .transform import breadcrumb_table, enrich_breadcrumbs, trip_table  # noqa: F401

@@ -170,13 +170,54 @@ FRAME_SCHEMA = T.StructType(
 _STUB_FRAME_SIZE = 64
 
 
+def _stub_frames(raw: bytes, max_frames: int) -> list[bytes]:
+    """Deterministic stand-in frames: ≤ ``max_frames`` evenly-spaced
+    fixed-width byte slices of the payload (``decoded=False``
+    downstream) — exercises exactly the 1→N batch shape the real codec
+    produces, without faking pixels."""
+    n = min(max_frames, max(1, len(raw) // _STUB_FRAME_SIZE))
+    step = max(1, (len(raw) - _STUB_FRAME_SIZE) // max(1, n - 1)) if n > 1 else 1
+    return [raw[i * step : i * step + _STUB_FRAME_SIZE] for i in range(n)]
+
+
+def _sample_frame_bytes(raw: bytes, max_frames: int) -> tuple[list[bytes], bool]:
+    """(frames, decoded) for one blob.  The real decoder (``av``) is
+    gated behind a try-import; any failure of the real path — the
+    library being absent, a not-yet-implemented branch, or a payload
+    the codec rejects — falls through to the deterministic stub so the
+    operator degrades instead of crashing."""
+    try:
+        import av
+        import io
+
+        frames: list[bytes] = []
+        with av.open(io.BytesIO(raw)) as container:  # pragma: no cover - av absent here
+            stream = container.streams.video[0]
+            total = stream.frames or 0
+            want = (
+                set(range(max_frames))
+                if total <= max_frames
+                else {i * (total - 1) // max(1, max_frames - 1) for i in range(max_frames)}
+            )
+            for i, frame in enumerate(container.decode(stream)):
+                if i in want:
+                    frames.append(frame.to_ndarray(format="rgb24").tobytes())
+                if len(frames) >= max_frames:
+                    break
+        if not frames:
+            raise ValueError("no decodable video frames")
+        return frames, True
+    except Exception:
+        return _stub_frames(raw, max_frames), False
+
+
 def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
     """Video frame sampling — the one genuinely table-generating
     multimodal op: each blob row explodes into ≤ ``max_frames`` frame
-    rows.  The real decoder (``av``) is gated behind a try-import; the
-    stub emits evenly-spaced fixed-width byte slices of the payload as
-    stand-in frames (``decoded=False``) — deterministic, and exercising
-    exactly the 1→N Arrow batch shape the real codec needs.
+    rows via :func:`_sample_frame_bytes` (real ``av`` decode when the
+    library is importable, deterministic byte-slice stub otherwise —
+    the fallback also catches decode failures, so a present-but-broken
+    codec degrades instead of crashing the operator).
 
     At 100 TB the fan-out happens executor-side inside mapInPandas (no
     explode of a collected array column), so frame rows never transit
@@ -186,30 +227,21 @@ def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
     _pickle_module_by_value(__name__)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _frames(b: bytes) -> list[bytes]:
-            try:  # pragma: no cover - library not present in this container
-                import av  # noqa: F401
-
-                raise NotImplementedError("real codec path requires av")
-            except ImportError:
-                raw = bytes(b)
-                n = min(max_frames, max(1, len(raw) // _STUB_FRAME_SIZE))
-                step = max(1, (len(raw) - _STUB_FRAME_SIZE) // max(1, n - 1)) if n > 1 else 1
-                return [raw[i * step : i * step + _STUB_FRAME_SIZE] for i in range(n)]
-
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, decs = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for i, fr in enumerate(_frames(payload)):
+                frs, decoded = _sample_frame_bytes(bytes(payload), max_frames)
+                for i, fr in enumerate(frs):
                     ids.append(mid)
                     idxs.append(i)
                     frames.append(fr)
+                    decs.append(decoded)
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
                     "frame_idx": pd.array(idxs, dtype="int32"),
                     "frame_bytes": frames,
-                    "decoded": False,
+                    "decoded": pd.array(decs, dtype="bool"),
                 }
             )
 

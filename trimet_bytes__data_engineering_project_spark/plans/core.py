@@ -269,15 +269,22 @@ def q23_tracking_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_scalar_subquery_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — scalar-subquery trip selection: all points of the busiest
-    entity (q1.py:16-25 / q2.py:17-26 pattern, deterministic tie-break)."""
+    entity (q1.py:16-25 / q2.py:17-26 pattern, deterministic tie-break).
+
+    Expressed with the DataFrame-API scalar subquery
+    (``DataFrame.scalar()``, Spark 4) — same plan as the SQL form, with
+    no session temp-view registration (query functions must not mutate
+    shared session state)."""
     ev = _events(spark, sf_dir)
-    ev.createOrReplaceTempView("tb_events")
-    return spark.sql(
-        """
-        SELECT event_id, value AS speed FROM tb_events
-        WHERE user_id = (SELECT user_id FROM tb_events
-                         GROUP BY user_id ORDER BY count(*) DESC, user_id LIMIT 1)
-        """
+    busiest = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("_cnt"))
+        .orderBy(F.desc("_cnt"), "user_id")
+        .limit(1)
+        .select("user_id")
+    )
+    return ev.filter(F.col("user_id") == busiest.scalar()).select(
+        "event_id", F.col("value").alias("speed")
     )
 
 

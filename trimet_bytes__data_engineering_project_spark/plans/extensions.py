@@ -444,7 +444,7 @@ def x16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     clicks AS (SELECT user_id, ts, event_id AS click_id FROM events
                WHERE event_type = 'click')
-    SELECT DISTINCT c.click_id, p.purchase_id
+    SELECT c.click_id, p.purchase_id
     FROM clicks c JOIN purchases p
       ON c.user_id = p.user_id AND c.ts BETWEEN p.win_start AND p.win_end
     """,
@@ -454,10 +454,11 @@ def x17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-user purchase (attribution primitive; transit form: each ping
     inside a stop-event [arrive, leave] dwell).  Spark plans the raw
     BETWEEN predicate as a nested loop; `operators/rangejoin.py` bins
-    both sides (bin ≥ interval length → ≤ 2 bins per interval) and
+    both sides (bin = interval length here → ≤ 2 bins per interval) and
     equi-joins on (key, bin) + exact re-check — one shuffle per side,
-    no range explosion.  The oracle runs the naive inequality join; the
-    plan test pins the Spark side to a hash/merge join."""
+    no range explosion, multiplicity identical to the naive join (the
+    oracle runs it without DISTINCT); the plan test pins the Spark side
+    to a hash/merge join."""
     from ..operators.rangejoin import interval_range_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -478,6 +479,50 @@ def x17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ts="win_start",
         end_ts="win_end",
         bin_width_s=1800,
+    ).select("click_id", "purchase_id")
+
+
+@query(
+    "x19_range_join_long_intervals",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id,
+             ts - INTERVAL 2 HOUR AS win_start, ts AS win_end
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (SELECT user_id, ts, event_id AS click_id FROM events
+               WHERE event_type = 'click')
+    SELECT c.click_id, p.purchase_id
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts BETWEEN p.win_start AND p.win_end
+    """,
+)
+def x19_range_join_long_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with intervals LONGER than the bin width (2-hour
+    windows over 10-minute bins → each interval explodes to 13 bins):
+    proves the operator's correctness does not depend on the width
+    bound — oversized intervals cost more bins, never lose matches.
+    Same naive-BETWEEN oracle shape as x17."""
+    from ..operators.rangejoin import interval_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return interval_range_join(
+        clicks,
+        purchases,
+        key="user_id",
+        point_ts="ts",
+        start_ts="win_start",
+        end_ts="win_end",
+        bin_width_s=600,
     ).select("click_id", "purchase_id")
 
 
