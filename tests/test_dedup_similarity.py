@@ -164,6 +164,27 @@ def test_arrow_cosine_matches_fold_baseline(spark):
         assert abs(f["cos_sim"] - a["cos_sim"]) < 1e-9
 
 
+def test_quantized_arrow_exactly_equals_fold(spark):
+    """The int8 Arrow variant must be EXACTLY equal to the interpreted
+    fold path — integer sums are order-independent, quantization is the
+    same double expression, and the division is one IEEE op, so bitwise
+    equality (not ≤ε) is the contract that keeps the driver oracle
+    green on the fast path."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        quantized_topk,
+        quantized_topk_arrow,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    fold = quantized_topk(emb, q, k=25).collect()
+    arrow = quantized_topk_arrow(emb, q, k=25).collect()
+    assert [(r["vec_id"], r["q_cos"]) for r in fold] == [
+        (r["vec_id"], r["q_cos"]) for r in arrow
+    ]
+
+
 def test_multimodal_resize_and_frame_sample_plumbing(spark):
     """resize: 1:1 blob round-trip with the stub passthrough; frames:
     1→N executor-side fan-out, deterministic slice frames, ≤max_frames

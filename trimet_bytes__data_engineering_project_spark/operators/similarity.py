@@ -232,6 +232,48 @@ def quantized_topk(
     )
 
 
+def quantized_topk_arrow(
+    emb: DataFrame, query_vec: list[float], k: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Throughput variant of :func:`quantized_topk` — same int8
+    quantization + integer cosine, executed as one numpy integer
+    matmul per Arrow batch instead of ~5 interpreted HOF folds per
+    vector.
+
+    EXACTLY equal to the fold path (pinned by test, not ≤ε): the
+    integer dot/norm sums are order-independent, quantization runs the
+    identical double expression ``(x / scale) * 127`` with
+    half-away-from-zero rounding, and the final division is the same
+    single IEEE op — so unlike the float Arrow path (1e-9 pin), this
+    one is bit-deterministic and the driver oracle stays green on it."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qscale = float(np.abs(qv).max()) if qv.size else 0.0
+    if qscale == 0.0:
+        return quantized_topk(emb, query_vec, k, vec_col)  # degenerate: empty result
+    qs = (qv / qscale) * 127.0
+    qq = (np.sign(qs) * np.floor(np.abs(qs) + 0.5)).astype(np.int64)
+    qnorm = float(np.sqrt(float(qq @ qq)))
+
+    @pandas_udf("double")
+    def _qcos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype(np.float64, copy=False)
+        s = np.abs(m).max(axis=1)
+        safe = np.where(s == 0.0, 1.0, s)
+        ms = (m / safe[:, None]) * 127.0
+        mq = (np.sign(ms) * np.floor(np.abs(ms) + 0.5)).astype(np.int64)
+        dot = (mq @ qq).astype(np.float64)
+        norms = np.sqrt((mq * mq).sum(axis=1).astype(np.float64))
+        out = pd.Series(dot / (norms * qnorm))
+        return out.mask(s == 0.0)  # all-zero vectors quantize to NULL
+
+    return (
+        emb.select("vec_id", _qcos(F.col(vec_col)).alias("q_cos"))
+        .filter(F.col("q_cos").isNotNull())
+        .orderBy(F.desc("q_cos"), "vec_id")
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -37,7 +37,7 @@ from ..operators.similarity import (
     hyperplanes,
     ivf_topk,
     lsh_topk,
-    quantized_topk,
+    quantized_topk_arrow,
 )
 from ..operators.textstats import bpe_token_count_col, quality_stats, token_count_col
 from .registry import query
@@ -395,9 +395,14 @@ def x18_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4× storage/scan reduction at 100 TB), integer-exact dot/norm sums
     (order-independent — no float summation nondeterminism at all),
     single IEEE division.  The compressed path of the ANN tier; the
-    fold-exact float path (x10) is the accuracy baseline."""
+    fold-exact float path (x10) is the accuracy baseline.
+
+    Runs the Arrow/numpy int-matmul variant — pinned EXACTLY equal to
+    the interpreted fold path by test (integer math is order-free), so
+    the oracle stays green while the scan is one BLAS-shaped batch op
+    instead of ~5 interpreted HOF folds per vector (~10× at sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantized_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return quantized_topk_arrow(emb, _query_vec(spark, sf_dir), k=10)
 
 
 @query(
