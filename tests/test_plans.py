@@ -98,6 +98,41 @@ def test_scalar_subquery_not_collected_on_driver(spark):
     assert "Subquery" in plan
 
 
+def test_lsh_index_probe_prunes_partitions(spark):
+    """x20: the probe of the WRITTEN LSH index must hit the bucket as a
+    partition filter — reading 1 of 16 bucket directories — not as a
+    post-scan predicate over recomputed signatures."""
+    plan = plan_of(spark, "x20_ann_lsh_index_probe")
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "bucket" in pf and "=" in pf
+    # and the probe plan computes no signatures (no dot-product CASE chain)
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_ivf_index_probe_prunes_partitions(spark):
+    """x21: the IVF probe scans only the probed inverted-list partition
+    via an IN/equality partition filter on centroid_id — assignment is
+    never recomputed at query time."""
+    plan = plan_of(spark, "x21_ann_ivf_index_probe")
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "centroid_id" in pf
+    # no join in the probe plan at all (centroids were read driver-side)
+    assert "Join" not in plan
+
+
+def test_index_probes_match_query_time_operators(spark):
+    """The persisted-index probes return exactly the query-time
+    operators' results (x20 ≡ x11, x21 ≡ x12) — the layout changes the
+    cost, never the answer."""
+    for probe, base in (
+        ("x20_ann_lsh_index_probe", "x11_ann_lsh"),
+        ("x21_ann_ivf_index_probe", "x12_ann_ivf"),
+    ):
+        p = [tuple(r) for r in QUERIES[probe](spark, SF_DIR).collect()]
+        b = [tuple(r) for r in QUERIES[base](spark, SF_DIR).collect()]
+        assert p == b, probe
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     """x17: the binned range join must plan as a hash or sort-merge
     equi-join — the raw BETWEEN formulation degrades to

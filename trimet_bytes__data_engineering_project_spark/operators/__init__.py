@@ -1,3 +1,10 @@
+from .ann_index import (  # noqa: F401
+    ivf_index_probe,
+    kmeans_centroids,
+    lsh_index_probe,
+    write_ivf_index,
+    write_lsh_index,
+)
 from .asof import asof_join, asof_join_skewed  # noqa: F401
 from .rangejoin import interval_range_join  # noqa: F401
 from .skew import salted_agg, salted_join, with_salt  # noqa: F401

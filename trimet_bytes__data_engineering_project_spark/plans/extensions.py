@@ -14,6 +14,8 @@ operators use.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -330,6 +332,69 @@ def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at scale: a bucketed table keyed by centroid_id)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_centroids=16)
+
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _index_dir(sf_dir: str, kind: str) -> str:
+    return os.path.join(_SCRATCH, "ann_index", os.path.basename(sf_dir.rstrip("/")), kind)
+
+
+@query("x20_ann_lsh_index_probe", oracle=_build_lsh_oracle())
+def x20_ann_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x11's scale path made real: the corpus is WRITTEN partitioned by
+    LSH bucket (one build pass), and the probe filters on the partition
+    column — the scan plans with ``PartitionFilters: [bucket = q]``
+    (pinned by plan test) and reads ~1/16 of the files, recomputing no
+    signatures.  Result ≡ x11 (identical oracle SQL)."""
+    from ..operators.ann_index import ensure_index, lsh_index_probe, write_lsh_index
+
+    qv = _query_vec(spark, sf_dir)
+    path = _index_dir(sf_dir, "lsh")
+    ensure_index(
+        lambda: write_lsh_index(load_table(spark, sf_dir, "embeddings"), path, dim=len(qv)),
+        path,
+    )
+    return lsh_index_probe(spark, path, qv, k=5)
+
+
+@query(
+    "x21_ann_ivf_index_probe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < 16),
+         q AS (SELECT {_QV_SQL} AS qv),
+         assigned AS (
+           SELECT e.vec_id, e.v, c.centroid_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.centroid_id) AS rn
+           FROM e CROSS JOIN cents c
+         ),
+         best AS (SELECT vec_id, v, centroid_id FROM assigned WHERE rn = 1),
+         qc AS (SELECT centroid_id FROM cents
+                ORDER BY {_cos_sql('cvec', '(SELECT qv FROM q)')} DESC, centroid_id LIMIT 1)
+    SELECT vec_id, {_cos_sql('v', '(SELECT qv FROM q)')} AS cos_sim
+    FROM best JOIN qc USING (centroid_id)
+    ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def x21_ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x12's scale path made real: vectors are WRITTEN into inverted
+    lists (``partitionBy(centroid_id)``) with the centroid table
+    persisted alongside; the probe picks its nprobe centroids from a
+    driver-side read of that tiny table and scans only the matching
+    list partitions (IN-list partition filter, pinned by plan test).
+    No per-query assignment recompute.  Result ≡ x12 (same oracle)."""
+    from ..operators.ann_index import ensure_index, ivf_index_probe, write_ivf_index
+
+    qv = _query_vec(spark, sf_dir)
+    path = _index_dir(sf_dir, "ivf")
+    ensure_index(
+        lambda: write_ivf_index(load_table(spark, sf_dir, "embeddings"), path, n_centroids=16),
+        path,
+    )
+    return ivf_index_probe(spark, path, qv, k=5, nprobe=1)
 
 
 @query(
