@@ -289,3 +289,76 @@ def test_streaming_dedup_catches_cross_batch_near_dups(spark, tmp_path):
     # shingles → correctly unindexable (operator contract: sigs exist
     # only for docs with ≥ 1 shingle)
     assert {r["doc_id"] for r in store.select("doc_id").distinct().collect()} == {1, 2, 3, 5}
+
+
+def test_streaming_dedup_caps_degenerate_buckets(spark, tmp_path):
+    """A boilerplate band (60 identical docs — one band_hash bucket over
+    MAX_BUCKET=50) must be excluded from the probe on BOTH sides, the
+    same contract as the batch operator — bounding the candidate join
+    instead of going quadratic in the bucket — while normal near-dups
+    in the same stream are still caught."""
+    import json as _json
+
+    from trimet_bytes__data_engineering_project_spark.streaming.dedup import (
+        run_streaming_dedup,
+    )
+
+    boiler = "this exact same boilerplate footer appears on every single page"
+    base = (
+        "spark shuffles data between stages when the partitioning of the "
+        "parent does not satisfy the required distribution of the child"
+    )
+    near = base.replace("child", "operator")
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    rows = [(i, boiler) for i in range(60)] + [(100, base), (101, near)]
+    with open(landing / "batch_0.json", "w") as f:
+        for doc_id, text in rows:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    paths = {n: str(tmp_path / n) for n in ("store", "dups", "ckpt")}
+    run_streaming_dedup(spark, str(landing), paths["store"], paths["dups"], paths["ckpt"])
+
+    dups = spark.read.parquet(paths["dups"]).collect()
+    flagged = {(r["new_id"], r["dup_of"]) for r in dups}
+    assert (101, 100) in flagged  # normal near-dup still caught
+    # degenerate bucket capped: none of the 60×59/2 boilerplate pairs logged
+    assert all(new >= 100 and dup >= 100 for new, dup in flagged)
+    # ... but the boilerplate docs ARE indexed in the store (cap is a
+    # probe-side guard, not data loss)
+    store_ids = {r["doc_id"] for r in spark.read.parquet(paths["store"]).collect()}
+    assert set(range(60)) <= store_ids
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
+    """at-least-once replay (same data reprocessed as the same batch_id
+    under a fresh checkpoint) overwrites the batch's own store/dup-log
+    partitions instead of appending twice — row counts identical after
+    a full replay."""
+    import json as _json
+
+    from trimet_bytes__data_engineering_project_spark.streaming.dedup import (
+        run_streaming_dedup,
+    )
+
+    base = (
+        "spark shuffles data between stages when the partitioning of the "
+        "parent does not satisfy the required distribution of the child"
+    )
+    near = base.replace("child", "operator")
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    with open(landing / "batch_0.json", "w") as f:
+        for doc_id, text in [(1, base), (2, near)]:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    paths = {n: str(tmp_path / n) for n in ("store", "dups", "ckpt_a", "ckpt_b")}
+    run_streaming_dedup(spark, str(landing), paths["store"], paths["dups"], paths["ckpt_a"])
+    store_1 = spark.read.parquet(paths["store"]).count()
+    dups_1 = spark.read.parquet(paths["dups"]).count()
+    assert dups_1 >= 1
+
+    # fresh checkpoint → the file re-delivers as batch 0 again (replay)
+    run_streaming_dedup(spark, str(landing), paths["store"], paths["dups"], paths["ckpt_b"])
+    assert spark.read.parquet(paths["store"]).count() == store_1
+    assert spark.read.parquet(paths["dups"]).count() == dups_1

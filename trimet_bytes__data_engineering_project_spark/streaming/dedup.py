@@ -7,16 +7,27 @@ Per micro-batch (``foreachBatch``):
 1. signature the batch (``minhash_signatures`` — explode → md5 →
    hash-agg, same operator as batch dedup);
 2. LSH-join the batch's bands against the ACCUMULATED signature store
-   on (band_idx, band_hash) — cost scales with bucket collisions, not
-   store size, and at fleet scale the store is written bucketed by
-   band_hash so the probe is a co-located join;
+   on (band_idx, band_hash), with the SAME ``MAX_BUCKET`` skew cap as
+   the batch operator (``minhash_candidates``): bucket sizes are
+   counted over store ∪ batch, and oversized buckets — boilerplate /
+   near-empty docs all colliding on one band_hash — are excluded from
+   BOTH sides of the probe.  Cost therefore scales with bounded bucket
+   collisions, never quadratically in a degenerate bucket's history;
 3. batch docs whose estimated Jaccard against any stored doc clears
    the threshold are appended to the duplicate log (new_id, dup_of,
    est_sim);
 4. the batch's bands are appended to the store — including the
    duplicates', so later copies point at the earliest-seen original
    OR any prior copy, and intra-batch duplicates are caught by the
-   next batch's probe of the store plus the in-batch self-join.
+   in-batch self-join.
+
+**Idempotency / at-least-once:** ``foreachBatch`` may re-run a batch
+after a failure, so each write lands in its own partition directory
+(``.../batch_id=N``, parquet partition discovery turns it back into a
+column) with ``mode("overwrite")`` — a retried batch OVERWRITES its own
+partition instead of appending twice, making both the store and the
+dup log exactly-once under replay.  Rows within each store partition
+are sorted by ``band_hash`` so probe-side row groups cluster by bucket.
 
 State lives in parquet, not executor memory: restartable from the
 stream checkpoint + the store, and bounded by corpus size, never by
@@ -29,12 +40,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    MAX_BUCKET,
     minhash_estimate,
     minhash_signatures,
     signature_bands,
 )
 
 DOC_STREAM_SCHEMA = "doc_id long, text string"
+
+
+def _cap_oversized_buckets(bands: DataFrame, universe: DataFrame) -> DataFrame:
+    """Drop rows of ``bands`` whose (band_idx, band_hash) bucket holds
+    more than MAX_BUCKET rows in ``universe`` (= store ∪ batch) — the
+    operator-contract cap of ``minhash_candidates``, applied to the
+    streaming probe."""
+    keep = (
+        universe.groupBy("band_idx", "band_hash")
+        .count()
+        .filter(F.col("count") <= MAX_BUCKET)
+        .select("band_idx", "band_hash")
+    )
+    return bands.join(keep, ["band_idx", "band_hash"])
 
 
 def _cross_candidates(new_bands: DataFrame, store: DataFrame) -> DataFrame:
@@ -66,30 +92,45 @@ def run_streaming_dedup(
     Appends (new_id, dup_of, est_sim) rows to ``dup_log_path`` for
     every arriving doc whose MinHash estimate against an already-seen
     doc clears ``est_threshold``; maintains the signature store at
-    ``store_path``."""
+    ``store_path``.  Both writes are idempotent on batch_id (see module
+    docstring), so a crash between them is repaired by the checkpoint
+    replay instead of duplicating rows."""
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         bands = signature_bands(minhash_signatures(batch_df)).persist()
         try:
-            store = sess.read.parquet(store_path)
+            store = sess.read.parquet(store_path).filter(
+                F.col("batch_id") != batch_id  # replay: ignore own partial prior write
+            )
         except Exception:
             store = None  # first batch: empty store
 
-        # intra-batch pairs count too (earlier id wins as the original)
-        intra = _cross_candidates(bands, bands).filter(F.col("new_id") > F.col("dup_of"))
-        cands = (
-            intra if store is None else intra.unionByName(_cross_candidates(bands, store))
+        universe = bands if store is None else bands.unionByName(
+            store.select("doc_id", "sig", "band_idx", "band_hash")
         )
+        capped_new = _cap_oversized_buckets(bands, universe)
+
+        # intra-batch pairs count too (earlier id wins as the original)
+        intra = _cross_candidates(capped_new, capped_new).filter(
+            F.col("new_id") > F.col("dup_of")
+        )
+        if store is None:
+            cands = intra
+        else:
+            capped_store = _cap_oversized_buckets(store, universe)
+            cands = intra.unionByName(_cross_candidates(capped_new, capped_store))
         dups = (
             cands.withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
             .filter(F.col("est_sim") >= est_threshold)
             .select("new_id", "dup_of", "est_sim")
         )
-        dups.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            dup_log_path
+        dups.write.mode("overwrite").parquet(f"{dup_log_path}/batch_id={batch_id}")
+        (
+            bands.sortWithinPartitions("band_hash")
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/batch_id={batch_id}")
         )
-        bands.write.mode("append").parquet(store_path)
         bands.unpersist()
 
     (
