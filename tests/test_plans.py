@@ -133,6 +133,15 @@ def test_index_probes_match_query_time_operators(spark):
         assert p == b, probe
 
 
+def test_warehouse_roundtrip_prunes_date_partition(spark):
+    """q33: the date predicate over the engine's OWN written breadcrumb
+    layout must resolve as a service_date partition filter — one
+    directory read — proving the partitioned write path end-to-end."""
+    plan = plan_of(spark, "q33_warehouse_roundtrip")
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "service_date" in pf
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     """x17: the binned range join must plan as a hash or sort-merge
     equi-join — the raw BETWEEN formulation degrades to

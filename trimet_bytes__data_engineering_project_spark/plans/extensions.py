@@ -341,6 +341,44 @@ def _index_dir(sf_dir: str, kind: str) -> str:
     return os.path.join(_SCRATCH, "ann_index", os.path.basename(sf_dir.rstrip("/")), kind)
 
 
+@query(
+    "q33_warehouse_roundtrip",
+    oracle="""
+    SELECT count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS speed_sum
+    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    """,
+)
+def q33_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 end-to-end through the engine's OWN warehouse layout: the
+    events stream is shaped into the breadcrumb fact, written via
+    ``write_breadcrumb`` (date-partitioned parquet, rows sorted by
+    (trip_id, tstamp) within partitions), and the date-filtered
+    aggregate is re-run THROUGH the written table — so the driver's
+    hash check covers the partitioned write path itself, not just the
+    plan tests.  The date predicate prunes to one service_date
+    directory (pinned by plan test); the oracle computes the same
+    answer straight from the source events."""
+    from ..operators.ann_index import ensure_index
+    from .warehouse import write_breadcrumb
+
+    ev = load_table(spark, sf_dir, "events")
+    bc = ev.select(
+        F.col("ts").alias("tstamp"),
+        F.lit(None).cast("double").alias("latitude"),
+        F.lit(None).cast("double").alias("longitude"),
+        F.col("value").alias("speed"),
+        F.col("user_id").alias("trip_id"),
+    )
+    path = os.path.join(_SCRATCH, "warehouse", os.path.basename(sf_dir.rstrip("/")), "breadcrumb")
+    ensure_index(lambda: write_breadcrumb(bc, path, mode="overwrite"), path)
+    wh = spark.read.parquet(path)
+    return wh.filter(F.col("service_date") == F.lit("2024-01-15").cast("date")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("speed").cast("decimal(18,2)")).cast("double").alias("speed_sum"),
+    )
+
+
 @query("x20_ann_lsh_index_probe", oracle=_build_lsh_oracle())
 def x20_ann_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x11's scale path made real: the corpus is WRITTEN partitioned by
