@@ -74,9 +74,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     The hash stages below are CPU-bound, and a small local parquet file
     arrives as ONE split — which would serialize the whole operator on a
     single core.  On the 100 TB path the scan already has thousands of
-    splits and this is a structural no-op (no shuffle is added)."""
+    splits and this is a structural no-op (no shuffle is added).
+
+    Split estimate comes from ``inputFiles()`` — a metadata-only listing
+    — never ``df.rdd`` (which forces a full plan→RDD conversion on the
+    driver per call).  An in-memory/derived frame lists no files and is
+    treated as under-split, which is correct for the tiny literal frames
+    that hit that path."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 < target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits * 2 < target:
         return df.repartition(target)
     return df
 

@@ -47,7 +47,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def vector_literal(values: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in values])
+    """One ``array<double>`` literal in a single py4j call — building it
+    as ``F.array(*64 lits)`` costs ~10× more driver round-trips, which
+    dominates plan-build time for the ANN queries (the literal appears
+    once per hyperplane and per query vector)."""
+    return F.lit([float(v) for v in values])
 
 
 def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int, vec_col: str = "embedding") -> DataFrame:
