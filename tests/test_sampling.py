@@ -1,0 +1,86 @@
+"""Deterministic data-mixing operator contracts: split stability,
+stratified rates, packing invariants, mixture shares.  (Cross-engine
+value parity for x22-x25 is in test_oracle_parity.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+    domain_mixture,
+    hex_threshold,
+    pack_sequences,
+    stratified_sample,
+    train_val_test_split,
+)
+
+
+def test_hex_threshold_values():
+    assert hex_threshold(0.8) == "cccc"
+    assert hex_threshold(0.5) == "8000"
+    assert hex_threshold(1.0) == "10000"  # sorts above every 4-char prefix
+
+
+def test_split_is_stable_and_exhaustive(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = train_val_test_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # ±5 pp of 80/10/10 on 2000 uniform hashes
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.05
+    # determinism: same assignment on re-run
+    b = train_val_test_split(df, "doc_id")
+    assert a.collect() == b.collect()
+    # growth stability: a doc's split never changes when the corpus grows
+    grown = train_val_test_split(
+        spark.range(0, 4000).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    old = {r["doc_id"]: r["split"] for r in a.collect()}
+    new = {r["doc_id"]: r["split"] for r in grown.collect()}
+    assert all(new[k] == v for k, v in old.items())
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 0.25})
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 2000  # untouched stratum kept whole
+    assert abs(counts["en"] / 1000 - 0.25) < 0.06
+    # empty rates = identity
+    assert stratified_sample(df, "doc_id", "lang", {}).count() == 3000
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_tokens")
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=100, n_shards=8)
+    rows = packed.orderBy("shard", "doc_id").collect()
+    for i in range(1, len(rows)):
+        prev, cur = rows[i - 1], rows[i]
+        if prev["shard"] == cur["shard"]:
+            assert cur["pack_id"] >= prev["pack_id"]  # packs fill in doc order
+            assert cur["running_tokens"] == prev["running_tokens"] + cur["n_tokens"]
+    # every doc present exactly once, shard = id mod n
+    assert len(rows) == 500
+    assert all(r["shard"] == r["doc_id"] % 8 for r in rows)
+    # a pack never spans more tokens than budget + one straddling doc
+    agg = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("m")
+    )
+    assert all(r["t"] <= 100 + r["m"] for r in agg.collect())
+
+
+def test_domain_mixture_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [("en", 10), ("en", 30), ("fr", 20), ("de", 40)], ["lang", "n_tokens"]
+    )
+    mix = {r["lang"]: r for r in domain_mixture(df, "lang", "n_tokens").collect()}
+    assert mix["en"]["docs"] == 2 and mix["en"]["tokens"] == 40
+    assert abs(sum(r["token_share"] for r in mix.values()) - 1.0) < 1e-12
+    assert mix["de"]["token_share"] == 0.4

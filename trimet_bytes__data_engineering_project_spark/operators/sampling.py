@@ -1,0 +1,117 @@
+"""Deterministic corpus sampling / splitting / packing — the
+data-mixing tier of a training pipeline (north-star extension).
+
+Everything here is **hash-deterministic, never rand()**: a row's fate
+is a pure function of its id, so retries, re-runs, partial backfills
+and cross-engine checks all agree (the same property
+``operators/skew.py`` relies on for salting).  The hash is a hex
+*string prefix* of md5 compared lexicographically — identical in any
+engine that has md5, with no hex→int conversion portability trap:
+``substr(md5(id), 1, 4)`` is uniform over 65,536 values, and a
+threshold string like ``'cccc'`` keeps ≈ 0.8 of rows.
+
+At 100 TB: all three operators are narrow (no shuffle at all for
+split/sample — the hash is computed in the scan's project; packing
+shuffles once on the shard key), and none of them ever sees the
+document body — only ids and token counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_fraction_prefix(id_col: Column, width: int = 4) -> Column:
+    """Uniform hex prefix of md5(id) — the deterministic 'random' draw.
+    Lexicographic comparison against a hex threshold selects a stable
+    pseudo-random fraction of rows."""
+    return F.substring(F.md5(id_col.cast("string")), 1, width)
+
+
+def hex_threshold(fraction: float, width: int = 4) -> str:
+    """The hex string h such that P(prefix < h) = fraction (prefix
+    uniform over 16^width values)."""
+    return format(int(fraction * (16**width)), f"0{width}x")
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Adds a ``split`` column ∈ {train, val, test} as a pure function
+    of the id — stable under retries, appends and re-partitioning;
+    documents never migrate between splits when the corpus grows."""
+    h = hash_fraction_prefix(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(h < hex_threshold(train), "train")
+        .when(h < hex_threshold(train + val), "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. rebalance languages
+    or domains): keep a row iff its hash prefix clears the stratum's
+    rate.  Strata absent from ``rates`` are kept whole.  The draw hashes
+    (stratum, id) so per-stratum samples are independent."""
+    h = hash_fraction_prefix(F.concat_ws("|", F.col(stratum_col), F.col(id_col).cast("string")))
+    if not rates:
+        return df
+    keep = ~F.col(stratum_col).isin(list(rates))
+    for stratum, rate in sorted(rates.items()):
+        keep = keep | ((F.col(stratum_col) == stratum) & (h < hex_threshold(rate)))
+    return df.filter(keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Greedy fixed-budget sequence packing: documents are sharded by
+    hash(id), ordered by id within each shard, and assigned
+    ``pack_id = (shard, floor(running_tokens / budget))`` — the
+    first-fit-by-order packing every pretraining data loader performs.
+
+    Scale shape: ONE shuffle on the shard key; the cumulative window
+    runs per shard (never a global single-partition sort), so
+    parallelism is ``n_shards`` regardless of corpus size and each
+    shard's state is one running long.  The shard key is id-modulo
+    (portable, oracle-trivial); swap a hash in if ids arrive clustered
+    by size."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(id_col, tokens_col)
+        .withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)))
+        .withColumn("running_tokens", F.sum(tokens_col).over(w))
+        .withColumn("pack_id", F.expr(f"(running_tokens - 1) div {budget}"))
+    )
+
+
+def domain_mixture(df: DataFrame, domain_col: str, tokens_col: str) -> DataFrame:
+    """Per-domain corpus share — the mixing-weight table: docs, tokens,
+    and token_share (exact integer sums, one IEEE division)."""
+    per = df.groupBy(domain_col).agg(
+        F.count("*").alias("docs"), F.sum(tokens_col).alias("tokens")
+    )
+    total = Window.partitionBy()
+    return per.select(
+        domain_col,
+        "docs",
+        "tokens",
+        (
+            F.col("tokens").cast("double") / F.sum("tokens").over(total).cast("double")
+        ).alias("token_share"),
+    )

@@ -752,6 +752,111 @@ def x05_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data mixing: deterministic split / sample / packing / mixture
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x22_hash_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def x22_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10): a document's
+    split is a pure function of md5(doc_id) — hex-prefix thresholding,
+    portable to any engine, stable under retries and corpus growth
+    (docs never migrate).  No shuffle for the assignment itself; the
+    count here just audits the split sizes."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(docs, "doc_id").groupBy("split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@query(
+    "x23_stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_kept FROM documents
+    WHERE lang <> 'en'
+       OR substr(md5(concat_ws('|', lang, CAST(doc_id AS VARCHAR))), 1, 4) < '8000'
+    GROUP BY 1
+    """,
+)
+def x23_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (rebalance a dominant
+    language: keep 50% of 'en', all others whole) — per-stratum
+    hash-threshold draw on (stratum, id), no rand(), retry-safe,
+    filter-only (no shuffle)."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", {"en": 0.5}).groupBy("lang").agg(
+        F.count("*").alias("n_kept")
+    )
+
+
+@query(
+    "x24_sequence_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+                      CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents),
+    r AS (SELECT shard, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
+          FROM t)
+    SELECT shard, (running_tokens - 1) // 2048 AS pack_id,
+           count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM r GROUP BY 1, 2
+    """,
+)
+def x24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-budget sequence packing (budget 2048 tokens, 32
+    shards): running-token window per shard assigns each doc its pack —
+    the first-fit-by-order packing a pretraining loader performs,
+    shaped as ONE shuffle on the shard key with per-shard parallelism
+    (never a global sort)."""
+    from ..operators.sampling import pack_sequences
+    from ..operators.textstats import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(with_tokens, "doc_id", "n_tokens", budget=2048, n_shards=32)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
+    )
+
+
+@query(
+    "x25_domain_mixture",
+    oracle=f"""
+    WITH t AS (SELECT lang, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents),
+    per AS (SELECT lang, count(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+            FROM t GROUP BY 1)
+    SELECT lang, docs, tokens,
+           CAST(tokens AS DOUBLE) / CAST(SUM(tokens) OVER () AS DOUBLE) AS token_share
+    FROM per
+    """,
+)
+def x25_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixing-weight table (docs, tokens, token share) —
+    exact integer sums, one IEEE division per row; the input every
+    mixture-reweighting decision needs."""
+    from ..operators.sampling import domain_mixture
+    from ..operators.textstats import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("lang", token_count_col(F.col("text")).alias("n_tokens"))
+    return domain_mixture(with_tokens, "lang", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
