@@ -751,6 +751,75 @@ def x05_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x26_asof_join_skewed",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         v1 AS (SELECT user_id, ts, max(event_id) AS view_id
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT c.event_id, v.view_id
+    FROM clicks c ASOF LEFT JOIN v1 v ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def x26_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x16's hot-key composition under the hash gate: the busiest
+    user's rows take the salted path (left split n ways, that key's
+    right rows replicated per salt — exact per-partition carry, no
+    cross-salt patch-up), everyone else the plain one-shuffle path.
+    Same DuckDB-native ASOF oracle as x16 — the skew treatment changes
+    partition sizes, never the answer."""
+    from ..operators.asof import asof_join_skewed
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    hot = [
+        r["user_id"]
+        for r in clicks.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(1)
+        .collect()
+    ]
+    return asof_join_skewed(
+        clicks, views, key="user_id", ts="ts", payload_cols=["view_id"], hot_keys=hot
+    ).select("event_id", "view_id")
+
+
+@query("x27_ann_ivf_kmeans_probe")  # no SQL oracle: iterative k-means (rows-only check)
+def x27_ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED IVF lifecycle end-to-end: k-means coarse quantizer
+    (farthest-first init + Lloyd as DataFrame ops), index written as
+    inverted-list partitions, probe-1 over the pruned scan.  k-means is
+    iterative and not SQL-expressible, so this entry carries no oracle
+    (driver records the rows-only check); the untrained twin x21 is the
+    hash-checked path, and pytest pins trained recall ≥ untrained."""
+    from ..operators.ann_index import (
+        ensure_index,
+        ivf_index_probe,
+        kmeans_centroids,
+        write_ivf_index,
+    )
+
+    qv = _query_vec(spark, sf_dir)
+    path = _index_dir(sf_dir, "ivf_kmeans")
+    ensure_index(
+        lambda: write_ivf_index(
+            load_table(spark, sf_dir, "embeddings"),
+            path,
+            centroids=kmeans_centroids(
+                load_table(spark, sf_dir, "embeddings"), n_centroids=16, n_iter=3
+            ),
+        ),
+        path,
+    )
+    return ivf_index_probe(spark, path, qv, k=5, nprobe=1)
+
+
 # ---------------------------------------------------------------------------
 # Data mixing: deterministic split / sample / packing / mixture
 # ---------------------------------------------------------------------------
