@@ -56,3 +56,35 @@ def test_trip_full_view_fanout(spark, tmp_path):
     # trips without stop events keep their breadcrumbs (left join)
     other = bc.filter(F.col("trip_id") == 238330001).count()
     assert view.filter(F.col("trip_id") == 238330001).count() == other
+
+
+def test_compact_partition_merges_small_files(spark, tmp_path):
+    """Streaming appends leave many small files per date partition;
+    compaction rewrites one partition to ceil(rows/target) sorted files
+    via an atomic directory swap (rows and values unchanged)."""
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        compact_partition,
+    )
+
+    _, bc = _tables(spark)
+    path = str(tmp_path / "breadcrumb")
+    # simulate micro-batch appends: several small writes into the layout
+    for _ in range(5):
+        write_breadcrumb(bc, path, mode="append")
+
+    date = bc.select(F.to_date("tstamp").alias("d")).distinct().orderBy("d").first()["d"]
+    part_dir = os.path.join(path, f"service_date={date}")
+    before_files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(before_files) > 1
+    before = spark.read.parquet(part_dir).orderBy("trip_id", "tstamp").collect()
+
+    n_after = compact_partition(spark, path, "service_date", str(date))
+    assert n_after == 1  # tiny partition → a single file
+    after_files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(after_files) == 1
+    after = spark.read.parquet(part_dir).orderBy("trip_id", "tstamp").collect()
+    assert after == before
+    # whole table still readable with the partition column intact
+    assert spark.read.parquet(path).filter(F.col("service_date") == str(date)).count() == len(
+        before
+    )

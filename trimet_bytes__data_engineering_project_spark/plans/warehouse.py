@@ -101,6 +101,48 @@ def write_bucketed(
     )
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partition_value: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: tuple[str, ...] = ("trip_id", "tstamp"),
+) -> int:
+    """Small-file compaction for one partition of a written fact table —
+    the maintenance job every streaming-append layout needs: micro-batch
+    appends leave O(batches) small files per day-partition, and at fleet
+    scale an uncompacted day degrades every scan (footer-read per file,
+    no row-group locality).
+
+    Rewrites ``path/partition_col=value`` as ``ceil(rows / target)``
+    files, re-sorted by ``sort_cols`` so windows read clustered row
+    groups again.  The rewrite goes through a temp directory + atomic
+    directory swap: a reader never sees a half-compacted partition, and
+    a crash mid-compact leaves the original intact.  Returns the number
+    of files after compaction."""
+    import math
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"{partition_col}={partition_value}")
+    df = spark.read.parquet(part_dir)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp_dir = part_dir + "._compacting"
+    (
+        df.repartition(n_files)
+        .sortWithinPartitions(*[c for c in sort_cols if c in df.columns])
+        .write.mode("overwrite")
+        .parquet(tmp_dir)
+    )
+    swap = part_dir + "._old"
+    os.rename(part_dir, swap)
+    os.rename(tmp_dir, part_dir)
+    shutil.rmtree(swap)
+    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+
+
 def register_warehouse(spark: SparkSession, trip_path: str, breadcrumb_path: str) -> None:
     """Register the tables + view in the session catalog so the SQL
     surface (spark.sql over trip/breadcrumb/trip_full_view) matches the
