@@ -25,17 +25,36 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver parquet table (TESTDATA.md shapes)."""
+    """Read one driver parquet table (TESTDATA.md shapes).
+
+    The source DataFrame (resolved scan relation) is memoized per
+    (session, dir, table): re-reading re-lists the directory and
+    re-reads footers for schema on every call — a fixed ~0.1-0.5 s of
+    driver work that every query in a corpus run would otherwise repay.
+    Downstream plans are still built fresh on top; results are
+    unchanged (the driver tables are immutable inputs)."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        if name == "events":
+            # runtime-settable legacy conf; must stay set while plans execute
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return cached
     if name == "events":
-        # runtime-settable legacy conf; must stay set until the plan executes
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def epoch_us(col: Column) -> Column:
