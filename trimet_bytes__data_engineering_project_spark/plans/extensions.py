@@ -246,9 +246,20 @@ def x13_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_QV_CACHE: dict[tuple[int, str], list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    """The corpus query vector (vec_id = 0) — one driver-side row fetch,
+    memoized per (session, dir) so the six ANN queries don't re-run the
+    lookup job each (inputs are immutable driver tables)."""
+    key = (id(spark), sf_dir)
+    if key not in _QV_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _QV_CACHE[key] = [
+            float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+    return _QV_CACHE[key]
 
 
 _QV_SQL = f"(SELECT {_VEC} FROM embeddings WHERE vec_id = 0)"
