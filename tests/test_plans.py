@@ -147,12 +147,15 @@ def test_range_join_is_equi_not_nested_loop(spark):
     equi-join — the raw BETWEEN formulation degrades to
     BroadcastNestedLoopJoin, which is exactly what the operator
     exists to avoid."""
-    plan = plan_of(spark, "x17_range_join")
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
-    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
-        "ShuffledHashJoin" in plan
-    )
+    for name in ("x17_range_join", "x19_range_join_long_intervals"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert (
+            ("SortMergeJoin" in plan)
+            or ("BroadcastHashJoin" in plan)
+            or ("ShuffledHashJoin" in plan)
+        ), name
 
 
 @pytest.mark.parametrize(

@@ -347,9 +347,16 @@ def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
+# bump when index-building logic changes: the scratch dir outlives a code
+# round (gitignored, build-once), and a stale layout must never serve a
+# probe built by newer code
+_INDEX_VERSION = "v2"
+
 
 def _index_dir(sf_dir: str, kind: str) -> str:
-    return os.path.join(_SCRATCH, "ann_index", os.path.basename(sf_dir.rstrip("/")), kind)
+    return os.path.join(
+        _SCRATCH, "ann_index", _INDEX_VERSION, os.path.basename(sf_dir.rstrip("/")), kind
+    )
 
 
 @query(
