@@ -278,6 +278,37 @@ def quantized_topk_arrow(
     )
 
 
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by the LSH sign bucket —
+    the unsupervised form of :func:`embedding_near_dup_pairs` for the
+    realistic corpus that has NO label column: the random-hyperplane
+    bucket is the blocking/shuffle key, candidate generation is a
+    same-bucket self-join (never O(n²)), and the exact cosine re-check
+    keeps only true near-dups.  Approximate by construction: a pair
+    split across buckets is missed with probability growing in its
+    angle — the standard LSH recall trade, tunable via ``n_planes``
+    (fewer planes = bigger buckets = higher recall, more join work)."""
+    planes = hyperplanes(n_planes, dim)
+    e = emb.select(
+        "vec_id", as_double_vec(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = e.select(F.col("vec_id").alias("a_id"), "bucket", F.col("v").alias("a_vec"))
+    b = e.select(F.col("vec_id").alias("b_id"), "bucket", F.col("v").alias("b_vec"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -769,6 +769,33 @@ def x05_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_lsh_pairs_oracle() -> str:
+    planes = hyperplanes(4, 64)
+    lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
+    bucket = " + ".join(
+        f"CASE WHEN {_dot_sql('v', lits[p])} > 0 THEN {1 << p} ELSE 0 END" for p in range(4)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings WHERE vec_id < 1000),
+         eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_cos_sql('a.v', 'b.v')} AS cos_sim
+    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.v', 'b.v')} >= 0.35
+    """
+
+
+@query("x28_embedding_near_dup_lsh", oracle=_build_lsh_pairs_oracle())
+def x28_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x13's unsupervised twin: near-dup pairs blocked by the LSH sign
+    bucket instead of a provided label — the realistic 100 TB shape
+    where no cluster key exists.  Bucket is the shuffle key (16-way
+    self-join, never O(n²)); exact cosine re-check above 0.35."""
+    from ..operators.similarity import embedding_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return embedding_near_dup_lsh(emb, threshold=0.35, dim=64, n_planes=4)
+
+
 @query(
     "x26_asof_join_skewed",
     oracle="""
