@@ -7,11 +7,14 @@ Design for 100 TB / billions of vectors:
   top-k then a driver merge (``TakeOrderedAndProject``) — no shuffle of
   the vector column at all.
 - **LSH (random hyperplanes)**: each vector gets a small integer bucket
-  signature; at scale the table is *written* bucketed by signature so a
-  query probes one bucket (partition pruning), turning top-k into a
-  scan of ~1/2^p of the data.
-- **IVF**: coarse centroids (deterministic sample here; k-means at
-  scale), assignment = argmax cosine, probe ``nprobe`` inverted lists.
+  signature; the persisted form — table WRITTEN partitioned by bucket,
+  probe = partition-pruned scan — is ``operators/ann_index.py``
+  (write_lsh_index / lsh_index_probe, x20).  The query-time form here
+  is the oracle-checked baseline.
+- **IVF**: coarse centroids, assignment = argmax cosine, probe
+  ``nprobe`` inverted lists.  Persisted inverted-list layout and the
+  k-means-trained quantizer live in ``operators/ann_index.py``
+  (write_ivf_index / ivf_index_probe / kmeans_centroids, x21/x27).
 
 All float math is double-precision sequential folds — bit-identical to
 the DuckDB oracle's ``list_reduce`` twin (verified, not assumed).
@@ -121,10 +124,11 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int, n_planes: int = 4, vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: probe only the query's sign bucket.
-
-    At scale the bucket is a storage partition (write once, probe one
-    partition per query); here it's a filter the scan prunes on."""
+    """Approximate top-k: probe only the query's sign bucket, computed
+    at query time over the full scan — the oracle-checked baseline.
+    The write-once / probe-one-partition form is
+    ``ann_index.write_lsh_index`` / ``lsh_index_probe`` (x20, plan-
+    pinned partition pruning)."""
     dim = len(query_vec)
     planes = hyperplanes(n_planes, dim)
     v = as_double_vec(vec_col)
@@ -152,7 +156,8 @@ def ivf_topk(
     nprobe: int = 1,
 ) -> DataFrame:
     """IVF: centroids are the first ``n_centroids`` vectors by id
-    (deterministic coarse quantizer; k-means at scale), every vector is
+    (deterministic, oracle-expressible coarse quantizer — the k-means
+    trained one is ``ann_index.kmeans_centroids``), every vector is
     assigned to its argmax-cosine centroid, the query probes its
     ``nprobe`` nearest centroids' inverted lists (recall dial:
     nprobe=1 fastest, nprobe=n_centroids ≡ brute force — pinned by
@@ -160,8 +165,9 @@ def ivf_topk(
 
     The centroid set is collected once (tiny) and joined as a literal-
     free broadcast; assignment is a rank-1 window over n_centroids rows
-    per vector — at scale this is written as a bucketed table keyed by
-    centroid_id."""
+    per vector.  This recompute-per-query form is the oracle baseline;
+    the persisted inverted-list layout with partition-pruned probes is
+    ``ann_index.write_ivf_index`` / ``ivf_index_probe`` (x21/x27)."""
     spark = emb.sparkSession
     cents = (
         emb.orderBy("vec_id")
