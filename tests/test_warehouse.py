@@ -88,3 +88,62 @@ def test_compact_partition_merges_small_files(spark, tmp_path):
     assert spark.read.parquet(path).filter(F.col("service_date") == str(date)).count() == len(
         before
     )
+
+
+def test_zorder_key_interleave_and_locality(spark, tmp_path):
+    """zorder_key: (a) exact Morton bit-interleave on a hand-computed
+    grid; (b) the layout property that justifies it — files of a
+    z-sorted table are bounded in BOTH dimensions, so a single-dim
+    predicate on the SECOND dimension prunes files, which a first-dim
+    sort can never do."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from trimet_bytes__data_engineering_project_spark.functions.geo import zorder_key
+
+    # (a) 4x4 grid, 2 bits: morton(x,y) = interleave bits, x even, y odd
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in pts.select("x", "y", zorder_key(F.col("x"), F.col("y"), (0, 3), (0, 3), bits=2).alias("z")).collect()
+    }
+    def morton(x, y):
+        z = 0
+        for b in range(2):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+
+    # (b) 64x64 grid written 16 files each way; predicate on lon only
+    grid = spark.createDataFrame(
+        [(float(la), float(lo)) for la in range(64) for lo in range(64)],
+        "lat double, lon double",
+    )
+    z = zorder_key(F.col("lat"), F.col("lon"), (0.0, 63.0), (0.0, 63.0), bits=6)
+    p_lat = str(tmp_path / "lat_sorted")
+    p_z = str(tmp_path / "z_sorted")
+    grid.repartitionByRange(16, "lat").sortWithinPartitions("lat").write.parquet(p_lat)
+    grid.withColumn("_z", z).repartitionByRange(16, "_z").sortWithinPartitions(
+        "_z"
+    ).drop("_z").write.parquet(p_z)
+
+    def files_hit(path, lo, hi):
+        hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            col = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col["lon"]).statistics
+                mins.append(st.min); maxs.append(st.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                hit += 1
+        return hit
+
+    # lon in [0, 15]: z-order files are 2-D tiles -> most files skipped;
+    # lat-sorted files all span the full lon range -> nothing skipped
+    assert files_hit(p_lat, 0.0, 15.0) == 16
+    assert files_hit(p_z, 0.0, 15.0) <= 8

@@ -37,3 +37,40 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
         + F.cos(phi1) * F.cos(phi2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
     )
     return F.lit(2.0) * F.lit(EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def zorder_key(
+    x: Column,
+    y: Column,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key for two numeric columns — the multi-
+    dimensional layout clustering the bounding-box workload (P8/q22
+    shape) wants at 100 TB: a fact table *sorted by this key* places
+    rows that are close in BOTH dimensions into the same parquet row
+    groups, so each row group's (lat, lon) min/max stats span a small
+    tile and a bbox predicate skips most of the file — which a sort by
+    either single column cannot achieve (it leaves the other dimension
+    unclustered).
+
+    Pure bit-arithmetic expressions: each coordinate is clamped to its
+    range, scaled to ``bits`` integer bits, and the two are bit-
+    interleaved (x even positions, y odd).  Stays in whole-stage
+    codegen; NULL coordinates yield NULL (sort last, harmless).
+    """
+
+    def scaled(c: Column, lo: float, hi: float) -> Column:
+        frac = (c.cast("double") - F.lit(lo)) / F.lit(hi - lo)
+        frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        return F.floor(frac * F.lit(float((1 << bits) - 1))).cast("long")
+
+    xi = scaled(x, *x_range)
+    yi = scaled(y, *y_range)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(xi, b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(F.shiftleft(F.shiftright(yi, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    return key
