@@ -4,3 +4,69 @@ from .tables import epoch_us, load_table  # noqa: F401
 # importing the corpus modules populates the registry
 from . import core  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering.
+#
+# The verify driver compares the FIRST 50 registry entries (insertion order)
+# against their DuckDB oracles; the rest only get in-repo verification via
+# tests/test_oracle_parity.py, which sweeps ALL oracle-backed queries with the
+# identical rows+schema+value-hash protocol.  Rounds 1-2 filled the window in
+# file order, so the newest operators (data-mixing tier x22-x25, skewed as-of
+# x26, unsupervised near-dup x28) never received a driver row.
+#
+# _WINDOW_HEAD puts the never-driver-checked queries first; _WINDOW_TAIL parks
+# the simplest twice-green scans/aggregates (unchanged since round 1, green in
+# both CORRECTNESS_r01 and _r02) outside the window.  Every query stays
+# registered and oracle-parity-tested regardless of position.
+# ---------------------------------------------------------------------------
+
+_WINDOW_HEAD = [
+    # never driver-checked (registered after slot 50 in rounds 1-2)
+    "x22_hash_split",
+    "x23_stratified_sample",
+    "x24_sequence_packing",
+    "x25_domain_mixture",
+    "x26_asof_join_skewed",
+    "x28_embedding_near_dup_lsh",
+    "x27_ann_ivf_kmeans_probe",  # rows-only (iterative k-means)
+    # new this round
+    "x29_ann_lsh_multiprobe",
+    "x30_index_append_probe",
+    # driver-green in r01 only; rotate back in
+    "x03_quality_stats",
+    "x04_lang_id",
+    "x05_doc_fingerprint",
+    "x14_multimodal_features",
+]
+
+_WINDOW_TAIL = [
+    # simplest single-expression scans/aggs, green in r01 AND r02, code
+    # untouched since round 1 — the safest rows to rotate out of the window
+    "q01_count_on_date",
+    "q02_hour_window_count",
+    "q03_readings_per_dow",
+    "q05_sunday_evening_count",
+    "q06_max_speed",
+    "q07_vehicles_per_speed",
+    "q09_counts_by_dates",
+    "q10_trips_per_vehicle",
+    "q11_trips_per_date_dayname",
+    "q14_in_list_counts",
+    "q29_distinct_event_types",
+    "q30_hour_histogram",
+]
+
+
+def _reorder() -> None:
+    head = [n for n in _WINDOW_HEAD if n in QUERIES]
+    tail = [n for n in _WINDOW_TAIL if n in QUERIES]
+    mid = [n for n in QUERIES if n not in head and n not in tail]
+    ordered = head + mid + tail
+    for reg in (QUERIES, ORACLES):
+        snapshot = {n: reg[n] for n in ordered if n in reg}
+        reg.clear()
+        reg.update(snapshot)
+
+
+_reorder()
