@@ -55,12 +55,16 @@ def test_asof_skewed_equals_plain(spark):
     """asof_join_skewed ≡ asof_join on a fixture where one key holds
     ~90% of the left rows (the hot-key shape the salting exists for),
     including NULL payloads and no-prior-row lefts."""
-    left_rows = [(7, ts(m % 60), f"hot{m}") for m in range(90)] + [
-        (k, ts(k), f"cold{k}") for k in range(1, 6)
-    ]
+    left_rows = (
+        [(7, ts(m % 60), f"hot{m}") for m in range(90)]
+        + [(k, ts(k), f"cold{k}") for k in range(1, 6)]
+        # NULL-key left rows: isin() is NULL for these, so a non-null-safe
+        # hot/cold split would drop them from BOTH branches
+        + [(None, ts(10), "nullkey10"), (None, ts(40), "nullkey40")]
+    )
     right_rows = [(7, ts(0), "r0"), (7, ts(30), None), (7, ts(45), "r45")] + [
         (k, ts(0), f"rc{k}") for k in range(2, 6)
-    ]
+    ] + [(None, ts(20), "rnull")]
     left = spark.createDataFrame(left_rows, "k int, t timestamp, tag string")
     right = spark.createDataFrame(right_rows, "k int, t timestamp, payload string")
 
@@ -68,7 +72,7 @@ def test_asof_skewed_equals_plain(spark):
     skewed = asof_join_skewed(
         left, right, key="k", ts="t", payload_cols=["payload"], hot_keys=[7], n_splits=4
     )
-    key = lambda r: (r["k"], r["t"], r["tag"])  # noqa: E731
+    key = lambda r: (r["k"] is None, r["k"] or 0, r["t"], r["tag"])  # noqa: E731
     assert sorted(map(key, plain.collect())) == sorted(map(key, skewed.collect()))
     assert {r["tag"]: r["payload"] for r in plain.collect()} == {
         r["tag"]: r["payload"] for r in skewed.collect()

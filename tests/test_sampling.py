@@ -19,7 +19,30 @@ from trimet_bytes__data_engineering_project_spark.operators.sampling import (
 def test_hex_threshold_values():
     assert hex_threshold(0.8) == "cccc"
     assert hex_threshold(0.5) == "8000"
-    assert hex_threshold(1.0) == "10000"  # sorts above every 4-char prefix
+    # boundary clamps: 1.0 must keep ALL rows ('10000' would sort BELOW
+    # prefixes starting '2'..'f' and silently keep ~1/16), 0.0 keeps none
+    assert hex_threshold(1.0) == "g"
+    assert "ffff" < hex_threshold(1.0)
+    assert hex_threshold(0.0) == "0000"
+
+
+def test_boundary_fractions_keep_all_rows(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    # stratified rate 1.0 == identity for that stratum
+    assert stratified_sample(df, "doc_id", "lang", {"en": 1.0}).count() == 1000
+    # train+val == 1.0: every row lands in train or val, none lost
+    counts = {
+        r["split"]: r["n"]
+        for r in train_val_test_split(df, "doc_id", train=0.9, val=0.1)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(counts.values()) == 1000
+    assert counts.get("test", 0) == 0
 
 
 def test_split_is_stable_and_exhaustive(spark):
@@ -74,6 +97,18 @@ def test_pack_sequences_invariants(spark):
         F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("m")
     )
     assert all(r["t"] <= 100 + r["m"] for r in agg.collect())
+
+
+def test_pack_sequences_floor_semantics_zero_token_doc(spark):
+    """A zero-token document first in its shard has running_tokens-1 ==
+    -1; floor division gives pack_id -1 (matching DuckDB `//`), where
+    truncating `div` would give 0."""
+    df = spark.createDataFrame([(0, 0), (8, 5)], "doc_id int, n_tokens int")
+    packed = {r["doc_id"]: r["pack_id"] for r in pack_sequences(
+        df, "doc_id", "n_tokens", budget=100, n_shards=8
+    ).collect()}
+    assert packed[0] == -1
+    assert packed[8] == 0
 
 
 def test_domain_mixture_shares_sum_to_one(spark):

@@ -105,7 +105,11 @@ def asof_join_skewed(
     Output ≡ :func:`asof_join` (pinned by test); the hot partitions
     shrink from |left_hot| to |left_hot|/n rows.
     """
-    hot = F.col(key).isin(hot_keys)
+    # null-safe: isin() is NULL for NULL keys, and both filter(hot) and
+    # filter(~hot) drop NULL rows — NULL-key left rows would silently
+    # vanish, breaking the "output ≡ asof_join" contract (asof_join
+    # keeps them, windowed in their own NULL partition).
+    hot = F.coalesce(F.col(key).isin(hot_keys), F.lit(False))
 
     cold = asof_join(left.filter(~hot), right.filter(~hot), key, ts, payload_cols)
 

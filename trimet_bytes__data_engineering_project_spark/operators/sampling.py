@@ -31,7 +31,17 @@ def hash_fraction_prefix(id_col: Column, width: int = 4) -> Column:
 
 def hex_threshold(fraction: float, width: int = 4) -> str:
     """The hex string h such that P(prefix < h) = fraction (prefix
-    uniform over 16^width values)."""
+    uniform over 16^width values).
+
+    fraction >= 1 returns ``'g'`` — lexicographically above every hex
+    prefix, so the comparison keeps ALL rows.  (The naive
+    ``format(16**width)`` would be ``'10000'``: width+1 chars whose
+    string compare keeps only ~1/16 of rows — a silent near-empty
+    split for rate 1.0 or train+val == 1.0.)"""
+    if fraction >= 1.0:
+        return "g"  # > 'f...f': keep-all sentinel
+    if fraction <= 0.0:
+        return "0" * width  # prefix < '0..0' is never true: keep-none
     return format(int(fraction * (16**width)), f"0{width}x")
 
 
@@ -96,7 +106,14 @@ def pack_sequences(
         df.select(id_col, tokens_col)
         .withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)))
         .withColumn("running_tokens", F.sum(tokens_col).over(w))
-        .withColumn("pack_id", F.expr(f"(running_tokens - 1) div {budget}"))
+        # floor, not `div`: `div` truncates toward zero, so a zero-token
+        # document first in its shard (running_tokens-1 == -1) would get
+        # pack_id 0 where floor semantics (and DuckDB's `//`) give -1.
+        # Exact for running token counts < 2^53.
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("running_tokens") - F.lit(1)) / F.lit(budget)).cast("long"),
+        )
     )
 
 

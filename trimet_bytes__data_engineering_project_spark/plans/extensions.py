@@ -43,7 +43,7 @@ from ..operators.similarity import (
 )
 from ..operators.textstats import bpe_token_count_col, quality_stats, token_count_col
 from .registry import query
-from .tables import load_table
+from .tables import _session_cache, load_table
 
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments (DuckDB) mirroring the Spark operators exactly
@@ -246,20 +246,20 @@ def x13_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_QV_CACHE: dict[tuple[int, str], list[float]] = {}
-
-
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     """The corpus query vector (vec_id = 0) — one driver-side row fetch,
-    memoized per (session, dir) so the six ANN queries don't re-run the
-    lookup job each (inputs are immutable driver tables)."""
-    key = (id(spark), sf_dir)
-    if key not in _QV_CACHE:
+    memoized per (session, dir) via the session-attached cache in
+    plans/tables.py (dies with the session, immune to id() reuse) so
+    the six ANN queries don't re-run the lookup job each (inputs are
+    immutable driver tables)."""
+    cache = _session_cache(spark)
+    key = ("_query_vec", sf_dir)
+    if key not in cache:
         emb = load_table(spark, sf_dir, "embeddings")
-        _QV_CACHE[key] = [
+        cache[key] = [
             float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
         ]
-    return _QV_CACHE[key]
+    return cache[key]
 
 
 _QV_SQL = f"(SELECT {_VEC} FROM embeddings WHERE vec_id = 0)"

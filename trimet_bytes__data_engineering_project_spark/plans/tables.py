@@ -25,7 +25,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+def _session_cache(spark: SparkSession) -> dict:
+    """Per-session memo dict stored ON the session object: it dies with
+    the session (no global registry pinning sessions or DataFrames
+    forever) and cannot suffer id()-reuse aliasing — a new session at a
+    recycled address is a different object with no attribute."""
+    cache = getattr(spark, "_tb_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._tb_table_cache = cache
+    return cache
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -36,9 +45,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     re-reads footers for schema on every call — a fixed ~0.1-0.5 s of
     driver work that every query in a corpus run would otherwise repay.
     Downstream plans are still built fresh on top; results are
-    unchanged (the driver tables are immutable inputs)."""
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    unchanged (the driver tables are immutable inputs — re-writing a
+    table at the same path in-session would serve the stale listing)."""
+    key = (sf_dir, name)
+    cache = _session_cache(spark)
+    cached = cache.get(key)
     if cached is not None:
         if name == "events":
             # runtime-settable legacy conf; must stay set while plans execute
@@ -53,7 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _TABLE_CACHE[key] = df
+    cache[key] = df
     return df
 
 
