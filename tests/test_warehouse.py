@@ -90,6 +90,107 @@ def test_compact_partition_merges_small_files(spark, tmp_path):
     )
 
 
+def test_compact_pointer_commit_reader_sees_old_or_new_only(spark, tmp_path):
+    """Object-store-safe pointer commit: a resolving reader sees the
+    complete OLD fileset until the single-file pointer flips, and the
+    complete NEW fileset after — never a mix, never an in-progress
+    generation; plain table-root readers never see hidden work dirs."""
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        compact_partition,
+        read_compacted,
+        resolve_partition_dir,
+    )
+
+    _, bc = _tables(spark)
+    path = str(tmp_path / "breadcrumb")
+    for _ in range(4):
+        write_breadcrumb(bc, path, mode="append")
+    date = bc.select(F.to_date("tstamp").alias("d")).distinct().orderBy("d").first()["d"]
+    part_dir = os.path.join(path, f"service_date={date}")
+    before = spark.read.parquet(part_dir).orderBy("trip_id", "tstamp").collect()
+    total_before = spark.read.parquet(path).count()
+
+    # mid-compact: an in-progress generation exists but the pointer has
+    # not flipped → resolve still returns the loose (old) fileset, and a
+    # plain table-root read is unchanged (hidden dir invisible)
+    inprog = os.path.join(part_dir, ".gen-1")
+    spark.read.parquet(part_dir).limit(3).write.parquet(inprog)
+    os.remove(os.path.join(inprog, "_SUCCESS"))  # simulate unfinished write
+    assert resolve_partition_dir(part_dir) == part_dir
+    assert spark.read.parquet(path).count() == total_before
+    shutil.rmtree(inprog)
+
+    n_after = compact_partition(spark, path, "service_date", str(date), commit="pointer")
+    assert n_after == 1
+    gen_dir = resolve_partition_dir(part_dir)
+    assert os.path.basename(gen_dir).startswith(".gen-")
+    after = spark.read.parquet(gen_dir).orderBy("trip_id", "tstamp").collect()
+    assert after == before
+    # loose generation-0 files vacuumed post-commit
+    assert not [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+
+    # read_compacted resolves every partition (compacted or not) to the
+    # same rows the pre-compaction table held
+    resolved = read_compacted(spark, path, "service_date")
+    assert resolved.count() == total_before
+    assert (
+        resolved.filter(F.col("service_date") == str(date)).count() == len(before)
+    )
+
+    # second compaction: new generation, pointer flips, old gen vacuumed
+    compact_partition(spark, path, "service_date", str(date), commit="pointer")
+    gen2 = resolve_partition_dir(part_dir)
+    assert gen2 != gen_dir and not os.path.exists(gen_dir)
+    assert spark.read.parquet(gen2).orderBy("trip_id", "tstamp").collect() == before
+
+    # pointer naming a vanished generation degrades to the loose fileset
+    with open(os.path.join(part_dir, "._current"), "w") as fh:
+        fh.write(".gen-99")
+    assert resolve_partition_dir(part_dir) == part_dir
+
+
+def test_compact_swap_crash_states_recoverable_and_invisible(spark, tmp_path):
+    """Swap-commit crash windows: hidden work dirs are invisible to
+    plain readers, and recover_compaction repairs every crash state
+    (mid-swap missing partition, pre-rmtree double copy, uncommitted
+    new fileset)."""
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        recover_compaction,
+    )
+
+    _, bc = _tables(spark)
+    path = str(tmp_path / "breadcrumb")
+    write_breadcrumb(bc, path, mode="append")
+    date = bc.select(F.to_date("tstamp").alias("d")).distinct().orderBy("d").first()["d"]
+    part_dir = os.path.join(path, f"service_date={date}")
+    tag = os.path.basename(part_dir)
+    total = spark.read.parquet(path).count()
+    part_rows = spark.read.parquet(part_dir).count()
+
+    # crash state A: compacted fileset written, never committed
+    shutil.copytree(part_dir, os.path.join(path, f".compact-new-{tag}"))
+    assert spark.read.parquet(path).count() == total  # invisible to discovery
+    recover_compaction(path)
+    assert not os.path.exists(os.path.join(path, f".compact-new-{tag}"))
+
+    # crash state B: between the two renames — partition dir absent
+    os.rename(part_dir, os.path.join(path, f".compact-old-{tag}"))
+    assert spark.read.parquet(path).count() == total - part_rows
+    recover_compaction(path)
+    assert spark.read.parquet(part_dir).count() == part_rows
+
+    # crash state C: after second rename, before rmtree — both copies
+    shutil.copytree(part_dir, os.path.join(path, f".compact-old-{tag}"))
+    assert spark.read.parquet(path).count() == total  # old copy hidden
+    recover_compaction(path)
+    assert not os.path.exists(os.path.join(path, f".compact-old-{tag}"))
+    assert spark.read.parquet(path).count() == total
+
+
 def test_zorder_key_interleave_and_locality(spark, tmp_path):
     """zorder_key: (a) exact Morton bit-interleave on a hand-computed
     grid; (b) the layout property that justifies it — files of a

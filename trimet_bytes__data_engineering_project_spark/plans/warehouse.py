@@ -101,6 +101,81 @@ def write_bucketed(
     )
 
 
+def _pointer_path(part_dir: str) -> str:
+    import os
+
+    return os.path.join(part_dir, "._current")
+
+
+def resolve_partition_dir(part_dir: str) -> str:
+    """The directory a pointer-committed partition's CURRENT fileset
+    lives in: the generation named by ``._current`` if the pointer
+    exists (and that generation finished — has ``_SUCCESS``), else the
+    partition directory itself (the loose appended files, "generation
+    0").  This is the read path for pointer-committed tables — one
+    metadata read, never a listing race."""
+    import os
+
+    ptr = _pointer_path(part_dir)
+    try:
+        with open(ptr) as fh:
+            gen = fh.read().strip()
+    except FileNotFoundError:
+        return part_dir
+    gen_dir = os.path.join(part_dir, gen)
+    if os.path.exists(os.path.join(gen_dir, "_SUCCESS")):
+        return gen_dir
+    return part_dir  # pointer names an incomplete generation: ignore it
+
+
+def read_compacted(spark: SparkSession, path: str, partition_col: str) -> DataFrame:
+    """Read a (possibly pointer-compacted) partitioned table: each
+    partition resolves through :func:`resolve_partition_dir`, with the
+    partition value re-attached from the directory name.  On a plain
+    never-compacted layout this reads exactly what
+    ``spark.read.parquet(path)`` reads.
+
+    Scale note: the per-partition union here is driver-side listing
+    over O(partitions) — fine for day-partitioned tables (≤ thousands
+    of partitions); a general table format (Delta/Iceberg) replaces
+    this resolve with a transaction-log read, which is the production
+    answer when partitions are many or nested."""
+    import os
+    from functools import reduce
+
+    prefix = f"{partition_col}="
+    parts = sorted(
+        d for d in os.listdir(path)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(path, d))
+    )
+    frames = [
+        spark.read.parquet(resolve_partition_dir(os.path.join(path, d)))
+        .withColumn(partition_col, F.lit(d[len(prefix):]))
+        for d in parts
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def recover_compaction(path: str) -> None:
+    """Crash-recovery sweep for swap-committed compactions: restore any
+    partition whose directory vanished mid-swap (its ``.compact-old-*``
+    sibling survives) and drop leftover hidden work dirs.  Idempotent;
+    run before reads after an unclean shutdown."""
+    import os
+    import shutil
+
+    for d in list(os.listdir(path)):
+        full = os.path.join(path, d)
+        if d.startswith(".compact-old-"):
+            orig = os.path.join(path, d[len(".compact-old-"):])
+            if not os.path.exists(orig):
+                os.rename(full, orig)  # crash between the two renames
+            else:
+                shutil.rmtree(full)  # crash before rmtree: both copies exist
+        elif d.startswith(".compact-new-"):
+            shutil.rmtree(full)  # never committed
+
+
 def compact_partition(
     spark: SparkSession,
     path: str,
@@ -108,6 +183,7 @@ def compact_partition(
     partition_value: str,
     target_rows_per_file: int = 1_000_000,
     sort_cols: tuple[str, ...] = ("trip_id", "tstamp"),
+    commit: str = "swap",
 ) -> int:
     """Small-file compaction for one partition of a written fact table —
     the maintenance job every streaming-append layout needs: micro-batch
@@ -117,30 +193,83 @@ def compact_partition(
 
     Rewrites ``path/partition_col=value`` as ``ceil(rows / target)``
     files, re-sorted by ``sort_cols`` so windows read clustered row
-    groups again.  The rewrite goes through a temp directory + atomic
-    directory swap: a reader never sees a half-compacted partition, and
-    a crash mid-compact leaves the original intact.  Returns the number
-    of files after compaction."""
+    groups again.  Returns the number of files after compaction.
+
+    All work dirs use hidden basenames (leading ``.``), which Spark's
+    file listing and partition discovery skip — an in-progress or
+    crashed compaction is never visible to a reader of the table root
+    (no duplicated rows, no mixed-type partition inference).
+
+    Two commit protocols:
+
+    - ``commit="swap"`` (default; **local/HDFS only**): the finished
+      fileset replaces the partition directory via two ``os.rename``
+      calls.  Plain ``spark.read.parquet(path)`` readers keep working
+      unchanged.  Contract: POSIX/HDFS atomic rename — NOT object
+      stores (S3/GCS have no directory rename).  There is a
+      microseconds-wide window between the two renames where the
+      partition directory is absent; a crash inside it is repaired by
+      :func:`recover_compaction` (the surviving ``.compact-old-*`` dir
+      is the intact original).
+    - ``commit="pointer"`` (**object-store-safe**): the fileset is
+      written to a hidden generation dir ``.gen-<n>/`` and committed by
+      atomically writing the single pointer file ``._current`` — a
+      one-object PUT, atomic on every store.  Nothing visible is ever
+      renamed or deleted mid-flight, so a reader resolving through
+      :func:`resolve_partition_dir` / :func:`read_compacted` sees the
+      complete old fileset until the pointer flips and the complete new
+      one after; superseded generations are vacuumed only after the
+      commit.  (This is the manifest-commit idea table formats
+      industrialize; see ``read_compacted`` for the scale contract.)
+    """
     import math
     import os
     import shutil
 
     part_dir = os.path.join(path, f"{partition_col}={partition_value}")
-    df = spark.read.parquet(part_dir)
+    src_dir = resolve_partition_dir(part_dir) if commit == "pointer" else part_dir
+    df = spark.read.parquet(src_dir)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    tmp_dir = part_dir + "._compacting"
-    (
-        df.repartition(n_files)
-        .sortWithinPartitions(*[c for c in sort_cols if c in df.columns])
-        .write.mode("overwrite")
-        .parquet(tmp_dir)
+    compacted = df.repartition(n_files).sortWithinPartitions(
+        *[c for c in sort_cols if c in df.columns]
     )
-    swap = part_dir + "._old"
-    os.rename(part_dir, swap)
-    os.rename(tmp_dir, part_dir)
-    shutil.rmtree(swap)
-    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+
+    if commit == "pointer":
+        gens = [
+            int(d[len(".gen-"):])
+            for d in os.listdir(part_dir)
+            if d.startswith(".gen-") and d[len(".gen-"):].isdigit()
+        ]
+        new_gen = f".gen-{max(gens, default=0) + 1}"
+        new_dir = os.path.join(part_dir, new_gen)
+        compacted.write.mode("overwrite").parquet(new_dir)  # hidden: invisible until commit
+        # the commit: one atomic single-file write of the pointer
+        tmp = _pointer_path(part_dir) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(new_gen)
+        os.replace(tmp, _pointer_path(part_dir))
+        # post-commit vacuum of superseded filesets (best-effort; a crash
+        # here leaves only already-invisible-to-resolve garbage)
+        if src_dir == part_dir:  # generation 0: the loose appended files
+            for f in os.listdir(part_dir):
+                if not f.startswith((".", "_")):
+                    os.remove(os.path.join(part_dir, f))
+        else:
+            shutil.rmtree(src_dir)
+        final_dir = new_dir
+    elif commit == "swap":
+        value_tag = os.path.basename(part_dir)
+        new_dir = os.path.join(path, f".compact-new-{value_tag}")
+        old_dir = os.path.join(path, f".compact-old-{value_tag}")
+        compacted.write.mode("overwrite").parquet(new_dir)
+        os.rename(part_dir, old_dir)
+        os.rename(new_dir, part_dir)
+        shutil.rmtree(old_dir)
+        final_dir = part_dir
+    else:
+        raise ValueError(f"unknown commit protocol: {commit!r}")
+    return len([f for f in os.listdir(final_dir) if f.endswith(".parquet")])
 
 
 def register_warehouse(spark: SparkSession, trip_path: str, breadcrumb_path: str) -> None:
