@@ -44,6 +44,92 @@ def test_lsh_index_probe_equals_query_time(spark, emb, qvec, tmp_path_factory):
     assert [tuple(r) for r in probe] == [tuple(r) for r in base]
 
 
+def test_lsh_multiprobe_recall_dial(spark, emb, qvec, tmp_path_factory):
+    """Hamming-radius multi-probe: (a) expand_buckets generates exactly
+    the <=r-distance ids; (b) a larger radius scans a superset, so
+    recall@k vs brute force is monotone non-decreasing in r, and at
+    r = n_planes (every bucket) the probe IS brute force; (c) measured
+    over spread query vectors, radius 1 strictly recovers neighbors a
+    single-bucket probe misses on this corpus."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        expand_buckets,
+    )
+
+    assert expand_buckets(0b0101, 4, 0) == [0b0101]
+    assert expand_buckets(0b0101, 4, 1) == sorted([0b0101, 0b0100, 0b0111, 0b0001, 0b1101])
+    assert expand_buckets(0, 4, 4) == list(range(16))
+
+    path = str(tmp_path_factory.mktemp("multiprobe") / "idx")
+    write_lsh_index(emb, path, dim=len(qvec))
+
+    n = emb.count()
+    ids = sorted(int(r["vec_id"]) for r in emb.select("vec_id").collect())
+    qids = ids[:: max(1, n // 12)][:12]
+    rows = emb.filter(emb["vec_id"].isin(qids)).collect()
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    truth = {
+        q: {r["vec_id"] for r in brute_force_topk(emb, vecs[q], 10).collect()} for q in qids
+    }
+
+    def recall(radius: int) -> float:
+        hits = sum(
+            len(
+                {
+                    r["vec_id"]
+                    for r in lsh_index_probe(
+                        spark, path, vecs[q], 10, hamming_radius=radius
+                    ).collect()
+                }
+                & truth[q]
+            )
+            for q in qids
+        )
+        return hits / (10 * len(qids))
+
+    recalls = [recall(r) for r in range(5)]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[4] == 1.0  # radius = n_planes ≡ brute force
+    assert recalls[1] > recalls[0], recalls  # the dial actually buys recall here
+
+
+def test_lsh_index_append_probe_sees_both_generations(spark, emb, qvec, tmp_path_factory):
+    """build(evens) → append(odds) → probe ≡ one-shot full-corpus index:
+    the deterministic hyperplanes put appended vectors in the same
+    bucket scheme, so every probe radius sees both generations."""
+    base = tmp_path_factory.mktemp("lsh_append")
+    inc, full = str(base / "inc"), str(base / "full")
+    write_lsh_index(emb.filter("vec_id % 2 = 0"), inc, dim=len(qvec))
+    before = {r["vec_id"] for r in lsh_index_probe(spark, inc, qvec, k=50).collect()}
+    assert all(v % 2 == 0 for v in before)
+    write_lsh_index(emb.filter("vec_id % 2 = 1"), inc, dim=len(qvec), mode="append")
+    write_lsh_index(emb, full, dim=len(qvec))
+    got = lsh_index_probe(spark, inc, qvec, k=50).collect()
+    want = lsh_index_probe(spark, full, qvec, k=50).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert {r["vec_id"] % 2 for r in got} == {0, 1}  # both generations served
+
+
+def test_ivf_index_append_reuses_persisted_quantizer(spark, emb, qvec, tmp_path_factory):
+    """IVF append assigns new vectors against the ALREADY-PERSISTED
+    centroid table (recomputing the quantizer from the append batch
+    would scatter generations across incompatible lists): probe after
+    append ≡ one-shot index built with the same centroids."""
+    base = tmp_path_factory.mktemp("ivf_append")
+    inc, full = str(base / "inc"), str(base / "full")
+    evens, n_c = emb.filter("vec_id % 2 = 0"), 8
+    write_ivf_index(evens, inc, n_centroids=n_c)
+    cents = spark.read.parquet(inc + "_centroids")
+    write_ivf_index(emb.filter("vec_id % 2 = 1"), inc, mode="append")
+    # quantizer untouched by the append
+    assert sorted(r["centroid_id"] for r in spark.read.parquet(inc + "_centroids").collect()) == \
+        sorted(r["centroid_id"] for r in cents.collect())
+    write_ivf_index(emb, full, centroids=cents)
+    for nprobe in (1, n_c):
+        got = ivf_index_probe(spark, inc, qvec, k=20, nprobe=nprobe).collect()
+        want = ivf_index_probe(spark, full, qvec, k=20, nprobe=nprobe).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], nprobe
+
+
 def test_ivf_index_probe_equals_query_time(spark, emb, qvec, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ivf") / "idx")
     write_ivf_index(emb, path, n_centroids=16)

@@ -109,6 +109,16 @@ def test_lsh_index_probe_prunes_partitions(spark):
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
 
 
+def test_lsh_multiprobe_prunes_partitions(spark):
+    """x29: the Hamming-radius-1 probe keeps the exact plan shape of
+    x20 — a literal IN-list partition filter on bucket (5 of 16
+    directories), no signature recompute, no shuffle before top-k."""
+    plan = plan_of(spark, "x29_ann_lsh_multiprobe")
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "bucket" in pf and ("IN" in pf or "in(" in pf.lower())
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
 def test_ivf_index_probe_prunes_partitions(spark):
     """x21: the IVF probe scans only the probed inverted-list partition
     via an IN/equality partition filter on centroid_id — assignment is

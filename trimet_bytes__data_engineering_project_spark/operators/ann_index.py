@@ -40,18 +40,45 @@ LSH_PLANES = 4
 
 
 def write_lsh_index(
-    emb: DataFrame, path: str, dim: int, n_planes: int = LSH_PLANES, vec_col: str = "embedding"
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = LSH_PLANES,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
 ) -> None:
     """One pass over the corpus: signature every vector and lay the
     table out partitioned by bucket.  At 100 TB this is the index build
-    job; incremental appends land in their bucket directory."""
+    job.
+
+    ``mode="append"`` is the incremental path: the hyperplanes are a
+    deterministic function of (n_planes, dim) — identical across build
+    and append jobs — so new vectors land in the same bucket directory
+    scheme and every subsequent probe sees both generations (tested:
+    build → append → probe)."""
     planes = hyperplanes(n_planes, dim)
     (
         emb.withColumn("bucket", lsh_bucket(as_double_vec(vec_col), planes))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def expand_buckets(qbucket: int, n_planes: int, hamming_radius: int) -> list[int]:
+    """All bucket ids within Hamming distance ``hamming_radius`` of the
+    query's bucket — the multi-probe set.  Pure driver-side arithmetic
+    over 2^n_planes ids; the probe stays an IN-list partition filter."""
+    from itertools import combinations
+
+    buckets: list[int] = []
+    for d in range(min(hamming_radius, n_planes) + 1):
+        for flips in combinations(range(n_planes), d):
+            b = qbucket
+            for f in flips:
+                b ^= 1 << f
+            buckets.append(b)
+    return sorted(buckets)
 
 
 def lsh_index_probe(
@@ -61,20 +88,30 @@ def lsh_index_probe(
     k: int,
     n_planes: int = LSH_PLANES,
     vec_col: str = "embedding",
+    hamming_radius: int = 0,
 ) -> DataFrame:
-    """Top-k over ONE bucket partition of a written LSH index.  The
-    bucket is computed driver-side from the query vector (no Spark job),
-    so the only cluster work is a pruned scan + TakeOrderedAndProject."""
+    """Top-k over the bucket partitions of a written LSH index within
+    ``hamming_radius`` of the query's bucket.  The bucket set is
+    computed driver-side from the query vector (no Spark job), so the
+    only cluster work is a pruned scan + TakeOrderedAndProject.
+
+    ``hamming_radius`` is LSH's recall dial (the analogue of IVF's
+    ``nprobe``): radius 0 reads 1 of 2^p partitions but a true neighbor
+    whose signature differs by one sign bit is invisible; radius r
+    reads sum(C(p, 0..r)) partitions and recovers exactly those
+    neighbors.  The filter stays a literal IN-list partition prune —
+    identical plan shape at every radius."""
     planes = hyperplanes(n_planes, len(query_vec))
     qb = 0
     for p, plane in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, plane)) > 0:
             qb |= 1 << p
+    probe = expand_buckets(qb, n_planes, hamming_radius)
     idx = spark.read.parquet(path)
     v = as_double_vec(vec_col)
     q = vector_literal(query_vec)
     return (
-        idx.filter(F.col("bucket") == qb)
+        idx.filter(F.col("bucket").isin(probe))
         .select("vec_id", cosine(v, q).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -91,6 +128,7 @@ def write_ivf_index(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Assign every vector to its argmax-cosine coarse centroid and
     write the corpus partitioned by ``centroid_id`` (the inverted
@@ -98,8 +136,16 @@ def write_ivf_index(
 
     ``centroids`` defaults to the deterministic first-``n_centroids``
     by id (ivf_topk's quantizer, oracle-expressible); pass the output
-    of :func:`kmeans_centroids` for trained lists."""
-    if centroids is None:
+    of :func:`kmeans_centroids` for trained lists.
+
+    ``mode="append"`` is the incremental path: new vectors are assigned
+    against the ALREADY-PERSISTED centroid table (never recomputed — a
+    re-derived quantizer would scatter old and new generations across
+    incompatible lists) and appended into their inverted-list
+    partitions; probes see both generations (tested)."""
+    if mode == "append":
+        centroids = emb.sparkSession.read.parquet(_centroids_path(path))
+    elif centroids is None:
         centroids = (
             emb.orderBy("vec_id")
             .limit(n_centroids)
@@ -120,8 +166,9 @@ def write_ivf_index(
         .filter(F.col("rn") == 1)
         .select("vec_id", vec_col, "centroid_id")
     )
-    cents.write.mode("overwrite").parquet(_centroids_path(path))
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    if mode != "append":  # append reuses the persisted quantizer untouched
+        cents.write.mode("overwrite").parquet(_centroids_path(path))
+    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
 
 
 def ivf_index_probe(
@@ -225,9 +272,12 @@ def kmeans_centroids(
     return cents
 
 
-def ensure_index(build_fn, marker_dir: str) -> None:
+def ensure_index(build_fn, marker_dir: str, marker: str = "_SUCCESS") -> None:
     """Build-once guard for query-registered probes: run ``build_fn()``
-    unless ``marker_dir/_SUCCESS`` already exists (parquet writes drop
-    the marker atomically at commit, so a partial write never passes)."""
-    if not os.path.exists(os.path.join(marker_dir, "_SUCCESS")):
+    unless ``marker_dir/<marker>`` already exists (parquet writes drop
+    ``_SUCCESS`` atomically at commit, so a partial write never passes).
+    Multi-phase builds (e.g. build + append) pass a custom ``marker``
+    their ``build_fn`` writes only after the LAST phase — ``_SUCCESS``
+    alone would pass after phase one."""
+    if not os.path.exists(os.path.join(marker_dir, marker)):
         build_fn()

@@ -288,7 +288,7 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
-def _build_lsh_oracle() -> str:
+def _build_lsh_oracle(hamming_radius: int = 0) -> str:
     planes = hyperplanes(4, 64)
     lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
     bucket = " + ".join(
@@ -297,13 +297,24 @@ def _build_lsh_oracle() -> str:
     qbucket = " + ".join(
         f"CASE WHEN {_dot_sql('qv', lits[p])} > 0 THEN {1 << p} ELSE 0 END" for p in range(4)
     )
+    if hamming_radius == 0:
+        cond = "bucket = (SELECT bucket FROM qb)"
+    else:
+        # per-bit mismatch sum — portable Hamming distance, no engine
+        # bit-op functions needed
+        ham = " + ".join(
+            f"CASE WHEN ((bucket // {1 << p}) % 2) <> "
+            f"(((SELECT bucket FROM qb)) // {1 << p}) % 2 THEN 1 ELSE 0 END"
+            for p in range(4)
+        )
+        cond = f"({ham}) <= {hamming_radius}"
     return f"""
     WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
          q AS (SELECT {_QV_SQL} AS qv),
          eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
          qb AS (SELECT {qbucket} AS bucket FROM q)
     SELECT vec_id, {_cos_sql('v', '(SELECT qv FROM q)')} AS cos_sim
-    FROM eb WHERE bucket = (SELECT bucket FROM qb)
+    FROM eb WHERE {cond}
     ORDER BY cos_sim DESC, vec_id LIMIT 5
     """
 
@@ -451,6 +462,54 @@ def x21_ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
     )
     return ivf_index_probe(spark, path, qv, k=5, nprobe=1)
+
+
+@query("x29_ann_lsh_multiprobe", oracle=_build_lsh_oracle(hamming_radius=1))
+def x29_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH — the recall dial x20 lacks (the analogue of
+    IVF's nprobe): probe every bucket within Hamming distance 1 of the
+    query's signature (5 of 16 partitions at 4 planes), recovering true
+    neighbors that differ by one sign bit and are invisible to a
+    single-bucket probe.  The filter is still a literal IN-list
+    partition prune over the SAME persisted index x20 reads — identical
+    plan shape, no recompute (pinned by plan test)."""
+    from ..operators.ann_index import ensure_index, lsh_index_probe, write_lsh_index
+
+    qv = _query_vec(spark, sf_dir)
+    path = _index_dir(sf_dir, "lsh")
+    ensure_index(
+        lambda: write_lsh_index(load_table(spark, sf_dir, "embeddings"), path, dim=len(qv)),
+        path,
+    )
+    return lsh_index_probe(spark, path, qv, k=5, hamming_radius=1)
+
+
+@query("x30_index_append_probe", oracle=_build_lsh_oracle())
+def x30_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index lifecycle: build the LSH index from the even
+    vec_ids, APPEND the odd ones (same deterministic hyperplanes, so
+    they land in the same bucket scheme), then probe — the result is
+    identical to probing a one-shot index over the full corpus, which
+    is exactly x11/x20's oracle.  The build gate is a post-append
+    marker: ``_SUCCESS`` alone exists after phase one, so a crash
+    between phases triggers a clean rebuild instead of serving half an
+    index."""
+    from ..operators.ann_index import ensure_index, lsh_index_probe, write_lsh_index
+
+    qv = _query_vec(spark, sf_dir)
+    path = _index_dir(sf_dir, "lsh_app")
+
+    def _build() -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), path, dim=len(qv))
+        write_lsh_index(
+            emb.filter(F.col("vec_id") % 2 == 1), path, dim=len(qv), mode="append"
+        )
+        with open(os.path.join(path, "_APPEND_DONE"), "w"):
+            pass
+
+    ensure_index(_build, path, marker="_APPEND_DONE")
+    return lsh_index_probe(spark, path, qv, k=5)
 
 
 @query(
