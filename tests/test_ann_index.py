@@ -184,6 +184,53 @@ def test_kmeans_centroids_beat_first_n_recall(spark, emb, tmp_path_factory):
     assert r_km >= r_first, (r_km, r_first)
 
 
+def test_kmeans_update_matches_exact_averages(spark, emb):
+    """The posexplode-based (centroid_id, dim) update — the
+    dimension-independent form that survives dim=768+ — must produce
+    exactly the Lloyd iterate: an independent numpy twin (same
+    deterministic farthest-first init, same argmax-cosine assignment,
+    exact per-cluster means) reproduces the returned centroids."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    n_c, n_iter = 6, 2
+
+    # init: farthest-first over the first-256-by-id sample
+    smat = mat[:256]
+    norms = np.linalg.norm(smat, axis=1, keepdims=True)
+    unit = smat / np.where(norms == 0.0, 1.0, norms)
+    chosen = [0]
+    while len(chosen) < n_c:
+        max_sim = (unit @ unit[chosen].T).max(axis=1)
+        max_sim[chosen] = np.inf
+        chosen.append(int(np.argmin(max_sim)))
+    cids = ids[chosen]
+    cvecs = mat[chosen]
+
+    def unit_rows(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0.0, 1.0, n)
+
+    for _ in range(n_iter):
+        sims = unit_rows(mat) @ unit_rows(cvecs).T
+        # argmax cosine, ties to the LOWEST centroid_id (the window's
+        # ORDER BY desc(cos), centroid_id) — centroids sorted by id first
+        order = np.argsort(cids)
+        sims = sims[:, order]
+        best = order[np.argmax(sims, axis=1)]
+        keep = sorted(set(best))
+        cids = np.array([cids[b] for b in keep])
+        cvecs = np.stack([mat[best == b].mean(axis=0) for b in keep])
+
+    got = {int(r["centroid_id"]): np.asarray(r["cvec"]) for r in
+           kmeans_centroids(emb, n_c, n_iter=n_iter).collect()}
+    assert sorted(got) == sorted(int(c) for c in cids)
+    for cid, vec in zip(cids, cvecs):
+        np.testing.assert_allclose(got[int(cid)], vec, rtol=1e-9, atol=1e-12)
+
+
 def test_kmeans_is_deterministic(spark, emb):
     a = sorted(tuple(r) for r in kmeans_centroids(emb, 8, n_iter=2).collect())
     b = sorted(tuple(r) for r in kmeans_centroids(emb, 8, n_iter=2).collect())

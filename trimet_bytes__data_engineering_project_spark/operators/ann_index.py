@@ -225,21 +225,21 @@ def kmeans_centroids(
 
     Each Lloyd iteration is: assign = broadcast-centroid crossJoin +
     rank-1 window (identical shape to the IVF assignment itself, so it
-    costs what one index build costs); update = groupBy(centroid) of
-    per-dimension AVGs.  The updated centroids (n_c × dim doubles — a
-    few KB) are collected and re-broadcast per iteration, keeping every
-    iteration's plan shallow instead of stacking crossJoins.  The whole
-    procedure is deterministic given the corpus; empty clusters simply
-    drop out (their id stops appearing), matching standard Lloyd
-    behavior."""
+    costs what one index build costs); update = ``posexplode`` the
+    vector and average per (centroid_id, dim) — a dimension-INDEPENDENT
+    two-column agg (the per-dimension ``avg(v[i])`` column fan-out it
+    replaces builds a thousand-column aggregate at dim=768+, which
+    chokes codegen; this shape is the same plan at dim 8 or 8192).  The
+    updated centroids (n_c × dim doubles — a few KB) are collected and
+    re-broadcast per iteration, keeping every iteration's plan shallow
+    instead of stacking crossJoins.  The whole procedure is
+    deterministic given the corpus; empty clusters simply drop out
+    (their id stops appearing), matching standard Lloyd behavior."""
     import numpy as np
     from pyspark.sql import Window
 
     spark = emb.sparkSession
     data = emb.select("vec_id", as_double_vec(vec_col).alias("v"))
-    first = data.select(F.size("v").alias("d")).first()
-    dim = int(first["d"])
-
     sample = data.orderBy("vec_id").limit(max(256, n_centroids)).collect()
     sids = [int(r["vec_id"]) for r in sample]
     mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
@@ -261,12 +261,17 @@ def kmeans_centroids(
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
         best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        new = best.groupBy("centroid_id").agg(
-            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+        new = (
+            best.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("c"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+            .select("centroid_id", F.col("pairs.c").alias("cvec"))
         )
         rows = new.collect()  # n_c rows — the per-iteration driver sync of Lloyd
         cents = spark.createDataFrame(
-            [(int(r["centroid_id"]), [float(r[f"c{i}"]) for i in range(dim)]) for r in rows],
+            [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in rows],
             "centroid_id long, cvec array<double>",
         )
     return cents

@@ -361,7 +361,7 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 # bump when index-building logic changes: the scratch dir outlives a code
 # round (gitignored, build-once), and a stale layout must never serve a
 # probe built by newer code
-_INDEX_VERSION = "v2"
+_INDEX_VERSION = "v3"
 
 
 def _index_dir(sf_dir: str, kind: str) -> str:
