@@ -871,7 +871,16 @@ def x26_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     right rows replicated per salt — exact per-partition carry, no
     cross-salt patch-up), everyone else the plain one-shuffle path.
     Same DuckDB-native ASOF oracle as x16 — the skew treatment changes
-    partition sizes, never the answer."""
+    partition sizes, never the answer.
+
+    Hot-key contract: ``asof_join_skewed`` takes CALLER-SUPPLIED hot
+    keys; at scale they come from maintained table statistics (an
+    ANALYZE sketch, AQE skew metrics, yesterday's key histogram) —
+    never a per-query exact count over the fact table.  Here discovery
+    runs over a deterministic 5% hash sample as the stand-in for that
+    stats source.  Correctness never depends on the choice: the skewed
+    path ≡ asof_join for ANY hot set (pinned by test), only partition
+    sizes change."""
     from ..operators.asof import asof_join_skewed
 
     ev = load_table(spark, sf_dir, "events")
@@ -883,7 +892,8 @@ def x26_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot = [
         r["user_id"]
-        for r in clicks.groupBy("user_id")
+        for r in clicks.filter(F.pmod(F.hash("event_id"), F.lit(20)) == 0)
+        .groupBy("user_id")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "user_id")
         .limit(1)
