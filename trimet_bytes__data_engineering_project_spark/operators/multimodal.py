@@ -136,9 +136,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
                 from PIL import Image
 
-                img = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+                img = Image.open(io.BytesIO(bytes(b)))
+                fmt = img.format or "PNG"  # resize() drops .format — capture first
                 out = io.BytesIO()
-                img.save(out, format=img.format or "PNG")
+                img.resize((width, height)).save(out, format=fmt)
                 return out.getvalue(), True
             except Exception:
                 return bytes(b), False
