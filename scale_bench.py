@@ -1,0 +1,213 @@
+"""Scale-step benchmark for the heavy extension queries.
+
+At sf0.1 every corpus query is dominated by Spark's fixed per-job
+latency (~0.5-1.3 s of plan build + scheduling), so plan COSTS are
+invisible — a quadratic join and a pruned scan both read as "about a
+second".  This tool replicates the sf0.1 heavy tables 10x and 100x into
+``.scratch/scale/x{N}`` (re-keyed ids; replicated text/vectors are
+re-derived from md5 / deterministic sign flips so copies are mutually
+DISSIMILAR — a corpus of N near-identical copies of each document would
+measure the skew caps, not the scaling) and times the five heaviest
+queries at every scale with bench.py's min-of-2 protocol.
+
+Interpretation: a query whose plan does real pruning/blocking should
+scale AT MOST linearly in input rows (the work is the hashing/scan
+itself) and far below the quadratic envelope of its join shape; the
+persisted-index probe (x21) should scale SUB-linearly (the probe reads
+1/16 of the corpus, partition-pruned).  Results are recorded in
+BENCH_NOTES.md.
+
+Usage: python scale_bench.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from trimet_bytes__data_engineering_project_spark.plans import QUERIES
+from trimet_bytes__data_engineering_project_spark.session import get_session
+
+SF01 = "/root/testdata/sf0.1"
+_SCALE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch", "scale")
+# replica factors: 10x stays latency-dominated (proves no plan blow-up);
+# 100x makes the hash/scan/join work visible (proves the scaling curve)
+STEPS = (10, 100)
+_ID_STRIDE = 10_000_000
+
+
+# The registered x07/x08/x28 queries cap their fixture at doc_id/vec_id
+# < 1000 (oracle-size control), which would exclude every replica row —
+# so the dedup/similarity entries here drive the UNDERLYING OPERATORS
+# over the full scaled tables; q27/x21 run their registered queries.
+def _q27(spark, d):
+    return QUERIES["q27_pricing_summary"](spark, d)
+
+
+def _x21(spark, d):
+    return QUERIES["x21_ann_ivf_index_probe"](spark, d)
+
+
+def _minhash_pairs(spark, d):
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_estimate,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id", "est_sim")
+    )
+
+
+def _jaccard_pairs(spark, d):
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        exact_jaccard,
+        minhash_candidates,
+        shingles,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+    cands = minhash_candidates(docs).select("a_id", "b_id")
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jaccard", exact_jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _embedding_near_dup(spark, d):
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    return embedding_near_dup_lsh(emb, threshold=0.35, dim=64, n_planes=4)
+
+
+HEAVY = [
+    ("q27_pricing_summary", _q27),
+    ("minhash_near_dup_pairs_full", _minhash_pairs),
+    ("ngram_jaccard_pairs_full", _jaccard_pairs),
+    ("embedding_near_dup_lsh_full", _embedding_near_dup),
+    ("x21_ann_ivf_index_probe", _x21),
+]
+
+
+def _union_all(frames):
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def build_scale_tables(spark, copies: int, rebuild: bool = False) -> str:
+    scale_dir = os.path.join(_SCALE_ROOT, f"x{copies}")
+    marker = os.path.join(scale_dir, "_BUILT")
+    if os.path.exists(marker) and not rebuild:
+        return scale_dir
+    shutil.rmtree(scale_dir, ignore_errors=True)
+    os.makedirs(scale_dir, exist_ok=True)
+    n_out = 32 if copies <= 10 else 128
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    doc_copies = [docs]
+    for c in range(1, copies):
+        # fresh pseudo-random text per copy (8 md5 hex words keyed by
+        # (doc_id, copy)): realistic "more documents", not Nx dup sets
+        words = [
+            F.md5(F.concat_ws("-", F.col("doc_id").cast("string"), F.lit(c), F.lit(i)))
+            for i in range(8)
+        ]
+        doc_copies.append(
+            docs.select(
+                (F.col("doc_id") + c * _ID_STRIDE).alias("doc_id"),
+                F.concat_ws(" ", *words).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    _union_all(doc_copies).repartition(n_out).write.mode("overwrite").parquet(
+        f"{scale_dir}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    emb_copies = [emb]
+    for c in range(1, copies):
+        # per-(copy, dim) deterministic sign flips decorrelate each copy
+        # from the original (cosine ~ 0) while keeping norms identical
+        flipped = F.transform(
+            "embedding",
+            lambda x, i: x
+            * F.when(F.pmod(F.hash(F.col("vec_id"), i, F.lit(c)), F.lit(2)) == 0, 1.0).otherwise(
+                -1.0
+            ),
+        ).cast("array<float>")
+        emb_copies.append(
+            emb.select(
+                (F.col("vec_id") + c * _ID_STRIDE).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+    _union_all(emb_copies).repartition(n_out).write.mode("overwrite").parquet(
+        f"{scale_dir}/embeddings.parquet"
+    )
+
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    li_copies = [li] + [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + c * _ID_STRIDE)
+        for c in range(1, copies)
+    ]
+    _union_all(li_copies).repartition(n_out).write.mode("overwrite").parquet(
+        f"{scale_dir}/lineitem.parquet"
+    )
+
+    with open(marker, "w"):
+        pass
+    return scale_dir
+
+
+def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    fn(spark, sf_dir).collect()  # warm: index builds, JVM init
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def main() -> None:
+    spark = get_session("trimet-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    rebuild = "--rebuild" in sys.argv
+    dirs = {1: SF01}
+    for copies in STEPS:
+        dirs[copies] = build_scale_tables(spark, copies, rebuild=rebuild)
+
+    out: dict[str, dict[str, float]] = {}
+    for name, fn in HEAVY:
+        times = {f"x{c}_sec": time_query(spark, fn, d) for c, d in dirs.items()}
+        times["time_ratio_at_100x_rows"] = round(times["x100_sec"] / times["x1_sec"], 2)
+        out[name] = times
+        print(json.dumps({name: times}), flush=True)
+
+    print(json.dumps({"metric": "scale_step_heavy_queries", "steps": list(dirs), "results": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

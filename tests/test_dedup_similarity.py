@@ -134,6 +134,53 @@ def test_embedding_near_dup_blocked_by_label(spark):
         assert r["a_id"] % 2 == r["b_id"] % 2
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A corpus doc sharing one 5-gram with the benchmark set is
+    flagged; disjoint and too-short docs are not — and the plan is a
+    broadcast left-semi join (no shuffle of corpus text)."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "intro words then the quick brown fox jumps right out"),
+            (11, "completely different tokens with no shared gram at all"),
+            (12, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = decontaminate(corpus, bench, n=5)
+    assert {r["doc_id"] for r in out.collect()} == {10}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_ratio_exact_values(spark):
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        repetition_ratio_col,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 3-grams, 3 distinct → 4/7 repeated
+            (2, "all five tokens are unique"),  # 3 distinct 3-grams → 0.0
+            (3, "x y"),  # too short for a 3-gram → 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["rr"]
+        for r in df.select("doc_id", repetition_ratio_col(F.col("text")).alias("rr")).collect()
+    }
+    assert abs(got[1] - (1.0 - 3.0 / 7.0)) < 1e-15
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
 def test_multimodal_feature_batch(spark):
     docs = spark.createDataFrame(
         [(1, "hello"), (2, ""), (3, "Ωmega")], ["doc_id", "text"]

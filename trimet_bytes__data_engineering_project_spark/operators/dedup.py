@@ -37,9 +37,9 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles.  Pure array exprs (sequence →
-    slice → array_join) — stays in codegen, no UDF.
+def all_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles in document order, repeats kept.  Pure array
+    exprs (sequence → slice → array_join) — stays in codegen, no UDF.
 
     Guarded for short docs: Spark's ``sequence(1, 0)`` yields a
     *descending* [1, 0], not empty, so docs with < n tokens must map to
@@ -60,8 +60,12 @@ def shingles(text: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    grams = F.element_at(F.transform(F.array(tokens(text)), _grams), 1)
-    return F.array_distinct(grams)
+    return F.element_at(F.transform(F.array(tokens(text)), _grams), 1)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (see :func:`all_shingles`)."""
+    return F.array_distinct(all_shingles(text, n))
 
 
 def _slice(h: Column, i: int) -> Column:
@@ -256,3 +260,41 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
             F.lit(0).cast("long")
         )
     return out
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents sharing ANY
+    word ``n``-gram with an evaluation/benchmark set (the overlap scan
+    every training pipeline runs before a model sees the data; n-gram
+    matching per GPT-3 appendix C / PaLM-style 8-gram screens — ``n``
+    defaults low only because the fixture texts are short).
+
+    Returns the distinct flagged ``id_col`` values.
+
+    Scale shape: the benchmark side is TINY (eval sets are thousands of
+    rows) — its distinct n-gram *hashes* broadcast to every executor,
+    and the corpus side is explode → md5 → **broadcast left-semi join**
+    → distinct ids.  No shuffle touches corpus text: the only exchange
+    is the distinct over already-matched ids (≪ corpus).  Hashing the
+    n-grams bounds the broadcast payload at 32 hex chars per gram no
+    matter how long the benchmark strings are."""
+    bench_hashes = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    corp = ensure_parallelism(corpus).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    return (
+        corp.select(id_col, F.md5("g").alias("h"))
+        .join(F.broadcast(bench_hashes), "h", "leftsemi")
+        .select(id_col)
+        .distinct()
+    )

@@ -70,3 +70,21 @@ def quality_stats(text: Column) -> list[Column]:
         (F.length(text).cast("double") / n_tokens).alias("avg_token_len"),
         stopword_ratio_col(text).alias("stopword_ratio"),
     ]
+
+
+def repetition_ratio_col(text: Column, n: int = 3) -> Column:
+    """Gopher-style intra-document repetition signal: the fraction of
+    word ``n``-grams that are repeats of an earlier n-gram in the same
+    document (``1 - distinct/total``; 0.0 for docs too short to have
+    one).  High values flag boilerplate/spam — a standard pretraining
+    quality filter.  Pure array expressions over one tokenization, two
+    integer counts and one IEEE division — codegen end-to-end, and the
+    signal needs no shuffle at all (computed in the scan's project)."""
+    from .dedup import all_shingles
+
+    grams = all_shingles(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))

@@ -33,6 +33,8 @@ _WINDOW_HEAD = [
     # new this round
     "x29_ann_lsh_multiprobe",
     "x30_index_append_probe",
+    "x31_benchmark_decontamination",
+    "x32_repetition_ratio",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",

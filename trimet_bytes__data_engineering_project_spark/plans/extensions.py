@@ -51,12 +51,20 @@ from .tables import _session_cache, load_table
 
 _TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
 
-_SHINGLES = f"""
-CASE WHEN len({_TOKS}) >= 3 THEN
-  list_distinct(list_transform(range(1, len({_TOKS}) - 1),
-                i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))
-ELSE [] END
-"""
+def _all_shingles_sql(n: int) -> str:
+    """Word n-grams in document order, repeats kept (dedup.all_shingles twin)."""
+    return f"""CASE WHEN len({_TOKS}) >= {n} THEN
+  list_transform(range(1, len({_TOKS}) - {n - 2}),
+                 i -> array_to_string(list_slice({_TOKS}, i, i + {n - 1}), ' '))
+ELSE [] END"""
+
+
+def _shingles_sql(n: int) -> str:
+    """Distinct word n-grams (dedup.shingles twin)."""
+    return f"list_distinct({_all_shingles_sql(n)})"
+
+
+_SHINGLES = _shingles_sql(3)
 
 _SIG_ELEMS = ", ".join(
     f"list_min(list_transform(s, x -> substr(md5(x), {SLICE_W * i + 1}, {SLICE_W})))"
@@ -1037,6 +1045,54 @@ def x25_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_tokens = docs.select("lang", token_count_col(F.col("text")).alias("n_tokens"))
     return domain_mixture(with_tokens, "lang", "n_tokens")
+
+
+@query(
+    "x31_benchmark_decontamination",
+    oracle=f"""
+    WITH bg AS (SELECT unnest({_shingles_sql(5)}) AS g FROM documents WHERE doc_id < 20),
+         bh AS (SELECT DISTINCT md5(g) AS h FROM bg),
+         cg AS (SELECT doc_id, unnest({_shingles_sql(5)}) AS g FROM documents WHERE doc_id >= 20),
+         ch AS (SELECT doc_id, md5(g) AS h FROM cg)
+    SELECT DISTINCT doc_id FROM ch JOIN bh USING (h)
+    """,
+)
+def x31_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents (doc_id >= 20, the
+    training side) sharing ANY word 5-gram with the benchmark set
+    (doc_id < 20 standing in for an eval suite) — the overlap screen a
+    training pipeline runs before data reaches a model.  The benchmark
+    side's distinct n-gram HASHES broadcast (an eval suite is tiny);
+    the corpus side is explode → md5 → broadcast left-semi join, so no
+    shuffle ever carries corpus text (plan-pinned)."""
+    from ..operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=5
+    )
+
+
+@query(
+    "x32_repetition_ratio",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_all_shingles_sql(3)} AS grams FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    """,
+)
+def x32_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition quality signal: fraction
+    of word 3-grams that repeat an earlier 3-gram in the same document
+    (1 − distinct/total).  Shuffle-free — one tokenization and two
+    integer counts in the scan's project, codegen end-to-end."""
+    from ..operators.textstats import repetition_ratio_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", repetition_ratio_col(F.col("text")).alias("rep_ratio"))
 
 
 # ---------------------------------------------------------------------------
