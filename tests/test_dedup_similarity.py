@@ -181,6 +181,50 @@ def test_repetition_ratio_exact_values(spark):
     assert got[2] == 0.0 and got[3] == 0.0
 
 
+def test_dedup_keep_representatives_policy(spark):
+    """Pairwise removal: every pair drops its higher id; a chain a~b,
+    b~c (a≁c) keeps only a — and the plan is a broadcast anti join
+    (corpus never shuffled)."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        dedup_keep_representatives,
+    )
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(5)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["a_id", "b_id"])
+    out = dedup_keep_representatives(docs, pairs)
+    assert {r["doc_id"] for r in out.collect()} == {0, 3, 4}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_redact_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call 503-555-1234"),
+            (2, "see https://example.com/a?b=1 and http://x.io"),
+            (3, "clean text with no identifiers"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text")).alias("red"), *pii_counts(F.col("text"))
+        ).collect()
+    }
+    assert rows[1]["red"] == "mail me at <EMAIL> or call <PHONE>"
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert rows[2]["red"] == "see <URL> and <URL>" and rows[2]["n_url"] == 2
+    assert rows[3]["red"] == "clean text with no identifiers"  # clean text untouched
+
+
 def test_multimodal_feature_batch(spark):
     docs = spark.createDataFrame(
         [(1, "hello"), (2, ""), (3, "Ωmega")], ["doc_id", "text"]

@@ -298,3 +298,22 @@ def decontaminate(
         .select(id_col)
         .distinct()
     )
+
+
+def dedup_keep_representatives(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup REMOVAL policy over a candidate-pair list: every pair
+    (a_id < b_id) drops its higher id, keeping the lower as the
+    representative — the standard one-pass policy pipelines apply to an
+    LSH pair list.  (This is pairwise, not transitive-closure
+    clustering: in a chain a~b, b~c with a≁c, both b and c are dropped
+    because each loses some pair.  Deterministic and safe — survivors
+    are never near-dups of each other; full graph clustering is the
+    iterative alternative when maximal retention matters.)
+
+    Scale shape: the dropped-id set (≪ corpus) is DISTINCT'd and
+    broadcast; the removal itself is a broadcast LEFT ANTI join — the
+    corpus is never shuffled."""
+    dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return docs.join(F.broadcast(dropped), id_col, "left_anti")

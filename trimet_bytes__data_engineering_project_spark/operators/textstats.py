@@ -88,3 +88,34 @@ def repetition_ratio_col(text: Column, n: int = 3) -> Column:
         total > 0,
         F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+# Conservative, engine-portable patterns (no lookaround — identical
+# semantics in Java regex and RE2-family engines)
+_PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "URL": r"https?://[^\s]+",
+    "PHONE": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, URLs and phone-shaped strings with typed
+    placeholders (``<EMAIL>`` etc.) — the scrubbing pass a training
+    pipeline runs before text reaches a model.  A fixed chain of native
+    ``regexp_replace`` calls: shuffle-free, codegen, no UDF.  Pattern
+    order matters (emails first, so the URL pattern never eats a
+    mailto-adjacent address)."""
+    out = text
+    for tag, pattern in _PII_PATTERNS.items():
+        out = F.regexp_replace(out, pattern, f"<{tag}>")
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-document counts of each PII pattern (audit signal for the
+    redaction pass)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0))).alias(f"n_{t.lower()}")
+        for t, p in _PII_PATTERNS.items()
+    ]

@@ -35,6 +35,7 @@ _WINDOW_HEAD = [
     "x30_index_append_probe",
     "x31_benchmark_decontamination",
     "x32_repetition_ratio",
+    "x33_near_dup_removal",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",

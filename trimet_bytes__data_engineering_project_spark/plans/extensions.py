@@ -1074,6 +1074,40 @@ def x31_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "x33_near_dup_removal",
+    oracle=f"""
+    WITH {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    dropped AS (SELECT DISTINCT b_id FROM pairs)
+    SELECT doc_id FROM documents
+    WHERE doc_id < 1000 AND doc_id NOT IN (SELECT b_id FROM dropped)
+    """,
+)
+def x33_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step that consumes x07's pair list: each near-dup
+    pair (a_id < b_id) drops its higher id, keeping the lower as the
+    representative (pairwise policy, documented in
+    ``operators/dedup.py:dedup_keep_representatives``).  The dropped-id
+    set is tiny and broadcast; the corpus leaves through a broadcast
+    LEFT ANTI join — never shuffled."""
+    from ..operators.dedup import (
+        dedup_keep_representatives,
+        minhash_candidates,
+        minhash_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    return dedup_keep_representatives(docs, pairs).select("doc_id")
+
+
+@query(
     "x32_repetition_ratio",
     oracle=f"""
     WITH g AS (SELECT doc_id, {_all_shingles_sql(3)} AS grams FROM documents)
