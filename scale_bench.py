@@ -91,12 +91,21 @@ def _jaccard_pairs(spark, d):
 
 
 def _embedding_near_dup(spark, d):
+    """n_planes grows with the corpus: sign-bucket blocking is quadratic
+    WITHIN a bucket, so bucket count (2^planes) must track corpus size
+    to hold per-bucket membership roughly constant.  4 planes at 2k
+    vectors ≈ 125/bucket; the same 4 planes at 200k vectors would be
+    12.5k/bucket ≈ 1.2B within-bucket pairs — measured unfinishable on
+    local[32].  10 planes at 200k restores ~200/bucket.  This is the
+    LSH analogue of sizing shuffle partitions to data volume."""
     from trimet_bytes__data_engineering_project_spark.operators.similarity import (
         embedding_near_dup_lsh,
     )
 
     emb = spark.read.parquet(f"{d}/embeddings.parquet")
-    return embedding_near_dup_lsh(emb, threshold=0.35, dim=64, n_planes=4)
+    n = emb.count()
+    n_planes = max(4, (max(1, n // 125) - 1).bit_length())  # ~125 vectors/bucket
+    return embedding_near_dup_lsh(emb, threshold=0.35, dim=64, n_planes=n_planes)
 
 
 HEAVY = [
@@ -200,7 +209,10 @@ def main() -> None:
 
     out: dict[str, dict[str, float]] = {}
     for name, fn in HEAVY:
-        times = {f"x{c}_sec": time_query(spark, fn, d) for c, d in dirs.items()}
+        times = {}
+        for c, d in dirs.items():
+            times[f"x{c}_sec"] = time_query(spark, fn, d)
+            print(f"# {name} x{c}: {times[f'x{c}_sec']} s", flush=True)
         times["time_ratio_at_100x_rows"] = round(times["x100_sec"] / times["x1_sec"], 2)
         out[name] = times
         print(json.dumps({name: times}), flush=True)
