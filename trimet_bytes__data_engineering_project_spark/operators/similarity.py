@@ -299,7 +299,15 @@ def embedding_near_dup_lsh(
     keeps only true near-dups.  Approximate by construction: a pair
     split across buckets is missed with probability growing in its
     angle — the standard LSH recall trade, tunable via ``n_planes``
-    (fewer planes = bigger buckets = higher recall, more join work)."""
+    (fewer planes = bigger buckets = higher recall, more join work).
+
+    **Sizing contract**: the self-join is quadratic WITHIN a bucket, so
+    ``n_planes`` must scale with corpus cardinality to hold per-bucket
+    membership roughly constant — ``n_planes ≈ lg(n / target_bucket)``.
+    Measured (BENCH_NOTES.md): 4 planes at 200 K vectors is ~12.5 K per
+    bucket ≈ 1.2 B candidate pairs, unfinishable on local[32]; 11
+    planes (~100/bucket) finishes in 15.5 s.  The default of 4 fits the
+    ~2 K-vector driver fixture only."""
     planes = hyperplanes(n_planes, dim)
     e = emb.select(
         "vec_id", as_double_vec(vec_col).alias("v")
