@@ -119,3 +119,69 @@ def test_domain_mixture_shares_sum_to_one(spark):
     assert mix["en"]["docs"] == 2 and mix["en"]["tokens"] == 40
     assert abs(sum(r["token_share"] for r in mix.values()) - 1.0) < 1e-12
     assert mix["de"]["token_share"] == 0.4
+
+
+def test_cap_per_group_keeps_top_k_deterministically(spark):
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import cap_per_group
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("host"),
+        (F.col("id") % 7).alias("score"),
+    )
+    capped = cap_per_group(df, "host", [F.col("score").desc(), F.col("doc_id")], k=5)
+    rows = capped.collect()
+    assert len(rows) == 15
+    per = {}
+    for r in rows:
+        per.setdefault(r["host"], []).append((r["score"], r["doc_id"]))
+    for host, kept in per.items():
+        assert len(kept) == 5
+        # kept set = the first 5 under (score desc, id asc) computed naively
+        naive = sorted(
+            [(r["score"], r["doc_id"]) for r in df.filter(F.col("host") == host).collect()],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        assert sorted(kept, key=lambda t: (-t[0], t[1])) == naive
+    # determinism under re-run
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(r["doc_id"] for r in rows)
+
+
+def test_rebalance_to_uniform_thins_to_min_group(spark):
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        rebalance_to_uniform,
+    )
+
+    df = spark.range(0, 2200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2000, "en").when(F.col("id") < 2100, "fr").otherwise("de").alias("lang"),
+    )
+    kept = rebalance_to_uniform(df, "lang", "doc_id")
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # the smallest groups (fr=de=100) survive whole via the keep-all sentinel
+    assert counts["fr"] == 100 and counts["de"] == 100
+    # the dominant group is thinned to ~min_n (hash draw: ±40% tolerance on 100 expected)
+    assert 60 <= counts["en"] <= 140
+    # deterministic: identical kept set on re-run
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in rebalance_to_uniform(df, "lang", "doc_id").collect())
+    assert a == b
+
+
+def test_percentile_filter_exact_and_approx(spark):
+    import numpy as np
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        percentile_filter,
+    )
+
+    vals = [(i, float((i * 37) % 1000)) for i in range(1000)]
+    df = spark.createDataFrame(vals, "doc_id int, score double")
+    exact = percentile_filter(df, "score", 0.25)
+    thr = np.percentile(np.array([v for _, v in vals]), 25)  # same linear interpolation
+    expected = {i for i, v in vals if v >= thr}
+    assert {r["doc_id"] for r in exact.collect()} == expected
+    # the scale path (mergeable sketch) agrees within sketch tolerance
+    approx = percentile_filter(df, "score", 0.25, approx=True)
+    n_exact, n_approx = exact.count(), approx.count()
+    assert abs(n_approx - n_exact) <= 0.02 * len(vals)

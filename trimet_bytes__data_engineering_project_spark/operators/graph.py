@@ -1,0 +1,90 @@
+"""Iterative graph operators over candidate-pair lists.
+
+Connected components turns a near-dup PAIR list (the output of
+``operators/dedup.py:minhash_candidates`` / query x07) into transitive
+duplicate CLUSTERS — the semantics ``dedup_keep_representatives``
+documents as "the iterative alternative when maximal retention
+matters": one representative per component instead of dropping every
+pair-loser, so a chain a~b, b~c keeps exactly one of {a, b, c}.
+
+Algorithm: **hash-min label propagation with pointer jumping** (the
+DataFrame form of the classic Pregel/map-reduce CC — cf. Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14; this is
+the simple hash-min variant with a label-shortcut step, not the full
+large-star/small-star optimization, which only pays off when component
+diameters are large).  Every node starts labeled with its own id; each
+iteration takes the min label over its neighbors, then shortcuts
+through its current label's label (pointer jump), halving the distance
+a label still has to travel — O(log diameter) rounds instead of
+O(diameter).
+
+Scale shape per iteration: two equi-joins keyed on node id (neighbor
+min + pointer jump), each a plain shuffle on the id — payload is two
+longs per node, never document content.  The driver syncs once per
+iteration on a convergence count (standard for iterative graph jobs;
+rounds are O(log d), and near-dup components in practice have tiny
+diameters — boilerplate clusters are near-cliques).  Lineage is cut
+every iteration with an eager ``localCheckpoint`` so the plan does not
+grow with the round count (on a cluster with a configured checkpoint
+dir, ``checkpoint()`` is the fault-tolerant swap-in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``pairs``, where
+    ``cluster_id`` is the minimum node id reachable through the pair
+    graph — deterministic, engine-portable cluster labels.
+
+    ``max_iter`` bounds the pointer-jumping rounds (2^25 ≫ any real
+    component diameter); convergence normally exits far earlier.
+    Raises if labels have not stabilized after ``max_iter`` rounds
+    rather than returning a partially-propagated clustering.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    ).localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min label over neighbors (invariant: lbl(x) <= x, so every
+        # label value is itself a node id present in `labels`)
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node", F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias("lbl")
+        ).localCheckpoint(eager=True)
+        # pointer jump: shortcut to the label of my label (inner join is
+        # total — every label value is a node id present in `stepped`)
+        jumped = (
+            stepped.alias("l")
+            .join(stepped.alias("m"), F.col("l.lbl") == F.col("m.node"))
+            .select(F.col("l.node").alias("node"), F.least("l.lbl", "m.lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("node", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

@@ -117,6 +117,106 @@ def pack_sequences(
     )
 
 
+def cap_per_group(
+    df: DataFrame, group_col: str, order_by: list[Column], k: int
+) -> DataFrame:
+    """Per-group document cap (C4-style "at most k pages per host"):
+    keep the first ``k`` rows of each group under ``order_by``.
+
+    ``order_by`` must be a total order within a group (include the id
+    as a tiebreak) or the kept set is nondeterministic.
+
+    Scale shape: ONE shuffle on ``group_col`` and a bounded per-group
+    state (row counter) — the window never materializes a group, it
+    streams it.  Skew note: a single pathological group serializes
+    through one task; when a group can exceed ~10M rows, pre-filter
+    with a cheap per-group threshold (approx quantile of the order key)
+    so the windowed remainder is small, or salt a two-phase top-k.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def rebalance_to_uniform(
+    df: DataFrame, group_col: str, id_col: str, width: int = 4
+) -> DataFrame:
+    """Deterministic downsample to a *uniform* group mixture: every
+    group keeps a ``min_group_count / its_count`` fraction of rows via
+    the same (group, id) hash draw as :func:`stratified_sample` — the
+    smallest group survives whole, every other group is thinned to
+    match it.  This is the apply-side of :func:`domain_mixture`: the
+    weight table says how skewed the corpus is; this op removes the
+    skew without ever calling rand().
+
+    The per-group fraction is data-dependent, so the threshold is a
+    *computed column*, not a Python constant: ``floor(fraction *
+    16^width)`` rendered as a zero-padded hex string (engine-portable —
+    same IEEE division and floor in any engine; a fraction of exactly
+    1.0 maps to the ``'g'`` keep-all sentinel, see
+    :func:`hex_threshold`).
+
+    Scale shape: counts are a map-side-combined groupBy (the shuffle
+    carries one long per group); the threshold table is group-sized and
+    broadcast; the corpus itself is filter-only — never shuffled.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_mn"))
+    thr = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.when(F.col("_n") == F.col("_mn"), F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.floor(
+                            F.col("_mn").cast("double")
+                            / F.col("_n").cast("double")
+                            * (16 ** width)
+                        )
+                    )
+                ),
+                width,
+                "0",
+            )
+        )
+        .alias("_thr"),
+    )
+    h = hash_fraction_prefix(
+        F.concat_ws("|", F.col(group_col), F.col(id_col).cast("string")), width
+    )
+    return df.join(F.broadcast(thr), group_col).filter(h < F.col("_thr")).drop("_thr")
+
+
+def percentile_filter(
+    df: DataFrame, value_col: str, p: float, approx: bool = False
+) -> DataFrame:
+    """Keep rows at or above the corpus-wide p-quantile of
+    ``value_col`` — the quality-threshold gate ("drop the bottom
+    quartile by quality score") of a filtering pipeline.
+
+    ``approx=False`` (default) uses exact interpolated ``percentile``:
+    a single-reducer aggregate holding all values in one buffer — the
+    correctness/oracle form, fine up to ~10^8 rows.  **At 100 TB pass
+    ``approx=True``**: ``approx_percentile`` is a mergeable sketch
+    (map-side partials, constant memory) with the same plan shape; a
+    test pins the two within tolerance on the corpus.
+
+    The threshold is a 1-row aggregate broadcast into a filter — the
+    corpus itself is never shuffled.
+    """
+    agg = (
+        F.percentile_approx(F.col(value_col).cast("double"), F.lit(p))
+        if approx
+        else F.percentile(F.col(value_col).cast("double"), F.lit(p))
+    )
+    thr = df.agg(agg.alias("_thr"))
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(F.col(value_col).cast("double") >= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def domain_mixture(df: DataFrame, domain_col: str, tokens_col: str) -> DataFrame:
     """Per-domain corpus share — the mixing-weight table: docs, tokens,
     and token_share (exact integer sums, one IEEE division)."""

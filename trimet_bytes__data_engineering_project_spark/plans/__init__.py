@@ -36,6 +36,10 @@ _WINDOW_HEAD = [
     "x31_benchmark_decontamination",
     "x32_repetition_ratio",
     "x33_near_dup_removal",
+    "x34_duplicate_clusters",
+    "x35_per_domain_cap",
+    "x36_quality_percentile_filter",
+    "x37_uniform_rebalance",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -63,6 +67,12 @@ _WINDOW_TAIL = [
     "q14_in_list_counts",
     "q29_distinct_event_types",
     "q30_hour_histogram",
+    # rotated out for the round-3 head additions (x34-x37) — all green in
+    # r01 AND r02, code untouched since
+    "q04_running_avg_per_dow",
+    "q08_longest_trip",
+    "q15_service_key_counts",
+    "q24_union_counts",
 ]
 
 

@@ -1129,6 +1129,128 @@ def x32_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", repetition_ratio_col(F.col("text")).alias("rep_ratio"))
 
 
+@query(
+    "x34_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def x34_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over x07's near-dup pair list:
+    connected components by hash-min label propagation with pointer
+    jumping (``operators/graph.py``) — cluster_id = min doc_id
+    reachable through the pair graph.  This is the clustering x33's
+    pairwise policy documents as its maximal-retention alternative:
+    a chain a~b~c keeps exactly one representative instead of two
+    drops.  O(log diameter) rounds, each two id-keyed equi-joins; the
+    oracle is the same closure as a recursive CTE."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "x35_per_domain_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def x35_per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb "at most k pages per
+    host" rule): keep the 10 longest docs per source, doc_id tiebreak.
+    One shuffle on the domain key, streaming per-group row counter —
+    ``operators/sampling.py:cap_per_group`` documents the hot-domain
+    skew mitigation."""
+    from ..operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], k=10
+    )
+    return capped.select("doc_id", "source")
+
+
+@query(
+    "x36_quality_percentile_filter",
+    oracle="""
+    WITH t AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS thr
+               FROM documents)
+    SELECT doc_id, n_chars FROM documents, t
+    WHERE CAST(n_chars AS DOUBLE) >= thr
+    """,
+)
+def x36_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide quality gate: drop the bottom quartile by length
+    (stand-in for any scalar quality score).  Exact interpolated
+    percentile here — bit-identical to ``quantile_cont`` on integer
+    inputs (< 2^52: the interpolation arithmetic is exact in doubles);
+    the 100 TB path is the same operator with ``approx=True``
+    (mergeable ``approx_percentile`` sketch), pinned within tolerance
+    by ``tests/test_sampling.py``.  Threshold broadcast into a filter;
+    the corpus is never shuffled."""
+    from ..operators.sampling import percentile_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return percentile_filter(docs, "n_chars", 0.25).select("doc_id", "n_chars")
+
+
+@query(
+    "x37_uniform_rebalance",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS mn FROM c),
+    t AS (SELECT lang,
+                 CASE WHEN n = mn THEN 'g'
+                      ELSE lpad(lower(to_hex(CAST(floor(
+                             CAST(mn AS DOUBLE) / CAST(n AS DOUBLE) * 65536
+                           ) AS BIGINT))), 4, '0')
+                 END AS thr
+          FROM c, m)
+    SELECT d.lang, count(*) AS n_kept
+    FROM documents d JOIN t USING (lang)
+    WHERE substr(md5(concat_ws('|', d.lang, CAST(d.doc_id AS VARCHAR))), 1, 4) < t.thr
+    GROUP BY d.lang
+    """,
+)
+def x37_uniform_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side of the mixture table (x25): deterministically thin
+    every language to the smallest language's count — per-group keep
+    fraction ``min_n / n`` as a computed hex threshold over the same
+    (group, id) hash draw as x23.  The smallest group survives whole
+    ('g' keep-all sentinel); counts shuffle one long per group; the
+    corpus itself is filter-only.  The count here audits the kept
+    mixture."""
+    from ..operators.sampling import rebalance_to_uniform
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = rebalance_to_uniform(docs, "lang", "doc_id")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
