@@ -54,3 +54,42 @@ def test_cc_deterministic_and_order_independent(spark):
     )
     assert a == b
     assert a[1] == a[2] == a[5] == a[9] == 1
+
+
+def test_vector_centroids_deterministic_fold(spark):
+    """Centroid = sequential left-to-right fold over members sorted by
+    id, then one division — replicated exactly in Python; also stable
+    under input order and repartitioning (float addition is not
+    associative, so this is a real guarantee, not a tautology)."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        vector_centroids,
+    )
+
+    rows = [
+        (1, 10, [0.1, 0.2, 0.30000000000000004]),
+        (1, 3, [1.5, -2.25, 0.125]),
+        (1, 7, [1e-9, 1e9, -1e-9]),
+        (2, 5, [4.0, 5.0, 6.0]),
+    ]
+    df = spark.createDataFrame(rows, "g int, vec_id long, embedding array<double>")
+    got = {
+        r["g"]: (r["n_members"], r["centroid"])
+        for r in vector_centroids(df, "g").collect()
+    }
+    for g in (1, 2):
+        mem = sorted([(i, v) for gg, i, v in rows if gg == g])
+        acc = [0.0] * 3
+        for _, v in mem:
+            acc = [a + b for a, b in zip(acc, v)]
+        expected = [a / len(mem) for a in acc]
+        assert got[g][0] == len(mem)
+        assert got[g][1] == expected  # bit-exact, no tolerance
+    # order/partitioning independence
+    shuffled = spark.createDataFrame(
+        list(reversed(rows)), "g int, vec_id long, embedding array<double>"
+    ).repartition(7)
+    got2 = {
+        r["g"]: (r["n_members"], r["centroid"])
+        for r in vector_centroids(shuffled, "g").collect()
+    }
+    assert got == got2

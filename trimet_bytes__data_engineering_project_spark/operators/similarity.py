@@ -323,6 +323,45 @@ def embedding_near_dup_lsh(
     )
 
 
+def vector_centroids(
+    vecs: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid ``(group, n_members, centroid)``
+    with a DETERMINISTIC summation order: members are collected sorted
+    by id and summed by a sequential fold, so the centroid is bit-stable
+    across runs, partitionings and engines — float addition is not
+    associative, so a partial-agg ``avg`` drifts in the last ulp
+    depending on which partition merges first.
+
+    Cost: one shuffle of the vectors on the group key plus an
+    O(members) fold per group — the right shape for near-dup clusters,
+    whose groups are small by construction.  For huge groups where ulp
+    determinism doesn't matter, ``posexplode → avg(group, dim)`` is the
+    mergeable constant-memory alternative (the k-means update step in
+    ``ann_index.py:kmeans_centroids`` is exactly that shape)."""
+    member = F.struct(
+        F.col(id_col).alias("i"), as_double_vec(vec_col).alias("v")
+    )
+    agg = (
+        vecs.select(F.col(group_col), member.alias("m"))
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    )
+    zero = F.transform(F.element_at(F.col("ms"), 1)["v"], lambda x: F.lit(0.0))
+    total = F.aggregate(
+        F.col("ms"), zero, lambda acc, m: F.zip_with(acc, m["v"], lambda a, b: a + b)
+    )
+    n = F.size("ms")
+    return agg.select(
+        F.col(group_col),
+        n.cast("long").alias("n_members"),
+        F.transform(total, lambda x: x / n.cast("double")).alias("centroid"),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float, vec_col: str = "embedding"
 ) -> DataFrame:

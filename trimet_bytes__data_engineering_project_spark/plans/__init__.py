@@ -40,6 +40,7 @@ _WINDOW_HEAD = [
     "x35_per_domain_cap",
     "x36_quality_percentile_filter",
     "x37_uniform_rebalance",
+    "x38_semantic_cluster_centroids",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -73,6 +74,7 @@ _WINDOW_TAIL = [
     "q08_longest_trip",
     "q15_service_key_counts",
     "q24_union_counts",
+    "q12_trip_start_end",
 ]
 
 

@@ -863,6 +863,80 @@ def x28_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(emb, threshold=0.35, dim=64, n_planes=4)
 
 
+def _build_semantic_centroid_oracle() -> str:
+    planes = hyperplanes(4, 64)
+    lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
+    bucket = " + ".join(
+        f"CASE WHEN {_dot_sql('v', lits[p])} > 0 THEN {1 << p} ELSE 0 END" for p in range(4)
+    )
+    fold = (
+        "list_reduce(list_prepend(list_transform(ms[1], x -> 0.0), ms), "
+        "(acc, m) -> list_transform(list_zip(acc, m), p -> p[1] + p[2]))"
+    )
+    return f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, {_VEC} AS v FROM embeddings WHERE vec_id < 1000),
+    eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= 0.35
+    ),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    agg AS (
+      SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             list(e.v ORDER BY e.vec_id) AS ms
+      FROM comp c JOIN e ON e.vec_id = c.node
+      GROUP BY c.cluster_id
+    ),
+    ctr AS (SELECT cluster_id, n_members,
+                   list_transform({fold}, x -> x / CAST(n_members AS DOUBLE)) AS centroid
+            FROM agg)
+    SELECT cluster_id, n_members, CAST(d.d AS BIGINT) AS dim_idx, centroid[d.d] AS val
+    FROM ctr, (SELECT unnest(range(1, 65)) AS d) d
+    """
+
+
+@query("x38_semantic_cluster_centroids", oracle=_build_semantic_centroid_oracle())
+def x38_semantic_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup composition: x28's unsupervised
+    embedding near-dup pairs → x34's connected components → one
+    centroid per transitive cluster (``similarity.py:vector_centroids``
+    — deterministic sequential-fold mean, bit-exact vs the oracle's
+    ``list_reduce``).  The centroid is the cluster's replacement
+    representative for semantic dedup, and the per-dimension row output
+    keeps the driver's hash compare on scalar columns."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import embedding_near_dup_lsh, vector_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    pairs = embedding_near_dup_lsh(emb, threshold=0.35, dim=64, n_planes=4).select(
+        "a_id", "b_id"
+    )
+    comp = connected_components(pairs)
+    mem = emb.join(comp, emb["vec_id"] == comp["node"]).select(
+        "cluster_id", "vec_id", "embedding"
+    )
+    cent = vector_centroids(mem, "cluster_id")
+    ex = cent.select(
+        "cluster_id", "n_members", F.posexplode("centroid").alias("pos", "val")
+    )
+    return ex.select(
+        "cluster_id",
+        "n_members",
+        (F.col("pos") + 1).cast("long").alias("dim_idx"),
+        "val",
+    )
+
+
 @query(
     "x26_asof_join_skewed",
     oracle="""
