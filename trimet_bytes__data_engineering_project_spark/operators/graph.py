@@ -54,11 +54,13 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
+    # labels is rebuilt from `jumped` after round 1, so its initial plan
+    # (a distinct over the checkpointed edges) needs no materialization
+    # of its own — one job saved.
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
 
     for _ in range(max_iter):
         # min label over neighbors (invariant: lbl(x) <= x, so every
@@ -69,22 +71,29 @@ def connected_components(
             .agg(F.min("lbl").alias("nlbl"))
         )
         stepped = labels.join(nbr, "node", "left").select(
-            "node", F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias("lbl")
-        ).localCheckpoint(eager=True)
+            "node",
+            F.col("lbl").alias("old"),
+            F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+        )
         # pointer jump: shortcut to the label of my label (inner join is
-        # total — every label value is a node id present in `stepped`)
+        # total — every label value is a node id present in `stepped`).
+        # `old` (the label at the start of the round) rides along so the
+        # convergence probe below is a filter over the materialized
+        # result, not another join — the only job this round is the one
+        # eager checkpoint; stepped's internal shuffles are shared
+        # between the two self-join sides via exchange reuse.
         jumped = (
             stepped.alias("l")
             .join(stepped.alias("m"), F.col("l.lbl") == F.col("m.node"))
-            .select(F.col("l.node").alias("node"), F.least("l.lbl", "m.lbl").alias("lbl"))
+            .select(
+                F.col("l.node").alias("node"),
+                F.col("l.old").alias("old"),
+                F.least("l.lbl", "m.lbl").alias("lbl"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(F.col("lbl") < F.col("old"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("lbl") < F.col("old")).count()
+        labels = jumped.select("node", "lbl")
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
