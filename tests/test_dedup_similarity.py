@@ -197,6 +197,69 @@ def test_dedup_keep_representatives_policy(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_chunk_lines_fixed_stride(spark):
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import chunk_lines
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "x y"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", chunk_lines(F.col("text"), 4).alias("t")).collect()
+    }
+    assert got[1] == "a b c d\ne f g h\ni"  # last chunk short
+    assert got[2] == "x y"  # fewer tokens than one chunk
+    assert got[3] == ""  # split("") → [""] → one empty chunk
+
+
+def test_dedup_lines_removes_corpus_duplicates(spark):
+    """Lines occurring >= min_dup times anywhere are removed from every
+    doc; survivors keep original order; all-boilerplate docs vanish."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\ncookie banner\nunique beta"),
+            (2, "cookie banner\nunique gamma"),
+            (3, "cookie banner"),  # nothing survives → doc dropped
+            (4, "solo line stays\nanother solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["clean_text"] == "unique alpha\nunique beta"  # order kept
+    assert out[1]["n_lines_kept"] == 2
+    assert out[2]["clean_text"] == "unique gamma"
+    assert out[4]["clean_text"] == "solo line stays\nanother solo"
+
+
+def test_tfidf_top_terms_exact_scores(spark):
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common common cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 df=1 → 2.0 beats banana (1/2) and common (1/3)
+    top1 = by_doc[1][0]
+    assert (top1["term"], top1["tf"], top1["df"], top1["score"]) == ("apple", 2, 1, 2.0)
+    assert [r["term"] for r in by_doc[1]] == ["apple", "banana"]
+    # doc 3: common tf=2 df=3 → 2/3 beats cherry 1/2
+    assert [r["term"] for r in by_doc[3]] == ["common", "cherry"]
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
 def test_redact_pii_and_counts(spark):
     from pyspark.sql import functions as F
 

@@ -185,3 +185,24 @@ def test_percentile_filter_exact_and_approx(spark):
     approx = percentile_filter(df, "score", 0.25, approx=True)
     n_exact, n_approx = exact.count(), approx.count()
     assert abs(n_approx - n_exact) <= 0.02 * len(vals)
+
+
+def test_assign_shards_deterministic_and_stable(spark):
+    """Shard = first md5 hex digit (0..15), a pure function of the id:
+    identical across recomputation and unchanged when the corpus grows."""
+    import hashlib
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        assign_shards,
+    )
+
+    small = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in assign_shards(small, "doc_id").collect()}
+    s_big = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in assign_shards(big, "doc_id").collect()}
+    assert all(0 <= v[0] <= 15 for v in s_big.values())
+    for k, v in s_small.items():  # growth never migrates a document
+        assert s_big[k] == v
+    for k, (shard, skey) in list(s_small.items())[:10]:  # matches stdlib md5
+        expect = hashlib.md5(str(k).encode()).hexdigest()
+        assert skey == expect and shard == int(expect[0], 16)

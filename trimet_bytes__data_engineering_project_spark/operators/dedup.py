@@ -300,6 +300,78 @@ def decontaminate(
     )
 
 
+def chunk_lines(text: Column, n: int = 4) -> Column:
+    """Re-segment a flat text into newline-joined fixed-stride word
+    chunks (``n`` tokens per line, last line short).  Two uses: a
+    fixed-window segmenter in its own right (the chunking step of
+    context packing), and the line fabricator for corpora whose
+    synthetic text carries no newline structure — :func:`dedup_lines`
+    needs lines to operate on.
+
+    Same single-bind lambda trick as :func:`all_shingles` (Catalyst
+    does not CSE across lambda boundaries), all array exprs, codegen
+    end-to-end."""
+
+    def _chunks(t: Column) -> Column:
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.ceil(F.size(t) / F.lit(float(n))).cast("int")
+            ),
+            lambda i: F.array_join(F.slice(t, (i - 1) * n + 1, n), " "),
+        )
+
+    return F.array_join(
+        F.element_at(F.transform(F.array(tokens(text)), _chunks), 1), "\n"
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_dup: int = 2,
+) -> DataFrame:
+    """Line-level corpus dedup (the RefinedWeb/CCNet boilerplate
+    filter): drop every line whose exact text occurs ``min_dup`` or
+    more times across the WHOLE corpus (nav bars, cookie banners,
+    license headers), then reassemble each document from its surviving
+    lines in original order.  Documents with no surviving line are
+    dropped (their text was pure boilerplate).
+
+    Returns (doc_id, clean_text, n_lines_kept).
+
+    Scale shape: the occurrence count groups on ``md5(line)`` — a
+    map-side-combined hash agg whose shuffle carries 32 hex chars per
+    DISTINCT line, never line text.  The duplicate-hash set (only
+    lines crossing the threshold — a tiny fraction of a real corpus)
+    feeds a LEFT ANTI equi-join on the hash (AQE broadcasts it when it
+    fits); reassembly is the one shuffle that moves surviving text,
+    keyed on doc_id.  Line order is restored via ``array_sort`` over
+    (pos, line) structs — pos is unique per doc, so the sort is total
+    and the rebuilt text is byte-stable under any partitioning."""
+    lines = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("h", F.md5("line"))
+    dup = (
+        lines.groupBy("h")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_dup)
+        .select("h")
+    )
+    kept = lines.join(dup, "h", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+
+
 def dedup_keep_representatives(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

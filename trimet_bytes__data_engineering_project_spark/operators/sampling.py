@@ -217,6 +217,27 @@ def percentile_filter(
     )
 
 
+def assign_shards(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic training-export sharding: adds ``sort_key`` (the
+    full md5 hex of the id — the within-shard ordering key every
+    dataloader shuffles by) and ``shard`` (the first hex digit → 16
+    shards; two digits give 256 — shard count is a power of 16 by
+    construction, which keeps the digit→shard map engine-portable with
+    no hex→int conversion anywhere).
+
+    The assignment is a pure function of the id: re-runs, appends and
+    backfills land every document in the same shard at the same
+    position, so shard files are reproducible and resumable — the same
+    rand()-free property as :func:`train_val_test_split`, extended with
+    an ORDER.  Narrow (computed in the scan's project, no shuffle);
+    writing the export is ``partitionBy("shard")`` + a per-shard sort
+    on ``sort_key``."""
+    skey = F.md5(F.col(id_col).cast("string"))
+    return df.withColumn("sort_key", skey).withColumn(
+        "shard", F.conv(F.substring("sort_key", 1, 1), 16, 10).cast("long")
+    )
+
+
 def domain_mixture(df: DataFrame, domain_col: str, tokens_col: str) -> DataFrame:
     """Per-domain corpus share — the mixing-weight table: docs, tokens,
     and token_share (exact integer sums, one IEEE division)."""

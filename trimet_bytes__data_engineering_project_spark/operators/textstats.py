@@ -8,7 +8,7 @@ Python boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,6 +88,54 @@ def repetition_ratio_col(text: Column, n: int = 3) -> Column:
         total > 0,
         F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+WORD_PATTERN = "[a-z]+"  # letter runs over lowered text; RE2/Java-identical
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` distinguishing terms per document by tf·idf with
+    LINEAR idf — score = tf / df (term count in the doc over the
+    number of docs containing it).  The linear form is chosen for
+    bit-exact cross-engine parity: one integer/integer IEEE division,
+    where ``ln(N/df)`` would compare two libm implementations that
+    only promise 1-ulp accuracy (swapping ``F.log`` in is a one-line
+    change if absolute tf-idf values matter more than portability).
+
+    Returns (doc_id, term, tf, df, score), ``k`` rows per document
+    with ≥1 term; ties broken by term ascending (total order, so the
+    kept set is deterministic).
+
+    Scale shape: the token explode feeds a two-phase hash agg on
+    (doc_id, term) — the shuffle carries one count per distinct
+    doc-term, never the token stream.  df aggregates the tf table
+    (already ≪ corpus) per term; the tf⋈df equi-join shuffles on the
+    term key (AQE broadcasts the df side when it fits); the final
+    top-k is one window on doc_id with a streaming row counter —
+    the same bounded-state shape as ``sampling.cap_per_group``."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # each (doc, term) row is one containing doc → df = plain count
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
 
 
 # Conservative, engine-portable patterns (no lookaround — identical

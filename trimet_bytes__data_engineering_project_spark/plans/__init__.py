@@ -41,6 +41,9 @@ _WINDOW_HEAD = [
     "x36_quality_percentile_filter",
     "x37_uniform_rebalance",
     "x38_semantic_cluster_centroids",
+    "x39_line_dedup",
+    "x40_tfidf_top_terms",
+    "x41_shard_manifest",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -75,6 +78,13 @@ _WINDOW_TAIL = [
     "q15_service_key_counts",
     "q24_union_counts",
     "q12_trip_start_end",
+    # rotated out for the round-3 head additions (x39-x41) — all green in
+    # r01 AND r02, code untouched since; parking exactly 4 keeps
+    # x16_asof_join (single driver row, r02) inside the 50-slot window
+    "q23_tracking_daily",
+    "q21_join_using_segment",
+    "q25_timestamp_roundtrip",
+    "q13_scalar_subquery_points",
 ]
 
 

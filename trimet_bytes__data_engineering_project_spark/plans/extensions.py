@@ -1325,6 +1325,116 @@ def x37_uniform_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+_CHUNK_N = 4
+_CHUNKED_DOCS = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ch AS (SELECT doc_id,
+             array_to_string(
+               list_transform(range(1, CAST(ceil(len(toks) / {_CHUNK_N}.0) AS BIGINT) + 1),
+                 i -> array_to_string(
+                        list_slice(toks, (i-1)*{_CHUNK_N} + 1, (i-1)*{_CHUNK_N} + {_CHUNK_N}),
+                        ' ')),
+               chr(10)) AS text
+           FROM t)
+"""
+
+
+@query(
+    "x39_line_dedup",
+    oracle=f"""
+    {_CHUNKED_DOCS},
+    l AS (SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos, unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ch)),
+    d AS (SELECT md5(line) AS h FROM l GROUP BY 1 HAVING count(*) >= 2),
+    k AS (SELECT doc_id, pos, line FROM l WHERE md5(line) NOT IN (SELECT h FROM d))
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           count(*) AS n_lines_kept
+    FROM k GROUP BY doc_id
+    """,
+)
+def x39_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (the RefinedWeb/CCNet boilerplate
+    filter): any line occurring ≥2 times across the corpus is removed
+    from EVERY document, survivors reassembled in original order.  The
+    synthetic corpus has no newline structure, so lines are fabricated
+    first as fixed 4-word chunks (``dedup.chunk_lines`` — itself the
+    fixed-window segmentation step of context packing); at sf0.01 that
+    yields ~10 % genuine cross-document line duplication.  Occurrence
+    counting groups on md5(line) (shuffle carries hashes, not text);
+    removal is a LEFT ANTI join against the duplicate-hash set;
+    reassembly is the one shuffle that moves surviving text."""
+    from ..operators.dedup import chunk_lines, dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = docs.select("doc_id", chunk_lines(F.col("text"), _CHUNK_N).alias("text"))
+    return dedup_lines(lined)
+
+
+@query(
+    "x40_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    s AS (SELECT doc_id, term, tf, df,
+                 CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+                                             term) AS rn
+          FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, df, score FROM s WHERE rn <= 3
+    """,
+)
+def x40_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by tf·idf with linear
+    idf (score = tf/df — one IEEE division, bit-exact across engines
+    where ``ln(N/df)`` would race two libm implementations; see
+    ``textstats.tfidf_top_terms``).  Token explode → two-phase
+    (doc, term) hash agg → per-term df over the tf table → term-keyed
+    equi-join → one streaming window for the top-k.  The keyword/
+    topic-signal extraction stage of a corpus analysis pipeline."""
+    from ..operators.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "x41_shard_manifest",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens,
+                      md5(CAST(doc_id AS VARCHAR)) AS sort_key
+               FROM documents),
+    s AS (SELECT *, CAST(strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1 AS BIGINT)
+                    AS shard
+          FROM t)
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(sort_key) AS first_key, max(sort_key) AS last_key
+    FROM s GROUP BY shard
+    """,
+)
+def x41_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding + the manifest a
+    dataloader verifies against: every document lands in shard = first
+    hex digit of md5(id) with within-shard order md5(id) — a pure
+    function of the id, so re-runs/appends/backfills reproduce the
+    same shard files (``sampling.assign_shards``).  The manifest
+    aggregates per-shard doc and token totals plus the key range —
+    one map-side-combined groupBy over a narrow projection; the
+    assignment itself never shuffles."""
+    from ..operators.sampling import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    return assign_shards(with_tokens, "doc_id").groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("sort_key").alias("first_key"),
+        F.max("sort_key").alias("last_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
