@@ -108,12 +108,25 @@ def _embedding_near_dup(spark, d):
     return embedding_near_dup_lsh(emb, threshold=0.35, dim=64, n_planes=n_planes)
 
 
+def _x39(spark, d):
+    # full-corpus (no id cap): replica text is unique md5 words, so the
+    # duplicate fraction falls with scale — what's measured is the
+    # count-agg + anti-join + reassembly machinery over N× lines
+    return QUERIES["x39_line_dedup"](spark, d)
+
+
+def _x40(spark, d):
+    return QUERIES["x40_tfidf_top_terms"](spark, d)
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
     ("ngram_jaccard_pairs_full", _jaccard_pairs),
     ("embedding_near_dup_lsh_full", _embedding_near_dup),
     ("x21_ann_ivf_index_probe", _x21),
+    ("x39_line_dedup", _x39),
+    ("x40_tfidf_top_terms", _x40),
 ]
 
 
