@@ -453,3 +453,26 @@ def test_ivf_full_probe_equals_brute_force(spark):
         for r in ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()
     ]
     assert full == exact
+
+
+def test_contamination_fraction_values(spark):
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        contamination_fraction,
+    )
+
+    bench = spark.createDataFrame([(100, "alpha beta gamma delta")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # both bench 3-grams present → 1.0
+            (2, "alpha beta gamma nine ten"),  # grams: 3, matched: 1
+            (3, "one two three four five"),  # no overlap → 0.0
+            (4, "xy"),  # < n tokens → excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in contamination_fraction(corpus, bench, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contamination_frac"] == 1.0 and out[1]["n_matched"] == 2
+    assert out[2]["n_grams"] == 3 and out[2]["n_matched"] == 1
+    assert abs(out[2]["contamination_frac"] - 1 / 3) < 1e-15
+    assert out[3]["contamination_frac"] == 0.0

@@ -206,3 +206,41 @@ def test_assign_shards_deterministic_and_stable(spark):
     for k, (shard, skey) in list(s_small.items())[:10]:  # matches stdlib md5
         expect = hashlib.md5(str(k).encode()).hexdigest()
         assert skey == expect and shard == int(expect[0], 16)
+
+
+def test_select_token_budget_equals_naive_global_window(spark):
+    """Two-phase (per-score prefix + per-score cumsum) ≡ the naive
+    global running-sum filter, including a partially-taken score group
+    and tie scores; cum_tokens is the global running total."""
+    from pyspark.sql import Window
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    rows = [(i, (i * 7) % 5 + 1, (i * 13) % 4) for i in range(40)]  # id, tokens, score
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "score"])
+    budget = 20  # top score group totals 30 tokens → cut mid-group
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_token_budget(df, "score", "doc_id", "n_tokens", budget).collect()
+    }
+    w = (
+        Window.orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        r["doc_id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+    # the boundary score group must be partially taken for the test to bite
+    taken_scores = {r[0] for r in df.filter(F.col("doc_id").isin(list(got))).select("score").collect()}
+    boundary = min(taken_scores)
+    n_at_boundary_total = df.filter(F.col("score") == boundary).count()
+    n_at_boundary_taken = len(
+        [i for i in got if dict((r["doc_id"], r["score"]) for r in df.collect())[i] == boundary]
+    )
+    assert 0 < n_at_boundary_taken < n_at_boundary_total

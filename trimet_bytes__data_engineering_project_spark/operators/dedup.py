@@ -372,6 +372,58 @@ def dedup_lines(
     )
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate`'s graded twin: instead of a boolean flag,
+    the FRACTION of each corpus document's distinct word ``n``-grams
+    that appear anywhere in the benchmark set — the contamination score
+    a pipeline thresholds (drop > 0.x) or reports per eval suite,
+    rather than the hard any-overlap screen.
+
+    Returns (id, n_grams, n_matched, contamination_frac) for every
+    corpus document with ≥1 shingle (shorter docs have no defined
+    fraction and are excluded — mirror of the signature operators'
+    domain).
+
+    Scale shape: identical to :func:`decontaminate` — benchmark n-gram
+    hashes broadcast, corpus explode → md5 → broadcast LEFT join
+    scoring each gram 0/1, then one (id, n_grams)-keyed count shuffle
+    whose payload is two ints per document.  The fraction is a single
+    IEEE division of two exact integers."""
+    bench_hashes = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    corp = ensure_parallelism(corpus).select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("s")
+    )
+    ex = (
+        corp.filter(F.size("s") > 0)
+        .select(
+            id_col,
+            F.size("s").cast("long").alias("n_grams"),
+            F.explode("s").alias("g"),
+        )
+        .select(id_col, "n_grams", F.md5("g").alias("h"))
+    )
+    return (
+        ex.join(F.broadcast(bench_hashes), "h", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(F.sum(F.coalesce("_m", F.lit(0))).alias("n_matched"))
+        .withColumn(
+            "contamination_frac",
+            F.col("n_matched").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
 def dedup_keep_representatives(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -217,6 +217,52 @@ def percentile_filter(
     )
 
 
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy data selection under a token budget: take documents in
+    (score DESC, id ASC) order while the running token total stays ≤
+    ``budget`` — the "best data that fits the training budget" step of
+    a curriculum/selection pipeline.  Output ≡ the naive global
+    ``SUM(tokens) OVER (ORDER BY score DESC, id) <= budget`` filter,
+    with an added ``cum_tokens`` column.
+
+    Scale shape — the naive form is a GLOBAL single-partition window
+    over the corpus, which does not scale; this is the two-phase
+    decomposition: (1) per-score token totals (map-side-combined
+    groupBy; the only globally-ordered window runs over this
+    score-cardinality table, which is bounded — quantize a continuous
+    score to fixed precision first if necessary) giving each score its
+    exclusive prefix sum; (2) the corpus joins its score's prefix
+    (broadcast — the table is one row per distinct score) and runs a
+    per-score streaming cumulative sum ordered by id.  prefix +
+    within-score running sum ≡ the global running sum, because the
+    global order (score DESC, id) visits whole score-groups
+    consecutively.  The corpus is shuffled once, on the score key."""
+    per_score = df.groupBy(score_col).agg(F.sum(tokens_col).alias("_gt"))
+    w_pre = (
+        Window.orderBy(F.desc(score_col)).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = per_score.withColumn(
+        "_prefix", F.coalesce(F.sum("_gt").over(w_pre), F.lit(0).cast("long"))
+    )
+    w_in = (
+        Window.partitionBy(score_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(pre.select(score_col, "_prefix")), score_col)
+        .withColumn("cum_tokens", F.col("_prefix") + F.sum(tokens_col).over(w_in))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_prefix")
+    )
+
+
 def assign_shards(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic training-export sharding: adds ``sort_key`` (the
     full md5 hex of the id — the within-shard ordering key every

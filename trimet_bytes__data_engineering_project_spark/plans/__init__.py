@@ -44,6 +44,9 @@ _WINDOW_HEAD = [
     "x39_line_dedup",
     "x40_tfidf_top_terms",
     "x41_shard_manifest",
+    "x42_minhash_accuracy_audit",
+    "x43_contamination_fraction",
+    "x44_token_budget_selection",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -85,6 +88,10 @@ _WINDOW_TAIL = [
     "q21_join_using_segment",
     "q25_timestamp_roundtrip",
     "q13_scalar_subquery_points",
+    # rotated out for x42-x44 — twice-green, untouched since round 1
+    "q22_bbox_distinct_trips",
+    "q28_top_value_events",
+    "q20_trip_full_view",
 ]
 
 

@@ -1435,6 +1435,123 @@ def x41_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x42_minhash_accuracy_audit",
+    oracle=f"""
+    WITH {_CAND_CTES},
+    err AS (
+      SELECT c.a_id, c.b_id,
+             CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} AS est,
+             len(list_intersect(sa.s, sb.s))
+               / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jac
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.a_id
+      JOIN sh sb ON sb.doc_id = c.b_id
+    )
+    SELECT CAST(floor(abs(est - jac) * 10) AS BIGINT) AS err_band,
+           count(*) AS n_pairs
+    FROM err GROUP BY 1
+    """,
+)
+def x42_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning audit every MinHash deployment runs: per LSH
+    candidate pair, |estimated − exact| Jaccard error, histogrammed in
+    0.1-wide bands — the evidence for choosing k (signature width) and
+    the band layout.  est = matches/k and exact = |∩|/|∪| are both
+    single IEEE divisions of exact integers, the abs-difference is one
+    subtraction, and the band is its floor — bit-identical across
+    engines, so the histogram is hash-exact with no float-sum drift
+    (a mean-absolute-error aggregate would order-race; the histogram
+    carries strictly more information and only integer counts cross
+    the shuffle)."""
+    from ..operators.dedup import exact_jaccard, shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+    cands = minhash_candidates(docs).withColumn(
+        "est", minhash_estimate(F.col("a_sig"), F.col("b_sig"))
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    err = (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jac", exact_jaccard(F.col("sa"), F.col("sb")))
+    )
+    return (
+        err.select(
+            F.floor(F.abs(F.col("est") - F.col("jac")) * 10).cast("long").alias("err_band")
+        )
+        .groupBy("err_band")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "x43_contamination_fraction",
+    oracle=f"""
+    WITH bg AS (SELECT unnest({_shingles_sql(5)}) AS g FROM documents WHERE doc_id < 20),
+    bh AS (SELECT DISTINCT md5(g) AS h FROM bg),
+    cs AS (SELECT doc_id, {_shingles_sql(5)} AS s FROM documents WHERE doc_id >= 20),
+    ex AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams, unnest(s) AS g
+           FROM cs WHERE len(s) > 0),
+    m AS (SELECT doc_id, n_grams,
+                 CASE WHEN md5(g) IN (SELECT h FROM bh) THEN 1 ELSE 0 END AS hit
+          FROM ex)
+    SELECT doc_id, n_grams, CAST(sum(hit) AS BIGINT) AS n_matched,
+           CAST(sum(hit) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination_frac
+    FROM m GROUP BY doc_id, n_grams
+    """,
+)
+def x43_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x31's graded twin: per corpus document, the FRACTION of its
+    distinct word 5-grams appearing anywhere in the benchmark set
+    (doc_id < 20) — the contamination score a pipeline thresholds or
+    reports per eval suite instead of the hard any-overlap drop.
+    Benchmark hashes broadcast; corpus explode → 0/1 score → one
+    count shuffle of two ints per doc; fraction is a single IEEE
+    division of exact integers (``dedup.contamination_fraction``)."""
+    from ..operators.dedup import contamination_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_fraction(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=5
+    )
+
+
+@query(
+    "x44_token_budget_selection",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens, n_chars
+               FROM documents),
+    r AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM t)
+    SELECT doc_id, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 8000
+    """,
+)
+def x44_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy data selection under a token budget: best documents
+    first (n_chars standing in for any quality score, doc_id
+    tiebreak) until 8,000 tokens are spent.  The oracle states the
+    naive global-window form; the engine runs
+    ``sampling.select_token_budget`` — the two-phase decomposition
+    whose only globally-ordered window covers the per-score aggregate
+    table, never the corpus (prefix-per-score + per-score streaming
+    cumsum ≡ the global running sum; pinned equal by test)."""
+    from ..operators.sampling import select_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens"), "n_chars"
+    )
+    return select_token_budget(t, "n_chars", "doc_id", "n_tokens", 8000).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
