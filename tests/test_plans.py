@@ -176,3 +176,13 @@ def test_aggs_have_map_side_partials(spark, name):
     (map-side) phase so the exchange moves one row per group per task."""
     plan = plan_of(spark, name)
     assert "partial_" in plan
+
+
+def test_shard_manifest_agg_is_hash_not_sort(spark):
+    """x41's key-range min/max runs on the numeric 60-bit prefix, not
+    the hex string — min(string) would force the SortAggregate fallback
+    (an extra corpus sort on both sides of the shuffle); min(long)
+    keeps the two-phase HashAggregate."""
+    plan = plan_of(spark, "x41_shard_manifest")
+    assert "HashAggregate" in plan and "partial_" in plan
+    assert "SortAggregate" not in plan

@@ -1410,7 +1410,7 @@ def x40_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS shard
           FROM t)
     SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           min(sort_key) AS first_key, max(sort_key) AS last_key
+           min(substr(sort_key, 1, 15)) AS first_key, max(substr(sort_key, 1, 15)) AS last_key
     FROM s GROUP BY shard
     """,
 )
@@ -1422,16 +1422,40 @@ def x41_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shard files (``sampling.assign_shards``).  The manifest
     aggregates per-shard doc and token totals plus the key range —
     one map-side-combined groupBy over a narrow projection; the
-    assignment itself never shuffles."""
+    assignment itself never shuffles.
+
+    The key range is the 60-bit (15 hex char) prefix of the sort key,
+    min/max'd NUMERICALLY: ``min(string)`` carries an immutable agg
+    buffer that forces Spark's SortAggregate fallback (an extra sort
+    of the corpus on both sides of the shuffle), while ``min(long)``
+    keeps the two-phase HashAggregate — the same trick
+    ``dedup.minhash_signatures`` documents.  Numeric min equals
+    lexicographic min for fixed-width hex, so the re-formatted prefix
+    is byte-identical to the string form, and 60 bits is ample for
+    shard-boundary bookkeeping."""
     from ..operators.sampling import assign_shards
 
     docs = load_table(spark, sf_dir, "documents")
     with_tokens = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
-    return assign_shards(with_tokens, "doc_id").groupBy("shard").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.min("sort_key").alias("first_key"),
-        F.max("sort_key").alias("last_key"),
+    kpfx = F.conv(F.substring("sort_key", 1, 15), 16, 10).cast("long")
+    agg = (
+        assign_shards(with_tokens, "doc_id")
+        .withColumn("_kp", kpfx)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("_kp").alias("_min_kp"),
+            F.max("_kp").alias("_max_kp"),
+        )
+    )
+    to_hex = lambda c: F.lower(F.lpad(F.hex(F.col(c)), 15, "0"))  # noqa: E731
+    return agg.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        to_hex("_min_kp").alias("first_key"),
+        to_hex("_max_kp").alias("last_key"),
     )
 
 
