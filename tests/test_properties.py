@@ -145,3 +145,71 @@ def test_haversine_axioms(spark, point_pairs):
         assert math.isclose(
             r["ab"], ref(r["lat1"], r["lon1"], r["lat2"], r["lon2"]), rel_tol=1e-9, abs_tol=1e-6
         )
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["dup line", "x", "yy", "zzz", "unique %d"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_dedup_lines_invariants(spark, doc_lines):
+    """For ANY corpus: (1) no surviving line occurs >= min_dup times in
+    the original corpus, (2) surviving lines keep their original order,
+    (3) n_lines_kept counts the reassembled lines."""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import dedup_lines
+
+    texts = [
+        "\n".join(ln % i if "%d" in ln else ln for ln in lines)
+        for i, lines in enumerate(doc_lines)
+    ]
+    corpus_counts = Counter(ln for t in texts for ln in t.split("\n"))
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    for doc_id, r in out.items():
+        kept = r["clean_text"].split("\n")
+        assert r["n_lines_kept"] == len(kept)
+        for ln in kept:
+            assert corpus_counts[ln] < 2
+        # order: kept must be a subsequence of the original lines
+        orig = texts[doc_id].split("\n")
+        it = iter(orig)
+        assert all(ln in it for ln in kept)
+
+
+@given(
+    st.lists(st.tuples(st.integers(1, 9), st.integers(0, 3)), min_size=1, max_size=25),
+    st.integers(1, 60),
+)
+@SETTINGS
+def test_select_token_budget_matches_naive_for_any_input(spark, rows, budget):
+    """Two-phase budget selection ≡ the naive global running-sum filter
+    for ANY (tokens, score) multiset and ANY budget."""
+    from pyspark.sql import Window
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)], ["doc_id", "n_tokens", "score"]
+    )
+    got = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in select_token_budget(df, "score", "doc_id", "n_tokens", budget).collect()
+    }
+    w = (
+        Window.orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        (r["doc_id"], r["cum"])
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == naive
