@@ -244,3 +244,47 @@ def test_select_token_budget_equals_naive_global_window(spark):
         [i for i in got if dict((r["doc_id"], r["score"]) for r in df.collect())[i] == boundary]
     )
     assert 0 < n_at_boundary_taken < n_at_boundary_total
+
+
+def test_mixture_drift_shares_and_missing_groups(spark):
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        mixture_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(i, "en") for i in range(6)] + [(10, "fr"), (11, "fr")], ["doc_id", "lang"]
+    )
+    b = spark.createDataFrame(
+        [(i, "en") for i in range(4)] + [(20, "de")] * 1, ["doc_id", "lang"]
+    )
+    out = {r["lang"]: r for r in mixture_drift(a, b, "lang").collect()}
+    assert set(out) == {"en", "fr", "de"}
+    assert out["fr"]["n_b"] == 0 and out["fr"]["share_b"] == 0.0
+    assert out["de"]["n_a"] == 0 and out["de"]["share_a"] == 0.0
+    assert out["en"]["share_a"] == 6 / 8 and out["en"]["share_b"] == 4 / 5
+    assert abs(out["en"]["drift"] - abs(6 / 8 - 4 / 5)) < 1e-16
+    # shares sum to 1 per side
+    assert sum(r["share_a"] for r in out.values()) == 1.0
+    assert sum(r["share_b"] for r in out.values()) == 1.0
+
+
+def test_quality_distribution_thresholds_inclusive_below(spark):
+    """Values exactly AT a quartile threshold land in the lower bucket;
+    cell counts partition the corpus."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        quality_distribution,
+    )
+
+    # values 1..8: p25=2.75, p50=4.5, p75=6.25 (interpolated)
+    df = spark.createDataFrame(
+        [(i, "g" if i <= 4 else "h", i) for i in range(1, 9)],
+        ["doc_id", "grp", "score"],
+    )
+    out = {(r["grp"], r["quartile"]): r["n_docs"] for r in quality_distribution(df, "grp", "score").collect()}
+    assert out == {("g", 0): 2, ("g", 1): 2, ("h", 2): 2, ("h", 3): 2}
+    # threshold-inclusive: a value equal to p50 goes to bucket 1
+    df2 = spark.createDataFrame(
+        [(1, "x", 0), (2, "x", 2), (3, "x", 2), (4, "x", 4)], ["doc_id", "grp", "score"]
+    )  # p25=1.5, p50=2.0, p75=2.5
+    out2 = {(r["grp"], r["quartile"]): r["n_docs"] for r in quality_distribution(df2, "grp", "score").collect()}
+    assert out2 == {("x", 0): 1, ("x", 1): 2, ("x", 3): 1}

@@ -284,6 +284,81 @@ def assign_shards(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def mixture_drift(
+    a: DataFrame, b: DataFrame, group_col: str
+) -> DataFrame:
+    """Mixture drift between two corpus snapshots: per group, the doc
+    counts and shares on each side and |share_a − share_b| — the
+    monitoring signal a pipeline alarms on when a crawl refresh or an
+    upstream filter change silently shifts the language/domain mix.
+    (Total-variation distance is ½·Σ of the drift column; the summation
+    is left to the caller because a float Σ over an unordered shuffle
+    is not bit-reproducible — the per-group rows are, each being
+    integer counts and single IEEE divisions.)
+
+    Groups absent from one side appear with count 0 (full outer join).
+
+    Scale shape: each side is one map-side-combined count per group;
+    totals come from an unpartitioned window over the GROUP table
+    (bounded cardinality, same caveat as :func:`select_token_budget`);
+    the corpus itself is never joined or shuffled beyond the counts."""
+    ca = a.groupBy(group_col).agg(F.count("*").alias("n_a"))
+    cb = b.groupBy(group_col).agg(F.count("*").alias("n_b"))
+    j = (
+        ca.join(cb, group_col, "full_outer")
+        .withColumn("n_a", F.coalesce("n_a", F.lit(0)))
+        .withColumn("n_b", F.coalesce("n_b", F.lit(0)))
+    )
+    w = Window.partitionBy()
+    out = j.select(
+        group_col,
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / F.sum("n_a").over(w).cast("double")).alias(
+            "share_a"
+        ),
+        (F.col("n_b").cast("double") / F.sum("n_b").over(w).cast("double")).alias(
+            "share_b"
+        ),
+    )
+    return out.withColumn("drift", F.abs(F.col("share_a") - F.col("share_b")))
+
+
+def quality_distribution(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group quality-quartile counts: bucket every row against the
+    CORPUS-WIDE p25/p50/p75 of ``value_col`` and count each (group,
+    quartile) cell — the "is domain X all low-quality?" report that
+    decides per-domain filtering policy.
+
+    Exact interpolated percentiles (the oracle form — see
+    :func:`percentile_filter` for the ``approx_percentile`` swap at
+    100 TB); the three thresholds are a 1-row aggregate broadcast into
+    the bucketing projection, then one (group, quartile) count shuffle
+    of integers.  Bucket b = #{thresholds < value} ∈ {0,1,2,3}, so
+    values exactly AT a threshold land in the lower bucket in both
+    engines."""
+    v = F.col(value_col).cast("double")
+    thr = df.agg(
+        F.percentile(v, F.lit(0.25)).alias("_p25"),
+        F.percentile(v, F.lit(0.5)).alias("_p50"),
+        F.percentile(v, F.lit(0.75)).alias("_p75"),
+    )
+    bucket = (
+        F.when(v <= F.col("_p25"), 0)
+        .when(v <= F.col("_p50"), 1)
+        .when(v <= F.col("_p75"), 2)
+        .otherwise(3)
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .withColumn("quartile", bucket.cast("long"))
+        .groupBy(group_col, "quartile")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def domain_mixture(df: DataFrame, domain_col: str, tokens_col: str) -> DataFrame:
     """Per-domain corpus share — the mixing-weight table: docs, tokens,
     and token_share (exact integer sums, one IEEE division)."""

@@ -47,6 +47,8 @@ _WINDOW_HEAD = [
     "x42_minhash_accuracy_audit",
     "x43_contamination_fraction",
     "x44_token_budget_selection",
+    "x45_mixture_drift",
+    "x46_quality_distribution",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -92,6 +94,9 @@ _WINDOW_TAIL = [
     "q22_bbox_distinct_trips",
     "q28_top_value_events",
     "q20_trip_full_view",
+    # rotated out for x45-x46 — twice-green, untouched since round 1
+    "q17_backfill_clip",
+    "q18_dedup_first_event",
 ]
 
 

@@ -1576,6 +1576,68 @@ def x44_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x45_mixture_drift",
+    oracle="""
+    WITH a AS (SELECT lang, count(*) AS n_a FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+    b AS (SELECT lang, count(*) AS n_b FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+    j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+    s AS (SELECT lang, n_a, n_b,
+                 CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE) AS share_a,
+                 CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE) AS share_b
+          FROM j)
+    SELECT lang, n_a, n_b, share_a, share_b, abs(share_a - share_b) AS drift FROM s
+    """,
+)
+def x45_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot mixture-drift monitor: per-language doc counts, shares
+    and |Δshare| between two corpus snapshots (doc_id parity standing
+    in for crawl N vs crawl N+1) — the alarm signal for a silently
+    shifted language/domain mix after a refresh or filter change.
+    Per-group integer counts + single IEEE divisions, bit-exact
+    (``sampling.mixture_drift``; the TV-distance Σ is left to the
+    caller because a float sum over an unordered shuffle isn't
+    reproducible — the per-group rows are)."""
+    from ..operators.sampling import mixture_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
+@query(
+    "x46_quality_distribution",
+    oracle="""
+    WITH t AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents),
+    thr AS (SELECT quantile_cont(v, 0.25) AS p25, quantile_cont(v, 0.5) AS p50,
+                   quantile_cont(v, 0.75) AS p75 FROM t)
+    SELECT lang,
+           CAST(CASE WHEN v <= p25 THEN 0 WHEN v <= p50 THEN 1
+                     WHEN v <= p75 THEN 2 ELSE 3 END AS BIGINT) AS quartile,
+           count(*) AS n_docs
+    FROM t, thr GROUP BY 1, 2
+    """,
+)
+def x46_quality_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-quartile report: every document bucketed
+    against the corpus-wide p25/p50/p75 of its length score, counted
+    per (lang, quartile) — the "is this domain all low-quality?"
+    evidence behind per-domain filtering policy.  Exact interpolated
+    percentiles (bit-identical to ``quantile_cont`` on integer inputs,
+    the x36 contract; ``approx_percentile`` is the documented 100 TB
+    swap); thresholds broadcast, one integer count shuffle
+    (``sampling.quality_distribution``)."""
+    from ..operators.sampling import quality_distribution
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_distribution(docs, "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
