@@ -476,3 +476,58 @@ def test_contamination_fraction_values(spark):
     assert out[2]["n_grams"] == 3 and out[2]["n_matched"] == 1
     assert abs(out[2]["contamination_frac"] - 1 / 3) < 1e-15
     assert out[3]["contamination_frac"] == 0.0
+
+
+def test_hashed_linear_score_formula_and_trained_weights(spark):
+    """Score equals the hand-computed numpy reference; the explicit
+    weights path (array-literal lookup — the trained-model form) with
+    weights built from the same formula is bit-identical to the inline
+    formula path; empty / letterless docs score exactly 0.0; and the
+    plan is a pure projection (no shuffle, no join)."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        HASH_DIM,
+        hashed_linear_score,
+        pseudo_weight,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "spark spark spark"),
+        (3, ""),
+        (4, "12345 !!! 678"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def ref_score(text):
+        toks = re.findall("[a-z]+", text.lower())
+        if not toks:
+            return 0.0
+        s = sum(
+            pseudo_weight(int(hashlib.md5(t.encode()).hexdigest()[:3], 16))
+            for t in toks
+        )
+        return s / (len(toks) * 2048)
+
+    out = df.select(
+        "doc_id", hashed_linear_score(F.col("text")).alias("score")
+    )
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == ref_score(text), (doc_id, got[doc_id], ref_score(text))
+
+    weights = [pseudo_weight(i) for i in range(HASH_DIM)]
+    got_w = {
+        r["doc_id"]: r["score"]
+        for r in df.select(
+            "doc_id", hashed_linear_score(F.col("text"), weights).alias("score")
+        ).collect()
+    }
+    assert got_w == got  # bit-identical, not approximately
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan

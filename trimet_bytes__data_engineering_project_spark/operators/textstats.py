@@ -167,3 +167,56 @@ def pii_counts(text: Column) -> list[Column]:
         F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0))).alias(f"n_{t.lower()}")
         for t, p in _PII_PATTERNS.items()
     ]
+
+
+# Hashed linear model (fasttext-style) — dimensions of the feature space
+HASH_DIM_HEX = 3          # feature index = first 3 hex chars of md5(token)
+HASH_DIM = 16**HASH_DIM_HEX  # 4096 buckets
+WEIGHT_SCALE = HASH_DIM // 2  # weights span [-2048, 2047]
+_KNUTH = 2654435761       # multiplicative-hash constant for pseudo-weights
+
+
+def pseudo_weight(idx: int) -> int:
+    """The deterministic pseudo-weight for feature bucket ``idx`` —
+    ``(idx * 2654435761) mod 4096 - 2048`` — standing in for a trained
+    parameter vector (see :func:`hashed_linear_score`)."""
+    return (idx * _KNUTH) % HASH_DIM - WEIGHT_SCALE
+
+
+def hashed_linear_score(text: Column, weights: list[int] | None = None) -> Column:
+    """fasttext-style quality-classifier INFERENCE as one codegen
+    expression: tokenize, hash each token into one of 4096 feature
+    buckets (hashing trick), sum the buckets' integer weights, divide
+    once by ``n_tokens * 2048`` → mean-pooled score in ≈[-1, 1].  This
+    is the model-based quality gate (wiki-vs-crawl classifiers à la
+    GPT-3/CCNet) that complements the heuristic signals above.
+
+    ``weights``: a trained parameter vector (len 4096, ints) applied
+    via an array-literal lookup — ONE broadcast literal, so at 100 TB
+    inference is still a narrow, shuffle-free pass over the scan with
+    no Python boundary and no join.  Default ``None`` uses
+    :func:`pseudo_weight`'s multiplicative-hash formula inline —
+    deterministic placeholder parameters that any engine can reproduce
+    (the cross-engine oracle form; a real model just swaps the list in).
+
+    Exactness: token→bucket is md5-prefix arithmetic (integer), the
+    accumulator is an int64 sum, and the only float op is one IEEE
+    division of two exactly-representable integers — bit-identical
+    across engines and partitionings.  Empty docs score 0.0."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_PATTERN), F.lit(0))
+    idx = lambda t: F.conv(F.substring(F.md5(t), 1, HASH_DIM_HEX), 16, 10).cast("long")  # noqa: E731
+    if weights is None:
+        w = lambda t: F.pmod(idx(t) * F.lit(_KNUTH), F.lit(HASH_DIM)) - F.lit(WEIGHT_SCALE)  # noqa: E731
+    else:
+        if len(weights) != HASH_DIM:
+            raise ValueError(f"weights must have len {HASH_DIM}, got {len(weights)}")
+        warr = F.lit([int(v) for v in weights])
+        w = lambda t: F.element_at(warr, (idx(t) + F.lit(1)).cast("int")).cast("long")  # noqa: E731
+    wsum = F.aggregate(
+        F.transform(toks, w), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        wsum.cast("double") / (n.cast("long") * F.lit(WEIGHT_SCALE)).cast("double"),
+    ).otherwise(F.lit(0.0))

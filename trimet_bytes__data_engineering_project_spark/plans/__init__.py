@@ -49,6 +49,7 @@ _WINDOW_HEAD = [
     "x44_token_budget_selection",
     "x45_mixture_drift",
     "x46_quality_distribution",
+    "x47_hashed_linear_score",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -97,6 +98,8 @@ _WINDOW_TAIL = [
     # rotated out for x45-x46 — twice-green, untouched since round 1
     "q17_backfill_clip",
     "q18_dedup_first_event",
+    # rotated out for x47 — twice-green, untouched since round 1
+    "q16_speed_lag",
 ]
 
 

@@ -1638,6 +1638,54 @@ def x46_quality_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_distribution(docs, "lang", "n_chars")
 
 
+_HEXPOS = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
+_BUCKET = (
+    f"(({_HEXPOS.format(i=1)}) * 256 + ({_HEXPOS.format(i=2)}) * 16"
+    f" + ({_HEXPOS.format(i=3)}))"
+)
+
+
+@query(
+    "x47_hashed_linear_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z]+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(list_sum(list_transform(toks,
+                      t -> ({_BUCKET} * 2654435761) % 4096 - 2048)) AS BIGINT)
+                 AS wsum
+          FROM t)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(wsum AS DOUBLE) / CAST(n_tokens * 2048 AS DOUBLE)
+                ELSE 0.0 END AS score
+    FROM s
+    """,
+)
+def x47_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: fasttext-style hashed linear-model
+    inference over every document — tokenize, hash each token into
+    4096 feature buckets, mean-pool integer bucket weights into a
+    score in ≈[-1, 1] (``textstats.hashed_linear_score``).  The
+    pseudo-weight formula stands in for trained parameters; a real
+    model is one broadcast array literal away (tested equivalent in
+    ``tests/test_textstats.py``).  Whole plan is a single codegen
+    projection on the scan — no shuffle, no join, no Python — so at
+    100 TB classifier inference costs exactly one pass over the text
+    column.  int64 accumulation + one IEEE division keeps the score
+    bit-identical across engines and partitionings."""
+    from ..operators.textstats import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        hashed_linear_score(F.col("text")).alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
