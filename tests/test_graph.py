@@ -93,3 +93,23 @@ def test_vector_centroids_deterministic_fold(spark):
         for r in vector_centroids(shuffled, "g").collect()
     }
     assert got == got2
+
+
+def test_cluster_dedup_keeps_one_representative_with_size(spark):
+    """Chain 1~2, 2~3 plus isolated pair 7~9 plus untouched docs 4, 5:
+    survivors are exactly {1 (n=3), 7 (n=2), 4 (n=1), 5 (n=1)} — the
+    maximal-retention policy (pairwise would also keep only min ids
+    here, but sizes prove the cluster view)."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        cluster_dedup,
+        connected_components,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 7, 9)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["a_id", "b_id"])
+    comp = connected_components(pairs)
+    got = {
+        r["doc_id"]: r["n_members"]
+        for r in cluster_dedup(docs, "doc_id", comp).collect()
+    }
+    assert got == {1: 3, 7: 2, 4: 1, 5: 1}

@@ -97,3 +97,35 @@ def connected_components(
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def cluster_dedup(
+    df: DataFrame, id_col: str, components: DataFrame
+) -> DataFrame:
+    """SemDeDup-style cluster retention (cf. Abbas et al., 2023): given
+    the corpus and a (node, cluster_id) component labeling from
+    :func:`connected_components`, keep exactly ONE representative per
+    transitive duplicate cluster — the min-id member — and every
+    unclustered document.  Output is (``id_col``, ``n_members``) where
+    ``n_members`` is the size of the cluster the survivor represents
+    (1 for unclustered docs) — the retention report a dedup pass logs.
+
+    This is the maximal-retention policy ``dedup_keep_representatives``
+    documents as its alternative: a chain a~b~c keeps one of three,
+    where the pairwise policy keeps a only by accident of pair order.
+
+    Scale shape: ``components`` holds only nodes that had a candidate
+    pair — a small fraction of the corpus after LSH blocking — so both
+    joins key on the id and AQE broadcasts the component side when it
+    fits; the corpus is never shuffled on anything but its id, and the
+    cluster-size agg runs over the component table, not the corpus."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    j = df.select(id_col).join(comp, id_col, "left")
+    return (
+        j.filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)))
+        .join(sizes, "cluster_id", "left")
+        .select(id_col, F.coalesce("_n", F.lit(1)).cast("long").alias("n_members"))
+    )

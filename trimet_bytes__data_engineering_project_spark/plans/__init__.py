@@ -50,6 +50,7 @@ _WINDOW_HEAD = [
     "x45_mixture_drift",
     "x46_quality_distribution",
     "x47_hashed_linear_score",
+    "x48_cluster_dedup",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -100,6 +101,8 @@ _WINDOW_TAIL = [
     "q18_dedup_first_event",
     # rotated out for x47 — twice-green, untouched since round 1
     "q16_speed_lag",
+    # rotated out for x48 — twice-green, untouched since round 1
+    "q19_validation_counts",
 ]
 
 

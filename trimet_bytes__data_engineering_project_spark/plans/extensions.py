@@ -1638,6 +1638,53 @@ def x46_quality_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_distribution(docs, "lang", "n_chars")
 
 
+@query(
+    "x48_cluster_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY 1)
+    SELECT d.doc_id, CAST(coalesce(s.n, 1) AS BIGINT) AS n_members
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+    LEFT JOIN comp c ON d.doc_id = c.node
+    LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+    WHERE c.node IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def x48_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-retention dedup end-to-end: x07's LSH
+    candidate pairs → connected components (x34) → keep the min-id
+    representative per transitive cluster plus all unclustered docs,
+    each with the size of the cluster it represents
+    (``operators/graph.py:cluster_dedup``).  The maximal-retention
+    counterpart to x33's pairwise policy — a chain a~b~c keeps exactly
+    one doc instead of one-per-pair-accident.  Components cover only
+    candidate nodes (tiny after blocking), so the corpus-side joins
+    broadcast; the oracle closes the same graph with a recursive CTE."""
+    from ..operators.dedup import minhash_candidates, minhash_estimate
+    from ..operators.graph import cluster_dedup, connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs)
+    return cluster_dedup(docs, "doc_id", comp)
+
+
 _HEXPOS = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
 _BUCKET = (
     f"(({_HEXPOS.format(i=1)}) * 256 + ({_HEXPOS.format(i=2)}) * 16"
