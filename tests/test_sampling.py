@@ -288,3 +288,59 @@ def test_quality_distribution_thresholds_inclusive_below(spark):
     )  # p25=1.5, p50=2.0, p75=2.5
     out2 = {(r["grp"], r["quartile"]): r["n_docs"] for r in quality_distribution(df2, "grp", "score").collect()}
     assert out2 == {("x", 0): 1, ("x", 1): 2, ("x", 3): 1}
+
+
+def test_export_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
+    """The export sink: one plain-JSONL file per shard dir, line order
+    inside each file deterministic (sort_key ascending), manifest
+    matches assign_shards-derived counts, a re-export is
+    byte-identical, and the round-trip loses no rows."""
+    import glob
+    import json
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        assign_shards,
+        export_jsonl_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + i) for i in range(200)],
+        ["doc_id", "text", "n_tokens"],
+    )
+    path = str(tmp_path / "export")
+    manifest = {
+        r["shard"]: r["n_docs"] for r in export_jsonl_shards(df, path, "doc_id").collect()
+    }
+    expect = {
+        r["shard"]: r["n"]
+        for r in assign_shards(df, "doc_id").groupBy("shard").count().withColumnRenamed("count", "n").collect()
+    }
+    assert manifest == expect and sum(manifest.values()) == 200
+
+    def shard_files():
+        out = {}
+        for d in sorted(glob.glob(f"{path}/shard=*")):
+            files = [f for f in sorted(glob.glob(f"{d}/part-*")) if not f.endswith(".crc")]
+            assert len(files) == 1, (d, files)  # one task per shard
+            out[d.rsplit("=", 1)[1]] = open(files[0]).read()
+        return out
+
+    first = shard_files()
+    # plain JSONL: every line parses, order = sort_key ascending
+    expected_order = {
+        str(r["shard"]): [q["doc_id"] for q in sorted(
+            (x.asDict() for x in assign_shards(df, "doc_id").collect() if x["shard"] == r["shard"]),
+            key=lambda q: q["sort_key"],
+        )]
+        for r in assign_shards(df, "doc_id").select("shard").distinct().collect()
+    }
+    for shard, content in first.items():
+        ids = [json.loads(line)["doc_id"] for line in content.splitlines()]
+        assert ids == expected_order[shard]
+    # byte-reproducible re-export
+    export_jsonl_shards(df, path, "doc_id")
+    assert shard_files() == first
+    # round-trip loses nothing
+    back = spark.read.json(path)
+    assert back.count() == 200
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(200))

@@ -284,6 +284,39 @@ def assign_shards(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def export_jsonl_shards(df: DataFrame, path: str, id_col: str) -> DataFrame:
+    """The training-export sink: write the corpus as 16 sharded JSONL
+    files under ``path/shard=N/`` using :func:`assign_shards`'s
+    deterministic (shard, sort_key) layout, and return the manifest
+    DataFrame (shard, n_docs) the dataloader verifies against.
+
+    Layout guarantees (tested in ``tests/test_sampling.py``):
+    - shard membership and within-file LINE ORDER are pure functions of
+      the id (hash-repartition on the shard key so each shard is built
+      by exactly one task → one file per shard dir, then a per-task
+      sort on (shard, sort_key)) — re-exports are byte-reproducible
+      and appends land at deterministic positions;
+    - the files are plain ``.json`` lines readable by any JSONL
+      consumer, not just Spark.
+
+    Scale shape: one shuffle on the shard key + a per-task sort;
+    nothing driver-side.  16 shards is the test-scale default — at
+    100 TB you take two hex digits (256) or more in
+    :func:`assign_shards` and the plan is unchanged.  The manifest
+    recomputation reads only the written files' (shard, doc_id)
+    columns — column-pruned at the JSON reader."""
+    sharded = assign_shards(df, id_col)
+    (
+        sharded.repartition(16, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+    out = sharded.sparkSession.read.json(path)
+    return out.groupBy("shard").agg(F.count("*").alias("n_docs"))
+
+
 def mixture_drift(
     a: DataFrame, b: DataFrame, group_col: str
 ) -> DataFrame:
