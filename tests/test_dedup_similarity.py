@@ -531,3 +531,53 @@ def test_hashed_linear_score_formula_and_trained_weights(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_incremental_dedup_probe_equals_full_rerun_restricted(spark, tmp_path):
+    """Store docs 0-3, probe batch docs 4-7: the probe's pair set is
+    exactly minhash_candidates over ALL docs restricted to pairs with
+    a batch member — cross-batch near-dups caught, store-internal
+    pairs excluded, store never re-signatured (probe reads parquet)."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        incremental_dedup_probe,
+        minhash_candidates,
+        minhash_estimate,
+        write_signature_store,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (0, base * 3),
+        (1, base * 3 + "tail one"),          # near-dup of 0 (store-internal)
+        (2, "completely different text about spark partitions and shuffles"),
+        (3, "yet another unrelated document body entirely its own"),
+        (4, base * 3 + "tail two"),          # near-dup of 0/1 (cross-batch)
+        (5, "completely different text about spark partitions and shuffles!"),  # ~2
+        (6, "a fresh new crawl document with novel content"),
+        (7, "a fresh new crawl document with novel content plus more"),  # ~6 batch-internal
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    old, new = df.filter("doc_id < 4"), df.filter("doc_id >= 4")
+
+    path = str(tmp_path / "store")
+    write_signature_store(old, path)
+    store = spark.read.parquet(path)
+    got = {
+        (r["a_id"], r["b_id"]): r["est_sim"]
+        for r in incremental_dedup_probe(store, new, threshold=0.25).collect()
+    }
+
+    full = (
+        minhash_candidates(df)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+    )
+    want = {
+        (r["a_id"], r["b_id"]): r["est_sim"]
+        for r in full.collect()
+        if r["a_id"] >= 4 or r["b_id"] >= 4
+    }
+    assert got == want
+    assert any(a < 4 <= b for a, b in got)   # cross-batch pair exists
+    assert any(a >= 4 and b >= 4 for a, b in got)  # batch-internal pair exists
+    assert not any(a < 4 and b < 4 for a, b in got)  # no store-only pairs

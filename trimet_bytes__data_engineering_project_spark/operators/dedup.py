@@ -441,3 +441,93 @@ def dedup_keep_representatives(
     corpus is never shuffled."""
     dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return docs.join(F.broadcast(dropped), id_col, "left_anti")
+
+
+def write_signature_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded signature table — (doc_id, sig, band_idx,
+    band_hash) — as the corpus's standing dedup INDEX: incremental
+    crawls probe new batches against it (:func:`incremental_dedup_probe`)
+    without ever re-shingling or re-signaturing the existing corpus.
+    The batch twin of ``streaming/dedup.py``'s accumulated store.
+
+    Rows are clustered so a probe reads narrow slices: repartitioned on
+    (band_idx, band_hash) and sorted within partitions, giving parquet
+    row-group min/max stats on the join key.  At warehouse scale,
+    ``plans/warehouse.write_bucketed`` on the same keys is the
+    shuffle-free co-located-join upgrade.  ``mode="append"`` adds a new
+    generation of documents in the same layout (the x30 pattern)."""
+    bands = signature_bands(minhash_signatures(docs, id_col, text_col))
+    (
+        bands.repartition("band_idx", "band_hash")
+        .sortWithinPartitions("band_idx", "band_hash")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def incremental_dedup_probe(
+    store: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Probe a NEW batch of documents against a persisted signature
+    store: returns (a_id, b_id, est_sim) for every near-dup pair with
+    at least one member in the batch — both batch-vs-corpus and
+    batch-internal duplicates, exactly the pair set a full-corpus
+    re-run (x07) would emit restricted to pairs touching the batch
+    (pinned by test).  Only the batch is shingled/signatured; the
+    corpus side is the store scan.
+
+    The ``MAX_BUCKET`` skew cap is computed over store ∪ batch — the
+    same contract as ``minhash_candidates`` and the streaming probe,
+    so a boilerplate bucket that was capped in the batch operator is
+    capped here too (and a bucket pushed over the cap BY the batch is
+    excluded from both sides).
+
+    Scale shape: one shuffle of the batch's bands onto the store's
+    (band_idx, band_hash) clustering; the store is never re-hashed,
+    and cost scales with batch size × bounded bucket width."""
+    new_bands = signature_bands(minhash_signatures(batch, id_col, text_col))
+    cols = ["band_idx", "band_hash", "doc_id", "sig"]
+    universe = store.select(*cols).union(new_bands.select(*cols))
+    keep = (
+        universe.groupBy("band_idx", "band_hash")
+        .count()
+        .filter(F.col("count") <= MAX_BUCKET)
+        .select("band_idx", "band_hash")
+    )
+    a = universe.join(keep, ["band_idx", "band_hash"]).select(
+        "band_idx", "band_hash", F.col("doc_id").alias("u_id"), F.col("sig").alias("u_sig")
+    )
+    b = new_bands.join(keep, ["band_idx", "band_hash"]).select(
+        "band_idx", "band_hash", F.col("doc_id").alias("n_id"), F.col("sig").alias("n_sig")
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("u_id") != F.col("n_id"))
+        .select(
+            F.least("u_id", "n_id").alias("a_id"),
+            F.greatest("u_id", "n_id").alias("b_id"),
+            F.when(F.col("u_id") < F.col("n_id"), F.col("u_sig"))
+            .otherwise(F.col("n_sig"))
+            .alias("a_sig"),
+            F.when(F.col("u_id") < F.col("n_id"), F.col("n_sig"))
+            .otherwise(F.col("u_sig"))
+            .alias("b_sig"),
+        )
+        .distinct()
+    )
+    est = minhash_estimate(F.col("a_sig"), F.col("b_sig"))
+    return (
+        pairs.withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= F.lit(threshold))
+        .select("a_id", "b_id", "est_sim")
+    )

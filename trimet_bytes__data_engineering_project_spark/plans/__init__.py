@@ -51,6 +51,7 @@ _WINDOW_HEAD = [
     "x46_quality_distribution",
     "x47_hashed_linear_score",
     "x48_cluster_dedup",
+    "x49_incremental_dedup_probe",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -103,6 +104,8 @@ _WINDOW_TAIL = [
     "q16_speed_lag",
     # rotated out for x48 — twice-green, untouched since round 1
     "q19_validation_counts",
+    # rotated out for x49 — twice-green, untouched since round 1
+    "q26_json_extract",
 ]
 
 

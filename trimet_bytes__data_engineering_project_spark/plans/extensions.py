@@ -1639,6 +1639,40 @@ def x46_quality_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x49_incremental_dedup_probe",
+    oracle=f"""
+    WITH {_CAND_CTES}
+    SELECT a_id, b_id, {_MATCHES} / {float(MINHASH_K)} AS est_sim
+    FROM cands
+    WHERE b_id >= 250 AND {_MATCHES} / {float(MINHASH_K)} >= 0.25
+    """,
+)
+def x49_incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: docs < 250 are the EXISTING corpus,
+    persisted once as a banded signature store
+    (``dedup.write_signature_store``, build-once scratch); docs
+    250–999 are the new crawl, probed against store ∪ batch with the
+    shared MAX_BUCKET cap (``dedup.incremental_dedup_probe``).  The
+    result is exactly x07's full-corpus pair set restricted to pairs
+    touching the new batch — the oracle says so literally (same
+    candidate CTE chain, ``b_id >= 500``) — but the existing corpus
+    was never re-shingled: at 100 TB each day's probe costs
+    O(batch), not O(corpus)."""
+    from ..operators.dedup import incremental_dedup_probe, write_signature_store
+    from ..operators.ann_index import ensure_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 1000))
+    store_path = os.path.join(
+        _SCRATCH, "dedup_store", "v2-split250", os.path.basename(sf_dir.rstrip("/"))
+    )
+    ensure_index(lambda: write_signature_store(old, store_path), store_path)
+    store = spark.read.parquet(store_path)
+    return incremental_dedup_probe(store, new)
+
+
+@query(
     "x48_cluster_dedup",
     oracle=f"""
     WITH RECURSIVE {_CAND_CTES},
