@@ -119,6 +119,45 @@ def _x40(spark, d):
     return QUERIES["x40_tfidf_top_terms"](spark, d)
 
 
+def _x47_scorer(spark, d):
+    # full-corpus classifier inference (no id cap); reduced to one agg
+    # row so what's timed is the scoring pass, not a 500k-row collect
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_linear_score,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return docs.select(hashed_linear_score(F.col("text")).alias("s")).agg(
+        F.count("*").alias("n"), F.sum("s").alias("sum_s")
+    )
+
+
+def _x49_probe(spark, d):
+    """Incremental probe with a PREBUILT store (90% of the corpus;
+    built once per scale dir on the warm-up run via the _SUCCESS
+    marker): the timed work is signaturing the 10% batch + the
+    bucket join against the store scan.  Compare against
+    minhash_near_dup_pairs_full at the same scale — the full rerun
+    this probe replaces."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        incremental_dedup_probe,
+        write_signature_store,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    # store lives under .scratch (testdata dirs are read-only), keyed
+    # by the scale dir's basename so each scale gets its own store
+    path = os.path.join(_SCALE_ROOT, "sig_store", os.path.basename(d.rstrip("/")))
+    ensure_index(lambda: write_signature_store(old, path), path)
+    store = spark.read.parquet(path)
+    return incremental_dedup_probe(store, new)
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
@@ -127,6 +166,8 @@ HEAVY = [
     ("x21_ann_ivf_index_probe", _x21),
     ("x39_line_dedup", _x39),
     ("x40_tfidf_top_terms", _x40),
+    ("x47_hashed_linear_score_full", _x47_scorer),
+    ("x49_incremental_probe_10pct", _x49_probe),
 ]
 
 
@@ -216,12 +257,18 @@ def main() -> None:
     spark = get_session("trimet-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     rebuild = "--rebuild" in sys.argv
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only":
+            only = set(sys.argv[i + 1].split(","))
     dirs = {1: SF01}
     for copies in STEPS:
         dirs[copies] = build_scale_tables(spark, copies, rebuild=rebuild)
 
     out: dict[str, dict[str, float]] = {}
     for name, fn in HEAVY:
+        if only and name not in only:
+            continue
         times = {}
         for c, d in dirs.items():
             times[f"x{c}_sec"] = time_query(spark, fn, d)

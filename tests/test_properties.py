@@ -213,3 +213,86 @@ def test_select_token_budget_matches_naive_for_any_input(spark, rows, budget):
         .collect()
     }
     assert got == naive
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from("abde")),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+)
+@SETTINGS
+def test_mixture_drift_invariants(spark, a_rows, b_rows):
+    """For any two snapshots: shares each sum to exactly 1.0 per side
+    (counts are exact integers over a common denominator), drift is
+    |share_a - share_b| bit-exactly, groups missing from one side show
+    count 0, and the group set is the union."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        mixture_drift,
+    )
+
+    a = spark.createDataFrame(a_rows, ["doc_id", "grp"])
+    b = spark.createDataFrame(b_rows, ["doc_id", "grp"])
+    out = {r["grp"]: r for r in mixture_drift(a, b, "grp").collect()}
+    assert set(out) == {g for _, g in a_rows} | {g for _, g in b_rows}
+    n_a = sum(r["n_a"] for r in out.values())
+    n_b = sum(r["n_b"] for r in out.values())
+    assert n_a == len(a_rows) and n_b == len(b_rows)
+    assert math.fsum(r["share_a"] for r in out.values()) == 1.0 or n_a == 0
+    assert math.fsum(r["share_b"] for r in out.values()) == 1.0 or n_b == 0
+    for r in out.values():
+        assert r["drift"] == abs(r["share_a"] - r["share_b"])
+        assert r["share_a"] == r["n_a"] / n_a
+        assert r["share_b"] == r["n_b"] / n_b
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from("xy"), st.integers(-1000, 1000)),
+        min_size=4,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@SETTINGS
+def test_quality_distribution_partitions_corpus(spark, rows):
+    """Quartile-cell counts always partition the corpus (sum = N, no
+    cell negative, quartile ids within 0-3), for any value multiset
+    including heavy ties."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        quality_distribution,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "v"])
+    out = quality_distribution(df, "grp", "v").collect()
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    assert all(0 <= r["quartile"] <= 3 for r in out)
+    assert all(r["n_docs"] > 0 for r in out)
+
+
+@given(st.lists(docs, min_size=1, max_size=20))
+@SETTINGS
+def test_hashed_linear_score_bounded(spark, texts):
+    """Scores are always in [-1, 1] (weights span [-2048, 2047], scale
+    2048) and a letterless/empty doc scores exactly 0.0."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(10**6, ""), (10**6 + 1, "123 !!")],
+        ["doc_id", "text"],
+    )
+    rows = df.select("text", hashed_linear_score(F.col("text")).alias("s")).collect()
+    for r in rows:
+        assert -1.0 <= r["s"] <= 1.0
+        if not any(c.isalpha() for c in r["text"]):
+            assert r["s"] == 0.0
