@@ -531,3 +531,62 @@ def incremental_dedup_probe(
         .filter(F.col("est_sim") >= F.lit(threshold))
         .select("a_id", "b_id", "est_sim")
     )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring span dedup (the distributed form of Lee et al.
+    2021's ExactSubstr policy): any token covered by an occurrence of a
+    word ``n``-gram that appears ≥ 2 times ANYWHERE in the corpus
+    (cross-document or within-document) is removed; the survivors are
+    reassembled in original order.  Returns one row per input document:
+    (id, clean_text, n_tokens_kept, n_tokens_removed) — fully-duplicated
+    documents survive with an empty ``clean_text``, never vanish.
+
+    The reference policy builds a corpus-wide suffix array, which needs
+    a global sort of the concatenated corpus; the fixed-``n`` covering
+    mask is the shuffle-friendly approximation (every duplicated
+    substring of ≥ n tokens is a union of duplicated n-grams, so its
+    tokens are all covered; shorter repeats are deliberately kept).
+    As with ExactSubstr, removal can splice previously-distant tokens
+    together — the policy contract, not a defect.
+
+    Scale shape: occurrence counting groups on md5(gram) — a two-phase
+    hash agg whose shuffle carries 32-char digests, never gram text;
+    the duplicated-hash set comes back as a LEFT SEMI equi-join on the
+    digest; the covering mask is a per-document streaming RANGE window
+    over an (id, pos, is_start) projection (no join explosion — a token
+    is covered iff a dup-gram START lies in the trailing n-1 window);
+    reassembly is the one shuffle that moves surviving tokens.  Every
+    stage is token- or digest-narrow and partitions on id or digest —
+    no stage ever holds a whole document except the final array_sort,
+    bounded by document length."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        id_col, F.posexplode(all_shingles(F.col(text_col), n)).alias("pos", "gram")
+    ).select(id_col, "pos", F.md5("gram").alias("h"))
+    dup = grams.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    starts = grams.join(dup, "h", "left_semi").select(
+        id_col, "pos", F.lit(1).alias("is_start")
+    )
+    toks = docs.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rangeBetween(-(n - 1), 0)
+    cov = toks.join(starts, [id_col, "pos"], "left").withColumn(
+        "covered", F.coalesce(F.max("is_start").over(w), F.lit(0))
+    )
+    kept_struct = F.when(F.col("covered") == 0, F.struct("pos", "tok"))
+    return cov.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["tok"]),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.lit(1) - F.col("covered")).alias("n_tokens_kept"),
+        F.sum("covered").alias("n_tokens_removed"),
+    )
