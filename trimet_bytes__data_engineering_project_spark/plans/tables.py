@@ -59,9 +59,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # Two generations of driver testdata exist: TIMESTAMP(NANOS)
+        # (scanned as bigint under nanosAsLong — rebuild µs with integer
+        # div) and native TIMESTAMP(MICROS) (scan directly; UTC session
+        # tz makes the LTZ→NTZ cast identity).  Branch on the scanned
+        # type so either layout normalizes to the same µs TIMESTAMP_NTZ.
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     cache[key] = df
