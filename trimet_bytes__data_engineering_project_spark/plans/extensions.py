@@ -371,11 +371,37 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 # probe built by newer code
 _INDEX_VERSION = "v3"
 
+_DATA_TAG_CACHE: dict[str, str] = {}
+
+
+def _data_tag(sf_dir: str) -> str:
+    """Short fingerprint of the source parquet files under ``sf_dir``
+    ((name, size, mtime_ns) of every *.parquet, hashed).  Every
+    scratch-store path embeds it, so a driver testdata refresh — same
+    directory, new files — lands the build-once guard on a NEW path and
+    forces a rebuild instead of silently probing an index of the old
+    data.  Cached per-process: stores built mid-run stay addressable
+    even though their own mtimes change."""
+    tag = _DATA_TAG_CACHE.get(sf_dir)
+    if tag is None:
+        import hashlib
+
+        parts = []
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+        tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+        _DATA_TAG_CACHE[sf_dir] = tag
+    return tag
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) + "-" + _data_tag(sf_dir)
+
 
 def _index_dir(sf_dir: str, kind: str) -> str:
-    return os.path.join(
-        _SCRATCH, "ann_index", _INDEX_VERSION, os.path.basename(sf_dir.rstrip("/")), kind
-    )
+    return os.path.join(_SCRATCH, "ann_index", _INDEX_VERSION, _sf_tag(sf_dir), kind)
 
 
 @query(
@@ -407,7 +433,7 @@ def q33_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("speed"),
         F.col("user_id").alias("trip_id"),
     )
-    path = os.path.join(_SCRATCH, "warehouse", os.path.basename(sf_dir.rstrip("/")), "breadcrumb")
+    path = os.path.join(_SCRATCH, "warehouse", _sf_tag(sf_dir), "breadcrumb")
     ensure_index(lambda: write_breadcrumb(bc, path, mode="overwrite"), path)
     wh = spark.read.parquet(path)
     return wh.filter(F.col("service_date") == F.lit("2024-01-15").cast("date")).agg(
@@ -1664,9 +1690,7 @@ def x49_incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") < 250)
     new = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 1000))
-    store_path = os.path.join(
-        _SCRATCH, "dedup_store", "v2-split250", os.path.basename(sf_dir.rstrip("/"))
-    )
+    store_path = os.path.join(_SCRATCH, "dedup_store", "v2-split250", _sf_tag(sf_dir))
     ensure_index(lambda: write_signature_store(old, store_path), store_path)
     store = spark.read.parquet(store_path)
     return incremental_dedup_probe(store, new)
