@@ -581,3 +581,72 @@ def test_incremental_dedup_probe_equals_full_rerun_restricted(spark, tmp_path):
     assert any(a < 4 <= b for a, b in got)   # cross-batch pair exists
     assert any(a >= 4 and b >= 4 for a, b in got)  # batch-internal pair exists
     assert not any(a < 4 and b < 4 for a, b in got)  # no store-only pairs
+
+
+def test_chunk_documents_exact_windows(spark):
+    """Chunk boundaries, overlap, tail chunk, and empty-doc drop are
+    exact; the plan is shuffle-free (generate inside the scan stage)."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, ""), (3, "xyz")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, size=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: offsets 0,3,6 → 'abcd','defg','gh'
+    assert rows[(1, 0)]["chunk_text"] == "abcd" and rows[(1, 0)]["chunk_start"] == 0
+    assert rows[(1, 1)]["chunk_text"] == "defg"
+    assert rows[(1, 2)]["chunk_text"] == "gh" and rows[(1, 2)]["chunk_len"] == 2
+    # overlap: last char of chunk k is first char of chunk k+1 (size-stride=1)
+    assert rows[(1, 0)]["chunk_text"][-1] == rows[(1, 1)]["chunk_text"][0]
+    # empty doc → no chunks; doc 3 shorter than size → single chunk
+    assert {k[0] for k in rows} == {1, 3}
+    assert rows[(3, 0)]["chunk_text"] == "xyz" and rows[(3, 0)]["chunk_len"] == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection+generate, no shuffle
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=3, stride=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=3, stride=0)
+
+
+def test_unigram_surprisal_exact(spark):
+    """Hand-computed integer surprisal on a 3-doc corpus: common terms
+    contribute small ratios, rare terms large ones; letterless docs
+    drop out; repartitioning does not change a single value."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the rare"),  # the:3, rare:1
+            (2, "the common common"),  # the:1, common:2
+            (3, "123 456"),  # letterless → dropped
+        ],
+        ["doc_id", "text"],
+    )
+    # corpus: n_total=7; c(the)=4, c(rare)=1, c(common)=2
+    # doc1: 3*(7 div 4) + 1*(7 div 1) = 3*1 + 7 = 10; n=4 → 2.5
+    # doc2: 1*(7 div 4) + 2*(7 div 2) = 1 + 6 = 7; n=3 → 7/3
+    out = unigram_surprisal(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["surprisal_sum"] == 10 and rows[1]["n_tokens"] == 4
+    assert rows[1]["avg_surprisal"] == 2.5
+    assert rows[2]["surprisal_sum"] == 7 and rows[2]["n_tokens"] == 3
+    assert rows[2]["avg_surprisal"] == 7.0 / 3.0
+    re_out = unigram_surprisal(docs.repartition(7, "doc_id"))
+    assert {tuple(r) for r in re_out.collect()} == {tuple(r) for r in out.collect()}

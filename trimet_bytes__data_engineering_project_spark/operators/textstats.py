@@ -220,3 +220,104 @@ def hashed_linear_score(text: Column, weights: list[int] | None = None) -> Colum
         n > 0,
         wsum.cast("double") / (n.cast("long") * F.lit(WEIGHT_SCALE)).cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into fixed-width character windows with
+    overlap — the context-window chunking stage in front of embedding /
+    retrieval indexing (a 100 KB doc cannot go through an encoder in
+    one piece; ``size - stride`` chars of overlap keep boundary
+    sentences visible to both neighbors).
+
+    Chunks start at offsets ``0, stride, 2·stride, …`` while the
+    offset is inside the text; the final chunk may be shorter than
+    ``size``.  Empty documents produce no chunks.  Returns
+    (doc_id, chunk_idx, chunk_start, chunk_text, chunk_len), all
+    offsets 0-based, ``chunk_idx = chunk_start / stride``.
+
+    Scale shape: one ``sequence`` + ``posexplode`` inside the scan's
+    codegen — no shuffle, no Python, output rows ≈ corpus_chars /
+    stride produced streaming.  Character windows (not token windows)
+    keep the op a pure projection; token-aware chunking composes this
+    with a tokenizer upstream."""
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got stride={stride} size={size}")
+    n = F.length(F.col(text_col))
+    offs = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(offs).alias("chunk_idx", "chunk_start"),
+        F.col(text_col).alias("_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.expr(f"substring(_text, chunk_start + 1, {size})").alias("chunk_text"),
+        F.length(F.expr(f"substring(_text, chunk_start + 1, {size})"))
+        .cast("long")
+        .alias("chunk_len"),
+    )
+
+
+def unigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average unigram surprisal against the corpus's own
+    unigram distribution — the cheap language-model perplexity proxy
+    used to rank pretraining data (docs full of corpus-rare words score
+    high; stopword soup scores low).
+
+    Exactness contract: the per-token surprisal is the INTEGER ratio
+    ``n_total div c(term)`` (corpus token count over the term's count)
+    — rare terms contribute large integers, the most common terms
+    contribute small ones.  An ``ln``-based surprisal would compare two
+    libm implementations; the integer form is bit-identical across
+    engines and partitionings, and is order-preserving in 1/p just like
+    ``-ln p``.  Per-doc totals are int64 sums (associative, shuffle-
+    safe); the mean is ONE IEEE division of two exact integers.
+
+    Returns (doc_id, n_tokens, surprisal_sum, avg_surprisal) for every
+    doc with ≥1 ``[a-z]+`` token (letterless docs have no distribution
+    to score and are dropped, mirroring the SQL's natural inner join).
+
+    Scale shape: token explode → two-phase (doc, term) hash agg (the
+    shuffle carries one count per distinct doc-term); the term-count
+    table aggregates the tf table per term; tf⋈counts shuffles on the
+    term key (the vocabulary grows with the corpus, so this join is
+    NOT broadcastable by design — AQE may still broadcast small
+    vocabularies); the grand total is a 1-row broadcast cross join;
+    the final per-doc agg is the second and last corpus-sized
+    shuffle."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    total = tf.agg(F.sum("tf").cast("long").alias("n_total"))
+    scored = (
+        tf.join(counts, "term")
+        .join(F.broadcast(total))
+        .withColumn("inst_surprisal", F.col("tf") * F.expr("n_total div c"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum("inst_surprisal").cast("long").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.col("surprisal_sum").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

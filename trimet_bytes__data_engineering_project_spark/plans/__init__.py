@@ -52,6 +52,8 @@ _WINDOW_HEAD = [
     "x47_hashed_linear_score",
     "x48_cluster_dedup",
     "x49_incremental_dedup_probe",
+    "x50_doc_chunking",
+    "x51_unigram_surprisal",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -106,6 +108,9 @@ _WINDOW_TAIL = [
     "q19_validation_counts",
     # rotated out for x49 — twice-green, untouched since round 1
     "q26_json_extract",
+    # rotated out for x50/x51 — twice-green, untouched since round 2
+    "x01_exact_dedup",
+    "x09_simhash",
 ]
 
 

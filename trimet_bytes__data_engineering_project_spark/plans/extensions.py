@@ -1816,3 +1816,63 @@ def x14_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = media_from_documents(docs)
     return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking + LM-score data selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x50_doc_chunking",
+    oracle="""
+    WITH offs AS (SELECT doc_id, text,
+                         unnest(range(0, length(text), 150)) AS off
+                  FROM documents)
+    SELECT doc_id,
+           CAST(off // 150 AS BIGINT) AS chunk_idx,
+           CAST(off AS BIGINT) AS chunk_start,
+           substr(text, CAST(off AS INT) + 1, 200) AS chunk_text,
+           CAST(length(substr(text, CAST(off AS INT) + 1, 200)) AS BIGINT) AS chunk_len
+    FROM offs
+    """,
+)
+def x50_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (200-char windows, 150-char
+    stride → 50 chars of overlap): the stage in front of embedding /
+    retrieval indexing for long documents.  One sequence+posexplode in
+    the scan's codegen — no shuffle, no Python; rows stream out at
+    ~corpus_chars/stride."""
+    from ..operators.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=200, stride=150)
+
+
+@query(
+    "x51_unigram_surprisal",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+    n AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * (n_total // c)) AS BIGINT) AS surprisal_sum,
+           CAST(CAST(sum(tf * (n_total // c)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+    FROM tf JOIN c USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def x51_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram surprisal per document — the LM-perplexity
+    proxy for data selection, in exact integer arithmetic (``n_total
+    div c`` per token instance; int64 sums; one IEEE division for the
+    mean) so Spark and DuckDB agree bit-for-bit where an ``ln`` form
+    would race libm implementations."""
+    from ..operators.textstats import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
