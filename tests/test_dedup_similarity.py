@@ -650,3 +650,46 @@ def test_unigram_surprisal_exact(spark):
     assert rows[2]["avg_surprisal"] == 7.0 / 3.0
     re_out = unigram_surprisal(docs.repartition(7, "doc_id"))
     assert {tuple(r) for r in re_out.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """Bloom prefilter + exact confirm ≡ plain decontaminate (no false
+    negatives by construction); a disjoint corpus flags nothing; the
+    bitmap words are valid signed int64s even with high bits set."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    a = sorted(r["doc_id"] for r in bloom_decontaminate(corpus, bench, n=5).collect())
+    b = sorted(r["doc_id"] for r in decontaminate(corpus, bench, n=5).collect())
+    assert a == b and len(a) > 0
+    clean = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j}" for j in range(30))) for i in range(100, 130)],
+        ["doc_id", "text"],
+    )
+    assert bloom_decontaminate(clean, bench, n=5).count() == 0
+    # tiny bitmap: exactly k bits per distinct gram, all words in int64 range
+    one = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    words = bloom_bitmap(one, n=5, m_bits=256, k=3)
+    assert len(words) == 4
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
+    assert sum(bin(w & ((1 << 64) - 1)).count("1") for w in words) <= 3
+
+
+def test_bloom_bitmap_validation(spark):
+    import pytest as _pytest
+
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import bloom_bitmap
+
+    one = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        bloom_bitmap(one, m_bits=100)  # not a multiple of 64
+    with _pytest.raises(ValueError):
+        bloom_bitmap(one, k=5)

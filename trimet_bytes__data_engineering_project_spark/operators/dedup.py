@@ -590,3 +590,95 @@ def dedup_spans(
         F.sum(F.lit(1) - F.col("covered")).alias("n_tokens_kept"),
         F.sum("covered").alias("n_tokens_removed"),
     )
+
+
+def _bloom_positions(h: Column, m_bits: int, k: int) -> list[Column]:
+    """``k`` bit positions in ``[0, m_bits)`` derived from disjoint
+    8-hex-char windows of an md5 hex digest — the same expressions on
+    the build and probe side, so membership is exact by construction.
+    ``conv`` yields a string; the cast to long is safe (8 hex chars
+    < 2^32).  ``k <= 4`` because a digest has four disjoint windows."""
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4], got {k}")
+    return [
+        F.pmod(F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long"), F.lit(m_bits))
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> list[int]:
+    """Build a Bloom bitmap over the benchmark set's distinct word
+    ``n``-gram hashes, packed into ``m_bits/64`` int64 words.  Only the
+    bit POSITIONS are collected to the driver (k ints per distinct
+    gram — never text), so the build is one tiny job over the eval
+    suite."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    h = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    pos_rows = h.select(F.array(*_bloom_positions(F.col("h"), m_bits, k)).alias("ps")).collect()
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        for p in r["ps"]:
+            words[p // 64] |= 1 << (p % 64)
+    # to signed int64 (Spark long literals)
+    return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter — the shape that
+    survives a benchmark set too large to broadcast as a join table.
+
+    Stage 1 (prefilter): every corpus n-gram hash probes a broadcast
+    int64-array BITMAP literal with ``k`` bit tests — pure shift/and
+    arithmetic inside the scan's codegen, no join, no shuffle.  A Bloom
+    filter has no false negatives, so no true match can be lost; false
+    positives pass ~(1-e^{-kn/m})^k of clean grams.  Stage 2 (confirm):
+    only the surviving grams join the exact benchmark hash set, making
+    the result exactly ≡ :func:`decontaminate` (pinned by test).
+
+    Why this matters at 100 TB: an eval-suite union can reach 10^8+
+    distinct n-grams — gigabytes as a broadcast join table, but ~10
+    bits/element as a bitmap (125 MB at 10^8), and the confirm join's
+    input is the prefilter's survivors (≈ true matches + the tiny FP
+    stream), so it can shuffle on the hash key without ever carrying
+    the corpus.  At fixture scale the confirm side still broadcasts;
+    the two-stage plan is what changes."""
+    bits = bloom_bitmap(benchmark, text_col, n, m_bits, k)
+    warr = F.lit(bits)
+    bench_hashes = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    corp = ensure_parallelism(corpus).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).select(id_col, F.md5("g").alias("h"))
+    hit = None
+    for p in _bloom_positions(F.col("h"), m_bits, k):
+        word = F.element_at(warr, F.floor(p / F.lit(64)).cast("int") + F.lit(1))
+        test = F.bit_get(word, (p % F.lit(64)).cast("int")) == F.lit(1)
+        hit = test if hit is None else hit & test
+    return (
+        corp.filter(hit)
+        .join(F.broadcast(bench_hashes), "h", "leftsemi")
+        .select(id_col)
+        .distinct()
+    )

@@ -54,6 +54,7 @@ _WINDOW_HEAD = [
     "x49_incremental_dedup_probe",
     "x50_doc_chunking",
     "x51_unigram_surprisal",
+    "x52_bloom_decontamination",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -111,6 +112,9 @@ _WINDOW_TAIL = [
     # rotated out for x50/x51 — twice-green, untouched since round 2
     "x01_exact_dedup",
     "x09_simhash",
+    # rotated out for x52 — twice-green, untouched; keeps x16_asof_join
+    # (single driver row, r02) inside the 50-slot window
+    "x15_approx_distinct",
 ]
 
 

@@ -1876,3 +1876,29 @@ def x51_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_surprisal(docs)
+
+
+@query(
+    "x52_bloom_decontamination",
+    oracle=f"""
+    WITH bg AS (SELECT unnest({_shingles_sql(5)}) AS g FROM documents WHERE doc_id < 20),
+         bh AS (SELECT DISTINCT md5(g) AS h FROM bg),
+         cg AS (SELECT doc_id, unnest({_shingles_sql(5)}) AS g FROM documents WHERE doc_id >= 20),
+         ch AS (SELECT doc_id, md5(g) AS h FROM cg)
+    SELECT DISTINCT doc_id FROM ch JOIN bh USING (h)
+    """,
+)
+def x52_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x31's decontamination with a Bloom prefilter — the shape for a
+    benchmark union too large to broadcast as a join table: corpus
+    n-gram hashes probe a broadcast int64-bitmap literal (pure bit
+    arithmetic in the scan's codegen, ~10 bits/element instead of a
+    32-hex-char join row), and only survivors reach the exact confirm
+    join.  No false negatives by construction, so the result — and the
+    oracle — is exactly x31's."""
+    from ..operators.dedup import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=5
+    )
