@@ -693,3 +693,28 @@ def test_bloom_bitmap_validation(spark):
         bloom_bitmap(one, m_bits=100)  # not a multiple of 64
     with _pytest.raises(ValueError):
         bloom_bitmap(one, k=5)
+
+
+def test_random_projection_exact_and_partition_invariant(spark):
+    """Each projected component equals a Python sequential-fold dot
+    product bit-for-bit, and repartitioning changes nothing (pure
+    per-row projection)."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        hyperplanes,
+        random_projection,
+    )
+
+    vecs = [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(16)]) for i in range(10)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = random_projection(emb, dim=16, out_dim=4)
+    got = {(r["vec_id"], r["dim_idx"]): r["value"] for r in out.collect()}
+    assert len(got) == 40
+    planes = hyperplanes(4, 16, seed="rp")
+    for i, v in vecs:
+        for j, p in enumerate(planes):
+            acc = 0.0
+            for x, y in zip(v, p):
+                acc = acc + (x * y)
+            assert got[(i, j)] == acc, (i, j)
+    re_out = random_projection(emb.repartition(5, "vec_id"), dim=16, out_dim=4)
+    assert {tuple(r) for r in re_out.collect()} == {tuple(r) for r in out.collect()}

@@ -382,3 +382,41 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style dimensionality reduction: project
+    each ``dim``-dim vector onto ``out_dim`` deterministic pseudo-random
+    directions (:func:`hyperplanes` md5 literals — reproducible in any
+    engine, no fitted PCA state to ship).  The embedding-compression
+    step in front of clustering / coarse ANN when the full width is
+    too expensive to shuffle.
+
+    Values are raw direction dot-products (rescale by
+    ``1/sqrt(out_dim)`` for distance-preserving JL estimates — a
+    constant factor that doesn't change neighbors, left to the caller
+    to keep the op exact).  Output is LONG format (vec_id, dim_idx,
+    value), one row per output component, so downstream hash checks
+    compare scalars.
+
+    Exactness: each component is one sequential-fold dot product
+    (fixed summation order ≡ DuckDB ``list_reduce``) — bit-identical
+    across engines and partitionings.
+
+    Scale shape: a pure per-row projection in the scan's codegen —
+    no shuffle, no Python, ``out_dim × dim`` fused multiply-adds per
+    row; output is ``out_dim`` rows per vector produced streaming."""
+    planes = hyperplanes(out_dim, dim, seed=seed)
+    v = as_double_vec(vec_col)
+    proj = F.array(*[dot(v, vector_literal(p)) for p in planes])
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(proj).alias("dim_idx", "value"),
+    ).select(id_col, F.col("dim_idx").cast("long").alias("dim_idx"), "value")

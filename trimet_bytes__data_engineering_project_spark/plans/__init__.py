@@ -55,6 +55,7 @@ _WINDOW_HEAD = [
     "x50_doc_chunking",
     "x51_unigram_surprisal",
     "x52_bloom_decontamination",
+    "x53_random_projection",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -112,9 +113,10 @@ _WINDOW_TAIL = [
     # rotated out for x50/x51 — twice-green, untouched since round 2
     "x01_exact_dedup",
     "x09_simhash",
-    # rotated out for x52 — twice-green, untouched; keeps x16_asof_join
-    # (single driver row, r02) inside the 50-slot window
+    # rotated out for x52/x53 — twice-green, untouched; keeps
+    # x16_asof_join (single driver row, r02) inside the 50-slot window
     "x15_approx_distinct",
+    "x18_quantized_topk",
 ]
 
 

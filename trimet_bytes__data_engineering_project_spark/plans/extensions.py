@@ -1902,3 +1902,35 @@ def x52_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(
         docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=5
     )
+
+
+def _build_rp_oracle(out_dim: int = 8, dim: int = 64) -> str:
+    # exponent-notation literals (1.23e-01) parse as DOUBLE in DuckDB;
+    # bare decimal literals parse as DECIMAL and get rounded to 17
+    # decimal digits BEFORE any cast — last-ulp divergence from Spark's
+    # exact binary literals.  (x11's oracle tolerates the DECIMAL path
+    # because it only uses dot-product SIGNS; here the projected values
+    # themselves are hash-compared.)
+    planes = hyperplanes(out_dim, dim, seed="rp")
+    lits = [f"[{', '.join(f'{x:.17e}' for x in p)}]" for p in planes]
+    dots = ", ".join(_dot_sql("v", lit) for lit in lits)
+    return f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings)
+    SELECT vec_id,
+           unnest(range({out_dim})) AS dim_idx,
+           unnest([{dots}]) AS value
+    FROM e
+    """
+
+
+@query("x53_random_projection", oracle=_build_rp_oracle())
+def x53_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-style 64→8 dimensionality reduction onto deterministic md5
+    hyperplane directions — the embedding-compression pass in front of
+    clustering / coarse ANN.  Pure per-row codegen projection (no
+    shuffle, no Python); each component a sequential-fold dot product,
+    bit-identical to DuckDB's list_reduce."""
+    from ..operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, dim=64, out_dim=8)
