@@ -158,6 +158,59 @@ def _x49_probe(spark, d):
     return incremental_dedup_probe(store, new)
 
 
+
+def _x50_chunks(spark, d):
+    # chunk the full corpus; reduced to one agg row so what's timed is
+    # the sequence+posexplode pass, not a chunk-row collect
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return chunk_documents(docs, size=200, stride=150).agg(
+        F.count("*").alias("n_chunks"), F.sum("chunk_len").alias("total_len")
+    )
+
+
+def _x51(spark, d):
+    # full-corpus surprisal: the term-keyed join's BOTH sides grow with
+    # the corpus (vocabulary of md5 words ~ rows), the worst case for
+    # this op — reduced to one agg row
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return unigram_surprisal(docs).agg(
+        F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("total")
+    )
+
+
+def _x52_bloom(spark, d):
+    # benchmark side stays the base copy's 20 docs (eval suites don't
+    # grow with the corpus); the corpus-side bitmap probe is the scaled
+    # pass being measured
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        bloom_decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=5
+    ).agg(F.count("*").alias("n_flagged"))
+
+
+def _x53_rp(spark, d):
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    return random_projection(emb, dim=64, out_dim=8).agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    )
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
@@ -168,6 +221,10 @@ HEAVY = [
     ("x40_tfidf_top_terms", _x40),
     ("x47_hashed_linear_score_full", _x47_scorer),
     ("x49_incremental_probe_10pct", _x49_probe),
+    ("x50_doc_chunking_full", _x50_chunks),
+    ("x51_unigram_surprisal_full", _x51),
+    ("x52_bloom_decontamination_full", _x52_bloom),
+    ("x53_random_projection_full", _x53_rp),
 ]
 
 

@@ -120,3 +120,47 @@ def test_hourly_rollup_watermarked_window(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_dedup_within_watermark_drops_cross_batch_redeliveries(spark, tmp_path):
+    """At-least-once redelivery: the same records land twice across
+    DIFFERENT micro-batches (maxFilesPerTrigger=1) — the watermarked
+    dedup keeps exactly one copy of each key, matching the batch
+    distinct over the same files, with bounded (watermark-evicted)
+    state rather than forever-growing dropDuplicates state."""
+    from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
+        dedup_within_watermark,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    records = breadcrumb_raw_records()
+    # file 0: originals; file 1: redelivery of the first half (dup keys)
+    with open(landing / "a.json", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    with open(landing / "b.json", "w") as f:
+        for r in records[: len(records) // 2]:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema(BREADCRUMB_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    keys = ["EVENT_NO_TRIP", "VEHICLE_ID", "ACT_TIME"]
+    # one row per distinct key, none lost
+    assert got.count() == got.select(*keys).distinct().count()
+    batch = read_breadcrumb_json(spark, str(landing))
+    assert got.count() == batch.select(*keys).distinct().count()

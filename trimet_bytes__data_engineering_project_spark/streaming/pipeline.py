@@ -133,3 +133,32 @@ def trip_sessions(stream: DataFrame, gap: str = "15 minutes", lateness: str = "1
             "n_pings",
         )
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("EVENT_NO_TRIP", "VEHICLE_ID", "ACT_TIME"),
+    ts_col: str = "TIMESTAMP",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """T2/T4 — exactly-once landing under at-least-once delivery, as a
+    first-class streaming operator: re-deliveries of the same key are
+    dropped by ``dropDuplicatesWithinWatermark``, whose per-key state is
+    EVICTED once the watermark passes the first-seen event time.  Plain
+    streaming ``dropDuplicates`` keeps every key forever (state grows
+    with stream history — unusable on an unbounded feed); the
+    within-watermark form bounds state to ``lateness`` of event time,
+    which is the only shape that survives a fleet-scale crawl stream.
+
+    Duplicates are only guaranteed caught while they arrive within the
+    watermark delay of the first copy — exactly the at-least-once
+    redelivery window of a real broker.  Works on any keyed stream with
+    an event-time column; the ingest pipeline's per-batch anti-join
+    (T3) stays as the cross-restart guard, this operator removes
+    intra-stream redeliveries before they reach the sink."""
+    from ..functions.scalar import act_time_timestamp, parse_opd_date
+
+    if ts_col not in stream.columns:
+        ts = act_time_timestamp(parse_opd_date("OPD_DATE"), F.col("ACT_TIME"))
+        stream = stream.withColumn(ts_col, ts).filter(F.col(ts_col).isNotNull())
+    return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(list(keys))
