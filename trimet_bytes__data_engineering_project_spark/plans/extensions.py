@@ -1934,3 +1934,72 @@ def x53_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return random_projection(emb, dim=64, out_dim=8)
+
+
+@query(
+    "x54_pretraining_pipeline",
+    oracle=f"""
+    WITH sc AS (SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ltoks
+                FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+                 CASE WHEN len(ltoks) > 0
+                      THEN CAST(CAST(list_sum(list_transform(ltoks,
+                               t -> ({_BUCKET} * 2654435761) % 4096 - 2048)) AS BIGINT)
+                               AS DOUBLE)
+                           / CAST(len(ltoks) * 2048 AS DOUBLE)
+                      ELSE 0.0 END AS score
+          FROM sc),
+    corpus AS (SELECT * FROM s WHERE doc_id >= 20 AND score > 0.0),
+    bg AS (SELECT unnest({_shingles_sql(5)}) AS g FROM documents WHERE doc_id < 20),
+    bh AS (SELECT DISTINCT md5(g) AS h FROM bg),
+    cg AS (SELECT doc_id, unnest({_shingles_sql(5)}) AS g FROM documents
+           WHERE doc_id >= 20),
+    flagged AS (SELECT DISTINCT doc_id
+                FROM (SELECT doc_id, md5(g) AS h FROM cg) ch JOIN bh USING (h)),
+    clean AS (SELECT * FROM corpus
+              WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+    r AS (SELECT doc_id, n_tokens, score,
+                 CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM clean)
+    SELECT doc_id, n_tokens, score, cum_tokens FROM r WHERE cum_tokens <= 5000
+    """,
+)
+def x54_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end data-selection pipeline as ONE declarative plan —
+    the composition a real pretraining run executes nightly:
+
+    1. model-based quality gate (x47's hashed linear scorer, codegen
+       projection, keep score > 0);
+    2. benchmark decontamination (x31's broadcast n-gram screen against
+       the doc_id < 20 eval stand-in, broadcast anti-join);
+    3. greedy token-budget selection (x44's two-phase decomposition —
+       best score first until 5,000 whitespace tokens).
+
+    Because every stage is declarative, Catalyst fuses the scorer into
+    the scan, pipelines the anti-join, and the only corpus shuffles are
+    the selection's score-key exchange — the composite costs barely
+    more than its most expensive stage, which is the point of engine-
+    native (vs. orchestrated-scripts) pipeline construction."""
+    from ..operators.dedup import decontaminate
+    from ..operators.sampling import select_token_budget
+    from ..operators.textstats import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        hashed_linear_score(F.col("text")).alias("score"),
+    )
+    corpus = scored.filter((F.col("doc_id") >= 20) & (F.col("score") > 0.0))
+    bench = docs.filter(F.col("doc_id") < 20)
+    flagged = decontaminate(corpus, bench, n=5)
+    clean = corpus.join(F.broadcast(flagged), "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "score"
+    )
+    return select_token_budget(clean, "score", "doc_id", "n_tokens", 5000).select(
+        "doc_id", "n_tokens", "score", "cum_tokens"
+    )
