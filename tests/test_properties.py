@@ -296,3 +296,64 @@ def test_hashed_linear_score_bounded(spark, texts):
         assert -1.0 <= r["s"] <= 1.0
         if not any(c.isalpha() for c in r["text"]):
             assert r["s"] == 0.0
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=60), min_size=1, max_size=15),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=8),
+)
+@SETTINGS
+def test_chunk_documents_reconstructs_text(spark, texts, stride, extra):
+    """For ANY text and any 0 < stride <= size: concatenating each
+    chunk's first `stride` chars (whole last chunk) reconstructs the
+    document exactly; chunk count = ceil(len/stride); empty docs emit
+    nothing.  No character can be lost or duplicated between chunks."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    size = stride + extra
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if len(t) == 0:
+            assert chunks == []
+            continue
+        assert len(chunks) == -(-len(t) // stride)  # ceil
+        rebuilt = "".join(
+            c["chunk_text"][:stride] for c in chunks[:-1]
+        ) + chunks[-1]["chunk_text"]
+        assert rebuilt == t
+        for c in chunks:
+            assert c["chunk_start"] == c["chunk_idx"] * stride
+            assert c["chunk_len"] == len(c["chunk_text"]) <= size
+
+
+@given(st.lists(docs, min_size=1, max_size=15))
+@SETTINGS
+def test_unigram_surprisal_bounds(spark, texts):
+    """Surprisal invariants for any corpus: every per-doc mean lies in
+    [1, n_total] (the most common term's ratio is >= 1, the rarest <=
+    n_total); n_tokens sums to the corpus [a-z]+ token count; docs
+    with no letter tokens are absent."""
+    import re
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    rows = unigram_surprisal(df).collect()
+    toks = [re.findall("[a-z]+", t.lower()) for t in texts]
+    n_total = sum(len(ts) for ts in toks)
+    assert sum(r["n_tokens"] for r in rows) == n_total
+    assert {r["doc_id"] for r in rows} == {i for i, ts in enumerate(toks) if ts}
+    for r in rows:
+        assert 1.0 <= r["avg_surprisal"] <= float(n_total)
