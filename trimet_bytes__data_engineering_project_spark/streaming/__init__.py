@@ -1,5 +1,6 @@
 from .dedup import run_streaming_dedup  # noqa: F401
 from .pipeline import (  # noqa: F401
+    dedup_within_watermark,
     hourly_rollup,
     run_ingest_pipeline,
     streaming_breadcrumbs,
