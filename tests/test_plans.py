@@ -186,3 +186,42 @@ def test_shard_manifest_agg_is_hash_not_sort(spark):
     plan = plan_of(spark, "x41_shard_manifest")
     assert "HashAggregate" in plan and "partial_" in plan
     assert "SortAggregate" not in plan
+
+
+@pytest.mark.parametrize("name", ["x50_doc_chunking", "x53_random_projection"])
+def test_projection_ops_are_shuffle_free(spark, name):
+    """x50/x53: chunking and random projection are pure per-row codegen
+    projections — any Exchange in the plan means the op regressed into
+    a shuffle it never needs."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, name
+    assert "Generate" in plan  # the posexplode
+
+
+def test_bloom_decontamination_keeps_broadcast_shape(spark):
+    """x52: the confirm join must stay broadcast-left-semi (corpus never
+    shuffled); the bitmap prefilter compiles into the scan-side filter,
+    so no exchange precedes the join on the corpus side."""
+    plan = plan_of(spark, "x52_bloom_decontamination")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pretraining_pipeline_stays_broadcast_and_fused(spark):
+    """x54: every join in the composite broadcasts (the decontamination
+    anti-join, the confirm semi-join, the per-score prefix join) — a
+    SortMergeJoin anywhere means a stage stopped fusing and the corpus
+    is being shuffled for a join.  The corpus is scanned once per
+    selection pass (the two-phase algorithm's agg pass + join-back
+    pass, each fusing the scorer and the screen into the scan) — more
+    documents scans than that means a stage fell out of the fused
+    pipeline."""
+    plan = plan_of(spark, "x54_pretraining_pipeline")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # 2 corpus passes + 2 instantiations of the 20-doc benchmark
+    # subplan per pass = 6 documents scans (formatted explain prints
+    # each node twice: once in the tree, once in the detail list);
+    # a 7th scan means regression
+    n_scans = plan.count("Scan parquet") // 2
+    assert n_scans <= 6, n_scans

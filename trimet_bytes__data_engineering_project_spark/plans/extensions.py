@@ -1978,11 +1978,14 @@ def x54_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. greedy token-budget selection (x44's two-phase decomposition —
        best score first until 5,000 whitespace tokens).
 
-    Because every stage is declarative, Catalyst fuses the scorer into
-    the scan, pipelines the anti-join, and the only corpus shuffles are
-    the selection's score-key exchange — the composite costs barely
-    more than its most expensive stage, which is the point of engine-
-    native (vs. orchestrated-scripts) pipeline construction."""
+    Because every stage is declarative, Catalyst fuses the scorer and
+    the broadcast screens into the scan on BOTH of the selection
+    algorithm's corpus passes (its agg pass and its join-back pass —
+    the same two passes standalone x44 makes), every join broadcasts
+    (plan-pinned: no SortMergeJoin anywhere), and the only corpus
+    shuffles are the selection's score-key exchanges.  An orchestrated
+    three-script pipeline would materialize two corpus-sized
+    intermediates between the stages instead."""
     from ..operators.dedup import decontaminate
     from ..operators.sampling import select_token_budget
     from ..operators.textstats import hashed_linear_score
