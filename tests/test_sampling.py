@@ -344,3 +344,29 @@ def test_export_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
     back = spark.read.json(path)
     assert back.count() == 200
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(200))
+
+
+def test_temperature_rebalance_isqrt_allocation(spark):
+    """Hand-checkable α=1/2 allocation: groups of 100/25/4/1 docs have
+    isqrt weights 10/5/2/1 (sum 18); a 36-doc budget allocates
+    20/10/4/2 — the 4-doc group fills its exact allocation, the 1-doc
+    group is capped by its size, and the head/tail ratio flattens from
+    100:1 to 20:1.  Repartitioning changes nothing."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(25)]
+        + [(2000 + i, "c") for i in range(4)]
+        + [(3000, "d")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = temperature_rebalance(df, "lang", "doc_id", 36)
+    by = {r["lang"]: 0 for r in kept.collect()}
+    for r in kept.collect():
+        by[r["lang"]] += 1
+    assert by == {"a": 20, "b": 10, "c": 4, "d": 1}
+    re_kept = temperature_rebalance(df.repartition(7, "doc_id"), "lang", "doc_id", 36)
+    assert {tuple(r) for r in re_kept.collect()} == {tuple(r) for r in kept.collect()}

@@ -407,3 +407,54 @@ def domain_mixture(df: DataFrame, domain_col: str, tokens_col: str) -> DataFrame
             F.col("tokens").cast("double") / F.sum("tokens").over(total).cast("double")
         ).alias("token_share"),
     )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_target: int,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling at α = 1/2 — the standard
+    multilingual-pretraining compromise between proportional sampling
+    (head languages drown the tail) and uniform sampling (tail
+    languages over-repeat): group ``g`` receives a share of the
+    ``n_target`` budget proportional to ``sqrt(n_g)``.
+
+    Exactness contract: the weights are **integer** square roots
+    (``floor(sqrt(n))`` is exact for counts < 2^52 — sqrt is IEEE
+    correctly-rounded in every engine, and a correctly-rounded result
+    cannot cross an integer boundary), the budget split is integer
+    ``div``, and membership is "first ``target_g`` rows of the group
+    in md5-of-id order" — a pure function of the data, reproducible
+    anywhere, no rand().  General α would need ``pow`` (two libm
+    implementations racing); α = 1/2 is the documented, portable
+    point on the dial.
+
+    Groups whose target exceeds their size keep everything (the
+    row_number guard is naturally capped), so the output can be under
+    ``n_target`` when small groups can't fill their allocation —
+    matching the standard formulation, which re-normalizes in a second
+    round if exact totals matter.
+
+    Scale shape: one 1-row-per-group count agg, a broadcast target
+    table, and ONE corpus shuffle on ``group_col`` for the streaming
+    row_number — :func:`cap_per_group`'s shape with a data-dependent
+    per-group k (its skew note applies)."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    w = counts.withColumn("_w", F.floor(F.sqrt(F.col("_n"))).cast("long"))
+    tot = w.agg(F.sum("_w").cast("long").alias("_tw"))
+    targets = (
+        w.join(F.broadcast(tot))
+        .withColumn("_target", F.expr(f"({n_target} * _w) div _tw"))
+        .select(group_col, "_target")
+    )
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(targets), group_col)
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") <= F.col("_target"))
+        .drop("_rn", "_target")
+    )

@@ -2006,3 +2006,29 @@ def x54_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_token_budget(clean, "score", "doc_id", "n_tokens", 5000).select(
         "doc_id", "n_tokens", "score", "cum_tokens"
     )
+
+
+@query(
+    "x55_temperature_rebalance",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+    tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+    t AS (SELECT lang, (300 * w) // tw AS target FROM w, tw),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    SELECT r.doc_id, r.lang FROM r JOIN t USING (lang) WHERE rn <= target
+    """,
+)
+def x55_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α = 1/2 temperature-flattened language mixture under a 300-doc
+    budget — each language's allocation ∝ isqrt(its count), selected
+    deterministically in md5-of-id order.  Integer-exact throughout
+    (isqrt weights, integer div split), so both engines pick the
+    identical document set."""
+    from ..operators.sampling import temperature_rebalance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_rebalance(docs, "lang", "doc_id", 300).select("doc_id", "lang")
