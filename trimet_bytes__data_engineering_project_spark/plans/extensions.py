@@ -400,8 +400,28 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(sf_dir.rstrip("/")) + "-" + _data_tag(sf_dir)
 
 
+def _tagged_dir(*parts: str, sf_dir: str) -> str:
+    """Scratch path ``<parts...>/<sf>-<data_tag>``, pruning sibling
+    dirs for the SAME sf at a DIFFERENT data tag (stores of a previous
+    testdata generation — unreachable now that paths embed the tag,
+    so they'd only leak disk).  Best-effort: a concurrent process
+    mid-build of the same stale dir loses nothing it can't rebuild."""
+    import shutil
+
+    parent = os.path.join(*parts)
+    tag = _sf_tag(sf_dir)
+    prefix = os.path.basename(sf_dir.rstrip("/")) + "-"
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(prefix) and d != tag:
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    return os.path.join(parent, tag)
+
+
 def _index_dir(sf_dir: str, kind: str) -> str:
-    return os.path.join(_SCRATCH, "ann_index", _INDEX_VERSION, _sf_tag(sf_dir), kind)
+    return os.path.join(
+        _tagged_dir(_SCRATCH, "ann_index", _INDEX_VERSION, sf_dir=sf_dir), kind
+    )
 
 
 @query(
@@ -433,7 +453,7 @@ def q33_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("speed"),
         F.col("user_id").alias("trip_id"),
     )
-    path = os.path.join(_SCRATCH, "warehouse", _sf_tag(sf_dir), "breadcrumb")
+    path = os.path.join(_tagged_dir(_SCRATCH, "warehouse", sf_dir=sf_dir), "breadcrumb")
     ensure_index(lambda: write_breadcrumb(bc, path, mode="overwrite"), path)
     wh = spark.read.parquet(path)
     return wh.filter(F.col("service_date") == F.lit("2024-01-15").cast("date")).agg(
@@ -1690,7 +1710,7 @@ def x49_incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") < 250)
     new = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 1000))
-    store_path = os.path.join(_SCRATCH, "dedup_store", "v2-split250", _sf_tag(sf_dir))
+    store_path = _tagged_dir(_SCRATCH, "dedup_store", "v2-split250", sf_dir=sf_dir)
     ensure_index(lambda: write_signature_store(old, store_path), store_path)
     store = spark.read.parquet(store_path)
     return incremental_dedup_probe(store, new)
