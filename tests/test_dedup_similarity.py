@@ -718,3 +718,29 @@ def test_random_projection_exact_and_partition_invariant(spark):
             assert got[(i, j)] == acc, (i, j)
     re_out = random_projection(emb.repartition(5, "vec_id"), dim=16, out_dim=4)
     assert {tuple(r) for r in re_out.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_novelty_score_oov_ceiling(spark):
+    """OOV terms score at the ceiling (n_total), seen terms at
+    n_total div c; a doc of pure base boilerplate scores the minimum,
+    a doc of unseen vocabulary the maximum."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        novelty_score,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "the dog")], ["doc_id", "text"]
+    )
+    # base: the:4, cat:1, dog:1 → n_total=6
+    batch = spark.createDataFrame(
+        [
+            (10, "the the"),        # 2*(6 div 4)=2, n=2 → 1.0 (min possible)
+            (11, "zebra quark"),    # 2*6=12, n=2 → 6.0 (OOV ceiling)
+            (12, "cat zebra"),      # 6+6=12? cat: 6 div 1=6, zebra: 6 → 12, n=2 → 6.0
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in novelty_score(batch, base).collect()}
+    assert rows[10]["novelty_sum"] == 2 and rows[10]["avg_novelty"] == 1.0
+    assert rows[11]["novelty_sum"] == 12 and rows[11]["avg_novelty"] == 6.0
+    assert rows[12]["novelty_sum"] == 12

@@ -321,3 +321,65 @@ def unigram_surprisal(
             F.col("surprisal_sum").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def novelty_score(
+    batch: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus novelty: score each BATCH document's tokens against
+    the BASE corpus's unigram distribution — :func:`unigram_surprisal`'s
+    incremental twin, answering "how much does today's crawl add that
+    the corpus hasn't seen?" (high = novel vocabulary worth keeping,
+    low = more of the same).
+
+    Same exactness contract as unigram_surprisal (integer ratio
+    ``n_total div c``, int64 sums, one IEEE division), with the OOV
+    rule made explicit: a batch term absent from the base corpus is
+    scored as if its count were 1 (``n_total div 1 = n_total`` — the
+    ceiling a seen-once term gets; add-one smoothing's integer form).
+    Batch docs with no ``[a-z]+`` tokens are dropped.
+
+    Scale shape: the base side reduces to a (term, count) table once
+    per batch (two-phase agg — at 100 TB this is the nightly
+    distribution snapshot a pipeline would persist and reuse); the
+    batch side explodes and LEFT-joins it on the term key; the
+    distribution table is corpus-vocabulary-sized so the join shuffles
+    — but the BATCH side of the shuffle is O(batch), and the final
+    per-doc agg touches only batch rows."""
+    base_tf = base.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        ).alias("term")
+    ).groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    total = base_tf.agg(F.sum("c").cast("long").alias("n_total"))
+    batch_tf = (
+        batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        batch_tf.join(base_tf, "term", "left")
+        .join(F.broadcast(total))
+        .withColumn("inst", F.col("tf") * F.expr("n_total div coalesce(c, 1)"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum("inst").cast("long").alias("novelty_sum"),
+        )
+        .withColumn(
+            "avg_novelty",
+            F.col("novelty_sum").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

@@ -58,6 +58,7 @@ _WINDOW_HEAD = [
     "x53_random_projection",
     "x54_pretraining_pipeline",
     "x55_temperature_rebalance",
+    "x56_novelty_score",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -119,9 +120,10 @@ _WINDOW_TAIL = [
     # x16_asof_join (single driver row, r02) inside the 50-slot window
     "x15_approx_distinct",
     "x18_quantized_topk",
-    # rotated out for x54/x55 — twice-green, untouched since round 1
+    # rotated out for x54/x55/x56 — twice-green, untouched since round 1
     "x10_ann_bruteforce",
     "x13_embedding_near_dup",
+    "x11_ann_lsh",
 ]
 
 

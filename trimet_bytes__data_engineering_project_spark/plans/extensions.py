@@ -2052,3 +2052,36 @@ def x55_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_rebalance(docs, "lang", "doc_id", 300).select("doc_id", "lang")
+
+
+@query(
+    "x56_novelty_score",
+    oracle="""
+    WITH bt AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                FROM documents WHERE doc_id < 250),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM bt GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c),
+    qt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+           FROM documents WHERE doc_id >= 250),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * (n_total // coalesce(c, 1))) AS BIGINT) AS novelty_sum,
+           CAST(CAST(sum(tf * (n_total // coalesce(c, 1))) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_novelty
+    FROM tf LEFT JOIN c USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def x56_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl triage: score the new batch (doc_id >= 250)
+    against the standing corpus's (doc_id < 250) unigram distribution —
+    unseen vocabulary scores at the OOV ceiling, boilerplate re-crawls
+    score low.  Exact integer arithmetic end-to-end; the batch side of
+    every shuffle is O(batch)."""
+    from ..operators.textstats import novelty_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_score(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
