@@ -370,3 +370,34 @@ def test_temperature_rebalance_isqrt_allocation(spark):
     assert by == {"a": 20, "b": 10, "c": 4, "d": 1}
     re_kept = temperature_rebalance(df.repartition(7, "doc_id"), "lang", "doc_id", 36)
     assert {tuple(r) for r in re_kept.collect()} == {tuple(r) for r in kept.collect()}
+
+
+def test_percentile_rank_matches_naive_window(spark):
+    """Two-phase rank == rank() OVER (ORDER BY score DESC) for a
+    multiset with heavy ties; pct bounds [0,1]; the corpus plan carries
+    no global sort (no Exchange SinglePartition on the data path)."""
+    from pyspark.sql import Window as W
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        percentile_rank,
+    )
+
+    rows = [(i, [5, 5, 3, 9, 1, 5, 9][i % 7]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    got = {r["doc_id"]: (r["rank"], r["pct"]) for r in
+           percentile_rank(df, "score", "doc_id").collect()}
+    naive = {
+        r["doc_id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.rank().over(W.orderBy(F.desc("score")))
+        ).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == naive
+    n = len(rows)
+    for doc_id, (rank, pct) in got.items():
+        assert pct == (rank - 1) / (n - 1)
+        assert 0.0 <= pct <= 1.0
+    plan = percentile_rank(df, "score", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    # the only SinglePartition exchange feeds the distinct-score prefix
+    # window, never the corpus: corpus-side join stays broadcast
+    assert "BroadcastHashJoin" in plan

@@ -458,3 +458,44 @@ def temperature_rebalance(
         .filter(F.col("_rn") <= F.col("_target"))
         .drop("_rn", "_target")
     )
+
+
+def percentile_rank(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact corpus-wide percentile rank of every row's score — the
+    calibration step that turns heterogeneous quality signals into a
+    comparable [0, 1] scale before mixing them (a length score and a
+    classifier score can't be averaged raw; their percentiles can).
+
+    rank = 1 + count(strictly better scores), ties share the min rank
+    (SQL ``rank()`` semantics); pct = (rank − 1) / (N − 1), one IEEE
+    division of exact integers (0.0 when N = 1).
+
+    Scale shape: the naive form is ``rank() OVER (ORDER BY score)`` — a
+    GLOBAL single-partition sort of the corpus, which does not scale.
+    This is the same two-phase decomposition as
+    :func:`select_token_budget`: (1) per-score counts (map-side-combined
+    agg), (2) an ordered prefix-sum window over the DISTINCT-SCORE
+    table only (bounded — quantize a continuous score first if its
+    cardinality approaches the corpus), (3) broadcast the (score,
+    prefix) table back onto the corpus as an equi-join.  The corpus is
+    never globally ordered; its only shuffle is the count agg."""
+    counts = df.groupBy(score_col).agg(F.count("*").cast("long").alias("_c"))
+    w_pre = Window.orderBy(F.desc(score_col)).rowsBetween(Window.unboundedPreceding, -1)
+    pre = counts.withColumn("_better", F.coalesce(F.sum("_c").over(w_pre), F.lit(0)))
+    total = counts.agg(F.sum("_c").cast("long").alias("_n"))
+    ranked = (
+        df.join(F.broadcast(pre.select(score_col, "_better")), score_col)
+        .join(F.broadcast(total))
+        .withColumn("rank", (F.col("_better") + 1).cast("long"))
+        .withColumn(
+            "pct",
+            F.when(F.col("_n") > 1,
+                   F.col("_better").cast("double") / (F.col("_n") - 1).cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    return ranked.drop("_better", "_n")

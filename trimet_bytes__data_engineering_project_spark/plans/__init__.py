@@ -59,6 +59,7 @@ _WINDOW_HEAD = [
     "x54_pretraining_pipeline",
     "x55_temperature_rebalance",
     "x56_novelty_score",
+    "x57_percentile_rank",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -124,6 +125,8 @@ _WINDOW_TAIL = [
     "x10_ann_bruteforce",
     "x13_embedding_near_dup",
     "x11_ann_lsh",
+    # rotated out for x57 — twice-green, untouched since round 1
+    "x12_ann_ivf",
 ]
 
 

@@ -2085,3 +2085,30 @@ def x56_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_score(
         docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
     )
+
+
+@query(
+    "x57_percentile_rank",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, n_chars,
+           CAST(rank() OVER (ORDER BY n_chars DESC) AS BIGINT) AS rank,
+           CASE WHEN n > 1
+                THEN CAST(rank() OVER (ORDER BY n_chars DESC) - 1 AS DOUBLE)
+                     / CAST(n - 1 AS DOUBLE)
+                ELSE 0.0 END AS pct
+    FROM documents CROSS JOIN n
+    """,
+)
+def x57_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global percentile rank of every document's length score,
+    computed WITHOUT a global sort: per-score counts, a prefix window
+    over the distinct-score table only, broadcast back — ties share the
+    min rank exactly like SQL rank().  The oracle states the naive
+    global-window form this decomposition replaces."""
+    from ..operators.sampling import percentile_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return percentile_rank(docs.select("doc_id", "n_chars"), "n_chars", "doc_id").select(
+        "doc_id", "n_chars", "rank", "pct"
+    )
