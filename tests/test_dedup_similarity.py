@@ -744,3 +744,46 @@ def test_novelty_score_oov_ceiling(spark):
     assert rows[10]["novelty_sum"] == 2 and rows[10]["avg_novelty"] == 1.0
     assert rows[11]["novelty_sum"] == 12 and rows[11]["avg_novelty"] == 6.0
     assert rows[12]["novelty_sum"] == 12
+
+
+def test_knn_join_bucket_blocked_topk(spark):
+    """Each query gets <= k neighbors, all from its own sign bucket,
+    ranked by exact cosine with c_id tiebreak; the plan is a bucket
+    equi-join (no cartesian/nested-loop); repartitioning changes
+    nothing."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        hyperplanes,
+        knn_join,
+    )
+
+    import random
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = emb.filter("vec_id % 10 = 0")
+    c = emb.filter("vec_id % 10 != 0")
+    out = knn_join(q, c, dim=8, k=2, n_planes=3)
+    rows = out.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    planes = hyperplanes(3, 8)
+    def bucket(v):
+        b = 0
+        for p, pl in enumerate(planes):
+            if sum(a * x for a, x in zip(v, pl)) > 0:
+                b |= 1 << p
+        return b
+    vb = {i: bucket(v) for i, v in vecs}
+    for q_id, nb in by_q.items():
+        assert len(nb) <= 2
+        ranks = sorted(r["rn"] for r in nb)
+        assert ranks == list(range(1, len(nb) + 1))
+        sims = [r["cos_sim"] for r in sorted(nb, key=lambda r: r["rn"])]
+        assert sims == sorted(sims, reverse=True)
+        for r in nb:
+            assert vb[r["c_id"]] == vb[q_id]  # same-bucket only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    re_out = knn_join(q.repartition(5), c.repartition(3), dim=8, k=2, n_planes=3)
+    assert {tuple(r) for r in re_out.collect()} == {tuple(r) for r in rows}

@@ -420,3 +420,58 @@ def random_projection(
         F.col(id_col),
         F.posexplode(proj).alias("dim_idx", "value"),
     ).select(id_col, F.col("dim_idx").cast("long").alias("dim_idx"), "value")
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch k-nearest-neighbor JOIN: for EVERY query vector, its top-k
+    corpus neighbors by cosine — the retrieval workhorse (RAG context
+    fetch, hard-negative mining, embedding-based label propagation)
+    that the single-query operators (lsh_topk et al.) don't cover.
+
+    Approximate by sign-bucket blocking: both sides are signatured with
+    the same deterministic md5 hyperplanes and only same-bucket pairs
+    are compared — recall follows the LSH collision probability, and
+    a query whose bucket holds no corpus vector returns no rows (the
+    multi-probe expansion of ``expand_buckets`` is the recall dial).
+
+    Returns (q_id, c_id, cos_sim, rn), rn = 1..k per query, ties broken
+    by c_id — a total order, so the selected set is deterministic and
+    engine-portable (cosines are sequential-fold dots, bit-exact).
+
+    Scale shape: ONE shuffle equi-join on the bucket key (never a
+    cross join), then a per-query streaming row_number.  Within-bucket
+    work is |Q_b|·|C_b| — size n_planes to the corpus (lg(n/target)
+    rule, BENCH_NOTES) exactly as for the self-join dedup; at index
+    scale, replace the corpus side with the PERSISTED bucket-partitioned
+    table (write_lsh_index) so the join reads only matching bucket
+    partitions."""
+    planes = hyperplanes(n_planes, dim)
+    qv = as_double_vec(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        qv.alias("qvec"),
+        lsh_bucket(qv, planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        qv.alias("cvec"),
+        lsh_bucket(qv, planes).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        q.join(c, "bucket")
+        .withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos_sim", "rn")
+    )

@@ -60,6 +60,7 @@ _WINDOW_HEAD = [
     "x55_temperature_rebalance",
     "x56_novelty_score",
     "x57_percentile_rank",
+    "x58_knn_join",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -125,8 +126,9 @@ _WINDOW_TAIL = [
     "x10_ann_bruteforce",
     "x13_embedding_near_dup",
     "x11_ann_lsh",
-    # rotated out for x57 — twice-green, untouched since round 1
+    # rotated out for x57/x58 — twice-green, untouched since round 1
     "x12_ann_ivf",
+    "x08_ngram_jaccard_pairs",
 ]
 
 

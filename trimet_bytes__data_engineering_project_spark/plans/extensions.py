@@ -2112,3 +2112,48 @@ def x57_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_rank(docs.select("doc_id", "n_chars"), "n_chars", "doc_id").select(
         "doc_id", "n_chars", "rank", "pct"
     )
+
+
+def _build_knn_oracle(k: int = 3, n_planes: int = 4, dim: int = 64) -> str:
+    planes = hyperplanes(n_planes, dim)
+    lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {_dot_sql(v, lits[p])} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, {_VEC} AS qv FROM embeddings
+               WHERE vec_id % 10 = 0),
+         c AS (SELECT vec_id AS c_id, {_VEC} AS cv FROM embeddings
+               WHERE vec_id % 10 <> 0),
+         qb AS (SELECT q_id, qv, {bucket('qv')} AS bucket FROM q),
+         cb AS (SELECT c_id, cv, {bucket('cv')} AS bucket FROM c),
+         j AS (SELECT q_id, c_id, {_cos_sql('qv', 'cv')} AS cos_sim
+               FROM qb JOIN cb USING (bucket)),
+         r AS (SELECT q_id, c_id, cos_sim,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rn
+               FROM j)
+    SELECT q_id, c_id, cos_sim, rn FROM r WHERE rn <= {k}
+    """
+
+
+@query("x58_knn_join", oracle=_build_knn_oracle())
+def x58_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join — every 10th vector plays the query batch, the
+    rest the corpus; top-3 same-bucket cosine neighbors per query via
+    ONE bucket-keyed equi-join + streaming per-query row_number (the
+    retrieval/hard-negative-mining shape; at index scale the corpus
+    side is the persisted bucket-partitioned table)."""
+    from ..operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        emb.filter(F.col("vec_id") % 10 != 0),
+        dim=64,
+        k=3,
+    )
