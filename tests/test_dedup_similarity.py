@@ -787,3 +787,35 @@ def test_knn_join_bucket_blocked_topk(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     re_out = knn_join(q.repartition(5), c.repartition(3), dim=8, k=2, n_planes=3)
     assert {tuple(r) for r in re_out.collect()} == {tuple(r) for r in rows}
+
+
+def test_knn_join_multiprobe_recall_dial(spark):
+    """radius=1 probes the bucket + every 1-bit flip: per-query best
+    cosine is never worse than radius=0, pair set is a superset of the
+    same-bucket pairs pre-top-k (checked via k large enough to keep
+    all), and each (q, c) pair appears at most once."""
+    import random
+
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        knn_join,
+    )
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = emb.filter("vec_id % 10 = 0")
+    c = emb.filter("vec_id % 10 != 0")
+    r0 = knn_join(q, c, dim=8, k=1000, n_planes=3).collect()
+    r1 = knn_join(q, c, dim=8, k=1000, n_planes=3, hamming_radius=1).collect()
+    pairs0 = {(r["q_id"], r["c_id"]) for r in r0}
+    pairs1 = {(r["q_id"], r["c_id"]) for r in r1}
+    assert pairs0 <= pairs1 and len(pairs1) > len(pairs0)
+    assert len(pairs1) == len(r1)  # no duplicate (q, c) pairs
+    best0 = {}
+    for r in r0:
+        best0[r["q_id"]] = max(best0.get(r["q_id"], -2.0), r["cos_sim"])
+    best1 = {}
+    for r in r1:
+        best1[r["q_id"]] = max(best1.get(r["q_id"], -2.0), r["cos_sim"])
+    for qid, b in best0.items():
+        assert best1[qid] >= b

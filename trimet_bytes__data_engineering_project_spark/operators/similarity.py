@@ -430,6 +430,7 @@ def knn_join(
     n_planes: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hamming_radius: int = 0,
 ) -> DataFrame:
     """Batch k-nearest-neighbor JOIN: for EVERY query vector, its top-k
     corpus neighbors by cosine — the retrieval workhorse (RAG context
@@ -460,6 +461,22 @@ def knn_join(
         qv.alias("qvec"),
         lsh_bucket(qv, planes).alias("bucket"),
     )
+    if hamming_radius > 0:
+        # multi-probe: each query also probes every bucket within the
+        # Hamming radius — the probe set is a tiny driver-side literal
+        # per bucket value, exploded BEFORE the join so the join stays
+        # an equi-join (each (q, c) pair still appears once: a corpus
+        # vector lives in exactly one bucket)
+        from .ann_index import expand_buckets
+
+        probe_map = F.map_from_arrays(
+            F.lit(list(range(1 << n_planes))),
+            F.lit([
+                expand_buckets(b, n_planes, hamming_radius)
+                for b in range(1 << n_planes)
+            ]),
+        )
+        q = q.withColumn("bucket", F.explode(F.element_at(probe_map, F.col("bucket"))))
     c = corpus.select(
         F.col(id_col).alias("c_id"),
         qv.alias("cvec"),

@@ -2157,3 +2157,54 @@ def x58_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         k=3,
     )
+
+
+def _build_knn_mp_oracle(k: int = 3, n_planes: int = 4, dim: int = 64, radius: int = 1) -> str:
+    planes = hyperplanes(n_planes, dim)
+    lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {_dot_sql(v, lits[p])} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+
+    ham = " + ".join(
+        f"CASE WHEN ((qb.bucket // {1 << p}) % 2) <> ((cb.bucket // {1 << p}) % 2)"
+        f" THEN 1 ELSE 0 END"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, {_VEC} AS qv FROM embeddings
+               WHERE vec_id % 10 = 0),
+         c AS (SELECT vec_id AS c_id, {_VEC} AS cv FROM embeddings
+               WHERE vec_id % 10 <> 0),
+         qb AS (SELECT q_id, qv, {bucket('qv')} AS bucket FROM q),
+         cb AS (SELECT c_id, cv, {bucket('cv')} AS bucket FROM c),
+         j AS (SELECT q_id, c_id, {_cos_sql('qv', 'cv')} AS cos_sim
+               FROM qb JOIN cb ON ({ham}) <= {radius}),
+         r AS (SELECT q_id, c_id, cos_sim,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rn
+               FROM j)
+    SELECT q_id, c_id, cos_sim, rn FROM r WHERE rn <= {k}
+    """
+
+
+@query("x59_knn_join_multiprobe", oracle=_build_knn_mp_oracle())
+def x59_knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x58 with the Hamming-radius-1 recall dial: each query probes its
+    own bucket plus every 1-bit-flip neighbor (5 of 16) — the probe set
+    explodes BEFORE the join, so the plan stays one bucket-keyed
+    equi-join (the oracle states the Hamming-distance inequality form
+    this expansion is equivalent to)."""
+    from ..operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        emb.filter(F.col("vec_id") % 10 != 0),
+        dim=64,
+        k=3,
+        hamming_radius=1,
+    )
