@@ -211,6 +211,25 @@ def _x53_rp(spark, d):
     )
 
 
+
+def _x58_knn(spark, d):
+    # every 10th vector queries the rest; n_planes scales with the
+    # corpus (same lg(n/target) rule as the near-dup blocking) so
+    # within-bucket |Q_b|*|C_b| stays bounded; reduced to one agg row
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_planes = max(4, (max(1, n // 125) - 1).bit_length())
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    c = emb.filter(F.col("vec_id") % 10 != 0)
+    return knn_join(q, c, dim=64, k=3, n_planes=n_planes).agg(
+        F.count("*").alias("n_pairs"), F.sum("cos_sim").alias("s")
+    )
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
@@ -225,6 +244,7 @@ HEAVY = [
     ("x51_unigram_surprisal_full", _x51),
     ("x52_bloom_decontamination_full", _x52_bloom),
     ("x53_random_projection_full", _x53_rp),
+    ("x58_knn_join_full", _x58_knn),
 ]
 
 
