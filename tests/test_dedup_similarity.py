@@ -819,3 +819,27 @@ def test_knn_join_multiprobe_recall_dial(spark):
         best1[r["q_id"]] = max(best1.get(r["q_id"], -2.0), r["cos_sim"])
     for qid, b in best0.items():
         assert best1[qid] >= b
+
+
+def test_ann_recall_audit_full_probe_is_exact(spark):
+    """Probing every bucket (radius = n_planes) makes approx == exact,
+    so every sampled query must audit at recall 1.0; radius 1 is
+    per-query >= radius 0 (the dial only adds candidates)."""
+    import random
+
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        ann_recall_audit,
+    )
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = emb.filter("vec_id % 10 = 0")
+    c = emb.filter("vec_id % 10 != 0")
+    full = ann_recall_audit(q, c, dim=8, k=2, n_planes=3, hamming_radius=3)
+    assert all(r["recall"] == 1.0 for r in full.collect())
+    r0 = {r["q_id"]: r["recall"] for r in
+          ann_recall_audit(q, c, dim=8, k=2, n_planes=3).collect()}
+    r1 = {r["q_id"]: r["recall"] for r in
+          ann_recall_audit(q, c, dim=8, k=2, n_planes=3, hamming_radius=1).collect()}
+    assert set(r0) == set(r1) and all(r1[k] >= r0[k] for k in r0)

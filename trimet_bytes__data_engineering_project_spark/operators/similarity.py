@@ -492,3 +492,62 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", "cos_sim", "rn")
     )
+
+
+def ann_recall_audit(
+    sample_queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 4,
+    hamming_radius: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the bucket-blocked :func:`knn_join` against the
+    exact brute-force top-k, per sampled query — the audit that
+    justifies (n_planes, hamming_radius) before anyone trusts the
+    approximate index (x42's MinHash-accuracy twin for the ANN tier).
+
+    Returns (q_id, n_hit, recall): |approx ∩ exact| and its ratio to
+    ``k``.  Queries whose probe buckets hold no corpus vector appear
+    with recall 0 — silently dropping them would overstate recall.
+
+    Exactness: hit counts are integers; recall is one IEEE division by
+    the constant ``k``.  Ties in the exact top-k break by c_id (total
+    order) so both engines pick the identical reference set.
+
+    Scale shape: the exact side is a deliberate broadcast cross join —
+    affordable precisely because the audit runs on a SAMPLE of queries
+    (tiny side broadcast, corpus streamed once); that is how recall is
+    measured in production, never on the full query load.  The approx
+    side is the normal bucket equi-join."""
+    from pyspark.sql import Window
+
+    qv = as_double_vec(vec_col)
+    q = sample_queries.select(F.col(id_col).alias("q_id"), qv.alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("c_id"), qv.alias("cvec"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    exact = (
+        F.broadcast(q).crossJoin(c)
+        .withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id")
+    )
+    approx = knn_join(
+        sample_queries, corpus, dim, k=k, n_planes=n_planes,
+        hamming_radius=hamming_radius, vec_col=vec_col, id_col=id_col,
+    ).select("q_id", F.col("c_id").alias("a_c_id"))
+    hits = (
+        exact.join(
+            approx,
+            (exact.q_id == approx.q_id) & (exact.c_id == approx.a_c_id),
+            "left",
+        )
+        .groupBy(exact.q_id)
+        .agg(F.count("a_c_id").cast("long").alias("n_hit"))
+    )
+    return hits.withColumn(
+        "recall", F.col("n_hit").cast("double") / F.lit(float(k))
+    )

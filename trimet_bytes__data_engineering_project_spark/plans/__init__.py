@@ -62,6 +62,7 @@ _WINDOW_HEAD = [
     "x57_percentile_rank",
     "x58_knn_join",
     "x59_knn_join_multiprobe",
+    "x60_ann_recall_audit",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -130,8 +131,9 @@ _WINDOW_TAIL = [
     # rotated out for x57/x58 — twice-green, untouched since round 1
     "x12_ann_ivf",
     "x08_ngram_jaccard_pairs",
-    # rotated out for x59 — twice-green, untouched since round 1
+    # rotated out for x59/x60 — twice-green, untouched since round 1
     "x07_minhash_near_dup_pairs",
+    "x06_minhash_signature",
 ]
 
 

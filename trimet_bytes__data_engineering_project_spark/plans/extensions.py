@@ -2208,3 +2208,56 @@ def x59_knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         hamming_radius=1,
     )
+
+
+def _build_recall_oracle(k: int = 3, n_planes: int = 4, dim: int = 64) -> str:
+    planes = hyperplanes(n_planes, dim)
+    lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {_dot_sql(v, lits[p])} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, {_VEC} AS qv FROM embeddings
+               WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS c_id, {_VEC} AS cv FROM embeddings
+               WHERE vec_id % 10 <> 0),
+         ex AS (SELECT q_id, c_id,
+                       row_number() OVER (PARTITION BY q_id
+                            ORDER BY {_cos_sql('qv', 'cv')} DESC, c_id) AS rn
+                FROM q CROSS JOIN c),
+         exact AS (SELECT q_id, c_id FROM ex WHERE rn <= {k}),
+         qb AS (SELECT q_id, qv, {bucket('qv')} AS bucket FROM q),
+         cb AS (SELECT c_id, cv, {bucket('cv')} AS bucket FROM c),
+         aj AS (SELECT q_id, c_id,
+                       row_number() OVER (PARTITION BY q_id
+                            ORDER BY {_cos_sql('qv', 'cv')} DESC, c_id) AS rn
+                FROM qb JOIN cb USING (bucket)),
+         approx AS (SELECT q_id, c_id FROM aj WHERE rn <= {k})
+    SELECT e.q_id,
+           CAST(count(a.c_id) AS BIGINT) AS n_hit,
+           CAST(count(a.c_id) AS DOUBLE) / {float(k)} AS recall
+    FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+    GROUP BY e.q_id
+    """
+
+
+@query("x60_ann_recall_audit", oracle=_build_recall_oracle())
+def x60_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the bucket-blocked kNN join against brute force on a
+    query SAMPLE (every 50th vector) — the audit that justifies the
+    blocking parameters, x42's twin for the ANN tier.  The exact side
+    is a deliberate broadcast cross join over the sample (how recall is
+    measured in production — never on the full query load)."""
+    from ..operators.similarity import ann_recall_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_audit(
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb.filter(F.col("vec_id") % 10 != 0),
+        dim=64,
+        k=3,
+    )
