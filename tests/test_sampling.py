@@ -401,3 +401,35 @@ def test_percentile_rank_matches_naive_window(spark):
     # the only SinglePartition exchange feeds the distinct-score prefix
     # window, never the corpus: corpus-side join stays broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_length_bucketed_batches_reduces_padding(spark):
+    """Batch invariants: every doc lands in exactly one batch; batches
+    never exceed batch_size; within-batch max length stays inside the
+    bucket's bound; and total padding waste is strictly below the
+    single-unbucketed-stream baseline on a bimodal corpus (the reason
+    the op exists).  Repartitioning changes nothing."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, 10 if i % 2 == 0 else 500) for i in range(64)]  # bimodal
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = length_bucketed_batches(df, "n_tokens", "doc_id", batch_size=4).collect()
+    assert sum(r["n_docs"] for r in out) == 64
+    bounds = [16, 32, 64, 128, 256, 512]
+    for r in out:
+        assert r["n_docs"] <= 4
+        assert r["padding_waste"] == r["n_docs"] * r["max_tokens"] - r["sum_tokens"]
+        if r["bucket"] < len(bounds):
+            assert r["max_tokens"] <= bounds[r["bucket"]]
+    bucketed_waste = sum(r["padding_waste"] for r in out)
+    # unbucketed baseline: same shards/batches but one bucket for all
+    base = length_bucketed_batches(
+        df, "n_tokens", "doc_id", batch_size=4, buckets=(1 << 40,)
+    ).collect()
+    assert bucketed_waste < sum(r["padding_waste"] for r in base)
+    re_out = length_bucketed_batches(
+        df.repartition(7, "doc_id"), "n_tokens", "doc_id", batch_size=4
+    ).collect()
+    assert {tuple(r) for r in re_out} == {tuple(r) for r in out}

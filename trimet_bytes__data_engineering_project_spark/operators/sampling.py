@@ -499,3 +499,62 @@ def percentile_rank(
         )
     )
     return ranked.drop("_better", "_n")
+
+
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    batch_size: int = 8,
+    buckets: tuple[int, ...] = LENGTH_BUCKETS,
+) -> DataFrame:
+    """Length-bucketed batch assembly — the dynamic-batching step that
+    keeps padding waste down when packing variable-length documents
+    into fixed training batches: docs are grouped into length buckets
+    (CASE ladder over ``buckets`` upper bounds — pure integer compares,
+    engine-exact where ``floor(log2(n))`` could race a libm), sharded
+    by md5 first hex digit, and numbered into batches of ``batch_size``
+    within each (bucket, shard) in md5-of-id order.
+
+    Returns one row per BATCH: (bucket, shard, batch_id, n_docs,
+    max_tokens, sum_tokens, padding_waste) where padding_waste =
+    n_docs·max_tokens − sum_tokens, the tokens a rectangular batch
+    tensor wastes — the quantity this op exists to minimize (compare
+    against a single unbucketed stream to see the win).
+
+    Scale shape: ONE corpus shuffle on (bucket, shard) followed by a
+    streaming row_number — the 16-way shard key bounds per-task skew
+    that partitioning by bucket alone would concentrate (a corpus is
+    mostly mid-length docs); the per-batch agg reuses the same
+    partitioning, so no second corpus shuffle.  Batch membership is a
+    pure function of the data — reruns and engines agree."""
+    bucket = F.lit(len(buckets))  # overflow bucket
+    for i in range(len(buckets) - 1, -1, -1):
+        bucket = F.when(F.col(tokens_col) <= buckets[i], F.lit(i)).otherwise(bucket)
+    shard = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    assigned = (
+        df.withColumn("bucket", bucket)
+        .withColumn("shard", shard)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("batch_id", F.floor((F.col("_rn") - 1) / batch_size).cast("long"))
+    )
+    return (
+        assigned.groupBy("bucket", "shard", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max(tokens_col).cast("long").alias("max_tokens"),
+            F.sum(tokens_col).cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"),
+        )
+    )

@@ -2261,3 +2261,44 @@ def x60_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         k=3,
     )
+
+
+@query(
+    "x61_length_bucketed_batches",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    b AS (SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens <= 16 THEN 0 WHEN n_tokens <= 32 THEN 1
+                      WHEN n_tokens <= 64 THEN 2 WHEN n_tokens <= 128 THEN 3
+                      WHEN n_tokens <= 256 THEN 4 WHEN n_tokens <= 512 THEN 5
+                      ELSE 6 END AS bucket,
+                 CAST(strpos('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+                   AS shard
+          FROM t),
+    r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM b)
+    SELECT bucket, shard, (rn - 1) // 8 AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+    FROM r GROUP BY 1, 2, 3
+    """,
+)
+def x61_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching assembly: whitespace-token counts bucketed by a
+    CASE ladder (integer compares — no floor(log2) libm race), 16-way
+    md5 sharding to bound per-task skew, batches of 8 numbered in
+    md5-of-id order, and the padding_waste each rectangular batch
+    tensor would cost — one corpus shuffle on (bucket, shard), agg
+    reuses the partitioning."""
+    from ..operators.sampling import length_bucketed_batches
+    from ..operators.textstats import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return length_bucketed_batches(t, "n_tokens", "doc_id", batch_size=8)
