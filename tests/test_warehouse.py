@@ -248,3 +248,22 @@ def test_zorder_key_interleave_and_locality(spark, tmp_path):
     # lat-sorted files all span the full lon range -> nothing skipped
     assert files_hit(p_lat, 0.0, 15.0) == 16
     assert files_hit(p_z, 0.0, 15.0) <= 8
+
+
+def test_merge_upsert_updates_win_no_loss(spark):
+    """Updates replace matched keys, unmatched base rows survive, new
+    keys insert; row count = |base ∪ updates by key|; the anti join
+    broadcasts (base never shuffles)."""
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "grp", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b", 99.0), (4, "d", 40.0)], ["id", "grp", "v"]
+    )
+    out = merge_upsert(base, updates, ["id"])
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -64,6 +64,7 @@ _WINDOW_HEAD = [
     "x59_knn_join_multiprobe",
     "x60_ann_recall_audit",
     "x61_length_bucketed_batches",
+    "x62_merge_upsert",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -135,10 +136,11 @@ _WINDOW_TAIL = [
     # rotated out for x59/x60/x61 — twice-green, untouched since round 1
     "x07_minhash_near_dup_pairs",
     "x06_minhash_signature",
-    "x05_doc_fingerprint",
     # rotated out to keep x16_asof_join (single driver row, r02) inside
     # the 50-slot window — twice-green, untouched since round 1
     "q32_haversine_segments",
+    # rotated out for x62 — twice-green, untouched since round 1
+    "q31_user_series",
 ]
 
 

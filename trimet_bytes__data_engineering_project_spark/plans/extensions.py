@@ -2302,3 +2302,39 @@ def x61_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
     )
     return length_bucketed_batches(t, "n_tokens", "doc_id", batch_size=8)
+
+
+@query(
+    "x62_merge_upsert",
+    oracle="""
+    WITH upd AS (SELECT event_id, ts, user_id, event_type,
+                        value * 2 AS value, props
+                 FROM events WHERE event_id % 5 = 0),
+    merged AS (SELECT * FROM upd
+               UNION ALL
+               SELECT * FROM events
+               WHERE event_id NOT IN (SELECT event_id FROM upd)),
+    agg AS (SELECT event_type, count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+            FROM merged GROUP BY 1)
+    SELECT event_type, n, value_sum FROM agg
+    """,
+)
+def x62_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert driven end-to-end: a synthetic update batch (every
+    5th event, value doubled) merged into the events table with
+    updates-win semantics, verified through a per-type aggregate that
+    only matches if exactly the updated rows changed and no base row
+    was lost or duplicated.  One broadcast anti join + union — base
+    rows never shuffle."""
+    from .warehouse import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    upd = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    merged = merge_upsert(ev, upd, ["event_id"])
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )

@@ -293,3 +293,29 @@ def load_audit(tables: dict[str, DataFrame]) -> dict[str, int]:
     run.  ``count()`` is a metadata-only parquet scan (row-group stats),
     so auditing a 100 TB table reads footers, not data."""
     return {name: df.count() for name, df in tables.items()}
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """MERGE-shaped upsert as a declarative plan — ``WHEN MATCHED THEN
+    UPDATE, WHEN NOT MATCHED THEN INSERT`` semantics plain parquet
+    tables lack (the reference's COPY aborts on PK collision, SURVEY
+    §2.9 T3; Delta/Iceberg ship this as a table service, this is the
+    engine-level equivalent used to rewrite a partition or a table):
+    every key present in ``updates`` takes the update row, every other
+    base row survives unchanged.
+
+    ``updates`` must be key-unique (the caller dedups a multi-version
+    batch first — e.g. ``functions.windows.first_row_per_key``);
+    schemas must match.
+
+    Scale shape: one LEFT ANTI join of base against the update keys (on
+    the key columns only — AQE broadcasts typical daily-batch sizes,
+    and a key-partitioned layout makes it a co-located join) plus a
+    union — base rows stream through untouched, nothing is shuffled
+    unless the anti join needs it.  Combined with
+    ``compact_partition``'s commit protocols this is the rewrite step
+    of a keyed table service."""
+    survivors = base.join(
+        F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"
+    )
+    return updates.unionByName(survivors)
