@@ -172,3 +172,30 @@ def test_load_audit_counts(spark):
     t1 = spark.range(5)
     t2 = spark.range(3)
     assert load_audit({"a": t1, "b": t2}) == {"a": 5, "b": 3}
+
+
+def test_sessionize_gap_boundary_exact(spark):
+    """A gap of exactly gap_seconds stays in-session (> opens a new
+    one); per-key numbering restarts at 0; one Exchange serves both
+    windows (lag + running sum share the sort)."""
+    from datetime import datetime
+
+    from trimet_bytes__data_engineering_project_spark.functions.windows import sessionize
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1),
+        (1, datetime(2024, 1, 1, 0, 30, 0), 2),   # exactly 1800s → same session
+        (1, datetime(2024, 1, 1, 1, 0, 1), 3),    # 1801s → new session
+        (2, datetime(2024, 1, 1, 5, 0, 0), 4),    # new key → session 0
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = sessionize(df, "user_id", "ts", 1800, "event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+    import re
+
+    # AQE plan string repeats the tree (Final + Initial); judge only the final
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert parts and all("user_id" in p for p in parts)  # only the key shuffle
+    assert plan.count("Window") == 2  # lag + running sum share that exchange

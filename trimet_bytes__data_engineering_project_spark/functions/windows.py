@@ -65,3 +65,45 @@ def running_avg(value: Column, order_col: str) -> Column:
     """
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return F.avg(value).over(w)
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Batch sessionization by the islands-and-gaps decomposition: a
+    row starts a new session iff it is its key's first event or follows
+    the previous one by more than ``gap_seconds``; the running sum of
+    those flags numbers the sessions (0-based).  Semantics identical to
+    streaming ``session_window`` with a static gap —
+    ``streaming/pipeline.py:trip_sessions`` is the watermarked twin;
+    this form exists because it is expressible in ANY engine (the
+    oracle runs the same two windows) and composes with further batch
+    ops.
+
+    Adds a ``session_id`` column.  ``tiebreak_col`` must make
+    (key, ts, tiebreak) unique or simultaneous events have no defined
+    order.
+
+    Scale shape: ONE shuffle on the key; both windows (lag + running
+    sum) share the same (key, ts, tiebreak) sort, so Catalyst plans a
+    single Window operator pair over one Exchange — per-key state is a
+    single previous-row buffer, streamed."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_flag = F.when(
+        prev.isNull()
+        | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            > gap_seconds * 1_000_000
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("session_id", (F.sum(new_flag).over(run) - 1).cast("long"))

@@ -65,6 +65,7 @@ _WINDOW_HEAD = [
     "x60_ann_recall_audit",
     "x61_length_bucketed_batches",
     "x62_merge_upsert",
+    "x63_event_sessions",
     # driver-green in r01 only; rotate back in
     "x03_quality_stats",
     "x04_lang_id",
@@ -139,8 +140,9 @@ _WINDOW_TAIL = [
     # rotated out to keep x16_asof_join (single driver row, r02) inside
     # the 50-slot window — twice-green, untouched since round 1
     "q32_haversine_segments",
-    # rotated out for x62 — twice-green, untouched since round 1
+    # rotated out for x62/x63 — twice-green, untouched since round 1
     "q31_user_series",
+    "q27_pricing_summary",
 ]
 
 

@@ -43,7 +43,7 @@ from ..operators.similarity import (
 )
 from ..operators.textstats import bpe_token_count_col, quality_stats, token_count_col
 from .registry import query
-from .tables import _session_cache, load_table
+from .tables import _session_cache, epoch_us, load_table
 
 # ---------------------------------------------------------------------------
 # Oracle SQL fragments (DuckDB) mirroring the Spark operators exactly
@@ -2337,4 +2337,44 @@ def x62_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+
+
+@query(
+    "x63_event_sessions",
+    oracle="""
+    WITH o AS (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT user_id, ts, event_id,
+                 CASE WHEN prev IS NULL
+                           OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS nf
+          FROM o),
+    s AS (SELECT user_id, ts,
+                 CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                      AS BIGINT) AS session_id
+          FROM f)
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def x63_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) by islands-and-gaps — the
+    hash-checked twin of the streaming ``session_window`` pipeline:
+    one key shuffle, lag + running-sum windows sharing a single sort,
+    session bounds emitted as exact epoch-µs."""
+    from ..functions.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        epoch_us(F.min("ts")).alias("start_us"),
+        epoch_us(F.max("ts")).alias("end_us"),
     )
