@@ -66,12 +66,14 @@ _WINDOW_HEAD = [
     "x61_length_bucketed_batches",
     "x62_merge_upsert",
     "x63_event_sessions",
-    # driver-green in r01 only; rotate back in
-    "x03_quality_stats",
-    "x04_lang_id",
-    "x05_doc_fingerprint",
-    "x14_multimodal_features",
+    "x64_scd2_history",
+    "x65_pivot_counts",
 ]
+
+# x03/x04/x05/x14 (r01-green, rotated back in earlier this round) return
+# to the mid section: with 46 never-checked entries in the head, the
+# remaining 4 slots go to q33/x20/x21 (store paths changed this round)
+# and x16 (single driver row)
 
 _WINDOW_TAIL = [
     # r02-driver-green and untouched since; rotated out to make room for
@@ -143,6 +145,12 @@ _WINDOW_TAIL = [
     # rotated out for x62/x63 — twice-green, untouched since round 1
     "q31_user_series",
     "q27_pricing_summary",
+    # one driver row each (r01); parked for x64/x65 so the last window
+    # slots keep q33/x20/x21 (store paths changed this round) + x16
+    "x03_quality_stats",
+    "x04_lang_id",
+    "x05_doc_fingerprint",
+    "x14_multimodal_features",
 ]
 
 

@@ -2378,3 +2378,73 @@ def x63_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us(F.min("ts")).alias("start_us"),
         epoch_us(F.max("ts")).alias("end_us"),
     )
+
+
+@query(
+    "x64_scd2_history",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, event_id, value,
+                      lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS next_ts
+               FROM events WHERE event_type = 'signup'),
+    h AS (SELECT user_id, value,
+                 CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+                 CAST(epoch_us(next_ts) AS BIGINT) AS valid_to_us,
+                 CASE WHEN next_ts IS NULL THEN true ELSE false END AS is_current
+          FROM v)
+    SELECT * FROM h
+    """,
+)
+def x64_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history assembly: each user's
+    signup events become versioned rows with [valid_from, valid_to)
+    ranges via one lead() over the key — the change-capture shape that
+    turns an event log into a point-in-time-joinable dimension (the
+    as-of join x16 is its consumer).  One key shuffle; epoch-µs bounds
+    and an explicit event_id tiebreak keep both engines bit-identical;
+    the open version carries a NULL valid_to and is_current=true."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.withColumn("next_ts", F.lead("ts").over(w))
+    return v.select(
+        "user_id",
+        "value",
+        epoch_us(F.col("ts")).alias("valid_from_us"),
+        epoch_us(F.col("next_ts")).alias("valid_to_us"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
+
+
+@query(
+    "x65_pivot_counts",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def x65_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-day-of-week event counts spread into one
+    column per event type via ``pivot`` with an EXPLICIT value list —
+    the only scalable form (data-driven pivot schemas need an extra
+    distinct pass and break schema stability); compiles to one
+    two-phase hash agg, exactly the conditional-count FILTER aggregation
+    the oracle states.  Sunday=0 dow via ``pg_dow`` (Spark dayofweek is
+    Sunday=1, DuckDB's already Sunday=0 — the F4 convention table)."""
+    from ..functions.scalar import pg_dow
+
+    ev = load_table(spark, sf_dir, "events")
+    dow = pg_dow(F.col("ts").cast("date")).cast("long")
+    return (
+        ev.withColumn("dow", dow)
+        .groupBy("dow")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
