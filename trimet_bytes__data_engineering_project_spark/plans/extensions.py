@@ -2448,3 +2448,59 @@ def x65_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@query(
+    "x66_rollup_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, dayofweek(CAST(ts AS DATE)))
+    """,
+)
+def x66_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP surface: (event_type, dow) counts with per-type subtotals
+    and a grand total in ONE pass — Spark expands the grouping sets
+    into a single two-phase hash agg (the repeated-scan UNION ALL
+    formulation this replaces would read the corpus once per level).
+    NULL marks the rolled-up level in both engines identically."""
+    from ..functions.scalar import pg_dow
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dow", pg_dow(F.col("ts").cast("date")).cast("long"))
+        .rollup("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "x67_set_ops",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         erroring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+         only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM erroring),
+         both_sets AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM erroring)
+    SELECT 'click_only' AS segment, CAST(count(*) AS BIGINT) AS n FROM only_click
+    UNION ALL
+    SELECT 'click_and_error' AS segment, CAST(count(*) AS BIGINT) AS n FROM both_sets
+    """,
+)
+def x67_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT surface (audience segmentation): users who
+    click but never error vs users who do both.  Spark plans both set
+    ops as left-anti / left-semi hash joins over the distinct key sets
+    — the same physical shapes the engine's dedup tier leans on, here
+    through the declarative set-operator API."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    only_click = clickers.exceptAll(erroring).agg(F.count("*").alias("n")).select(
+        F.lit("click_only").alias("segment"), "n"
+    )
+    both = clickers.intersect(erroring).agg(F.count("*").alias("n")).select(
+        F.lit("click_and_error").alias("segment"), "n"
+    )
+    return only_click.unionByName(both)
