@@ -2504,3 +2504,35 @@ def x67_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click_and_error").alias("segment"), "n"
     )
     return only_click.unionByName(both)
+
+
+@query(
+    "x68_unpivot_metrics",
+    oracle="""
+    WITH w AS (SELECT lang,
+                      CAST(count(*) AS DOUBLE) AS n_docs,
+                      CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+                      CAST(max(n_chars) AS DOUBLE) AS max_chars
+               FROM documents GROUP BY lang)
+    SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+    UNION ALL SELECT lang, 'total_chars', total_chars FROM w
+    UNION ALL SELECT lang, 'max_chars', max_chars FROM w
+    """,
+)
+def x68_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface (x65's inverse): a wide per-language metric row
+    melted to (lang, metric, value) long form via the ``unpivot`` API —
+    one Generate over the already-tiny aggregate, no extra shuffle
+    (the metric table is one row per group; melting corpus-wide wide
+    tables costs a width-factor row multiply, still scan-local).  All
+    metrics cast to DOUBLE of exact integers, so the long column is
+    hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.max("n_chars").cast("double").alias("max_chars"),
+    )
+    return w.unpivot(
+        ["lang"], ["n_docs", "total_chars", "max_chars"], "metric", "value"
+    )
