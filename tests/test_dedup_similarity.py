@@ -843,3 +843,30 @@ def test_ann_recall_audit_full_probe_is_exact(spark):
     r1 = {r["q_id"]: r["recall"] for r in
           ann_recall_audit(q, c, dim=8, k=2, n_planes=3, hamming_radius=1).collect()}
     assert set(r0) == set(r1) and all(r1[k] >= r0[k] for k in r0)
+
+
+def test_normalize_text_idempotent_and_exact(spark):
+    """Hand-pinned normalization cases + idempotence (normalizing the
+    normalized output changes nothing) for arbitrary messy input."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "  Hello\t\tWORLD \n"),
+        (2, "a\x00b\x1fc"),          # control chars stripped
+        (3, "one  two\r\nthree"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r["n"] for r in df.select("id", normalize_text(F.col("text")).alias("n")).collect()}
+    assert out == {1: "hello world", 2: "abc", 3: "one two three", 4: ""}
+    twice = {
+        r["id"]: r["n2"]
+        for r in df.select(
+            "id", normalize_text(normalize_text(F.col("text"))).alias("n2")
+        ).collect()
+    }
+    assert twice == out

@@ -383,3 +383,17 @@ def novelty_score(
             F.col("novelty_sum").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """C4-style cleaning normalization as one codegen expression chain:
+    lowercase → strip non-printable/control chars → collapse whitespace
+    runs to single spaces → trim.  Patterns restricted to constructs
+    Java regex and RE2-family engines compile identically (explicit
+    char classes, no \\p{...} properties, no lookaround), so an oracle
+    can run the same chain verbatim.  Idempotent: applying it twice is
+    the identity on its own output (pinned by test)."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[ \\t\\n\\r]+", " ")
+    return F.trim(c)

@@ -2536,3 +2536,35 @@ def x68_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.unpivot(
         ["lang"], ["n_docs", "total_chars", "max_chars"], "metric", "value"
     )
+
+
+@query(
+    "x69_text_normalize",
+    oracle="""
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(
+                           regexp_replace(lower(text),
+                                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                           '[ \\t\\n\\r]+', ' ', 'g')) AS norm
+               FROM documents)
+    SELECT doc_id, md5(norm) AS norm_md5,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm
+    FROM n
+    """,
+)
+def x69_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning normalization (lowercase, control-char strip,
+    whitespace collapse, trim) — one codegen regexp chain per row, no
+    shuffle; emitted as md5 + length so the driver hashes 32-char
+    digests instead of shipping normalized text.  The same chain runs
+    verbatim in the oracle (patterns restricted to the Java∩RE2
+    portable subset)."""
+    from ..operators.textstats import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
