@@ -199,3 +199,53 @@ def test_sessionize_gap_boundary_exact(spark):
     parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
     assert parts and all("user_id" in p for p in parts)  # only the key shuffle
     assert plan.count("Window") == 2  # lag + running sum share that exchange
+
+
+def test_conversion_funnel_ordering_semantics(spark):
+    """A click BEFORE the first view doesn't advance the funnel; a
+    purchase before the qualifying click doesn't either; equality
+    (same timestamp) counts as progression."""
+    from datetime import datetime
+
+    from trimet_bytes__data_engineering_project_spark.plans.extensions import (
+        x70_conversion_funnel,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import _session_cache
+
+    rows = [
+        # u1: proper funnel
+        (1, datetime(2024, 1, 1, 0), 1, "view"),
+        (2, datetime(2024, 1, 1, 1), 1, "click"),
+        (3, datetime(2024, 1, 1, 2), 1, "purchase"),
+        # u2: click precedes view → stalls at view
+        (4, datetime(2024, 1, 1, 1), 2, "click"),
+        (5, datetime(2024, 1, 1, 2), 2, "view"),
+        # u3: purchase precedes click → stalls at click
+        (6, datetime(2024, 1, 1, 0), 3, "view"),
+        (7, datetime(2024, 1, 1, 2), 3, "click"),
+        (8, datetime(2024, 1, 1, 1), 3, "purchase"),
+        # u4: simultaneous view+click+purchase → full funnel (>= semantics)
+        (9, datetime(2024, 1, 1, 0), 4, "view"),
+        (10, datetime(2024, 1, 1, 0), 4, "click"),
+        (11, datetime(2024, 1, 1, 0), 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"]).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    cache = _session_cache(spark)
+    cache[("_funnel_fixture", "events")] = ev
+    try:
+        out = {r["stage"]: r["n_users"] for r in
+               x70_conversion_funnel(spark, "_funnel_fixture").collect()}
+    finally:
+        del cache[("_funnel_fixture", "events")]
+    # view: all four users view at some point.  click_after_view: u2's
+    # only click precedes its first view → excluded (u1, u3, u4 pass).
+    # purchase_after_click: u3's purchase precedes its qualifying click
+    # → excluded; u4's simultaneous events pass on >= semantics.
+    assert out == {"view": 4, "click_after_view": 3, "purchase_after_click": 2}

@@ -72,13 +72,14 @@ _WINDOW_HEAD = [
     "x67_set_ops",
     "x68_unpivot_metrics",
     "x69_text_normalize",
+    "x70_conversion_funnel",
 ]
 
-# At 102 queries the 50-slot window can no longer hold everything.
-# First outside: x21 (its IVF probe machinery is in-window via x30's
-# append probe and x27's k-means probe, and x21 ≡ x12 is pinned by
-# tests/test_plans.py) and x16 (r02 driver row; skewed twin x26 —
-# pinned equal by test — is in-window).
+# At 103 queries the 50-slot window holds the 46 never-driver-checked
+# head entries + q33 (store path changed this round).  First outside:
+# x20/x21 (index probes — their machinery is in-window via x29/x30/x27,
+# and probe ≡ query-time operator is pinned by tests/test_plans.py)
+# and x16 (r02 driver row; skewed twin x26 — pinned equal — is in).
 # x03/x04/x05/x14 (r01-green, rotated back in earlier this round) return
 # to the mid section: with 46 never-checked entries in the head, the
 # remaining 4 slots go to q33/x20/x21 (store paths changed this round)

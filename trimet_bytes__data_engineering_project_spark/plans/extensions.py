@@ -2568,3 +2568,53 @@ def x69_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+@query(
+    "x70_conversion_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL SELECT 'click_after_view', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL SELECT 'purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def x70_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each stage
+    counts users whose FIRST qualifying event follows their previous
+    stage's first event — the product-analytics query every event
+    pipeline serves.  Three min-aggs + two user-keyed equi-joins (all
+    two-phase, AQE broadcasts the shrinking stage tables); timestamp
+    comparisons on exact µs values, so both engines pick identical
+    stage populations."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None, prev_col: str | None, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, None, "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_buy")
+    rows = [
+        v.agg(F.count("*").alias("n_users")).select(F.lit("view").alias("stage"), "n_users"),
+        c.agg(F.count("*").alias("n_users")).select(
+            F.lit("click_after_view").alias("stage"), "n_users"
+        ),
+        p.agg(F.count("*").alias("n_users")).select(
+            F.lit("purchase_after_click").alias("stage"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
