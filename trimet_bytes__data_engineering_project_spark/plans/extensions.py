@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -2618,3 +2618,126 @@ def x70_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "x71_dedup_rate_by_source",
+    oracle="""
+    WITH h AS (SELECT source, md5(text) AS th FROM documents),
+    g AS (SELECT source, th, count(*) AS n FROM h GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct_texts,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_exact_dups,
+           CAST(CAST(sum(n) - count(*) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS dup_rate
+    FROM g GROUP BY source
+    """,
+)
+def x71_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the ingest-health monitor that
+    catches a crawler re-fetching a site: md5(text) two-phase group
+    (the shuffle carries 32-char hashes, never text), one more 1-row-
+    per-source agg, one IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", F.md5("text").alias("th"))
+        .groupBy("source", "th")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_distinct_texts"),
+        )
+        .withColumn("n_exact_dups", F.col("n_docs") - F.col("n_distinct_texts"))
+        .withColumn(
+            "dup_rate",
+            F.col("n_exact_dups").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+@query(
+    "x72_top_terms_global",
+    oracle="""
+    WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents),
+    c AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+    r AS (SELECT term, CAST(n AS BIGINT) AS n,
+                 row_number() OVER (ORDER BY n DESC, term) AS rn
+          FROM c)
+    SELECT term, n, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 20
+    """,
+)
+def x72_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 terms — the vocabulary-head monitor (stopword
+    drift, boilerplate takeover).  Token explode → two-phase count →
+    TakeOrderedAndProject over the (term, n) table (count-min sketch is
+    the documented sub-linear swap when even the distinct-term table is
+    too large); term tiebreak makes the selected set deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("term")
+    )
+    c = toks.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), "term")
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("term", "n", "rn")
+    )
+
+
+@query(
+    "x73_length_histogram",
+    oracle="""
+    SELECT CASE WHEN n_chars <= 100 THEN 0 WHEN n_chars <= 200 THEN 1
+                WHEN n_chars <= 400 THEN 2 WHEN n_chars <= 800 THEN 3
+                ELSE 4 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def x73_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution in doubling buckets (CASE ladder —
+    integer compares, engine-exact) — the shape monitor that catches
+    truncation bugs and boilerplate floods; one two-phase hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.lit(4)
+    for i, bound in [(3, 800), (2, 400), (1, 200), (0, 100)]:
+        b = F.when(F.col("n_chars") <= bound, F.lit(i)).otherwise(b)
+    return docs.groupBy(b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@query(
+    "x74_cross_source_dups",
+    oracle="""
+    WITH h AS (SELECT source, md5(text) AS th FROM documents),
+    d AS (SELECT th, count(DISTINCT source) AS n_sources FROM h GROUP BY 1)
+    SELECT CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_texts
+    FROM d GROUP BY 1
+    """,
+)
+def x74_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication profile: for each distinct text, how
+    many sources carry it — syndicated/boilerplate content shows up as
+    texts spanning many sources (the dedup-policy input: drop per
+    source or per corpus?).  Two two-phase aggs over 32-char hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select(F.md5("text").alias("th"), "source")
+        .groupBy("th")
+        .agg(F.countDistinct("source").cast("long").alias("n_sources"))
+    )
+    return d.groupBy("n_sources").agg(F.count("*").cast("long").alias("n_texts"))
