@@ -75,11 +75,13 @@ _WINDOW_HEAD = [
     "x70_conversion_funnel",
 ]
 
-# At 103 queries the 50-slot window holds the 46 never-driver-checked
-# head entries + q33 (store path changed this round).  First outside:
-# x20/x21 (index probes — their machinery is in-window via x29/x30/x27,
-# and probe ≡ query-time operator is pinned by tests/test_plans.py)
-# and x16 (r02 driver row; skewed twin x26 — pinned equal — is in).
+# At 107 queries the 50-slot window holds the 47 never-driver-checked
+# head entries (x22..x70) + q33 (store path changed this round).
+# First outside: x20/x21 (index probes — machinery in-window via
+# x29/x30/x27, probe ≡ query-time operator pinned by test_plans),
+# x16 (r02 driver row; skewed twin x26 — pinned equal — is in), and
+# the x71-x74 monitor tier (new this round, in-repo parity-swept,
+# queued for next round's rotation).
 # x03/x04/x05/x14 (r01-green, rotated back in earlier this round) return
 # to the mid section: with 46 never-checked entries in the head, the
 # remaining 4 slots go to q33/x20/x21 (store paths changed this round)
