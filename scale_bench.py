@@ -230,6 +230,74 @@ def _x58_knn(spark, d):
     )
 
 
+
+def ensure_scale_events(spark, scale_dir: str, copies: int) -> None:
+    """Replicate events into an existing scale dir (added after the
+    first build — marker-guarded separately so earlier dirs upgrade in
+    place).  user_id offsets per copy keep per-user event counts
+    realistic instead of creating 100x mega-users."""
+    marker = os.path.join(scale_dir, "_EVENTS_BUILT")
+    if os.path.exists(marker):
+        return
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    n_out = 32 if copies <= 10 else 128
+    ev_copies = [ev] + [
+        ev.select(
+            (F.col("event_id") + c * _ID_STRIDE).alias("event_id"),
+            "ts",
+            (F.col("user_id") + c * _ID_STRIDE).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for c in range(1, copies)
+    ]
+    _union_all(ev_copies).repartition(n_out).write.mode("overwrite").parquet(
+        f"{scale_dir}/events.parquet"
+    )
+    with open(marker, "w"):
+        pass
+
+
+def _x54_pipeline(spark, d):
+    # the end-to-end selection composite over the full scaled corpus;
+    # benchmark side stays the base copy's 20 docs
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import decontaminate
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        select_token_budget,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_linear_score,
+        token_count_col,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        hashed_linear_score(F.col("text")).alias("score"),
+    )
+    corpus = scored.filter((F.col("doc_id") >= 20) & (F.col("score") > 0.0))
+    bench = docs.filter(F.col("doc_id") < 20)
+    flagged = decontaminate(corpus, bench, n=5)
+    clean = corpus.join(F.broadcast(flagged), "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "score"
+    )
+    sel = select_token_budget(clean, "score", "doc_id", "n_tokens", 2_000_000)
+    return sel.agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks"))
+
+
+def _x63_sessions(spark, d):
+    from trimet_bytes__data_engineering_project_spark.functions.windows import sessionize
+
+    ev = spark.read.parquet(f"{d}/events.parquet")
+    s = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    return s.groupBy("user_id", "session_id").agg(F.count("*").alias("n")).agg(
+        F.count("*").alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
@@ -245,6 +313,8 @@ HEAVY = [
     ("x52_bloom_decontamination_full", _x52_bloom),
     ("x53_random_projection_full", _x53_rp),
     ("x58_knn_join_full", _x58_knn),
+    ("x54_pipeline_full", _x54_pipeline),
+    ("x63_sessions_full", _x63_sessions),
 ]
 
 
@@ -341,6 +411,7 @@ def main() -> None:
     dirs = {1: SF01}
     for copies in STEPS:
         dirs[copies] = build_scale_tables(spark, copies, rebuild=rebuild)
+        ensure_scale_events(spark, dirs[copies], copies)
 
     out: dict[str, dict[str, float]] = {}
     for name, fn in HEAVY:
