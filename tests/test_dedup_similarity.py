@@ -870,3 +870,38 @@ def test_normalize_text_idempotent_and_exact(spark):
         ).collect()
     }
     assert twice == out
+
+
+def test_monitor_tier_semantics(spark):
+    """x71/x74 on a crafted corpus: dup-rate counts exact text repeats
+    per source; the cross-source profile counts how many sources carry
+    each distinct text."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.extensions import (
+        x71_dedup_rate_by_source,
+        x74_cross_source_dups,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import _session_cache
+
+    rows = [
+        (1, "alpha", "en", "s1", 5),
+        (2, "alpha", "en", "s1", 5),   # dup within s1
+        (3, "beta", "en", "s1", 4),
+        (4, "alpha", "en", "s2", 5),   # alpha syndicated to s2
+        (5, "gamma", "en", "s2", 5),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    cache = _session_cache(spark)
+    cache[("_monitor_fixture", "documents")] = docs
+    try:
+        dr = {r["source"]: r for r in x71_dedup_rate_by_source(spark, "_monitor_fixture").collect()}
+        assert dr["s1"]["n_docs"] == 3 and dr["s1"]["n_exact_dups"] == 1
+        assert dr["s1"]["dup_rate"] == 1.0 / 3.0
+        assert dr["s2"]["n_exact_dups"] == 0
+        prof = {r["n_sources"]: r["n_texts"] for r in
+                x74_cross_source_dups(spark, "_monitor_fixture").collect()}
+        # alpha spans 2 sources; beta and gamma 1 each
+        assert prof == {2: 1, 1: 2}
+    finally:
+        del cache[("_monitor_fixture", "documents")]
