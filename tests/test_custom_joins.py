@@ -144,3 +144,32 @@ def test_sample_frames_survives_importable_av(monkeypatch):
     assert decoded is False
     assert frames == _stub_frames(raw, 4)
     assert 1 <= len(frames) <= 4
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance_us: a match older than the bound nulls out; an
+    in-bound match survives; equal-gap passes (<=); huge tolerance
+    reproduces the untolerated join exactly."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 2, 0, 0), 100),  # 1h after the quote → in
+            (1, datetime(2024, 1, 1, 5, 0, 0), 101),  # 4h after → stale
+            (2, datetime(2024, 1, 1, 1, 0, 0), 102),  # no quote ever → NULL
+        ],
+        ["k", "ts", "trade_id"],
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1, 0, 0), 7.0)], ["k", "ts", "px"]
+    )
+    out = {r["trade_id"]: r["px"] for r in
+           asof_join(left, right, "k", "ts", ["px"], tolerance_us=3_600_000_000).collect()}
+    assert out == {100: 7.0, 101: None, 102: None}
+    loose = asof_join(left, right, "k", "ts", ["px"], tolerance_us=10**15)
+    plain = asof_join(left, right, "k", "ts", ["px"])
+    assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, plain.collect()))

@@ -42,20 +42,30 @@ def asof_join(
     key: str,
     ts: str,
     payload_cols: list[str],
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: all ``left`` columns plus, for each payload
     column, the value from the latest ``right`` row at or before the
     left row's ``ts`` (NULL if none yet; a matched row's NULL payload
     is preserved as NULL).  ``left`` must not already contain the
-    payload columns."""
+    payload columns.
+
+    ``tolerance_us`` (pandas ``merge_asof(tolerance=...)`` parity):
+    when set, a match older than the left timestamp by more than this
+    many microseconds is discarded — stale quotes don't decorate fresh
+    trades.  Implemented by carrying the matched row's OWN timestamp in
+    the same struct and nulling the projection when the gap exceeds the
+    bound; plan shape is unchanged (still one union + one window, no
+    extra shuffle)."""
     l_tag = left.withColumn("_side", F.lit(1))
-    # the carry marker: a struct of the payload columns, built ONLY on
-    # right rows — non-null iff a right row exists, independent of
-    # whether its payload values are null
+    # the carry marker: a struct of (right ts, payload columns), built
+    # ONLY on right rows — non-null iff a right row exists, independent
+    # of whether its payload values are null; the embedded ts feeds the
+    # tolerance check
     r_tag = (
         right.select(key, ts, *payload_cols)
         .withColumn("_side", F.lit(0))
-        .withColumn("_r", F.struct(*payload_cols))
+        .withColumn("_r", F.struct(F.col(ts).alias("_rts"), *payload_cols))
         .drop(*payload_cols)
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
@@ -66,6 +76,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("_r", ignorenulls=True).over(w)
+    if tolerance_us is not None:
+        gap = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
+            carried["_rts"].cast("timestamp")
+        )
+        carried = F.when(gap <= tolerance_us, carried)
     kept = [c for c in left.columns]
     projected = [carried[c].alias(c) for c in payload_cols]
     return (

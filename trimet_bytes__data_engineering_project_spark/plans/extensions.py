@@ -2741,3 +2741,38 @@ def x74_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("source").cast("long").alias("n_sources"))
     )
     return d.groupBy("n_sources").agg(F.count("*").cast("long").alias("n_texts"))
+
+
+@query(
+    "x75_asof_tolerance",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         v1 AS (SELECT user_id, ts, max(event_id) AS view_id
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT c.event_id,
+           CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+                THEN v.view_id END AS view_id
+    FROM clicks c ASOF LEFT JOIN v1 v ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def x75_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x16's as-of join with a 1-hour tolerance (pandas ``merge_asof
+    (tolerance=...)`` parity): a click more than an hour after the
+    user's latest view gets NULL instead of a stale attribution.  The
+    latest match is always the closest, so "latest, then discard if
+    stale" ≡ "latest within the window" — the oracle states it as a
+    post-filter on DuckDB's native ASOF join; plan shape unchanged
+    (one union + one keyed window, no extra shuffle)."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return asof_join(
+        clicks, views, key="user_id", ts="ts", payload_cols=["view_id"],
+        tolerance_us=3_600_000_000,
+    ).select("event_id", "view_id")
