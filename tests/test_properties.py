@@ -357,3 +357,29 @@ def test_unigram_surprisal_bounds(spark, texts):
     assert {r["doc_id"] for r in rows} == {i for i, ts in enumerate(toks) if ts}
     for r in rows:
         assert 1.0 <= r["avg_surprisal"] <= float(n_total)
+
+
+@given(
+    st.lists(docs.filter(lambda t: len(t.split()) >= 5), min_size=2, max_size=12),
+    st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_bloom_decontaminate_never_misses(spark, texts, k):
+    """The Bloom law: for ANY corpus/benchmark split and any k, the
+    prefiltered decontamination equals the exact one — a Bloom filter
+    has false positives (killed by the confirm join) but never false
+    negatives, so no contaminated document can slip through."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    bench = df.filter(F.col("doc_id") == 0)
+    corpus = df.filter(F.col("doc_id") > 0)
+    a = sorted(r["doc_id"] for r in
+               bloom_decontaminate(corpus, bench, n=3, m_bits=256, k=k).collect())
+    b = sorted(r["doc_id"] for r in decontaminate(corpus, bench, n=3).collect())
+    assert a == b
