@@ -2776,3 +2776,48 @@ def x75_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, key="user_id", ts="ts", payload_cols=["view_id"],
         tolerance_us=3_600_000_000,
     ).select("event_id", "view_id")
+
+
+@query(
+    "x76_sliding_window_avg",
+    oracle="""
+    WITH h AS (SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1)
+    SELECT hour_us, n,
+           CAST(sum(n) OVER w AS BIGINT) AS n_3h,
+           CAST(count(*) OVER w AS BIGINT) AS hours_present,
+           CAST(CAST(sum(n) OVER w AS BIGINT) AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) AS avg_3h
+    FROM h
+    WINDOW w AS (ORDER BY hour_us
+                 RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def x76_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding RANGE-frame window (3-hour moving event-rate average) —
+    the bounded time-frame surface q04's cumulative window doesn't
+    cover; gaps in the hour sequence are handled by the RANGE frame
+    (a missing hour simply isn't in the window — the rows-frame
+    formulation would silently average the wrong hours).
+
+    Scale note: the window is ordered over the HOURLY aggregate (tiny —
+    hours, not events), so the single-partition window sort is
+    bounded; at fleet scale the same frame runs partitioned per entity.
+    Integer window sums + one IEEE division per row keep both engines
+    bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        epoch_us(F.date_trunc("hour", F.col("ts"))).alias("hour_us")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("hour_us").rangeBetween(-7_200_000_000, 0)
+    return hourly.select(
+        "hour_us",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_3h"),
+        F.count("*").over(w).cast("long").alias("hours_present"),
+        (
+            F.sum("n").over(w).cast("long").cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("avg_3h"),
+    )
