@@ -2821,3 +2821,36 @@ def x76_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").over(w).cast("double")
         ).alias("avg_3h"),
     )
+
+
+@query(
+    "x77_daily_growth",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    g AS (SELECT day, n, lag(n) OVER (ORDER BY day) AS prev FROM d)
+    SELECT day, n, CAST(prev AS BIGINT) AS prev,
+           CAST(n - prev AS BIGINT) AS delta,
+           CAST((n - prev) * 10000 // prev AS BIGINT) AS growth_bp
+    FROM g
+    """,
+)
+def x77_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume growth monitor: daily counts, lag delta, and
+    growth in integer basis points (``(n-prev)*10000 div prev`` — exact
+    where a float percentage could differ in the last ulp); first day's
+    lag is NULL in both engines.  The window orders the DAILY table
+    (tiny), not events."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.orderBy("day")
+    g = d.withColumn("prev", F.lag("n").over(w).cast("long"))
+    return g.select(
+        "day",
+        "n",
+        "prev",
+        (F.col("n") - F.col("prev")).cast("long").alias("delta"),
+        F.expr("(n - prev) * 10000 div prev").cast("long").alias("growth_bp"),
+    )
