@@ -2854,3 +2854,49 @@ def x77_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("prev")).cast("long").alias("delta"),
         F.expr("(n - prev) * 10000 div prev").cast("long").alias("growth_bp"),
     )
+
+
+@query(
+    "x78_grouped_percentile_rank",
+    oracle="""
+    WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(rank() OVER (PARTITION BY d.lang ORDER BY d.n_chars DESC) AS BIGINT)
+             AS rank,
+           CASE WHEN n.n > 1
+                THEN CAST(rank() OVER (PARTITION BY d.lang ORDER BY d.n_chars DESC) - 1
+                          AS DOUBLE) / CAST(n.n - 1 AS DOUBLE)
+                ELSE 0.0 END AS pct
+    FROM documents d JOIN n ON d.lang = n.lang
+    """,
+)
+def x78_grouped_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile calibration — x57's sort-free two-phase
+    rank decomposition with every stage partitioned by the group key:
+    per-(lang, score) counts, prefix window over each language's
+    distinct-score table, broadcast join back.  The within-group
+    calibration a multilingual pipeline needs before mixing quality
+    scores across languages (a 'long' doc in zh is not a 'long' doc in
+    en).  Ties share the min rank exactly like SQL rank()."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    counts = docs.groupBy("lang", "n_chars").agg(F.count("*").cast("long").alias("_c"))
+    w_pre = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = counts.withColumn("_better", F.coalesce(F.sum("_c").over(w_pre), F.lit(0)))
+    totals = counts.groupBy("lang").agg(F.sum("_c").cast("long").alias("_n"))
+    return (
+        docs.join(F.broadcast(pre.select("lang", "n_chars", "_better")), ["lang", "n_chars"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn("rank", (F.col("_better") + 1).cast("long"))
+        .withColumn(
+            "pct",
+            F.when(
+                F.col("_n") > 1,
+                F.col("_better").cast("double") / (F.col("_n") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("doc_id", "lang", "n_chars", "rank", "pct")
+    )
