@@ -164,3 +164,81 @@ def test_dedup_within_watermark_drops_cross_batch_redeliveries(spark, tmp_path):
     assert got.count() == got.select(*keys).distinct().count()
     batch = read_breadcrumb_json(spark, str(landing))
     assert got.count() == batch.select(*keys).distinct().count()
+
+
+def test_hourly_rollup_appends_only_finalized_windows(spark, tmp_path):
+    """T4 late-data contract, append mode: a window is emitted exactly
+    once, when the watermark (max event time − lateness) passes its
+    end — records later than that are dropped from the result rather
+    than mutating an already-emitted row.  Two micro-batches
+    (maxFilesPerTrigger=1): batch 2's fresh data advances the
+    watermark past hour-0, so hour-0 is finalized WITHOUT batch 2's
+    straggler; windows the watermark never passes stay in state and
+    are not emitted at stream end (availableNow)."""
+    import json as _json
+
+    from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
+        hourly_rollup,
+        streaming_breadcrumbs,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def rec(act_time):
+        return {
+            "EVENT_NO_TRIP": 1, "EVENT_NO_STOP": 1, "OPD_DATE": "01JAN2024:00:00:00",
+            "VEHICLE_ID": 1, "METERS": 0, "ACT_TIME": act_time,
+            "GPS_LONGITUDE": 0.0, "GPS_LATITUDE": 0.0, "GPS_SATELLITES": 5, "GPS_HDOP": 1.0,
+        }
+
+    # batch 1: two readings in hour 0 (00:10, 00:20); batch 2: fresh
+    # data at 05:00 (the watermark for batch 3 becomes 04:00 under 1h
+    # lateness → hour 0 finalizes); batch 3: a straggler back in hour 0
+    # — now later than the watermark, dropped.  (The watermark a batch
+    # runs under comes from data through the PREVIOUS batch, so the
+    # straggler must arrive one batch after the advancing data.)
+    import os as _os
+
+    for i, (name, times) in enumerate(
+        [
+            ("a.json", (600, 1200)),
+            ("b.json", (5 * 3600,)),
+            ("c.json", (6 * 3600,)),  # spacer: the wm FILTER lags the
+            # reported wm by one batch, so the straggler needs two
+            # batches after the advancing data
+            ("d.json", (1800,)),
+        ]
+    ):
+        with open(landing / name, "w") as f:
+            for t in times:
+                f.write(_json.dumps(rec(t)) + "\n")
+        _os.utime(landing / name, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    from trimet_bytes__data_engineering_project_spark.schemas import BREADCRUMB_RAW
+
+    s = (
+        spark.readStream.schema(BREADCRUMB_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = (
+        hourly_rollup(s, lateness="1 hour")
+        .writeStream.format("memory")
+        .queryName("rollup_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["hour_start"]): r["n_readings"]
+        for r in spark.sql("SELECT * FROM rollup_append").collect()
+    }
+    # hour 0 emitted with batch 1's two readings only — the final
+    # straggler ran under wm 04:00 and was dropped.  hours 5 and 6
+    # stay unemitted: the last watermark (05:00, from the 06:00 data
+    # minus 1h lateness) never passed their window ends — append mode
+    # withholds unfinalized windows rather than emitting provisional
+    # rows it would have to retract
+    assert got == {"2024-01-01 00:00:00": 2}
