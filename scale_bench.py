@@ -298,6 +298,29 @@ def _x63_sessions(spark, d):
     )
 
 
+
+def _cc_distributed(spark, d):
+    # connected components over the scaled near-dup pair graph with the
+    # small-graph fast path DISABLED — measures the iterative
+    # label-propagation rounds themselves (the path a >50K-edge graph
+    # takes in production); pairs come from the same sized-blocking
+    # flow as embedding_near_dup_lsh_full
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        connected_components,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_planes = max(4, (max(1, n // 125) - 1).bit_length())
+    pairs = embedding_near_dup_lsh(emb, threshold=0.35, dim=64, n_planes=n_planes)
+    comp = connected_components(pairs.select("a_id", "b_id"), small_graph_threshold=0)
+    return comp.agg(F.count("*").alias("n_nodes"),
+                    F.countDistinct("cluster_id").alias("n_clusters"))
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
@@ -315,6 +338,7 @@ HEAVY = [
     ("x58_knn_join_full", _x58_knn),
     ("x54_pipeline_full", _x54_pipeline),
     ("x63_sessions_full", _x63_sessions),
+    ("cc_distributed_full", _cc_distributed),
 ]
 
 

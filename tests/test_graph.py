@@ -113,3 +113,23 @@ def test_cluster_dedup_keeps_one_representative_with_size(spark):
         for r in cluster_dedup(docs, "doc_id", comp).collect()
     }
     assert got == {1: 3, 7: 2, 4: 1, 5: 1}
+
+
+def test_small_graph_fast_path_equals_distributed(spark):
+    """The driver-side union-find fast path returns exactly the
+    distributed label-propagation result (same min-id labels) on a
+    graph with chains, cliques, and singletons-in-pairs; threshold 0
+    forces the distributed path."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, ["a_id", "b_id"])
+    fast = {(r["node"], r["cluster_id"]) for r in connected_components(pairs).collect()}
+    dist = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert fast == dist
+    assert ({(1, 1), (2, 1), (3, 1), (4, 1), (30, 30), (31, 30)} <= fast)

@@ -40,6 +40,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 25,
+    small_graph_threshold: int = 50_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``, where
     ``cluster_id`` is the minimum node id reachable through the pair
@@ -49,7 +50,47 @@ def connected_components(
     component diameter); convergence normally exits far earlier.
     Raises if labels have not stabilized after ``max_iter`` rounds
     rather than returning a partially-propagated clustering.
-    """
+
+    Adaptive small-graph fast path: candidate-pair graphs are post-
+    blocking artifacts, usually ≪ the corpus, and each distributed
+    round costs a fixed multiple of Spark's job latency regardless of
+    size.  When the edge list is at most ``small_graph_threshold``
+    rows it is collected (two longs per edge — 50 K edges ≈ 800 KB)
+    and labeled with driver-side union-find; the result is IDENTICAL
+    (min-id labels, pinned by test against the distributed path).
+    This is the same adaptive size-based physical choice AQE makes for
+    broadcast joins — the iterative path stays the default above the
+    threshold and is what scale_bench exercises.  Pass ``0`` to force
+    the distributed path."""
+    if small_graph_threshold > 0:
+        n_edges = pairs.limit(small_graph_threshold + 1).count()
+        if n_edges <= small_graph_threshold:
+            rows = pairs.select(
+                F.col(a_col).cast("long"), F.col(b_col).cast("long")
+            ).collect()
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in rows:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id so the final label is the
+                    # component minimum without a second pass
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            labeled = [(n, find(n)) for n in parent]
+            return pairs.sparkSession.createDataFrame(
+                labeled, "node long, cluster_id long"
+            )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
