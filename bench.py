@@ -1,8 +1,18 @@
 """Benchmark runner — driver contract (see repo brief).
 
 Runs the full registered query corpus at ``$SPARK_GRAFT_SF_DIR``
-(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
-prints ONE JSON line with per-query wall seconds.
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Output protocol (BENCH_r03 post-mortem: the driver's tail capture is
+~2 KB, and one JSON line with 111 per-query timings is ~8 KB, so the
+headline ``value`` was truncated away and the round had no official
+bench number):
+
+* the FULL per-query map is printed as its own JSON line first and
+  mirrored to ``BENCH_DETAIL.json`` next to this script;
+* the FINAL printed line is a compact summary (headline value, query
+  count, the slowest queries only) guaranteed to fit a small tail
+  capture.
 """
 
 from __future__ import annotations
@@ -33,31 +43,57 @@ def main() -> None:
     for warm in ("q01_count_on_date", "q11_trips_per_date_dayname", "x14_multimodal_features"):
         QUERIES[warm](spark, sf_dir).collect()
 
-    # Per-query time = min of 2 consecutive runs: local[32] on a shared
+    # Per-query time = min of consecutive runs: local[32] on a shared
     # box shows ±15% scheduling/GC jitter at sub-second query scales,
-    # and min-of-2 is the standard way to measure the plan, not the
-    # noise.  Each run re-plans and re-scans (no .cache() anywhere).
+    # and min-of-N measures the plan, not the noise.  Queries whose
+    # best exceeds 1 s get a third run (the >1 s tier showed up to
+    # 2.4× run-to-run spread in round 3, enough to fake a regression),
+    # and every query reports its spread = (max-min)/min so a reader
+    # can tell a real 1.5× regression from scheduler noise.  Each run
+    # re-plans and re-scans (no .cache() anywhere).
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in sorted(QUERIES):
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        if min(runs) > 1.0:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
+        spreads[name] = round((max(runs) - min(runs)) / min(runs), 3)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "query_corpus_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "per_query_seconds",
+        "queries": timings,
+        "spread_frac_of_min": spreads,
+        "sf": sf,
+    }
+    # Full map: own stdout line (NOT last) + sidecar file.
+    print(json.dumps(detail))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # sidecar is best-effort; stdout line already has the map
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    summary = {
+        "metric": "query_corpus_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "max_spread_frac": max(spreads.values()) if spreads else 0.0,
+    }
+    # Compact summary LAST so a small tail capture always sees `value`.
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -51,6 +51,16 @@ def test_oracle_parity(name, spark, duck):
     )
     assert len(spark_df) == len(duck_df), f"{name}: {len(spark_df)} vs {len(duck_df)} rows"
     left, right = canonical(spark_df), canonical(duck_df)
+    # The driver's value-hash distinguishes 1 from 1.0 (r03's x24 red row was a
+    # DuckDB HUGEINT-window-sum -> float64 artifact with identical values), so
+    # a float/non-float dtype-class mismatch must fail locally even when values
+    # compare equal under check_dtype=False.
+    for c in left.columns:
+        lf, rf = left[c].dtype.kind == "f", right[c].dtype.kind == "f"
+        assert lf == rf, (
+            f"{name}.{c}: dtype-class mismatch {left[c].dtype} vs {right[c].dtype}"
+            " — driver hash would flag this even with equal values"
+        )
     pd.testing.assert_frame_equal(left, right, check_dtype=False, check_exact=True)
 
 

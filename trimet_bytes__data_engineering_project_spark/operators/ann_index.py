@@ -225,16 +225,23 @@ def kmeans_centroids(
 
     Each Lloyd iteration is: assign = broadcast-centroid crossJoin +
     rank-1 window (identical shape to the IVF assignment itself, so it
-    costs what one index build costs); update = ``posexplode`` the
-    vector and average per (centroid_id, dim) — a dimension-INDEPENDENT
-    two-column agg (the per-dimension ``avg(v[i])`` column fan-out it
-    replaces builds a thousand-column aggregate at dim=768+, which
-    chokes codegen; this shape is the same plan at dim 8 or 8192).  The
-    updated centroids (n_c × dim doubles — a few KB) are collected and
-    re-broadcast per iteration, keeping every iteration's plan shallow
-    instead of stacking crossJoins.  The whole procedure is
-    deterministic given the corpus; empty clusters simply drop out
-    (their id stops appearing), matching standard Lloyd behavior."""
+    costs what one index build costs); update = a deterministic
+    TWO-LEVEL sequential fold — members fold in vec_id order inside
+    fixed ``vec_id DIV 1024`` chunks, then the per-chunk partial sums
+    fold in chunk order — so the mean is bit-stable across runs,
+    partitionings and engines (float addition is not associative; the
+    ``posexplode → avg`` shape this replaces drifts in the last ulp
+    depending on which partition merges first, which is why x27 could
+    never carry an oracle before round 4).  Memory stays bounded at
+    scale: level 1 holds ≤1024 vectors per group, level 2 one partial
+    sum per chunk — never a whole inverted list in one buffer.  The
+    fold is array-op codegen, dimension-independent (same plan at dim
+    8 or 8192).  The updated centroids (n_c × dim doubles — a few KB)
+    are collected and re-broadcast per iteration, keeping every
+    iteration's plan shallow instead of stacking crossJoins.  The whole
+    procedure is deterministic given the corpus; empty clusters simply
+    drop out (their id stops appearing), matching standard Lloyd
+    behavior."""
     import numpy as np
     from pyspark.sql import Window
 
@@ -254,6 +261,8 @@ def kmeans_centroids(
         [(sids[c], [float(x) for x in mat[c]]) for c in chosen],
         "centroid_id long, cvec array<double>",
     )
+    chunk = F.expr("vec_id DIV 1024").alias("chunk")
+    member = F.struct(F.col("vec_id").alias("i"), F.col("v").alias("v")).alias("m")
     for _ in range(n_iter):
         assigned = (
             data.crossJoin(F.broadcast(cents))
@@ -261,13 +270,31 @@ def kmeans_centroids(
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
         best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        new = (
-            best.select("centroid_id", F.posexplode("v").alias("dim", "val"))
-            .groupBy("centroid_id", "dim")
-            .agg(F.avg("val").alias("c"))
+        lvl1 = (
+            best.select("centroid_id", chunk, member)
+            .groupBy("centroid_id", "chunk")
+            .agg(F.sort_array(F.collect_list("m")).alias("ms"), F.count("*").alias("pn"))
+        )
+        zero1 = F.transform(F.element_at(F.col("ms"), 1)["v"], lambda x: F.lit(0.0))
+        psum = F.aggregate(
+            F.col("ms"), zero1, lambda acc, m: F.zip_with(acc, m["v"], lambda a, b: a + b)
+        )
+        lvl2 = (
+            lvl1.select(
+                "centroid_id",
+                F.struct(F.col("chunk").alias("c"), psum.alias("s")).alias("p"),
+                "pn",
+            )
             .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
-            .select("centroid_id", F.col("pairs.c").alias("cvec"))
+            .agg(F.sort_array(F.collect_list("p")).alias("ps"), F.sum("pn").alias("n"))
+        )
+        zero2 = F.transform(F.element_at(F.col("ps"), 1)["s"], lambda x: F.lit(0.0))
+        total = F.aggregate(
+            F.col("ps"), zero2, lambda acc, p: F.zip_with(acc, p["s"], lambda a, b: a + b)
+        )
+        new = lvl2.select(
+            "centroid_id",
+            F.transform(total, lambda x: x / F.col("n").cast("double")).alias("cvec"),
         )
         rows = new.collect()  # n_c rows — the per-iteration driver sync of Lloyd
         cents = spark.createDataFrame(

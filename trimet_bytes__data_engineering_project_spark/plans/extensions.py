@@ -369,7 +369,7 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 # bump when index-building logic changes: the scratch dir outlives a code
 # round (gitignored, build-once), and a stale layout must never serve a
 # probe built by newer code
-_INDEX_VERSION = "v3"
+_INDEX_VERSION = "v4"  # v4: kmeans Lloyd update became the deterministic two-level fold
 
 _DATA_TAG_CACHE: dict[str, str] = {}
 
@@ -1032,14 +1032,98 @@ def x26_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "view_id")
 
 
-@query("x27_ann_ivf_kmeans_probe")  # no SQL oracle: iterative k-means (rows-only check)
+def _build_kmeans_ivf_oracle(n_centroids: int = 16, n_iter: int = 3, k: int = 5) -> str:
+    """The ENTIRE trained-IVF lifecycle as one DuckDB statement — the
+    hard correctness signal x27 lacked for three rounds.  k-means is
+    iterative but its iteration count is FIXED (3), so the loop unrolls
+    into chained CTEs: 15 farthest-first seed-selection steps, then
+    per-iteration (argmax-cosine assignment -> two-level deterministic
+    fold mean), then the final assignment (what ``write_ivf_index``
+    persists) and the probe-1 top-k.  Bit parity holds because every
+    float op mirrors the Spark side exactly: cosines are the
+    ``_cos_sql`` sequential fold (the shape x21 proved hash-green) and
+    the Lloyd mean is the same two-level vec_id-then-chunk-ordered fold
+    ``ann_index.kmeans_centroids`` switched to in round 4 — the old
+    ``posexplode -> avg`` update had engine-dependent partial-agg order,
+    which is exactly why no oracle was possible before."""
+
+    def fold_vec(lst: str) -> str:
+        return (
+            f"list_reduce(list_prepend(list_transform({lst}[1], x -> 0.0), {lst}), "
+            "(acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2]))"
+        )
+
+    parts = [
+        f"samp AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 256)",
+        "s1 AS MATERIALIZED (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 1)",
+    ]
+    for j in range(2, n_centroids + 1):
+        parts.append(
+            f"p{j} AS MATERIALIZED (SELECT s.vec_id, s.v FROM samp s "
+            f"WHERE s.vec_id NOT IN (SELECT vec_id FROM s{j - 1}) "
+            f"ORDER BY (SELECT max({_cos_sql('s.v', 'c.v')}) FROM s{j - 1} c) ASC, "
+            f"s.vec_id ASC LIMIT 1)"
+        )
+        parts.append(f"s{j} AS MATERIALIZED (SELECT * FROM s{j - 1} UNION ALL SELECT * FROM p{j})")
+    parts.append(
+        f"cents0 AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cvec FROM s{n_centroids})"
+    )
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"asgA{i} AS MATERIALIZED (SELECT e.vec_id, e.v, c.centroid_id, "
+            f"row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.centroid_id) AS rn "
+            f"FROM e CROSS JOIN cents{i - 1} c)"
+        )
+        parts.append(f"asg{i} AS MATERIALIZED (SELECT vec_id, v, centroid_id FROM asgA{i} WHERE rn = 1)")
+        parts.append(
+            f"u1_{i} AS MATERIALIZED (SELECT centroid_id, vec_id // 1024 AS chunk, "
+            f"list(v ORDER BY vec_id) AS vs, count(*) AS pn FROM asg{i} GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"u2_{i} AS MATERIALIZED (SELECT centroid_id, chunk, {fold_vec('vs')} AS psum, pn FROM u1_{i})"
+        )
+        parts.append(
+            f"u3_{i} AS MATERIALIZED (SELECT centroid_id, list(psum ORDER BY chunk) AS ps, "
+            f"CAST(sum(pn) AS BIGINT) AS n FROM u2_{i} GROUP BY 1)"
+        )
+        parts.append(
+            f"cents{i} AS MATERIALIZED (SELECT centroid_id, "
+            f"list_transform({fold_vec('ps')}, x -> x / CAST(n AS DOUBLE)) AS cvec "
+            f"FROM u3_{i})"
+        )
+    parts.append(
+        f"fasgA AS MATERIALIZED (SELECT e.vec_id, e.v, c.centroid_id, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.centroid_id) AS rn "
+        f"FROM e CROSS JOIN cents{n_iter} c)"
+    )
+    parts.append("fasg AS MATERIALIZED (SELECT vec_id, v, centroid_id FROM fasgA WHERE rn = 1)")
+    parts.append(
+        f"qc AS MATERIALIZED (SELECT centroid_id FROM cents{n_iter} "
+        f"ORDER BY {_cos_sql('cvec', '(SELECT qv FROM q)')} DESC, centroid_id LIMIT 1)"
+    )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),\n"
+        f"q AS MATERIALIZED (SELECT {_QV_SQL} AS qv),\n"
+        f"{ctes}\n"
+        f"SELECT vec_id, {_cos_sql('v', '(SELECT qv FROM q)')} AS cos_sim "
+        f"FROM fasg JOIN qc USING (centroid_id) "
+        f"ORDER BY cos_sim DESC, vec_id LIMIT {k}"
+    )
+
+
+@query("x27_ann_ivf_kmeans_probe", oracle=_build_kmeans_ivf_oracle())
 def x27_ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED IVF lifecycle end-to-end: k-means coarse quantizer
     (farthest-first init + Lloyd as DataFrame ops), index written as
-    inverted-list partitions, probe-1 over the pruned scan.  k-means is
-    iterative and not SQL-expressible, so this entry carries no oracle
-    (driver records the rows-only check); the untrained twin x21 is the
-    hash-checked path, and pytest pins trained recall ≥ untrained."""
+    inverted-list partitions, probe-1 over the pruned scan.  Oracle-
+    backed since round 4: the fixed-iteration k-means unrolls into
+    chained CTEs (see ``_build_kmeans_ivf_oracle``), possible because
+    the Lloyd update is now a deterministic two-level sequential fold
+    — bit-identical across Spark and DuckDB like every other float op
+    in the ANN tier."""
     from ..operators.ann_index import (
         ensure_index,
         ivf_index_probe,
@@ -1122,7 +1206,7 @@ def x23_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
           FROM t)
-    SELECT shard, (running_tokens - 1) // 2048 AS pack_id,
+    SELECT shard, CAST((running_tokens - 1) // 2048 AS BIGINT) AS pack_id,
            count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM r GROUP BY 1, 2
     """,
