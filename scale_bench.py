@@ -31,7 +31,7 @@ from functools import reduce
 
 from pyspark.sql import functions as F
 
-from trimet_bytes__data_engineering_project_spark.plans import QUERIES
+from trimet_bytes__data_engineering_project_spark.plans import QUERIES, load_table
 from trimet_bytes__data_engineering_project_spark.session import get_session
 
 SF01 = "/root/testdata/sf0.1"
@@ -239,7 +239,11 @@ def ensure_scale_events(spark, scale_dir: str, copies: int) -> None:
     marker = os.path.join(scale_dir, "_EVENTS_BUILT")
     if os.path.exists(marker):
         return
-    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    # load_table, not a raw read: it branches on the scanned ts dtype so
+    # both testdata generations (TIMESTAMP(NANOS) needing nanosAsLong vs
+    # native MICROS) normalize to the same µs TIMESTAMP_NTZ before the
+    # copies are written
+    ev = load_table(spark, SF01, "events")
     n_out = 32 if copies <= 10 else 128
     ev_copies = [ev] + [
         ev.select(
@@ -291,7 +295,10 @@ def _x54_pipeline(spark, d):
 def _x63_sessions(spark, d):
     from trimet_bytes__data_engineering_project_spark.functions.windows import sessionize
 
-    ev = spark.read.parquet(f"{d}/events.parquet")
+    # scaled events were written by ensure_scale_events from load_table
+    # output (µs TIMESTAMP_NTZ), but dirs built before that fix may hold
+    # the raw old-generation layout — load_table normalizes either
+    ev = load_table(spark, d, "events")
     s = sessionize(ev, "user_id", "ts", 1800, "event_id")
     return s.groupBy("user_id", "session_id").agg(F.count("*").alias("n")).agg(
         F.count("*").alias("n_sessions"), F.sum("n").alias("n_events")

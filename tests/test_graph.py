@@ -133,3 +133,22 @@ def test_small_graph_fast_path_equals_distributed(spark):
     }
     assert fast == dist
     assert ({(1, 1), (2, 1), (3, 1), (4, 1), (30, 30), (31, 30)} <= fast)
+
+def test_cc_null_edges_dropped_and_schema_stable_both_paths(spark):
+    """An edge with a NULL endpoint is no edge (it used to crash the
+    fast path's driver union-find with a None comparison and silently
+    half-join in the distributed path), and both paths return the same
+    `node long, cluster_id long` schema regardless of input int width
+    or which branch ran."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (None, 3), (4, None), (2, 5)]
+    pairs = spark.createDataFrame(edges, "a_id int, b_id int")  # int, not long
+    for threshold in (50_000, 0):
+        comp = connected_components(pairs, small_graph_threshold=threshold)
+        assert [f.dataType.simpleString() for f in comp.schema.fields] == ["bigint", "bigint"]
+        got = {(r["node"], r["cluster_id"]) for r in comp.collect()}
+        # 3 and 4 only appeared on null edges -> not nodes at all
+        assert got == {(1, 1), (2, 1), (5, 1)}

@@ -61,13 +61,23 @@ def connected_components(
     This is the same adaptive size-based physical choice AQE makes for
     broadcast joins — the iterative path stays the default above the
     threshold and is what scale_bench exercises.  Pass ``0`` to force
-    the distributed path."""
+    the distributed path.
+
+    An edge with a NULL endpoint is no edge: both paths drop it up
+    front (a null id would crash the driver union-find's comparisons
+    and silently half-join in the distributed path), and both paths
+    return the same ``node long, cluster_id long`` schema regardless
+    of which one ran or what integer width the input ids had."""
+    pairs = pairs.select(
+        F.col(a_col).cast("long").alias(a_col), F.col(b_col).cast("long").alias(b_col)
+    ).where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     if small_graph_threshold > 0:
-        n_edges = pairs.limit(small_graph_threshold + 1).count()
-        if n_edges <= small_graph_threshold:
-            rows = pairs.select(
-                F.col(a_col).cast("long"), F.col(b_col).cast("long")
-            ).collect()
+        # ONE job decides the branch and feeds the fast path: collect at
+        # most threshold+1 edges; the branch and the collected data can
+        # never disagree (a limit().count() probe followed by a separate
+        # full collect could, under a nondeterministic upstream)
+        rows = pairs.limit(small_graph_threshold + 1).collect()
+        if len(rows) <= small_graph_threshold:
             parent: dict[int, int] = {}
 
             def find(x: int) -> int:

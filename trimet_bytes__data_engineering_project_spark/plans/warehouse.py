@@ -295,7 +295,12 @@ def load_audit(tables: dict[str, DataFrame]) -> dict[str, int]:
     return {name: df.count() for name, df in tables.items()}
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    broadcast_keys: bool = True,
+) -> DataFrame:
     """MERGE-shaped upsert as a declarative plan — ``WHEN MATCHED THEN
     UPDATE, WHEN NOT MATCHED THEN INSERT`` semantics plain parquet
     tables lack (the reference's COPY aborts on PK collision, SURVEY
@@ -309,13 +314,17 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> Da
     schemas must match.
 
     Scale shape: one LEFT ANTI join of base against the update keys (on
-    the key columns only — AQE broadcasts typical daily-batch sizes,
-    and a key-partitioned layout makes it a co-located join) plus a
-    union — base rows stream through untouched, nothing is shuffled
-    unless the anti join needs it.  Combined with
+    the key columns only) plus a union — base rows stream through
+    untouched, nothing is shuffled unless the anti join needs it.
+    ``broadcast_keys=True`` (default) force-hints the key set, right
+    for the typical daily batch whose distinct keys fit an executor;
+    pass ``False`` for a backfill-sized batch so AQE picks a shuffled
+    (or, on a key-partitioned layout, co-located) anti join instead of
+    failing the broadcast size limit.  Combined with
     ``compact_partition``'s commit protocols this is the rewrite step
     of a keyed table service."""
-    survivors = base.join(
-        F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"
-    )
+    keys = updates.select(*key_cols).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    survivors = base.join(keys, key_cols, "left_anti")
     return updates.unionByName(survivors)
