@@ -231,6 +231,50 @@ def _x58_knn(spark, d):
 
 
 
+def _x59_knn_multiprobe(spark, d):
+    # x58 with the Hamming-radius-1 recall dial: the probe-set explode
+    # multiplies the join's LEFT side by (1 + n_planes) — with n_planes
+    # growing by the lg(n/125) rule the multiplier itself grows
+    # logarithmically with the corpus, so the expected envelope is
+    # slightly super-linear in rows and this row makes that measured
+    # rather than assumed (round-3 verdict item 6)
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_planes = max(4, (max(1, n // 125) - 1).bit_length())
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    c = emb.filter(F.col("vec_id") % 10 != 0)
+    return knn_join(q, c, dim=64, k=3, n_planes=n_planes, hamming_radius=1).agg(
+        F.count("*").alias("n_pairs"), F.sum("cos_sim").alias("s")
+    )
+
+
+def _x60_recall_audit(spark, d):
+    # recall audit at scale: the exact side is a broadcast cross join
+    # sample x corpus, so a FIXED-RATE sample (x60's % 50 at sf0.1)
+    # would grow the audit quadratically with the corpus.  Production
+    # contract: the audit budget is a fixed QUERY COUNT — the sampling
+    # modulus scales with n to hold ~128 audited queries at any corpus
+    # size, leaving the cross join linear in corpus rows (same
+    # budget-not-rate shape as x60's docstring states)
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        ann_recall_audit,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_planes = max(4, (max(1, n // 125) - 1).bit_length())
+    modulus = max(50, n // 128)
+    sample = emb.filter(F.col("vec_id") % modulus == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    return ann_recall_audit(sample, corpus, dim=64, k=3, n_planes=n_planes).agg(
+        F.count("*").alias("n_queries"), F.avg("recall").alias("mean_recall")
+    )
+
+
 def ensure_scale_events(spark, scale_dir: str, copies: int) -> None:
     """Replicate events into an existing scale dir (added after the
     first build — marker-guarded separately so earlier dirs upgrade in
@@ -343,6 +387,8 @@ HEAVY = [
     ("x52_bloom_decontamination_full", _x52_bloom),
     ("x53_random_projection_full", _x53_rp),
     ("x58_knn_join_full", _x58_knn),
+    ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
+    ("x60_recall_audit_full", _x60_recall_audit),
     ("x54_pipeline_full", _x54_pipeline),
     ("x63_sessions_full", _x63_sessions),
     ("cc_distributed_full", _cc_distributed),

@@ -242,3 +242,79 @@ def test_hourly_rollup_appends_only_finalized_windows(spark, tmp_path):
     # withholds unfinalized windows rather than emitting provisional
     # rows it would have to retract
     assert got == {"2024-01-01 00:00:00": 2}
+
+
+def test_kafka_parse_contract_roundtrip(spark):
+    """S7 cluster path (SURVEY §2.9): a batch DataFrame with the kafka
+    connector's EXACT wire schema (key/value binary, topic, partition,
+    offset, timestamp, timestampType) stands in for a broker.  One JSON
+    breadcrumb per message round-trips bit-exact through
+    parse_kafka_breadcrumbs; a poison payload becomes an all-null row
+    flagged _poison=True (kept, not silently acked-and-dropped like
+    the reference's finally-block, Part1/subscriber_project.py:31-39);
+    kafka offsets ride along for exactly-once bookkeeping."""
+    import datetime
+
+    from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
+        KAFKA_WIRE_SCHEMA,
+        parse_kafka_breadcrumbs,
+    )
+
+    recs = breadcrumb_raw_records()
+    ts = datetime.datetime(2023, 1, 7, 1, 2, 3)
+    wire_rows = [
+        (str(r["VEHICLE_ID"]).encode(), json.dumps(r).encode(), "breadcrumbs", i % 2, i, ts, 0)
+        for i, r in enumerate(recs)
+    ] + [(b"poison", b"{not json", "breadcrumbs", 0, 999, ts, 0)]
+    wire = spark.createDataFrame(wire_rows, KAFKA_WIRE_SCHEMA)
+    out = parse_kafka_breadcrumbs(wire)
+
+    # schema contract: BREADCRUMB_RAW fields + ingest metadata + _poison
+    assert [f.name for f in out.schema.fields[: len(BREADCRUMB_RAW.fields)]] == [
+        f.name for f in BREADCRUMB_RAW.fields
+    ]
+    assert out.schema["EVENT_NO_TRIP"].dataType.simpleString() == "bigint"
+    rows = out.collect()
+    good = [r for r in rows if not r["_poison"]]
+    bad = [r for r in rows if r["_poison"]]
+    assert len(good) == len(recs) and len(bad) == 1
+    got = sorted(
+        (r["EVENT_NO_TRIP"], r["OPD_DATE"], r["ACT_TIME"], r["GPS_LATITUDE"]) for r in good
+    )
+    want = sorted(
+        (r["EVENT_NO_TRIP"], r["OPD_DATE"], r["ACT_TIME"], r.get("GPS_LATITUDE")) for r in recs
+    )
+    assert got == want
+    assert bad[0]["kafka_offset"] == 999  # poison keeps its provenance
+
+    # same downstream semantics as the file source: the parsed rows feed
+    # the identical enrich chain the availableNow pipeline uses
+    enriched = enrich_breadcrumbs(
+        out.filter(~F.col("_poison")).select(*[f.name for f in BREADCRUMB_RAW.fields])
+    )
+    assert enriched.count() == len(recs)
+
+
+def test_kafka_reader_gated_on_connector(spark):
+    """The real .format('kafka') reader needs the spark-sql-kafka
+    connector jar (cluster-side --packages); this container has no
+    broker and no jar, so the reader must fail with the connector-
+    missing error (NOT an API/typo error) — proving the code path is
+    wired right up to the classpath boundary.  On a cluster with the
+    jar this same call returns the stream parse_kafka_breadcrumbs
+    already contract-tests."""
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
+        streaming_breadcrumbs_kafka,
+    )
+
+    try:
+        streaming_breadcrumbs_kafka(spark, "localhost:9092", "breadcrumbs")
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        assert "kafka" in msg.lower() and (
+            "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg or "provider" in msg.lower()
+        ), f"unexpected failure mode: {msg[:200]}"
+    else:
+        pytest.skip("kafka connector present — reader built a stream; contract holds")

@@ -397,3 +397,94 @@ def normalize_text(text: Column) -> Column:
     c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
     c = F.regexp_replace(c, "[ \\t\\n\\r]+", " ")
     return F.trim(c)
+
+def top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    approx: bool = False,
+    depth: int = 5,
+    width: int = 1 << 15,
+    candidate_rate: float = 0.05,
+    seed: int = 41,
+) -> DataFrame:
+    """Corpus-wide top-``k`` terms (the x72 vocabulary-head monitor) with
+    an optional count-min-sketch path for corpora whose *distinct-term
+    table* is itself too large to shuffle comfortably.
+
+    ``approx=False`` (default, what x72 ships): token explode →
+    two-phase (term) count → top-k window.  Exact; shuffle cardinality
+    is the vocabulary.
+
+    ``approx=True``: the sub-linear swap x72's docstring documents.
+    Two bounded structures replace the vocabulary-sized agg:
+
+    1. **Count-min sketch** — each token hashes to one bucket per sketch
+       row (``xxhash64(term, row_seed) mod width``); a two-phase count
+       over (row, bucket) yields ≤ depth·width rows *after map-side
+       combine*, independent of vocabulary size.  Estimates are
+       min-over-rows and **never under-count** (classic CM one-sided
+       guarantee; over-count ≤ e·N/width with prob 1−e^−depth).
+    2. **Candidate discovery by hash-threshold row sampling** — a term
+       with true count c appears in a rate-r token sample w.p.
+       1−(1−r)^c, so every genuinely heavy term survives; the draw is
+       the repo's standard rand-free md5/xxhash threshold on
+       (doc_id, token position), deterministic under any partitioning.
+
+    Candidates probe the sketch via posexplode(depth buckets) → an
+    equi-join against the ≤ depth·width-row sketch (broadcast — it is
+    a few thousand rows at any scale) → min() per term → top-k.
+
+    100 TB sizing rule (same spirit as BENCH_NOTES' n_planes rule):
+    ``width ≥ e·N_tokens/(allowed absolute error)`` and
+    ``candidate_rate ≥ ~5/expected-min-top-k-count`` — both independent
+    of vocabulary, which is the point.
+
+    Returns (term, n, rn) — identical shape/semantics to x72; on the
+    approx path ``n`` is the CM estimate (= exact when the sketch is
+    collision-free at the probed terms, pinned by test on the fixture).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        ).alias("pos", "term"),
+    )
+    if not approx:
+        counted = toks.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    else:
+        buckets = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("term"), F.lit(seed + d)), F.lit(width))
+                for d in range(depth)
+            ]
+        )
+        sketch = (
+            toks.select(F.posexplode(buckets).alias("row", "bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        # deterministic token sample → distinct candidate terms (bounded
+        # by the sample size, not the vocabulary)
+        threshold = int(candidate_rate * (1 << 30))
+        candidates = (
+            toks.where(
+                F.pmod(F.xxhash64("doc_id", "pos", F.lit(seed)), F.lit(1 << 30))
+                < F.lit(threshold)
+            )
+            .select("term")
+            .distinct()
+        )
+        counted = (
+            candidates.select("term", F.posexplode(buckets).alias("row", "bucket"))
+            .join(F.broadcast(sketch), ["row", "bucket"])
+            .groupBy("term")
+            .agg(F.min("n").alias("n"))
+        )
+    w = Window.orderBy(F.desc("n"), "term")
+    return (
+        counted.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("term", "n", "rn")
+    )

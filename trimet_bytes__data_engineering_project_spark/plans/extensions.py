@@ -2758,9 +2758,12 @@ def x71_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x72_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 terms — the vocabulary-head monitor (stopword
     drift, boilerplate takeover).  Token explode → two-phase count →
-    TakeOrderedAndProject over the (term, n) table (count-min sketch is
-    the documented sub-linear swap when even the distinct-term table is
-    too large); term tiebreak makes the selected set deterministic."""
+    TakeOrderedAndProject over the (term, n) table; term tiebreak makes
+    the selected set deterministic.  When even the distinct-term table
+    is too large to shuffle, ``textstats.top_terms(approx=True)`` is
+    the drop-in count-min-sketch swap: depth x width bounded agg +
+    hash-sampled candidate probe, pinned bit-equal to this exact path
+    on the fixture (test_top_terms_count_min_pinned_to_exact)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(

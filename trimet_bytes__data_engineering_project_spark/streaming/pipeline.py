@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.transform import breadcrumb_table, enrich_breadcrumbs, trip_table
 from ..operators.validate import breadcrumb_validators, quarantine_split
@@ -31,6 +32,75 @@ def streaming_breadcrumbs(spark: SparkSession, landing_dir: str) -> DataFrame:
     """S7 as a file-source stream over the JSON landing directory, schema
     enforced (no inference on a stream)."""
     return spark.readStream.schema(BREADCRUMB_RAW).json(landing_dir)
+
+
+# The wire schema Spark's kafka source emits — fixed by the connector
+# (docs: Structured Streaming + Kafka Integration Guide), so a batch
+# DataFrame with this exact shape is a faithful stand-in for contract
+# tests on a broker-less box.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def parse_kafka_breadcrumbs(wire: DataFrame) -> DataFrame:
+    """The S7 cluster path: one Pub/Sub-style message per breadcrumb
+    record (Part1/data_gather.py:105-111 publishes exactly that), so
+    each kafka ``value`` is one JSON object.  ``from_json`` against the
+    enforced schema; a poison payload (unparseable JSON) yields an
+    all-null struct that the T2 quarantine splits out downstream —
+    ``_poison`` marks it here so nothing is silently dropped (the
+    reference acks-and-drops poison in its ``finally``,
+    Part1/subscriber_project.py:31-39; we keep it).
+
+    Same plan shape as the file source: the parse is a codegen
+    expression on the scan, no Python boundary; kafka ingest metadata
+    (topic/partition/offset) rides along for exactly-once bookkeeping.
+    """
+    parsed = wire.select(
+        F.from_json(F.col("value").cast("string"), BREADCRUMB_RAW).alias("r"),
+        F.col("topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+    )
+    return parsed.select(
+        "r.*", "topic", "kafka_partition", "kafka_offset"
+    ).withColumn(
+        "_poison",
+        F.col("EVENT_NO_TRIP").isNull()
+        & F.col("EVENT_NO_STOP").isNull()
+        & F.col("OPD_DATE").isNull()
+        & F.col("VEHICLE_ID").isNull(),
+    )
+
+
+def streaming_breadcrumbs_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S7 against a real broker — requires the spark-sql-kafka connector
+    on the classpath (``--packages org.apache.spark:spark-sql-kafka-0-10``
+    on a cluster; absent in this container, so tests exercise
+    :func:`parse_kafka_breadcrumbs` on :data:`KAFKA_WIRE_SCHEMA` batch
+    stand-ins and gate this reader behind a skip)."""
+    wire = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_kafka_breadcrumbs(wire)
 
 
 def run_ingest_pipeline(
