@@ -275,6 +275,31 @@ def _x60_recall_audit(spark, d):
     )
 
 
+def _x72_exact_top_terms(spark, d):
+    # comparator row for the sketch: the exact path's shuffle is the
+    # distinct-term table, and replica text is md5-re-derived so the
+    # vocabulary GROWS with the corpus (the same growth that makes
+    # tf-idf the table's worst ratio)
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        top_terms,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return top_terms(docs, k=20, approx=False)
+
+
+def _x79_sketch_top_terms(spark, d):
+    # count-min path: the (row, bucket) agg is bounded at depth*4096
+    # rows whatever the vocabulary — only the scan and the candidate
+    # sample grow with the corpus
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        top_terms,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return top_terms(docs, k=20, approx=True, candidate_hex_lt=1)
+
+
 def ensure_scale_events(spark, scale_dir: str, copies: int) -> None:
     """Replicate events into an existing scale dir (added after the
     first build — marker-guarded separately so earlier dirs upgrade in
@@ -389,6 +414,8 @@ HEAVY = [
     ("x58_knn_join_full", _x58_knn),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
     ("x60_recall_audit_full", _x60_recall_audit),
+    ("x72_exact_top_terms_full", _x72_exact_top_terms),
+    ("x79_sketch_top_terms_full", _x79_sketch_top_terms),
     ("x54_pipeline_full", _x54_pipeline),
     ("x63_sessions_full", _x63_sessions),
     ("cc_distributed_full", _cc_distributed),

@@ -383,3 +383,28 @@ def test_bloom_decontaminate_never_misses(spark, texts, k):
                bloom_decontaminate(corpus, bench, n=3, m_bits=256, k=k).collect())
     b = sorted(r["doc_id"] for r in decontaminate(corpus, bench, n=3).collect())
     assert a == b
+
+
+@given(st.lists(docs, min_size=1, max_size=12), st.integers(1, 2), st.sampled_from([3, 5]))
+@SETTINGS
+def test_count_min_never_undercounts_any_corpus(spark, texts, hex_digits, depth):
+    """CM structural guarantee on ARBITRARY corpora: for every term the
+    sketch estimate (min over depth rows of bucket counts) is >= the
+    exact count — at any width (16 or 256 buckets, heavy collisions)
+    and any depth.  With every term a candidate, the approx result set
+    covers exactly the terms the exact path counts."""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import top_terms
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    big = 1 << 30
+    est = {
+        r.term: r.n
+        for r in top_terms(
+            df, k=big, approx=True, depth=depth, hex_digits=hex_digits, candidate_hex_lt=16
+        ).collect()
+    }
+    true = Counter(w for t in texts for w in t.split() if w)
+    assert set(est) == set(true)
+    assert all(est[t] >= c for t, c in true.items())

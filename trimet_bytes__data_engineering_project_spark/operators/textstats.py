@@ -398,6 +398,14 @@ def normalize_text(text: Column) -> Column:
     c = F.regexp_replace(c, "[ \\t\\n\\r]+", " ")
     return F.trim(c)
 
+def _cm_bucket(term: Column, d: int, hex_digits: int) -> Column:
+    """Count-min bucket for sketch row ``d``: ``hex_digits`` hex chars
+    of the term's single md5 digest, sliced at offset 3·d — ONE digest
+    serves every row (the minhash slice trick, dedup.py), and the value
+    is reproducible verbatim in DuckDB via the strpos hex ladder."""
+    return F.conv(F.substring(F.md5(term), 3 * d + 1, hex_digits), 16, 10).cast("int")
+
+
 def top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -405,9 +413,8 @@ def top_terms(
     k: int = 20,
     approx: bool = False,
     depth: int = 5,
-    width: int = 1 << 15,
-    candidate_rate: float = 0.05,
-    seed: int = 41,
+    hex_digits: int = 3,
+    candidate_hex_lt: int = 16,
 ) -> DataFrame:
     """Corpus-wide top-``k`` terms (the x72 vocabulary-head monitor) with
     an optional count-min-sketch path for corpora whose *distinct-term
@@ -417,34 +424,40 @@ def top_terms(
     two-phase (term) count → top-k window.  Exact; shuffle cardinality
     is the vocabulary.
 
-    ``approx=True``: the sub-linear swap x72's docstring documents.
-    Two bounded structures replace the vocabulary-sized agg:
+    ``approx=True``: the sub-linear swap, oracle-checkable end to end
+    (query x79).  Two bounded structures replace the vocabulary-sized
+    agg, both built from the repo's portable md5 hash family so DuckDB
+    can recompute the identical sketch:
 
-    1. **Count-min sketch** — each token hashes to one bucket per sketch
-       row (``xxhash64(term, row_seed) mod width``); a two-phase count
-       over (row, bucket) yields ≤ depth·width rows *after map-side
-       combine*, independent of vocabulary size.  Estimates are
-       min-over-rows and **never under-count** (classic CM one-sided
-       guarantee; over-count ≤ e·N/width with prob 1−e^−depth).
-    2. **Candidate discovery by hash-threshold row sampling** — a term
-       with true count c appears in a rate-r token sample w.p.
-       1−(1−r)^c, so every genuinely heavy term survives; the draw is
-       the repo's standard rand-free md5/xxhash threshold on
-       (doc_id, token position), deterministic under any partitioning.
+    1. **Count-min sketch** — row ``d``'s bucket is ``hex_digits`` hex
+       chars of md5(term) sliced at offset 3·d (one digest per token,
+       ``depth`` slices — the minhash slice trick; width = 16^hex_digits,
+       default 4096).  A two-phase count over (row, bucket) yields
+       ≤ depth·width rows *after map-side combine*, independent of
+       vocabulary size.  Estimates are min-over-rows and **never
+       under-count** (classic CM one-sided guarantee; over-count
+       ≤ e·N/width w.p. 1−e^−depth).
+    2. **Candidate discovery by hash-threshold token sampling** — keep
+       tokens whose md5(doc_id:pos) first hex digit < ``candidate_hex_lt``
+       (rate = candidate_hex_lt/16; 16 ⇒ every token).  A term with true
+       count c survives a rate-r sample w.p. 1−(1−r)^c, so heavy terms
+       always appear; rand-free and deterministic under any partitioning.
 
     Candidates probe the sketch via posexplode(depth buckets) → an
-    equi-join against the ≤ depth·width-row sketch (broadcast — it is
-    a few thousand rows at any scale) → min() per term → top-k.
+    equi-join against the ≤ depth·width-row sketch (broadcast — a few
+    thousand rows at any corpus scale) → min() per term → top-k.
 
     100 TB sizing rule (same spirit as BENCH_NOTES' n_planes rule):
-    ``width ≥ e·N_tokens/(allowed absolute error)`` and
-    ``candidate_rate ≥ ~5/expected-min-top-k-count`` — both independent
+    ``16^hex_digits ≥ e·N_tokens/(allowed absolute error)`` and
+    ``candidate rate ≥ ~5/expected-min-top-k-count`` — both independent
     of vocabulary, which is the point.
 
     Returns (term, n, rn) — identical shape/semantics to x72; on the
     approx path ``n`` is the CM estimate (= exact when the sketch is
     collision-free at the probed terms, pinned by test on the fixture).
     """
+    if approx and 3 * (depth - 1) + hex_digits > 32:
+        raise ValueError("depth*3 + hex_digits exceeds the md5 digest length")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
@@ -455,23 +468,21 @@ def top_terms(
         counted = toks.groupBy("term").agg(F.count("*").cast("long").alias("n"))
     else:
         buckets = F.array(
-            *[
-                F.pmod(F.xxhash64(F.col("term"), F.lit(seed + d)), F.lit(width))
-                for d in range(depth)
-            ]
+            *[_cm_bucket(F.col("term"), d, hex_digits) for d in range(depth)]
         )
         sketch = (
             toks.select(F.posexplode(buckets).alias("row", "bucket"))
             .groupBy("row", "bucket")
             .agg(F.count("*").cast("long").alias("n"))
         )
-        # deterministic token sample → distinct candidate terms (bounded
-        # by the sample size, not the vocabulary)
-        threshold = int(candidate_rate * (1 << 30))
         candidates = (
             toks.where(
-                F.pmod(F.xxhash64("doc_id", "pos", F.lit(seed)), F.lit(1 << 30))
-                < F.lit(threshold)
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"))), 1, 1
+                )
+                < F.lit(format(candidate_hex_lt, "x"))
+                if candidate_hex_lt < 16
+                else F.lit(True)
             )
             .select("term")
             .distinct()

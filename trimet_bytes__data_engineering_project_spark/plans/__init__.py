@@ -40,6 +40,12 @@ _WINDOW_HEAD = [
     "x27_ann_ivf_kmeans_probe",
     # r03-green, kept in-window (one driver row each; code areas touched
     # or adjacent this round stay under driver checks)
+    # new this round: the count-min-sketch top-terms path (x72's
+    # documented sub-linear swap made real AND oracle-backed) — driver-
+    # checked in its first round
+    "x79_top_terms_sketch",
+    # r03-green, kept in-window (one driver row each; code areas touched
+    # or adjacent this round stay under driver checks)
     "x26_asof_join_skewed",
     "x28_embedding_near_dup_lsh",
     "x29_ann_lsh_multiprobe",
@@ -53,7 +59,6 @@ _WINDOW_HEAD = [
     "x42_minhash_accuracy_audit",
     "x43_contamination_fraction",
     "x44_token_budget_selection",
-    "x45_mixture_drift",
     "x46_quality_distribution",
     "x47_hashed_linear_score",
     "x48_cluster_dedup",
@@ -81,21 +86,24 @@ _WINDOW_HEAD = [
     "x70_conversion_funnel",
 ]
 
-# Round-4 window (49 head entries + 1 mid slot = 50): the 8-member
-# monitor tier x71-x78 (never driver-checked) leads, the two r03
-# non-green rows (x24 oracle-cast fix, x27 new hard signal) retry, and
-# the 39 remaining head entries are r03-green rows kept under driver
-# checks because their code areas were touched or are adjacent this
-# round (graph.py fast-path fixes -> x34/x48/x38; scale-bench additions
-# -> x59/x60; top-terms approx flag -> x72's operator).  Eight of the
-# simplest r03-green rows (x22/x23/x25/x31/x32/x35/x37/x39) park in the
-# tail to make room — every parked query stays registered and is swept
-# by tests/test_oracle_parity.py with the identical protocol.
+# Round-4 window (49 head entries + q33 in the mid slot = 50): the
+# 8-member monitor tier x71-x78 (never driver-checked) leads, the two
+# r03 non-green rows (x24 oracle-cast fix, x27 new hard signal) retry,
+# the brand-new oracle-backed x79 (count-min top terms) gets a driver
+# row in its first round, and the remaining head entries are r03-green
+# rows kept under driver checks because their code areas were touched
+# or are adjacent this round (graph.py fast-path fixes -> x34/x48/x38;
+# scale-bench additions -> x59/x60; top-terms approx flag -> x72's
+# operator).  Nine of the simplest r03-green rows
+# (x22/x23/x25/x31/x32/x35/x37/x39/x45) park in the tail to make room —
+# every parked query stays registered and is swept by
+# tests/test_oracle_parity.py with the identical protocol.
 
 _WINDOW_TAIL = [
-    # rotated out round 4 for x71-x78 — r03-driver-green, simple
-    # filter/agg shapes, code untouched this round (still swept by
+    # rotated out round 4 for x71-x78 and the new x79 — r03-driver-green,
+    # simple filter/agg shapes, code untouched this round (still swept by
     # tests/test_oracle_parity.py)
+    "x45_mixture_drift",
     "x22_hash_split",
     "x23_stratified_sample",
     "x25_domain_mixture",

@@ -2779,6 +2779,68 @@ def x72_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_cm_top_terms_oracle(k: int = 20, depth: int = 5) -> str:
+    """DuckDB twin of the count-min sketch: one md5 per term, sketch row
+    d's bucket = hex digits [3d+1 .. 3d+3] (width 4096), identical to
+    Spark's ``conv(substring(md5(term), 3d+1, 3), 16, 10)``."""
+
+    def hx(i: str) -> str:
+        return f"(strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1)"
+
+    bucket = (
+        f"({hx('3*d + 1')} * 256 + {hx('3*d + 2')} * 16 + {hx('3*d + 3')})"
+    )
+    depths = ", ".join(f"({d})" for d in range(depth))
+    return f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term,
+                   unnest(range(len(toks))) AS pos
+            FROM t),
+    h AS (SELECT doc_id, pos, term, md5(term) AS hh FROM tok),
+    sk AS (SELECT d, {bucket} AS bucket, count(*) AS n
+           FROM h, (VALUES {depths}) AS ds(d)
+           GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT term, md5(term) AS hh FROM h
+             WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                              CAST(pos AS VARCHAR)), 1, 1) < '1'),
+    probe AS (SELECT c.term, min(sk.n) AS n
+              FROM (SELECT term, hh, d, {bucket} AS bucket
+                    FROM cand, (VALUES {depths}) AS ds(d)) c
+              JOIN sk ON sk.d = c.d AND sk.bucket = c.bucket
+              GROUP BY 1),
+    r AS (SELECT term, CAST(n AS BIGINT) AS n,
+                 row_number() OVER (ORDER BY n DESC, term) AS rn
+          FROM probe)
+    SELECT term, n, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {k}
+    """
+
+
+@query("x79_top_terms_sketch", oracle=_build_cm_top_terms_oracle())
+def x79_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x72's top-terms monitor through the COUNT-MIN SKETCH path
+    (``textstats.top_terms(approx=True)``) — the sub-linear swap for
+    corpora whose distinct-term table is itself too large to shuffle,
+    here value-hash-checked against a DuckDB twin that recomputes the
+    identical sketch (portable md5 slice family, width 4096 so the
+    sf0.01 vocabulary genuinely collides — the oracle checks the
+    sketch MATH, not a collision-free fast path).
+
+    Plan shape at 100 TB: token scan → (row, bucket) two-phase count
+    bounded at depth·4096 rows after map-side combine (vocabulary-
+    independent — the reason this operator exists) → hash-threshold
+    candidate sample (rate 1/16) → broadcast sketch probe → top-20.
+    Measured crossover (BENCH_NOTES 2026-08-14): the exact path still
+    wins at 500 K docs (its map-side combine absorbs this vocabulary);
+    the sketch's regime is distinct-term tables too large to shuffle
+    at all — billions of terms — where exact grows unboundedly and the
+    sketch stays 20 K rows."""
+    from ..operators.textstats import top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms(docs, k=20, approx=True, candidate_hex_lt=1)
+
+
 @query(
     "x73_length_histogram",
     oracle="""
