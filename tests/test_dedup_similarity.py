@@ -944,3 +944,33 @@ def test_top_terms_count_min_one_sided_error(spark):
     crowded = top_terms(docs, approx=True, k=big, hex_digits=1, candidate_hex_lt=16).collect()
     assert crowded, "sketch path returned nothing"
     assert all(r.n >= true_n[r.term] for r in crowded)
+
+
+def test_bigram_surprisal_exact_values(spark):
+    """Hand-computed corpus: docs0/1 are all common bigrams (every
+    conditional is 1 → avg 1.0); doc2 introduces the rare 'a c' whose
+    prefix 'a' is common (cp=3, cb=1 → surprisal 3).  Docs with < 2
+    tokens drop."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        bigram_surprisal,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a"), (2, "a c"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    assert set(got) == {0, 1, 2}  # doc 3 has no bigram
+    # corpus: cb('a b')=2, cb('b a')=2, cb('a c')=1; cp('a')=3, cp('b')=2
+    assert (got[0].n_bigrams, got[0].surprisal_sum) == (3, 2 * (3 // 2) + 1 * (2 // 2))
+    assert (got[1].n_bigrams, got[1].surprisal_sum) == (1, 1)
+    assert (got[2].n_bigrams, got[2].surprisal_sum) == (1, 3)
+    assert got[2].avg_surprisal == 3.0
+    # word-order sensitivity: same unigrams, scrambled order -> the
+    # scrambled doc's bigrams are corpus-rare and score strictly higher
+    df2 = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(5)] + [(9, "fox the jumps quick brown")],
+        ["doc_id", "text"],
+    )
+    s = {r.doc_id: r.avg_surprisal for r in bigram_surprisal(df2).collect()}
+    assert s[9] > s[0]

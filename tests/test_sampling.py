@@ -433,3 +433,49 @@ def test_length_bucketed_batches_reduces_padding(spark):
         df.repartition(7, "doc_id"), "n_tokens", "doc_id", batch_size=4
     ).collect()
     assert {tuple(r) for r in re_out} == {tuple(r) for r in out}
+
+
+def test_systematic_pps_equal_weights_is_every_nth(spark):
+    """100 rows of weight 10, k=10: stride=100, so the draw takes one
+    row per 10-row block — exactly k rows, picks 1..k, deterministic."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)], ["doc_id", "w"])
+    rows = sorted(systematic_pps_sample(df, "w", "doc_id", 10).collect())
+    assert len(rows) == 10
+    assert [r.pick for r in rows] == list(range(1, 11))
+    ids = [r.doc_id for r in rows]
+    assert all(b - a == 10 for a, b in zip(ids, ids[1:]))  # one per block
+
+
+def test_systematic_pps_weight_properties(spark):
+    """A row with weight >= stride is ALWAYS selected (its weight spans
+    a full stride interval); zero-weight rows never are; the result is
+    invariant to input partitioning."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    rows = [(i, 1) for i in range(200)] + [(500, 300), (501, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    # total=500, k=5 -> stride=100; doc 500 (w=300 >= stride) must be in
+    out = systematic_pps_sample(df, "w", "doc_id", 5).collect()
+    ids = {r.doc_id for r in out}
+    assert 500 in ids and 501 not in ids
+    out2 = systematic_pps_sample(df.repartition(13), "w", "doc_id", 5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_systematic_pps_raises_below_k(spark):
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "w"])
+    try:
+        systematic_pps_sample(df, "w", "doc_id", 99).collect()
+        raise AssertionError("expected raise_error for total < k")
+    except Exception as e:  # noqa: BLE001
+        assert "no valid stride" in str(e)

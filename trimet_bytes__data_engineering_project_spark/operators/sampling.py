@@ -558,3 +558,99 @@ def length_bucketed_batches(
             F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"),
         )
     )
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    chunk: int = 1024,
+    salt: str = "pps",
+) -> DataFrame:
+    """Deterministic weighted sampling ~without replacement: draw ~``k``
+    rows with inclusion probability proportional to ``weight_col`` by
+    SYSTEMATIC PPS — lay every row's weight end-to-end along an integer
+    line in ``id_col`` order, then take one row at each of ``k`` evenly
+    spaced points (stride = total div k) starting from a rand-free
+    md5-derived offset.  The classic survey-statistics design: exact
+    integer arithmetic throughout (no pow/ln — an Efraimidis–Spirakis
+    exponential key would compare libm implementations across engines),
+    fully deterministic under any partitioning, and the standard
+    token-weighted document draw for assembling mixture subsets (big
+    docs proportionally more likely; a row with weight ≥ stride is
+    always taken — selected once, noted, never duplicated).
+
+    Scale shape: the global cumulative sum is the usual scale trap (a
+    global-order window runs in ONE task), so it is built as a
+    TWO-LEVEL prefix — per-chunk totals (id div chunk) get a prefix
+    window over the tiny chunk table, broadcast back, then a
+    chunk-partitioned running sum adds the within-chunk part (the x27
+    two-level fold, applied to prefix sums).  The only corpus-sized
+    shuffles are the chunk groupBy and the chunk-keyed window sort.
+
+    Returns (id, weight, pick) where ``pick`` is the 1-based index of
+    the sampling point that selected the row.  Point count is
+    ``(total + stride−1−offset) div stride`` = k plus up to
+    ``(total mod k) div stride`` stride-truncation extras — exactly k
+    when k | total, and k or k+1 whenever total ≫ k² (always true for
+    token weights); rows spanning several points are selected once.
+
+    Job-fails (raise_error) if total weight < k — no valid stride.  All
+    parameters (total, stride, offset) stay column-side in a broadcast
+    1-row frame: no driver collect, one job end-to-end.
+    """
+    d = df.select(
+        F.col(id_col).alias("_id"), F.col(weight_col).cast("long").alias("_w")
+    ).where(F.col("_w") > 0)
+    d = d.withColumn("_chunk", F.expr(f"_id div {chunk}"))
+    chunk_tot = d.groupBy("_chunk").agg(F.sum("_w").alias("_cw"))
+    w_chunks = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    chunk_prefix = chunk_tot.select(
+        "_chunk", F.coalesce(F.sum("_cw").over(w_chunks), F.lit(0)).alias("_cprev")
+    )
+    w_in = Window.partitionBy("_chunk").orderBy("_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = d.join(F.broadcast(chunk_prefix), "_chunk").withColumn(
+        "_cum", (F.col("_cprev") + F.sum("_w").over(w_in)).cast("long")
+    )
+    params = (
+        d.agg(F.sum("_w").cast("long").alias("_total"))
+        .select(
+            "_total",
+            # the guard lives INSIDE the kept _stride expression so
+            # column pruning can never optimize it away
+            F.expr(
+                f"CASE WHEN _total >= {k} THEN _total div {k} "
+                f"ELSE CAST(raise_error('total weight < k={k}: no valid stride') AS BIGINT) END"
+            ).alias("_stride"),
+        )
+        .withColumn(
+            "_offset",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{salt}:{k}:"), F.col("_total").cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("_stride"),
+            ),
+        )
+        .select("_stride", "_offset")
+    )
+
+    def sel(c):
+        return F.expr(f"({c} + _stride - 1 - _offset) div _stride")
+
+    return (
+        cum.join(F.broadcast(params))
+        .where(sel("_cum") > sel("_cum - _w"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_w").alias(weight_col),
+            sel("_cum").cast("long").alias("pick"),
+        )
+    )

@@ -323,6 +323,70 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average BIGRAM surprisal against the corpus's own
+    bigram model — the next step up from :func:`unigram_surprisal`
+    toward the KenLM-style n-gram perplexity filter CCNet uses to rank
+    pretraining data: a doc of individually-common words in improbable
+    ORDER (shuffled text, keyword stuffing, bad OCR) now scores high
+    where the unigram proxy scores it low.
+
+    Per-token conditional surprisal is the INTEGER ratio
+    ``C(w1·) div C(w1 w2)`` — the count of bigrams *starting with* w1
+    over the count of this exact bigram, i.e. the reciprocal of the
+    maximum-likelihood conditional P(w2|w1) rounded to an integer.
+    Same exactness contract as unigram_surprisal: integer ratios, int64
+    sums, ONE IEEE division for the mean — bit-identical across engines
+    and partitionings where an ``ln``-based perplexity would compare
+    libm implementations.
+
+    Bigrams are built ARRAY-SIDE (zip of the token array with its own
+    tail) — pure codegen on the scan, no window/lag shuffle; the first
+    shuffle is the (doc, bigram) count agg, carrying one row per
+    distinct doc-bigram.  Prefix counts C(w1·) aggregate the bigram
+    table by its first token (``substring_index``).  Docs with < 2
+    tokens have no bigram distribution and drop (inner-join semantics,
+    mirroring unigram_surprisal's ≥1-token rule).
+
+    Returns (doc_id, n_bigrams, surprisal_sum, avg_surprisal).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.where(n >= 2).select(
+        F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg")
+    )
+    tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    cb = tf.groupBy("bg").agg(F.sum("tf").cast("long").alias("cb"))
+    cp = (
+        tf.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("tf").cast("long").alias("cp"))
+    )
+    scored = (
+        tf.join(cb, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(cp, "w1")
+        .withColumn("inst", F.col("tf") * F.expr("cp div cb"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum("inst").cast("long").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.col("surprisal_sum").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
 def novelty_score(
     batch: DataFrame,
     base: DataFrame,

@@ -38,12 +38,13 @@ _WINDOW_HEAD = [
     # gains a hard correctness signal this round
     "x24_sequence_packing",
     "x27_ann_ivf_kmeans_probe",
-    # r03-green, kept in-window (one driver row each; code areas touched
-    # or adjacent this round stay under driver checks)
-    # new this round: the count-min-sketch top-terms path (x72's
-    # documented sub-linear swap made real AND oracle-backed) — driver-
-    # checked in its first round
+    # new this round, driver-checked in their first round: the count-min
+    # top-terms path (x72's documented sub-linear swap made real AND
+    # oracle-backed), the bigram-perplexity filter, and the systematic
+    # PPS weighted draw
     "x79_top_terms_sketch",
+    "x80_bigram_surprisal",
+    "x81_weighted_sample",
     # r03-green, kept in-window (one driver row each; code areas touched
     # or adjacent this round stay under driver checks)
     "x26_asof_join_skewed",
@@ -80,8 +81,6 @@ _WINDOW_HEAD = [
     "x64_scd2_history",
     "x65_pivot_counts",
     "x66_rollup_counts",
-    "x67_set_ops",
-    "x68_unpivot_metrics",
     "x69_text_normalize",
     "x70_conversion_funnel",
 ]
@@ -89,21 +88,25 @@ _WINDOW_HEAD = [
 # Round-4 window (49 head entries + q33 in the mid slot = 50): the
 # 8-member monitor tier x71-x78 (never driver-checked) leads, the two
 # r03 non-green rows (x24 oracle-cast fix, x27 new hard signal) retry,
-# the brand-new oracle-backed x79 (count-min top terms) gets a driver
-# row in its first round, and the remaining head entries are r03-green
+# the three brand-new oracle-backed queries (x79 count-min top terms,
+# x80 bigram surprisal, x81 systematic PPS draw) get driver rows in
+# their first round, and the remaining head entries are r03-green
 # rows kept under driver checks because their code areas were touched
 # or are adjacent this round (graph.py fast-path fixes -> x34/x48/x38;
 # scale-bench additions -> x59/x60; top-terms approx flag -> x72's
-# operator).  Nine of the simplest r03-green rows
-# (x22/x23/x25/x31/x32/x35/x37/x39/x45) park in the tail to make room —
+# operator).  Eleven of the simplest r03-green rows
+# (x22/x23/x25/x31/x32/x35/x37/x39/x45/x67/x68) park in the tail to make
+# room —
 # every parked query stays registered and is swept by
 # tests/test_oracle_parity.py with the identical protocol.
 
 _WINDOW_TAIL = [
-    # rotated out round 4 for x71-x78 and the new x79 — r03-driver-green,
-    # simple filter/agg shapes, code untouched this round (still swept by
-    # tests/test_oracle_parity.py)
+    # rotated out round 4 for x71-x78 and the new x79/x80/x81 —
+    # r03-driver-green, simple filter/agg/set-op shapes, code untouched
+    # this round (still swept by tests/test_oracle_parity.py)
     "x45_mixture_drift",
+    "x67_set_ops",
+    "x68_unpivot_metrics",
     "x22_hash_split",
     "x23_stratified_sample",
     "x25_domain_mixture",

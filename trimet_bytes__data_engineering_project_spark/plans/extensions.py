@@ -1983,6 +1983,101 @@ def x51_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x80_bigram_surprisal",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(len(toks) - 1),
+                         i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg
+           FROM t WHERE len(toks) >= 2),
+    tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+    cb AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cb FROM tf GROUP BY 1),
+    cp AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(tf) AS BIGINT) AS cp
+           FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(tf * (cp // cb)) AS BIGINT) AS surprisal_sum,
+           CAST(CAST(sum(tf * (cp // cb)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+    FROM tf JOIN cb USING (bg)
+            JOIN cp ON cp.w1 = split_part(tf.bg, ' ', 1)
+    GROUP BY tf.doc_id
+    """,
+)
+def x80_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self BIGRAM surprisal per document — x51's next step
+    toward the KenLM-style n-gram perplexity filter CCNet uses: a doc
+    of individually-common words in improbable ORDER (shuffled text,
+    keyword stuffing, OCR soup) now scores high where the unigram
+    proxy cannot see anything wrong.  Conditional surprisal is the
+    integer ratio C(w1·) div C(w1 w2) (bigram-prefix count over exact-
+    bigram count — reciprocal ML conditional), int64 sums, one IEEE
+    division; bigrams are built array-side (zip of the token array
+    with its own tail — no lag-window shuffle)."""
+    from ..operators.textstats import bigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs)
+
+
+def _build_pps_oracle(k: int = 64) -> str:
+    """DuckDB twin of the systematic PPS draw: global cumulative weight
+    line in doc_id order (plain window here; the engine builds the same
+    prefix two-level for scale), stride = total div k, md5-derived
+    offset — identical integer arithmetic end to end."""
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS w
+               FROM documents),
+    p AS (SELECT doc_id, w FROM t WHERE w > 0),
+    c AS (SELECT doc_id, w,
+                 CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM p),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM p),
+    par AS (SELECT total, total // {k} AS stride,
+                   ({hex8}) % (total // {k}) AS off
+            FROM (SELECT total, md5('pps:{k}:' || CAST(total AS VARCHAR)) AS h FROM tot))
+    SELECT doc_id, w AS n_tokens,
+           CAST((cum + stride - 1 - off) // stride AS BIGINT) AS pick
+    FROM c, par
+    WHERE (cum + stride - 1 - off) // stride
+        > (cum - w + stride - 1 - off) // stride
+    """
+
+
+@query("x81_weighted_sample", oracle=_build_pps_oracle())
+def x81_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-weighted document draw (~64 docs, inclusion
+    probability ∝ token count) by systematic PPS sampling
+    (``sampling.systematic_pps_sample``) — the doc-level draw for
+    assembling mixture subsets where big documents should be
+    proportionally likelier, WITHOUT rand() (md5-derived offset) and
+    WITHOUT pow/ln (an Efraimidis–Spirakis exponential key would race
+    libm across engines; the systematic design is pure int64).  The
+    global cumulative-weight line is built as a two-level prefix
+    (per-chunk totals → tiny prefix window → broadcast back) so no
+    single task ever sees the whole corpus."""
+    from ..operators.sampling import systematic_pps_sample
+    from ..operators.textstats import WORD_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_PATTERN), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return systematic_pps_sample(d, "n_tokens", "doc_id", 64)
+
+
+@query(
     "x52_bloom_decontamination",
     oracle=f"""
     WITH bg AS (SELECT unnest({_shingles_sql(5)}) AS g FROM documents WHERE doc_id < 20),
