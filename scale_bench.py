@@ -275,6 +275,39 @@ def _x60_recall_audit(spark, d):
     )
 
 
+def _x80_bigram_surprisal(spark, d):
+    # both the bigram table and its prefix-count side grow with the
+    # corpus (vocabulary-squared pressure) — the honest successor to
+    # x51's "BOTH sides grow" row; array-side bigram build keeps the
+    # pre-agg stage shuffle-free
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        bigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return bigram_surprisal(docs).agg(
+        F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("s")
+    )
+
+
+def _x81_pps_sample(spark, d):
+    # the two-level prefix must hold its shape as rows grow: chunk
+    # count rises linearly but the only global-order window runs over
+    # CHUNKS (rows/1024), never rows
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        token_count_col,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    d2 = docs.select("doc_id", token_count_col(F.col("text")).cast("long").alias("w"))
+    return systematic_pps_sample(d2, "w", "doc_id", 1000).agg(
+        F.count("*").alias("n"), F.sum("w").alias("w_sum")
+    )
+
+
 def _x72_exact_top_terms(spark, d):
     # comparator row for the sketch: the exact path's shuffle is the
     # distinct-term table, and replica text is md5-re-derived so the
@@ -416,6 +449,8 @@ HEAVY = [
     ("x60_recall_audit_full", _x60_recall_audit),
     ("x72_exact_top_terms_full", _x72_exact_top_terms),
     ("x79_sketch_top_terms_full", _x79_sketch_top_terms),
+    ("x80_bigram_surprisal_full", _x80_bigram_surprisal),
+    ("x81_pps_sample_full", _x81_pps_sample),
     ("x54_pipeline_full", _x54_pipeline),
     ("x63_sessions_full", _x63_sessions),
     ("cc_distributed_full", _cc_distributed),
