@@ -408,6 +408,69 @@ def _x63_sessions(spark, d):
 
 
 
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+_STREAM_RUN = [0]
+
+
+def ensure_stream_events_x1(spark) -> str:
+    """Normalized µs-TIMESTAMP_NTZ copy of the sf0.1 events for the
+    streaming row's ×1 point — readStream needs an explicit schema and
+    cannot go through load_table's dtype branch, so the copy IS the
+    normalization (same guard the scaled dirs get via
+    ensure_scale_events)."""
+    out = os.path.join(_SCALE_ROOT, "x1_events")
+    marker = os.path.join(out, "_BUILT")
+    if not os.path.exists(marker):
+        ev = load_table(spark, SF01, "events")
+        ev.repartition(8).write.mode("overwrite").parquet(f"{out}/events.parquet")
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def _t4_stream_rollup(spark, d):
+    # the FIRST streaming scale row: the T4 watermarked hourly rollup
+    # driven as an availableNow micro-batch stream over the scaled
+    # events table — measures the Structured Streaming engine (offset
+    # tracking, state store, watermark bookkeeping) on top of the same
+    # windowed-agg plan the batch tier runs.  Fresh checkpoint + sink
+    # per call so every timed run re-processes the full input (a reused
+    # checkpoint would measure a no-op).
+    import tempfile
+
+    if d == SF01:
+        d = ensure_stream_events_x1(spark)
+    ck = tempfile.mkdtemp(prefix="sb_ck_")
+    name = f"sb_rollup_{_STREAM_RUN[0]}"
+    _STREAM_RUN[0] += 1
+    stream = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(f"{d}/events.parquet")
+    # watermarks require TIMESTAMP (ltz) — the NTZ wall clock maps 1:1
+    # under the fixed session timezone, so the hourly windows are stable
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("hour_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name).agg(
+        F.count("*").alias("n_hours"), F.sum("n_events").alias("n_events")
+    )
+
+
 def _cc_distributed(spark, d):
     # connected components over the scaled near-dup pair graph with the
     # small-graph fast path DISABLED — measures the iterative
@@ -453,6 +516,7 @@ HEAVY = [
     ("x81_pps_sample_full", _x81_pps_sample),
     ("x54_pipeline_full", _x54_pipeline),
     ("x63_sessions_full", _x63_sessions),
+    ("t4_stream_rollup_full", _t4_stream_rollup),
     ("cc_distributed_full", _cc_distributed),
 ]
 
