@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 from .similarity import (
     as_double_vec,
     cosine,
+    dot,
     hyperplanes,
+    l2_norm,
     lsh_bucket,
     vector_literal,
 )
@@ -155,10 +157,16 @@ def write_ivf_index(
     from pyspark.sql import Window
 
     v = as_double_vec(vec_col)
+    # vector norm folded once per vector (not per centroid); centroid
+    # norm derived inside the broadcast side — c_cos is the identical
+    # expression value, bit-exact vs the naive per-pair cosine
+    cents_n = cents.withColumn("c_n", l2_norm(F.col("cvec")))
     assigned = (
-        emb.select("vec_id", F.col(vec_col), v.alias("_v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", cosine(F.col("_v"), F.col("cvec")))
+        emb.select("vec_id", F.col(vec_col), v.alias("_v"), l2_norm(v).alias("_vn"))
+        .crossJoin(F.broadcast(cents_n))
+        .withColumn(
+            "c_cos", dot(F.col("_v"), F.col("cvec")) / (F.col("_vn") * F.col("c_n"))
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
     assigned = (
@@ -263,10 +271,13 @@ def kmeans_centroids(
     )
     chunk = F.expr("vec_id DIV 1024").alias("chunk")
     member = F.struct(F.col("vec_id").alias("i"), F.col("v").alias("v")).alias("m")
+    data_n = data.withColumn("_vn", l2_norm(F.col("v")))
     for _ in range(n_iter):
         assigned = (
-            data.crossJoin(F.broadcast(cents))
-            .withColumn("c_cos", cosine(F.col("v"), F.col("cvec")))
+            data_n.crossJoin(F.broadcast(cents.withColumn("c_n", l2_norm(F.col("cvec")))))
+            .withColumn(
+                "c_cos", dot(F.col("v"), F.col("cvec")) / (F.col("_vn") * F.col("c_n"))
+            )
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
         best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)

@@ -169,27 +169,38 @@ def ivf_topk(
     the persisted inverted-list layout with partition-pruned probes is
     ``ann_index.write_ivf_index`` / ``ivf_index_probe`` (x21/x27)."""
     spark = emb.sparkSession
+    # centroid norms ride in the broadcast frame and each vector's norm
+    # is folded once, not once per centroid (identical expression —
+    # c_cos stays bit-exact)
     cents = (
         emb.orderBy("vec_id")
         .limit(n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), as_double_vec(vec_col).alias("cvec"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double_vec(vec_col).alias("cvec"),
+            l2_norm(as_double_vec(vec_col)).alias("c_n"),
+        )
     )
     v = as_double_vec(vec_col)
     q = vector_literal(query_vec)
 
     assigned = (
-        emb.select("vec_id", v.alias("v"))
+        emb.select("vec_id", v.alias("v"), l2_norm(v).alias("v_n"))
         .crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", cosine(F.col("v"), F.col("cvec")))
+        .withColumn(
+            "c_cos", dot(F.col("v"), F.col("cvec")) / (F.col("v_n") * F.col("c_n"))
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
     assigned = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
 
     # query's nprobe nearest centroids, computed the same way
-    qdf = spark.range(1).select(q.alias("v"))
+    qdf = spark.range(1).select(q.alias("v"), l2_norm(q).alias("v_n"))
     qc = (
         qdf.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", cosine(F.col("v"), F.col("cvec")))
+        .withColumn(
+            "c_cos", dot(F.col("v"), F.col("cvec")) / (F.col("v_n") * F.col("c_n"))
+        )
         .orderBy(F.desc("c_cos"), "centroid_id")
         .limit(nprobe)
         .select("centroid_id")
@@ -309,15 +320,30 @@ def embedding_near_dup_lsh(
     planes (~100/bucket) finishes in 15.5 s.  The default of 4 fits the
     ~2 K-vector driver fixture only."""
     planes = hyperplanes(n_planes, dim)
+    # per-side norm precompute: within-bucket pairs are quadratic in
+    # bucket size, so folding each vector's norm per PAIR would cost
+    # |pairs|/|vectors| redundant 64-element folds; the precomputed
+    # value is the identical expression — cos_sim stays bit-exact
     e = emb.select(
         "vec_id", as_double_vec(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    a = e.select(F.col("vec_id").alias("a_id"), "bucket", F.col("v").alias("a_vec"))
-    b = e.select(F.col("vec_id").alias("b_id"), "bucket", F.col("v").alias("b_vec"))
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes)).withColumn(
+        "nrm", l2_norm(F.col("v"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"), "bucket",
+        F.col("v").alias("a_vec"), F.col("nrm").alias("a_n"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), "bucket",
+        F.col("v").alias("b_vec"), F.col("nrm").alias("b_n"),
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos_sim", cosine(F.col("a_vec"), F.col("b_vec")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_n") * F.col("b_n")),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )
@@ -369,16 +395,22 @@ def embedding_near_dup_pairs(
     cluster key): candidate generation is a same-label self-join —
     at 100 TB the label/bucket column is the shuffle key and no O(n²)
     cross join ever materializes."""
+    v = as_double_vec(vec_col)
     a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("label"), as_double_vec(vec_col).alias("a_vec")
+        F.col("vec_id").alias("a_id"), F.col("label"),
+        v.alias("a_vec"), l2_norm(v).alias("a_n"),
     )
     b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("label"), as_double_vec(vec_col).alias("b_vec")
+        F.col("vec_id").alias("b_id"), F.col("label"),
+        v.alias("b_vec"), l2_norm(v).alias("b_n"),
     )
     return (
         a.join(b, "label")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos_sim", cosine(F.col("a_vec"), F.col("b_vec")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_n") * F.col("b_n")),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", "cos_sim")
     )
@@ -456,9 +488,15 @@ def knn_join(
     partitions."""
     planes = hyperplanes(n_planes, dim)
     qv = as_double_vec(vec_col)
+    # norms are precomputed PER SIDE, not per candidate pair: the naive
+    # cosine(qvec, cvec) recomputes each vector's 64-element norm fold
+    # once per joined pair — |pairs|/|vectors| redundant folds.  The
+    # precomputed value is the IDENTICAL expression (same fold, same
+    # sqrt), so cos_sim stays bit-exact and the oracle is unchanged.
     q = queries.select(
         F.col(id_col).alias("q_id"),
         qv.alias("qvec"),
+        l2_norm(qv).alias("qn"),
         lsh_bucket(qv, planes).alias("bucket"),
     )
     if hamming_radius > 0:
@@ -480,6 +518,7 @@ def knn_join(
     c = corpus.select(
         F.col(id_col).alias("c_id"),
         qv.alias("cvec"),
+        l2_norm(qv).alias("cn"),
         lsh_bucket(qv, planes).alias("bucket"),
     )
     from pyspark.sql import Window
@@ -487,7 +526,10 @@ def knn_join(
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
     return (
         q.join(c, "bucket")
-        .withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", "cos_sim", "rn")
@@ -525,12 +567,23 @@ def ann_recall_audit(
     from pyspark.sql import Window
 
     qv = as_double_vec(vec_col)
-    q = sample_queries.select(F.col(id_col).alias("q_id"), qv.alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("c_id"), qv.alias("cvec"))
+    # per-side norm precompute (not per pair): the exact side touches
+    # sample x CORPUS pairs, so the naive cosine would fold each corpus
+    # vector's norm once per sampled query — identical expression, so
+    # cos_sim stays bit-exact
+    q = sample_queries.select(
+        F.col(id_col).alias("q_id"), qv.alias("qvec"), l2_norm(qv).alias("qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), qv.alias("cvec"), l2_norm(qv).alias("cn")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
     exact = (
         F.broadcast(q).crossJoin(c)
-        .withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id")
