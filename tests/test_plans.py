@@ -225,3 +225,41 @@ def test_pretraining_pipeline_stays_broadcast_and_fused(spark):
     # a 7th scan means regression
     n_scans = plan.count("Scan parquet") // 2
     assert n_scans <= 6, n_scans
+
+
+def test_count_min_sketch_stays_hash_agg_and_broadcast(spark):
+    """x79: the sketch build must be a two-phase HASH agg over (row,
+    bucket) — a SortAggregate fallback would re-sort the exploded token
+    stream — and the candidate→sketch probe must broadcast the bounded
+    sketch, never shuffle-join it."""
+    p = plan_of(spark, "x79_top_terms_sketch")
+    assert "SortAggregate" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bigram_surprisal_builds_bigrams_array_side(spark):
+    """x80: bigrams come from zip_with over the token array — NO
+    lag/lead window may appear before the first aggregation (a
+    window-based bigram build would add a full (doc, pos) sort
+    shuffle); aggregation stays hash-based."""
+    p = plan_of(spark, "x80_bigram_surprisal")
+    assert "zip_with" in p and "slice" in p
+    assert "SortAggregate" not in p
+    # the only Window in the plan would be a lag window — there is none
+    assert "Window" not in p
+
+
+def test_pps_sample_windows_are_chunk_partitioned(spark):
+    """x81: the corpus-sized running sum must be PARTITIONED by the
+    chunk key — the only global-order (single-partition) window allowed
+    is the prefix over the tiny chunk-totals table.  Count the window
+    specs: exactly one 'partitionBy chunk' window touches corpus rows."""
+    df = QUERIES["x81_weighted_sample"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # both windows exist; the corpus-side one carries the chunk key
+    assert plan.count("Window") == 2
+    assert "_chunk" in plan.split("Window", 2)[1] or "_chunk" in plan
+    p = plan_of(spark, "x81_weighted_sample")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # params broadcast
+    assert "SortMergeJoin" not in p
