@@ -200,9 +200,13 @@ def minhash_estimate(a_sig: Column, b_sig: Column, k: int = MINHASH_K) -> Column
 
 def exact_jaccard(a_shingles: Column, b_shingles: Column) -> Column:
     """Exact Jaccard over distinct shingle sets (verification step for
-    LSH candidates)."""
+    LSH candidates).  Inclusion–exclusion on DISTINCT sets:
+    |a ∪ b| = |a| + |b| − |a ∩ b| — same integers as materializing
+    ``array_union`` (so the IEEE division is bit-identical and every
+    oracle is unchanged) without allocating a second merged array per
+    candidate pair."""
     inter = F.size(F.array_intersect(a_shingles, b_shingles))
-    union = F.size(F.array_union(a_shingles, b_shingles))
+    union = F.size(a_shingles) + F.size(b_shingles) - inter
     return inter.cast("double") / F.nullif(union, F.lit(0))
 
 
