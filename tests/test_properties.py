@@ -408,3 +408,81 @@ def test_count_min_never_undercounts_any_corpus(spark, texts, hex_digits, depth)
     true = Counter(w for t in texts for w in t.split() if w)
     assert set(est) == set(true)
     assert all(est[t] >= c for t, c in true.items())
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=5, max_size=40),
+    st.integers(2, 8),
+)
+@SETTINGS
+def test_systematic_pps_partitions_the_point_line(spark, weights, k):
+    """Structural PPS invariants on arbitrary integer weights: the
+    selected rows' point-intervals (sel(cum−w), sel(cum)] PARTITION the
+    whole sampling-point line — every point is covered by exactly one
+    selected row — and picks are strictly increasing in id order.
+    Verified against an independent Python recomputation."""
+    import hashlib
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    total = sum(w for w in weights if w > 0)
+    if total < k:
+        return  # guard path covered by its own test
+    df = spark.createDataFrame(list(enumerate(weights)), ["doc_id", "w"])
+    rows = sorted(systematic_pps_sample(df, "w", "doc_id", k).collect())
+
+    stride = total // k
+    offset = int(hashlib.md5(f"pps:{k}:{total}".encode()).hexdigest()[:8], 16) % stride
+    sel = lambda c: (c + stride - 1 - offset) // stride  # noqa: E731
+    n_points = sel(total)
+    # python recomputation in id order
+    cum, expect = 0, []
+    for i, w in enumerate(weights):
+        if w <= 0:
+            continue
+        lo, cum = sel(cum), cum + w
+        if sel(cum) > lo:
+            expect.append((i, w, sel(cum)))
+    assert [(r.doc_id, r.w, r.pick) for r in rows] == expect
+    # interval sizes over ALL rows sum to the point count
+    cum2, total_cover = 0, 0
+    for w in weights:
+        if w <= 0:
+            continue
+        total_cover += sel(cum2 + w) - sel(cum2)
+        cum2 += w
+    assert total_cover == n_points
+    picks = [p for _, _, p in expect]
+    assert picks == sorted(picks) and len(picks) == len(set(picks))
+
+
+@given(st.lists(docs, min_size=1, max_size=10))
+@SETTINGS
+def test_bigram_surprisal_matches_python_model(spark, texts):
+    """x80's integer bigram surprisal recomputed independently in
+    Python (Counter-based ML conditional, same integer div) must match
+    exactly for arbitrary corpora; n_bigrams per doc = token count − 1."""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        bigram_surprisal,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.surprisal_sum) for r in bigram_surprisal(df).collect()}
+
+    toks = {i: [w for w in t.split() if w] for i, t in enumerate(texts)}
+    bgs = {i: [f"{a} {b}" for a, b in zip(ws, ws[1:])] for i, ws in toks.items()}
+    cb = Counter(g for gs in bgs.values() for g in gs)
+    cp = Counter(g.split(" ", 1)[0] for gs in bgs.values() for g in gs)
+    expect = {
+        i: (len(gs), sum(cp[g.split(" ", 1)[0]] // cb[g] for g in gs))
+        for i, gs in bgs.items()
+        if gs
+    }
+    assert got == expect
+    for i, gs in bgs.items():
+        if gs:
+            assert got[i][0] == len(toks[i]) - 1
