@@ -51,6 +51,10 @@ _WINDOW_HEAD = [
     "x28_embedding_near_dup_lsh",
     "x29_ann_lsh_multiprobe",
     "x30_index_append_probe",
+    # pulled back in-window this round: the IVF write path's centroid
+    # assignment changed (per-side norm precompute) — its driver row
+    # re-verifies the persisted index end-to-end
+    "x21_ann_ivf_index_probe",
     "x33_near_dup_removal",
     "x34_duplicate_clusters",
     "x36_quality_percentile_filter",
@@ -80,7 +84,6 @@ _WINDOW_HEAD = [
     "x63_event_sessions",
     "x64_scd2_history",
     "x65_pivot_counts",
-    "x66_rollup_counts",
     "x69_text_normalize",
     "x70_conversion_funnel",
 ]
@@ -94,8 +97,10 @@ _WINDOW_HEAD = [
 # rows kept under driver checks because their code areas were touched
 # or are adjacent this round (graph.py fast-path fixes -> x34/x48/x38;
 # scale-bench additions -> x59/x60; top-terms approx flag -> x72's
-# operator).  Eleven of the simplest r03-green rows
-# (x22/x23/x25/x31/x32/x35/x37/x39/x45/x67/x68) park in the tail to make
+# operator); x21 returns to the window because the IVF centroid
+# assignment it persists through changed (norm precompute).  Twelve of
+# the simplest r03-green rows
+# (x22/x23/x25/x31/x32/x35/x37/x39/x45/x66/x67/x68) park in the tail to make
 # room —
 # every parked query stays registered and is swept by
 # tests/test_oracle_parity.py with the identical protocol.
@@ -105,6 +110,7 @@ _WINDOW_TAIL = [
     # r03-driver-green, simple filter/agg/set-op shapes, code untouched
     # this round (still swept by tests/test_oracle_parity.py)
     "x45_mixture_drift",
+    "x66_rollup_counts",
     "x67_set_ops",
     "x68_unpivot_metrics",
     "x22_hash_split",
