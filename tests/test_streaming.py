@@ -4,7 +4,10 @@ restarts, quarantine captures corrupt rows."""
 
 from __future__ import annotations
 
+import glob
 import json
+import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -318,3 +321,64 @@ def test_kafka_reader_gated_on_connector(spark):
         ), f"unexpected failure mode: {msg[:200]}"
     else:
         pytest.skip("kafka connector present — reader built a stream; contract holds")
+
+
+def test_streaming_lsh_index_equals_batch_build(spark, tmp_path):
+    """Streaming index maintenance (streaming/index.py): embedding
+    batches land via availableNow foreachBatch into per-batch_id
+    bucket-partitioned directories; the probe over the streamed index
+    returns EXACTLY the batch-built index's top-k (same deterministic
+    hyperplanes).  A restart on the same checkpoint is a no-op, and a
+    new landing file is processed incrementally — the index stays
+    fresh without a rebuild."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        lsh_index_probe,
+        write_lsh_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_lsh_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.first()["embedding"])
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        # flat parquet files: the file-stream source does not recurse
+        # into per-write subdirectories
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    # two initial "crawl" batches + one late batch held back
+    land_file(emb.filter("vec_id % 3 = 0"), "a")
+    land_file(emb.filter("vec_id % 3 = 1"), "b")
+
+    idx = str(tmp_path / "stream_idx")
+    ck = str(tmp_path / "ck")
+    run_streaming_lsh_index(spark, landing, idx, dim, ck)
+
+    batch_idx = str(tmp_path / "batch_idx")
+    write_lsh_index(emb.filter("vec_id % 3 != 2"), batch_idx, dim=dim)
+    got = [tuple(r) for r in lsh_index_probe(spark, idx, qvec, k=5).collect()]
+    want = [tuple(r) for r in lsh_index_probe(spark, batch_idx, qvec, k=5).collect()]
+    assert got == want and len(got) > 0
+
+    # restart on the same checkpoint: no new input -> index unchanged
+    n_before = spark.read.parquet(idx).count()
+    run_streaming_lsh_index(spark, landing, idx, dim, ck)
+    assert spark.read.parquet(idx).count() == n_before
+
+    # late batch arrives -> processed incrementally, probe sees all rows
+    land_file(emb.filter("vec_id % 3 = 2"), "c")
+    run_streaming_lsh_index(spark, landing, idx, dim, ck)
+    assert spark.read.parquet(idx).count() == emb.count()
+    full_idx = str(tmp_path / "full_idx")
+    write_lsh_index(emb, full_idx, dim=dim)
+    got_full = [tuple(r) for r in lsh_index_probe(spark, idx, qvec, k=5).collect()]
+    want_full = [tuple(r) for r in lsh_index_probe(spark, full_idx, qvec, k=5).collect()]
+    assert got_full == want_full

@@ -1,0 +1,63 @@
+"""Streaming ANN-index maintenance — the streaming twin of the batch
+build/append lifecycle in ``operators/ann_index.py`` (x20/x30).
+
+A production retrieval index is not rebuilt per crawl: new embedding
+batches stream in and must land in the SAME bucket-partitioned layout
+every probe already reads.  The batch ``write_lsh_index(mode="append")``
+path is at-least-once under foreachBatch replay (a replayed micro-batch
+would append its rows twice); here each micro-batch instead OVERWRITES
+its own ``batch_id=N`` directory — the same per-batch_id idempotence
+contract as the streaming dedup store (``streaming/dedup.py`` module
+docstring) — so a crash-and-replay repairs the index instead of
+duplicating vectors.
+
+Layout: ``{index}/batch_id=N/bucket=B/part-*.parquet``.  A root read
+discovers both hive partition columns, and the probe's bucket IN-list
+filter prunes at the bucket level exactly as for the batch-built index
+(same hyperplanes — they are a deterministic function of
+(n_planes, dim)), so ``lsh_index_probe`` works on either layout
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ann_index import LSH_PLANES
+from ..operators.similarity import as_double_vec, hyperplanes, lsh_bucket
+
+
+def run_streaming_lsh_index(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    dim: int,
+    checkpoint_dir: str,
+    n_planes: int = LSH_PLANES,
+    vec_col: str = "embedding",
+) -> None:
+    """availableNow stream over a parquet embedding landing: signature
+    each micro-batch with the deterministic hyperplanes and land it
+    bucket-partitioned under its own ``batch_id=N`` directory
+    (idempotent overwrite — exactly-once net effect under replay)."""
+    planes = hyperplanes(n_planes, dim)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("bucket", lsh_bucket(as_double_vec(vec_col), planes))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_path}/batch_id={batch_id}")
+        )
+
+    schema = f"vec_id long, {vec_col} array<float>"
+    (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
