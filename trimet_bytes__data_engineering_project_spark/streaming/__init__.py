@@ -1,9 +1,12 @@
 from .dedup import run_streaming_dedup  # noqa: F401
+from .index import run_streaming_lsh_index  # noqa: F401
 from .pipeline import (  # noqa: F401
     dedup_within_watermark,
     hourly_rollup,
+    parse_kafka_breadcrumbs,
     run_ingest_pipeline,
     streaming_breadcrumbs,
+    streaming_breadcrumbs_kafka,
     trip_sessions,
 )
 from .stateful import segment_trips_batch, segment_trips_stateful  # noqa: F401
