@@ -408,6 +408,29 @@ def _x63_sessions(spark, d):
 
 
 
+def _x62_merge_upsert(spark, d):
+    # warehouse MERGE at scale: a daily-batch-sized update (1% of keys,
+    # half updates / half inserts) against the full scaled events table
+    # — the anti join must track BASE scan cost (rows stream through
+    # against a broadcast key set), never re-shuffle the base
+    ev = load_table(spark, d, "events")
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        merge_upsert,
+    )
+
+    updates = (
+        ev.filter(F.col("event_id") % 200 == 0)
+        .withColumn("value", F.col("value") + 1.0)
+        .withColumn(
+            "event_id",
+            F.when(F.col("event_id") % 400 == 0, F.col("event_id"))  # update half
+            .otherwise(F.col("event_id") + 1),  # insert half (odd ids are new)
+        )
+    )
+    merged = merge_upsert(ev, updates, ["event_id"])
+    return merged.agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+
+
 _EVENTS_STREAM_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
@@ -516,6 +539,7 @@ HEAVY = [
     ("x81_pps_sample_full", _x81_pps_sample),
     ("x54_pipeline_full", _x54_pipeline),
     ("x63_sessions_full", _x63_sessions),
+    ("x62_merge_upsert_full", _x62_merge_upsert),
     ("t4_stream_rollup_full", _t4_stream_rollup),
     ("cc_distributed_full", _cc_distributed),
 ]
