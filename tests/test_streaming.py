@@ -382,3 +382,52 @@ def test_streaming_lsh_index_equals_batch_build(spark, tmp_path):
     got_full = [tuple(r) for r in lsh_index_probe(spark, idx, qvec, k=5).collect()]
     want_full = [tuple(r) for r in lsh_index_probe(spark, full_idx, qvec, k=5).collect()]
     assert got_full == want_full
+
+
+def test_streaming_ivf_index_equals_batch_build(spark, tmp_path):
+    """Streaming IVF maintenance: quantizer bootstrapped once (frozen),
+    embedding batches assigned and landed per-batch_id; the nprobe
+    probe over the streamed index equals the probe over a one-shot
+    batch build that used the SAME centroids."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ivf_index_probe,
+        write_ivf_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        bootstrap_ivf_quantizer,
+        run_streaming_ivf_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = [float(v) for v in emb.filter("vec_id = 7").first()["embedding"]]
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), as_double_vec("embedding").alias("cvec"))
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    land_file(emb.filter("vec_id % 2 = 0"), "a")
+    land_file(emb.filter("vec_id % 2 = 1"), "b")
+
+    idx = str(tmp_path / "stream_ivf")
+    bootstrap_ivf_quantizer(cents, idx)
+    run_streaming_ivf_index(spark, landing, idx, str(tmp_path / "ck"))
+
+    batch_idx = str(tmp_path / "batch_ivf")
+    write_ivf_index(emb, batch_idx, centroids=cents)
+    for nprobe in (1, 3):
+        got = [tuple(r) for r in ivf_index_probe(spark, idx, qvec, k=5, nprobe=nprobe).collect()]
+        want = [tuple(r) for r in ivf_index_probe(spark, batch_idx, qvec, k=5, nprobe=nprobe).collect()]
+        assert got == want and len(got) > 0

@@ -154,12 +154,21 @@ def write_ivf_index(
             .select(F.col("vec_id").alias("centroid_id"), as_double_vec(vec_col).alias("cvec"))
         )
     cents = centroids
+    assigned = assign_to_centroids(emb, cents, vec_col)
+    if mode != "append":  # append reuses the persisted quantizer untouched
+        cents.write.mode("overwrite").parquet(_centroids_path(path))
+    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
+
+
+def assign_to_centroids(emb: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+    """Argmax-cosine coarse assignment of every vector to a centroid —
+    shared by the batch build/append paths and the streaming landing.
+    Vector norm folded once per vector (not per centroid); centroid
+    norm derived inside the broadcast side — c_cos is the identical
+    expression value, bit-exact vs the naive per-pair cosine."""
     from pyspark.sql import Window
 
     v = as_double_vec(vec_col)
-    # vector norm folded once per vector (not per centroid); centroid
-    # norm derived inside the broadcast side — c_cos is the identical
-    # expression value, bit-exact vs the naive per-pair cosine
     cents_n = cents.withColumn("c_n", l2_norm(F.col("cvec")))
     assigned = (
         emb.select("vec_id", F.col(vec_col), v.alias("_v"), l2_norm(v).alias("_vn"))
@@ -169,14 +178,11 @@ def write_ivf_index(
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
-    assigned = (
+    return (
         assigned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", vec_col, "centroid_id")
     )
-    if mode != "append":  # append reuses the persisted quantizer untouched
-        cents.write.mode("overwrite").parquet(_centroids_path(path))
-    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
 
 
 def ivf_index_probe(

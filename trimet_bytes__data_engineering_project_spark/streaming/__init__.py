@@ -1,5 +1,9 @@
 from .dedup import run_streaming_dedup  # noqa: F401
-from .index import run_streaming_lsh_index  # noqa: F401
+from .index import (  # noqa: F401
+    bootstrap_ivf_quantizer,
+    run_streaming_ivf_index,
+    run_streaming_lsh_index,
+)
 from .pipeline import (  # noqa: F401
     dedup_within_watermark,
     hourly_rollup,

@@ -61,3 +61,58 @@ def run_streaming_lsh_index(
         .start()
         .awaitTermination()
     )
+
+
+def bootstrap_ivf_quantizer(
+    centroids: DataFrame,
+    index_path: str,
+) -> None:
+    """Persist the coarse quantizer for a streaming IVF index WITHOUT
+    writing any vectors — the streamed index must stay homogeneous
+    (every vector under ``batch_id=N/centroid_id=C``), so the batch
+    build's root-level layout cannot be mixed in.  ``centroids`` is
+    (centroid_id, cvec) — the deterministic first-n table or
+    ``kmeans_centroids`` output."""
+    from ..operators.ann_index import _centroids_path
+
+    centroids.write.mode("overwrite").parquet(_centroids_path(index_path))
+
+
+def run_streaming_ivf_index(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming twin of ``write_ivf_index(mode="append")`` with the
+    exactly-once contract append lacks: each micro-batch is assigned
+    against the FROZEN persisted quantizer
+    (:func:`bootstrap_ivf_quantizer` must have run — a re-derived
+    quantizer would scatter generations across incompatible lists)
+    and lands centroid-partitioned under its own ``batch_id=N``
+    directory (idempotent overwrite on replay).  ``ivf_index_probe``
+    reads the root unchanged: partition discovery adds batch_id, the
+    nprobe IN-list still prunes on centroid_id."""
+    from ..operators.ann_index import _centroids_path, assign_to_centroids
+
+    cents = spark.read.parquet(_centroids_path(index_path))
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            assign_to_centroids(batch_df, cents, vec_col)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{index_path}/batch_id={batch_id}")
+        )
+
+    schema = f"vec_id long, {vec_col} array<float>"
+    (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
