@@ -974,3 +974,30 @@ def test_bigram_surprisal_exact_values(spark):
     )
     s = {r.doc_id: r.avg_surprisal for r in bigram_surprisal(df2).collect()}
     assert s[9] > s[0]
+
+
+def test_trigram_backoff_hand_computed(spark):
+    """Every backoff level on a hand-built corpus: seen trigram scores
+    the prefix/exact ratio; unseen trigram with seen trailing bigram
+    pays x4; bigram miss with seen last unigram pays x16; full OOV hits
+    the x16*(N+1) ceiling.  Docs with <3 tokens drop."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        trigram_backoff_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(100, "a b c a b d"), (101, "y z w")], ["doc_id", "text"]
+    )
+    # base: N=9 unigrams; trigrams {a b c, b c a, c a b, a b d, y z w}
+    batch = spark.createDataFrame(
+        [
+            (0, "a b c"),    # seen trigram: c3p('a b')=2 div c3=1 -> 2
+            (1, "x y z"),    # trigram unseen; trailing bigram 'y z' seen: 4*(c2p('y')=1 div c2=1) = 4
+            (2, "q r w"),    # bigram 'r w' unseen; unigram 'w' seen: 16*(9 div 1) = 144
+            (3, "q r s"),    # full OOV: 16*(9+1) = 160
+            (4, "a b"),      # too short -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.surprisal_sum for r in trigram_backoff_surprisal(batch, base).collect()}
+    assert got == {0: 2, 1: 4, 2: 144, 3: 160}

@@ -449,6 +449,121 @@ def novelty_score(
     )
 
 
+BACKOFF_PENALTY = 4  # reciprocal of stupid backoff's alpha=0.4 is 2.5;
+# rounded UP to the next integer so the penalty stays exact int64
+# arithmetic (a float alpha would break cross-engine bit parity) and a
+# backed-off estimate is always strictly worse than a direct hit.
+
+
+def _ngram_join(toks: Column, n: int) -> Column:
+    """Space-joined n-gram strings from a token array, built array-side
+    (zip of the array against its own shifted tails — no window)."""
+    size = F.size(toks)
+    grams = F.slice(toks, 1, size - (n - 1))
+    for off in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + off, size - (n - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return grams
+
+
+def trigram_backoff_surprisal(
+    batch: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus TRIGRAM surprisal with stupid backoff — the top of
+    the engine's n-gram ladder (x51 unigram → x80 bigram → this), the
+    integer-exact stand-in for the KenLM 5-gram perplexity filter CCNet
+    uses: each batch trigram is scored against the BASE corpus's counts,
+    and an unseen trigram BACKS OFF to the trailing bigram, then the
+    last unigram, then the OOV ceiling — multiplying by an integer
+    :data:`BACKOFF_PENALTY` per level (stupid backoff's α=0.4 as the
+    reciprocal-integer 4, so backed-off scores are exact int64 and
+    strictly worse than direct hits).
+
+    Per-trigram-instance score (all integer ratios, x80's prefix-count
+    convention):
+
+    - seen trigram:          C3(w1w2·) div C3(w1w2w3)
+    - else seen bigram w2w3: PEN · (C2(w2·) div C2(w2w3))
+    - else seen unigram w3:  PEN² · (N div C1(w3))
+    - else OOV:              PEN² · (N + 1)   (x56's add-one ceiling)
+
+    Scale shape: the base reduces once to four count tables (the
+    persisted nightly n-gram snapshot at 100 TB); the batch side
+    aggregates to one row per distinct (doc, trigram) and LEFT-joins
+    the tables on trigram/bigram/unigram keys — the batch side of every
+    shuffle is O(batch), and base tables are corpus-vocabulary-sized so
+    the joins deliberately do not broadcast.  Batch docs with < 3
+    tokens drop (no trigram to score).
+
+    Returns (doc_id, n_trigrams, surprisal_sum, avg_surprisal).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+
+    def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
+        return df.where(F.size(toks) >= n).select(
+            *extra, F.explode(_ngram_join(toks, n)).alias("g")
+        )
+
+    t3 = explode_grams(base, 3).groupBy("g").agg(F.count("*").cast("long").alias("c3"))
+    c3p = (
+        t3.groupBy(F.substring_index("g", " ", 2).alias("p2"))
+        .agg(F.sum("c3").cast("long").alias("c3p"))
+    )
+    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    c2p = (
+        t2.groupBy(F.substring_index("g", " ", 1).alias("p1"))
+        .agg(F.sum("c2").cast("long").alias("c2p"))
+    )
+    c1 = explode_grams(base, 1).groupBy("g").agg(F.count("*").cast("long").alias("c1"))
+    n_total = c1.agg(F.sum("c1").cast("long").alias("n_total"))
+
+    tf = (
+        explode_grams(batch, 3, F.col(id_col).alias("doc_id"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("p2", F.substring_index("g", " ", 2))
+        .withColumn("b23", F.substring_index("g", " ", -2))
+        .withColumn("w2", F.substring_index(F.col("b23"), " ", 1))
+        .withColumn("w3", F.substring_index("g", " ", -1))
+    )
+    pen = BACKOFF_PENALTY
+    scored = (
+        tf.join(t3, "g", "left")
+        .join(c3p, "p2", "left")
+        .join(t2.withColumnRenamed("g", "b23"), "b23", "left")
+        .join(c2p.withColumnRenamed("p1", "w2"), "w2", "left")
+        .join(c1.withColumnRenamed("g", "w3"), "w3", "left")
+        .join(F.broadcast(n_total))
+        .withColumn(
+            "inst",
+            F.col("tf")
+            * F.expr(
+                f"CASE WHEN c3 IS NOT NULL THEN c3p div c3 "
+                f"WHEN c2 IS NOT NULL THEN {pen} * (c2p div c2) "
+                f"WHEN c1 IS NOT NULL THEN {pen * pen} * (n_total div c1) "
+                f"ELSE {pen * pen} * (n_total + 1) END"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_trigrams"),
+            F.sum("inst").cast("long").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.col("surprisal_sum").cast("double") / F.col("n_trigrams").cast("double"),
+        )
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """C4-style cleaning normalization as one codegen expression chain:
     lowercase → strip non-printable/control chars → collapse whitespace

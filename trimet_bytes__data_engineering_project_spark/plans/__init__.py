@@ -41,10 +41,11 @@ _WINDOW_HEAD = [
     # new this round, driver-checked in their first round: the count-min
     # top-terms path (x72's documented sub-linear swap made real AND
     # oracle-backed), the bigram-perplexity filter, and the systematic
-    # PPS weighted draw
+    # PPS weighted draw, trigram stupid-backoff
     "x79_top_terms_sketch",
     "x80_bigram_surprisal",
     "x81_weighted_sample",
+    "x82_trigram_backoff_surprisal",
     # r03-green, kept in-window (one driver row each; code areas touched
     # or adjacent this round stay under driver checks)
     "x26_asof_join_skewed",
@@ -83,7 +84,6 @@ _WINDOW_HEAD = [
     "x62_merge_upsert",
     "x63_event_sessions",
     "x64_scd2_history",
-    "x65_pivot_counts",
     "x69_text_normalize",
     "x70_conversion_funnel",
 ]
@@ -92,15 +92,16 @@ _WINDOW_HEAD = [
 # 8-member monitor tier x71-x78 (never driver-checked) leads, the two
 # r03 non-green rows (x24 oracle-cast fix, x27 new hard signal) retry,
 # the three brand-new oracle-backed queries (x79 count-min top terms,
-# x80 bigram surprisal, x81 systematic PPS draw) get driver rows in
+# x80 bigram surprisal, x81 systematic PPS draw, x82 trigram backoff) get
+# driver rows in
 # their first round, and the remaining head entries are r03-green
 # rows kept under driver checks because their code areas were touched
 # or are adjacent this round (graph.py fast-path fixes -> x34/x48/x38;
 # scale-bench additions -> x59/x60; top-terms approx flag -> x72's
 # operator); x21 returns to the window because the IVF centroid
-# assignment it persists through changed (norm precompute).  Twelve of
+# assignment it persists through changed (norm precompute).  Thirteen of
 # the simplest r03-green rows
-# (x22/x23/x25/x31/x32/x35/x37/x39/x45/x66/x67/x68) park in the tail to make
+# (x22/x23/x25/x31/x32/x35/x37/x39/x45/x65/x66/x67/x68) park in the tail to make
 # room —
 # every parked query stays registered and is swept by
 # tests/test_oracle_parity.py with the identical protocol.
@@ -110,6 +111,7 @@ _WINDOW_TAIL = [
     # r03-driver-green, simple filter/agg/set-op shapes, code untouched
     # this round (still swept by tests/test_oracle_parity.py)
     "x45_mixture_drift",
+    "x65_pivot_counts",
     "x66_rollup_counts",
     "x67_set_ops",
     "x68_unpivot_metrics",

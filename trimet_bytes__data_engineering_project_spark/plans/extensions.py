@@ -2077,6 +2077,73 @@ def x81_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return systematic_pps_sample(d, "n_tokens", "doc_id", 64)
 
 
+_TRI = "toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]"
+_BI = "toks[i + 1] || ' ' || toks[i + 2]"
+
+
+@query(
+    "x82_trigram_backoff_surprisal",
+    oracle=f"""
+    WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+                FROM documents WHERE doc_id < 250),
+    qt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents WHERE doc_id >= 250),
+    t3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3
+           FROM (SELECT unnest(list_transform(range(len(toks) - 2), i -> {_TRI})) AS g
+                 FROM bt WHERE len(toks) >= 3) GROUP BY 1),
+    c3p AS (SELECT split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS p2,
+                   CAST(sum(c3) AS BIGINT) AS c3p FROM t3 GROUP BY 1),
+    t2 AS (SELECT b23, CAST(count(*) AS BIGINT) AS c2
+           FROM (SELECT unnest(list_transform(range(len(toks) - 1), i -> {_BI})) AS b23
+                 FROM bt WHERE len(toks) >= 2) GROUP BY 1),
+    c2p AS (SELECT split_part(b23, ' ', 1) AS w2, CAST(sum(c2) AS BIGINT) AS c2p
+            FROM t2 GROUP BY 1),
+    t1 AS (SELECT w3, CAST(count(*) AS BIGINT) AS c1
+           FROM (SELECT unnest(toks) AS w3 FROM bt) GROUP BY 1),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM t1),
+    tf AS (SELECT doc_id, g, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(toks) - 2), i -> {_TRI})) AS g
+                 FROM qt WHERE len(toks) >= 3) GROUP BY 1, 2),
+    k AS (SELECT doc_id, tf, g,
+                 split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS p2,
+                 split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS b23,
+                 split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+          FROM tf),
+    s AS (SELECT k.doc_id, k.tf,
+                 CASE WHEN c3 IS NOT NULL THEN c3p // c3
+                      WHEN c2 IS NOT NULL THEN 4 * (c2p // c2)
+                      WHEN c1 IS NOT NULL THEN 16 * (n_total // c1)
+                      ELSE 16 * (n_total + 1) END AS inst
+          FROM k LEFT JOIN t3 USING (g) LEFT JOIN c3p USING (p2)
+                 LEFT JOIN t2 USING (b23) LEFT JOIN c2p USING (w2)
+                 LEFT JOIN t1 USING (w3) CROSS JOIN n)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           CAST(sum(tf * inst) AS BIGINT) AS surprisal_sum,
+           CAST(CAST(sum(tf * inst) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+    FROM s GROUP BY 1
+    """,
+)
+def x82_trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top of the n-gram ladder (x51 unigram → x80 bigram → this): the
+    new batch (doc_id ≥ 250) scored against the standing corpus's
+    (doc_id < 250) TRIGRAM model with STUPID BACKOFF — unseen trigram
+    → trailing bigram → last unigram → OOV ceiling, each level paying
+    an integer ×4 penalty (α=0.4's reciprocal rounded up, so backoff
+    stays exact int64 and is strictly worse than a direct hit).  The
+    integer-exact stand-in for CCNet's KenLM perplexity filter; backoff
+    genuinely fires at sf0.01 (the batch holds trigrams the base never
+    saw).  Batch side of every shuffle is O(batch); the four base
+    count tables are the persisted nightly n-gram snapshot at scale."""
+    from ..operators.textstats import trigram_backoff_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_backoff_surprisal(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
 @query(
     "x52_bloom_decontamination",
     oracle=f"""
