@@ -408,6 +408,23 @@ def _x63_sessions(spark, d):
 
 
 
+def _x82_trigram_backoff_10pct(spark, d):
+    # the n-gram ladder's honest worst case one level up from x51/x80:
+    # the batch side stays 10% but the BASE trigram/bigram/unigram
+    # count tables grow with the corpus (replica text re-derivation
+    # grows the n-gram vocabulary superlinearly) — measures the
+    # nightly-snapshot contract under vocabulary growth
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        trigram_backoff_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    out = trigram_backoff_surprisal(
+        docs.filter(F.col("doc_id") % 10 == 0), docs.filter(F.col("doc_id") % 10 != 0)
+    )
+    return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("s"))
+
+
 def _x62_merge_upsert(spark, d):
     # warehouse MERGE at scale: a daily-batch-sized update (1% of keys,
     # half updates / half inserts) against the full scaled events table
@@ -540,6 +557,7 @@ HEAVY = [
     ("x54_pipeline_full", _x54_pipeline),
     ("x63_sessions_full", _x63_sessions),
     ("x62_merge_upsert_full", _x62_merge_upsert),
+    ("x82_trigram_backoff_10pct", _x82_trigram_backoff_10pct),
     ("t4_stream_rollup_full", _t4_stream_rollup),
     ("cc_distributed_full", _cc_distributed),
 ]
