@@ -431,3 +431,44 @@ def test_streaming_ivf_index_equals_batch_build(spark, tmp_path):
         got = [tuple(r) for r in ivf_index_probe(spark, idx, qvec, k=5, nprobe=nprobe).collect()]
         want = [tuple(r) for r in ivf_index_probe(spark, batch_idx, qvec, k=5, nprobe=nprobe).collect()]
         assert got == want and len(got) > 0
+
+
+def test_streaming_knn_serve_equals_query_time_join(spark, tmp_path):
+    """Streaming retrieval serving: micro-batches of query vectors
+    probe the persisted LSH index (bounded bucket-set collect -> IN-list
+    partition filter -> one bucket equi-join) and land per-batch_id
+    top-k results pinned IDENTICAL to query-time knn_join over the same
+    corpus with the same planes."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        write_lsh_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import knn_join
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_knn_serve,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.first()["embedding"])
+    corpus = emb.filter("vec_id % 10 != 0")
+    queries = emb.filter("vec_id % 10 = 0")
+
+    idx = str(tmp_path / "idx")
+    write_lsh_index(corpus, idx, dim=dim)
+
+    landing = str(tmp_path / "qs")
+    os.makedirs(landing)
+    for name, flt in (("a", "vec_id % 20 = 0"), ("b", "vec_id % 20 = 10")):
+        t = str(tmp_path / f"w_{name}")
+        queries.filter(flt).coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    results = str(tmp_path / "res")
+    run_streaming_knn_serve(spark, landing, idx, results, str(tmp_path / "ck"), dim=dim)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(results).select("q_id", "c_id", "cos_sim", "rn").collect()
+    )
+    want = sorted(tuple(r) for r in knn_join(queries, corpus, dim=dim, k=3).collect())
+    assert got == want and len(got) > 0

@@ -2,6 +2,7 @@ from .dedup import run_streaming_dedup  # noqa: F401
 from .index import (  # noqa: F401
     bootstrap_ivf_quantizer,
     run_streaming_ivf_index,
+    run_streaming_knn_serve,
     run_streaming_lsh_index,
 )
 from .pipeline import (  # noqa: F401

@@ -116,3 +116,83 @@ def run_streaming_ivf_index(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_knn_serve(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    dim: int,
+    k: int = 3,
+    n_planes: int | None = None,
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming retrieval SERVING over a persisted LSH index: each
+    micro-batch of query vectors is signatured with the index's own
+    deterministic hyperplanes, the batch's distinct bucket set (≤ 2^p
+    ids — a bounded driver-side collect, same cost class as the probe's
+    literal bucket) becomes an IN-list PARTITION FILTER on the index
+    scan, and the per-query top-k lands under ``batch_id=N`` with the
+    idempotent-overwrite exactly-once contract.
+
+    The serving plan per batch is exactly ``knn_join``'s shape — one
+    bucket-keyed equi-join + per-query streaming row_number — except
+    the corpus side reads ONLY the probed bucket partitions instead of
+    re-signaturing the corpus (the entire point of persisting the
+    index).  Results are pinned identical to query-time ``knn_join``
+    over the same corpus (test)."""
+    from ..operators.ann_index import LSH_PLANES
+    from ..operators.similarity import dot, l2_norm
+
+    if n_planes is None:
+        n_planes = LSH_PLANES
+    planes = hyperplanes(n_planes, dim)
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        qv = as_double_vec(vec_col)
+        q = batch_df.select(
+            F.col("vec_id").alias("q_id"),
+            qv.alias("qvec"),
+            l2_norm(qv).alias("qn"),
+            lsh_bucket(qv, planes).alias("bucket"),
+        )
+        probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+        cv = as_double_vec(vec_col)
+        c = (
+            spark.read.parquet(index_path)
+            .filter(F.col("bucket").isin(probed))
+            .select(
+                F.col("vec_id").alias("c_id"),
+                cv.alias("cvec"),
+                l2_norm(cv).alias("cn"),
+                "bucket",
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+        (
+            q.join(c, "bucket")
+            .withColumn(
+                "cos_sim",
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", "c_id", "cos_sim", "rn")
+            .write.mode("overwrite")
+            .parquet(f"{results_path}/batch_id={batch_id}")
+        )
+
+    schema = f"vec_id long, {vec_col} array<float>"
+    (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
