@@ -1001,3 +1001,38 @@ def test_trigram_backoff_hand_computed(spark):
     )
     got = {r.doc_id: r.surprisal_sum for r in trigram_backoff_surprisal(batch, base).collect()}
     assert got == {0: 2, 1: 4, 2: 144, 3: 160}
+
+
+def test_dedup_spans_hand_computed(spark):
+    """ExactSubstr covering mask on a hand-built corpus (n=3): cross-
+    document coverage, the n-1 window edge (a token exactly n-1 after a
+    dup-gram start is covered; the next token is not), within-document
+    repeats, fully-duplicated docs surviving with EMPTY text, and
+    sub-n docs keeping repeated tokens (shorter-than-n repeats are
+    deliberately out of policy)."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import dedup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # shares 'a b c' with doc 2
+            (2, "x a b c y"),        # cross-doc dup gram at pos 1
+            (3, "p q r s p q r t"),  # within-doc repeat of 'p q r'
+            (4, "m n o"),            # exact dup of doc 5 -> empty survivor
+            (5, "m n o"),
+            (6, "z z"),              # < n tokens: no grams, repeats kept
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup_spans(docs, n=3).collect()
+    }
+    assert got == {
+        # start at pos 0 covers pos 0..2; pos 3 ('d') is the window edge -> kept
+        1: ("d e", 2, 3),
+        2: ("x y", 2, 3),
+        3: ("s t", 2, 6),
+        4: ("", 0, 3),
+        5: ("", 0, 3),
+        6: ("z z", 2, 0),
+    }

@@ -1500,6 +1500,65 @@ def x39_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(lined)
 
 
+_SPAN_N = 8
+
+
+@query(
+    "x83_span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM (
+            SELECT doc_id, unnest(list_transform(range(len(toks) - {_SPAN_N - 1}),
+                   i -> struct_pack(pos := i,
+                        g := array_to_string(toks[i + 1:i + {_SPAN_N}], ' ')))) AS s
+            FROM t WHERE len(toks) >= {_SPAN_N})),
+    dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+    starts AS (SELECT doc_id, pos, 1 AS is_start FROM g JOIN dup USING (g)),
+    tk AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+            SELECT doc_id, unnest(list_transform(range(len(toks)),
+                   i -> struct_pack(pos := i, tok := toks[i + 1]))) AS s
+            FROM t)),
+    cov AS (SELECT tk.doc_id, tk.pos, tk.tok,
+                   coalesce(max(s.is_start) OVER (PARTITION BY tk.doc_id ORDER BY tk.pos
+                            RANGE BETWEEN {_SPAN_N - 1} PRECEDING AND CURRENT ROW), 0)
+                     AS covered
+            FROM tk LEFT JOIN starts s USING (doc_id, pos))
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN covered = 0 THEN tok END,
+                                   ' ' ORDER BY pos), '')) AS clean_digest,
+           CAST(sum(1 - covered) AS BIGINT) AS n_tokens_kept,
+           CAST(sum(covered) AS BIGINT) AS n_tokens_removed
+    FROM cov GROUP BY doc_id
+    """,
+)
+def x83_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring SPAN dedup (Lee et al. 2021's ExactSubstr policy
+    in its shuffle-friendly fixed-n covering-mask form,
+    ``dedup.dedup_spans``): every token covered by an occurrence of a
+    word 8-gram appearing ≥2 times ANYWHERE in the corpus — cross-
+    document or within-document — is removed; survivors reassemble in
+    original order, and fully-duplicated documents survive with empty
+    text rather than vanish.  At sf0.01 the corpus genuinely carries
+    ~1,000 duplicated 8-grams, so the mask fires without fabrication.
+    The driver hashes ``md5(clean_text)`` (digest, not the text) plus
+    the integer kept/removed token counts.  Scale shape: occurrence
+    counting groups on md5(gram) — the shuffle carries digests, never
+    gram text; the covering mask is ONE per-document streaming RANGE
+    window (a token is covered iff a dup-gram START lies in its
+    trailing n−1 window — no join explosion); the oracle recomputes
+    the identical mask with DuckDB's RANGE frame."""
+    from ..operators.dedup import dedup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup_spans(docs, n=_SPAN_N)
+    return spans.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_digest"),
+        "n_tokens_kept",
+        "n_tokens_removed",
+    )
+
+
 @query(
     "x40_tfidf_top_terms",
     oracle="""
