@@ -441,11 +441,51 @@ def _x62_merge_upsert(spark, d):
         .withColumn(
             "event_id",
             F.when(F.col("event_id") % 400 == 0, F.col("event_id"))  # update half
-            .otherwise(F.col("event_id") + 1),  # insert half (odd ids are new)
+            # insert half: re-keyed past every scaled id space (ids are
+            # dense sequential plus copy strides, so +1 would collide)
+            .otherwise(F.col("event_id") + F.lit(10**15)),
         )
     )
     merged = merge_upsert(ev, updates, ["event_id"])
     return merged.agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+
+
+def _snapshot_probe_10pct(spark, d, kind):
+    """Shared driver for the x85/x86 snapshot-probe rows: the 90% side's
+    count table is PREBUILT once per scale dir (ensure_index marker,
+    same protocol as _x49_probe) — the timed work is the 10% batch's
+    tf agg + the join against the snapshot scan.  The contrast rows are
+    x40_tfidf_top_terms / x51_unigram_surprisal_full, which re-aggregate
+    the corpus every run (19.1x / 8.55x at x100 in round 4)."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        doc_frequencies,
+        tfidf_top_terms,
+        unigram_counts,
+        unigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    base = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    path = os.path.join(_SCALE_ROOT, f"{kind}_snapshot", os.path.basename(d.rstrip("/")))
+    if kind == "df":
+        ensure_index(lambda: doc_frequencies(base).write.parquet(path), path)
+        out = tfidf_top_terms(batch, k=3, df_counts=spark.read.parquet(path))
+        return out.agg(F.count("*").alias("n"), F.sum("score").alias("s"))
+    ensure_index(lambda: unigram_counts(base).write.parquet(path), path)
+    out = unigram_surprisal(batch, base_counts=spark.read.parquet(path))
+    return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("total"))
+
+
+def _x85_tfidf_snapshot_10pct(spark, d):
+    return _snapshot_probe_10pct(spark, d, "df")
+
+
+def _x86_surprisal_snapshot_10pct(spark, d):
+    return _snapshot_probe_10pct(spark, d, "unigram")
 
 
 _EVENTS_STREAM_SCHEMA = (
@@ -558,6 +598,8 @@ HEAVY = [
     ("x63_sessions_full", _x63_sessions),
     ("x62_merge_upsert_full", _x62_merge_upsert),
     ("x82_trigram_backoff_10pct", _x82_trigram_backoff_10pct),
+    ("x85_tfidf_snapshot_10pct", _x85_tfidf_snapshot_10pct),
+    ("x86_surprisal_snapshot_10pct", _x86_surprisal_snapshot_10pct),
     ("t4_stream_rollup_full", _t4_stream_rollup),
     ("cc_distributed_full", _cc_distributed),
 ]

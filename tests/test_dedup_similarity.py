@@ -1036,3 +1036,72 @@ def test_dedup_spans_hand_computed(spark):
         5: ("", 0, 3),
         6: ("z z", 2, 0),
     }
+
+
+def test_trigram_jm_hand_computed(spark):
+    """Interpolation weights pinned exactly on a hand-built corpus
+    (S = 8*(N+1) = 80 with N=9 base tokens): a fully-seen trigram sums
+    all four fixed-point terms (20+10+1+1 -> inst 80 div 32 = 2); a
+    bigram-level hit sums three (20+1+1 -> 3); a unigram-only hit two
+    (1+1 -> 40); full OOV just the lambda0 floor (1 -> the S=80
+    ceiling).  Docs with <3 tokens drop."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        trigram_jm_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(100, "a b c a b d"), (101, "y z w")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y z"), (2, "q r w"), (3, "q r s"), (4, "a b")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.surprisal_sum
+        for r in trigram_jm_surprisal(batch, base).collect()
+    }
+    assert got == {0: 2, 1: 3, 2: 40, 3: 80}
+    # interpolation, not backoff: the seen-trigram score benefits from the
+    # lower orders (stupid backoff gives doc 0 exactly c3p div c3 = 2 as
+    # well here, but doc 1's backoff score would be 4, not 3 — the lower
+    # orders pulled it down)
+    assert got[1] < 4
+
+
+def test_snapshot_probes_pinned_to_self_scored(spark):
+    """The persisted-snapshot probe paths equal the self-scored paths
+    exactly when the snapshot is built from the scored corpus itself
+    (no OOV terms exist), and the OOV rules fire for unseen terms:
+    tf-idf scores them at df=1, surprisal at the add-one ceiling."""
+    import pandas as pd
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        doc_frequencies,
+        tfidf_top_terms,
+        unigram_counts,
+        unigram_surprisal,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def cmp(a, b):
+        key = sorted(a.columns)
+        a = a.toPandas().sort_values(key).reset_index(drop=True)[key]
+        b = b.toPandas().sort_values(key).reset_index(drop=True)[key]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    cmp(tfidf_top_terms(docs, k=3),
+        tfidf_top_terms(docs, k=3, df_counts=doc_frequencies(docs)))
+    cmp(unigram_surprisal(docs),
+        unigram_surprisal(docs, base_counts=unigram_counts(docs)))
+
+    base = spark.createDataFrame([(0, "a a a b")], ["doc_id", "text"])
+    batch = spark.createDataFrame([(1, "a q")], ["doc_id", "text"])
+    t = {
+        r.term: (r.df, r.score)
+        for r in tfidf_top_terms(batch, k=3, df_counts=doc_frequencies(base)).collect()
+    }
+    assert t["q"] == (1, 1.0) and t["a"] == (1, 1.0)  # base has one doc
+    u = unigram_surprisal(batch, base_counts=unigram_counts(base)).collect()[0]
+    # N=4; 'a' seen c=3 -> 4 div 3 = 1; 'q' OOV -> 4 div 1 = 4
+    assert (u.n_tokens, u.surprisal_sum) == (2, 5)

@@ -93,11 +93,51 @@ def repetition_ratio_col(text: Column, n: int = 3) -> Column:
 WORD_PATTERN = "[a-z]+"  # letter runs over lowered text; RE2/Java-identical
 
 
+def doc_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The (term, df) document-frequency table of a corpus — the
+    persistable snapshot :func:`tfidf_top_terms` scores batches
+    against.  At 100 TB this is the nightly artifact: build once per
+    corpus refresh, write to parquet, and every subsequent batch pays
+    O(batch) instead of re-aggregating the corpus vocabulary."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+
+
+def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The (term, c) corpus unigram-count table — the persistable
+    snapshot :func:`unigram_surprisal` scores batches against (same
+    nightly-artifact contract as :func:`doc_frequencies`)."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    df_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` distinguishing terms per document by tf·idf with
     LINEAR idf — score = tf / df (term count in the doc over the
@@ -117,7 +157,17 @@ def tfidf_top_terms(
     (already ≪ corpus) per term; the tf⋈df equi-join shuffles on the
     term key (AQE broadcasts the df side when it fits); the final
     top-k is one window on doc_id with a streaming row counter —
-    the same bounded-state shape as ``sampling.cap_per_group``."""
+    the same bounded-state shape as ``sampling.cap_per_group``.
+
+    ``df_counts``: a persisted (term, df) snapshot (see
+    :func:`doc_frequencies`) to score against instead of the input's
+    own df — the x56-style snapshot-probe form where only the BATCH
+    side of every shuffle grows with the batch and the corpus is never
+    re-aggregated per run.  A batch term absent from the snapshot
+    scores with df = 1 (maximally distinguishing — the rarest a seen
+    term can be), so the probe is total.  When the snapshot is built
+    from ``docs`` itself the result is identical to the self-scored
+    path (no OOV terms exist; pinned by test)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -125,9 +175,15 @@ def tfidf_top_terms(
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # each (doc, term) row is one containing doc → df = plain count
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(df, "term").withColumn(
+    if df_counts is None:
+        # each (doc, term) row is one containing doc → df = plain count
+        df = tf.groupBy("term").agg(F.count("*").alias("df"))
+        scored = tf.join(df, "term")
+    else:
+        scored = tf.join(df_counts, "term", "left").withColumn(
+            "df", F.coalesce(F.col("df"), F.lit(1)).cast("long")
+        )
+    scored = scored.withColumn(
         "score", F.col("tf").cast("double") / F.col("df").cast("double")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
@@ -268,7 +324,10 @@ def chunk_documents(
 
 
 def unigram_surprisal(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document average unigram surprisal against the corpus's own
     unigram distribution — the cheap language-model perplexity proxy
@@ -295,7 +354,17 @@ def unigram_surprisal(
     NOT broadcastable by design — AQE may still broadcast small
     vocabularies); the grand total is a 1-row broadcast cross join;
     the final per-doc agg is the second and last corpus-sized
-    shuffle."""
+    shuffle.
+
+    ``base_counts``: a persisted (term, c) snapshot (see
+    :func:`unigram_counts`) to score against instead of the input's
+    own distribution — the snapshot-probe form where the corpus
+    distribution is built ONCE and every batch run pays O(batch).
+    ``n_total`` becomes the snapshot's total; a batch term absent
+    from the snapshot scores as if its count were 1 (``n_total div 1``
+    — the add-one OOV ceiling, exactly :func:`novelty_score`'s rule).
+    When the snapshot is built from ``docs`` itself the result is
+    identical to the self-scored path (pinned by test)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -303,11 +372,18 @@ def unigram_surprisal(
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    counts = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
-    total = tf.agg(F.sum("tf").cast("long").alias("n_total"))
+    if base_counts is None:
+        counts = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+        total = tf.agg(F.sum("tf").cast("long").alias("n_total"))
+        joined = tf.join(counts, "term")
+    else:
+        counts = base_counts
+        total = counts.agg(F.sum("c").cast("long").alias("n_total"))
+        joined = tf.join(counts, "term", "left").withColumn(
+            "c", F.coalesce(F.col("c"), F.lit(1)).cast("long")
+        )
     scored = (
-        tf.join(counts, "term")
-        .join(F.broadcast(total))
+        joined.join(F.broadcast(total))
         .withColumn("inst_surprisal", F.col("tf") * F.expr("n_total div c"))
     )
     return (
@@ -469,6 +545,63 @@ def _ngram_join(toks: Column, n: int) -> Column:
     return grams
 
 
+def _trigram_scored(
+    batch: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    inst_sql: str,
+) -> DataFrame:
+    """Shared chassis of the trigram scorers (stupid backoff x82, JM
+    interpolation x84): build the BASE corpus's four persisted-snapshot
+    count tables (trigram c3 / trigram-prefix c3p / bigram c2 /
+    bigram-prefix c2p / unigram c1 + grand total), aggregate the BATCH
+    to one row per distinct (doc, trigram), LEFT-join every level's
+    counts, and score each instance with ``inst_sql`` (a SQL expression
+    over c3/c3p/c2/c2p/c1/n_total — integer arithmetic only).  The
+    batch side of every shuffle is O(batch); the base tables are
+    corpus-vocabulary-sized so those joins deliberately do not
+    broadcast."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+
+    def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
+        return df.where(F.size(toks) >= n).select(
+            *extra, F.explode(_ngram_join(toks, n)).alias("g")
+        )
+
+    t3 = explode_grams(base, 3).groupBy("g").agg(F.count("*").cast("long").alias("c3"))
+    c3p = (
+        t3.groupBy(F.substring_index("g", " ", 2).alias("p2"))
+        .agg(F.sum("c3").cast("long").alias("c3p"))
+    )
+    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    c2p = (
+        t2.groupBy(F.substring_index("g", " ", 1).alias("p1"))
+        .agg(F.sum("c2").cast("long").alias("c2p"))
+    )
+    c1 = explode_grams(base, 1).groupBy("g").agg(F.count("*").cast("long").alias("c1"))
+    n_total = c1.agg(F.sum("c1").cast("long").alias("n_total"))
+
+    tf = (
+        explode_grams(batch, 3, F.col(id_col).alias("doc_id"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("p2", F.substring_index("g", " ", 2))
+        .withColumn("b23", F.substring_index("g", " ", -2))
+        .withColumn("w2", F.substring_index(F.col("b23"), " ", 1))
+        .withColumn("w3", F.substring_index("g", " ", -1))
+    )
+    return (
+        tf.join(t3, "g", "left")
+        .join(c3p, "p2", "left")
+        .join(t2.withColumnRenamed("g", "b23"), "b23", "left")
+        .join(c2p.withColumnRenamed("p1", "w2"), "w2", "left")
+        .join(c1.withColumnRenamed("g", "w3"), "w3", "left")
+        .join(F.broadcast(n_total))
+        .withColumn("inst", F.col("tf") * F.expr(inst_sql))
+    )
+
+
 def trigram_backoff_surprisal(
     batch: DataFrame,
     base: DataFrame,
@@ -503,53 +636,85 @@ def trigram_backoff_surprisal(
 
     Returns (doc_id, n_trigrams, surprisal_sum, avg_surprisal).
     """
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
-
-    def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
-        return df.where(F.size(toks) >= n).select(
-            *extra, F.explode(_ngram_join(toks, n)).alias("g")
-        )
-
-    t3 = explode_grams(base, 3).groupBy("g").agg(F.count("*").cast("long").alias("c3"))
-    c3p = (
-        t3.groupBy(F.substring_index("g", " ", 2).alias("p2"))
-        .agg(F.sum("c3").cast("long").alias("c3p"))
-    )
-    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
-    c2p = (
-        t2.groupBy(F.substring_index("g", " ", 1).alias("p1"))
-        .agg(F.sum("c2").cast("long").alias("c2p"))
-    )
-    c1 = explode_grams(base, 1).groupBy("g").agg(F.count("*").cast("long").alias("c1"))
-    n_total = c1.agg(F.sum("c1").cast("long").alias("n_total"))
-
-    tf = (
-        explode_grams(batch, 3, F.col(id_col).alias("doc_id"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("p2", F.substring_index("g", " ", 2))
-        .withColumn("b23", F.substring_index("g", " ", -2))
-        .withColumn("w2", F.substring_index(F.col("b23"), " ", 1))
-        .withColumn("w3", F.substring_index("g", " ", -1))
-    )
     pen = BACKOFF_PENALTY
-    scored = (
-        tf.join(t3, "g", "left")
-        .join(c3p, "p2", "left")
-        .join(t2.withColumnRenamed("g", "b23"), "b23", "left")
-        .join(c2p.withColumnRenamed("p1", "w2"), "w2", "left")
-        .join(c1.withColumnRenamed("g", "w3"), "w3", "left")
-        .join(F.broadcast(n_total))
-        .withColumn(
-            "inst",
-            F.col("tf")
-            * F.expr(
-                f"CASE WHEN c3 IS NOT NULL THEN c3p div c3 "
-                f"WHEN c2 IS NOT NULL THEN {pen} * (c2p div c2) "
-                f"WHEN c1 IS NOT NULL THEN {pen * pen} * (n_total div c1) "
-                f"ELSE {pen * pen} * (n_total + 1) END"
-            ),
+    scored = _trigram_scored(
+        batch,
+        base,
+        id_col,
+        text_col,
+        f"CASE WHEN c3 IS NOT NULL THEN c3p div c3 "
+        f"WHEN c2 IS NOT NULL THEN {pen} * (c2p div c2) "
+        f"WHEN c1 IS NOT NULL THEN {pen * pen} * (n_total div c1) "
+        f"ELSE {pen * pen} * (n_total + 1) END",
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_trigrams"),
+            F.sum("inst").cast("long").alias("surprisal_sum"),
         )
+        .withColumn(
+            "avg_surprisal",
+            F.col("surprisal_sum").cast("double") / F.col("n_trigrams").cast("double"),
+        )
+    )
+
+
+# Jelinek-Mercer interpolation weights as exact rationals over a power-
+# of-two denominator: λ3 = 1/2, λ2 = 1/4, λ1 = 1/8, λ0 = 1/8.
+JM_DENOM = 8
+
+
+def trigram_jm_surprisal(
+    batch: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus trigram surprisal with INTEGER-EXACT Jelinek-Mercer
+    interpolation — the CCNet-grade upgrade over x82's stupid backoff:
+    instead of falling through to the FIRST level that has a count,
+    every level contributes, weighted λ3=1/2, λ2=1/4, λ1=1/8, λ0=1/8
+    (rational weights over the same four persisted base count tables;
+    a seen trigram whose trailing bigram is ALSO common now scores
+    better than one whose bigram is rare — backoff can't see that).
+
+    Exactness contract (no libm, no float sums): the interpolated
+    probability is evaluated in FIXED POINT with the data-adaptive
+    scale ``S = 8·(n_total+1)`` — chosen so the λ0 uniform floor
+    ``S div (8·(n_total+1))`` is EXACTLY 1, which makes ``p_fp ≥ 1``
+    always (no zero-division guard, and full-OOV trigrams score the
+    ceiling ``S = 8·(N+1)`` — x56's add-one ceiling ×8):
+
+    - p_fp = [c3 seen] (c3·S) div (2·c3p)
+           + [c2 seen] (c2·S) div (4·c2p)
+           + [c1 seen] (c1·S) div (8·N)
+           + 1
+    - inst = S div p_fp
+
+    Every operation is int64 floor division/addition — bit-identical
+    across engines and partitionings.  int64-safe while
+    ``8·N·(N+1) < 2^63``, i.e. snapshots to ~10⁹ tokens; beyond that
+    shard the snapshot (per-language/per-source n-gram tables, the
+    standard layout anyway) or run the same expressions in
+    DECIMAL(38,0).
+
+    Same plan shape as :func:`trigram_backoff_surprisal` (shared
+    chassis): batch side of every shuffle is O(batch); the four base
+    tables are the persisted nightly n-gram snapshot at 100 TB.
+
+    Returns (doc_id, n_trigrams, surprisal_sum, avg_surprisal)."""
+    d = JM_DENOM
+    scored = _trigram_scored(
+        batch,
+        base,
+        id_col,
+        text_col,
+        f"({d} * (n_total + 1)) div ("
+        f"  CASE WHEN c3 IS NOT NULL THEN (c3 * {d} * (n_total + 1)) div (2 * c3p) ELSE 0 END"
+        f"+ CASE WHEN c2 IS NOT NULL THEN (c2 * {d} * (n_total + 1)) div (4 * c2p) ELSE 0 END"
+        f"+ CASE WHEN c1 IS NOT NULL THEN (c1 * {d} * (n_total + 1)) div ({d} * n_total) ELSE 0 END"
+        f"+ 1)",
     )
     return (
         scored.groupBy("doc_id")

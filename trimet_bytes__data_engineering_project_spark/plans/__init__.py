@@ -38,10 +38,23 @@ _WINDOW_HEAD = [
     # gains a hard correctness signal this round
     "x24_sequence_packing",
     "x27_ann_ivf_kmeans_probe",
-    # new this round, driver-checked in their first round: the count-min
-    # top-terms path (x72's documented sub-linear swap made real AND
-    # oracle-backed), the bigram-perplexity filter, and the systematic
-    # PPS weighted draw, trigram stupid-backoff
+    # round-5 additions, driver-checked in their first round: x83 wires
+    # the verdict's one weak item (ExactSubstr span dedup) into the
+    # gate; x84 is the JM-interpolated trigram; x85/x86 are the
+    # snapshot-probe forms of x40/x51 (the two worst round-4 scale
+    # ratios)
+    "x83_span_dedup",
+    "x84_trigram_jm_surprisal",
+    "x85_tfidf_snapshot_probe",
+    "x86_surprisal_snapshot_probe",
+    # rotated back in per the round-4 verdict: the oldest single driver
+    # greens in the registry (x20 r01, x16 r02) whose code areas
+    # (ann_index probe path, asof carry) were touched or adjacent in
+    # round 4
+    "x20_ann_lsh_index_probe",
+    "x16_asof_join",
+    # round-4 firsts kept in-window (one driver row each; x80/x82 share
+    # the n-gram chassis refactored for x84 this round)
     "x79_top_terms_sketch",
     "x80_bigram_surprisal",
     "x81_weighted_sample",
@@ -61,11 +74,9 @@ _WINDOW_HEAD = [
     "x36_quality_percentile_filter",
     "x38_semantic_cluster_centroids",
     "x40_tfidf_top_terms",
-    "x41_shard_manifest",
     "x42_minhash_accuracy_audit",
     "x43_contamination_fraction",
     "x44_token_budget_selection",
-    "x46_quality_distribution",
     "x47_hashed_linear_score",
     "x48_cluster_dedup",
     "x49_incremental_dedup_probe",
@@ -80,33 +91,33 @@ _WINDOW_HEAD = [
     "x58_knn_join",
     "x59_knn_join_multiprobe",
     "x60_ann_recall_audit",
-    "x61_length_bucketed_batches",
     "x62_merge_upsert",
-    "x63_event_sessions",
-    "x64_scd2_history",
     "x69_text_normalize",
-    "x70_conversion_funnel",
 ]
 
-# Round-4 window (49 head entries + q33 in the mid slot = 50): the
-# 8-member monitor tier x71-x78 (never driver-checked) leads, the two
-# r03 non-green rows (x24 oracle-cast fix, x27 new hard signal) retry,
-# the three brand-new oracle-backed queries (x79 count-min top terms,
-# x80 bigram surprisal, x81 systematic PPS draw, x82 trigram backoff) get
-# driver rows in
-# their first round, and the remaining head entries are r03-green
-# rows kept under driver checks because their code areas were touched
-# or are adjacent this round (graph.py fast-path fixes -> x34/x48/x38;
-# scale-bench additions -> x59/x60; top-terms approx flag -> x72's
-# operator); x21 returns to the window because the IVF centroid
-# assignment it persists through changed (norm precompute).  Thirteen of
-# the simplest r03-green rows
-# (x22/x23/x25/x31/x32/x35/x37/x39/x45/x65/x66/x67/x68) park in the tail to make
-# room —
-# every parked query stays registered and is swept by
+# Round-5 window (49 head entries + q33 in the mid slot = 50): the four
+# new oracle-backed queries (x83 span dedup — the round-4 verdict's one
+# weak item wired into the gate; x84 JM-interpolated trigram; x85/x86
+# snapshot-probe forms of x40/x51) get driver rows in their first
+# round; x20/x16 rotate back in per the verdict (oldest single greens
+# in the registry); x40/x51 stay in-window because their operator
+# signatures gained the snapshot parameter this round, and x80/x82
+# because the trigram chassis was refactored for x84.  Six of the
+# simplest twice-green rows in code areas untouched this round
+# (x41/x46/x61/x63/x64/x70) park in the tail to make room — every
+# parked query stays registered and is swept by
 # tests/test_oracle_parity.py with the identical protocol.
 
 _WINDOW_TAIL = [
+    # rotated out round 5 for x83-x86 + the x20/x16 re-checks --
+    # r03 AND r04 driver-green, code areas untouched this round
+    # (still swept by tests/test_oracle_parity.py)
+    "x41_shard_manifest",
+    "x46_quality_distribution",
+    "x61_length_bucketed_batches",
+    "x63_event_sessions",
+    "x64_scd2_history",
+    "x70_conversion_funnel",
     # rotated out round 4 for x71-x78 and the new x79/x80/x81 —
     # r03-driver-green, simple filter/agg/set-op shapes, code untouched
     # this round (still swept by tests/test_oracle_parity.py)

@@ -1590,6 +1590,51 @@ def x40_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x85_tfidf_snapshot_probe",
+    oracle="""
+    WITH bt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                FROM documents WHERE doc_id < 250),
+    tfb AS (SELECT doc_id, term, count(*) AS tf FROM bt GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfb GROUP BY 1),
+    qt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+           FROM documents WHERE doc_id >= 250),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+    s AS (SELECT doc_id, term, tf, CAST(coalesce(df, 1) AS BIGINT) AS df,
+                 CAST(tf AS DOUBLE) / CAST(coalesce(df, 1) AS DOUBLE) AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY CAST(tf AS DOUBLE)
+                                             / CAST(coalesce(df, 1) AS DOUBLE) DESC,
+                                             term) AS rn
+          FROM tf LEFT JOIN df USING (term))
+    SELECT doc_id, term, tf, df, score FROM s WHERE rn <= 3
+    """,
+)
+def x85_tfidf_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x40's snapshot-probe form — the round-4 verdict's fix for its
+    19× both-sides-grow scale ratio: the standing corpus's (term, df)
+    table (doc_id < 250) is PERSISTED once to parquet
+    (``textstats.doc_frequencies``, build-once scratch) and each batch
+    run (doc_id ≥ 250) scores its tf against the snapshot — the df
+    side never re-aggregates, so a daily run costs O(batch) with the
+    batch side of every shuffle O(batch).  A batch term the snapshot
+    never saw scores with df = 1 (maximally distinguishing).  Pinned
+    equal to the self-scored path when snapshot source == batch."""
+    from ..operators.ann_index import ensure_index
+    from ..operators.textstats import doc_frequencies, tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _tagged_dir(_SCRATCH, "df_snapshot", "v1-split250", sf_dir=sf_dir)
+    ensure_index(
+        lambda: doc_frequencies(docs.filter(F.col("doc_id") < 250))
+        .write.mode("overwrite")
+        .parquet(path),
+        path,
+    )
+    snap = spark.read.parquet(path)
+    return tfidf_top_terms(docs.filter(F.col("doc_id") >= 250), k=3, df_counts=snap)
+
+
+@query(
     "x41_shard_manifest",
     oracle=f"""
     WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens,
@@ -2203,6 +2248,77 @@ def x82_trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_JM_S = "(8 * (n_total + 1))"
+
+
+@query(
+    "x84_trigram_jm_surprisal",
+    oracle=f"""
+    WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+                FROM documents WHERE doc_id < 250),
+    qt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents WHERE doc_id >= 250),
+    t3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3
+           FROM (SELECT unnest(list_transform(range(len(toks) - 2), i -> {_TRI})) AS g
+                 FROM bt WHERE len(toks) >= 3) GROUP BY 1),
+    c3p AS (SELECT split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS p2,
+                   CAST(sum(c3) AS BIGINT) AS c3p FROM t3 GROUP BY 1),
+    t2 AS (SELECT b23, CAST(count(*) AS BIGINT) AS c2
+           FROM (SELECT unnest(list_transform(range(len(toks) - 1), i -> {_BI})) AS b23
+                 FROM bt WHERE len(toks) >= 2) GROUP BY 1),
+    c2p AS (SELECT split_part(b23, ' ', 1) AS w2, CAST(sum(c2) AS BIGINT) AS c2p
+            FROM t2 GROUP BY 1),
+    t1 AS (SELECT w3, CAST(count(*) AS BIGINT) AS c1
+           FROM (SELECT unnest(toks) AS w3 FROM bt) GROUP BY 1),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM t1),
+    tf AS (SELECT doc_id, g, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(toks) - 2), i -> {_TRI})) AS g
+                 FROM qt WHERE len(toks) >= 3) GROUP BY 1, 2),
+    k AS (SELECT doc_id, tf, g,
+                 split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS p2,
+                 split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS b23,
+                 split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+          FROM tf),
+    s AS (SELECT k.doc_id, k.tf,
+                 {_JM_S} // (
+                   CASE WHEN c3 IS NOT NULL
+                        THEN (c3 * {_JM_S}) // (2 * c3p) ELSE 0 END
+                 + CASE WHEN c2 IS NOT NULL
+                        THEN (c2 * {_JM_S}) // (4 * c2p) ELSE 0 END
+                 + CASE WHEN c1 IS NOT NULL
+                        THEN (c1 * {_JM_S}) // (8 * n_total) ELSE 0 END
+                 + 1) AS inst
+          FROM k LEFT JOIN t3 USING (g) LEFT JOIN c3p USING (p2)
+                 LEFT JOIN t2 USING (b23) LEFT JOIN c2p USING (w2)
+                 LEFT JOIN t1 USING (w3) CROSS JOIN n)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           CAST(sum(tf * inst) AS BIGINT) AS surprisal_sum,
+           CAST(CAST(sum(tf * inst) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+    FROM s GROUP BY 1
+    """,
+)
+def x84_trigram_jm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer INTERPOLATED trigram surprisal — x82's CCNet-
+    grade upgrade: every n-gram order contributes (λ = 1/2, 1/4, 1/8,
+    1/8 as exact rationals) instead of falling through to the first
+    level with a count, so a seen trigram with a common trailing
+    bigram outranks one whose bigram is rare.  Fixed-point integer
+    arithmetic with data-adaptive scale S = 8·(N+1) — the λ0 uniform
+    floor is exactly 1, so p_fp ≥ 1 with no guard and full-OOV scores
+    the S ceiling; no libm, no float sums, bit-identical across
+    engines (``textstats.trigram_jm_surprisal``).  Same four base
+    count tables (the persisted nightly n-gram snapshot) and the same
+    O(batch) shuffle contract as x82."""
+    from ..operators.textstats import trigram_jm_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_jm_surprisal(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
 @query(
     "x52_bloom_decontamination",
     oracle=f"""
@@ -2390,6 +2506,50 @@ def x56_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_score(
         docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
     )
+
+
+@query(
+    "x86_surprisal_snapshot_probe",
+    oracle="""
+    WITH bt AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                FROM documents WHERE doc_id < 250),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM bt GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c),
+    qt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+           FROM documents WHERE doc_id >= 250),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * (n_total // coalesce(c, 1))) AS BIGINT) AS surprisal_sum,
+           CAST(CAST(sum(tf * (n_total // coalesce(c, 1))) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+    FROM tf LEFT JOIN c USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def x86_surprisal_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x51's snapshot-probe form (the round-4 verdict's fix for its
+    8.55× both-sides-grow scale ratio): the standing corpus's
+    (term, count) unigram table (doc_id < 250) is PERSISTED once to
+    parquet (``textstats.unigram_counts``, build-once scratch) and
+    each batch run (doc_id ≥ 250) scores against the snapshot with the
+    add-one OOV ceiling — where x56 re-aggregates the base corpus per
+    run, here the distribution is READ, so a daily run costs O(batch)
+    plus one snapshot scan.  Pinned equal to x51's self-scored path
+    when the snapshot is built from the scored docs themselves."""
+    from ..operators.ann_index import ensure_index
+    from ..operators.textstats import unigram_counts, unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _tagged_dir(_SCRATCH, "unigram_snapshot", "v1-split250", sf_dir=sf_dir)
+    ensure_index(
+        lambda: unigram_counts(docs.filter(F.col("doc_id") < 250))
+        .write.mode("overwrite")
+        .parquet(path),
+        path,
+    )
+    snap = spark.read.parquet(path)
+    return unigram_surprisal(docs.filter(F.col("doc_id") >= 250), base_counts=snap)
 
 
 @query(
