@@ -1105,3 +1105,29 @@ def test_snapshot_probes_pinned_to_self_scored(spark):
     u = unigram_surprisal(batch, base_counts=unigram_counts(base)).collect()[0]
     # N=4; 'a' seen c=3 -> 4 div 3 = 1; 'q' OOV -> 4 div 1 = 4
     assert (u.n_tokens, u.surprisal_sum) == (2, 5)
+
+
+def test_exact_jaccard_requires_distinct_inputs(spark):
+    """exact_jaccard's inclusion-exclusion identity holds only for
+    duplicate-free arrays (the documented contract): with shingles()
+    (distinct) it equals hand-computed set Jaccard; feeding
+    all_shingles() (repeats kept) deflates the score — the pinned
+    evidence that the repeats-kept form is UNSUPPORTED, not an
+    alternative."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        all_shingles,
+        exact_jaccard,
+        shingles,
+    )
+
+    # 'a b a b a' has 3-gram multiset [aba, bab, aba] -> set {aba, bab};
+    # 'a b a c a' -> {aba, bac, aca}; intersection {aba}, union size 4
+    df = spark.createDataFrame([("a b a b a", "a b a c a")], ["x", "y"])
+    good = df.select(
+        exact_jaccard(shingles(F.col("x")), shingles(F.col("y"))).alias("j")
+    ).first()["j"]
+    assert good == 0.25
+    bad = df.select(
+        exact_jaccard(all_shingles(F.col("x")), all_shingles(F.col("y"))).alias("j")
+    ).first()["j"]
+    assert bad < good  # deflated -> out of contract, documented unsupported

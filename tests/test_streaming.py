@@ -472,3 +472,168 @@ def test_streaming_knn_serve_equals_query_time_join(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in knn_join(queries, corpus, dim=dim, k=3).collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """T4+J1 — the watermarked stream-static enrich (breadcrumb stream
+    inner-joined to the trip dimension per micro-batch) lands exactly
+    the batch join's rows, and the downstream watermarked rollup
+    composes without re-declaring the watermark."""
+    from trimet_bytes__data_engineering_project_spark.functions.scalar import (
+        act_time_timestamp,
+        parse_opd_date,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
+        stream_static_enrich,
+        streaming_breadcrumbs,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_breadcrumb_landing(landing, breadcrumb_raw_records())
+
+    batch_raw = spark.read.schema(BREADCRUMB_RAW).json(str(landing))
+    trips = trip_table(enrich_breadcrumbs(batch_raw)).select(
+        "trip_id", "vehicle_id", "service_key"
+    )
+    dim_path = str(tmp_path / "trip_dim")
+    # drop one trip so the inner join genuinely filters
+    dropped = trips.orderBy("trip_id").limit(1)
+    trips.join(dropped, "trip_id", "left_anti").write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    ts = act_time_timestamp(parse_opd_date("OPD_DATE"), F.col("ACT_TIME"))
+
+    def keyed(df):
+        return df.select(
+            F.col("EVENT_NO_TRIP").cast("long").alias("trip_id"),
+            ts.alias("TIMESTAMP"),
+            F.col("METERS").alias("meters"),
+        ).filter(F.col("TIMESTAMP").isNotNull())
+
+    out_path, ck = str(tmp_path / "enriched"), str(tmp_path / "ck_enrich")
+    q = (
+        stream_static_enrich(keyed(streaming_breadcrumbs(spark, str(landing))), dim, "trip_id")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_path)
+    want = keyed(batch_raw).join(dim, "trip_id")
+    assert got.count() == want.count() > 0
+    assert got.count() < keyed(batch_raw).count()  # the dropped trip filtered
+    key = ["trip_id", "TIMESTAMP", "meters", "vehicle_id", "service_key"]
+    assert sorted(map(tuple, got.select(key).collect())) == sorted(
+        map(tuple, want.select(key).collect())
+    )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """T4 — bounded stream-stream inner join with both-side watermarks:
+    stop-event stream ⋈ breadcrumb stream on trip_id with the
+    breadcrumb inside [event_ts, event_ts + 600 s].  Pinned row-for-row
+    to the batch join twin, including a ping that matches TWO events
+    (row multiplication) and pings/events with no partner in range."""
+    import datetime
+
+    from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    t0 = datetime.datetime(2023, 1, 6, 8, 0, 0)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    events = [  # (trip_id, ev_ts): service stops
+        (1, at(0)), (1, at(500)),   # overlapping windows: ping at 550 matches both
+        (2, at(0)),
+        (3, at(0)),                  # no pings for trip 3
+    ]
+    pings = [  # (trip_id, bc_ts)
+        (1, at(550)), (1, at(700)), (1, at(2000)),  # 2000 out of range
+        (2, at(599)), (2, at(601)),                  # boundary: 601 > 600 excluded
+        (4, at(10)),                                  # no events for trip 4
+    ]
+    ev_path, bc_path = str(tmp_path / "ev"), str(tmp_path / "bc")
+    spark.createDataFrame(events, "trip_id long, ev_ts timestamp").write.parquet(ev_path)
+    spark.createDataFrame(pings, "trip_id long, bc_ts timestamp").write.parquet(bc_path)
+
+    left = spark.readStream.schema("trip_id long, ev_ts timestamp").parquet(ev_path)
+    right = spark.readStream.schema("trip_id long, bc_ts timestamp").parquet(bc_path)
+    out_path, ck = str(tmp_path / "joined"), str(tmp_path / "ck_join")
+    q = (
+        stream_stream_interval_join(left, right, "trip_id", "ev_ts", "bc_ts", 600)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    lb = spark.read.parquet(ev_path)
+    rb = spark.read.parquet(bc_path)
+    cond = (
+        (lb["trip_id"] == rb["trip_id"])
+        & (rb["bc_ts"] >= lb["ev_ts"])
+        & (rb["bc_ts"] <= lb["ev_ts"] + F.expr("INTERVAL 600 SECONDS"))
+    )
+    want = sorted(map(tuple, lb.join(rb, cond).drop(rb["trip_id"]).collect()))
+    assert got == want
+    # the hand-computed expectation, not just engine-vs-engine:
+    # trip 1: ping@550 matches ev@0 AND ev@500; ping@700 matches ev@500
+    # trip 2: ping@599 matches ev@0 (601 excluded); trips 3/4 no output
+    assert len(got) == 4
+
+
+def test_streaming_lsh_index_accepts_double_landing(spark, tmp_path):
+    """A landing directory written with array<double> embeddings (e.g.
+    anything passed through as_double_vec before landing) streams with
+    vec_element_type="double" and builds the SAME index as the float
+    landing — the dtype tolerance the batch path already has via
+    load_table/as_double_vec."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        lsh_index_probe,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_lsh_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.first()["embedding"])
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+
+    def land(df, name):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{d}/a.parquet")
+        return d
+
+    f_landing = land(emb, "float_landing")
+    d_landing = land(
+        emb.select("vec_id", as_double_vec("embedding").alias("embedding")),
+        "double_landing",
+    )
+
+    f_idx, d_idx = str(tmp_path / "f_idx"), str(tmp_path / "d_idx")
+    run_streaming_lsh_index(spark, f_landing, f_idx, dim, str(tmp_path / "f_ck"))
+    run_streaming_lsh_index(
+        spark, d_landing, d_idx, dim, str(tmp_path / "d_ck"), vec_element_type="double"
+    )
+    got = [tuple(r) for r in lsh_index_probe(spark, d_idx, qvec, k=5).collect()]
+    want = [tuple(r) for r in lsh_index_probe(spark, f_idx, qvec, k=5).collect()]
+    assert got == want and len(got) == 5

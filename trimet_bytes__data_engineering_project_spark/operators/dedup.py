@@ -200,11 +200,20 @@ def minhash_estimate(a_sig: Column, b_sig: Column, k: int = MINHASH_K) -> Column
 
 def exact_jaccard(a_shingles: Column, b_shingles: Column) -> Column:
     """Exact Jaccard over distinct shingle sets (verification step for
-    LSH candidates).  Inclusion–exclusion on DISTINCT sets:
-    |a ∪ b| = |a| + |b| − |a ∩ b| — same integers as materializing
-    ``array_union`` (so the IEEE division is bit-identical and every
-    oracle is unchanged) without allocating a second merged array per
-    candidate pair."""
+    LSH candidates).
+
+    CONTRACT: inputs MUST be duplicate-free arrays (:func:`shingles`,
+    never :func:`all_shingles`).  The inclusion–exclusion identity
+    |a ∪ b| = |a| + |b| − |a ∩ b| holds only for sets: an array with
+    repeats inflates ``size(a)`` while ``array_intersect`` stays
+    distinct, silently DEFLATING the result where the old
+    ``array_union`` form still computed correct set Jaccard.  Pinned
+    by test (test_exact_jaccard_requires_distinct_inputs).
+
+    Inclusion–exclusion on distinct sets yields the same integers as
+    materializing ``array_union`` (so the IEEE division is
+    bit-identical and every oracle is unchanged) without allocating a
+    second merged array per candidate pair."""
     inter = F.size(F.array_intersect(a_shingles, b_shingles))
     union = F.size(a_shingles) + F.size(b_shingles) - inter
     return inter.cast("double") / F.nullif(union, F.lit(0))

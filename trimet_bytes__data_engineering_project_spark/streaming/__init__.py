@@ -10,6 +10,8 @@ from .pipeline import (  # noqa: F401
     hourly_rollup,
     parse_kafka_breadcrumbs,
     run_ingest_pipeline,
+    stream_static_enrich,
+    stream_stream_interval_join,
     streaming_breadcrumbs,
     streaming_breadcrumbs_kafka,
     trip_sessions,

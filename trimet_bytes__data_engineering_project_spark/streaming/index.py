@@ -36,6 +36,7 @@ def run_streaming_lsh_index(
     checkpoint_dir: str,
     n_planes: int = LSH_PLANES,
     vec_col: str = "embedding",
+    vec_element_type: str = "float",
 ) -> None:
     """availableNow stream over a parquet embedding landing: signature
     each micro-batch with the deterministic hyperplanes and land it
@@ -51,7 +52,10 @@ def run_streaming_lsh_index(
             .parquet(f"{index_path}/batch_id={batch_id}")
         )
 
-    schema = f"vec_id long, {vec_col} array<float>"
+    # a landing written with double embeddings streams with
+    # vec_element_type="double" — downstream as_double_vec normalizes
+    # either dtype, matching the batch path's load_table tolerance
+    schema = f"vec_id long, {vec_col} array<{vec_element_type}>"
     (
         spark.readStream.schema(schema)
         .parquet(landing_dir)
@@ -84,6 +88,7 @@ def run_streaming_ivf_index(
     index_path: str,
     checkpoint_dir: str,
     vec_col: str = "embedding",
+    vec_element_type: str = "float",
 ) -> None:
     """Streaming twin of ``write_ivf_index(mode="append")`` with the
     exactly-once contract append lacks: each micro-batch is assigned
@@ -106,7 +111,10 @@ def run_streaming_ivf_index(
             .parquet(f"{index_path}/batch_id={batch_id}")
         )
 
-    schema = f"vec_id long, {vec_col} array<float>"
+    # a landing written with double embeddings streams with
+    # vec_element_type="double" — downstream as_double_vec normalizes
+    # either dtype, matching the batch path's load_table tolerance
+    schema = f"vec_id long, {vec_col} array<{vec_element_type}>"
     (
         spark.readStream.schema(schema)
         .parquet(landing_dir)
@@ -128,6 +136,7 @@ def run_streaming_knn_serve(
     k: int = 3,
     n_planes: int | None = None,
     vec_col: str = "embedding",
+    vec_element_type: str = "float",
 ) -> None:
     """Streaming retrieval SERVING over a persisted LSH index: each
     micro-batch of query vectors is signatured with the index's own
@@ -186,7 +195,10 @@ def run_streaming_knn_serve(
             .parquet(f"{results_path}/batch_id={batch_id}")
         )
 
-    schema = f"vec_id long, {vec_col} array<float>"
+    # a landing written with double embeddings streams with
+    # vec_element_type="double" — downstream as_double_vec normalizes
+    # either dtype, matching the batch path's load_table tolerance
+    schema = f"vec_id long, {vec_col} array<{vec_element_type}>"
     (
         spark.readStream.schema(schema)
         .parquet(landing_dir)

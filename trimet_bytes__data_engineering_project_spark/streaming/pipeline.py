@@ -205,6 +205,71 @@ def trip_sessions(stream: DataFrame, gap: str = "15 minutes", lateness: str = "1
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    ts_col: str = "TIMESTAMP",
+    lateness: str = "1 hour",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """T4+J1 — watermarked stream-static enrich: every micro-batch of
+    the event stream inner-joins the static dimension (the reference's
+    trip⋈breadcrumb view shape, J3/J4, driven from the stream side).
+    The static side is planned per micro-batch, so a slowly-refreshed
+    dim parquet is re-read without restarting the query.
+
+    The join itself is STATELESS (only the stream side flows), so the
+    watermark is not needed for join state — it is applied here so any
+    downstream windowed agg/dedup composes without re-declaring it,
+    and late rows beyond ``lateness`` age out of those operators.
+
+    ``broadcast_dim`` (default): dims are small by definition — ship
+    the table to every executor and the join never shuffles the
+    stream.  At 100 TB the stream side is the big side in every batch;
+    a dim too big to broadcast (rare) should be bucketed on the key
+    and joined with the hint off."""
+    s = stream.withWatermark(ts_col, lateness)
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return s.join(d, on, "inner")
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper_seconds: int = 600,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """T4 — bounded stream-stream INNER join with both-side watermarks:
+    a right-stream event matches a left-stream event with the same
+    ``key`` when its event time lands in
+    ``[left_ts, left_ts + upper_seconds]`` (the stop-event ⋈ breadcrumb
+    shape: which pings belong to this service stop?).
+
+    The interval condition is what makes unbounded streams joinable:
+    it bounds how far apart matching events can be, so with both sides
+    watermarked Spark can EVICT join state older than
+    ``lateness + upper_seconds`` instead of buffering each stream
+    forever — the only join shape that survives an unbounded feed.
+    Inner-join results emit as soon as both sides arrive (no watermark
+    wait — that's an outer-join concern), so availableNow output is
+    identical to the batch join twin (pinned by test).
+
+    Column contract: ``left_ts`` ≠ ``right_ts`` (both appear in the
+    output); the duplicate right-side key column is dropped."""
+    l_wm = left.withWatermark(left_ts, lateness)
+    r_wm = right.withWatermark(right_ts, lateness)
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return l_wm.join(r_wm, cond, "inner").drop(r_wm[key])
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: list[str] | tuple[str, ...] = ("EVENT_NO_TRIP", "VEHICLE_ID", "ACT_TIME"),
