@@ -480,6 +480,22 @@ def _snapshot_probe_10pct(spark, d, kind):
     return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("total"))
 
 
+def _x83_span_dedup(spark, d):
+    # full-corpus ExactSubstr covering mask (no id cap): replica text is
+    # unique md5 words so the duplicated-gram fraction falls with scale
+    # — what's measured is the single explode + digest count-agg +
+    # digest join + per-doc RANGE window + reassembly over Nx tokens
+    # (x39's machinery one level up, with positions); reduced to one
+    # agg row so a 500k-doc collect isn't what's timed
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import dedup_spans
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return dedup_spans(docs).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens_removed").alias("n_removed"),
+    )
+
+
 def _x85_tfidf_snapshot_10pct(spark, d):
     return _snapshot_probe_10pct(spark, d, "df")
 
@@ -598,6 +614,7 @@ HEAVY = [
     ("x63_sessions_full", _x63_sessions),
     ("x62_merge_upsert_full", _x62_merge_upsert),
     ("x82_trigram_backoff_10pct", _x82_trigram_backoff_10pct),
+    ("x83_span_dedup_full", _x83_span_dedup),
     ("x85_tfidf_snapshot_10pct", _x85_tfidf_snapshot_10pct),
     ("x86_surprisal_snapshot_10pct", _x86_surprisal_snapshot_10pct),
     ("t4_stream_rollup_full", _t4_stream_rollup),

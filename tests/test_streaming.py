@@ -305,7 +305,13 @@ def test_kafka_reader_gated_on_connector(spark):
     missing error (NOT an API/typo error) — proving the code path is
     wired right up to the classpath boundary.  On a cluster with the
     jar this same call returns the stream parse_kafka_breadcrumbs
-    already contract-tests."""
+    already contract-tests.
+
+    Round-5 check: the jar cannot land here — pyspark's bundled jars
+    dir has no kafka artifact and the sandbox has no network route to
+    Maven (verified: repo1.maven.org does not resolve), so
+    ``--packages`` cannot fetch it either.  The wire-schema roundtrip
+    test above remains the strongest broker-less coverage."""
     import pytest
 
     from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
