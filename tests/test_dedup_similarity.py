@@ -1131,3 +1131,43 @@ def test_exact_jaccard_requires_distinct_inputs(spark):
         exact_jaccard(all_shingles(F.col("x")), all_shingles(F.col("y"))).alias("j")
     ).first()["j"]
     assert bad < good  # deflated -> out of contract, documented unsupported
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """The crossing arithmetic pinned on a corpus small enough to do by
+    hand: counts a:5 b:3 c:3 d:1 (N=12, thr=ceil(0.95*12)=12) — the
+    95% point needs the WHOLE vocabulary including the crossing group's
+    partial take; at 50% (thr=6) 'a' alone under-covers and one term of
+    the c=3 group completes it (vocab 2, covered 8)."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a a b c c d")], ["doc_id", "text"]
+    )
+    r = vocab_coverage(docs).collect()[0]
+    assert (r.vocab_size, r.covered_tokens, r.total_tokens) == (4, 12, 12)
+    r50 = vocab_coverage(docs, coverage_pct=50).collect()[0]
+    assert (r50.vocab_size, r50.covered_tokens, r50.coverage) == (2, 8, 8 / 12)
+
+
+def test_containment_asymmetry(spark):
+    """Containment catches the embedded-quote case Jaccard under-ranks:
+    a 3-token doc fully inside a 12-token doc has containment 1.0 in
+    the small->large direction while Jaccard stays low."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        containment,
+        exact_jaccard,
+        shingles,
+    )
+
+    small = "p q r s t"  # 3 distinct 3-grams, all inside big
+    big = "a b c p q r s t u v w x"
+    df = spark.createDataFrame([(small, big)], ["x", "y"])
+    r = df.select(
+        containment(shingles(F.col("x")), shingles(F.col("y"))).alias("c_ab"),
+        containment(shingles(F.col("y")), shingles(F.col("x"))).alias("c_ba"),
+        exact_jaccard(shingles(F.col("x")), shingles(F.col("y"))).alias("j"),
+    ).collect()[0]
+    assert r.c_ab == 1.0 and r.c_ba == 0.3 and r.j == 0.3

@@ -219,6 +219,16 @@ def exact_jaccard(a_shingles: Column, b_shingles: Column) -> Column:
     return inter.cast("double") / F.nullif(union, F.lit(0))
 
 
+def containment(a_shingles: Column, b_shingles: Column) -> Column:
+    """Asymmetric set containment C(A→B) = |A ∩ B| / |A| — the
+    quote/subset signal Jaccard misses: a short document fully embedded
+    in a long one has low Jaccard (the union is big) but containment
+    1.0.  Same DISTINCT-input contract as :func:`exact_jaccard`
+    (``shingles``, never ``all_shingles``); NULL when A is empty."""
+    inter = F.size(F.array_intersect(a_shingles, b_shingles))
+    return inter.cast("double") / F.nullif(F.size(a_shingles), F.lit(0))
+
+
 SIMHASH_BITS = 16
 
 

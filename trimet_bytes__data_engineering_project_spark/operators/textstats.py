@@ -729,6 +729,64 @@ def trigram_jm_surprisal(
     )
 
 
+def vocab_coverage(
+    docs: DataFrame, text_col: str = "text", coverage_pct: int = 95
+) -> DataFrame:
+    """Tokenizer-sizing report: the SMALLEST vocabulary (terms taken in
+    descending count order) covering ≥ ``coverage_pct`` % of the
+    corpus's token mass — the number a BPE/WordPiece training run
+    budgets its merges against, and the coverage curve's one
+    load-bearing point.
+
+    Exact and deterministic WITHOUT a vocabulary-sized sort: terms
+    with equal counts are interchangeable for coverage, so the prefix
+    runs over the DISTINCT-COUNT table (x57's decomposition — counts
+    are heavy-tailed, so distinct count values ≪ vocabulary ≪ tokens);
+    the crossing group contributes ``ceil((thr − prev_mass)/c)`` terms.
+    All integer arithmetic (threshold = ``(pct·N + 99) div 100``, one
+    IEEE division for the final ratio) — bit-identical across engines.
+
+    Returns ONE row: (vocab_size, covered_tokens, total_tokens,
+    coverage).
+
+    Scale shape: token explode → two-phase (term) count (the only
+    corpus-sized shuffle) → per-count agg (map-side combined) → a
+    global-order window over distinct counts only → one crossing row.
+    At 100 TB the distinct-count table is thousands of rows whatever
+    the vocabulary size."""
+    counts = unigram_counts(docs, text_col)
+    g = counts.groupBy("c").agg(F.count("*").cast("long").alias("n_terms"))
+    w = Window.orderBy(F.desc("c"))
+    p = g.select(
+        "c",
+        "n_terms",
+        F.sum(F.col("c") * F.col("n_terms")).over(w).alias("cum_mass"),
+        F.sum("n_terms").over(w).alias("cum_terms"),
+    )
+    total = g.agg(F.sum(F.col("c") * F.col("n_terms")).cast("long").alias("n_total"))
+    x = (
+        p.join(F.broadcast(total))
+        .withColumn("thr", F.expr(f"({coverage_pct} * n_total + 99) div 100"))
+        .filter(F.col("cum_mass") >= F.col("thr"))
+        .orderBy("cum_mass")
+        .limit(1)
+        .withColumn("prev_mass", F.expr("cum_mass - c * n_terms"))
+        .withColumn("prev_terms", F.expr("cum_terms - n_terms"))
+        # first-crossing invariant: prev_mass < thr <= cum_mass, so
+        # 1 <= k_extra <= n_terms
+        .withColumn("k_extra", F.expr("(thr - prev_mass + c - 1) div c"))
+    )
+    return x.select(
+        F.expr("prev_terms + k_extra").cast("long").alias("vocab_size"),
+        F.expr("prev_mass + k_extra * c").cast("long").alias("covered_tokens"),
+        F.col("n_total").cast("long").alias("total_tokens"),
+        (
+            F.expr("prev_mass + k_extra * c").cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("coverage"),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """C4-style cleaning normalization as one codegen expression chain:
     lowercase → strip non-printable/control chars → collapse whitespace

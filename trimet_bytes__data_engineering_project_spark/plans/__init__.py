@@ -47,6 +47,8 @@ _WINDOW_HEAD = [
     "x84_trigram_jm_surprisal",
     "x85_tfidf_snapshot_probe",
     "x86_surprisal_snapshot_probe",
+    "x87_vocab_coverage",
+    "x88_containment_pairs",
     # rotated back in per the round-4 verdict: the oldest single driver
     # greens in the registry (x20 r01, x16 r02) whose code areas
     # (ann_index probe path, asof carry) were touched or adjacent in
@@ -83,9 +85,7 @@ _WINDOW_HEAD = [
     "x50_doc_chunking",
     "x51_unigram_surprisal",
     "x52_bloom_decontamination",
-    "x53_random_projection",
     "x54_pretraining_pipeline",
-    "x55_temperature_rebalance",
     "x56_novelty_score",
     "x57_percentile_rank",
     "x58_knn_join",
@@ -95,17 +95,18 @@ _WINDOW_HEAD = [
     "x69_text_normalize",
 ]
 
-# Round-5 window (49 head entries + q33 in the mid slot = 50): the four
+# Round-5 window (49 head entries + q33 in the mid slot = 50): the six
 # new oracle-backed queries (x83 span dedup — the round-4 verdict's one
 # weak item wired into the gate; x84 JM-interpolated trigram; x85/x86
-# snapshot-probe forms of x40/x51) get driver rows in their first
-# round; x20/x16 rotate back in per the verdict (oldest single greens
-# in the registry); x40/x51 stay in-window because their operator
-# signatures gained the snapshot parameter this round, and x80/x82
-# because the trigram chassis was refactored for x84.  Six of the
-# simplest twice-green rows in code areas untouched this round
-# (x41/x46/x61/x63/x64/x70) park in the tail to make room — every
-# parked query stays registered and is swept by
+# snapshot-probe forms of x40/x51 — the two worst round-4 scale ratios;
+# x87 vocabulary coverage; x88 containment pairs) get driver rows in
+# their first round; x20/x16 rotate back in per the verdict (oldest
+# single greens in the registry); x40/x51 stay in-window because their
+# operator signatures gained the snapshot parameter this round, and
+# x80/x82 because the trigram chassis was refactored for x84.  Eight of
+# the simplest twice-green rows in code areas untouched this round
+# (x41/x46/x53/x55/x61/x63/x64/x70) park in the tail to make room —
+# every parked query stays registered and is swept by
 # tests/test_oracle_parity.py with the identical protocol.
 
 _WINDOW_TAIL = [
@@ -114,6 +115,8 @@ _WINDOW_TAIL = [
     # (still swept by tests/test_oracle_parity.py)
     "x41_shard_manifest",
     "x46_quality_distribution",
+    "x53_random_projection",
+    "x55_temperature_rebalance",
     "x61_length_bucketed_batches",
     "x63_event_sessions",
     "x64_scd2_history",

@@ -2553,6 +2553,88 @@ def x86_surprisal_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x87_vocab_coverage",
+    oracle="""
+    WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    g AS (SELECT c, CAST(count(*) AS BIGINT) AS n_terms FROM c GROUP BY 1),
+    n AS (SELECT CAST(sum(c * n_terms) AS BIGINT) AS n_total FROM g),
+    p AS (SELECT c, n_terms,
+                 CAST(SUM(c * n_terms) OVER (ORDER BY c DESC) AS BIGINT) AS cum_mass,
+                 CAST(SUM(n_terms) OVER (ORDER BY c DESC) AS BIGINT) AS cum_terms
+          FROM g),
+    x AS (SELECT p.*, (95 * n_total + 99) // 100 AS thr, n_total
+          FROM p CROSS JOIN n
+          WHERE cum_mass >= (95 * n_total + 99) // 100
+          ORDER BY cum_mass LIMIT 1),
+    y AS (SELECT cum_terms - n_terms AS prev_terms,
+                 cum_mass - c * n_terms AS prev_mass,
+                 (thr - (cum_mass - c * n_terms) + c - 1) // c AS k_extra,
+                 c, n_total
+          FROM x)
+    SELECT CAST(prev_terms + k_extra AS BIGINT) AS vocab_size,
+           CAST(prev_mass + k_extra * c AS BIGINT) AS covered_tokens,
+           n_total AS total_tokens,
+           CAST(prev_mass + k_extra * c AS DOUBLE) / CAST(n_total AS DOUBLE) AS coverage
+    FROM y
+    """,
+)
+def x87_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer sizing: the smallest vocabulary (terms in descending
+    count order) covering ≥95% of the corpus token mass — computed
+    WITHOUT a vocabulary-sized sort by prefixing over the
+    DISTINCT-COUNT table only (equal-count terms are interchangeable
+    for coverage, so the crossing group contributes
+    ceil((thr−prev)/c) terms; x57's decomposition).  Exact integer
+    threshold arithmetic, one IEEE division for the ratio
+    (``textstats.vocab_coverage``)."""
+    from ..operators.textstats import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs)
+
+
+@query(
+    "x88_containment_pairs",
+    oracle=f"""
+    WITH {_CAND_CTES}
+    SELECT a_id, b_id, c_ab, c_ba FROM (
+      SELECT c.a_id, c.b_id,
+             len(list_intersect(sa.s, sb.s)) / CAST(len(sa.s) AS DOUBLE) AS c_ab,
+             len(list_intersect(sa.s, sb.s)) / CAST(len(sb.s) AS DOUBLE) AS c_ba
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.a_id
+      JOIN sh sb ON sb.doc_id = c.b_id
+    ) WHERE greatest(c_ab, c_ba) >= 0.4
+    """,
+)
+def x88_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/subset detection over the LSH candidates: asymmetric
+    containment |A∩B|/|A| in BOTH directions — a short document fully
+    embedded in a long one has low Jaccard (the union is big) but
+    containment ~1.0, the case x08's symmetric verify under-ranks.
+    Pairs kept when either direction ≥ 0.4.  Same candidate chain and
+    scale shape as x08 (banded equi-join, never all-pairs); the exact
+    check touches only candidate pairs."""
+    from ..operators.dedup import containment, minhash_candidates
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+    cands = minhash_candidates(docs).select("a_id", "b_id")
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("c_ab", containment(F.col("sa"), F.col("sb")))
+        .withColumn("c_ba", containment(F.col("sb"), F.col("sa")))
+        .filter(F.greatest("c_ab", "c_ba") >= 0.4)
+        .select("a_id", "b_id", "c_ab", "c_ba")
+    )
+
+
+@query(
     "x57_percentile_rank",
     oracle="""
     WITH n AS (SELECT count(*) AS n FROM documents)
