@@ -231,6 +231,36 @@ def _x58_knn(spark, d):
 
 
 
+def _x89_knn_index_serve(spark, d, batch_queries=128):
+    # x58's index-backed twin in the SERVING regime: the 90% corpus is
+    # indexed ONCE per scale dir (ensure_index marker, bucket-aligned
+    # one-file-per-bucket layout, norms stored at build) and a
+    # fixed-size query batch probes it — a serving batch does not grow
+    # with the corpus, so its <=128 distinct buckets prune to an
+    # ever-smaller fraction of the 2^p partitions as n_planes scales
+    # (the x21 sub-linear argument, batched).  The corpus-growing-batch
+    # variant (10% of vectors = a reprocessing job, all buckets probed)
+    # was also measured and recorded in BENCH_NOTES: there the index
+    # only pays off once signatures cost more than the scan.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+        knn_join_index,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_planes = max(4, (max(1, n // 125) - 1).bit_length())
+    modulus = max(10, n // batch_queries)
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(modulus)) == 0)
+    c = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    path = os.path.join(_SCALE_ROOT, "knn_lsh_index", os.path.basename(d.rstrip("/")))
+    ensure_index(lambda: write_lsh_index(c, path, dim=64, n_planes=n_planes), path)
+    return knn_join_index(spark, q, path, dim=64, k=3, n_planes=n_planes).agg(
+        F.count("*").alias("n_pairs"), F.sum("cos_sim").alias("s")
+    )
+
+
 def _x59_knn_multiprobe(spark, d):
     # x58 with the Hamming-radius-1 recall dial: the probe-set explode
     # multiplies the join's LEFT side by (1 + n_planes) — with n_planes
@@ -604,6 +634,7 @@ HEAVY = [
     ("x52_bloom_decontamination_full", _x52_bloom),
     ("x53_random_projection_full", _x53_rp),
     ("x58_knn_join_full", _x58_knn),
+    ("x89_knn_index_serve_128q", _x89_knn_index_serve),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
     ("x60_recall_audit_full", _x60_recall_audit),
     ("x72_exact_top_terms_full", _x72_exact_top_terms),

@@ -251,3 +251,34 @@ def test_index_build_once_guard(spark, emb, qvec, tmp_path_factory):
     ensure_index(build, path)
     assert calls == [1]
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_knn_join_index_equals_query_time_join(spark, emb, tmp_path_factory):
+    """The index-backed batch kNN join returns EXACTLY knn_join's rows
+    over the same corpus and planes — the index changes per-run cost
+    (O(batch) signatures + partition-pruned scan + stored norms), never
+    the result.  Also pins the norm fallback: an index written WITHOUT
+    the norm column (pre-v5 layout) yields identical cosines."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        knn_join_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        knn_join,
+    )
+
+    dim = len(emb.first()["embedding"])
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    path = str(tmp_path_factory.mktemp("knnidx") / "idx")
+    write_lsh_index(corpus, path, dim=dim)
+    got = sorted(tuple(r) for r in knn_join_index(spark, queries, path, dim, k=3).collect())
+    want = sorted(tuple(r) for r in knn_join(queries, corpus, dim=dim, k=3).collect())
+    assert got == want and len(got) > 0
+
+    # pre-v5 index (no norm column): fallback computes it on scan
+    old = str(tmp_path_factory.mktemp("knnidx") / "old")
+    spark.read.parquet(path).drop("norm").write.partitionBy("bucket").parquet(old)
+    got_old = sorted(tuple(r) for r in knn_join_index(spark, queries, old, dim, k=3).collect())
+    assert got_old == want

@@ -486,3 +486,71 @@ def test_bigram_surprisal_matches_python_model(spark, texts):
     for i, gs in bgs.items():
         if gs:
             assert got[i][0] == len(toks[i]) - 1
+
+
+@given(st.lists(docs, min_size=1, max_size=15), st.integers(min_value=2, max_value=4))
+@SETTINGS
+def test_dedup_spans_matches_python_mask(spark, texts, n):
+    """dedup_spans equals a direct Python recomputation of the
+    ExactSubstr covering mask on ANY corpus: dup n-gram occurrences
+    cover their n tokens, survivors reassemble in order, kept+removed
+    = token count, and a doc's clean_text never contains a token the
+    mask covered."""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import dedup_spans
+
+    # Spark's split on "" yields [""]; mirror exactly
+    toks = {i: (t.lower().strip().split() or [""]) for i, t in enumerate(texts)}
+    counts = Counter()
+    for tk in toks.values():
+        for p in range(len(tk) - n + 1):
+            counts[" ".join(tk[p : p + n])] += 1
+    want = {}
+    for i, tk in toks.items():
+        covered = [False] * len(tk)
+        for p in range(len(tk) - n + 1):
+            if counts[" ".join(tk[p : p + n])] >= 2:
+                for j in range(p, p + n):
+                    covered[j] = True
+        kept = [t for t, c in zip(tk, covered) if not c]
+        want[i] = (" ".join(kept), len(kept), len(tk) - len(kept))
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in dedup_spans(df, n=n).collect()
+    }
+    assert got == want
+
+
+@given(st.lists(docs.filter(lambda t: "a" in t), min_size=1, max_size=15),
+       st.integers(min_value=1, max_value=100))
+@SETTINGS
+def test_vocab_coverage_minimality(spark, texts, pct):
+    """For ANY corpus and threshold: the reported vocabulary reaches the
+    threshold, one FEWER term would not (minimality), covered_tokens is
+    exactly the mass of the vocab_size heaviest terms, and vocab_size
+    never exceeds the distinct-term count."""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        vocab_coverage,
+    )
+    import re
+
+    all_counts = Counter()
+    for t in texts:
+        all_counts.update(re.findall("[a-z]+", t.lower()))
+    n_total = sum(all_counts.values())
+    r = vocab_coverage(
+        spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]),
+        coverage_pct=pct,
+    ).collect()[0]
+    thr = -(-pct * n_total // 100)  # ceil
+    ordered = sorted(all_counts.values(), reverse=True)
+    assert r.total_tokens == n_total
+    assert 1 <= r.vocab_size <= len(ordered)
+    assert r.covered_tokens == sum(ordered[: r.vocab_size])
+    assert r.covered_tokens >= thr
+    assert sum(ordered[: r.vocab_size - 1]) < thr  # minimal

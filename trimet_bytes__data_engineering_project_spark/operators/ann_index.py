@@ -57,10 +57,29 @@ def write_lsh_index(
     deterministic function of (n_planes, dim) — identical across build
     and append jobs — so new vectors land in the same bucket directory
     scheme and every subsequent probe sees both generations (tested:
-    build → append → probe)."""
+    build → append → probe).
+
+    The index also stores each vector's l2 ``norm`` — computed once at
+    BUILD time with the identical fold expression probes use, so a
+    batch kNN probe (:func:`knn_join_index`) skips the per-corpus-row
+    norm fold entirely (bit-exact: same expression, same data).
+    Single-vector probes never select the column, so column pruning
+    makes it free for them.
+
+    The write REPARTITIONS on the bucket key first: without it every
+    scan task appends its own file to every bucket directory —
+    tasks × 2^p small files, and at scaled n_planes the probe pays a
+    file-open per file (measured: a 55K-file index read 16× slower
+    than the same rows in 2K files).  Aligning the shuffle with
+    ``partitionBy`` writes each bucket as one file; the build pays one
+    extra shuffle ONCE, every probe forever reads contiguous
+    buckets."""
     planes = hyperplanes(n_planes, dim)
+    v = as_double_vec(vec_col)
     (
-        emb.withColumn("bucket", lsh_bucket(as_double_vec(vec_col), planes))
+        emb.withColumn("bucket", lsh_bucket(v, planes))
+        .withColumn("norm", l2_norm(v))
+        .repartition(F.col("bucket"))
         .write.mode(mode)
         .partitionBy("bucket")
         .parquet(path)
@@ -120,6 +139,61 @@ def lsh_index_probe(
     )
 
 
+def knn_join_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    dim: int,
+    k: int = 3,
+    n_planes: int = LSH_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch kNN JOIN against a PERSISTED LSH index — the batch twin of
+    ``streaming.index.run_streaming_knn_serve`` (which delegates here
+    per micro-batch) and the index-backed form of
+    ``similarity.knn_join``: the corpus is never re-signatured, the
+    batch's distinct bucket set (≤ 2^p ids — a bounded driver collect,
+    same cost class as the single-query probe's literal) becomes an
+    IN-list PARTITION FILTER on the index scan, and corpus norms come
+    from the index (stored at build time with the identical fold
+    expression, so cosines stay bit-exact; older indexes without the
+    column fall back to computing it on scan).
+
+    Results are identical to ``knn_join(queries, corpus)`` over the
+    indexed corpus with the same planes (pinned by test) — what the
+    index buys is the per-run cost: signature O(batch), scan only the
+    probed partitions, one bucket equi-join, per-query streaming
+    top-k."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(n_planes, dim)
+    qv = as_double_vec(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        qv.alias("qvec"),
+        l2_norm(qv).alias("qn"),
+        lsh_bucket(qv, planes).alias("bucket"),
+    )
+    probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(index_path)
+    cv = as_double_vec(vec_col)
+    cn = F.col("norm") if "norm" in idx.columns else l2_norm(cv)
+    c = idx.filter(F.col("bucket").isin(probed)).select(
+        F.col(id_col).alias("c_id"), cv.alias("cvec"), cn.alias("cn"), "bucket"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        q.join(c, "bucket")
+        .withColumn(
+            "cos_sim", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos_sim", "rn")
+    )
+
+
 def _centroids_path(path: str) -> str:
     return path.rstrip("/") + "_centroids"
 
@@ -157,7 +231,11 @@ def write_ivf_index(
     assigned = assign_to_centroids(emb, cents, vec_col)
     if mode != "append":  # append reuses the persisted quantizer untouched
         cents.write.mode("overwrite").parquet(_centroids_path(path))
-    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
+    # align the shuffle with partitionBy: one file per inverted list,
+    # not tasks x lists small files (see write_lsh_index)
+    assigned.repartition(F.col("centroid_id")).write.mode(mode).partitionBy(
+        "centroid_id"
+    ).parquet(path)
 
 
 def assign_to_centroids(emb: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:

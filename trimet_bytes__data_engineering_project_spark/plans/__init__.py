@@ -49,6 +49,7 @@ _WINDOW_HEAD = [
     "x86_surprisal_snapshot_probe",
     "x87_vocab_coverage",
     "x88_containment_pairs",
+    "x89_knn_index_join",
     # rotated back in per the round-4 verdict: the oldest single driver
     # greens in the registry (x20 r01, x16 r02) whose code areas
     # (ann_index probe path, asof carry) were touched or adjacent in
@@ -73,7 +74,6 @@ _WINDOW_HEAD = [
     "x21_ann_ivf_index_probe",
     "x33_near_dup_removal",
     "x34_duplicate_clusters",
-    "x36_quality_percentile_filter",
     "x38_semantic_cluster_centroids",
     "x40_tfidf_top_terms",
     "x42_minhash_accuracy_audit",
@@ -95,17 +95,18 @@ _WINDOW_HEAD = [
     "x69_text_normalize",
 ]
 
-# Round-5 window (49 head entries + q33 in the mid slot = 50): the six
+# Round-5 window (49 head entries + q33 in the mid slot = 50): the seven
 # new oracle-backed queries (x83 span dedup — the round-4 verdict's one
 # weak item wired into the gate; x84 JM-interpolated trigram; x85/x86
 # snapshot-probe forms of x40/x51 — the two worst round-4 scale ratios;
-# x87 vocabulary coverage; x88 containment pairs) get driver rows in
+# x87 vocabulary coverage; x88 containment pairs; x89 index-backed
+# kNN join) get driver rows in
 # their first round; x20/x16 rotate back in per the verdict (oldest
 # single greens in the registry); x40/x51 stay in-window because their
 # operator signatures gained the snapshot parameter this round, and
-# x80/x82 because the trigram chassis was refactored for x84.  Eight of
+# x80/x82 because the trigram chassis was refactored for x84.  Nine of
 # the simplest twice-green rows in code areas untouched this round
-# (x41/x46/x53/x55/x61/x63/x64/x70) park in the tail to make room —
+# (x36/x41/x46/x53/x55/x61/x63/x64/x70) park in the tail to make room —
 # every parked query stays registered and is swept by
 # tests/test_oracle_parity.py with the identical protocol.
 
@@ -115,6 +116,7 @@ _WINDOW_TAIL = [
     # (still swept by tests/test_oracle_parity.py)
     "x41_shard_manifest",
     "x46_quality_distribution",
+    "x36_quality_percentile_filter",
     "x53_random_projection",
     "x55_temperature_rebalance",
     "x61_length_bucketed_batches",

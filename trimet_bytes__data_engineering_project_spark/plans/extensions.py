@@ -369,7 +369,7 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 # bump when index-building logic changes: the scratch dir outlives a code
 # round (gitignored, build-once), and a stale layout must never serve a
 # probe built by newer code
-_INDEX_VERSION = "v4"  # v4: kmeans Lloyd update became the deterministic two-level fold
+_INDEX_VERSION = "v5"  # v5: indexes store the build-time l2 norm column
 
 _DATA_TAG_CACHE: dict[str, str] = {}
 
@@ -2686,6 +2686,27 @@ def _build_knn_oracle(k: int = 3, n_planes: int = 4, dim: int = 64) -> str:
                FROM j)
     SELECT q_id, c_id, cos_sim, rn FROM r WHERE rn <= {k}
     """
+
+
+@query("x89_knn_index_join", oracle=_build_knn_oracle())
+def x89_knn_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x58's kNN join served from the PERSISTED index instead of
+    re-signaturing the corpus (``ann_index.knn_join_index`` — the
+    batch twin the streaming server delegates to): the 90% corpus is
+    indexed once (bucket-partitioned, norms stored at build time), the
+    10% query batch computes its ≤2^p distinct buckets and the index
+    scan is partition-pruned to exactly those.  The oracle is x58's
+    verbatim — the index changes the COST (per-run work is O(batch) +
+    the probed partitions), never the result."""
+    from ..operators.ann_index import ensure_index, knn_join_index, write_lsh_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "lsh_c90")
+    ensure_index(
+        lambda: write_lsh_index(emb.filter(F.col("vec_id") % 10 != 0), path, dim=64),
+        path,
+    )
+    return knn_join_index(spark, emb.filter(F.col("vec_id") % 10 == 0), path, dim=64, k=3)
 
 
 @query("x58_knn_join", oracle=_build_knn_oracle())

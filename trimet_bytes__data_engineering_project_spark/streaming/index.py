@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ann_index import LSH_PLANES
-from ..operators.similarity import as_double_vec, hyperplanes, lsh_bucket
+from ..operators.similarity import as_double_vec, hyperplanes, l2_norm, lsh_bucket
 
 
 def run_streaming_lsh_index(
@@ -45,8 +45,14 @@ def run_streaming_lsh_index(
     planes = hyperplanes(n_planes, dim)
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
+        v = as_double_vec(vec_col)
         (
-            batch_df.withColumn("bucket", lsh_bucket(as_double_vec(vec_col), planes))
+            # same layout as write_lsh_index, incl. the build-time norm
+            # and the bucket-aligned shuffle (one file per bucket per
+            # batch, not tasks x buckets)
+            batch_df.withColumn("bucket", lsh_bucket(v, planes))
+            .withColumn("norm", l2_norm(v))
+            .repartition(F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{index_path}/batch_id={batch_id}")
@@ -106,6 +112,7 @@ def run_streaming_ivf_index(
     def land(batch_df: DataFrame, batch_id: int) -> None:
         (
             assign_to_centroids(batch_df, cents, vec_col)
+            .repartition(F.col("centroid_id"))
             .write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(f"{index_path}/batch_id={batch_id}")
@@ -150,47 +157,20 @@ def run_streaming_knn_serve(
     bucket-keyed equi-join + per-query streaming row_number — except
     the corpus side reads ONLY the probed bucket partitions instead of
     re-signaturing the corpus (the entire point of persisting the
-    index).  Results are pinned identical to query-time ``knn_join``
-    over the same corpus (test)."""
-    from ..operators.ann_index import LSH_PLANES
-    from ..operators.similarity import dot, l2_norm
+    index).  Each micro-batch delegates to the batch operator
+    ``ann_index.knn_join_index`` — serving IS the batch plan driven by
+    the stream.  Results are pinned identical to query-time
+    ``knn_join`` over the same corpus (test)."""
+    from ..operators.ann_index import LSH_PLANES, knn_join_index
 
     if n_planes is None:
         n_planes = LSH_PLANES
-    planes = hyperplanes(n_planes, dim)
 
     def serve(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        qv = as_double_vec(vec_col)
-        q = batch_df.select(
-            F.col("vec_id").alias("q_id"),
-            qv.alias("qvec"),
-            l2_norm(qv).alias("qn"),
-            lsh_bucket(qv, planes).alias("bucket"),
-        )
-        probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
-        cv = as_double_vec(vec_col)
-        c = (
-            spark.read.parquet(index_path)
-            .filter(F.col("bucket").isin(probed))
-            .select(
-                F.col("vec_id").alias("c_id"),
-                cv.alias("cvec"),
-                l2_norm(cv).alias("cn"),
-                "bucket",
-            )
-        )
-        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
         (
-            q.join(c, "bucket")
-            .withColumn(
-                "cos_sim",
-                dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")),
+            knn_join_index(
+                spark, batch_df, index_path, dim, k, n_planes, vec_col
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("q_id", "c_id", "cos_sim", "rn")
             .write.mode("overwrite")
             .parquet(f"{results_path}/batch_id={batch_id}")
         )
