@@ -261,6 +261,29 @@ def _x89_knn_index_serve(spark, d, batch_queries=128):
     )
 
 
+def _x90_ivf_knn_serve(spark, d, batch_queries=128):
+    # the IVF sibling of the x89 serving row: fixed 128-query batch
+    # against the 90% corpus's persisted inverted lists (16 centroids,
+    # norms stored at build) — nprobe=1 reads only the batch's probed
+    # lists, so the scan tracks (probed lists)/16 of the corpus
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+        ivf_knn_join,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    modulus = max(10, n // batch_queries)
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(modulus)) == 0)
+    c = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    path = os.path.join(_SCALE_ROOT, "knn_ivf_index", os.path.basename(d.rstrip("/")))
+    ensure_index(lambda: write_ivf_index(c, path), path)
+    return ivf_knn_join(spark, q, path, k=3).agg(
+        F.count("*").alias("n_pairs"), F.sum("cos_sim").alias("s")
+    )
+
+
 def _x59_knn_multiprobe(spark, d):
     # x58 with the Hamming-radius-1 recall dial: the probe-set explode
     # multiplies the join's LEFT side by (1 + n_planes) — with n_planes
@@ -635,6 +658,7 @@ HEAVY = [
     ("x53_random_projection_full", _x53_rp),
     ("x58_knn_join_full", _x58_knn),
     ("x89_knn_index_serve_128q", _x89_knn_index_serve),
+    ("x90_ivf_knn_serve_128q", _x90_ivf_knn_serve),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
     ("x60_recall_audit_full", _x60_recall_audit),
     ("x72_exact_top_terms_full", _x72_exact_top_terms),

@@ -282,3 +282,31 @@ def test_knn_join_index_equals_query_time_join(spark, emb, tmp_path_factory):
     spark.read.parquet(path).drop("norm").write.partitionBy("bucket").parquet(old)
     got_old = sorted(tuple(r) for r in knn_join_index(spark, queries, old, dim, k=3).collect())
     assert got_old == want
+
+
+def test_ivf_knn_join_equals_per_query_probe(spark, emb, tmp_path_factory):
+    """The batch IVF kNN join returns, for every query, exactly what
+    ivf_index_probe returns for that query vector alone on the same
+    index (same quantizer, same assignment, same tie order) — and at
+    nprobe = n_centroids it degrades to exact per-query brute force
+    over the indexed corpus."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ivf_index_probe,
+        ivf_knn_join,
+        write_ivf_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    queries = emb.filter(F.col("vec_id") % 10 == 0).limit(5)
+    path = str(tmp_path_factory.mktemp("ivfknn") / "idx")
+    write_ivf_index(corpus, path)
+
+    got = {}
+    for r in ivf_knn_join(spark, queries, path, k=3).collect():
+        got.setdefault(r.q_id, []).append((r.c_id, r.cos_sim))
+    for q in queries.collect():
+        vec = [float(x) for x in q["embedding"]]
+        want = [(r.vec_id, r.cos_sim) for r in ivf_index_probe(spark, path, vec, k=3).collect()]
+        assert got.get(q.vec_id, []) == want, q.vec_id

@@ -263,3 +263,53 @@ def test_pps_sample_windows_are_chunk_partitioned(spark):
     p = plan_of(spark, "x81_weighted_sample")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # params broadcast
     assert "SortMergeJoin" not in p
+
+
+def test_knn_index_join_prunes_partitions_and_reads_stored_norms(spark):
+    """x89: the index side of the batch kNN join is a partition-pruned
+    scan — the batch's bucket set arrives as an IN-list PartitionFilter
+    — and the corpus norm comes FROM the index (the scan's ReadSchema
+    carries the norm column; no l2 fold is recomputed corpus-side).
+    The join itself stays a single equi-join on the bucket key."""
+    plan = plan_of(spark, "x89_knn_index_join")
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "bucket" in pf and ("IN" in pf or "in(" in pf.lower())
+    scan = next(
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "norm" in ln
+    )
+    assert "norm" in scan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_probes_scan_persisted_counts(spark):
+    """x85/x86: the snapshot side is a parquet SCAN of the persisted
+    count table (term/df or term/c in ReadSchema), never a re-aggregation
+    of the base corpus — the whole point of the snapshot contract."""
+    for name, cols in (
+        ("x85_tfidf_snapshot_probe", ("term", "df")),
+        ("x86_surprisal_snapshot_probe", ("term", "c")),
+    ):
+        plan = plan_of(spark, name)
+        snap_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "ReadSchema" in ln and all(c in ln for c in cols) and "text" not in ln
+        ]
+        assert snap_scans, f"{name}: no persisted-count scan in plan"
+        # exactly one documents scan (the batch side) — the base corpus
+        # text is never read
+        doc_scans = [
+            ln for ln in plan.splitlines() if "ReadSchema" in ln and "text" in ln
+        ]
+        assert len(doc_scans) == 1, f"{name}: base corpus re-read\n{plan}"
+
+
+def test_ivf_knn_join_prunes_partitions_and_reads_stored_norms(spark):
+    """x90: the inverted-list side of the batch IVF kNN join is a
+    partition-pruned scan (probed centroid set as PartitionFilter) and
+    corpus norms come from the index's stored column, not a re-fold."""
+    plan = plan_of(spark, "x90_ivf_knn_join")
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "centroid_id" in pf
+    assert any("ReadSchema" in ln and "norm" in ln for ln in plan.splitlines())
+    assert "CartesianProduct" not in plan

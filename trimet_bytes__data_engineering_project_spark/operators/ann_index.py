@@ -259,7 +259,9 @@ def assign_to_centroids(emb: DataFrame, cents: DataFrame, vec_col: str) -> DataF
     return (
         assigned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", vec_col, "centroid_id")
+        # the norm was already folded for the assignment — persist it so
+        # batch probes (ivf_knn_join) read it instead of re-folding
+        .select("vec_id", vec_col, F.col("_vn").alias("norm"), "centroid_id")
     )
 
 
@@ -295,6 +297,68 @@ def ivf_index_probe(
         .select("vec_id", cosine(v, q).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
+    )
+
+
+def ivf_knn_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 3,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch kNN JOIN against a PERSISTED IVF index —
+    :func:`knn_join_index`'s inverted-list sibling: every query is
+    assigned its ``nprobe`` nearest coarse centroids against the
+    index's persisted quantizer (a broadcast of n_c rows — never a
+    shuffle), the batch's distinct probed centroid set (≤ n_c ids, a
+    bounded driver collect) becomes an IN-list PARTITION FILTER on the
+    inverted-list scan, corpus norms come from the index (folded once
+    at build), and one centroid-keyed equi-join + per-query streaming
+    row_number yields the top-k.
+
+    ``nprobe`` is the recall dial exactly as in ``ivf_index_probe``;
+    with ``nprobe=1`` each query reads only its own inverted list.
+    Returns (q_id, c_id, cos_sim, rn) — per-query results identical to
+    running ``ivf_index_probe`` per query vector (same quantizer, same
+    assignment, same tie order)."""
+    from pyspark.sql import Window
+
+    cents_n = spark.read.parquet(_centroids_path(index_path)).withColumn(
+        "c_n", l2_norm(F.col("cvec"))
+    )
+    qv = as_double_vec(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), qv.alias("qvec"), l2_norm(qv).alias("qn")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("q_cos"), "centroid_id")
+    qc = (
+        q.crossJoin(F.broadcast(cents_n))
+        .withColumn(
+            "q_cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("c_n"))
+        )
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= nprobe)
+        .select("q_id", "qvec", "qn", "centroid_id")
+    )
+    probed = [r["centroid_id"] for r in qc.select("centroid_id").distinct().collect()]
+    idx = spark.read.parquet(index_path)
+    cv = as_double_vec(vec_col)
+    cn = F.col("norm") if "norm" in idx.columns else l2_norm(cv)
+    c = idx.filter(F.col("centroid_id").isin(probed)).select(
+        F.col(id_col).alias("c_id"), cv.alias("cvec_c"), cn.alias("cn"), "centroid_id"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        qc.join(c, "centroid_id")
+        .withColumn(
+            "cos_sim", dot(F.col("qvec"), F.col("cvec_c")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos_sim", "rn")
     )
 
 

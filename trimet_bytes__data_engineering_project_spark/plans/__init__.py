@@ -50,6 +50,7 @@ _WINDOW_HEAD = [
     "x87_vocab_coverage",
     "x88_containment_pairs",
     "x89_knn_index_join",
+    "x90_ivf_knn_join",
     # rotated back in per the round-4 verdict: the oldest single driver
     # greens in the registry (x20 r01, x16 r02) whose code areas
     # (ann_index probe path, asof carry) were touched or adjacent in
@@ -87,7 +88,6 @@ _WINDOW_HEAD = [
     "x52_bloom_decontamination",
     "x54_pretraining_pipeline",
     "x56_novelty_score",
-    "x57_percentile_rank",
     "x58_knn_join",
     "x59_knn_join_multiprobe",
     "x60_ann_recall_audit",
@@ -95,18 +95,18 @@ _WINDOW_HEAD = [
     "x69_text_normalize",
 ]
 
-# Round-5 window (49 head entries + q33 in the mid slot = 50): the seven
+# Round-5 window (49 head entries + q33 in the mid slot = 50): the eight
 # new oracle-backed queries (x83 span dedup — the round-4 verdict's one
 # weak item wired into the gate; x84 JM-interpolated trigram; x85/x86
 # snapshot-probe forms of x40/x51 — the two worst round-4 scale ratios;
-# x87 vocabulary coverage; x88 containment pairs; x89 index-backed
-# kNN join) get driver rows in
+# x87 vocabulary coverage; x88 containment pairs; x89/x90 index-backed
+# kNN joins for both index families) get driver rows in
 # their first round; x20/x16 rotate back in per the verdict (oldest
 # single greens in the registry); x40/x51 stay in-window because their
 # operator signatures gained the snapshot parameter this round, and
-# x80/x82 because the trigram chassis was refactored for x84.  Nine of
+# x80/x82 because the trigram chassis was refactored for x84.  Ten of
 # the simplest twice-green rows in code areas untouched this round
-# (x36/x41/x46/x53/x55/x61/x63/x64/x70) park in the tail to make room —
+# (x36/x41/x46/x53/x55/x57/x61/x63/x64/x70) park in the tail to make room —
 # every parked query stays registered and is swept by
 # tests/test_oracle_parity.py with the identical protocol.
 
@@ -117,6 +117,7 @@ _WINDOW_TAIL = [
     "x41_shard_manifest",
     "x46_quality_distribution",
     "x36_quality_percentile_filter",
+    "x57_percentile_rank",
     "x53_random_projection",
     "x55_temperature_rebalance",
     "x61_length_bucketed_batches",

@@ -2688,6 +2688,58 @@ def _build_knn_oracle(k: int = 3, n_planes: int = 4, dim: int = 64) -> str:
     """
 
 
+@query(
+    "x90_ivf_knn_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings WHERE vec_id % 10 <> 0),
+         qs AS (SELECT vec_id AS q_id, {_VEC} AS qv FROM embeddings
+                WHERE vec_id % 10 = 0),
+         cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                   ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT e.vec_id, e.v, c.centroid_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC,
+                                              c.centroid_id) AS rn
+           FROM e CROSS JOIN cents c),
+         best AS (SELECT vec_id AS c_id, v, centroid_id FROM assigned WHERE rn = 1),
+         qassign AS (
+           SELECT q_id, qv, centroid_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY {_cos_sql('qv', 'cvec')} DESC,
+                                              centroid_id) AS crn
+           FROM qs CROSS JOIN cents),
+         j AS (SELECT q_id, c_id, {_cos_sql('qv', 'v')} AS cos_sim
+               FROM (SELECT * FROM qassign WHERE crn <= 1) qa
+               JOIN best USING (centroid_id)),
+         r AS (SELECT q_id, c_id, cos_sim,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rn
+               FROM j)
+    SELECT q_id, c_id, cos_sim, rn FROM r WHERE rn <= 3
+    """,
+)
+def x90_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join against the persisted IVF index — x89's
+    inverted-list sibling, completing the batch-serving pair for both
+    index families: the 90% corpus's index is built once (first-16
+    quantizer, centroid-partitioned, norms stored at build), each
+    query in the 10% batch is assigned its nearest centroid against
+    the broadcast quantizer, and the probed centroid set partition-
+    prunes the inverted-list scan.  nprobe=1, k=3; per-query results
+    identical to ivf_index_probe on the same index
+    (``ann_index.ivf_knn_join``)."""
+    from ..operators.ann_index import ensure_index, ivf_knn_join, write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "ivf_c90")
+    ensure_index(
+        lambda: write_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), path),
+        path,
+    )
+    return ivf_knn_join(spark, emb.filter(F.col("vec_id") % 10 == 0), path, k=3)
+
+
 @query("x89_knn_index_join", oracle=_build_knn_oracle())
 def x89_knn_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x58's kNN join served from the PERSISTED index instead of
