@@ -284,6 +284,31 @@ def _x90_ivf_knn_serve(spark, d, batch_queries=128):
     )
 
 
+def _x91_quantized_knn_serve(spark, d, batch_queries=128):
+    # the compressed serving row: same fixed-batch regime as x89 but the
+    # index stores int8 vectors + integer-sum norms — the scan pays ~4x
+    # fewer bytes and the per-pair work is an integer dot
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+        quantized_knn_join_index,
+        write_quantized_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_planes = max(4, (max(1, n // 125) - 1).bit_length())
+    modulus = max(10, n // batch_queries)
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(modulus)) == 0)
+    c = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    path = os.path.join(_SCALE_ROOT, "knn_qlsh_index", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: write_quantized_lsh_index(c, path, dim=64, n_planes=n_planes), path
+    )
+    return quantized_knn_join_index(
+        spark, q, path, dim=64, k=3, n_planes=n_planes
+    ).agg(F.count("*").alias("n_pairs"), F.sum("q_cos").alias("s"))
+
+
 def _x59_knn_multiprobe(spark, d):
     # x58 with the Hamming-radius-1 recall dial: the probe-set explode
     # multiplies the join's LEFT side by (1 + n_planes) — with n_planes
@@ -659,6 +684,7 @@ HEAVY = [
     ("x58_knn_join_full", _x58_knn),
     ("x89_knn_index_serve_128q", _x89_knn_index_serve),
     ("x90_ivf_knn_serve_128q", _x90_ivf_knn_serve),
+    ("x91_quantized_knn_serve_128q", _x91_quantized_knn_serve),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
     ("x60_recall_audit_full", _x60_recall_audit),
     ("x72_exact_top_terms_full", _x72_exact_top_terms),

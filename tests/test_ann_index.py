@@ -310,3 +310,69 @@ def test_ivf_knn_join_equals_per_query_probe(spark, emb, tmp_path_factory):
         vec = [float(x) for x in q["embedding"]]
         want = [(r.vec_id, r.cos_sim) for r in ivf_index_probe(spark, path, vec, k=3).collect()]
         assert got.get(q.vec_id, []) == want, q.vec_id
+
+
+def test_quantized_index_join_matches_inflight_quantized(spark, emb, tmp_path_factory):
+    """The compressed index serve equals computing the same quantized
+    bucket join in-flight (quantize_vec + quantized_cosine over the
+    float corpus) — persisting int8 changes the bytes scanned, never
+    the scores — and the stored layout is genuinely smaller than the
+    float index over the same rows."""
+    import os as _os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        quantized_knn_join_index,
+        write_lsh_index,
+        write_quantized_lsh_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+        hyperplanes,
+        lsh_bucket,
+        quantize_vec,
+        quantized_cosine,
+    )
+
+    dim = len(emb.first()["embedding"])
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    qpath = str(tmp_path_factory.mktemp("qidx") / "q")
+    write_quantized_lsh_index(corpus, qpath, dim=dim)
+    got = sorted(
+        tuple(r) for r in quantized_knn_join_index(spark, queries, qpath, dim, k=3).collect()
+    )
+
+    planes = hyperplanes(4, dim)
+    v = as_double_vec("embedding")
+    qs = queries.select(
+        F.col("vec_id").alias("q_id"), quantize_vec(v).alias("qq"),
+        lsh_bucket(v, planes).alias("bucket"))
+    cs = corpus.select(
+        F.col("vec_id").alias("c_id"), quantize_vec(v).alias("cq"),
+        lsh_bucket(v, planes).alias("bucket"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("q_cos"), "c_id")
+    want = sorted(
+        tuple(r)
+        for r in qs.join(cs, "bucket")
+        .withColumn("q_cos", quantized_cosine(F.col("qq"), F.col("cq")))
+        .filter(F.col("q_cos").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "c_id", "q_cos", "rn")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    fpath = str(tmp_path_factory.mktemp("qidx") / "f")
+    write_lsh_index(corpus, fpath, dim=dim)
+
+    def nbytes(p):
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    assert nbytes(qpath) < 0.55 * nbytes(fpath)  # compressed layout is real

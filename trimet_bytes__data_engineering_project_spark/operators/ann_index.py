@@ -139,6 +139,120 @@ def lsh_index_probe(
     )
 
 
+def write_quantized_lsh_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = LSH_PLANES,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """LSH index storing INT8-QUANTIZED vectors — the compressed
+    serving layout: each vector keeps only its symmetric-int8
+    quantization (``similarity.quantize_vec``, values in [-127, 127]
+    stored as ``array<tinyint>``) plus its integer-sum norm, at ~4×
+    fewer scan bytes than the float index (measured: see BENCH_NOTES).
+    Bucketing runs on the ORIGINAL float vector — quantization moves
+    scores, never bucket membership — so the probe-side bucket
+    arithmetic is identical to the float index's.
+
+    All-zero vectors quantize to NULL and are stored as such; serving
+    filters their NULL scores exactly as ``quantized_topk`` does.
+    Same bucket-aligned one-file-per-partition write as
+    :func:`write_lsh_index`."""
+    from .similarity import quantize_vec
+
+    planes = hyperplanes(n_planes, dim)
+    v = as_double_vec(vec_col)
+    qv = quantize_vec(v)
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(qv, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    (
+        emb.select(
+            "vec_id",
+            F.transform(qv, lambda x: x.cast("tinyint")).alias("qvec"),
+            qnorm.alias("qnorm"),
+            lsh_bucket(v, planes).alias("bucket"),
+        )
+        .repartition(F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def quantized_knn_join_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    dim: int,
+    k: int = 3,
+    n_planes: int = LSH_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch kNN join against the QUANTIZED index — x89's compressed
+    sibling: per-pair work is an integer dot (exact, order-independent
+    int64 sums) against the stored int8 vectors, divided once by the
+    two precomputed norms.  Scores are the int8-quantized cosine —
+    ``quantized_topk``'s accuracy contract, not the float cosine — so
+    the recall trade is the quantization step, bounded and auditable
+    against x89 on the same corpus.
+
+    Returns (q_id, c_id, q_cos, rn); query vectors that quantize to
+    NULL (all-zero) produce no rows, exactly as ``quantized_topk``."""
+    from pyspark.sql import Window
+
+    from .similarity import quantize_vec
+
+    planes = hyperplanes(n_planes, dim)
+    v = as_double_vec(vec_col)
+    qq = quantize_vec(v)
+
+    def int_fold(products):
+        return F.aggregate(
+            products, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    qn = F.sqrt(int_fold(F.transform(qq, lambda x: (x * x).cast("long"))).cast("double"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        qq.alias("qq"),
+        qn.alias("qn"),
+        lsh_bucket(v, planes).alias("bucket"),
+    )
+    probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+    # stored tinyint elements are widened before multiplying: byte*byte
+    # arithmetic would wrap at 127*127 under non-ANSI semantics
+    c = (
+        spark.read.parquet(index_path)
+        .filter(F.col("bucket").isin(probed))
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.transform(F.col("qvec"), lambda x: x.cast("int")).alias("cq"),
+            F.col("qnorm").alias("cn"),
+            "bucket",
+        )
+    )
+    dot_q = int_fold(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("q_cos"), "c_id")
+    return (
+        q.join(c, "bucket")
+        .withColumn("q_cos", dot_q.cast("double") / (F.col("qn") * F.col("cn")))
+        .filter(F.col("q_cos").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "q_cos", "rn")
+    )
+
+
 def knn_join_index(
     spark: SparkSession,
     queries: DataFrame,

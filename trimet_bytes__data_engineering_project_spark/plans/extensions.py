@@ -2688,6 +2688,65 @@ def _build_knn_oracle(k: int = 3, n_planes: int = 4, dim: int = 64) -> str:
     """
 
 
+def _build_qknn_oracle(k: int = 3, n_planes: int = 4, dim: int = 64) -> str:
+    planes = hyperplanes(n_planes, dim)
+    lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {_dot_sql(v, lits[p])} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, {_VEC} AS qv FROM embeddings
+               WHERE vec_id % 10 = 0),
+         c AS (SELECT vec_id AS c_id, {_VEC} AS cv FROM embeddings
+               WHERE vec_id % 10 <> 0),
+         qb AS (SELECT q_id, {bucket('qv')} AS bucket,
+                       {_QUANT.format(v='qv')} AS qq FROM q),
+         cb AS (SELECT c_id, {bucket('cv')} AS bucket,
+                       {_QUANT.format(v='cv')} AS cq FROM c),
+         j AS (SELECT q_id, c_id, {_qcos_sql('qb.qq', 'cb.cq')} AS q_cos
+               FROM qb JOIN cb USING (bucket)),
+         r AS (SELECT q_id, c_id, q_cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY q_cos DESC, c_id) AS BIGINT) AS rn
+               FROM j WHERE q_cos IS NOT NULL)
+    SELECT q_id, c_id, q_cos, rn FROM r WHERE rn <= {k}
+    """
+
+
+@query("x91_quantized_knn_index_join", oracle=_build_qknn_oracle())
+def x91_quantized_knn_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x89 over the COMPRESSED index: the 90% corpus persists only its
+    int8 quantization (array<tinyint> + integer-sum norm — ~4× fewer
+    scan bytes than the float index) bucketed by the ORIGINAL float
+    signature, and the 10% batch probes it with integer-exact dot
+    products (order-independent int64 sums, one IEEE division — x18's
+    arithmetic at index scale).  Scores are the quantized cosine by
+    contract; the float path x89 is the accuracy baseline on the same
+    corpus (``ann_index.write_quantized_lsh_index`` /
+    ``quantized_knn_join_index``)."""
+    from ..operators.ann_index import (
+        ensure_index,
+        quantized_knn_join_index,
+        write_quantized_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "qlsh_c90")
+    ensure_index(
+        lambda: write_quantized_lsh_index(
+            emb.filter(F.col("vec_id") % 10 != 0), path, dim=64
+        ),
+        path,
+    )
+    return quantized_knn_join_index(
+        spark, emb.filter(F.col("vec_id") % 10 == 0), path, dim=64, k=3
+    )
+
+
 @query(
     "x90_ivf_knn_join",
     oracle=f"""
