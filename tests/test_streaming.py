@@ -643,3 +643,46 @@ def test_streaming_lsh_index_accepts_double_landing(spark, tmp_path):
     got = [tuple(r) for r in lsh_index_probe(spark, d_idx, qvec, k=5).collect()]
     want = [tuple(r) for r in lsh_index_probe(spark, f_idx, qvec, k=5).collect()]
     assert got == want and len(got) == 5
+
+
+def test_streaming_quantized_serve_equals_batch(spark, tmp_path):
+    """quantized=True serving: micro-batches of query vectors probe the
+    int8 index and land exactly the batch quantized_knn_join_index
+    results — the compressed serving path is the same plan driven by
+    the stream."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        quantized_knn_join_index,
+        write_quantized_lsh_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_knn_serve,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+
+    idx = str(tmp_path / "qidx")
+    write_quantized_lsh_index(corpus, idx, dim=dim)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    t = str(tmp_path / "w")
+    queries.coalesce(1).write.parquet(t)
+    shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/q.parquet")
+
+    results, ck = str(tmp_path / "res"), str(tmp_path / "ck")
+    run_streaming_knn_serve(spark, landing, idx, results, ck, dim, quantized=True)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(results)
+        .select("q_id", "c_id", "q_cos", "rn").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in quantized_knn_join_index(spark, queries, idx, dim, k=3).collect()
+    )
+    assert got == want and len(got) > 0

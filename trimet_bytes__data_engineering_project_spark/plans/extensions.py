@@ -2748,6 +2748,67 @@ def x91_quantized_knn_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x92_quantization_recall",
+    oracle=f"""
+    WITH f AS (SELECT q_id, c_id FROM ({_build_knn_oracle()}) t),
+         qq AS (SELECT q_id, c_id FROM ({_build_qknn_oracle()}) t)
+    SELECT f.q_id,
+           CAST(sum(CASE WHEN m.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap,
+           CAST(count(*) AS BIGINT) AS n_float,
+           CAST(sum(CASE WHEN m.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS recall
+    FROM f LEFT JOIN qq m ON f.q_id = m.q_id AND f.c_id = m.c_id
+    GROUP BY f.q_id
+    """,
+)
+def x92_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8 accuracy cost MEASURED, not asserted: per query, the
+    overlap between the quantized index's top-3 (x91) and the float
+    index's top-3 (x89) over the same corpus, buckets, and tie order —
+    recall = |quantized ∩ float| / |float|.  The audit a pipeline runs
+    before switching retrieval to the compressed layout (x60's recall
+    discipline applied to quantization instead of blocking).  Both
+    sides are the PERSISTED indexes; the oracle recomputes both chains
+    in-flight and intersects them identically."""
+    from ..operators.ann_index import (
+        ensure_index,
+        knn_join_index,
+        quantized_knn_join_index,
+        write_lsh_index,
+        write_quantized_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    fpath = _index_dir(sf_dir, "lsh_c90")
+    qpath = _index_dir(sf_dir, "qlsh_c90")
+    ensure_index(lambda: write_lsh_index(corpus, fpath, dim=64), fpath)
+    ensure_index(lambda: write_quantized_lsh_index(corpus, qpath, dim=64), qpath)
+    f = knn_join_index(spark, queries, fpath, dim=64, k=3).select("q_id", "c_id")
+    qk = (
+        quantized_knn_join_index(spark, queries, qpath, dim=64, k=3)
+        .select("q_id", F.col("c_id").alias("m_id"))
+    )
+    return (
+        f.join(qk, (f["q_id"] == qk["q_id"]) & (f["c_id"] == qk["m_id"]), "left")
+        .drop(qk["q_id"])
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.when(F.col("m_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap"),
+            F.count("*").cast("long").alias("n_float"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_overlap").cast("double") / F.col("n_float").cast("double"),
+        )
+    )
+
+
+@query(
     "x90_ivf_knn_join",
     oracle=f"""
     WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings WHERE vec_id % 10 <> 0),

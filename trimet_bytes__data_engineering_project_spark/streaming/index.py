@@ -144,6 +144,7 @@ def run_streaming_knn_serve(
     n_planes: int | None = None,
     vec_col: str = "embedding",
     vec_element_type: str = "float",
+    quantized: bool = False,
 ) -> None:
     """Streaming retrieval SERVING over a persisted LSH index: each
     micro-batch of query vectors is signatured with the index's own
@@ -161,16 +162,22 @@ def run_streaming_knn_serve(
     ``ann_index.knn_join_index`` — serving IS the batch plan driven by
     the stream.  Results are pinned identical to query-time
     ``knn_join`` over the same corpus (test)."""
-    from ..operators.ann_index import LSH_PLANES, knn_join_index
+    from ..operators.ann_index import (
+        LSH_PLANES,
+        knn_join_index,
+        quantized_knn_join_index,
+    )
 
     if n_planes is None:
         n_planes = LSH_PLANES
+    # quantized=True serves from an int8 index written by
+    # write_quantized_lsh_index — same bucket arithmetic, scores are
+    # the quantized cosine (x91's contract)
+    join_fn = quantized_knn_join_index if quantized else knn_join_index
 
     def serve(batch_df: DataFrame, batch_id: int) -> None:
         (
-            knn_join_index(
-                spark, batch_df, index_path, dim, k, n_planes, vec_col
-            )
+            join_fn(spark, batch_df, index_path, dim, k, n_planes, vec_col)
             .write.mode("overwrite")
             .parquet(f"{results_path}/batch_id={batch_id}")
         )
