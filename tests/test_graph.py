@@ -152,3 +152,35 @@ def test_cc_null_edges_dropped_and_schema_stable_both_paths(spark):
         got = {(r["node"], r["cluster_id"]) for r in comp.collect()}
         # 3 and 4 only appeared on null edges -> not nodes at all
         assert got == {(1, 1), (2, 1), (5, 1)}
+
+
+def test_cluster_dedup_quality_aware_keeps_best_member(spark):
+    """score_col selects each cluster's highest-score member (ties by
+    min id), unclustered docs always survive, and n_members still
+    reports the represented cluster's size."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        cluster_dedup,
+        connected_components,
+    )
+
+    # cluster {1,2,3} (chain), cluster {10,11} (tie on score -> min id), 99 alone
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["a_id", "b_id"]
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4), (99, 1)], ["doc_id", "score"]
+    )
+    comp = connected_components(pairs)
+    got = {
+        r.doc_id: r.n_members
+        for r in cluster_dedup(docs, "doc_id", comp, score_col="score").collect()
+    }
+    assert got == {2: 3, 10: 2, 99: 1}  # 2 beats min-id 1; tie keeps 10
+    # min-id policy on the same graph keeps 1, not 2
+    baseline = {
+        r.doc_id: r.n_members
+        for r in cluster_dedup(docs, "doc_id", comp).collect()
+    }
+    assert baseline == {1: 3, 10: 2, 99: 1}

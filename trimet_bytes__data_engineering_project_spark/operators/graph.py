@@ -151,7 +151,7 @@ def connected_components(
 
 
 def cluster_dedup(
-    df: DataFrame, id_col: str, components: DataFrame
+    df: DataFrame, id_col: str, components: DataFrame, score_col: str | None = None
 ) -> DataFrame:
     """SemDeDup-style cluster retention (cf. Abbas et al., 2023): given
     the corpus and a (node, cluster_id) component labeling from
@@ -165,6 +165,14 @@ def cluster_dedup(
     documents as its alternative: a chain a~b~c keeps one of three,
     where the pairwise policy keeps a only by accident of pair order.
 
+    ``score_col``: QUALITY-AWARE representative selection — keep each
+    cluster's highest-``score_col`` member (ties by min id) instead of
+    the min-id member.  SemDeDup keeps an arbitrary representative;
+    real pipelines keep the best one (longest, highest classifier
+    score) so dedup never throws away the good copy of a near-dup
+    family.  Selection is one window over the COMPONENT table joined
+    to the scores — never a corpus-wide window.
+
     Scale shape: ``components`` holds only nodes that had a candidate
     pair — a small fraction of the corpus after LSH blocking — so both
     joins key on the id and AQE broadcasts the component side when it
@@ -174,9 +182,26 @@ def cluster_dedup(
         F.col("node").alias(id_col), F.col("cluster_id")
     )
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("_n"))
-    j = df.select(id_col).join(comp, id_col, "left")
+    if score_col is None:
+        j = df.select(id_col).join(comp, id_col, "left")
+        kept = j.filter(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col))
+        )
+    else:
+        from pyspark.sql import Window
+
+        scored = comp.join(df.select(id_col, score_col), id_col)
+        w = Window.partitionBy("cluster_id").orderBy(F.desc(score_col), id_col)
+        reps = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "cluster_id")
+        )
+        in_comp = df.select(id_col).join(comp.select(id_col), id_col, "left_anti")
+        kept = in_comp.withColumn("cluster_id", F.lit(None).cast("long")).unionByName(
+            reps
+        )
     return (
-        j.filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)))
-        .join(sizes, "cluster_id", "left")
+        kept.join(sizes, "cluster_id", "left")
         .select(id_col, F.coalesce("_n", F.lit(1)).cast("long").alias("n_members"))
     )

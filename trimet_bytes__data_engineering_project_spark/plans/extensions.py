@@ -1904,6 +1904,64 @@ def x49_incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_probe(store, new)
 
 
+def _x48_pairs(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import minhash_candidates, minhash_estimate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    return docs, pairs
+
+
+@query(
+    "x93_quality_cluster_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY 1),
+    sel AS (SELECT c.node, c.cluster_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY d2.n_chars DESC, c.node) AS rn
+            FROM comp c JOIN documents d2 ON d2.doc_id = c.node)
+    SELECT d.doc_id, CAST(coalesce(s.n, 1) AS BIGINT) AS n_members
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+    LEFT JOIN sel ON sel.node = d.doc_id
+    LEFT JOIN sizes s ON sel.cluster_id = s.cluster_id
+    WHERE sel.node IS NULL OR sel.rn = 1
+    """,
+)
+def x93_quality_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x48's cluster dedup with QUALITY-AWARE representative selection:
+    each transitive near-dup cluster keeps its LONGEST member
+    (n_chars desc, ties by min id) instead of the min-id accident —
+    the policy real pipelines want, since dedup should never discard
+    the best copy of a near-dup family.  Same LSH pairs → connected
+    components chain as x48; the representative pick is one window
+    over the component table (≪ corpus), never a corpus-wide window
+    (``graph.cluster_dedup(score_col=...)``)."""
+    from ..operators.graph import cluster_dedup, connected_components
+
+    docs, pairs = _x48_pairs(spark, sf_dir)
+    comp = connected_components(pairs)
+    return cluster_dedup(
+        docs.select("doc_id", "n_chars"), "doc_id", comp, score_col="n_chars"
+    )
+
+
 @query(
     "x48_cluster_dedup",
     oracle=f"""
@@ -1937,16 +1995,9 @@ def x48_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc instead of one-per-pair-accident.  Components cover only
     candidate nodes (tiny after blocking), so the corpus-side joins
     broadcast; the oracle closes the same graph with a recursive CTE."""
-    from ..operators.dedup import minhash_candidates, minhash_estimate
     from ..operators.graph import cluster_dedup, connected_components
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    pairs = (
-        minhash_candidates(docs)
-        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
-        .filter(F.col("est_sim") >= 0.25)
-        .select("a_id", "b_id")
-    )
+    docs, pairs = _x48_pairs(spark, sf_dir)
     comp = connected_components(pairs)
     return cluster_dedup(docs, "doc_id", comp)
 
