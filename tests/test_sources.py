@@ -41,3 +41,17 @@ def test_stop_event_html_parse(spark, tmp_path):
         "service_key": "W",
         "ons": "3",
     }
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """A second columnar warehouse format: the engine's tables
+    round-trip through ORC byte-identically in values to the parquet
+    source (schema and rows preserved), so an ORC-standardized
+    warehouse can adopt every operator unchanged — both formats go
+    through the same DataFrame scan surface."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
