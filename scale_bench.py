@@ -645,6 +645,53 @@ def _t4_stream_rollup(spark, d):
     )
 
 
+def _ss_join_stream(spark, d):
+    # the SECOND streaming scale row, and the first with JOIN state:
+    # click and view events stream as two sources from the same scaled
+    # table, both-side watermarked, inner-joined on user_id with the
+    # view inside [click_ts, click_ts + 600 s] — the stateful shape
+    # whose buffers the watermark + interval condition keep evictable.
+    # availableNow + fresh checkpoint/sink per call, parquet sink
+    # (stream-stream joins reject the memory sink's complete mode), one
+    # count over the landed output
+    import tempfile
+
+    from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    if d == SF01:
+        d = ensure_stream_events_x1(spark)
+    ck = tempfile.mkdtemp(prefix="sb_ssj_ck_")
+    out = tempfile.mkdtemp(prefix="sb_ssj_out_")
+
+    def src(event_type, ts_alias):
+        s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(f"{d}/events.parquet")
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select("user_id", F.col("ts").cast("timestamp").alias(ts_alias))
+        )
+
+    joined = stream_stream_interval_join(
+        src("click", "click_ts"), src("view", "view_ts"),
+        "user_id", "click_ts", "view_ts", 600,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)
+    res = spark.read.parquet(out).agg(F.count("*").alias("n_pairs"))
+    n = res.collect()[0][0]
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame([(n,)], "n_pairs long")
+
+
 def _cc_distributed(spark, d):
     # connected components over the scaled near-dup pair graph with the
     # small-graph fast path DISABLED — measures the iterative
@@ -699,6 +746,7 @@ HEAVY = [
     ("x85_tfidf_snapshot_10pct", _x85_tfidf_snapshot_10pct),
     ("x86_surprisal_snapshot_10pct", _x86_surprisal_snapshot_10pct),
     ("t4_stream_rollup_full", _t4_stream_rollup),
+    ("ss_join_stream_full", _ss_join_stream),
     ("cc_distributed_full", _cc_distributed),
 ]
 
