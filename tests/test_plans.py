@@ -313,3 +313,24 @@ def test_ivf_knn_join_prunes_partitions_and_reads_stored_norms(spark):
     assert "centroid_id" in pf
     assert any("ReadSchema" in ln and "norm" in ln for ln in plan.splitlines())
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_single_digest_join(spark):
+    """x83: the single-explode rewrite's structural properties — the
+    plan's ONLY join is the digest equi-join (the two-explode
+    formulation carried a second (id, pos) join reuniting tokens with
+    gram starts), the dup-count branch's scan prunes to the text
+    column alone, and nothing is cartesian."""
+    plan = plan_of(spark, "x83_span_dedup")
+    import re
+
+    joins = [
+        ln for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) \w*(Join|CartesianProduct)", ln.strip())
+    ]
+    assert len(joins) == 1, plan
+    assert any(
+        "ReadSchema" in ln and "text" in ln and "doc_id" not in ln
+        for ln in plan.splitlines()
+    ), plan  # the dup-count scan pruned to text only
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

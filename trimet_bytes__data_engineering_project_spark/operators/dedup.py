@@ -591,8 +591,13 @@ def dedup_spans(
     partitions on id or digest — no stage ever holds a whole document
     except the per-doc array expressions, bounded by document length.
     (The earlier two-explode formulation re-joined tokens to gram
-    starts on (id, pos) — one extra corpus scan and one extra shuffle,
-    measured ~10% slower at sf0.1 and 3× slower to plan.)"""
+    starts on (id, pos) — a second join and its two-sided shuffle,
+    measured ~10% slower at sf0.1 and 3× slower to plan.  Catalyst
+    still scans the table twice — the dup-count branch and the mask
+    branch diverge before any exchange — but the dup-count scan prunes
+    to the text column alone and no (id, pos) join reunites the
+    streams; the plan's ONLY join is the digest equi-join, pinned by
+    test.)"""
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
