@@ -311,6 +311,23 @@ def test_ivf_knn_join_equals_per_query_probe(spark, emb, tmp_path_factory):
         want = [(r.vec_id, r.cos_sim) for r in ivf_index_probe(spark, path, vec, k=3).collect()]
         assert got.get(q.vec_id, []) == want, q.vec_id
 
+    # nprobe = n_centroids degrades to exact per-query brute force over
+    # the indexed corpus (every inverted list probed)
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    full = {}
+    for r in ivf_knn_join(spark, queries, path, k=3, nprobe=16).collect():
+        full.setdefault(r.q_id, []).append((r.c_id, r.cos_sim))
+    for q in queries.collect():
+        vec = [float(x) for x in q["embedding"]]
+        want = [
+            (r.vec_id, r.cos_sim)
+            for r in brute_force_topk(corpus, vec, k=3).collect()
+        ]
+        assert full.get(q.vec_id, []) == want, q.vec_id
+
 
 def test_quantized_index_join_matches_inflight_quantized(spark, emb, tmp_path_factory):
     """The compressed index serve equals computing the same quantized

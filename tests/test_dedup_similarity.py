@@ -1171,3 +1171,34 @@ def test_containment_asymmetry(spark):
         exact_jaccard(shingles(F.col("x")), shingles(F.col("y"))).alias("j"),
     ).collect()[0]
     assert r.c_ab == 1.0 and r.c_ba == 0.3 and r.j == 0.3
+
+
+def test_fourgram_jm_hand_computed(spark):
+    """All five interpolation levels pinned exactly (S = 16*(N+1) = 208
+    with N=12 base tokens): full 4-gram hit sums 52+26+13+1+1 -> inst
+    2; trailing-trigram hit 52+26+2+1 -> 2; bigram-level 26+1+1 -> 7;
+    unigram-only 1+1 -> 104; full OOV 1 -> the S=208 ceiling.  Docs
+    with <4 tokens drop."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        fourgram_jm_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(100, "a b c d a b c e"), (101, "x y z w")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, "a b c d"),  # direct 4-gram hit
+            (1, "q a b c"),  # trailing trigram 'a b c' seen
+            (2, "q r z w"),  # trailing bigram 'z w' seen
+            (3, "q r s w"),  # last unigram 'w' seen
+            (4, "q r s t"),  # full OOV
+            (5, "a b c"),    # too short -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.surprisal_sum
+        for r in fourgram_jm_surprisal(batch, base).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 7, 3: 104, 4: 208}

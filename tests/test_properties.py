@@ -607,3 +607,59 @@ def test_trigram_jm_matches_python_model(spark, base_texts, batch_texts):
         if gs:
             expect[i] = (len(gs), sum(inst(g) for g in gs))
     assert got == expect
+
+
+@given(st.lists(docs, min_size=1, max_size=8), st.lists(docs, min_size=1, max_size=8))
+@SETTINGS
+def test_fourgram_jm_matches_python_model(spark, base_texts, batch_texts):
+    """x94's five-level fixed-point JM cascade recomputed independently
+    in Python (S = 16*(N+1), identical integer floor divisions) for
+    arbitrary base/batch corpora."""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        fourgram_jm_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(base_texts)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(list(enumerate(batch_texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_fourgrams, r.surprisal_sum)
+        for r in fourgram_jm_surprisal(batch, base).collect()
+    }
+
+    def grams(ws, n):
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+    btoks = [[w for w in t.split() if w] for t in base_texts]
+    c4 = Counter(g for ws in btoks for g in grams(ws, 4))
+    c4p = Counter(g.rsplit(" ", 1)[0] for ws in btoks for g in grams(ws, 4))
+    c3 = Counter(g for ws in btoks for g in grams(ws, 3))
+    c3p = Counter(g.rsplit(" ", 1)[0] for ws in btoks for g in grams(ws, 3))
+    c2 = Counter(g for ws in btoks for g in grams(ws, 2))
+    c2p = Counter(g.split(" ", 1)[0] for ws in btoks for g in grams(ws, 2))
+    c1 = Counter(w for ws in btoks for w in ws)
+    n_total = sum(c1.values())
+    s_scale = 16 * (n_total + 1)
+
+    def inst(g):
+        w1, w2, w3, w4 = g.split(" ")
+        p_fp = 1
+        if g in c4:
+            p_fp += (c4[g] * s_scale) // (2 * c4p[f"{w1} {w2} {w3}"])
+        if f"{w2} {w3} {w4}" in c3:
+            p_fp += (c3[f"{w2} {w3} {w4}"] * s_scale) // (4 * c3p[f"{w2} {w3}"])
+        if f"{w3} {w4}" in c2:
+            p_fp += (c2[f"{w3} {w4}"] * s_scale) // (8 * c2p[w3])
+        if w4 in c1:
+            p_fp += (c1[w4] * s_scale) // (16 * n_total)
+        return s_scale // p_fp
+
+    expect = {}
+    for i, t in enumerate(batch_texts):
+        gs = grams([w for w in t.split() if w], 4)
+        if gs:
+            expect[i] = (len(gs), sum(inst(g) for g in gs))
+    assert got == expect

@@ -729,6 +729,104 @@ def trigram_jm_surprisal(
     )
 
 
+def fourgram_jm_surprisal(
+    batch: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The n-gram ladder's 4-gram rung (x51 uni → x80 bi → x82/x84 tri
+    → this): cross-corpus FOURGRAM surprisal with integer-exact
+    Jelinek-Mercer interpolation over five levels, λ = 1/2, 1/4, 1/8,
+    1/16, 1/16 — one step closer to the KenLM 5-gram CCNet runs, built
+    from SIX persisted base count tables (4-gram + prefix, trigram +
+    prefix, bigram + prefix, unigram, total — the nightly snapshot set
+    at 100 TB).
+
+    Same fixed-point contract as :func:`trigram_jm_surprisal` with
+    scale ``S = 16·(N+1)`` (λ0 floor exactly 1, p_fp ≥ 1 guard-free,
+    full-OOV scores the S ceiling); every operation int64, no libm,
+    int64-safe while ``16·N·(N+1) < 2^63`` (~7×10⁸-token snapshot
+    shards).  Batch docs with < 4 tokens drop.  The batch aggregates
+    to one row per distinct (doc, 4-gram); every shuffle's batch side
+    is O(batch); the base tables deliberately do not broadcast.
+
+    Returns (doc_id, n_fourgrams, surprisal_sum, avg_surprisal)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+
+    def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
+        return df.where(F.size(toks) >= n).select(
+            *extra, F.explode(_ngram_join(toks, n)).alias("g")
+        )
+
+    t4 = explode_grams(base, 4).groupBy("g").agg(F.count("*").cast("long").alias("c4"))
+    c4p = (
+        t4.groupBy(F.substring_index("g", " ", 3).alias("p3"))
+        .agg(F.sum("c4").cast("long").alias("c4p"))
+    )
+    t3 = explode_grams(base, 3).groupBy("g").agg(F.count("*").cast("long").alias("c3"))
+    c3p = (
+        t3.groupBy(F.substring_index("g", " ", 2).alias("p2"))
+        .agg(F.sum("c3").cast("long").alias("c3p"))
+    )
+    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    c2p = (
+        t2.groupBy(F.substring_index("g", " ", 1).alias("p1"))
+        .agg(F.sum("c2").cast("long").alias("c2p"))
+    )
+    c1 = explode_grams(base, 1).groupBy("g").agg(F.count("*").cast("long").alias("c1"))
+    n_total = c1.agg(F.sum("c1").cast("long").alias("n_total"))
+
+    tf = (
+        explode_grams(batch, 4, F.col(id_col).alias("doc_id"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("p3", F.substring_index("g", " ", 3))
+        .withColumn("b234", F.substring_index("g", " ", -3))
+        .withColumn("p23", F.substring_index(F.col("b234"), " ", 2))
+        .withColumn("b34", F.substring_index("g", " ", -2))
+        .withColumn("w3", F.substring_index(F.col("b34"), " ", 1))
+        .withColumn("w4", F.substring_index("g", " ", -1))
+    )
+    scored = (
+        tf.join(t4, "g", "left")
+        .join(c4p, "p3", "left")
+        .join(t3.withColumnRenamed("g", "b234"), "b234", "left")
+        .join(c3p.withColumnRenamed("p2", "p23"), "p23", "left")
+        .join(t2.withColumnRenamed("g", "b34"), "b34", "left")
+        .join(c2p.withColumnRenamed("p1", "w3"), "w3", "left")
+        .join(c1.withColumnRenamed("g", "w4"), "w4", "left")
+        .join(F.broadcast(n_total))
+        .withColumn(
+            "inst",
+            F.col("tf")
+            * F.expr(
+                "(16 * (n_total + 1)) div ("
+                "  CASE WHEN c4 IS NOT NULL"
+                "       THEN (c4 * 16 * (n_total + 1)) div (2 * c4p) ELSE 0 END"
+                "+ CASE WHEN c3 IS NOT NULL"
+                "       THEN (c3 * 16 * (n_total + 1)) div (4 * c3p) ELSE 0 END"
+                "+ CASE WHEN c2 IS NOT NULL"
+                "       THEN (c2 * 16 * (n_total + 1)) div (8 * c2p) ELSE 0 END"
+                "+ CASE WHEN c1 IS NOT NULL"
+                "       THEN (c1 * 16 * (n_total + 1)) div (16 * n_total) ELSE 0 END"
+                "+ 1)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_fourgrams"),
+            F.sum("inst").cast("long").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.col("surprisal_sum").cast("double") / F.col("n_fourgrams").cast("double"),
+        )
+    )
+
+
 def vocab_coverage(
     docs: DataFrame, text_col: str = "text", coverage_pct: int = 95
 ) -> DataFrame:

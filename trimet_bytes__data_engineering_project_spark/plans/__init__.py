@@ -54,6 +54,7 @@ _WINDOW_HEAD = [
     "x91_quantized_knn_index_join",
     "x92_quantization_recall",
     "x93_quality_cluster_dedup",
+    "x94_fourgram_jm_surprisal",
     # rotated back in per the round-4 verdict: the oldest single driver
     # greens in the registry (x20 r01, x16 r02) whose code areas
     # (ann_index probe path, asof carry) were touched or adjacent in
@@ -82,7 +83,6 @@ _WINDOW_HEAD = [
     "x40_tfidf_top_terms",
     "x47_hashed_linear_score",
     "x48_cluster_dedup",
-    "x49_incremental_dedup_probe",
     "x50_doc_chunking",
     "x51_unigram_surprisal",
     "x52_bloom_decontamination",
@@ -95,20 +95,20 @@ _WINDOW_HEAD = [
     "x69_text_normalize",
 ]
 
-# Round-5 window (49 head entries + q33 in the mid slot = 50): the eleven
+# Round-5 window (49 head entries + q33 in the mid slot = 50): the twelve
 # new oracle-backed queries (x83 span dedup — the round-4 verdict's one
 # weak item wired into the gate; x84 JM-interpolated trigram; x85/x86
 # snapshot-probe forms of x40/x51 — the two worst round-4 scale ratios;
 # x87 vocabulary coverage; x88 containment pairs; x89/x90/x91 index-backed
 # kNN joins — float LSH, IVF, and int8-quantized — plus the x92
-# quantization-recall audit and x93 quality-aware cluster
-# representatives) get driver rows in
+# quantization-recall audit, x93 quality-aware cluster
+# representatives, and the x94 4-gram JM rung) get driver rows in
 # their first round; x20/x16 rotate back in per the verdict (oldest
 # single greens in the registry); x40/x51 stay in-window because their
 # operator signatures gained the snapshot parameter this round, and
-# x80/x82 because the trigram chassis was refactored for x84.  Thirteen of
+# x80/x82 because the trigram chassis was refactored for x84.  Fourteen of
 # the simplest twice-green rows in code areas untouched this round
-# (x36/x41/x42/x43/x44/x46/x53/x55/x57/x61/x63/x64/x70) park in the tail to make room —
+# (x36/x41/x42/x43/x44/x46/x49/x53/x55/x57/x61/x63/x64/x70) park in the tail to make room —
 # every parked query stays registered and is swept by
 # tests/test_oracle_parity.py with the identical protocol.
 
@@ -122,6 +122,7 @@ _WINDOW_TAIL = [
     "x42_minhash_accuracy_audit",
     "x43_contamination_fraction",
     "x44_token_budget_selection",
+    "x49_incremental_dedup_probe",
     "x57_percentile_rank",
     "x53_random_projection",
     "x55_temperature_rebalance",

@@ -2370,6 +2370,89 @@ def x84_trigram_jm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUAD = "toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4]"
+_JM4_S = "(16 * (n_total + 1))"
+
+
+@query(
+    "x94_fourgram_jm_surprisal",
+    oracle=f"""
+    WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+                FROM documents WHERE doc_id < 250),
+    qt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents WHERE doc_id >= 250),
+    t4 AS (SELECT g, CAST(count(*) AS BIGINT) AS c4
+           FROM (SELECT unnest(list_transform(range(len(toks) - 3), i -> {_QUAD})) AS g
+                 FROM bt WHERE len(toks) >= 4) GROUP BY 1),
+    c4p AS (SELECT split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2)
+                     || ' ' || split_part(g, ' ', 3) AS p3,
+                   CAST(sum(c4) AS BIGINT) AS c4p FROM t4 GROUP BY 1),
+    t3 AS (SELECT b234, CAST(count(*) AS BIGINT) AS c3
+           FROM (SELECT unnest(list_transform(range(len(toks) - 2), i -> {_TRI})) AS b234
+                 FROM bt WHERE len(toks) >= 3) GROUP BY 1),
+    c3p AS (SELECT split_part(b234, ' ', 1) || ' ' || split_part(b234, ' ', 2) AS p23,
+                   CAST(sum(c3) AS BIGINT) AS c3p FROM t3 GROUP BY 1),
+    t2 AS (SELECT b34, CAST(count(*) AS BIGINT) AS c2
+           FROM (SELECT unnest(list_transform(range(len(toks) - 1), i -> {_BI})) AS b34
+                 FROM bt WHERE len(toks) >= 2) GROUP BY 1),
+    c2p AS (SELECT split_part(b34, ' ', 1) AS w3, CAST(sum(c2) AS BIGINT) AS c2p
+            FROM t2 GROUP BY 1),
+    t1 AS (SELECT w4, CAST(count(*) AS BIGINT) AS c1
+           FROM (SELECT unnest(toks) AS w4 FROM bt) GROUP BY 1),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM t1),
+    tf AS (SELECT doc_id, g, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(toks) - 3), i -> {_QUAD})) AS g
+                 FROM qt WHERE len(toks) >= 4) GROUP BY 1, 2),
+    k AS (SELECT doc_id, tf, g,
+                 split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2)
+                   || ' ' || split_part(g, ' ', 3) AS p3,
+                 split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3)
+                   || ' ' || split_part(g, ' ', 4) AS b234,
+                 split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS p23,
+                 split_part(g, ' ', 3) || ' ' || split_part(g, ' ', 4) AS b34,
+                 split_part(g, ' ', 3) AS w3, split_part(g, ' ', 4) AS w4
+          FROM tf),
+    s AS (SELECT k.doc_id, k.tf,
+                 {_JM4_S} // (
+                   CASE WHEN c4 IS NOT NULL
+                        THEN (c4 * {_JM4_S}) // (2 * c4p) ELSE 0 END
+                 + CASE WHEN c3 IS NOT NULL
+                        THEN (c3 * {_JM4_S}) // (4 * c3p) ELSE 0 END
+                 + CASE WHEN c2 IS NOT NULL
+                        THEN (c2 * {_JM4_S}) // (8 * c2p) ELSE 0 END
+                 + CASE WHEN c1 IS NOT NULL
+                        THEN (c1 * {_JM4_S}) // (16 * n_total) ELSE 0 END
+                 + 1) AS inst
+          FROM k LEFT JOIN t4 USING (g) LEFT JOIN c4p USING (p3)
+                 LEFT JOIN t3 USING (b234) LEFT JOIN c3p USING (p23)
+                 LEFT JOIN t2 USING (b34) LEFT JOIN c2p USING (w3)
+                 LEFT JOIN t1 USING (w4) CROSS JOIN n)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_fourgrams,
+           CAST(sum(tf * inst) AS BIGINT) AS surprisal_sum,
+           CAST(CAST(sum(tf * inst) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+    FROM s GROUP BY 1
+    """,
+)
+def x94_fourgram_jm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram ladder's 4-gram rung: the batch (doc_id ≥ 250) scored
+    against the standing corpus's (doc_id < 250) FOURGRAM model with
+    five-level integer-exact Jelinek-Mercer interpolation (λ = 1/2,
+    1/4, 1/8, 1/16, 1/16; fixed point at S = 16·(N+1) so the λ0 floor
+    is exactly 1) — one rung below the KenLM 5-gram CCNet runs, built
+    from six persisted base count tables, batch side of every shuffle
+    O(batch) (``textstats.fourgram_jm_surprisal``; hand-built corpus
+    pins all five interpolation levels, hypothesis property recomputes
+    the whole cascade in Python)."""
+    from ..operators.textstats import fourgram_jm_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fourgram_jm_surprisal(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
 @query(
     "x52_bloom_decontamination",
     oracle=f"""
