@@ -746,6 +746,46 @@ def test_novelty_score_oov_ceiling(spark):
     assert rows[12]["novelty_sum"] == 12
 
 
+def test_cross_corpus_scorers_empty_base(spark):
+    """Round-5 verdict defect, pinned deterministically: an EMPTY base
+    corpus (first-day pipeline run, no snapshot yet) must score the
+    documented OOV rule at N=0 — never NULL.  F.sum over an empty
+    aggregate input is NULL and used to null-propagate through every
+    cross-corpus integer expression; the coalesce-to-0 fix makes:
+    novelty/unigram-snapshot score 0 (n_total div 1 with n_total=0),
+    stupid backoff score PEN²·(N+1)=16, trigram JM the S=8·(N+1)=8
+    ceiling, fourgram JM the S=16·(N+1)=16 ceiling."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        fourgram_jm_surprisal,
+        novelty_score,
+        trigram_backoff_surprisal,
+        trigram_jm_surprisal,
+        unigram_counts,
+        unigram_surprisal,
+    )
+
+    empty_base = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    batch = spark.createDataFrame([(0, "a a a a")], ["doc_id", "text"])
+
+    r = novelty_score(batch, empty_base).collect()[0]
+    assert (r["n_tokens"], r["novelty_sum"]) == (4, 0)
+
+    r = unigram_surprisal(batch, base_counts=unigram_counts(empty_base)).collect()[0]
+    assert (r["n_tokens"], r["surprisal_sum"]) == (4, 0)
+
+    r = trigram_backoff_surprisal(batch, empty_base).collect()[0]
+    # 2 trigram instances, each PEN²·(N+1) = 16·1
+    assert (r["n_trigrams"], r["surprisal_sum"]) == (2, 32)
+
+    r = trigram_jm_surprisal(batch, empty_base).collect()[0]
+    # 2 trigram instances, each the S = 8·(0+1) ceiling
+    assert (r["n_trigrams"], r["surprisal_sum"]) == (2, 16)
+
+    r = fourgram_jm_surprisal(batch, empty_base).collect()[0]
+    # 1 fourgram instance at the S = 16·(0+1) ceiling
+    assert (r["n_fourgrams"], r["surprisal_sum"]) == (1, 16)
+
+
 def test_knn_join_bucket_blocked_topk(spark):
     """Each query gets <= k neighbors, all from its own sign bucket,
     ranked by exact cosine with c_id tiebreak; the plan is a bucket

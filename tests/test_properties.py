@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -557,6 +557,8 @@ def test_vocab_coverage_minimality(spark, texts, pct):
 
 
 @given(st.lists(docs, min_size=1, max_size=8), st.lists(docs, min_size=1, max_size=8))
+@example(base_texts=[""], batch_texts=["a a a"])  # empty-base: N=0 must
+# score the S = 8·(N+1) = 8 ceiling, not NULL (round-5 verdict defect)
 @SETTINGS
 def test_trigram_jm_matches_python_model(spark, base_texts, batch_texts):
     """x84's fixed-point Jelinek-Mercer surprisal recomputed
@@ -610,6 +612,8 @@ def test_trigram_jm_matches_python_model(spark, base_texts, batch_texts):
 
 
 @given(st.lists(docs, min_size=1, max_size=8), st.lists(docs, min_size=1, max_size=8))
+@example(base_texts=[""], batch_texts=["a a a a"])  # empty-base: N=0 must
+# score the S = 16·(N+1) = 16 ceiling, not NULL (round-5 verdict defect)
 @SETTINGS
 def test_fourgram_jm_matches_python_model(spark, base_texts, batch_texts):
     """x94's five-level fixed-point JM cascade recomputed independently

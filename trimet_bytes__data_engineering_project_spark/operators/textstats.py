@@ -378,7 +378,12 @@ def unigram_surprisal(
         joined = tf.join(counts, "term")
     else:
         counts = base_counts
-        total = counts.agg(F.sum("c").cast("long").alias("n_total"))
+        # F.sum over an EMPTY snapshot is NULL and would null-propagate
+        # through the integer expression; coalesce to 0 so an empty base
+        # scores every term at the documented OOV rule (n_total div 1 = 0).
+        total = counts.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_total")
+        )
         joined = tf.join(counts, "term", "left").withColumn(
             "c", F.coalesce(F.col("c"), F.lit(1)).cast("long")
         )
@@ -494,7 +499,9 @@ def novelty_score(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
         ).alias("term")
     ).groupBy("term").agg(F.count("*").cast("long").alias("c"))
-    total = base_tf.agg(F.sum("c").cast("long").alias("n_total"))
+    # empty base corpus → F.sum is NULL; coalesce so the OOV rule still
+    # yields an exact integer (n_total div 1 = 0) instead of NULL rows.
+    total = base_tf.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_total"))
     batch_tf = (
         batch.select(
             F.col(id_col).alias("doc_id"),
@@ -580,7 +587,10 @@ def _trigram_scored(
         .agg(F.sum("c2").cast("long").alias("c2p"))
     )
     c1 = explode_grams(base, 1).groupBy("g").agg(F.count("*").cast("long").alias("c1"))
-    n_total = c1.agg(F.sum("c1").cast("long").alias("n_total"))
+    # empty base corpus → F.sum is NULL and null-propagates through
+    # inst_sql; coalesce to 0 so the CASE guards (all c* NULL) reduce the
+    # score to the documented full-OOV ceiling at N=0.
+    n_total = c1.agg(F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n_total"))
 
     tf = (
         explode_grams(batch, 3, F.col(id_col).alias("doc_id"))
@@ -775,7 +785,9 @@ def fourgram_jm_surprisal(
         .agg(F.sum("c2").cast("long").alias("c2p"))
     )
     c1 = explode_grams(base, 1).groupBy("g").agg(F.count("*").cast("long").alias("c1"))
-    n_total = c1.agg(F.sum("c1").cast("long").alias("n_total"))
+    # same empty-base NULL guard as _trigram_scored: N=0 must reduce the
+    # five-level cascade to the S = 16·(N+1) = 16 full-OOV ceiling.
+    n_total = c1.agg(F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n_total"))
 
     tf = (
         explode_grams(batch, 4, F.col(id_col).alias("doc_id"))
