@@ -549,11 +549,18 @@ def _snapshot_probe_10pct(spark, d, kind):
     base = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     path = os.path.join(_SCALE_ROOT, f"{kind}_snapshot", os.path.basename(d.rstrip("/")))
+    # mode("overwrite"): a crashed partial build leaves the directory
+    # without _SUCCESS, so ensure_index re-runs the lambda — the default
+    # errorifexists would then fail on the leftover path forever
     if kind == "df":
-        ensure_index(lambda: doc_frequencies(base).write.parquet(path), path)
+        ensure_index(
+            lambda: doc_frequencies(base).write.mode("overwrite").parquet(path), path
+        )
         out = tfidf_top_terms(batch, k=3, df_counts=spark.read.parquet(path))
         return out.agg(F.count("*").alias("n"), F.sum("score").alias("s"))
-    ensure_index(lambda: unigram_counts(base).write.parquet(path), path)
+    ensure_index(
+        lambda: unigram_counts(base).write.mode("overwrite").parquet(path), path
+    )
     out = unigram_surprisal(batch, base_counts=spark.read.parquet(path))
     return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("total"))
 

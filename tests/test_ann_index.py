@@ -283,6 +283,27 @@ def test_knn_join_index_equals_query_time_join(spark, emb, tmp_path_factory):
     got_old = sorted(tuple(r) for r in knn_join_index(spark, queries, old, dim, k=3).collect())
     assert got_old == want
 
+    # MIXED-generation index: half the corpus written pre-v5 (no norm),
+    # the other half appended by the current writer — the merged schema
+    # HAS "norm" but old-generation rows read it as NULL, so the norm
+    # fallback must be per-ROW (coalesce), not per-schema: every
+    # old-generation vector still scores and the result is unchanged
+    mixed = str(tmp_path_factory.mktemp("knnidx") / "mixed")
+    old_gen = corpus.filter(F.col("vec_id") % 2 == 0)
+    new_gen = corpus.filter(F.col("vec_id") % 2 != 0)
+    (
+        spark.read.parquet(path)
+        .join(old_gen.select("vec_id"), "vec_id", "left_semi")
+        .drop("norm")
+        .write.partitionBy("bucket")
+        .parquet(mixed)
+    )
+    write_lsh_index(new_gen, mixed, dim=dim, mode="append")
+    got_mixed = sorted(
+        tuple(r) for r in knn_join_index(spark, queries, mixed, dim, k=3).collect()
+    )
+    assert got_mixed == want
+
 
 def test_ivf_knn_join_equals_per_query_probe(spark, emb, tmp_path_factory):
     """The batch IVF kNN join returns, for every query, exactly what

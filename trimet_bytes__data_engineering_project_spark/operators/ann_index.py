@@ -145,6 +145,7 @@ def write_quantized_lsh_index(
     dim: int,
     n_planes: int = LSH_PLANES,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     mode: str = "overwrite",
 ) -> None:
     """LSH index storing INT8-QUANTIZED vectors — the compressed
@@ -173,8 +174,11 @@ def write_quantized_lsh_index(
         ).cast("double")
     )
     (
+        # the id column keeps its caller-given name so a probe passing
+        # the same id_col (quantized_knn_join_index mirrors this
+        # parameter) reads back exactly what was written
         emb.select(
-            "vec_id",
+            id_col,
             F.transform(qv, lambda x: x.cast("tinyint")).alias("qvec"),
             qnorm.alias("qnorm"),
             lsh_bucket(v, planes).alias("bucket"),
@@ -292,7 +296,14 @@ def knn_join_index(
     probed = [r["bucket"] for r in q.select("bucket").distinct().collect()]
     idx = spark.read.parquet(index_path)
     cv = as_double_vec(vec_col)
-    cn = F.col("norm") if "norm" in idx.columns else l2_norm(cv)
+    # per-ROW fallback, not per-schema: an index mixing generations (a
+    # pre-norm index extended via mode="append", or a streaming lander
+    # adding batches beside old ones) has "norm" in the merged schema
+    # but NULL for old-generation rows — a schema-level branch would
+    # NULL their cosines and silently drop them from every top-k.
+    cn = (
+        F.coalesce(F.col("norm"), l2_norm(cv)) if "norm" in idx.columns else l2_norm(cv)
+    )
     c = idx.filter(F.col("bucket").isin(probed)).select(
         F.col(id_col).alias("c_id"), cv.alias("cvec"), cn.alias("cn"), "bucket"
     )
@@ -302,6 +313,9 @@ def knn_join_index(
         .withColumn(
             "cos_sim", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
         )
+        # NULL-scored rows (NULL vectors) never occupy top-k slots —
+        # the same contract quantized_knn_join_index already enforces
+        .filter(F.col("cos_sim").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", "cos_sim", "rn")
@@ -460,7 +474,10 @@ def ivf_knn_join(
     probed = [r["centroid_id"] for r in qc.select("centroid_id").distinct().collect()]
     idx = spark.read.parquet(index_path)
     cv = as_double_vec(vec_col)
-    cn = F.col("norm") if "norm" in idx.columns else l2_norm(cv)
+    # per-row fallback for mixed-generation indexes — see knn_join_index
+    cn = (
+        F.coalesce(F.col("norm"), l2_norm(cv)) if "norm" in idx.columns else l2_norm(cv)
+    )
     c = idx.filter(F.col("centroid_id").isin(probed)).select(
         F.col(id_col).alias("c_id"), cv.alias("cvec_c"), cn.alias("cn"), "centroid_id"
     )
@@ -470,6 +487,8 @@ def ivf_knn_join(
         .withColumn(
             "cos_sim", dot(F.col("qvec"), F.col("cvec_c")) / (F.col("qn") * F.col("cn"))
         )
+        # same NULL-score contract as the quantized serving path
+        .filter(F.col("cos_sim").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", "cos_sim", "rn")
