@@ -746,6 +746,108 @@ def test_novelty_score_oov_ceiling(spark):
     assert rows[12]["novelty_sum"] == 12
 
 
+def test_kneser_ney_hand_computed(spark):
+    """Every KN branch pinned on a hand-built corpus.  Base
+    ['a b','a b','a c','d b'] → c2={ab:2, ac:1, db:1}, c1p={a:3, d:1},
+    n1p={a:2, d:1}, ncont={b:2, c:1}, nt=3, S=2·(3+1)=8.  Hand values:
+
+    - 'a b' (discounted hit + λ·cont): (8·(2·2−1))//(2·3)=4 plus
+      (8·2·2)//(2·3·3)=1, +1 floor → p=6 → inst = 8//6 = 1
+    - 'a c' (count-1 hit shows the discount: 2c−1 = 1):
+      (8·1)//6=1, cont (8·2·1)//18=0 → p=2 → inst=4
+    - 'd b' (rarer history, STRONGER continuation: ncont(b)=2):
+      (8·1)//2=4, cont (8·1·2)//(2·1·3)=2 → p=7 → inst=1
+    - 'a z' (seen history, unseen continuation): cont term 0 → p=1
+      → inst=8 — the ceiling, where JM would also give w2 no credit
+    - 'z b' (UNSEEN history, seen continuation — the KN signature):
+      pure continuation (8·2)//3=5 → p=6 → inst=1: 'b' keeps its
+      two-context continuation credit even after an unknown word
+    - 'z z' (full OOV): p=1 → inst = S = 8"""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        kneser_ney_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(100, "a b"), (101, "a b"), (102, "a c"), (103, "d b")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, "a b"),    # inst 1
+            (1, "a c"),    # inst 4
+            (2, "d b"),    # inst 1
+            (3, "a z"),    # inst 8
+            (4, "z b"),    # inst 1
+            (5, "z z z"),  # two 'z z' instances, inst 8 each
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal_sum)
+        for r in kneser_ney_surprisal(batch, base).collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 4), 2: (1, 1), 3: (1, 8), 4: (1, 1), 5: (2, 16)}
+
+
+def test_refresh_counts_bit_equal_to_rebuild(spark, tmp_path):
+    """The incremental snapshot refresh is EXACT: merging a batch's
+    count deltas into a persisted base snapshot equals recounting the
+    full corpus bit-for-bit (counts are additive integers), through a
+    real persisted lifecycle — write v0 from base, refresh with the
+    batch delta into v1, read v1 back.  Covers all three row classes:
+    base-only terms (untouched), overlapping terms (summed), and
+    batch-only terms (inserted)."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        refresh_counts,
+        unigram_counts,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog the")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(2, "the zebra"), (3, "zebra quark zebra")], ["doc_id", "text"]
+    )
+    v0 = str(tmp_path / "counts_v0")
+    v1 = str(tmp_path / "counts_v1")
+    unigram_counts(base).write.parquet(v0)
+    refresh_counts(
+        spark.read.parquet(v0), unigram_counts(batch)
+    ).write.parquet(v1)
+
+    got = {r["term"]: r["c"] for r in spark.read.parquet(v1).collect()}
+    want = {r["term"]: r["c"] for r in unigram_counts(base.union(batch)).collect()}
+    assert got == want
+    # all three row classes genuinely present
+    assert "cat" in got and got["the"] == 4 and got["zebra"] == 3
+
+
+def test_refreshed_snapshot_scores_like_rebuilt(spark):
+    """Scoring against a refreshed snapshot equals scoring against a
+    from-scratch rebuild — the x97 contract end-to-end: the snapshot a
+    pipeline maintains incrementally is indistinguishable from the one
+    it would recount."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        refresh_counts,
+        unigram_counts,
+        unigram_surprisal,
+    )
+
+    day0 = spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    day1 = spark.createDataFrame(
+        [(10 + i, f"beta gamma w{i}") for i in range(4)], ["doc_id", "text"]
+    )
+    probe = spark.createDataFrame(
+        [(100, "alpha gamma zebra w3")], ["doc_id", "text"]
+    )
+    refreshed = refresh_counts(unigram_counts(day0), unigram_counts(day1))
+    rebuilt = unigram_counts(day0.union(day1))
+    got = unigram_surprisal(probe, base_counts=refreshed).collect()
+    want = unigram_surprisal(probe, base_counts=rebuilt).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and len(got) == 1
+
+
 def test_cross_corpus_scorers_empty_base(spark):
     """Round-5 verdict defect, pinned deterministically: an EMPTY base
     corpus (first-day pipeline run, no snapshot yet) must score the

@@ -612,6 +612,66 @@ def test_trigram_jm_matches_python_model(spark, base_texts, batch_texts):
 
 
 @given(st.lists(docs, min_size=1, max_size=8), st.lists(docs, min_size=1, max_size=8))
+@example(base_texts=[""], batch_texts=["a a"])  # empty-base: nt=0 must
+# score the S = 2·(nt+1) = 2 ceiling, not NULL (round-5 verdict defect
+# class, pinned from day one on the KN rung)
+@SETTINGS
+def test_kneser_ney_matches_python_model(spark, base_texts, batch_texts):
+    """x95's fixed-point interpolated Kneser-Ney surprisal recomputed
+    independently in Python (Counter-based bigram/prefix/fan-out/
+    continuation tables, identical integer floor divisions at
+    S = 2·(nt+1)) must match exactly for arbitrary base/batch corpora —
+    discounted-hit, λ·continuation, pure-continuation, and OOV-ceiling
+    branches all included."""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        kneser_ney_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(base_texts)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(list(enumerate(batch_texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal_sum)
+        for r in kneser_ney_surprisal(batch, base).collect()
+    }
+
+    btoks = [[w for w in t.split() if w] for t in base_texts]
+    c2 = Counter(f"{a} {b}" for ws in btoks for a, b in zip(ws, ws[1:]))
+    c1p = Counter()
+    n1p = Counter()
+    ncont = Counter()
+    for g, c in c2.items():
+        w1, w2 = g.split(" ")
+        c1p[w1] += c
+        n1p[w1] += 1
+        ncont[w2] += 1
+    nt = len(c2)
+    s_scale = 2 * (nt + 1)
+
+    def inst(g):
+        w1, w2 = g.split(" ")
+        p_fp = 1
+        if g in c2:
+            p_fp += (s_scale * (2 * c2[g] - 1)) // (2 * c1p[w1])
+        if w1 in c1p:
+            p_fp += (s_scale * n1p[w1] * ncont.get(w2, 0)) // (2 * c1p[w1] * nt)
+        elif w2 in ncont:
+            p_fp += (s_scale * ncont[w2]) // nt
+        return s_scale // p_fp
+
+    expect = {}
+    for i, t in enumerate(batch_texts):
+        ws = [w for w in t.split() if w]
+        gs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if gs:
+            expect[i] = (len(gs), sum(inst(g) for g in gs))
+    assert got == expect
+
+
+@given(st.lists(docs, min_size=1, max_size=8), st.lists(docs, min_size=1, max_size=8))
 @example(base_texts=[""], batch_texts=["a a a a"])  # empty-base: N=0 must
 # score the S = 16·(N+1) = 16 ceiling, not NULL (round-5 verdict defect)
 @SETTINGS

@@ -839,6 +839,172 @@ def fourgram_jm_surprisal(
     )
 
 
+def kneser_ney_surprisal(
+    batch: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus BIGRAM surprisal with INTEGER-EXACT interpolated
+    Kneser-Ney smoothing — the smoothing family KenLM actually ships
+    (absolute discounting + continuation counts), one rung beyond the
+    ladder's Jelinek-Mercer forms: instead of interpolating RAW lower-
+    order frequencies, the backoff distribution is the CONTINUATION
+    count — how many distinct left-contexts a word appears after — so
+    a word that is frequent only inside one fixed phrase ("francisco")
+    stops looking probable in novel contexts, which is exactly the
+    signal JM cannot express.
+
+    With the single rational discount D = 1/2 (a fixed-point-friendly
+    choice of the standard c(c-D)/c form; modified KN's three count-of-
+    count-estimated discounts are a straight extension of the same
+    derived tables):
+
+    - P(w2|w1)        = (c2(w1w2) − ½)/c1p(w1)                [seen bigram]
+                       + (½·n1p(w1)/c1p(w1)) · (ncont(w2)/nt) [λ·P_cont]
+    - unseen history  = ncont(w2)/nt                          [pure continuation]
+
+    where c1p(w1) = Σ c2(w1 ·), n1p(w1) = |{w2 : c2(w1w2)>0}| (the
+    discount mass fan-out), ncont(w2) = |{w1 : c2(w1w2)>0}| (the
+    continuation count), nt = total bigram TYPES.  The continuation
+    tables are one more derived aggregate over the SAME persisted
+    bigram snapshot the JM rungs read — at 100 TB they ship with the
+    nightly n-gram snapshot set.
+
+    Exactness contract (no libm): evaluated in fixed point at scale
+    ``S = 2·(nt+1)`` with every term an int64 floor division — the
+    discount becomes exact via 2·c2−1 (so max(c−½,0) never needs a
+    float), and the engine interpolates a uniform floor of exactly 1
+    fixed-point unit (the JM rungs' guard-free convention: p_fp ≥ 1
+    always, a full-OOV bigram scores the S ceiling; an EMPTY base
+    corpus gives nt = 0 → every score is S = 2).  int64-safe while
+    ``2·(nt+1)·nt² < 2^63``, i.e. snapshots to ~10⁶ bigram types;
+    shard the snapshot beyond that (per-language/per-source tables).
+
+    Scale shape: the base reduces once to four count tables (bigram,
+    prefix totals + fan-outs, continuation counts, the 1-row type
+    total); the batch aggregates to one row per distinct (doc, bigram)
+    and LEFT-joins them on bigram/w1/w2 keys — the batch side of every
+    shuffle is O(batch); the base tables are corpus-vocabulary-sized so
+    the joins deliberately do not broadcast.  Batch docs with < 2
+    tokens drop.
+
+    Returns (doc_id, n_bigrams, surprisal_sum, avg_surprisal)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+
+    def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
+        return df.where(F.size(toks) >= n).select(
+            *extra, F.explode(_ngram_join(toks, n)).alias("g")
+        )
+
+    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    pre = (
+        t2.groupBy(F.substring_index("g", " ", 1).alias("w1"))
+        .agg(
+            F.sum("c2").cast("long").alias("c1p"),
+            F.count("*").cast("long").alias("n1p"),
+        )
+    )
+    nc = (
+        t2.groupBy(F.substring_index("g", " ", -1).alias("w2"))
+        .agg(F.count("*").cast("long").alias("ncont"))
+    )
+    # count(*) over an empty table is 0, not NULL — nt needs no coalesce
+    nt = t2.agg(F.count("*").cast("long").alias("nt"))
+
+    tf = (
+        explode_grams(batch, 2, F.col(id_col).alias("doc_id"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .withColumn("w2", F.substring_index("g", " ", -1))
+    )
+    # branch guards double as division guards: every taken branch's
+    # divisor is ≥ 1 by construction (c1p ≥ c2 ≥ 1 when c2 is non-NULL;
+    # ncont non-NULL implies nt ≥ 1), so ANSI mode never sees x div 0
+    scored = (
+        tf.join(t2, "g", "left")
+        .join(pre, "w1", "left")
+        .join(nc, "w2", "left")
+        .join(F.broadcast(nt))
+        .withColumn(
+            "inst",
+            F.col("tf")
+            * F.expr(
+                "(2 * (nt + 1)) div ("
+                "  CASE WHEN c2 IS NOT NULL"
+                "       THEN ((2 * (nt + 1)) * (2 * c2 - 1)) div (2 * c1p) ELSE 0 END"
+                "+ CASE WHEN c1p IS NOT NULL"
+                "       THEN ((2 * (nt + 1)) * n1p * coalesce(ncont, 0))"
+                "            div (2 * c1p * nt) ELSE 0 END"
+                "+ CASE WHEN c1p IS NULL AND ncont IS NOT NULL"
+                "       THEN ((2 * (nt + 1)) * ncont) div nt ELSE 0 END"
+                "+ 1)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum("inst").cast("long").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.col("surprisal_sum").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
+def refresh_counts(
+    snapshot: DataFrame,
+    batch_counts: DataFrame,
+    key_col: str = "term",
+    count_col: str = "c",
+) -> DataFrame:
+    """Incremental MERGE of a day's batch count DELTAS into a persisted
+    (key, count) snapshot — the maintenance step the nightly-snapshot
+    contract (x85/x86 and the n-gram rungs) needs so real pipelines
+    append a day instead of rebuilding the corpus distribution from
+    scratch.  Counts are additive, so the merge is exact: the result is
+    bit-equal to recounting the full corpus (pinned by test).
+
+    Scale shape — the snapshot is NEVER shuffled and the merge cost
+    tracks BATCH vocabulary: ``batch_counts`` (a day's distinct terms)
+    broadcasts; the snapshot streams through one broadcast LEFT join
+    adding each matched delta; brand-new batch keys are found by anti-
+    joining the batch against the (O(batch)-sized, broadcast) set of
+    snapshot keys the batch touched — derived from a broadcast SEMI
+    join, so the snapshot pays two scans and zero shuffles, and no
+    corpus-vocabulary-sized set ever reaches the driver or a broadcast.
+    For a backfill-sized batch whose vocabulary exceeds broadcast
+    limits, rebuild instead — the from-scratch path IS the fallback.
+
+    Write the result to a NEW versioned directory, not over the input
+    (Spark cannot overwrite a path it is reading), then swap markers —
+    the lifecycle :func:`plans.extensions` drives for x97."""
+    delta = F.broadcast(
+        batch_counts.select(
+            F.col(key_col), F.col(count_col).cast("long").alias("_delta")
+        )
+    )
+    merged = snapshot.join(delta, key_col, "left").select(
+        key_col,
+        (F.col(count_col) + F.coalesce(F.col("_delta"), F.lit(0)))
+        .cast("long")
+        .alias(count_col),
+    )
+    seen = F.broadcast(
+        snapshot.join(
+            F.broadcast(batch_counts.select(key_col)), key_col, "left_semi"
+        ).select(key_col)
+    )
+    fresh = batch_counts.join(seen, key_col, "left_anti").select(
+        key_col, F.col(count_col).cast("long").alias(count_col)
+    )
+    return merged.unionByName(fresh)
+
+
 def vocab_coverage(
     docs: DataFrame, text_col: str = "text", coverage_pct: int = 95
 ) -> DataFrame:

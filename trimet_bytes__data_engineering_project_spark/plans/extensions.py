@@ -3839,3 +3839,110 @@ def x78_grouped_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_chars", "rank", "pct")
     )
+
+
+@query(
+    "x95_kneser_ney_surprisal",
+    oracle=f"""
+    WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+                FROM documents WHERE doc_id < 250),
+    qt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents WHERE doc_id >= 250),
+    t2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2
+           FROM (SELECT unnest(list_transform(range(len(toks) - 1), i -> {_BI})) AS g
+                 FROM bt WHERE len(toks) >= 2) GROUP BY 1),
+    pre AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1p,
+                   CAST(count(*) AS BIGINT) AS n1p FROM t2 GROUP BY 1),
+    nc AS (SELECT split_part(g, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS ncont
+           FROM t2 GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM t2),
+    tf AS (SELECT doc_id, g, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(toks) - 1), i -> {_BI})) AS g
+                 FROM qt WHERE len(toks) >= 2) GROUP BY 1, 2),
+    k AS (SELECT doc_id, tf, g, split_part(g, ' ', 1) AS w1,
+                 split_part(g, ' ', 2) AS w2
+          FROM tf),
+    s AS (SELECT k.doc_id, k.tf,
+                 (2 * (nt + 1)) // (
+                   CASE WHEN c2 IS NOT NULL
+                        THEN ((2 * (nt + 1)) * (2 * c2 - 1)) // (2 * c1p) ELSE 0 END
+                 + CASE WHEN c1p IS NOT NULL
+                        THEN ((2 * (nt + 1)) * n1p * coalesce(ncont, 0))
+                             // (2 * c1p * nt) ELSE 0 END
+                 + CASE WHEN c1p IS NULL AND ncont IS NOT NULL
+                        THEN ((2 * (nt + 1)) * ncont) // nt ELSE 0 END
+                 + 1) AS inst
+          FROM k LEFT JOIN t2 USING (g) LEFT JOIN pre USING (w1)
+                 LEFT JOIN nc USING (w2) CROSS JOIN n)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(tf * inst) AS BIGINT) AS surprisal_sum,
+           CAST(CAST(sum(tf * inst) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+    FROM s GROUP BY 1
+    """,
+)
+def x95_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The smoothing-family rung the JM ladder was building toward:
+    the batch (doc_id ≥ 250) scored against the standing corpus's
+    (doc_id < 250) bigram model with INTERPOLATED KNESER-NEY smoothing
+    — absolute discounting (rational D = 1/2, exact via 2c−1 in fixed
+    point at S = 2·(nt+1)) plus CONTINUATION counts, the distinct-left-
+    context statistic KenLM's modified-KN estimator is built on.  The
+    continuation tables are one more derived aggregate over the same
+    persisted bigram snapshot the JM rungs read; batch side of every
+    shuffle stays O(batch) (``textstats.kneser_ney_surprisal``;
+    hand-built corpus pins the discount, λ·continuation, pure-
+    continuation and OOV-ceiling branches, hypothesis property
+    recomputes the cascade in Python, empty-base example pinned from
+    day one)."""
+    from ..operators.textstats import kneser_ney_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_surprisal(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
+@query(
+    "x97_snapshot_refresh",
+    oracle="""
+    WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+               FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1)
+    SELECT term, c FROM c ORDER BY c DESC, term LIMIT 500
+    """,
+)
+def x97_snapshot_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-snapshot MAINTENANCE step: the standing corpus's
+    persisted (term, c) table (doc_id < 250, built once per scale dir)
+    is refreshed with the day's batch deltas (doc_id ≥ 250) via
+    ``textstats.refresh_counts`` — the snapshot streams through one
+    broadcast LEFT join (never shuffles, no corpus-vocabulary set ever
+    broadcast or collected), the merged table lands in a NEW versioned
+    directory (idempotent overwrite — Spark cannot write over its own
+    input), and the oracle proves EXACTNESS: the refreshed snapshot is
+    bit-equal to recounting the full corpus.  Returns the top-500
+    terms of the refreshed persisted table (c DESC, term)."""
+    from ..operators.ann_index import ensure_index
+    from ..operators.textstats import refresh_counts, unigram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    v0 = _tagged_dir(_SCRATCH, "unigram_snapshot", "v1-split250", sf_dir=sf_dir)
+    ensure_index(
+        lambda: unigram_counts(docs.filter(F.col("doc_id") < 250))
+        .write.mode("overwrite")
+        .parquet(v0),
+        v0,
+    )
+    v1 = _tagged_dir(_SCRATCH, "unigram_snapshot_refreshed", "v1-split250", sf_dir=sf_dir)
+    refresh_counts(
+        spark.read.parquet(v0),
+        unigram_counts(docs.filter(F.col("doc_id") >= 250)),
+    ).write.mode("overwrite").parquet(v1)
+    return (
+        spark.read.parquet(v1)
+        .orderBy(F.desc("c"), "term")
+        .limit(500)
+        .select("term", "c")
+    )
