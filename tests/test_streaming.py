@@ -686,3 +686,53 @@ def test_streaming_quantized_serve_equals_batch(spark, tmp_path):
         for r in quantized_knn_join_index(spark, queries, idx, dim, k=3).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_ivf_serve_equals_batch_join(spark, tmp_path):
+    """Streaming IVF retrieval serving — float and QUANTIZED: micro-
+    batches of query vectors assign against the frozen persisted
+    quantizer, probe only their inverted lists, and land per-batch_id
+    top-k pinned IDENTICAL to the batch join operator over the same
+    index (serving IS the batch plan driven by the stream)."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ivf_knn_join,
+        quantized_ivf_knn_join,
+        write_ivf_index,
+        write_quantized_ivf_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_ivf_serve,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter("vec_id % 10 != 0")
+    queries = emb.filter("vec_id % 10 = 0")
+
+    landing = str(tmp_path / "qs")
+    os.makedirs(landing)
+    for name, flt in (("a", "vec_id % 20 = 0"), ("b", "vec_id % 20 = 10")):
+        t = str(tmp_path / f"w_{name}")
+        queries.filter(flt).coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    for quantized, write_fn, join_fn, score in (
+        (False, write_ivf_index, ivf_knn_join, "cos_sim"),
+        (True, write_quantized_ivf_index, quantized_ivf_knn_join, "q_cos"),
+    ):
+        tag = "q" if quantized else "f"
+        idx = str(tmp_path / f"idx_{tag}")
+        write_fn(corpus, idx)
+        results = str(tmp_path / f"res_{tag}")
+        run_streaming_ivf_serve(
+            spark, landing, idx, results, str(tmp_path / f"ck_{tag}"),
+            quantized=quantized,
+        )
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(results)
+            .select("q_id", "c_id", score, "rn")
+            .collect()
+        )
+        want = sorted(tuple(r) for r in join_fn(spark, queries, idx, k=3).collect())
+        assert got == want and len(got) > 0, quantized

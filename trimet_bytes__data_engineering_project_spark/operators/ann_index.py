@@ -495,6 +495,149 @@ def ivf_knn_join(
     )
 
 
+def write_quantized_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """IVF index storing INT8-QUANTIZED inverted lists — the layout
+    that wins at serving (the inverted-list scan is the probe's whole
+    read cost, and int8 lists are ~4× fewer scan bytes) with the same
+    compression contract as :func:`write_quantized_lsh_index`: each
+    vector keeps its symmetric-int8 quantization plus its integer-sum
+    norm.  Coarse ASSIGNMENT runs on the ORIGINAL float vector against
+    a FULL-PRECISION centroid table (quantization moves scores, never
+    list membership — the standard IVF-PQ discipline of a float coarse
+    quantizer over compressed lists), so probes assign queries with
+    identical arithmetic to the float index's.
+
+    ``centroids`` defaults to the deterministic first-``n_centroids``
+    by id; ``mode="append"`` reuses the persisted quantizer exactly as
+    :func:`write_ivf_index`.  All-zero vectors quantize to NULL and
+    serving filters their NULL scores.  Same list-aligned
+    one-file-per-partition write as the float build."""
+    from .similarity import quantize_vec
+
+    if mode == "append":
+        centroids = emb.sparkSession.read.parquet(_centroids_path(path))
+    elif centroids is None:
+        centroids = (
+            emb.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                as_double_vec(vec_col).alias("cvec"),
+            )
+        )
+    assigned = assign_to_centroids(emb, centroids, vec_col)
+    if mode != "append":
+        centroids.write.mode("overwrite").parquet(_centroids_path(path))
+    qv = quantize_vec(as_double_vec(vec_col))
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(qv, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    (
+        assigned.select(
+            id_col,
+            F.transform(qv, lambda x: x.cast("tinyint")).alias("qvec"),
+            qnorm.alias("qnorm"),
+            "centroid_id",
+        )
+        .repartition(F.col("centroid_id"))
+        .write.mode(mode)
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def quantized_ivf_knn_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 3,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch kNN JOIN against a QUANTIZED IVF index — x90's serving
+    plan over x91's storage: queries are assigned their ``nprobe``
+    nearest coarse centroids in FLOAT against the index's persisted
+    full-precision quantizer (identical assignment to the float IVF
+    serve — list membership never moves), quantized in flight, and
+    scored against the int8 inverted lists with integer-exact dots
+    (order-independent int64 sums, one IEEE division by the two
+    precomputed norms).  Scores are the int8-quantized cosine —
+    ``quantized_topk``'s accuracy contract; the float ``ivf_knn_join``
+    is the recall baseline on the same corpus and quantizer.
+
+    The probed-list set stays an IN-list PARTITION FILTER; the only
+    join is centroid-keyed; per-pair work is the integer dot.  Query
+    vectors that quantize to NULL (all-zero) produce no rows."""
+    from pyspark.sql import Window
+
+    from .similarity import quantize_vec
+
+    cents_n = spark.read.parquet(_centroids_path(index_path)).withColumn(
+        "c_n", l2_norm(F.col("cvec"))
+    )
+    v = as_double_vec(vec_col)
+    qq = quantize_vec(v)
+
+    def int_fold(products):
+        return F.aggregate(products, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    qn = F.sqrt(int_fold(F.transform(qq, lambda x: (x * x).cast("long"))).cast("double"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        v.alias("fvec"),
+        l2_norm(v).alias("fn"),
+        qq.alias("qq"),
+        qn.alias("qn"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("a_cos"), "centroid_id")
+    qc = (
+        q.crossJoin(F.broadcast(cents_n))
+        .withColumn(
+            "a_cos", dot(F.col("fvec"), F.col("cvec")) / (F.col("fn") * F.col("c_n"))
+        )
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= nprobe)
+        .select("q_id", "qq", "qn", "centroid_id")
+    )
+    probed = [r["centroid_id"] for r in qc.select("centroid_id").distinct().collect()]
+    # stored tinyint elements widened before multiplying (byte*byte wraps)
+    c = (
+        spark.read.parquet(index_path)
+        .filter(F.col("centroid_id").isin(probed))
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.transform(F.col("qvec"), lambda x: x.cast("int")).alias("cq"),
+            F.col("qnorm").alias("cn"),
+            "centroid_id",
+        )
+    )
+    dot_q = int_fold(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("q_cos"), "c_id")
+    return (
+        qc.join(c, "centroid_id")
+        .withColumn("q_cos", dot_q.cast("double") / (F.col("qn") * F.col("cn")))
+        .filter(F.col("q_cos").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "q_cos", "rn")
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -596,12 +739,46 @@ def kmeans_centroids(
     return cents
 
 
-def ensure_index(build_fn, marker_dir: str, marker: str = "_SUCCESS") -> None:
+def ensure_index(
+    build_fn, marker_dir: str, marker: str = "_SUCCESS", fingerprint: str | None = None
+) -> None:
     """Build-once guard for query-registered probes: run ``build_fn()``
     unless ``marker_dir/<marker>`` already exists (parquet writes drop
     ``_SUCCESS`` atomically at commit, so a partial write never passes).
     Multi-phase builds (e.g. build + append) pass a custom ``marker``
     their ``build_fn`` writes only after the LAST phase — ``_SUCCESS``
-    alone would pass after phase one."""
-    if not os.path.exists(os.path.join(marker_dir, marker)):
+    alone would pass after phase one.
+
+    ``fingerprint`` guards against a STALE index, not just a missing
+    one: pass a cheap summary of the corpus the index should reflect
+    (e.g. :func:`corpus_fingerprint` — row count + max id, a metadata-
+    only parquet scan) and the guard rebuilds whenever the stored stamp
+    differs — the case where a pipeline re-lands a corrected corpus
+    under the SAME path, which a marker-only guard would silently keep
+    serving.  The stamp is written only AFTER a successful build (and a
+    mode="overwrite" build wipes the old stamp with the directory), so
+    a crashed rebuild re-runs."""
+    fp_path = os.path.join(marker_dir, "_FINGERPRINT")
+    fresh = os.path.exists(os.path.join(marker_dir, marker))
+    if fresh and fingerprint is not None:
+        try:
+            with open(fp_path) as f:
+                fresh = f.read() == fingerprint
+        except OSError:
+            fresh = False
+    if not fresh:
         build_fn()
+        if fingerprint is not None:
+            with open(fp_path, "w") as f:
+                f.write(fingerprint)
+
+
+def corpus_fingerprint(df: DataFrame, id_col: str = "vec_id") -> str:
+    """Cheap corpus identity for :func:`ensure_index`'s staleness
+    guard: row count + max id — both answered from parquet row-group
+    statistics (footer reads, no data scan), yet any re-landed,
+    appended, or truncated corpus moves at least one of them."""
+    row = df.agg(
+        F.count("*").alias("n"), F.max(F.col(id_col)).alias("mx")
+    ).first()
+    return f"n={row['n']},max={row['mx']}"

@@ -3946,3 +3946,65 @@ def x97_snapshot_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
         .select("term", "c")
     )
+
+
+@query(
+    "x96_quantized_ivf_knn_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings WHERE vec_id % 10 <> 0),
+         qs AS (SELECT vec_id AS q_id, {_VEC} AS qv FROM embeddings
+                WHERE vec_id % 10 = 0),
+         cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                   ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT e.vec_id, e.v, c.centroid_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC,
+                                              c.centroid_id) AS rn
+           FROM e CROSS JOIN cents c),
+         best AS (SELECT vec_id AS c_id, {_QUANT.format(v='v')} AS cq, centroid_id
+                  FROM assigned WHERE rn = 1),
+         qassign AS (
+           SELECT q_id, qv, centroid_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY {_cos_sql('qv', 'cvec')} DESC,
+                                              centroid_id) AS crn
+           FROM qs CROSS JOIN cents),
+         qa AS (SELECT q_id, {_QUANT.format(v='qv')} AS qq, centroid_id
+                FROM qassign WHERE crn <= 1),
+         j AS (SELECT q_id, c_id, {_qcos_sql('qa.qq', 'best.cq')} AS q_cos
+               FROM qa JOIN best USING (centroid_id)),
+         r AS (SELECT q_id, c_id, q_cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY q_cos DESC, c_id) AS BIGINT) AS rn
+               FROM j WHERE q_cos IS NOT NULL)
+    SELECT q_id, c_id, q_cos, rn FROM r WHERE rn <= 3
+    """,
+)
+def x96_quantized_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x90's inverted-list serving plan over x91's int8 storage — the
+    layout that wins at serving gets the compressed variant: the 90%
+    corpus persists int8 lists + integer-sum norms under a FULL-
+    PRECISION coarse quantizer (assignment never moves with
+    quantization), and the 10% batch assigns in float, quantizes in
+    flight, and scores with integer-exact dots against only its probed
+    lists (IN-list partition filter).  Scores are the quantized cosine
+    by contract; float x90 is the recall baseline on the same corpus
+    and quantizer (``ann_index.write_quantized_ivf_index`` /
+    ``quantized_ivf_knn_join``; size assertion + recall audit + the
+    streaming quantized serve are pytest-pinned)."""
+    from ..operators.ann_index import (
+        ensure_index,
+        quantized_ivf_knn_join,
+        write_quantized_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "qivf_c90")
+    ensure_index(
+        lambda: write_quantized_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), path),
+        path,
+    )
+    return quantized_ivf_knn_join(
+        spark, emb.filter(F.col("vec_id") % 10 == 0), path, k=3
+    )

@@ -195,3 +195,50 @@ def run_streaming_knn_serve(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_ivf_serve(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    vec_element_type: str = "float",
+    quantized: bool = False,
+) -> None:
+    """Streaming retrieval serving over a persisted IVF index —
+    :func:`run_streaming_knn_serve`'s inverted-list sibling: each
+    micro-batch of query vectors is assigned its ``nprobe`` nearest
+    coarse centroids against the index's FROZEN persisted quantizer,
+    the batch's probed-list set becomes an IN-list partition filter,
+    and the per-query top-k lands under ``batch_id=N`` with the
+    idempotent-overwrite exactly-once contract.  Each micro-batch
+    delegates to the batch operator (``ivf_knn_join``, or
+    ``quantized_ivf_knn_join`` with ``quantized=True`` over an int8
+    index written by ``write_quantized_ivf_index``) — serving IS the
+    batch plan driven by the stream, so results are pinned identical
+    to the batch join per batch (test)."""
+    from ..operators.ann_index import ivf_knn_join, quantized_ivf_knn_join
+
+    join_fn = quantized_ivf_knn_join if quantized else ivf_knn_join
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            join_fn(spark, batch_df, index_path, k=k, nprobe=nprobe, vec_col=vec_col)
+            .write.mode("overwrite")
+            .parquet(f"{results_path}/batch_id={batch_id}")
+        )
+
+    schema = f"vec_id long, {vec_col} array<{vec_element_type}>"
+    (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
