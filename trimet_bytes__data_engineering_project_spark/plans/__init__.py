@@ -22,27 +22,45 @@ from . import extensions  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _WINDOW_HEAD = [
-    # round-4 rotation: the monitor/window tier x71-x78 are the only
-    # registered queries that never had a driver row (added round 3 after
-    # slot 50) — they lead the window now
-    "x71_dedup_rate_by_source",
-    "x72_top_terms_global",
-    "x73_length_histogram",
-    "x74_cross_source_dups",
-    "x75_asof_tolerance",
-    "x76_sliding_window_avg",
-    "x77_daily_growth",
-    "x78_grouped_percentile_rank",
-    # r03 red rows retried with their round-4 fixes: x24's oracle now casts
-    # pack_id to BIGINT (DuckDB HUGEINT-window-sum dtype artifact), x27
-    # gains a hard correctness signal this round
-    "x24_sequence_packing",
-    "x27_ann_ivf_kmeans_probe",
-    # round-5 additions, driver-checked in their first round: x83 wires
-    # the verdict's one weak item (ExactSubstr span dedup) into the
-    # gate; x84 is the JM-interpolated trigram; x85/x86 are the
-    # snapshot-probe forms of x40/x51 (the two worst round-4 scale
-    # ratios)
+    # Round-6 window (exactly 50). Order of priority:
+    # (1) the three round-6 additions, driver-checked in their first
+    #     round: x95 interpolated Kneser-Ney (continuation counts — the
+    #     smoothing family the ladder was building toward), x96
+    #     quantized IVF serving (int8 inverted lists under the float
+    #     coarse quantizer), x97 incremental snapshot refresh (the
+    #     nightly count-table MERGE, oracle proves bit-equality with a
+    #     full recount);
+    "x95_kneser_ney_surprisal",
+    "x96_quantized_ivf_knn_join",
+    "x97_snapshot_refresh",
+    # (2) the round-5 verdict's five stale rows: q27 (the flagship
+    #     entry() query) and x03/x04/x05/x14 carry single r01 greens,
+    #     four rounds old — the oldest rows in the registry;
+    "q27_pricing_summary",
+    "x03_quality_stats",
+    "x04_lang_id",
+    "x05_doc_fingerprint",
+    "x14_multimodal_features",
+    # (3) the remaining single-green rows, oldest first: x19 (r02),
+    #     then the r03 singles parked in rounds 4-5;
+    "x19_range_join_long_intervals",
+    "x22_hash_split",
+    "x23_stratified_sample",
+    "x25_domain_mixture",
+    "x31_benchmark_decontamination",
+    "x32_repetition_ratio",
+    "x35_per_domain_cap",
+    "x37_uniform_rebalance",
+    "x39_line_dedup",
+    "x45_mixture_drift",
+    "x65_pivot_counts",
+    "x66_rollup_counts",
+    "x67_set_ops",
+    "x68_unpivot_metrics",
+    # (4) the round-5 firsts (one driver row each) — several also sit
+    #     in code touched this round: the empty-base coalesce touched
+    #     x84/x85/x86/x94's operators, the ANN serving hardening
+    #     touched x89/x90/x91/x92's;
     "x83_span_dedup",
     "x84_trigram_jm_surprisal",
     "x85_tfidf_snapshot_probe",
@@ -55,28 +73,46 @@ _WINDOW_HEAD = [
     "x92_quantization_recall",
     "x93_quality_cluster_dedup",
     "x94_fourgram_jm_surprisal",
-    # rotated back in per the round-4 verdict: the oldest single driver
-    # greens in the registry (x20 r01, x16 r02) whose code areas
-    # (ann_index probe path, asof carry) were touched or adjacent in
-    # round 4
-    "x20_ann_lsh_index_probe",
-    "x16_asof_join",
-    # round-4 firsts kept in-window (one driver row each; x80/x82 share
-    # the n-gram chassis refactored for x84 this round)
-    "x79_top_terms_sketch",
-    "x80_bigram_surprisal",
-    "x81_weighted_sample",
+    # (5) thrice-green but their operators gained the empty-base
+    #     coalesce this round — driver re-checks the touched code;
+    "x51_unigram_surprisal",
+    "x56_novelty_score",
     "x82_trigram_backoff_surprisal",
-    # r03-green, kept in-window (one driver row each; code areas touched
-    # or adjacent this round stay under driver checks)
+    # (6) the [r03, r04] twice-green set parked in round 5, two rounds
+    #     stale — rotated back for refresh (x70 waits one more round);
+    "x36_quality_percentile_filter",
+    "x41_shard_manifest",
+    "x42_minhash_accuracy_audit",
+    "x43_contamination_fraction",
+    "x44_token_budget_selection",
+    "x46_quality_distribution",
+    "x49_incremental_dedup_probe",
+    "x53_random_projection",
+    "x55_temperature_rebalance",
+    "x57_percentile_rank",
+    "x61_length_bucketed_batches",
+    "x63_event_sessions",
+    "x64_scd2_history",
+]
+
+# Parked this round per the park-the-twice-green convention (every row
+# here has >= 2 driver greens, most with an r05 green; all remain swept
+# by tests/test_oracle_parity.py with the identical protocol): q33
+# (4 greens), the r04+r05 monitor tier x71-x78 and n-gram firsts
+# x79-x81, the x24/x27 re-checks, the thrice-green ANN/dedup/sampling
+# block, and x70 (r03+r04).  Everything not listed in HEAD or TAIL
+# keeps its registration order after the head — all beyond slot 50.
+_WINDOW_TAIL = [
+    "q33_warehouse_roundtrip",
+    "x16_asof_join",
+    "x20_ann_lsh_index_probe",
+    "x21_ann_ivf_index_probe",
+    "x24_sequence_packing",
     "x26_asof_join_skewed",
+    "x27_ann_ivf_kmeans_probe",
     "x28_embedding_near_dup_lsh",
     "x29_ann_lsh_multiprobe",
     "x30_index_append_probe",
-    # pulled back in-window this round: the IVF write path's centroid
-    # assignment changed (per-side norm precompute) — its driver row
-    # re-verifies the persisted index end-to-end
-    "x21_ann_ivf_index_probe",
     "x33_near_dup_removal",
     "x34_duplicate_clusters",
     "x38_semantic_cluster_centroids",
@@ -84,143 +120,25 @@ _WINDOW_HEAD = [
     "x47_hashed_linear_score",
     "x48_cluster_dedup",
     "x50_doc_chunking",
-    "x51_unigram_surprisal",
     "x52_bloom_decontamination",
     "x54_pretraining_pipeline",
-    "x56_novelty_score",
     "x58_knn_join",
     "x59_knn_join_multiprobe",
     "x60_ann_recall_audit",
     "x62_merge_upsert",
     "x69_text_normalize",
-]
-
-# Round-5 window (49 head entries + q33 in the mid slot = 50): the twelve
-# new oracle-backed queries (x83 span dedup — the round-4 verdict's one
-# weak item wired into the gate; x84 JM-interpolated trigram; x85/x86
-# snapshot-probe forms of x40/x51 — the two worst round-4 scale ratios;
-# x87 vocabulary coverage; x88 containment pairs; x89/x90/x91 index-backed
-# kNN joins — float LSH, IVF, and int8-quantized — plus the x92
-# quantization-recall audit, x93 quality-aware cluster
-# representatives, and the x94 4-gram JM rung) get driver rows in
-# their first round; x20/x16 rotate back in per the verdict (oldest
-# single greens in the registry); x40/x51 stay in-window because their
-# operator signatures gained the snapshot parameter this round, and
-# x80/x82 because the trigram chassis was refactored for x84.  Fourteen of
-# the simplest twice-green rows in code areas untouched this round
-# (x36/x41/x42/x43/x44/x46/x49/x53/x55/x57/x61/x63/x64/x70) park in the tail to make room —
-# every parked query stays registered and is swept by
-# tests/test_oracle_parity.py with the identical protocol.
-
-_WINDOW_TAIL = [
-    # rotated out round 5 for x83-x86 + the x20/x16 re-checks --
-    # r03 AND r04 driver-green, code areas untouched this round
-    # (still swept by tests/test_oracle_parity.py)
-    "x41_shard_manifest",
-    "x46_quality_distribution",
-    "x36_quality_percentile_filter",
-    "x42_minhash_accuracy_audit",
-    "x43_contamination_fraction",
-    "x44_token_budget_selection",
-    "x49_incremental_dedup_probe",
-    "x57_percentile_rank",
-    "x53_random_projection",
-    "x55_temperature_rebalance",
-    "x61_length_bucketed_batches",
-    "x63_event_sessions",
-    "x64_scd2_history",
     "x70_conversion_funnel",
-    # rotated out round 4 for x71-x78 and the new x79/x80/x81 —
-    # r03-driver-green, simple filter/agg/set-op shapes, code untouched
-    # this round (still swept by tests/test_oracle_parity.py)
-    "x45_mixture_drift",
-    "x65_pivot_counts",
-    "x66_rollup_counts",
-    "x67_set_ops",
-    "x68_unpivot_metrics",
-    "x22_hash_split",
-    "x23_stratified_sample",
-    "x25_domain_mixture",
-    "x31_benchmark_decontamination",
-    "x32_repetition_ratio",
-    "x35_per_domain_cap",
-    "x37_uniform_rebalance",
-    "x39_line_dedup",
-    # r02-driver-green and untouched since; rotated out to make room for
-    # the never-checked head (still swept by tests/test_oracle_parity.py)
-    "x02_token_count",
-    "x17_range_join",
-    "x19_range_join_long_intervals",
-    # simplest single-expression scans/aggs, green in r01 AND r02, code
-    # untouched since round 1 — the safest rows to rotate out of the window
-    "q01_count_on_date",
-    "q02_hour_window_count",
-    "q03_readings_per_dow",
-    "q05_sunday_evening_count",
-    "q06_max_speed",
-    "q07_vehicles_per_speed",
-    "q09_counts_by_dates",
-    "q10_trips_per_vehicle",
-    "q11_trips_per_date_dayname",
-    "q14_in_list_counts",
-    "q29_distinct_event_types",
-    "q30_hour_histogram",
-    # rotated out for the round-3 head additions (x34-x37) — all green in
-    # r01 AND r02, code untouched since
-    "q04_running_avg_per_dow",
-    "q08_longest_trip",
-    "q15_service_key_counts",
-    "q24_union_counts",
-    "q12_trip_start_end",
-    # rotated out for the round-3 head additions (x39-x41) — all green in
-    # r01 AND r02, code untouched since; parking exactly 4 keeps
-    # x16_asof_join (single driver row, r02) inside the 50-slot window
-    "q23_tracking_daily",
-    "q21_join_using_segment",
-    "q25_timestamp_roundtrip",
-    "q13_scalar_subquery_points",
-    # rotated out for x42-x44 — twice-green, untouched since round 1
-    "q22_bbox_distinct_trips",
-    "q28_top_value_events",
-    "q20_trip_full_view",
-    # rotated out for x45-x46 — twice-green, untouched since round 1
-    "q17_backfill_clip",
-    "q18_dedup_first_event",
-    # rotated out for x47 — twice-green, untouched since round 1
-    "q16_speed_lag",
-    # rotated out for x48 — twice-green, untouched since round 1
-    "q19_validation_counts",
-    # rotated out for x49 — twice-green, untouched since round 1
-    "q26_json_extract",
-    # rotated out for x50/x51 — twice-green, untouched since round 2
-    "x01_exact_dedup",
-    "x09_simhash",
-    # rotated out for x52/x53 — twice-green, untouched; keeps
-    # x16_asof_join (single driver row, r02) inside the 50-slot window
-    "x15_approx_distinct",
-    "x18_quantized_topk",
-    # rotated out for x54/x55/x56 — twice-green, untouched since round 1
-    "x10_ann_bruteforce",
-    "x13_embedding_near_dup",
-    "x11_ann_lsh",
-    # rotated out for x57/x58 — twice-green, untouched since round 1
-    "x12_ann_ivf",
-    "x08_ngram_jaccard_pairs",
-    # rotated out for x59/x60/x61 — twice-green, untouched since round 1
-    "x07_minhash_near_dup_pairs",
-    "x06_minhash_signature",
-    # rotated out to keep x16_asof_join (single driver row, r02) inside
-    # the 50-slot window — twice-green, untouched since round 1
-    "q32_haversine_segments",
-    # rotated out for x62/x63 — twice-green, untouched since round 1
-    "q31_user_series",
-    "q27_pricing_summary",
-    # one driver row each (r01); parked for x64/x65 so the last window
-    # slots keep q33/x20/x21 (store paths changed this round) + x16
-    "x03_quality_stats",
-    "x04_lang_id",
-    "x05_doc_fingerprint",
-    "x14_multimodal_features",
+    "x71_dedup_rate_by_source",
+    "x72_top_terms_global",
+    "x73_length_histogram",
+    "x74_cross_source_dups",
+    "x75_asof_tolerance",
+    "x76_sliding_window_avg",
+    "x77_daily_growth",
+    "x78_grouped_percentile_rank",
+    "x79_top_terms_sketch",
+    "x80_bigram_surprisal",
+    "x81_weighted_sample",
 ]
 
 
