@@ -335,8 +335,9 @@ def _x96_quantized_ivf_serve(spark, d, batch_queries=128):
 
 def _x97_snapshot_refresh(spark, d):
     # the nightly-snapshot maintenance row: a persisted base (term, c)
-    # table (90% of docs, built once per scale dir) is refreshed with a
-    # FIXED-SIZE batch's deltas — the snapshot streams through one
+    # table (all docs except the ~500-doc daily batch, i.e. 1 - 1/modulus
+    # of docs — 90% only at the min-clamped modulus of 10; ~99.8% at
+    # scale), built once per scale dir, refreshed with the batch's deltas — the snapshot streams through one
     # broadcast LEFT join and is never shuffled, so the refresh should
     # track batch vocabulary plus a linear snapshot scan, not corpus
     # re-aggregation (compare the x86 self-scored 8.55x history)

@@ -599,3 +599,65 @@ def test_ensure_index_fingerprint_staleness(spark, emb, tmp_path_factory):
     # no fingerprint given → marker-only, serves whatever is there
     ensure_index(build(v2, 3), path)
     assert builds == [1, 2]
+
+
+def test_quantized_ivf_writer_custom_id_col(spark, emb, tmp_path_factory):
+    """Round-6 ADVICE item: write_quantized_ivf_index advertises id_col
+    (writer/probe symmetry convention) but assign_to_centroids used to
+    hardcode "vec_id", so any non-default id raised AnalysisException.
+    Now the id threads through end-to-end: an index built over a
+    doc_id-keyed corpus serves identically (modulo the id rename) to
+    the default-keyed build on the same vectors."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        quantized_ivf_knn_join,
+        write_quantized_ivf_index,
+    )
+
+    base = tmp_path_factory.mktemp("qivf_id")
+    corpus = emb.filter(F.col("vec_id") < 200)
+    queries = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 220))
+    renamed = corpus.withColumnRenamed("vec_id", "doc_id")
+    q_renamed = queries.withColumnRenamed("vec_id", "doc_id")
+
+    p_def = str(base / "default")
+    p_doc = str(base / "docid")
+    write_quantized_ivf_index(corpus, p_def)
+    write_quantized_ivf_index(renamed, p_doc, id_col="doc_id")
+
+    want = sorted(
+        tuple(r) for r in quantized_ivf_knn_join(spark, queries, p_def, k=3).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in quantized_ivf_knn_join(
+            spark, q_renamed, p_doc, k=3, id_col="doc_id"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_corpus_fingerprint_content_col(spark, emb):
+    """count+max(id) is blind to content-only corrections (same rows,
+    same ids, different values); the opt-in content_col term moves on
+    any value change.  Both behaviors pinned."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        corpus_fingerprint,
+    )
+
+    v1 = emb.filter(F.col("vec_id") < 100)
+    # "re-embedded" corpus: same ids, same count, perturbed vectors
+    v2 = v1.withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x + F.lit(1.0))
+    )
+    assert corpus_fingerprint(v1) == corpus_fingerprint(v2)  # documented blindness
+    assert corpus_fingerprint(v1, content_col="embedding") != corpus_fingerprint(
+        v2, content_col="embedding"
+    )
+    # deterministic: same corpus, same stamp
+    assert corpus_fingerprint(v1, content_col="embedding") == corpus_fingerprint(
+        v1, content_col="embedding"
+    )

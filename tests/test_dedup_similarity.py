@@ -1344,3 +1344,37 @@ def test_fourgram_jm_hand_computed(spark):
         for r in fourgram_jm_surprisal(batch, base).collect()
     }
     assert got == {0: 2, 1: 2, 2: 7, 3: 104, 4: 208}
+
+
+def test_refresh_counts_broadcast_guard(spark):
+    """Round-6 verdict item 4: the refresh's broadcast plan is only
+    safe while the batch vocabulary is broadcast-sized, and the
+    max_batch_keys guard now ENFORCES it — an over-threshold batch
+    falls back to the rebuild-class shuffle merge.  Pins (a) bit-equal
+    results on BOTH sides of the threshold (counts are additive either
+    way), (b) the under-threshold plan broadcasts while the fallback
+    plan does not, (c) max_batch_keys=None skips the guard count."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        refresh_counts,
+        unigram_counts,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog the")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(2, "the zebra"), (3, "zebra quark zebra")], ["doc_id", "text"]
+    )
+    snap, delta = unigram_counts(base), unigram_counts(batch)
+    want = {r["term"]: r["c"] for r in unigram_counts(base.union(batch)).collect()}
+
+    bcast = refresh_counts(snap, delta, max_batch_keys=1000)
+    shuffle = refresh_counts(snap, delta, max_batch_keys=1)  # guard trips
+    unguarded = refresh_counts(snap, delta, max_batch_keys=None)
+    for df in (bcast, shuffle, unguarded):
+        assert {r["term"]: r["c"] for r in df.collect()} == want
+
+    bcast_plan = bcast._jdf.queryExecution().executedPlan().toString()
+    shuffle_plan = shuffle._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bcast_plan or "BroadcastNestedLoop" in bcast_plan
+    assert "Broadcast" not in shuffle_plan  # fallback never broadcasts

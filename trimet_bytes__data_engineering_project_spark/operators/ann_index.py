@@ -366,7 +366,9 @@ def write_ivf_index(
     ).parquet(path)
 
 
-def assign_to_centroids(emb: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+def assign_to_centroids(
+    emb: DataFrame, cents: DataFrame, vec_col: str, id_col: str = "vec_id"
+) -> DataFrame:
     """Argmax-cosine coarse assignment of every vector to a centroid —
     shared by the batch build/append paths and the streaming landing.
     Vector norm folded once per vector (not per centroid); centroid
@@ -377,19 +379,19 @@ def assign_to_centroids(emb: DataFrame, cents: DataFrame, vec_col: str) -> DataF
     v = as_double_vec(vec_col)
     cents_n = cents.withColumn("c_n", l2_norm(F.col("cvec")))
     assigned = (
-        emb.select("vec_id", F.col(vec_col), v.alias("_v"), l2_norm(v).alias("_vn"))
+        emb.select(id_col, F.col(vec_col), v.alias("_v"), l2_norm(v).alias("_vn"))
         .crossJoin(F.broadcast(cents_n))
         .withColumn(
             "c_cos", dot(F.col("_v"), F.col("cvec")) / (F.col("_vn") * F.col("c_n"))
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), "centroid_id")
     return (
         assigned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         # the norm was already folded for the assignment — persist it so
         # batch probes (ivf_knn_join) read it instead of re-folding
-        .select("vec_id", vec_col, F.col("_vn").alias("norm"), "centroid_id")
+        .select(id_col, vec_col, F.col("_vn").alias("norm"), "centroid_id")
     )
 
 
@@ -533,7 +535,7 @@ def write_quantized_ivf_index(
                 as_double_vec(vec_col).alias("cvec"),
             )
         )
-    assigned = assign_to_centroids(emb, centroids, vec_col)
+    assigned = assign_to_centroids(emb, centroids, vec_col, id_col=id_col)
     if mode != "append":
         centroids.write.mode("overwrite").parquet(_centroids_path(path))
     qv = quantize_vec(as_double_vec(vec_col))
@@ -757,7 +759,14 @@ def ensure_index(
     under the SAME path, which a marker-only guard would silently keep
     serving.  The stamp is written only AFTER a successful build (and a
     mode="overwrite" build wipes the old stamp with the directory), so
-    a crashed rebuild re-runs."""
+    a crashed rebuild re-runs.
+
+    CONTRACT when ``fingerprint`` is passed: ``build_fn`` must be
+    overwrite-idempotent — a staleness rebuild runs it against an
+    ALREADY-POPULATED directory (the marker-only era only ever ran it
+    against a missing/partial one), so a build_fn relying on Spark's
+    default ``errorifexists`` write mode fails on every rebuild.  All
+    in-repo index writers take ``mode="overwrite"``."""
     fp_path = os.path.join(marker_dir, "_FINGERPRINT")
     fresh = os.path.exists(os.path.join(marker_dir, marker))
     if fresh and fingerprint is not None:
@@ -773,12 +782,30 @@ def ensure_index(
                 f.write(fingerprint)
 
 
-def corpus_fingerprint(df: DataFrame, id_col: str = "vec_id") -> str:
+def corpus_fingerprint(
+    df: DataFrame, id_col: str = "vec_id", content_col: str | None = None
+) -> str:
     """Cheap corpus identity for :func:`ensure_index`'s staleness
-    guard: row count + max id — both answered from parquet row-group
-    statistics (footer reads, no data scan), yet any re-landed,
-    appended, or truncated corpus moves at least one of them."""
-    row = df.agg(
-        F.count("*").alias("n"), F.max(F.col(id_col)).alias("mx")
-    ).first()
-    return f"n={row['n']},max={row['mx']}"
+    guard.  Default form: row count + max id — both answered from
+    parquet row-group statistics (footer reads, no data scan).  This
+    detects CARDINALITY and ID-RANGE changes only (append, truncate,
+    re-land with different ids); a content-only fix that keeps the same
+    row count and id range — e.g. re-embedded vectors for unchanged
+    ids — yields an identical stamp and the stale index keeps serving.
+
+    Pass ``content_col`` to add an order-independent content term —
+    ``sum(crc32(string(content_col)))`` — which moves on any value
+    change in that column.  That term is a full data scan of the one
+    column (column-pruned, no shuffle beyond the scalar agg), so it is
+    the opt-in tier: footer-only for immutable-landing pipelines,
+    content-summed where corrected re-lands are a real possibility."""
+    aggs = [F.count("*").alias("n"), F.max(F.col(id_col)).alias("mx")]
+    if content_col is not None:
+        aggs.append(
+            F.sum(F.crc32(F.col(content_col).cast("string"))).alias("cs")
+        )
+    row = df.agg(*aggs).first()
+    stamp = f"n={row['n']},max={row['mx']}"
+    if content_col is not None:
+        stamp += f",crc={row['cs']}"
+    return stamp

@@ -961,6 +961,7 @@ def refresh_counts(
     batch_counts: DataFrame,
     key_col: str = "term",
     count_col: str = "c",
+    max_batch_keys: int | None = 5_000_000,
 ) -> DataFrame:
     """Incremental MERGE of a day's batch count DELTAS into a persisted
     (key, count) snapshot — the maintenance step the nightly-snapshot
@@ -977,12 +978,33 @@ def refresh_counts(
     snapshot keys the batch touched — derived from a broadcast SEMI
     join, so the snapshot pays two scans and zero shuffles, and no
     corpus-vocabulary-sized set ever reaches the driver or a broadcast.
-    For a backfill-sized batch whose vocabulary exceeds broadcast
-    limits, rebuild instead — the from-scratch path IS the fallback.
+
+    The broadcast plan is only safe while the BATCH vocabulary is
+    broadcast-sized, and nothing in the plan itself enforces that — a
+    caller streaming a month's backfill through the daily path would
+    OOM the driver at scale.  ``max_batch_keys`` is the ENFORCED
+    guard: one cheap ``count()`` on the O(batch) side, and when the
+    batch vocabulary exceeds it the function falls back to the
+    rebuild-class SHUFFLE merge (``unionByName`` + ``groupBy(key)``
+    SUM — the snapshot shuffles once on the key, nothing broadcasts),
+    which is bit-equal by count additivity (pinned both sides of the
+    threshold by test).  ``max_batch_keys=None`` disables the count
+    for callers that already know their batch is daily-sized.
 
     Write the result to a NEW versioned directory, not over the input
     (Spark cannot overwrite a path it is reading), then swap markers —
     the lifecycle :func:`plans.extensions` drives for x97."""
+    batch_long = batch_counts.select(
+        F.col(key_col), F.col(count_col).cast("long").alias(count_col)
+    )
+    if max_batch_keys is not None and batch_long.count() > max_batch_keys:
+        # backfill-sized batch: broadcast would OOM — shuffle merge instead
+        return (
+            snapshot.select(key_col, F.col(count_col).cast("long").alias(count_col))
+            .unionByName(batch_long)
+            .groupBy(key_col)
+            .agg(F.sum(count_col).cast("long").alias(count_col))
+        )
     delta = F.broadcast(
         batch_counts.select(
             F.col(key_col), F.col(count_col).cast("long").alias("_delta")

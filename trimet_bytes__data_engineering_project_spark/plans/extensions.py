@@ -3004,13 +3004,22 @@ def x89_knn_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is partition-pruned to exactly those.  The oracle is x58's
     verbatim — the index changes the COST (per-run work is O(batch) +
     the probed partitions), never the result."""
-    from ..operators.ann_index import ensure_index, knn_join_index, write_lsh_index
+    from ..operators.ann_index import (
+        corpus_fingerprint,
+        ensure_index,
+        knn_join_index,
+        write_lsh_index,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _index_dir(sf_dir, "lsh_c90")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    # staleness-guarded: the stamp is the indexed corpus's count+max(id)
+    # (footer-class scan, ~ms) — a re-landed sf dir rebuilds the index
     ensure_index(
-        lambda: write_lsh_index(emb.filter(F.col("vec_id") % 10 != 0), path, dim=64),
+        lambda: write_lsh_index(corpus, path, dim=64),
         path,
+        fingerprint=corpus_fingerprint(corpus),
     )
     return knn_join_index(spark, emb.filter(F.col("vec_id") % 10 == 0), path, dim=64, k=3)
 
@@ -3994,6 +4003,7 @@ def x96_quantized_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantized_ivf_knn_join``; size assertion + recall audit + the
     streaming quantized serve are pytest-pinned)."""
     from ..operators.ann_index import (
+        corpus_fingerprint,
         ensure_index,
         quantized_ivf_knn_join,
         write_quantized_ivf_index,
@@ -4001,9 +4011,12 @@ def x96_quantized_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _index_dir(sf_dir, "qivf_c90")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    # staleness-guarded (see x89): count+max(id) stamp of the indexed slice
     ensure_index(
-        lambda: write_quantized_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), path),
+        lambda: write_quantized_ivf_index(corpus, path),
         path,
+        fingerprint=corpus_fingerprint(corpus),
     )
     return quantized_ivf_knn_join(
         spark, emb.filter(F.col("vec_id") % 10 == 0), path, k=3
