@@ -22,27 +22,88 @@ from . import extensions  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _WINDOW_HEAD = [
-    # Round-6 window (exactly 50). Order of priority:
-    # (1) the three round-6 additions, driver-checked in their first
-    #     round: x95 interpolated Kneser-Ney (continuation counts — the
-    #     smoothing family the ladder was building toward), x96
-    #     quantized IVF serving (int8 inverted lists under the float
-    #     coarse quantizer), x97 incremental snapshot refresh (the
-    #     nightly count-table MERGE, oracle proves bit-equality with a
-    #     full recount);
-    "x95_kneser_ney_surprisal",
+    # Round-7 window (exactly 50). Order of priority:
+    # (1) the round-7 additions, driver-checked in their first round:
+    #     x98 modified Kneser-Ney (count-of-count discounts) and x99
+    #     trigram Kneser-Ney (recursive continuation backoff);
+    "x98_modified_kneser_ney",
+    "x99_trigram_kneser_ney",
+    # (2) the round-6 verdict's item 6: the 44 queries whose latest
+    #     driver row is r02 — four rounds stale, beyond the intent of
+    #     the park-the-twice-green convention.  Oldest tier first: the
+    #     q-core (registration order), then the x01-x18 block;
+    "q01_count_on_date",
+    "q02_hour_window_count",
+    "q03_readings_per_dow",
+    "q04_running_avg_per_dow",
+    "q05_sunday_evening_count",
+    "q06_max_speed",
+    "q07_vehicles_per_speed",
+    "q08_longest_trip",
+    "q09_counts_by_dates",
+    "q10_trips_per_vehicle",
+    "q11_trips_per_date_dayname",
+    "q12_trip_start_end",
+    "q13_scalar_subquery_points",
+    "q14_in_list_counts",
+    "q15_service_key_counts",
+    "q16_speed_lag",
+    "q17_backfill_clip",
+    "q18_dedup_first_event",
+    "q19_validation_counts",
+    "q20_trip_full_view",
+    "q21_join_using_segment",
+    "q22_bbox_distinct_trips",
+    "q23_tracking_daily",
+    "q24_union_counts",
+    "q25_timestamp_roundtrip",
+    "q26_json_extract",
+    "q28_top_value_events",
+    "q29_distinct_event_types",
+    "q30_hour_histogram",
+    "q31_user_series",
+    "q32_haversine_segments",
+    "x01_exact_dedup",
+    "x02_token_count",
+    "x06_minhash_signature",
+    "x07_minhash_near_dup_pairs",
+    "x08_ngram_jaccard_pairs",
+    "x09_simhash",
+    "x10_ann_bruteforce",
+    "x11_ann_lsh",
+    "x12_ann_ivf",
+    "x13_embedding_near_dup",
+    "x15_approx_distinct",
+    "x17_range_join",
+    "x18_quantized_topk",
+    # (3) x70, the only other pre-r05 row (r03+r04, two rounds stale);
+    "x70_conversion_funnel",
+    # (4) re-checks of code touched this round: x89/x96 gained the
+    #     corpus-fingerprint staleness stamp on their ensure_index
+    #     paths (and x96's writer the id_col threading); x97's
+    #     refresh_counts gained the enforced max_batch_keys guard;
+    "x89_knn_index_join",
     "x96_quantized_ivf_knn_join",
     "x97_snapshot_refresh",
-    # (2) the round-5 verdict's five stale rows: q27 (the flagship
-    #     entry() query) and x03/x04/x05/x14 carry single r01 greens,
-    #     four rounds old — the oldest rows in the registry;
+]
+
+# Parked this round per the park-the-twice-green convention (every row
+# here has >= 2 driver greens with a recent r05/r06 green, except
+# noted; all remain swept by tests/test_oracle_parity.py with the
+# identical protocol): the entire round-6 head — its r06 firsts
+# (x95/x96... x96/x97 re-enter the head as touched-code re-checks),
+# the r05 firsts x83-x94, the freshly re-checked r06 rows (q27,
+# x03/x04/x05/x14, x19, the sampling/monitor tier) — plus the
+# long-parked q33/x16..x81 block.  Everything not listed in HEAD or
+# TAIL keeps its registration order after the head — all beyond
+# slot 50.
+_WINDOW_TAIL = [
+    "x95_kneser_ney_surprisal",
     "q27_pricing_summary",
     "x03_quality_stats",
     "x04_lang_id",
     "x05_doc_fingerprint",
     "x14_multimodal_features",
-    # (3) the remaining single-green rows, oldest first: x19 (r02),
-    #     then the r03 singles parked in rounds 4-5;
     "x19_range_join_long_intervals",
     "x22_hash_split",
     "x23_stratified_sample",
@@ -50,59 +111,40 @@ _WINDOW_HEAD = [
     "x31_benchmark_decontamination",
     "x32_repetition_ratio",
     "x35_per_domain_cap",
+    "x36_quality_percentile_filter",
     "x37_uniform_rebalance",
     "x39_line_dedup",
+    "x41_shard_manifest",
+    "x42_minhash_accuracy_audit",
+    "x43_contamination_fraction",
+    "x44_token_budget_selection",
     "x45_mixture_drift",
+    "x46_quality_distribution",
+    "x49_incremental_dedup_probe",
+    "x51_unigram_surprisal",
+    "x53_random_projection",
+    "x55_temperature_rebalance",
+    "x56_novelty_score",
+    "x57_percentile_rank",
+    "x61_length_bucketed_batches",
+    "x63_event_sessions",
+    "x64_scd2_history",
     "x65_pivot_counts",
     "x66_rollup_counts",
     "x67_set_ops",
     "x68_unpivot_metrics",
-    # (4) the round-5 firsts (one driver row each) — several also sit
-    #     in code touched this round: the empty-base coalesce touched
-    #     x84/x85/x86/x94's operators, the ANN serving hardening
-    #     touched x89/x90/x91/x92's;
+    "x82_trigram_backoff_surprisal",
     "x83_span_dedup",
     "x84_trigram_jm_surprisal",
     "x85_tfidf_snapshot_probe",
     "x86_surprisal_snapshot_probe",
     "x87_vocab_coverage",
     "x88_containment_pairs",
-    "x89_knn_index_join",
     "x90_ivf_knn_join",
     "x91_quantized_knn_index_join",
     "x92_quantization_recall",
     "x93_quality_cluster_dedup",
     "x94_fourgram_jm_surprisal",
-    # (5) thrice-green but their operators gained the empty-base
-    #     coalesce this round — driver re-checks the touched code;
-    "x51_unigram_surprisal",
-    "x56_novelty_score",
-    "x82_trigram_backoff_surprisal",
-    # (6) the [r03, r04] twice-green set parked in round 5, two rounds
-    #     stale — rotated back for refresh (x70 waits one more round);
-    "x36_quality_percentile_filter",
-    "x41_shard_manifest",
-    "x42_minhash_accuracy_audit",
-    "x43_contamination_fraction",
-    "x44_token_budget_selection",
-    "x46_quality_distribution",
-    "x49_incremental_dedup_probe",
-    "x53_random_projection",
-    "x55_temperature_rebalance",
-    "x57_percentile_rank",
-    "x61_length_bucketed_batches",
-    "x63_event_sessions",
-    "x64_scd2_history",
-]
-
-# Parked this round per the park-the-twice-green convention (every row
-# here has >= 2 driver greens, most with an r05 green; all remain swept
-# by tests/test_oracle_parity.py with the identical protocol): q33
-# (4 greens), the r04+r05 monitor tier x71-x78 and n-gram firsts
-# x79-x81, the x24/x27 re-checks, the thrice-green ANN/dedup/sampling
-# block, and x70 (r03+r04).  Everything not listed in HEAD or TAIL
-# keeps its registration order after the head — all beyond slot 50.
-_WINDOW_TAIL = [
     "q33_warehouse_roundtrip",
     "x16_asof_join",
     "x20_ann_lsh_index_probe",
@@ -127,7 +169,6 @@ _WINDOW_TAIL = [
     "x60_ann_recall_audit",
     "x62_merge_upsert",
     "x69_text_normalize",
-    "x70_conversion_funnel",
     "x71_dedup_rate_by_source",
     "x72_top_terms_global",
     "x73_length_histogram",
