@@ -1378,3 +1378,94 @@ def test_refresh_counts_broadcast_guard(spark):
     shuffle_plan = shuffle._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bcast_plan or "BroadcastNestedLoop" in bcast_plan
     assert "Broadcast" not in shuffle_plan  # fallback never broadcasts
+
+
+def test_modified_kneser_ney_hand_pins(spark):
+    """Every modified-KN branch pinned on a hand-built corpus, discounts
+    hand-derived first: base bigram counts {a b:3, b a:2, c d:1, e f:2,
+    f e:1, g h:4, h g:3} give nt=7, count-of-counts n1..n4 = 2,2,2,1 →
+    yden=6, d1q=(64·2)//6=21, d2q=128−(192·2·2)//12=64,
+    d3q=192−(256·2·1)//12=150 — three DISTINCT count-class discounts.
+    S = 2·(nt+1) = 16.  Pins per batch doc (hand floor-division chains
+    in comments):
+
+    - "c d"  c2=1 → (16·(64−21))//64=10, λ-term 0        → p=11, inst 1
+    - "b a"  c2=2 → (16·64)//128=8,  λ (16·64)//896=1    → p=10, inst 1
+    - "g h"  c2=4 → (16·106)//256=6, λ (16·150)//1792=1  → p=8,  inst 2
+    - "a z"  seen history, ncont(z)=0 → p=1              → inst 16
+    - "z b"  unseen history, ncont(b)=1 → (16·1)//7=2    → p=3,  inst 5
+    - "z z"  full OOV                                    → ceiling 16
+    - "a b"  c2=3 → (16·42)//192=3,  λ (16·150)//1344=1  → p=5,  inst 3
+    - "c d c d" tf=2 on "c d" (2·1) + "d c" OOV (16)     → (3, 18)
+
+    Second corpus pins the CLAMP boundary and the FALLBACK discount:
+    base {p q:2, q p:1} → n3=0 so d2q clamps to 128 (full discount —
+    the seen-bigram term vanishes exactly) and d3q falls back to Q/2."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        modified_kneser_ney_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "c d"), (2, "e f e f"), (3, "g h g h g h g h")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(0, "c d"), (1, "b a"), (2, "g h"), (3, "a z"), (4, "z b"),
+         (5, "z z"), (6, "a b"), (7, "c d c d")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal_sum)
+        for r in modified_kneser_ney_surprisal(batch, base).collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 1), 2: (1, 2), 3: (1, 16), 4: (1, 5),
+                   5: (1, 16), 6: (1, 3), 7: (3, 18)}
+
+    base2 = spark.createDataFrame([(0, "p q p q")], ["doc_id", "text"])
+    batch2 = spark.createDataFrame([(0, "p q"), (1, "q p")], ["doc_id", "text"])
+    got2 = {
+        r.doc_id: (r.n_bigrams, r.surprisal_sum)
+        for r in modified_kneser_ney_surprisal(batch2, base2).collect()
+    }
+    # "p q": term1 = (6·(128−128))//... = 0 (full-discount clamp),
+    #        λ = (6·128·1)//256 = 3 → p=4, inst 6//4=1
+    # "q p": term1 = (6·43)//64 = 4, λ = (6·21·1)//128 = 0 → p=5, inst 1
+    assert got2 == {0: (1, 1), 1: (1, 1)}
+
+
+def test_trigram_kneser_ney_hand_pins(spark):
+    """Every recursive-continuation branch of trigram KN pinned on a
+    hand-built corpus: base trigram types {a b c:2, b c a:1, c a b:1,
+    x b c:1} (nt3=4, S=20), suffix-continuation counts nc23{b c:2,
+    c a:1, a b:1}, middle rollups nm2{b:2, c:1, a:1}, bigram table
+    {a b:2, b c:3, c a:1, x b:1, m n:1} (ntb=5), unigram continuation
+    nc3{b:2, c:1, a:1, n:1}.  Pins (hand chains in comments):
+
+    - "a b c" seen trigram: 60//4=15 + λ·cont (20·1·3)//16=3
+              + λ·λ·Pc 20//80=0                     → p=19, inst 1
+    - "z b c" unseen history, cont seen: (20·3)//4=15
+              + λ₂·Pc (20·1·1)//20=1                → p=17, inst 1
+    - "z z c" middle unseen, unigram cont: (20·1)//5=4 → p=5, inst 4
+    - "z z z" full OOV                              → ceiling 20
+    - "x b a" history SEEN but suffix-bigram continuation unseen and
+              λ·λ·Pc floors to 0: 20//40=0          → ceiling 20
+    - "b c a" seen: 20//2=10 + (20·1·1)//4=5 + 20//20=1 → p=17, inst 1
+    """
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        trigram_kneser_ney_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "x b c"), (2, "m n")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(0, "a b c"), (1, "z b c"), (2, "z z c"), (3, "z z z"),
+         (4, "x b a"), (5, "b c a")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.surprisal_sum)
+        for r in trigram_kneser_ney_surprisal(batch, base).collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 1), 2: (1, 4), 3: (1, 20),
+                   4: (1, 20), 5: (1, 1)}

@@ -727,3 +727,157 @@ def test_fourgram_jm_matches_python_model(spark, base_texts, batch_texts):
         if gs:
             expect[i] = (len(gs), sum(inst(g) for g in gs))
     assert got == expect
+
+
+@given(st.lists(docs, min_size=1, max_size=8), st.lists(docs, min_size=1, max_size=8))
+@example(base_texts=[""], batch_texts=["a a"])  # empty-base: nt=0 must
+# score the S = 2·(nt+1) = 2 ceiling, not NULL (pinned from day one)
+@SETTINGS
+def test_modified_kneser_ney_matches_python_model(spark, base_texts, batch_texts):
+    """x98's modified-KN cascade recomputed independently in Python:
+    count-of-counts n1..n4 → the three Chen-Goodman discounts as
+    integer numerators over Q=64 (floor + per-class clamp + Q/2
+    fallback on a zero denominator), class-weighted λ mass, identical
+    floor divisions at S = 2·(nt+1) — exact match for arbitrary
+    base/batch corpora."""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        MKN_DENOM,
+        modified_kneser_ney_surprisal,
+    )
+
+    q = MKN_DENOM
+    base = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(base_texts)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(list(enumerate(batch_texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal_sum)
+        for r in modified_kneser_ney_surprisal(batch, base).collect()
+    }
+
+    btoks = [[w for w in t.split() if w] for t in base_texts]
+    c2 = Counter(f"{a} {b}" for ws in btoks for a, b in zip(ws, ws[1:]))
+    c1p = Counter()
+    ncls = {}  # w1 -> [n_class1, n_class2, n_class3plus]
+    ncont = Counter()
+    for g, c in c2.items():
+        w1, w2 = g.split(" ")
+        c1p[w1] += c
+        cls = ncls.setdefault(w1, [0, 0, 0])
+        cls[min(c, 3) - 1] += 1
+        ncont[w2] += 1
+    nt = len(c2)
+    coc = Counter(c2.values())
+    n1, n2, n3, n4 = coc[1], coc[2], coc[3], coc[4]
+    yden = n1 + 2 * n2
+    d1q = (q * n1) // yden if yden > 0 else q // 2
+    d2q = (
+        max(0, min(2 * q, 2 * q - (3 * q * n1 * n3) // (yden * n2)))
+        if yden > 0 and n2 > 0
+        else q // 2
+    )
+    d3q = (
+        max(0, min(3 * q, 3 * q - (4 * q * n1 * n4) // (yden * n3)))
+        if yden > 0 and n3 > 0
+        else q // 2
+    )
+    s_scale = 2 * (nt + 1)
+
+    def inst(g):
+        w1, w2 = g.split(" ")
+        p_fp = 1
+        if g in c2:
+            dq = d1q if c2[g] == 1 else d2q if c2[g] == 2 else d3q
+            p_fp += (s_scale * (q * c2[g] - dq)) // (q * c1p[w1])
+        if w1 in c1p:
+            lam = d1q * ncls[w1][0] + d2q * ncls[w1][1] + d3q * ncls[w1][2]
+            p_fp += (s_scale * lam * ncont.get(w2, 0)) // (q * c1p[w1] * nt)
+        elif w2 in ncont:
+            p_fp += (s_scale * ncont[w2]) // nt
+        return s_scale // p_fp
+
+    expect = {}
+    for i, t in enumerate(batch_texts):
+        ws = [w for w in t.split() if w]
+        gs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if gs:
+            expect[i] = (len(gs), sum(inst(g) for g in gs))
+    assert got == expect
+
+
+@given(st.lists(docs, min_size=1, max_size=8), st.lists(docs, min_size=1, max_size=8))
+@example(base_texts=[""], batch_texts=["a a a"])  # empty-base: nt3=0 must
+# score the S = 4·(nt3+1) = 4 ceiling, not NULL (pinned from day one)
+@SETTINGS
+def test_trigram_kneser_ney_matches_python_model(spark, base_texts, batch_texts):
+    """x99's recursive trigram-KN cascade recomputed independently in
+    Python (trigram prefix/suffix-continuation/middle-rollup tables +
+    the bigram continuation pair, identical floor divisions at
+    S = 4·(nt3+1)) — every backoff rung included, exact match for
+    arbitrary base/batch corpora."""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        trigram_kneser_ney_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(base_texts)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(list(enumerate(batch_texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_trigrams, r.surprisal_sum)
+        for r in trigram_kneser_ney_surprisal(batch, base).collect()
+    }
+
+    btoks = [[w for w in t.split() if w] for t in base_texts]
+    t3 = Counter(" ".join(g) for ws in btoks for g in zip(ws, ws[1:], ws[2:]))
+    t2 = Counter(f"{a} {b}" for ws in btoks for a, b in zip(ws, ws[1:]))
+    c12, n12 = Counter(), Counter()
+    m23 = Counter()
+    for g, c in t3.items():
+        w = g.split(" ")
+        c12[f"{w[0]} {w[1]}"] += c
+        n12[f"{w[0]} {w[1]}"] += 1
+        m23[f"{w[1]} {w[2]}"] += 1
+    nm2, nf2 = Counter(), Counter()
+    for s, c in m23.items():
+        w2 = s.split(" ")[0]
+        nm2[w2] += c
+        nf2[w2] += 1
+    nc3 = Counter(g.split(" ")[1] for g in t2)
+    nt3, ntb = len(t3), len(t2)
+    s_scale = 4 * (nt3 + 1)
+
+    def inst(g):
+        w = g.split(" ")
+        h, s23, w2, w3 = f"{w[0]} {w[1]}", f"{w[1]} {w[2]}", w[1], w[2]
+        p_fp = 1
+        if g in t3:
+            p_fp += (s_scale * (2 * t3[g] - 1)) // (2 * c12[h])
+        if h in c12:
+            if s23 in m23:
+                p_fp += (s_scale * n12[h] * (2 * m23[s23] - 1)) // (
+                    4 * c12[h] * nm2[w2]
+                )
+            p_fp += (s_scale * n12[h] * nf2[w2] * nc3.get(w3, 0)) // (
+                4 * c12[h] * nm2[w2] * ntb
+            )
+        elif s23 in m23:
+            p_fp += (s_scale * (2 * m23[s23] - 1)) // (2 * nm2[w2])
+            p_fp += (s_scale * nf2[w2] * nc3.get(w3, 0)) // (2 * nm2[w2] * ntb)
+        elif w2 in nm2:
+            p_fp += (s_scale * nf2[w2] * nc3.get(w3, 0)) // (2 * nm2[w2] * ntb)
+        elif w3 in nc3:
+            p_fp += (s_scale * nc3[w3]) // ntb
+        return s_scale // p_fp
+
+    expect = {}
+    for i, t in enumerate(batch_texts):
+        ws = [w for w in t.split() if w]
+        gs = [" ".join(g) for g in zip(ws, ws[1:], ws[2:])]
+        if gs:
+            expect[i] = (len(gs), sum(inst(g) for g in gs))
+    assert got == expect

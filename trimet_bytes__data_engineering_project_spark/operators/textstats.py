@@ -956,6 +956,325 @@ def kneser_ney_surprisal(
     )
 
 
+def trigram_kneser_ney_surprisal(
+    batch: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus TRIGRAM surprisal with RECURSIVE interpolated
+    Kneser-Ney — the rung that makes the CCNet-style quality filter
+    real: the ladder's orders (x82/x84 trigram, x94 4-gram) and its
+    smoothing families (x95/x98 bigram KN) were orthogonal until here.
+    The lower-order model is KN's CONTINUATION distribution, not raw
+    frequencies: P(w3|w2) is estimated from how many distinct left
+    contexts each suffix bigram appears in (the recursive-KN discipline
+    — a word frequent only inside one fixed trigram stops looking
+    probable after novel histories), and the final unigram backoff is
+    the bigram-table continuation count x95 reads.
+
+    Model (single rational discount D = 1/2 at both levels — the
+    count-of-count discounts are x98's orthogonal axis):
+
+    - P(w3|w1w2) = max(c3−½,0)/c12p + (½·n12p/c12p)·P(w3|w2)
+    - P(w3|w2)   = max(nc23−½,0)/nm2 + (½·nf2/nm2)·Pc(w3)
+    - Pc(w3)     = nc3/ntb
+
+    where c12p/n12p are the trigram prefix total/fan-out, nc23 =
+    |{w1 : c(w1 w2 w3) > 0}| (continuation count of the suffix
+    bigram), nm2 = Σ_w3 nc23 (trigram types with middle w2), nf2 =
+    |{w3 : nc23 > 0}|, and nc3/ntb are x95's bigram continuation
+    tables.  Unseen-history backoff drops to the highest defined rung
+    (P(w3|w2), then Pc, then the uniform floor).
+
+    Exactness contract (no libm): fixed point at ``S = 4·(nt3+1)``
+    (one factor 2 per discount level), every term an int64 floor
+    division with ½ made exact via 2c−1; branch guards double as
+    division guards (c3 non-NULL → c12p ≥ 1; c12p non-NULL → nm2 ≥ 1,
+    nf2 ≥ 1, ntb ≥ 1 — a base trigram implies a base bigram; nc23
+    non-NULL → nm2 ≥ 1; nc3 non-NULL → ntb ≥ 1), so ANSI never divides
+    by zero and p_fp ≥ 1 always.  A full-OOV trigram scores the S
+    ceiling; an EMPTY base gives nt3 = 0 → every score is S = 4.
+    int64-safe while ``4·(nt3+1)·n12p·nf2·nc3 < 2^63`` at the realized
+    per-key maxima (the λ·λ·Pc term dominates); Zipfian fan-outs keep
+    natural-language snapshots inside this to ~10⁶ trigram types —
+    shard per-language/per-source beyond.
+
+    Scale shape: the base reduces once to the trigram table and FOUR
+    derived aggregates of it (prefix, suffix-continuation, middle
+    rollup) plus x95's bigram continuation pair — all members of the
+    persisted nightly n-gram snapshot set; the batch aggregates to one
+    row per distinct (doc, trigram) and LEFT-joins each level on its
+    key, so the batch side of every shuffle is O(batch) and the
+    corpus-vocabulary-sized tables deliberately do not broadcast.
+    Batch docs with < 3 tokens drop.
+
+    Returns (doc_id, n_trigrams, surprisal_sum, avg_surprisal)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+
+    def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
+        return df.where(F.size(toks) >= n).select(
+            *extra, F.explode(_ngram_join(toks, n)).alias("g")
+        )
+
+    t3 = explode_grams(base, 3).groupBy("g").agg(F.count("*").cast("long").alias("c3"))
+    c12 = (
+        t3.groupBy(F.substring_index("g", " ", 2).alias("h"))
+        .agg(
+            F.sum("c3").cast("long").alias("c12p"),
+            F.count("*").cast("long").alias("n12p"),
+        )
+    )
+    m23 = (
+        t3.groupBy(F.substring_index("g", " ", -2).alias("s23"))
+        .agg(F.count("*").cast("long").alias("nc23"))
+    )
+    mid = (
+        m23.groupBy(F.substring_index("s23", " ", 1).alias("w2"))
+        .agg(
+            F.sum("nc23").cast("long").alias("nm2"),
+            F.count("*").cast("long").alias("nf2"),
+        )
+    )
+    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    nc = (
+        t2.groupBy(F.substring_index("g", " ", -1).alias("w3"))
+        .agg(F.count("*").cast("long").alias("nc3"))
+    )
+    # count(*) over an empty table is 0, not NULL — no coalesce needed
+    tots = t3.agg(F.count("*").cast("long").alias("nt3")).crossJoin(
+        t2.agg(F.count("*").cast("long").alias("ntb"))
+    )
+
+    tf = (
+        explode_grams(batch, 3, F.col(id_col).alias("doc_id"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.substring_index("g", " ", 2))
+        .withColumn("s23", F.substring_index("g", " ", -2))
+        .withColumn("w2", F.substring_index(F.col("s23"), " ", 1))
+        .withColumn("w3", F.substring_index("g", " ", -1))
+    )
+    scored = (
+        tf.join(t3, "g", "left")
+        .join(c12, "h", "left")
+        .join(m23, "s23", "left")
+        .join(mid, "w2", "left")
+        .join(nc, "w3", "left")
+        .join(F.broadcast(tots))
+        .withColumn(
+            "inst",
+            F.col("tf")
+            * F.expr(
+                "(4 * (nt3 + 1)) div ("
+                "  CASE WHEN c3 IS NOT NULL"
+                "       THEN ((4 * (nt3 + 1)) * (2 * c3 - 1)) div (2 * c12p)"
+                "       ELSE 0 END"
+                "+ CASE WHEN c12p IS NOT NULL AND nc23 IS NOT NULL"
+                "       THEN ((4 * (nt3 + 1)) * n12p * (2 * nc23 - 1))"
+                "            div (4 * c12p * nm2) ELSE 0 END"
+                "+ CASE WHEN c12p IS NOT NULL"
+                "       THEN ((4 * (nt3 + 1)) * n12p * nf2 * coalesce(nc3, 0))"
+                "            div (4 * c12p * nm2 * ntb) ELSE 0 END"
+                "+ CASE WHEN c12p IS NULL AND nc23 IS NOT NULL"
+                "       THEN ((4 * (nt3 + 1)) * (2 * nc23 - 1)) div (2 * nm2)"
+                "       ELSE 0 END"
+                "+ CASE WHEN c12p IS NULL AND nm2 IS NOT NULL"
+                "       THEN ((4 * (nt3 + 1)) * nf2 * coalesce(nc3, 0))"
+                "            div (2 * nm2 * ntb) ELSE 0 END"
+                "+ CASE WHEN c12p IS NULL AND nm2 IS NULL AND nc3 IS NOT NULL"
+                "       THEN ((4 * (nt3 + 1)) * nc3) div ntb ELSE 0 END"
+                "+ 1)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_trigrams"),
+            F.sum("inst").cast("long").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.col("surprisal_sum").cast("double") / F.col("n_trigrams").cast("double"),
+        )
+    )
+
+
+# Modified Kneser-Ney discount granularity: each Chen-Goodman discount
+# is carried as an integer numerator over this power-of-two denominator
+# (D_i = d_iq / MKN_DENOM), so the whole cascade stays int64 floor
+# divisions — the bounded-denominator approximation that keeps the
+# no-libm contract while tracking the count-of-count estimates to 1/64.
+MKN_DENOM = 64
+
+
+def modified_kneser_ney_surprisal(
+    batch: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus BIGRAM surprisal with MODIFIED Kneser-Ney smoothing
+    — :func:`kneser_ney_surprisal`'s single rational discount D = 1/2
+    replaced by the three count-of-count-estimated discounts KenLM's
+    estimator ships (Chen & Goodman 1998): D₁ for singleton bigrams, D₂
+    for doubletons, D₃₊ for everything ≥ 3, estimated from the bigram
+    count-of-counts n₁..n₄ of the SAME persisted snapshot.
+
+    With Y = n₁/(n₁+2n₂) the Chen-Goodman closed forms reduce to exact
+    rationals of the count-of-counts:
+
+    - D₁  = 1 − 2Y·n₂/n₁ = n₁/(n₁+2n₂)          (= Y exactly)
+    - D₂  = 2 − 3Y·n₃/n₂
+    - D₃₊ = 3 − 4Y·n₄/n₃
+
+    carried as integer numerators d_iq over :data:`MKN_DENOM` (floor of
+    Q·D_i, clamped into [0, i·Q] so c − D(c) ≥ 0 for every count class
+    by construction); a zero count-of-count denominator (no singletons,
+    no doubletons, …) makes that rung's estimate undefined and it falls
+    back to x95's single discount Q/2 — defined for every class.  The
+    per-history discount MASS becomes class-weighted:
+    λ(w1) = (D₁·N₁(w1) + D₂·N₂(w1) + D₃₊·N₃₊(w1)) / c1p(w1), where
+    N_i(w1) counts w1's continuations with bigram count in class i —
+    one extra conditional-count triple on the SAME per-prefix aggregate
+    x95 already derives, and the count-of-count table is one 1-row
+    aggregate over the bigram snapshot (the 'straight extension of the
+    same derived tables' x95's docstring promised).
+
+    Probability model per batch bigram (w1,w2), all at fixed point
+    S = 2·(nt+1) with Q = MKN_DENOM, every term an int64 floor div:
+
+    - seen bigram:    (S·(Q·c2 − d_q(c2)))            div (Q·c1p)
+    - seen history:   (S·lam_num·ncont(w2))           div (Q·c1p·nt)
+    - unseen history: (S·ncont(w2))                   div nt
+    - + uniform floor 1; full-OOV scores the S ceiling; an EMPTY base
+      gives nt = 0 → every score is S = 2 (the family convention,
+      pinned from day one).
+
+    int64-safe while ``2·(nt+1)·3Q·nt² < 2^63`` (the λ-mass term
+    dominates), i.e. snapshots to ~3·10⁵ bigram types at Q = 64 —
+    lower than x95's ~10⁶ ceiling by the Q factor; shard the snapshot
+    (per-language/per-source tables) beyond that.
+
+    Scale shape is x95's exactly: the base reduces once to the bigram
+    table + per-prefix aggregate + continuation counts + TWO 1-row
+    broadcasts (type total, count-of-counts→discounts); the batch side
+    of every shuffle is O(batch).  Batch docs with < 2 tokens drop.
+
+    Returns (doc_id, n_bigrams, surprisal_sum, avg_surprisal)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+
+    def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
+        return df.where(F.size(toks) >= n).select(
+            *extra, F.explode(_ngram_join(toks, n)).alias("g")
+        )
+
+    q = MKN_DENOM
+    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    pre = (
+        t2.groupBy(F.substring_index("g", " ", 1).alias("w1"))
+        .agg(
+            F.sum("c2").cast("long").alias("c1p"),
+            F.count(F.when(F.col("c2") == 1, 1)).cast("long").alias("nw1_1"),
+            F.count(F.when(F.col("c2") == 2, 1)).cast("long").alias("nw1_2"),
+            F.count(F.when(F.col("c2") >= 3, 1)).cast("long").alias("nw1_3p"),
+        )
+    )
+    nc = (
+        t2.groupBy(F.substring_index("g", " ", -1).alias("w2"))
+        .agg(F.count("*").cast("long").alias("ncont"))
+    )
+    # count(when(...)) over an empty/filtered table is 0, never NULL —
+    # the count-of-counts need no coalesce (the round-5 empty-base
+    # lesson, applied at the aggregate-function choice)
+    cc = (
+        t2.agg(
+            F.count("*").cast("long").alias("nt"),
+            F.count(F.when(F.col("c2") == 1, 1)).cast("long").alias("n1"),
+            F.count(F.when(F.col("c2") == 2, 1)).cast("long").alias("n2"),
+            F.count(F.when(F.col("c2") == 3, 1)).cast("long").alias("n3"),
+            F.count(F.when(F.col("c2") == 4, 1)).cast("long").alias("n4"),
+        )
+        .withColumn(
+            "d1q",
+            F.expr(
+                f"CASE WHEN n1 + 2 * n2 > 0"
+                f"     THEN ({q} * n1) div (n1 + 2 * n2) ELSE {q // 2} END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "d2q",
+            F.expr(
+                f"CASE WHEN n1 + 2 * n2 > 0 AND n2 > 0"
+                f"     THEN greatest(0L, least({2 * q}L,"
+                f"          2 * {q} - (3 * {q} * n1 * n3) div ((n1 + 2 * n2) * n2)))"
+                f"     ELSE {q // 2} END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "d3q",
+            F.expr(
+                f"CASE WHEN n1 + 2 * n2 > 0 AND n3 > 0"
+                f"     THEN greatest(0L, least({3 * q}L,"
+                f"          3 * {q} - (4 * {q} * n1 * n4) div ((n1 + 2 * n2) * n3)))"
+                f"     ELSE {q // 2} END"
+            ).cast("long"),
+        )
+        .select("nt", "d1q", "d2q", "d3q")
+    )
+
+    tf = (
+        explode_grams(batch, 2, F.col(id_col).alias("doc_id"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .withColumn("w2", F.substring_index("g", " ", -1))
+    )
+    # branch guards double as division guards (x95's convention): every
+    # taken branch's divisor is ≥ 1 by construction (c1p ≥ c2 ≥ 1 when
+    # c2 is non-NULL; c1p non-NULL → nt ≥ 1; ncont non-NULL → nt ≥ 1),
+    # and Q·c2 − d_q(c2) ≥ 0 by the per-class clamps, so ANSI mode
+    # never sees x div 0 and the probability terms never go negative
+    scored = (
+        tf.join(t2, "g", "left")
+        .join(pre, "w1", "left")
+        .join(nc, "w2", "left")
+        .join(F.broadcast(cc))
+        .withColumn(
+            "inst",
+            F.col("tf")
+            * F.expr(
+                f"(2 * (nt + 1)) div ("
+                f"  CASE WHEN c2 IS NOT NULL"
+                f"       THEN ((2 * (nt + 1)) * ({q} * c2 -"
+                f"             CASE WHEN c2 = 1 THEN d1q"
+                f"                  WHEN c2 = 2 THEN d2q ELSE d3q END))"
+                f"            div ({q} * c1p) ELSE 0 END"
+                f"+ CASE WHEN c1p IS NOT NULL"
+                f"       THEN ((2 * (nt + 1))"
+                f"             * (d1q * nw1_1 + d2q * nw1_2 + d3q * nw1_3p)"
+                f"             * coalesce(ncont, 0))"
+                f"            div ({q} * c1p * nt) ELSE 0 END"
+                f"+ CASE WHEN c1p IS NULL AND ncont IS NOT NULL"
+                f"       THEN ((2 * (nt + 1)) * ncont) div nt ELSE 0 END"
+                f"+ 1)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum("inst").cast("long").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.col("surprisal_sum").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
 def refresh_counts(
     snapshot: DataFrame,
     batch_counts: DataFrame,

@@ -4021,3 +4021,176 @@ def x96_quantized_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_ivf_knn_join(
         spark, emb.filter(F.col("vec_id") % 10 == 0), path, k=3
     )
+
+
+@query(
+    "x98_modified_kneser_ney",
+    oracle=f"""
+    WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+                FROM documents WHERE doc_id < 250),
+    qt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents WHERE doc_id >= 250),
+    t2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2
+           FROM (SELECT unnest(list_transform(range(len(toks) - 1), i -> {_BI})) AS g
+                 FROM bt WHERE len(toks) >= 2) GROUP BY 1),
+    pre AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1p,
+                   CAST(count(*) FILTER (WHERE c2 = 1) AS BIGINT) AS nw1_1,
+                   CAST(count(*) FILTER (WHERE c2 = 2) AS BIGINT) AS nw1_2,
+                   CAST(count(*) FILTER (WHERE c2 >= 3) AS BIGINT) AS nw1_3p
+            FROM t2 GROUP BY 1),
+    nc AS (SELECT split_part(g, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS ncont
+           FROM t2 GROUP BY 1),
+    cc0 AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+                   CAST(count(*) FILTER (WHERE c2 = 1) AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (WHERE c2 = 2) AS BIGINT) AS n2,
+                   CAST(count(*) FILTER (WHERE c2 = 3) AS BIGINT) AS n3,
+                   CAST(count(*) FILTER (WHERE c2 = 4) AS BIGINT) AS n4
+            FROM t2),
+    cc AS (SELECT nt,
+                  CAST(CASE WHEN n1 + 2 * n2 > 0
+                            THEN (64 * n1) // (n1 + 2 * n2) ELSE 32 END
+                       AS BIGINT) AS d1q,
+                  CAST(CASE WHEN n1 + 2 * n2 > 0 AND n2 > 0
+                            THEN greatest(0, least(128,
+                                 128 - (192 * n1 * n3) // ((n1 + 2 * n2) * n2)))
+                            ELSE 32 END AS BIGINT) AS d2q,
+                  CAST(CASE WHEN n1 + 2 * n2 > 0 AND n3 > 0
+                            THEN greatest(0, least(192,
+                                 192 - (256 * n1 * n4) // ((n1 + 2 * n2) * n3)))
+                            ELSE 32 END AS BIGINT) AS d3q
+           FROM cc0),
+    tf AS (SELECT doc_id, g, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(toks) - 1), i -> {_BI})) AS g
+                 FROM qt WHERE len(toks) >= 2) GROUP BY 1, 2),
+    k AS (SELECT doc_id, tf, g, split_part(g, ' ', 1) AS w1,
+                 split_part(g, ' ', 2) AS w2
+          FROM tf),
+    s AS (SELECT k.doc_id, k.tf,
+                 (2 * (nt + 1)) // (
+                   CASE WHEN c2 IS NOT NULL
+                        THEN ((2 * (nt + 1)) * (64 * c2 -
+                              CASE WHEN c2 = 1 THEN d1q
+                                   WHEN c2 = 2 THEN d2q ELSE d3q END))
+                             // (64 * c1p) ELSE 0 END
+                 + CASE WHEN c1p IS NOT NULL
+                        THEN ((2 * (nt + 1))
+                              * (d1q * nw1_1 + d2q * nw1_2 + d3q * nw1_3p)
+                              * coalesce(ncont, 0))
+                             // (64 * c1p * nt) ELSE 0 END
+                 + CASE WHEN c1p IS NULL AND ncont IS NOT NULL
+                        THEN ((2 * (nt + 1)) * ncont) // nt ELSE 0 END
+                 + 1) AS inst
+          FROM k LEFT JOIN t2 USING (g) LEFT JOIN pre USING (w1)
+                 LEFT JOIN nc USING (w2) CROSS JOIN cc)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(tf * inst) AS BIGINT) AS surprisal_sum,
+           CAST(CAST(sum(tf * inst) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+    FROM s GROUP BY 1
+    """,
+)
+def x98_modified_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODIFIED Kneser-Ney — x95's single D = 1/2 replaced by the
+    three Chen-Goodman count-of-count discounts KenLM's estimator
+    ships, each carried as a rational over Q = 64 (floor of Q·D_i,
+    clamped into [0, i·Q]; undefined estimates fall back to x95's
+    Q/2), with the per-history discount mass class-weighted by the
+    per-prefix count-class fan-outs.  The count-of-count table is one
+    more 1-row aggregate over the SAME persisted bigram snapshot —
+    the 'straight extension of the same derived tables' x95 promised
+    (``textstats.modified_kneser_ney_surprisal``; every discount
+    branch hand-pinned, hypothesis property recomputes the cascade in
+    Python with the empty-base example pinned from day one)."""
+    from ..operators.textstats import modified_kneser_ney_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return modified_kneser_ney_surprisal(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
+@query(
+    "x99_trigram_kneser_ney",
+    oracle=f"""
+    WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+                FROM documents WHERE doc_id < 250),
+    qt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents WHERE doc_id >= 250),
+    t3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3
+           FROM (SELECT unnest(list_transform(range(len(toks) - 2), i -> {_TRI})) AS g
+                 FROM bt WHERE len(toks) >= 3) GROUP BY 1),
+    c12 AS (SELECT split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS h,
+                   CAST(sum(c3) AS BIGINT) AS c12p,
+                   CAST(count(*) AS BIGINT) AS n12p
+            FROM t3 GROUP BY 1),
+    m23 AS (SELECT split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS s23,
+                   CAST(count(*) AS BIGINT) AS nc23
+            FROM t3 GROUP BY 1),
+    mid AS (SELECT split_part(s23, ' ', 1) AS w2,
+                   CAST(sum(nc23) AS BIGINT) AS nm2,
+                   CAST(count(*) AS BIGINT) AS nf2
+            FROM m23 GROUP BY 1),
+    t2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2
+           FROM (SELECT unnest(list_transform(range(len(toks) - 1), i -> {_BI})) AS g
+                 FROM bt WHERE len(toks) >= 2) GROUP BY 1),
+    nc AS (SELECT split_part(g, ' ', 2) AS w3, CAST(count(*) AS BIGINT) AS nc3
+           FROM t2 GROUP BY 1),
+    tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM t3) AS nt3,
+                    (SELECT CAST(count(*) AS BIGINT) FROM t2) AS ntb),
+    tf AS (SELECT doc_id, g, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(toks) - 2), i -> {_TRI})) AS g
+                 FROM qt WHERE len(toks) >= 3) GROUP BY 1, 2),
+    k AS (SELECT doc_id, tf, g,
+                 split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS h,
+                 split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS s23,
+                 split_part(g, ' ', 2) AS w2,
+                 split_part(g, ' ', 3) AS w3
+          FROM tf),
+    s AS (SELECT k.doc_id, k.tf,
+                 (4 * (nt3 + 1)) // (
+                   CASE WHEN c3 IS NOT NULL
+                        THEN ((4 * (nt3 + 1)) * (2 * c3 - 1)) // (2 * c12p)
+                        ELSE 0 END
+                 + CASE WHEN c12p IS NOT NULL AND nc23 IS NOT NULL
+                        THEN ((4 * (nt3 + 1)) * n12p * (2 * nc23 - 1))
+                             // (4 * c12p * nm2) ELSE 0 END
+                 + CASE WHEN c12p IS NOT NULL
+                        THEN ((4 * (nt3 + 1)) * n12p * nf2 * coalesce(nc3, 0))
+                             // (4 * c12p * nm2 * ntb) ELSE 0 END
+                 + CASE WHEN c12p IS NULL AND nc23 IS NOT NULL
+                        THEN ((4 * (nt3 + 1)) * (2 * nc23 - 1)) // (2 * nm2)
+                        ELSE 0 END
+                 + CASE WHEN c12p IS NULL AND nm2 IS NOT NULL
+                        THEN ((4 * (nt3 + 1)) * nf2 * coalesce(nc3, 0))
+                             // (2 * nm2 * ntb) ELSE 0 END
+                 + CASE WHEN c12p IS NULL AND nm2 IS NULL AND nc3 IS NOT NULL
+                        THEN ((4 * (nt3 + 1)) * nc3) // ntb ELSE 0 END
+                 + 1) AS inst
+          FROM k LEFT JOIN t3 USING (g) LEFT JOIN c12 USING (h)
+                 LEFT JOIN m23 USING (s23) LEFT JOIN mid USING (w2)
+                 LEFT JOIN nc USING (w3) CROSS JOIN tots)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+           CAST(sum(tf * inst) AS BIGINT) AS surprisal_sum,
+           CAST(CAST(sum(tf * inst) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+    FROM s GROUP BY 1
+    """,
+)
+def x99_trigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE trigram Kneser-Ney — the rung that joins the ladder's
+    two axes (order: x82/x84/x94; smoothing family: x95/x98): the
+    lower-order model backs off through the CONTINUATION distribution
+    (distinct-left-context counts of the suffix bigram, then x95's
+    bigram-table continuation unigram), not raw frequencies — the
+    CCNet-style quality-filter shape
+    (``textstats.trigram_kneser_ney_surprisal``; hand-built pins cover
+    every recursive continuation branch, hypothesis property recomputes
+    the cascade in Python with the empty-base example from day one)."""
+    from ..operators.textstats import trigram_kneser_ney_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_kneser_ney_surprisal(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
