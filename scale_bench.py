@@ -7,8 +7,8 @@ second".  This tool replicates the sf0.1 heavy tables 10x and 100x into
 ``.scratch/scale/x{N}`` (re-keyed ids; replicated text/vectors are
 re-derived from md5 / deterministic sign flips so copies are mutually
 DISSIMILAR — a corpus of N near-identical copies of each document would
-measure the skew caps, not the scaling) and times the five heaviest
-queries at every scale with bench.py's min-of-2 protocol.
+measure the skew caps, not the scaling) and times the registered HEAVY
+pipelines at every scale with bench.py's min-of-2 protocol.
 
 Interpretation: a query whose plan does real pruning/blocking should
 scale AT MOST linearly in input rows (the work is the hashing/scan
@@ -575,6 +575,67 @@ def _x95_kneser_ney_10pct(spark, d):
     return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("s"))
 
 
+def _x98_modified_kn_10pct(spark, d):
+    # x95's regime plus the count-of-count discount derivation: the
+    # extra per-prefix class fan-outs ride the SAME groupBy as c1p and
+    # the discounts are one more 1-row broadcast — the scaling shape
+    # must stay x95's (both-sides-grow, batch side of shuffles O(batch))
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        modified_kneser_ney_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    out = modified_kneser_ney_surprisal(
+        docs.filter(F.col("doc_id") % 10 == 0), docs.filter(F.col("doc_id") % 10 != 0)
+    )
+    return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("s"))
+
+
+def _x99_trigram_kn_10pct(spark, d):
+    # recursive trigram KN under x82's regime: trigram-type tables and
+    # their three derived rollups on the base side (vocabulary-cubed
+    # pressure class, like the JM trigram rungs) — expect the ~x82/x84
+    # shape, NOT x95's bigram shape
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        trigram_kneser_ney_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    out = trigram_kneser_ney_surprisal(
+        docs.filter(F.col("doc_id") % 10 == 0), docs.filter(F.col("doc_id") % 10 != 0)
+    )
+    return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("s"))
+
+
+def _x99_trigram_kn_snapshot(spark, d):
+    # the job-audit answer for _x99's in-flight ratio: the trigram/
+    # bigram TYPE tables are persisted once per corpus refresh
+    # (ensure_index marker) and each run derives the five KN rollups
+    # from vocabulary-sized snapshot scans instead of re-running the
+    # corpus explode once per derived-table consumer — expect the
+    # snapshot-probe band (x85/x86/x97), not the both-sides-grow band
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        ngram_counts,
+        trigram_kneser_ney_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    root = os.path.join(_SCALE_ROOT, "ngram_snapshot", os.path.basename(d.rstrip("/")))
+    p2, p3 = os.path.join(root, "t2"), os.path.join(root, "t3")
+    ensure_index(lambda: ngram_counts(base, 2).write.mode("overwrite").parquet(p2), p2)
+    ensure_index(lambda: ngram_counts(base, 3).write.mode("overwrite").parquet(p3), p3)
+    out = trigram_kneser_ney_surprisal(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        t3_counts=spark.read.parquet(p3),
+        t2_counts=spark.read.parquet(p2),
+    )
+    return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("s"))
+
+
 def _x62_merge_upsert(spark, d):
     # warehouse MERGE at scale: a daily-batch-sized update (1% of keys,
     # half updates / half inserts) against the full scaled events table
@@ -824,6 +885,9 @@ HEAVY = [
     ("x62_merge_upsert_full", _x62_merge_upsert),
     ("x82_trigram_backoff_10pct", _x82_trigram_backoff_10pct),
     ("x95_kneser_ney_10pct", _x95_kneser_ney_10pct),
+    ("x98_modified_kn_10pct", _x98_modified_kn_10pct),
+    ("x99_trigram_kn_10pct", _x99_trigram_kn_10pct),
+    ("x99_trigram_kn_snapshot_10pct", _x99_trigram_kn_snapshot),
     ("x83_span_dedup_full", _x83_span_dedup),
     ("x85_tfidf_snapshot_10pct", _x85_tfidf_snapshot_10pct),
     ("x86_surprisal_snapshot_10pct", _x86_surprisal_snapshot_10pct),

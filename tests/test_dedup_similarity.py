@@ -1469,3 +1469,52 @@ def test_trigram_kneser_ney_hand_pins(spark):
     }
     assert got == {0: (1, 1), 1: (1, 1), 2: (1, 4), 3: (1, 20),
                    4: (1, 20), 5: (1, 1)}
+
+
+def test_kn_snapshot_probe_equals_in_flight(spark, tmp_path):
+    """The KN family's snapshot-probe mode (persisted ngram_counts
+    tables in place of the base corpus — the x85/x86 nightly-artifact
+    contract) is bit-equal to the in-flight form on the same base, for
+    all three scorers, through a real persisted round-trip.  This is
+    the scale fix for the re-derivation multiplier: the in-flight form
+    re-executes the corpus explode once per derived-table consumer
+    (Spark materializes no shared sub-plans), the snapshot form pays
+    vocabulary-sized scans only."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        kneser_ney_surprisal,
+        modified_kneser_ney_surprisal,
+        ngram_counts,
+        trigram_kneser_ney_surprisal,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "a b c a b c d"), (1, "x b c d e"), (2, "a b x y"), (3, "m n")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, "a b c"), (11, "z b c d"), (12, "q q q"), (13, "a b")],
+        ["doc_id", "text"],
+    )
+    p2, p3 = str(tmp_path / "t2"), str(tmp_path / "t3")
+    ngram_counts(base, 2).write.parquet(p2)
+    ngram_counts(base, 3).write.parquet(p3)
+    t2, t3 = spark.read.parquet(p2), spark.read.parquet(p3)
+
+    for in_flight, snap in [
+        (kneser_ney_surprisal(batch, base),
+         kneser_ney_surprisal(batch, t2_counts=t2)),
+        (modified_kneser_ney_surprisal(batch, base),
+         modified_kneser_ney_surprisal(batch, t2_counts=t2)),
+        (trigram_kneser_ney_surprisal(batch, base),
+         trigram_kneser_ney_surprisal(batch, t3_counts=t3, t2_counts=t2)),
+    ]:
+        a = sorted(tuple(r) for r in in_flight.collect())
+        b = sorted(tuple(r) for r in snap.collect())
+        assert a == b and len(a) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kneser_ney_surprisal(batch)
+    with pytest.raises(ValueError):
+        trigram_kneser_ney_surprisal(batch, t3_counts=t3)  # half a snapshot

@@ -841,9 +841,10 @@ def fourgram_jm_surprisal(
 
 def kneser_ney_surprisal(
     batch: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    t2_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus BIGRAM surprisal with INTEGER-EXACT interpolated
     Kneser-Ney smoothing — the smoothing family KenLM actually ships
@@ -889,7 +890,16 @@ def kneser_ney_surprisal(
     the joins deliberately do not broadcast.  Batch docs with < 2
     tokens drop.
 
+    SNAPSHOT-PROBE mode (the x85/x86 contract): pass ``t2_counts`` — a
+    persisted :func:`ngram_counts` bigram table — instead of ``base``;
+    the derived aggregates become vocabulary-sized scans of the
+    snapshot rather than re-derivations of the corpus explode (the
+    in-flight form runs the explode+count once per derived-table
+    consumer).  Pinned bit-equal to the in-flight form by test.
+
     Returns (doc_id, n_bigrams, surprisal_sum, avg_surprisal)."""
+    if base is None and t2_counts is None:
+        raise ValueError("pass base, or the t2_counts snapshot")
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
 
     def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
@@ -897,7 +907,13 @@ def kneser_ney_surprisal(
             *extra, F.explode(_ngram_join(toks, n)).alias("g")
         )
 
-    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    t2 = (
+        t2_counts.select("g", F.col("c").cast("long").alias("c2"))
+        if t2_counts is not None
+        else explode_grams(base, 2)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
     pre = (
         t2.groupBy(F.substring_index("g", " ", 1).alias("w1"))
         .agg(
@@ -956,11 +972,33 @@ def kneser_ney_surprisal(
     )
 
 
+def ngram_counts(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """The (g, c) corpus n-gram-count TYPE table — the persistable
+    snapshot the n-gram scorers' base sides reduce to (same nightly-
+    artifact contract as :func:`unigram_counts`/:func:`doc_frequencies`).
+    Every derived statistic the KN/JM rungs need (prefix totals,
+    fan-outs, continuation counts, count-of-counts, type totals) is an
+    aggregate of THIS table, so persisting it once per corpus refresh
+    turns each scorer's base side from N re-derivations of the
+    corpus-wide explode into vocabulary-sized scans of one parquet
+    table — the measured fix for the in-flight forms' re-derivation
+    multiplier (BENCH_NOTES round 7)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+    return (
+        docs.where(F.size(toks) >= n)
+        .select(F.explode(_ngram_join(toks, n)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
 def trigram_kneser_ney_surprisal(
     batch: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    t3_counts: DataFrame | None = None,
+    t2_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus TRIGRAM surprisal with RECURSIVE interpolated
     Kneser-Ney — the rung that makes the CCNet-style quality filter
@@ -1009,7 +1047,20 @@ def trigram_kneser_ney_surprisal(
     corpus-vocabulary-sized tables deliberately do not broadcast.
     Batch docs with < 3 tokens drop.
 
+    SNAPSHOT-PROBE mode (the x85/x86 contract): pass ``t3_counts`` /
+    ``t2_counts`` — persisted :func:`ngram_counts` tables — instead of
+    ``base``, and the five derived aggregates become vocabulary-sized
+    scans of the snapshots rather than re-derivations of the corpus
+    explode.  The in-flight form executes the trigram explode+count
+    once per derived-table consumer (Spark materializes no shared
+    sub-plans), so at scale the snapshot form is the nightly-pipeline
+    shape; pinned bit-equal to the in-flight form by test.
+
     Returns (doc_id, n_trigrams, surprisal_sum, avg_surprisal)."""
+    if (t3_counts is None) != (t2_counts is None):
+        raise ValueError("pass both t3_counts and t2_counts, or neither")
+    if base is None and t3_counts is None:
+        raise ValueError("pass base, or the t3_counts/t2_counts snapshots")
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
 
     def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
@@ -1017,7 +1068,13 @@ def trigram_kneser_ney_surprisal(
             *extra, F.explode(_ngram_join(toks, n)).alias("g")
         )
 
-    t3 = explode_grams(base, 3).groupBy("g").agg(F.count("*").cast("long").alias("c3"))
+    t3 = (
+        t3_counts.select("g", F.col("c").cast("long").alias("c3"))
+        if t3_counts is not None
+        else explode_grams(base, 3)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c3"))
+    )
     c12 = (
         t3.groupBy(F.substring_index("g", " ", 2).alias("h"))
         .agg(
@@ -1036,7 +1093,13 @@ def trigram_kneser_ney_surprisal(
             F.count("*").cast("long").alias("nf2"),
         )
     )
-    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    t2 = (
+        t2_counts.select("g", F.col("c").cast("long").alias("c2"))
+        if t2_counts is not None
+        else explode_grams(base, 2)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
     nc = (
         t2.groupBy(F.substring_index("g", " ", -1).alias("w3"))
         .agg(F.count("*").cast("long").alias("nc3"))
@@ -1111,9 +1174,10 @@ MKN_DENOM = 64
 
 def modified_kneser_ney_surprisal(
     batch: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    t2_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus BIGRAM surprisal with MODIFIED Kneser-Ney smoothing
     — :func:`kneser_ney_surprisal`'s single rational discount D = 1/2
@@ -1162,7 +1226,14 @@ def modified_kneser_ney_surprisal(
     broadcasts (type total, count-of-counts→discounts); the batch side
     of every shuffle is O(batch).  Batch docs with < 2 tokens drop.
 
+    SNAPSHOT-PROBE mode (the x85/x86 contract): pass ``t2_counts`` — a
+    persisted :func:`ngram_counts` bigram table — instead of ``base``;
+    see :func:`kneser_ney_surprisal`.  Pinned bit-equal to the
+    in-flight form by test.
+
     Returns (doc_id, n_bigrams, surprisal_sum, avg_surprisal)."""
+    if base is None and t2_counts is None:
+        raise ValueError("pass base, or the t2_counts snapshot")
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
 
     def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
@@ -1171,7 +1242,13 @@ def modified_kneser_ney_surprisal(
         )
 
     q = MKN_DENOM
-    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    t2 = (
+        t2_counts.select("g", F.col("c").cast("long").alias("c2"))
+        if t2_counts is not None
+        else explode_grams(base, 2)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
     pre = (
         t2.groupBy(F.substring_index("g", " ", 1).alias("w1"))
         .agg(
