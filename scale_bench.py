@@ -607,6 +607,36 @@ def _x99_trigram_kn_10pct(spark, d):
     return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("s"))
 
 
+def _x82_trigram_backoff_snapshot(spark, d):
+    # the chassis twin of the x99 snapshot row: x82's in-flight 6.03x
+    # carries the same per-consumer re-derivation (three explodes, one
+    # per order, each with two consumers) — with the persisted
+    # ngram_counts tables the base side is four vocabulary-sized scans
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        ngram_counts,
+        trigram_backoff_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    root = os.path.join(_SCALE_ROOT, "ngram_snapshot", os.path.basename(d.rstrip("/")))
+    ps = {n: os.path.join(root, f"t{n}") for n in (1, 2, 3)}
+    for n, p in ps.items():
+        ensure_index(
+            lambda n=n, p=p: ngram_counts(base, n).write.mode("overwrite").parquet(p), p
+        )
+    out = trigram_backoff_surprisal(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        t3_counts=spark.read.parquet(ps[3]),
+        t2_counts=spark.read.parquet(ps[2]),
+        t1_counts=spark.read.parquet(ps[1]),
+    )
+    return out.agg(F.count("*").alias("n_docs"), F.sum("surprisal_sum").alias("s"))
+
+
 def _x99_trigram_kn_snapshot(spark, d):
     # the job-audit answer for _x99's in-flight ratio: the trigram/
     # bigram TYPE tables are persisted once per corpus refresh
@@ -888,6 +918,7 @@ HEAVY = [
     ("x98_modified_kn_10pct", _x98_modified_kn_10pct),
     ("x99_trigram_kn_10pct", _x99_trigram_kn_10pct),
     ("x99_trigram_kn_snapshot_10pct", _x99_trigram_kn_snapshot),
+    ("x82_trigram_backoff_snapshot_10pct", _x82_trigram_backoff_snapshot),
     ("x83_span_dedup_full", _x83_span_dedup),
     ("x85_tfidf_snapshot_10pct", _x85_tfidf_snapshot_10pct),
     ("x86_surprisal_snapshot_10pct", _x86_surprisal_snapshot_10pct),

@@ -1481,9 +1481,12 @@ def test_kn_snapshot_probe_equals_in_flight(spark, tmp_path):
     (Spark materializes no shared sub-plans), the snapshot form pays
     vocabulary-sized scans only."""
     from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        fourgram_jm_surprisal,
         kneser_ney_surprisal,
         modified_kneser_ney_surprisal,
         ngram_counts,
+        trigram_backoff_surprisal,
+        trigram_jm_surprisal,
         trigram_kneser_ney_surprisal,
     )
 
@@ -1492,21 +1495,31 @@ def test_kn_snapshot_probe_equals_in_flight(spark, tmp_path):
         ["doc_id", "text"],
     )
     batch = spark.createDataFrame(
-        [(10, "a b c"), (11, "z b c d"), (12, "q q q"), (13, "a b")],
+        [(10, "a b c d"), (11, "z b c d"), (12, "q q q q"), (13, "a b")],
         ["doc_id", "text"],
     )
-    p2, p3 = str(tmp_path / "t2"), str(tmp_path / "t3")
-    ngram_counts(base, 2).write.parquet(p2)
-    ngram_counts(base, 3).write.parquet(p3)
-    t2, t3 = spark.read.parquet(p2), spark.read.parquet(p3)
+    paths = {n: str(tmp_path / f"t{n}") for n in (1, 2, 3, 4)}
+    for n, p in paths.items():
+        ngram_counts(base, n).write.parquet(p)
+    t = {n: spark.read.parquet(p) for n, p in paths.items()}
 
     for in_flight, snap in [
         (kneser_ney_surprisal(batch, base),
-         kneser_ney_surprisal(batch, t2_counts=t2)),
+         kneser_ney_surprisal(batch, t2_counts=t[2])),
         (modified_kneser_ney_surprisal(batch, base),
-         modified_kneser_ney_surprisal(batch, t2_counts=t2)),
+         modified_kneser_ney_surprisal(batch, t2_counts=t[2])),
         (trigram_kneser_ney_surprisal(batch, base),
-         trigram_kneser_ney_surprisal(batch, t3_counts=t3, t2_counts=t2)),
+         trigram_kneser_ney_surprisal(batch, t3_counts=t[3], t2_counts=t[2])),
+        (trigram_backoff_surprisal(batch, base),
+         trigram_backoff_surprisal(
+             batch, t3_counts=t[3], t2_counts=t[2], t1_counts=t[1])),
+        (trigram_jm_surprisal(batch, base),
+         trigram_jm_surprisal(
+             batch, t3_counts=t[3], t2_counts=t[2], t1_counts=t[1])),
+        (fourgram_jm_surprisal(batch, base),
+         fourgram_jm_surprisal(
+             batch, t4_counts=t[4], t3_counts=t[3],
+             t2_counts=t[2], t1_counts=t[1])),
     ]:
         a = sorted(tuple(r) for r in in_flight.collect())
         b = sorted(tuple(r) for r in snap.collect())
@@ -1517,4 +1530,8 @@ def test_kn_snapshot_probe_equals_in_flight(spark, tmp_path):
     with pytest.raises(ValueError):
         kneser_ney_surprisal(batch)
     with pytest.raises(ValueError):
-        trigram_kneser_ney_surprisal(batch, t3_counts=t3)  # half a snapshot
+        trigram_kneser_ney_surprisal(batch, t3_counts=t[3])  # half a snapshot
+    with pytest.raises(ValueError):
+        trigram_jm_surprisal(batch, t3_counts=t[3], t2_counts=t[2])
+    with pytest.raises(ValueError):
+        fourgram_jm_surprisal(batch, t4_counts=t[4])

@@ -554,10 +554,13 @@ def _ngram_join(toks: Column, n: int) -> Column:
 
 def _trigram_scored(
     batch: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None,
     id_col: str,
     text_col: str,
     inst_sql: str,
+    t3_counts: DataFrame | None = None,
+    t2_counts: DataFrame | None = None,
+    t1_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Shared chassis of the trigram scorers (stupid backoff x82, JM
     interpolation x84): build the BASE corpus's four persisted-snapshot
@@ -568,7 +571,18 @@ def _trigram_scored(
     over c3/c3p/c2/c2p/c1/n_total — integer arithmetic only).  The
     batch side of every shuffle is O(batch); the base tables are
     corpus-vocabulary-sized so those joins deliberately do not
-    broadcast."""
+    broadcast.
+
+    SNAPSHOT-PROBE mode: pass the three persisted :func:`ngram_counts`
+    tables (all or none) instead of ``base`` — the prefix totals and
+    grand total derive from vocabulary-sized snapshot scans instead of
+    re-running the corpus explodes (the in-flight form re-executes
+    each explode per derived-table consumer; BENCH_NOTES round 7)."""
+    snaps = (t3_counts, t2_counts, t1_counts)
+    if any(s is not None for s in snaps) and any(s is None for s in snaps):
+        raise ValueError("pass all of t3_counts/t2_counts/t1_counts, or none")
+    if base is None and t3_counts is None:
+        raise ValueError("pass base, or the t3/t2/t1_counts snapshots")
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
 
     def explode_grams(df: DataFrame, n: int, *extra: Column) -> DataFrame:
@@ -576,17 +590,26 @@ def _trigram_scored(
             *extra, F.explode(_ngram_join(toks, n)).alias("g")
         )
 
-    t3 = explode_grams(base, 3).groupBy("g").agg(F.count("*").cast("long").alias("c3"))
+    def level(n: int, snap: DataFrame | None, cname: str) -> DataFrame:
+        if snap is not None:
+            return snap.select("g", F.col("c").cast("long").alias(cname))
+        return (
+            explode_grams(base, n)
+            .groupBy("g")
+            .agg(F.count("*").cast("long").alias(cname))
+        )
+
+    t3 = level(3, t3_counts, "c3")
     c3p = (
         t3.groupBy(F.substring_index("g", " ", 2).alias("p2"))
         .agg(F.sum("c3").cast("long").alias("c3p"))
     )
-    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    t2 = level(2, t2_counts, "c2")
     c2p = (
         t2.groupBy(F.substring_index("g", " ", 1).alias("p1"))
         .agg(F.sum("c2").cast("long").alias("c2p"))
     )
-    c1 = explode_grams(base, 1).groupBy("g").agg(F.count("*").cast("long").alias("c1"))
+    c1 = level(1, t1_counts, "c1")
     # empty base corpus → F.sum is NULL and null-propagates through
     # inst_sql; coalesce to 0 so the CASE guards (all c* NULL) reduce the
     # score to the documented full-OOV ceiling at N=0.
@@ -614,9 +637,12 @@ def _trigram_scored(
 
 def trigram_backoff_surprisal(
     batch: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    t3_counts: DataFrame | None = None,
+    t2_counts: DataFrame | None = None,
+    t1_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus TRIGRAM surprisal with stupid backoff — the top of
     the engine's n-gram ladder (x51 unigram → x80 bigram → this), the
@@ -644,6 +670,11 @@ def trigram_backoff_surprisal(
     the joins deliberately do not broadcast.  Batch docs with < 3
     tokens drop (no trigram to score).
 
+    SNAPSHOT-PROBE mode: pass the persisted :func:`ngram_counts`
+    tables ``t3_counts``/``t2_counts``/``t1_counts`` (all or none)
+    instead of ``base`` — see :func:`_trigram_scored`.  Pinned
+    bit-equal to the in-flight form by test.
+
     Returns (doc_id, n_trigrams, surprisal_sum, avg_surprisal).
     """
     pen = BACKOFF_PENALTY
@@ -656,6 +687,9 @@ def trigram_backoff_surprisal(
         f"WHEN c2 IS NOT NULL THEN {pen} * (c2p div c2) "
         f"WHEN c1 IS NOT NULL THEN {pen * pen} * (n_total div c1) "
         f"ELSE {pen * pen} * (n_total + 1) END",
+        t3_counts=t3_counts,
+        t2_counts=t2_counts,
+        t1_counts=t1_counts,
     )
     return (
         scored.groupBy("doc_id")
@@ -677,9 +711,12 @@ JM_DENOM = 8
 
 def trigram_jm_surprisal(
     batch: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    t3_counts: DataFrame | None = None,
+    t2_counts: DataFrame | None = None,
+    t1_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus trigram surprisal with INTEGER-EXACT Jelinek-Mercer
     interpolation — the CCNet-grade upgrade over x82's stupid backoff:
@@ -711,7 +748,10 @@ def trigram_jm_surprisal(
 
     Same plan shape as :func:`trigram_backoff_surprisal` (shared
     chassis): batch side of every shuffle is O(batch); the four base
-    tables are the persisted nightly n-gram snapshot at 100 TB.
+    tables are the persisted nightly n-gram snapshot at 100 TB — and
+    SNAPSHOT-PROBE mode makes that literal: pass the persisted
+    :func:`ngram_counts` tables ``t3_counts``/``t2_counts``/
+    ``t1_counts`` instead of ``base`` (pinned bit-equal by test).
 
     Returns (doc_id, n_trigrams, surprisal_sum, avg_surprisal)."""
     d = JM_DENOM
@@ -725,6 +765,9 @@ def trigram_jm_surprisal(
         f"+ CASE WHEN c2 IS NOT NULL THEN (c2 * {d} * (n_total + 1)) div (4 * c2p) ELSE 0 END"
         f"+ CASE WHEN c1 IS NOT NULL THEN (c1 * {d} * (n_total + 1)) div ({d} * n_total) ELSE 0 END"
         f"+ 1)",
+        t3_counts=t3_counts,
+        t2_counts=t2_counts,
+        t1_counts=t1_counts,
     )
     return (
         scored.groupBy("doc_id")
@@ -741,9 +784,13 @@ def trigram_jm_surprisal(
 
 def fourgram_jm_surprisal(
     batch: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    t4_counts: DataFrame | None = None,
+    t3_counts: DataFrame | None = None,
+    t2_counts: DataFrame | None = None,
+    t1_counts: DataFrame | None = None,
 ) -> DataFrame:
     """The n-gram ladder's 4-gram rung (x51 uni → x80 bi → x82/x84 tri
     → this): cross-corpus FOURGRAM surprisal with integer-exact
@@ -761,6 +808,11 @@ def fourgram_jm_surprisal(
     to one row per distinct (doc, 4-gram); every shuffle's batch side
     is O(batch); the base tables deliberately do not broadcast.
 
+    SNAPSHOT-PROBE mode: pass the persisted :func:`ngram_counts`
+    tables ``t4_counts``..``t1_counts`` (all or none) instead of
+    ``base`` — the six derived tables become vocabulary-sized snapshot
+    scans (pinned bit-equal by test).
+
     Returns (doc_id, n_fourgrams, surprisal_sum, avg_surprisal)."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
 
@@ -769,22 +821,37 @@ def fourgram_jm_surprisal(
             *extra, F.explode(_ngram_join(toks, n)).alias("g")
         )
 
-    t4 = explode_grams(base, 4).groupBy("g").agg(F.count("*").cast("long").alias("c4"))
+    snaps = (t4_counts, t3_counts, t2_counts, t1_counts)
+    if any(s is not None for s in snaps) and any(s is None for s in snaps):
+        raise ValueError("pass all of t4/t3/t2/t1_counts, or none")
+    if base is None and t4_counts is None:
+        raise ValueError("pass base, or the t4/t3/t2/t1_counts snapshots")
+
+    def level(n, snap, cname):
+        if snap is not None:
+            return snap.select("g", F.col("c").cast("long").alias(cname))
+        return (
+            explode_grams(base, n)
+            .groupBy("g")
+            .agg(F.count("*").cast("long").alias(cname))
+        )
+
+    t4 = level(4, t4_counts, "c4")
     c4p = (
         t4.groupBy(F.substring_index("g", " ", 3).alias("p3"))
         .agg(F.sum("c4").cast("long").alias("c4p"))
     )
-    t3 = explode_grams(base, 3).groupBy("g").agg(F.count("*").cast("long").alias("c3"))
+    t3 = level(3, t3_counts, "c3")
     c3p = (
         t3.groupBy(F.substring_index("g", " ", 2).alias("p2"))
         .agg(F.sum("c3").cast("long").alias("c3p"))
     )
-    t2 = explode_grams(base, 2).groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    t2 = level(2, t2_counts, "c2")
     c2p = (
         t2.groupBy(F.substring_index("g", " ", 1).alias("p1"))
         .agg(F.sum("c2").cast("long").alias("c2p"))
     )
-    c1 = explode_grams(base, 1).groupBy("g").agg(F.count("*").cast("long").alias("c1"))
+    c1 = level(1, t1_counts, "c1")
     # same empty-base NULL guard as _trigram_scored: N=0 must reduce the
     # five-level cascade to the S = 16·(N+1) = 16 full-OOV ceiling.
     n_total = c1.agg(F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n_total"))
