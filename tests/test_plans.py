@@ -334,3 +334,22 @@ def test_span_dedup_single_digest_join(spark):
         for ln in plan.splitlines()
     ), plan  # the dup-count scan pruned to text only
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kn_snapshot_probe_scans_persisted_type_tables(spark):
+    """x100: the KN snapshot probe's base side is parquet SCANS of the
+    persisted (g, c) type tables — the corpus text is read exactly
+    once (the batch side), never re-exploded per derived-table
+    consumer (the in-flight form's measured re-derivation multiplier,
+    BENCH_NOTES round 7)."""
+    plan = plan_of(spark, "x100_kn_snapshot_probe")
+    snap_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "g:string" in ln and "text" not in ln
+    ]
+    assert snap_scans, f"no persisted type-table scan in plan\n{plan}"
+    doc_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "text:string" in ln
+    ]
+    assert len(doc_scans) == 1, f"base corpus text re-read\n{plan}"

@@ -25,9 +25,12 @@ _WINDOW_HEAD = [
     # Round-7 window (exactly 50). Order of priority:
     # (1) the round-7 additions, driver-checked in their first round:
     #     x98 modified Kneser-Ney (count-of-count discounts) and x99
-    #     trigram Kneser-Ney (recursive continuation backoff);
+    #     trigram Kneser-Ney (recursive continuation backoff) and
+    #     x100, x99 through the persisted-snapshot lifecycle (oracle
+    #     verbatim x99's — the snapshot form is bit-equal);
     "x98_modified_kneser_ney",
     "x99_trigram_kneser_ney",
+    "x100_kn_snapshot_probe",
     # (2) the round-6 verdict's item 6: the 44 queries whose latest
     #     driver row is r02 — four rounds stale, beyond the intent of
     #     the park-the-twice-green convention.  Oldest tier first: the
@@ -76,8 +79,6 @@ _WINDOW_HEAD = [
     "x15_approx_distinct",
     "x17_range_join",
     "x18_quantized_topk",
-    # (3) x70, the only other pre-r05 row (r03+r04, two rounds stale);
-    "x70_conversion_funnel",
     # (4) re-checks of code touched this round: x89/x96 gained the
     #     corpus-fingerprint staleness stamp on their ensure_index
     #     paths (and x96's writer the id_col threading); x97's

@@ -4110,9 +4110,7 @@ def x98_modified_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x99_trigram_kneser_ney",
-    oracle=f"""
+_X99_KN_ORACLE = f"""
     WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
                 FROM documents WHERE doc_id < 250),
     qt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
@@ -4176,7 +4174,12 @@ def x98_modified_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(sum(tf * inst) AS BIGINT) AS DOUBLE)
              / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
     FROM s GROUP BY 1
-    """,
+"""
+
+
+@query(
+    "x99_trigram_kneser_ney",
+    oracle=_X99_KN_ORACLE,
 )
 def x99_trigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE trigram Kneser-Ney — the rung that joins the ladder's
@@ -4193,4 +4196,32 @@ def x99_trigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return trigram_kneser_ney_surprisal(
         docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
+@query("x100_kn_snapshot_probe", oracle=_X99_KN_ORACLE)
+def x100_kn_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x99 through the SNAPSHOT-PROBE lifecycle (the x85/x86 contract
+    for the n-gram family): the base corpus's trigram/bigram TYPE
+    tables (``textstats.ngram_counts``) are persisted once per corpus
+    refresh (ensure_index marker) and the recursive trigram-KN scorer
+    derives its five rollups from vocabulary-sized snapshot scans —
+    the oracle is x99's VERBATIM because the snapshot form is
+    bit-equal to the in-flight form (pinned by test; the in-flight
+    form re-executes the corpus explode once per derived-table
+    consumer, measured 23.0 → 4.8 s at ×100 in BENCH_NOTES round 7).
+    Plan-pinned: exactly one documents scan (the batch side)."""
+    from ..operators.ann_index import ensure_index
+    from ..operators.textstats import ngram_counts, trigram_kneser_ney_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    root = _tagged_dir(_SCRATCH, "ngram_snapshot", "v1-split250", sf_dir=sf_dir)
+    p2, p3 = os.path.join(root, "t2"), os.path.join(root, "t3")
+    ensure_index(lambda: ngram_counts(base, 2).write.mode("overwrite").parquet(p2), p2)
+    ensure_index(lambda: ngram_counts(base, 3).write.mode("overwrite").parquet(p3), p3)
+    return trigram_kneser_ney_surprisal(
+        docs.filter(F.col("doc_id") >= 250),
+        t3_counts=spark.read.parquet(p3),
+        t2_counts=spark.read.parquet(p2),
     )
