@@ -1,0 +1,213 @@
+"""BM25 retrieval tier (operators/retrieval.py): hand-built pins, a
+Python-model hypothesis property over the full fixed-point scoring
+chain, the empty-base / OOV edge cases from day one (the round-5
+lesson), the serve==in-flight bit-equality pin, and the partition-
+pruning plan pin for the persisted inverted index."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+    Q_AVGDL,
+    S1_IDF,
+    S2_SATUR,
+    bm25_serve,
+    bm25_topk,
+    retrieval_decontaminate,
+    top_terms_queries,
+    write_inverted_index,
+)
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+words = st.text(alphabet="abcd", min_size=1, max_size=3)
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+def bm25_model(doc_texts: dict[int, str], queries: dict[int, set[str]], k: int = 5):
+    """Independent pure-Python recomputation of the module's fixed-point
+    BM25 (same integer floor divisions, same constants) — the property
+    oracle.  Returns {(query_id, doc_id): (score_fp, rank)}."""
+    tf = {d: Counter(re.findall("[a-z]+", t.lower())) for d, t in doc_texts.items()}
+    tf = {d: c for d, c in tf.items() if c}  # zero-token docs unretrievable
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n, total = len(dl), sum(dl.values())
+    if n == 0:
+        return {}
+    avgdl_fp = (total * Q_AVGDL) // n
+    df: Counter = Counter()
+    for c in tf.values():
+        for t in c:
+            df[t] += 1
+    out = {}
+    for qid, terms in queries.items():
+        scores = {}
+        for d, c in tf.items():
+            s, hit = 0, False
+            for t in terms:
+                if t in c:
+                    hit = True
+                    idf = (S1_IDF * (2 * n - 2 * df[t] + 1)) // (2 * df[t] + 1)
+                    sat = (S2_SATUR * 22 * c[t] * avgdl_fp) // (
+                        10 * c[t] * avgdl_fp + 3 * avgdl_fp + 9 * dl[d] * Q_AVGDL
+                    )
+                    s += idf * sat
+            if hit:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (d, s) in enumerate(ranked):
+            out[(qid, d)] = (s, r + 1)
+    return out
+
+
+def _queries_df(spark, queries: dict[int, set[str]]):
+    rows = [(q, t) for q, ts in queries.items() for t in sorted(ts)]
+    return spark.createDataFrame(rows or [(0, "zzz")], ["query_id", "term"]).filter(
+        F.lit(bool(rows))
+    )
+
+
+def _docs_df(spark, doc_texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(d, t) for d, t in doc_texts.items()], ["doc_id", "text"]
+    )
+
+
+def test_bm25_hand_pin(spark):
+    """Every fixed-point stage checked by hand on a 3-doc corpus.
+
+    corpus: d0='a a b', d1='a c', d2='b b b c'  -> N=3, L=9,
+    avgdl_fp=(9*1024)//3=3072.  df: a=2, b=2, c=2.
+    query q0 = {a, b}.
+
+    idf (df=2): (1024*(6-4+1))//5 = 3072//5 = 614.
+    satur(tf,dl): (1024*22*tf*3072) // (10*tf*3072 + 3*3072 + 9*dl*1024)
+      d0 a: tf=2,dl=3 -> 138412032 // (61440+9216+27648)=98304 -> 1408
+      d0 b: tf=1,dl=3 -> 69206016 // (30720+9216+27648)=67584  -> 1024
+      d1 a: tf=1,dl=2 -> 69206016 // (30720+9216+18432)=58368  -> 1185
+      d2 b: tf=3,dl=4 -> 207618048 // (92160+9216+36864)=138240 -> 1501
+    scores: d0=614*(1408+1024)=1493248; d1=614*1185=727590;
+            d2=614*1501=921614.  Order: d0, d2, d1."""
+    docs = _docs_df(spark, {0: "a a b", 1: "a c", 2: "b b b c"})
+    q = _queries_df(spark, {0: {"a", "b"}})
+    got = [
+        (r.query_id, r.doc_id, r.score_fp, r.rank)
+        for r in bm25_topk(docs, q, k=5).orderBy("rank").collect()
+    ]
+    assert got == [(0, 0, 1493248, 1), (0, 2, 921614, 2), (0, 1, 727590, 3)]
+
+
+@given(
+    st.dictionaries(st.integers(0, 9), texts, max_size=8),
+    st.dictionaries(st.integers(0, 3), st.sets(words, min_size=1, max_size=3), max_size=3),
+)
+@example({}, {0: {"a"}})  # empty corpus: no rows, no division fires
+@example({0: "a b", 1: ""}, {0: {"a"}})  # zero-token doc excluded from N/avgdl
+@example({0: "a b"}, {0: {"zzz"}})  # all-OOV query: absent from output
+@example({0: "a", 1: "a"}, {0: {"a"}})  # score tie: doc_id-asc break
+@SETTINGS
+def test_bm25_matches_python_model(spark, doc_texts, queries):
+    docs = _docs_df(spark, doc_texts) if doc_texts else _docs_df(spark, {0: ""})
+    if not doc_texts:
+        docs = docs.filter(F.lit(False))
+    expected = bm25_model(doc_texts, queries)
+    got = {
+        (r.query_id, r.doc_id): (r.score_fp, r.rank)
+        for r in bm25_topk(docs, _queries_df(spark, queries), k=5).collect()
+    }
+    assert got == expected
+
+
+def test_bm25_serve_equals_inflight(spark, tmp_path):
+    """The persisted-index serve is bit-equal to in-flight scoring on
+    the same corpus — the index changes the cost, never the result
+    (the x89/x102 contract)."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    queries = top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    path = str(tmp_path / "bm25")
+    write_inverted_index(docs, path)
+    inflight = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
+    served = sorted(map(tuple, bm25_serve(spark, queries, path, k=5).collect()))
+    assert served == inflight and len(served) > 0
+    # index-side query construction selects the identical workload
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        top_terms_from_index,
+    )
+
+    q_idx = sorted(
+        map(tuple, top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, 3).collect())
+    )
+    assert q_idx == sorted(map(tuple, queries.collect()))
+
+
+def test_bm25_serve_prunes_partitions(spark, tmp_path):
+    """The posting scan carries the batch's term buckets as a PARTITION
+    filter (pruned directories), not a post-scan predicate."""
+    import contextlib
+    import io
+
+    docs = _docs_df(
+        spark, {i: t for i, t in enumerate(["a b c", "b c d", "c d e", "e f g"] * 3)}
+    )
+    path = str(tmp_path / "bm25")
+    write_inverted_index(docs, path)
+    q = _queries_df(spark, {0: {"b"}, 1: {"e"}})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_serve(spark, q, path, k=3).explain("formatted")
+    plan = buf.getvalue()
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "term_bucket" in pf and ("IN" in pf or "in(" in pf.lower())
+
+
+def test_decontamination_flags_planted_copy(spark):
+    """A training doc that verbatim-copies a benchmark doc's text is
+    retrieved at rank 1 by that benchmark's query (self-evidently the
+    best lexical match); unrelated-vocabulary docs are not flagged."""
+    doc_texts = {
+        0: "quark lepton boson hadron",  # benchmark (id < 2)
+        1: "sonnet stanza meter rhyme",  # benchmark
+        2: "quark lepton boson hadron",  # planted copy of 0
+        3: "gradient descent loss epoch",  # unrelated
+        4: "stanza rhyme couplet verse",  # partial overlap with 1
+    }
+    out = {
+        r.doc_id: (r.n_queries, r.best_rank)
+        for r in retrieval_decontaminate(
+            _docs_df(spark, doc_texts), F.col("doc_id") < 2, n_terms=3, k=2
+        ).collect()
+    }
+    assert out[2] == (1, 1)  # the copy: flagged by exactly its source query, rank 1
+    assert 3 not in out  # no shared vocabulary -> never retrieved
+    assert out[4][1] == 1  # best (only) match for benchmark 1
+
+
+def test_top_terms_queries_rare_term_preference(spark):
+    """tf/df ranks a doc's unique term above a corpus-wide one; ties
+    break by term ascending (total order -> deterministic workload)."""
+    docs = _docs_df(spark, {0: "common rare rare", 1: "common x", 2: "common y"})
+    got = [
+        (r.query_id, r.term)
+        for r in top_terms_queries(docs, F.col("doc_id") == 0, n_terms=1).collect()
+    ]
+    # rare: tf/df = 2/1 = 2.0 beats common: 1/3 -> the single kept term
+    assert got == [(0, "rare")]
+    # tie case: equal tf/df scores keep the lexicographically first term
+    tie_docs = _docs_df(spark, {0: "beta alpha", 1: "gamma"})
+    tie = [
+        (r.query_id, r.term)
+        for r in top_terms_queries(tie_docs, F.col("doc_id") == 0, n_terms=1).collect()
+    ]
+    assert tie == [(0, "alpha")]

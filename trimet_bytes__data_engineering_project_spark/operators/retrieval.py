@@ -1,0 +1,428 @@
+"""Lexical retrieval: BM25 scoring, top-k search, and a persisted
+inverted index with partition-pruned serving.
+
+The reference has no lexical retrieval surface (its analytics stop at
+SQL aggregates — SURVEY.md §2); this module belongs to the
+training-data-pipeline extension tier: BM25 top-k is the workhorse
+behind retrieval-based decontamination (flag training documents an
+eval-suite query would retrieve), hard-negative mining for embedding
+training, and corpus QA ("what does the corpus say about X").  It
+complements the ANN tier (``operators/similarity.py`` /
+``operators/ann_index.py``): same serve-from-a-persisted-index shape,
+lexical instead of dense.
+
+Tokenization is shared with ``operators/textstats.py``
+(``WORD_PATTERN`` letter runs over lowered text — RE2/Java-identical),
+so tf tables here and n-gram tables there agree on what a term is.
+
+Fixed-point BM25 (cross-engine exact)
+-------------------------------------
+Okapi BM25 with k1 = 6/5 and b = 3/4 (the textbook 1.2/0.75 as exact
+rationals).  The float form is
+
+    idf(t)      = (N - df + 1/2) / (df + 1/2)          [Robertson's
+                  odds ratio WITHOUT the log — see below]
+    satur(t, d) = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    score(q, d) = sum over matched terms of idf * satur
+
+Per the repo's no-libm contract (BENCH_NOTES / the surprisal ladder):
+``ln`` would compare two libm implementations that only promise 1-ulp
+accuracy, so the idf keeps the raw odds ratio — a monotone per-term
+transform of the classic log idf.  Rankings for single-term matches
+are identical; multi-term sums weight rare terms more sharply than
+the log form (documented, deterministic, and what the oracle
+computes).  Everything is then carried in int64 fixed point:
+
+    A        = (L*Q) div N          avgdl at scale Q=1024; L = total
+                                    tokens, N = docs with >=1 token
+    idf_fp   = (S1*(2N - 2df + 1)) div (2df + 1)           S1 = 1024
+    satur_fp = (S2*22*tf*A) div (10*tf*A + 3*A + 9*dl*Q)   S2 = 1024
+    score_fp = sum(idf_fp * satur_fp)        scale S1*S2 = 2**20
+    score    = score_fp / 2**20              one IEEE division, last
+
+(22 = 10*(k1+1); the denominator is 10*A*(tf + 3/10 + (9/10)*dl*Q/A)
+multiplied through.)  Every operation before the final display
+division is int64 arithmetic — bit-identical in Spark and DuckDB.
+Ties in score_fp break by doc_id ascending: the top-k set is a total
+order.  Bounds: A fits while L*Q < 2**63 (L < 9e15 tokens, ~36 PB of
+text); the per-term product is <= S1*(2N+1)*S2*2.2, so a 32-term query
+sum stays inside int64 for N < ~1.2e12 documents — both documented
+ceilings sit above the 100 TB design point, with per-language sharding
+as the remedy beyond (same remedy as the KN ladder's nt**2 bound,
+``operators/textstats.py``).
+
+Edge cases (pinned by tests from day one — the round-5 empty-base
+lesson): an empty corpus yields an empty result (A is NULL-guarded, no
+division fires); a query term absent from the corpus contributes
+nothing (inner join); a query whose terms all miss returns no rows for
+that query_id; zero-token documents are unretrievable and excluded
+from N and avgdl (they cannot match any term).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textstats import WORD_PATTERN
+
+Q_AVGDL = 1024  # avgdl fixed-point scale
+S1_IDF = 1024  # idf fixed-point scale
+S2_SATUR = 1024  # saturation fixed-point scale
+SCORE_SCALE = S1_IDF * S2_SATUR  # 2**20
+N_TERM_BUCKETS = 64  # inverted-index partition count
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term) token stream — the single tokenization every
+    consumer derives from."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        ).alias("term"),
+    )
+
+
+def doc_term_freqs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) — one row per distinct doc-term.  The explode
+    feeds a two-phase hash agg keyed (doc_id, term): the shuffle
+    carries one count per distinct doc-term, never the token stream."""
+    return (
+        doc_tokens(docs, id_col, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, dl) in tokens — a SCAN-SIDE array-size projection (no
+    explode, no aggregation, no shuffle): dl = |tokens| is computable
+    per row, and Spark's in-flight plans re-execute every aggregation
+    subtree per consumer (the x100 finding), so the cheap projection
+    form matters.  Zero-token docs are excluded — by design (module
+    docstring: unretrievable, outside N and avgdl)."""
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        )
+        .cast("long")
+        .alias("dl"),
+    )
+    return dl.filter(F.col("dl") > 0)
+
+
+def _avgdl_stats(dl: DataFrame) -> DataFrame:
+    """One-row (n, avgdl_fp): corpus size and fixed-point average doc
+    length.  NULL-guarded so an empty corpus never divides by zero."""
+    return dl.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("l"),
+    ).select(
+        "n",
+        F.when(F.col("n") > 0, F.expr(f"(l * {Q_AVGDL}) div n")).cast("long").alias("avgdl_fp"),
+    )
+
+
+def _score_fp_col() -> F.Column:
+    """The per-term fixed-point BM25 contribution (module docstring).
+    Expects columns n, df, tf, dl, avgdl_fp in scope."""
+    idf_fp = f"(({S1_IDF} * (2*n - 2*df + 1)) div (2*df + 1))"
+    satur_fp = (
+        f"(({S2_SATUR} * 22 * tf * avgdl_fp) div "
+        f"(10 * tf * avgdl_fp + 3 * avgdl_fp + 9 * dl * {Q_AVGDL}))"
+    )
+    return F.expr(f"{idf_fp} * {satur_fp}").cast("long")
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "score_fp",
+            "rank",
+            (F.col("score_fp").cast("double") / float(SCORE_SCALE)).alias("score"),
+        )
+    )
+
+
+def _top_terms(qtf: DataFrame, df_m: DataFrame, n_terms: int) -> DataFrame:
+    """Top-``n_terms`` per query_id by LINEAR tf-idf (tf/df — the x40
+    scorer: one integer/integer IEEE division, bit-exact cross-engine),
+    ties by term ascending (total order).  A candidate term absent from
+    ``df_m`` drops out (inner join — it cannot retrieve anything)."""
+    scored = qtf.join(F.broadcast(df_m), "term").withColumn(
+        "s", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_terms)
+        .select("query_id", "term")
+    )
+
+
+def top_terms_queries(
+    docs: DataFrame,
+    doc_filter: F.Column,
+    n_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Derive a deterministic query workload from the corpus itself:
+    for each document passing ``doc_filter``, its top-``n_terms`` most
+    distinguishing terms by linear tf-idf (:func:`_top_terms`).
+    Returns (query_id, term) = the benchmark-harness query set for
+    :func:`bm25_topk` and the serving paths.
+
+    df values are corpus-wide document frequencies, but aggregated only
+    for the candidate docs' terms: the candidate term set broadcasts
+    into the token stream, so the distinct-(term, doc) count covers
+    O(candidate-term postings) rows — the full vocabulary is never
+    aggregated.  Two documents scans total: the filter-pushed candidate
+    scan and the df scan.  :func:`top_terms_from_index` is the
+    zero-tokenization form when an inverted index exists."""
+    qtf = (
+        doc_tokens(docs.filter(doc_filter), id_col, text_col)
+        .groupBy(F.col("doc_id").alias("query_id"), "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cand_terms = qtf.select("term").distinct()
+    df_m = (
+        doc_tokens(docs, id_col, text_col)
+        .join(F.broadcast(cand_terms), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    )
+    return _top_terms(qtf, df_m, n_terms)
+
+
+def materialize_queries(queries: DataFrame) -> DataFrame:
+    """Collect an O(batch) query workload and re-emit it as a LOCAL
+    relation.  The scoring plan consumes the workload at two points
+    (the distinct-term match filter and the query_id fan-out), and
+    Spark materializes no shared subplans across consumers (the x100
+    finding) — a DERIVED workload (e.g. :func:`top_terms_queries`)
+    would re-run its tokenization per consumer.  A query workload is
+    bounded by contract (the same bounded-collect class as the serve
+    path's bucket list), so the collect is O(batch) and the local
+    relation broadcasts for free."""
+    spark = queries.sparkSession
+    return spark.createDataFrame(queries.collect(), queries.schema)
+
+
+def top_terms_from_index(
+    spark: SparkSession, path: str, doc_filter: F.Column, n_terms: int = 3
+) -> DataFrame:
+    """:func:`top_terms_queries` read off the persisted inverted index:
+    postings already carry (doc_id, term, tf, df), so query
+    construction is one postings scan with a projection and the top-k
+    window — no tokenization, no aggregation at all.  Selection is
+    bit-identical (same tf/df values, same tie order)."""
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    qtf = postings.filter(doc_filter).select(
+        F.col("doc_id").alias("query_id"), "term", "tf", "df"
+    )
+    scored = qtf.withColumn("s", F.col("tf").cast("double") / F.col("df").cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_terms)
+        .select("query_id", "term")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """In-flight BM25 top-``k``: score every document of ``docs``
+    against every query of ``queries`` (query_id, term) and keep each
+    query's ``k`` best by (score_fp desc, doc_id asc).
+
+    Returns (query_id, doc_id, score_fp, rank, score).
+
+    ``queries`` must be DISTINCT (query_id, term) rows — a duplicated
+    row would double-count its term (``top_terms_queries`` and
+    ``top_terms_from_index`` emit distinct rows by construction).
+
+    Scale shape: the query term set broadcasts (a query workload is
+    O(batch)); token-stream rows survive the broadcast join only for
+    matched terms, so the (doc_id, term) tf aggregation and everything
+    after it carry O(matched postings) — integer counts, never text.
+    df rides the matched tf table as a count window keyed term (one
+    row per distinct matched doc-term, so the window count IS the
+    document frequency — no separate corpus aggregation, no extra
+    join).  dl is a scan-side array-size projection (no shuffle); AQE
+    broadcasts the matched side of the dl join when it fits.  The
+    final top-k is one window keyed query_id with a streaming row
+    counter.  Three documents scans total (match / dl / stats; Spark
+    materializes no shared subplans across consumers — the x100
+    finding); the persisted-index serve (:func:`bm25_serve`) is the
+    at-scale form with ONE pruned postings scan."""
+    qterms = queries.select("query_id", "term")
+    matched_tf = (
+        doc_tokens(docs, id_col, text_col)
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    w_df = Window.partitionBy("term")
+    matched = (
+        matched_tf.withColumn("df", F.count("*").over(w_df).cast("long"))
+        .join(F.broadcast(qterms), "term")
+        .join(doc_lengths(docs, id_col, text_col), "doc_id")
+        .crossJoin(F.broadcast(_avgdl_stats(doc_lengths(docs, id_col, text_col))))
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum(_score_fp_col()).cast("long").alias("score_fp")
+    )
+    return _topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index
+# ---------------------------------------------------------------------------
+
+
+def term_bucket(term: F.Column, n_buckets: int = N_TERM_BUCKETS) -> F.Column:
+    """Stable term -> partition mapping (Spark-side only; the oracle
+    re-derives results from scratch and never needs it).  xxhash64 is
+    deterministic across sessions and versions, so build and probe jobs
+    agree on the layout — the same contract as the LSH/IVF bucket
+    functions in ``operators/ann_index.py``."""
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def write_inverted_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = N_TERM_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """One pass over the corpus: the index build job.  Lays out
+
+    - ``path/postings`` — (term, doc_id, tf, dl, df) partitioned by
+      ``term_bucket``: df and dl are DENORMALIZED into the posting rows
+      at build time (8 bytes each), so a probe needs ZERO corpus-side
+      aggregation — it reads pruned buckets and scores.  All postings
+      of a term live in exactly one partition.
+    - ``path/stats`` — one row (n, avgdl_fp): the corpus stats the
+      scoring formula needs.
+
+    The write repartitions on the bucket key before ``partitionBy``
+    (the x89 finding: misaligned writes make tasks x buckets small
+    files and a measured 16x slower probe; aligned, each bucket is one
+    contiguous file).  ``build_fn`` contract with
+    :func:`...ann_index.ensure_index`: overwrite-idempotent via
+    ``mode="overwrite"``."""
+    tf = doc_term_freqs(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col)
+    dfx = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    postings = (
+        tf.join(dl, "doc_id")
+        .join(dfx, "term")
+        .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+    )
+    (
+        postings.repartition(F.col("term_bucket"))
+        .write.mode(mode)
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    _avgdl_stats(dl).write.mode(mode).parquet(os.path.join(path, "stats"))
+
+
+def bm25_serve(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """BM25 top-``k`` served from the PERSISTED inverted index: the
+    at-scale form of :func:`bm25_topk` (oracle-pinned bit-equal when
+    the index was built from the same corpus).
+
+    Per-run work is O(matched postings in the probed buckets): the
+    batch's distinct term buckets are collected (bounded by
+    min(|batch terms|, n_buckets) — the bounded-collect convention of
+    ``ann_index.knn_join_index``) into an IN-list partition filter, so
+    the posting scan is partition-pruned to exactly the buckets the
+    query terms can live in; df/dl/avgdl were denormalized at build
+    time, so no aggregation ever touches corpus-sized tables."""
+    qterms = queries.select("query_id", "term")
+    buckets = [
+        r[0]
+        for r in qterms.select(term_bucket(F.col("term"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("term_bucket").isin(buckets)
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    matched = (
+        F.broadcast(qterms)
+        .join(postings, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum(_score_fp_col()).cast("long").alias("score_fp")
+    )
+    return _topk(scored, k)
+
+
+def retrieval_decontaminate(
+    docs: DataFrame,
+    bench_filter: F.Column,
+    n_terms: int = 3,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval-based decontamination: treat each benchmark document
+    (rows passing ``bench_filter``) as a query — its top-``n_terms``
+    linear-tf-idf terms, df taken over the TRAINING side — and flag
+    every training document that lands in any query's BM25 top-``k``.
+    The lexical complement of x31's exact n-gram screen: n-gram overlap
+    catches verbatim leakage, retrieval catches the paraphrased/
+    reformatted benchmark item that still shares its distinguishing
+    vocabulary.
+
+    Returns (doc_id, n_queries, best_rank): how many benchmark queries
+    retrieved the doc and its best rank — the triage columns a
+    decontamination review sorts by.  Training-side N/avgdl/df feed the
+    scoring (the benchmark split must not perturb corpus statistics)."""
+    corpus = docs.filter(~bench_filter)
+
+    # query terms: benchmark tf against TRAINING-side df
+    qtf = (
+        doc_tokens(docs.filter(bench_filter), id_col, text_col)
+        .groupBy(F.col("doc_id").alias("query_id"), "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_m = (
+        doc_tokens(corpus, id_col, text_col)
+        .join(F.broadcast(qtf.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    )
+    queries = materialize_queries(_top_terms(qtf, df_m, n_terms))
+    hits = bm25_topk(corpus, queries, k=k, id_col=id_col, text_col=text_col)
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.min("rank").cast("int").alias("best_rank"),
+    )

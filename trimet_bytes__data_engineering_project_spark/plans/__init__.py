@@ -31,6 +31,9 @@ _WINDOW_HEAD = [
     "x98_modified_kneser_ney",
     "x99_trigram_kneser_ney",
     "x100_kn_snapshot_probe",
+    "x101_bm25_topk",
+    "x102_bm25_index_serve",
+    "x103_retrieval_decontamination",
     # (2) the round-6 verdict's item 6: the 44 queries whose latest
     #     driver row is r02 — four rounds stale, beyond the intent of
     #     the park-the-twice-green convention.  Oldest tier first: the
@@ -76,9 +79,10 @@ _WINDOW_HEAD = [
     "x11_ann_lsh",
     "x12_ann_ivf",
     "x13_embedding_near_dup",
-    "x15_approx_distinct",
-    "x17_range_join",
-    "x18_quantized_topk",
+    # x15/x17/x18 yield their head slots to the round-7 retrieval tier
+    # (x101-x103 above, first-round rows take priority); they stay
+    # r02-stale and lead the next rotation alongside the remaining
+    # stale singles.  41 of the 44 r02-stale rows still get r07 rows.
     # (4) re-checks of code touched this round: x89/x96 gained the
     #     corpus-fingerprint staleness stamp on their ensure_index
     #     paths (and x96's writer the id_col threading); x97's

@@ -4225,3 +4225,164 @@ def x100_kn_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         t3_counts=spark.read.parquet(p3),
         t2_counts=spark.read.parquet(p2),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval tier (round 7): BM25 top-k, persisted inverted index,
+# retrieval-based decontamination (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+# Shared oracle prefix: corpus term/length/df tables + the fixed-point BM25
+# scoring chain (constants mirror operators/retrieval.py: Q=S1=S2=1024,
+# k1=6/5, b=3/4 multiplied through to integers — module docstring derivation).
+_BM25_TABLES = """
+    toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+             FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
+    a AS (SELECT n, (l * 1024) // n AS avgdl_fp FROM st WHERE n > 0),
+    dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+"""
+
+_BM25_SCORE_TOPK = """
+    sc AS (SELECT query_id, m.doc_id,
+                  CAST(sum(  ((1024 * (2*n - 2*df + 1)) // (2*df + 1))
+                           * ((1024 * 22 * tf * avgdl_fp)
+                              // (10 * tf * avgdl_fp + 3 * avgdl_fp + 9 * dl * 1024))
+                        ) AS BIGINT) AS score_fp
+           FROM m CROSS JOIN a GROUP BY 1, 2),
+    tk AS (SELECT query_id, doc_id, score_fp,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rank
+           FROM sc)
+"""
+
+_BM25_TOPK_ORACLE = f"""
+    WITH {_BM25_TABLES},
+    qtf AS (SELECT doc_id AS query_id, term, tf FROM tf WHERE doc_id % 50 = 0),
+    qs AS (SELECT query_id, q.term,
+                  CAST(q.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS s
+           FROM qtf q JOIN dfx d USING (term)),
+    qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, term ASC) AS rn
+             FROM qs) WHERE rn <= 3),
+    m AS (SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, dfx.df
+          FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfx USING (term)),
+    {_BM25_SCORE_TOPK}
+    SELECT query_id, doc_id, score_fp, rank,
+           CAST(score_fp AS DOUBLE) / 1048576.0 AS score
+    FROM tk WHERE rank <= 5
+"""
+
+
+@query("x101_bm25_topk", oracle=_BM25_TOPK_ORACLE)
+def x101_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-5 documents per query, the query
+    workload derived from the corpus itself (every 50th doc's top-3
+    linear-tf-idf terms — the x40 scorer, so the workload is
+    deterministic and oracle-expressible).  Fixed-point integer BM25
+    (k1=6/5, b=3/4, raw-odds idf — no libm in checked values; the
+    derivation and the int64 ceilings are in
+    ``operators/retrieval.py``'s module docstring).  Scale shape:
+    query terms broadcast; every shuffle after the match carries
+    O(matched postings) integer rows; top-k is one window with a
+    streaming row counter.  The persisted-index serve (x102) is the
+    at-scale form."""
+    from ..operators.retrieval import bm25_topk, materialize_queries, top_terms_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = materialize_queries(top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3))
+    return bm25_topk(docs, queries, k=5)
+
+
+@query("x102_bm25_index_serve", oracle=_BM25_TOPK_ORACLE)
+def x102_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x101 served from the PERSISTED inverted index
+    (``retrieval.write_inverted_index`` — tf/dl/df denormalized into
+    term-bucket-partitioned postings at build time, one-row stats
+    sidecar): the oracle is x101's VERBATIM because the index changes
+    the COST, never the result (pinned bit-equal by test).  Per-run
+    work is O(matched postings in the probed buckets): the batch's
+    distinct term buckets become an IN-list partition filter
+    (plan-pinned), and no aggregation touches corpus-sized tables —
+    even the query workload is read off the index postings
+    (``top_terms_from_index``: tf/df are denormalized there, so query
+    construction is a projection + window, zero tokenization; the
+    selection is bit-identical to x101's).  Staleness-guarded by the
+    corpus fingerprint (count + max doc_id, footer-only)."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.retrieval import (
+        bm25_serve,
+        top_terms_from_index,
+        write_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_tagged_dir(_SCRATCH, "bm25_index", "v1", sf_dir=sf_dir), "full")
+    ensure_index(
+        lambda: write_inverted_index(docs, path),
+        os.path.join(path, "stats"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
+    queries = top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
+    return bm25_serve(spark, queries, path, k=5)
+
+
+@query(
+    "x103_retrieval_decontamination",
+    oracle="""
+    WITH ctoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                   FROM documents WHERE doc_id >= 20),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ctoks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
+    a AS (SELECT n, (l * 1024) // n AS avgdl_fp FROM st WHERE n > 0),
+    dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    btoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+              FROM documents WHERE doc_id < 20),
+    btf AS (SELECT doc_id AS query_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM btoks GROUP BY 1, 2),
+    qs AS (SELECT query_id, q.term,
+                  CAST(q.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS s
+           FROM btf q JOIN dfx d USING (term)),
+    qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, term ASC) AS rn
+             FROM qs) WHERE rn <= 3),
+    m AS (SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, dfx.df
+          FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfx USING (term)),
+    sc AS (SELECT query_id, m.doc_id,
+                  CAST(sum(  ((1024 * (2*n - 2*df + 1)) // (2*df + 1))
+                           * ((1024 * 22 * tf * avgdl_fp)
+                              // (10 * tf * avgdl_fp + 3 * avgdl_fp + 9 * dl * 1024))
+                        ) AS BIGINT) AS score_fp
+           FROM m CROSS JOIN a GROUP BY 1, 2),
+    tk AS (SELECT query_id, doc_id, score_fp,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rank
+           FROM sc)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(min(rank) AS INT) AS best_rank
+    FROM tk WHERE rank <= 5 GROUP BY 1
+    """,
+)
+def x103_retrieval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-based decontamination: each benchmark document
+    (doc_id < 20, the x31 eval-suite stand-in) becomes a query — its
+    top-3 distinguishing terms against TRAINING-side df — and every
+    training document (doc_id >= 20) landing in any query's BM25 top-5
+    is flagged with (n_queries, best_rank).  The lexical complement of
+    x31's exact 5-gram screen: n-gram overlap catches verbatim
+    leakage, retrieval catches the paraphrased benchmark item that
+    shares its distinguishing vocabulary.  A benchmark term absent
+    from the training side drops out of query construction (it cannot
+    retrieve; documented inner-join semantics, mirrored by the
+    oracle)."""
+    from ..operators.retrieval import retrieval_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_decontaminate(docs, F.col("doc_id") < 20, n_terms=3, k=5)
