@@ -884,6 +884,121 @@ def _cc_distributed(spark, d):
                     F.countDistinct("cluster_id").alias("n_clusters"))
 
 
+def _bm25_query_workload(spark, d, path, batch_queries=128):
+    # fixed-size SERVING workload: ~batch_queries query docs regardless of
+    # corpus size (a query batch does not grow with the corpus), each
+    # contributing its top-3 index-side tf-idf terms
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        materialize_queries,
+        top_terms_from_index,
+    )
+
+    n = spark.read.parquet(f"{d}/documents.parquet").count()
+    modulus = max(50, n // batch_queries)
+    return materialize_queries(
+        top_terms_from_index(
+            spark, path, F.pmod(F.col("doc_id"), F.lit(modulus)) == 0, n_terms=3
+        )
+    )
+
+
+def _bm25_index_path_and_buckets(spark, d):
+    # bucket-count sizing follows the blocking-key-cardinality rule
+    # (BENCH_NOTES): hold per-bucket posting volume ~constant as the
+    # vocabulary grows — n_buckets doubles with each ~1000-doc step,
+    # floored at the registered query's 64.  At 100 TB the bucket count
+    # is a function of corpus cardinality, never a constant.
+    n = spark.read.parquet(f"{d}/documents.parquet").count()
+    n_buckets = max(64, 1 << max(0, (n // 1000)).bit_length())
+    path = os.path.join(_SCALE_ROOT, "bm25_index_v2", os.path.basename(d.rstrip("/")))
+    return path, n_buckets
+
+
+def _x102_bm25_serve(spark, d, batch_queries=128):
+    # the lexical serving row: the inverted index (postings partitioned
+    # by term bucket, df/dl denormalized at build) is built ONCE per
+    # scale dir; a fixed ~128-doc query batch probes it via an IN-list
+    # partition filter over <=384 distinct term buckets.  Per-run work
+    # is O(matched postings in the probed buckets) — the fraction of
+    # the index read per batch SHRINKS as n_buckets scales with the
+    # vocabulary (the x21/x89 sub-linear serving argument, lexical).
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_serve,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    path, n_buckets = _bm25_index_path_and_buckets(spark, d)
+    ensure_index(
+        lambda: write_inverted_index(docs, path, n_buckets=n_buckets),
+        os.path.join(path, "stats"),
+    )
+    q = _bm25_query_workload(spark, d, path, batch_queries)
+    return bm25_serve(spark, q, path, k=5, n_buckets=n_buckets).agg(
+        F.count("*").alias("n_hits"), F.sum("score_fp").alias("s")
+    )
+
+
+def _x101_bm25_inflight(spark, d, batch_queries=128):
+    # the honest comparison pair for the serving row (the x85/x86
+    # snapshot-vs-self-scored convention): the SAME fixed query batch
+    # scored in-flight — tokenize + aggregate the whole corpus per run.
+    # Expected to scale ~linearly in corpus rows where the serve row
+    # stays near-flat; reuses the index only to derive the identical
+    # workload (query construction is not the measured regime).
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    path, n_buckets = _bm25_index_path_and_buckets(spark, d)
+    ensure_index(
+        lambda: write_inverted_index(docs, path, n_buckets=n_buckets),
+        os.path.join(path, "stats"),
+    )
+    q = _bm25_query_workload(spark, d, path, batch_queries)
+    return bm25_topk(docs, q, k=5).agg(
+        F.count("*").alias("n_hits"), F.sum("score_fp").alias("s")
+    )
+
+
+
+def _x102_bm25_serve_fixedq(spark, d, batch_queries=128):
+    # the PURE serving regime: the query workload is persisted once per
+    # scale dir (a serving system receives queries, it does not re-mine
+    # them from the index per request) — the timed region is ONLY the
+    # probe: bounded term collect -> partition IN-list + pushed term
+    # predicate -> score -> top-k.  The delta between this row and
+    # x102_bm25_serve_128q is the workload-construction scan, which
+    # grows with the vocabulary; this row is the x89 analogue.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_serve,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    path, n_buckets = _bm25_index_path_and_buckets(spark, d)
+    ensure_index(
+        lambda: write_inverted_index(docs, path, n_buckets=n_buckets),
+        os.path.join(path, "stats"),
+    )
+    qpath = os.path.join(path, "workload")
+    ensure_index(
+        lambda: _bm25_query_workload(spark, d, path, batch_queries)
+        .write.mode("overwrite")
+        .parquet(qpath),
+        qpath,
+    )
+    q = spark.read.parquet(qpath)
+    return bm25_serve(spark, q, path, k=5, n_buckets=n_buckets).agg(
+        F.count("*").alias("n_hits"), F.sum("score_fp").alias("s")
+    )
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
@@ -904,6 +1019,9 @@ HEAVY = [
     ("x91_quantized_knn_serve_128q", _x91_quantized_knn_serve),
     ("x96_quantized_ivf_serve_128q", _x96_quantized_ivf_serve),
     ("x97_snapshot_refresh_500d", _x97_snapshot_refresh),
+    ("x102_bm25_serve_128q", _x102_bm25_serve),
+    ("x102_bm25_serve_fixedq_128q", _x102_bm25_serve_fixedq),
+    ("x101_bm25_inflight_128q", _x101_bm25_inflight),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
     ("x60_recall_audit_full", _x60_recall_audit),
     ("x72_exact_top_terms_full", _x72_exact_top_terms),

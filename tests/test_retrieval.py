@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
     Q_AVGDL,
+    materialize_queries,
     S1_IDF,
     S2_SATUR,
     bm25_serve,
@@ -211,3 +212,132 @@ def test_top_terms_queries_rare_term_preference(spark):
         for r in top_terms_queries(tie_docs, F.col("doc_id") == 0, n_terms=1).collect()
     ]
     assert tie == [(0, "alpha")]
+
+
+def test_rrf_fuse_hand_pin(spark):
+    """Exact fusion arithmetic on hand-built arms (S = lcm(61..65) =
+    495,593,280): doc 10 in both arms (rank 1 + rank 2), doc 11 lexical
+    only (rank 2), doc 12 dense only (rank 1).
+      d10: S//61 + S//62 = 8124480 + 7993440 = 16117920
+      d11: S//62 = 7993440;  d12: S//61 = 8124480
+    order: d10, d12, d11 (and an exact tie would break by doc_id)."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        rrf_fuse,
+        rrf_scale,
+    )
+
+    assert rrf_scale(5) == 495593280
+    # every divisor divides S exactly — the no-floor contract
+    assert all(495593280 % (60 + r) == 0 for r in range(1, 6))
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], ["query_id", "doc_id", "rank"]
+    )
+    den = spark.createDataFrame(
+        [(0, 12, 1), (0, 10, 2)], ["query_id", "doc_id", "rank"]
+    )
+    got = [
+        (r.doc_id, r.rrf_fp, r.n_arms, r.rank)
+        for r in rrf_fuse([lex, den], k=5).orderBy("rank").collect()
+    ]
+    assert got == [(10, 16117920, 2, 1), (12, 8124480, 1, 2), (11, 7993440, 1, 3)]
+    # out-of-contract ranks (> k) are filtered, not floored
+    junk = spark.createDataFrame([(0, 13, 9)], ["query_id", "doc_id", "rank"])
+    assert rrf_fuse([junk], k=5).count() == 0
+
+
+def test_knn_join_exact_matches_numpy(spark):
+    """The exact batch kNN join agrees with a numpy brute force on
+    ranks (cosine ties broken by c_id ascending)."""
+    import numpy as np
+
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.q_id, r.rn): r.c_id for r in knn_join_exact(q, df, k=4).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    for qi in range(3):
+        order = sorted(range(20), key=lambda c: (-cos[qi, c], c))[:4]
+        for rank, c in enumerate(order, 1):
+            assert got[(qi, rank)] == c
+
+
+def test_derived_df_serve_equals_stored(spark, tmp_path):
+    """derived_df=True re-derives df from the probed postings and must
+    score bit-equally to the build-time stored column on a fresh
+    single-generation index (same df values by construction)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    path = str(tmp_path / "bm25")
+    write_inverted_index(docs, path)
+    stored = sorted(map(tuple, bm25_serve(spark, queries, path, k=5).collect()))
+    derived = sorted(
+        map(tuple, bm25_serve(spark, queries, path, k=5, derived_df=True).collect())
+    )
+    assert derived == stored and len(derived) > 0
+
+
+def test_streaming_inverted_index_equals_batch(spark, tmp_path):
+    """Streaming inverted-index maintenance (streaming/index.py):
+    document batches land per-batch_id; derived-df serving over the
+    streamed layout equals in-flight BM25 over the full corpus; a
+    restart on the same checkpoint is a no-op; a late landing is
+    processed incrementally and serving stays bit-equal."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_inverted_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    land_file(docs.filter("doc_id % 3 = 0"), "a")
+    land_file(docs.filter("doc_id % 3 = 1"), "b")
+
+    idx = str(tmp_path / "stream_idx")
+    ck = str(tmp_path / "ck")
+    run_streaming_inverted_index(spark, landing, idx, ck)
+
+    part = docs.filter("doc_id % 3 != 2")
+    queries = materialize_queries(
+        top_terms_queries(part, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    got = sorted(
+        map(tuple, bm25_serve(spark, queries, idx, k=5, derived_df=True).collect())
+    )
+    want = sorted(map(tuple, bm25_topk(part, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+
+    # restart, no new input: postings unchanged
+    n_before = spark.read.parquet(f"{idx}/postings").count()
+    run_streaming_inverted_index(spark, landing, idx, ck)
+    assert spark.read.parquet(f"{idx}/postings").count() == n_before
+
+    # late batch: processed incrementally, serving == full-corpus batch
+    land_file(docs.filter("doc_id % 3 = 2"), "c")
+    run_streaming_inverted_index(spark, landing, idx, ck)
+    q_full = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    got_full = sorted(
+        map(tuple, bm25_serve(spark, q_full, idx, k=5, derived_df=True).collect())
+    )
+    want_full = sorted(map(tuple, bm25_topk(docs, q_full, k=5).collect()))
+    assert got_full == want_full and len(got_full) > 0

@@ -115,16 +115,36 @@ def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return dl.filter(F.col("dl") > 0)
 
 
-def _avgdl_stats(dl: DataFrame) -> DataFrame:
-    """One-row (n, avgdl_fp): corpus size and fixed-point average doc
-    length.  NULL-guarded so an empty corpus never divides by zero."""
+def _raw_stats(dl: DataFrame) -> DataFrame:
+    """One-row (n, l): docs-with-tokens count and total token count.
+    Raw sums — ADDITIVE across index generations, so a streamed index's
+    per-batch stats rows aggregate to exactly the full-corpus values."""
     return dl.agg(
         F.count("*").cast("long").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("l"),
+    )
+
+
+def _avgdl_from_raw(raw: DataFrame) -> DataFrame:
+    """(n, avgdl_fp) from (possibly multi-row) raw stats.  The fixed-
+    point division happens ONCE, after summation — computing it at
+    build time and again at serve time from the same (n, l) is the
+    identical integer expression, so batch-built and streamed indexes
+    score bit-equally.  NULL-guarded so an empty corpus never divides
+    by zero."""
+    return raw.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("l"), F.lit(0)).cast("long").alias("l"),
     ).select(
         "n",
         F.when(F.col("n") > 0, F.expr(f"(l * {Q_AVGDL}) div n")).cast("long").alias("avgdl_fp"),
     )
+
+
+def _avgdl_stats(dl: DataFrame) -> DataFrame:
+    """One-row (n, avgdl_fp) straight from a dl table (the in-flight
+    scoring path)."""
+    return _avgdl_from_raw(_raw_stats(dl))
 
 
 def _score_fp_col() -> F.Column:
@@ -325,8 +345,13 @@ def write_inverted_index(
     The write repartitions on the bucket key before ``partitionBy``
     (the x89 finding: misaligned writes make tasks x buckets small
     files and a measured 16x slower probe; aligned, each bucket is one
-    contiguous file).  ``build_fn`` contract with
-    :func:`...ann_index.ensure_index`: overwrite-idempotent via
+    contiguous file) and SORTS each bucket file by term: parquet
+    row-group min/max stats on a sorted column turn the serve path's
+    pushed ``term IN (batch terms)`` predicate into row-group
+    SKIPPING — a probe reads only the row groups whose term range
+    intersects the batch, not the whole bucket (the lexical analogue
+    of partition pruning, one level finer).  ``build_fn`` contract
+    with :func:`...ann_index.ensure_index`: overwrite-idempotent via
     ``mode="overwrite"``."""
     tf = doc_term_freqs(docs, id_col, text_col)
     dl = doc_lengths(docs, id_col, text_col)
@@ -338,11 +363,15 @@ def write_inverted_index(
     )
     (
         postings.repartition(F.col("term_bucket"))
+        .sortWithinPartitions("term")
         .write.mode(mode)
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    _avgdl_stats(dl).write.mode(mode).parquet(os.path.join(path, "stats"))
+    # raw (n, l), not the derived avgdl: raw sums are ADDITIVE, so a
+    # streamed index's per-batch stats rows aggregate to the same
+    # values and both layouts serve through one code path
+    _raw_stats(dl).write.mode(mode).parquet(os.path.join(path, "stats"))
 
 
 def bm25_serve(
@@ -351,29 +380,50 @@ def bm25_serve(
     path: str,
     k: int = 5,
     n_buckets: int = N_TERM_BUCKETS,
+    derived_df: bool = False,
 ) -> DataFrame:
     """BM25 top-``k`` served from the PERSISTED inverted index: the
     at-scale form of :func:`bm25_topk` (oracle-pinned bit-equal when
     the index was built from the same corpus).
 
     Per-run work is O(matched postings in the probed buckets): the
-    batch's distinct term buckets are collected (bounded by
-    min(|batch terms|, n_buckets) — the bounded-collect convention of
-    ``ann_index.knn_join_index``) into an IN-list partition filter, so
-    the posting scan is partition-pruned to exactly the buckets the
-    query terms can live in; df/dl/avgdl were denormalized at build
-    time, so no aggregation ever touches corpus-sized tables."""
+    batch's distinct terms are collected ONCE (bounded O(batch) — the
+    bounded-collect convention of ``ann_index.knn_join_index``) and
+    pushed down twice: their buckets as an IN-list PARTITION filter
+    (directory pruning) and the terms themselves as a parquet IN
+    predicate, which skips row groups inside each bucket because the
+    build sorted bucket files by term (see
+    :func:`write_inverted_index`).  df/dl were denormalized at build
+    time and the raw (n, l) stats rows sum to the corpus totals, so no
+    aggregation ever touches corpus-sized tables.
+
+    ``derived_df=True`` is the APPEND-TOLERANT mode for indexes whose
+    generations land incrementally (the streaming layout,
+    ``streaming/index.py:run_streaming_inverted_index``): a stored df
+    is a GLOBAL statistic that appending a new batch silently stales
+    across every older generation, so this mode ignores/omits the
+    stored column and re-derives df as a count window over the probed
+    postings — correct because the bucket+term pushdown keeps each
+    matched term's ENTIRE posting list, and still O(probed postings).
+    Incremental generations must carry disjoint doc_ids (the same
+    new-ids append contract as the ANN indexes); per-batch (n, l)
+    stats rows make avgdl exact by additivity."""
     qterms = queries.select("query_id", "term")
-    buckets = [
-        r[0]
-        for r in qterms.select(term_bucket(F.col("term"), n_buckets).alias("b"))
+    pairs = (
+        qterms.select("term", term_bucket(F.col("term"), n_buckets).alias("b"))
         .distinct()
         .collect()
-    ]
-    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
-        F.col("term_bucket").isin(buckets)
     )
-    stats = spark.read.parquet(os.path.join(path, "stats"))
+    term_rows = sorted({r.term for r in pairs})
+    buckets = sorted({r.b for r in pairs})
+    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(term_rows)
+    )
+    if derived_df:
+        postings = postings.select("term", "doc_id", "tf", "dl").withColumn(
+            "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+        )
+    stats = _avgdl_from_raw(spark.read.parquet(os.path.join(path, "stats")))
     matched = (
         F.broadcast(qterms)
         .join(postings, "term")
@@ -425,4 +475,76 @@ def retrieval_decontaminate(
     return hits.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_queries"),
         F.min("rank").cast("int").alias("best_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard Cormack/Clarke/Buettcher smoothing constant
+
+
+def rrf_scale(k: int, rrf_k: int = RRF_K) -> int:
+    """The common-denominator fixed-point scale for :func:`rrf_fuse`:
+    lcm(rrf_k+1 .. rrf_k+k), so every per-rank contribution
+    S // (rrf_k + rank) is EXACT (the divisor divides S) — reciprocal
+    rank fusion carried entirely in int64, per the no-libm contract.
+    For the defaults (K=60, k=5): lcm(61..65) = 495,593,280; the fused
+    sum is bounded by n_arms * k * S, far inside int64 for any sane
+    arm count."""
+    import math
+
+    return math.lcm(*range(rrf_k + 1, rrf_k + k + 1))
+
+
+def rrf_fuse(
+    arms: list[DataFrame], k: int = 5, rrf_k: int = RRF_K, max_rank: int | None = None
+) -> DataFrame:
+    """Reciprocal rank fusion of retrieval arms — the standard hybrid-
+    search combiner (lexical BM25 + dense kNN, or any mix: each arm is
+    just a (query_id, doc_id, rank) DataFrame, so approximate/index-
+    served arms plug in unchanged at scale).
+
+    rrf(q, d) = sum over arms ranking d of 1 / (rrf_k + rank), carried
+    as integer ``rrf_fp = sum(S // (rrf_k + rank))`` at the exact
+    common-denominator scale S = :func:`rrf_scale` — cross-engine
+    bit-exact, no float summation order to disagree on.  Rows with
+    rank > max_rank (default: ``k``) are filtered first: their divisor
+    would not divide S (the contribution would floor, silently
+    inexact), and a well-formed arm never emits them.
+
+    Returns (query_id, doc_id, rrf_fp, n_arms, rank, rrf): each
+    query's top-``k`` by (rrf_fp desc, doc_id asc — total order),
+    n_arms = how many arms retrieved the doc, rrf = rrf_fp / S (one
+    IEEE division, display only).
+
+    Scale shape: arms are already top-k-per-query (O(batch·k) rows
+    each); the fusion is a unionByName + one (query_id, doc_id)
+    aggregation + one per-query window — every stage O(batch)."""
+    cap = k if max_rank is None else max_rank
+    s = rrf_scale(cap, rrf_k)
+    parts = [
+        a.select("query_id", "doc_id", "rank").filter(F.col("rank") <= cap)
+        for a in arms
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(f"{s} div ({rrf_k} + rank)")).cast("long").alias("rrf_fp"),
+        F.count("*").cast("int").alias("n_arms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_fp",
+            "n_arms",
+            "rank",
+            (F.col("rrf_fp").cast("double") / float(s)).alias("rrf"),
+        )
     )

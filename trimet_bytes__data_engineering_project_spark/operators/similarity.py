@@ -604,3 +604,48 @@ def ann_recall_audit(
     return hits.withColumn(
         "recall", F.col("n_hit").cast("double") / F.lit(float(k))
     )
+
+
+def knn_join_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT batch kNN join — every query against the FULL corpus, no
+    blocking: the recall=1 baseline the approximate paths (knn_join,
+    the persisted-index serves) are audited against, and the dense arm
+    of hybrid retrieval (``retrieval.rrf_fuse``) where exact ranks
+    matter.
+
+    Returns (q_id, c_id, cos_sim, rn), rn = 1..k per query, ties by
+    c_id ascending (total order, engine-portable).
+
+    Scale shape: the O(batch) query side BROADCASTS over the corpus
+    scan — a broadcast nested loop whose bounded side is the batch, so
+    per-run work is |batch| x |corpus| dot products in one pass with
+    no shuffle of the corpus; norms are folded per SIDE before the
+    join (the BENCH_NOTES norm-hoisting rule).  This is the
+    deliberate brute-force regime: it holds while |batch| x |corpus|
+    compute fits the cluster (an audit sample, a small serving batch);
+    beyond that, compose the bucketed/index forms instead — the fusion
+    consumes (id, rank) from ANY arm."""
+    qv = as_double_vec(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), qv.alias("qvec"), l2_norm(qv).alias("qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), qv.alias("cvec"), l2_norm(qv).alias("cn")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "cos_sim", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos_sim", "rn")
+    )

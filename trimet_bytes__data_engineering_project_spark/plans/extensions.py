@@ -4321,7 +4321,7 @@ def x102_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(_tagged_dir(_SCRATCH, "bm25_index", "v1", sf_dir=sf_dir), "full")
+    path = os.path.join(_tagged_dir(_SCRATCH, "bm25_index", "v2", sf_dir=sf_dir), "full")
     ensure_index(
         lambda: write_inverted_index(docs, path),
         os.path.join(path, "stats"),
@@ -4386,3 +4386,101 @@ def x103_retrieval_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     return retrieval_decontaminate(docs, F.col("doc_id") < 20, n_terms=3, k=5)
+
+
+_RRF_S = 495593280  # lcm(61..65) — retrieval.rrf_scale(5), exact divisors
+
+
+@query(
+    "x104_hybrid_rrf",
+    oracle=f"""
+    WITH edocs AS (SELECT d.doc_id, d.text FROM documents d
+                   JOIN embeddings e ON d.doc_id = e.vec_id),
+    toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+             FROM edocs),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
+    a AS (SELECT n, (l * 1024) // n AS avgdl_fp FROM st WHERE n > 0),
+    dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    qtf AS (SELECT doc_id AS query_id, term, tf FROM tf WHERE doc_id % 50 = 0),
+    qs AS (SELECT query_id, q.term,
+                  CAST(q.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS s
+           FROM qtf q JOIN dfx d USING (term)),
+    qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, term ASC) AS rn
+             FROM qs) WHERE rn <= 3),
+    m AS (SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, dfx.df
+          FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfx USING (term)),
+    sc AS (SELECT query_id, m.doc_id,
+                  CAST(sum(  ((1024 * (2*n - 2*df + 1)) // (2*df + 1))
+                           * ((1024 * 22 * tf * avgdl_fp)
+                              // (10 * tf * avgdl_fp + 3 * avgdl_fp + 9 * dl * 1024))
+                        ) AS BIGINT) AS score_fp
+           FROM m CROSS JOIN a GROUP BY 1, 2),
+    lex AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_fp DESC, doc_id ASC) AS rank
+            FROM sc),
+    qv AS (SELECT vec_id AS q_id, {_VEC} AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+    cv AS (SELECT vec_id AS c_id, {_VEC} AS cvec FROM embeddings),
+    dj AS (SELECT q_id, c_id, {_cos_sql('qvec', 'cvec')} AS cos
+           FROM qv CROSS JOIN cv),
+    den AS (SELECT q_id AS query_id, c_id AS doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rank
+            FROM dj),
+    u AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 5
+          UNION ALL
+          SELECT query_id, doc_id, rank FROM den WHERE rank <= 5),
+    f AS (SELECT query_id, doc_id,
+                 CAST(sum({_RRF_S} // (60 + rank)) AS BIGINT) AS rrf_fp,
+                 CAST(count(*) AS INT) AS n_arms
+          FROM u GROUP BY 1, 2),
+    tk AS (SELECT query_id, doc_id, rrf_fp, n_arms,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rrf_fp DESC, doc_id ASC) AS INT) AS rank
+           FROM f)
+    SELECT query_id, doc_id, rrf_fp, n_arms, rank,
+           CAST(rrf_fp AS DOUBLE) / {_RRF_S}.0 AS rrf
+    FROM tk WHERE rank <= 5
+    """,
+)
+def x104_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the lexical arm (x101's BM25 top-5) and the
+    dense arm (EXACT cosine top-5, ``similarity.knn_join_exact``) over
+    the embedded slice of the corpus (documents semi-joined to
+    embeddings on doc_id = vec_id), fused by reciprocal rank fusion at
+    the exact common-denominator scale S = lcm(61..65) — the fused
+    score is an int64 sum of exact divisions (``retrieval.rrf_fuse``),
+    no float summation order to disagree on.  The composition contract
+    is (query_id, doc_id, rank) per arm, so at scale either arm swaps
+    for its index-served form (x102 / x90) without touching the
+    fusion.  Arms may disagree on which queries they answer (a
+    zero-token query doc has no lexical terms) — fusion is a union +
+    one O(batch) aggregation, never an outer join."""
+    from ..operators.retrieval import (
+        bm25_topk,
+        materialize_queries,
+        rrf_fuse,
+        top_terms_queries,
+    )
+    from ..operators.similarity import knn_join_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    edocs = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    queries = materialize_queries(
+        top_terms_queries(edocs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    lex = bm25_topk(edocs, queries, k=5).select("query_id", "doc_id", "rank")
+    den = knn_join_exact(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("doc_id"),
+        F.col("rn").alias("rank"),
+    )
+    return rrf_fuse([lex, den], k=5)

@@ -242,3 +242,73 @@ def run_streaming_ivf_serve(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_inverted_index(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming maintenance for the LEXICAL inverted index — the
+    ``run_streaming_lsh_index`` contract applied to BM25 postings
+    (``operators/retrieval.py``): an availableNow stream over a parquet
+    document landing tokenizes each micro-batch and lands its postings
+    under ``postings/batch_id=N/term_bucket=B`` (idempotent overwrite
+    per batch_id — a replayed micro-batch repairs, never duplicates)
+    with the same bucket-aligned shuffle + per-bucket term sort as the
+    batch build, so the serve path's partition IN-list and pushed term
+    predicate prune identically on either layout.
+
+    What streaming CANNOT maintain is the batch build's denormalized
+    ``df`` — document frequency is a global statistic, and every new
+    generation would stale it across all older ones.  Streamed
+    postings therefore omit df, and serving uses
+    ``bm25_serve(derived_df=True)``, which re-derives df from the
+    probed postings (O(probed postings); correct because pruning keeps
+    whole posting lists).  Stats land per batch as RAW (n, l) rows —
+    additive, so the serve-time sum is exactly the full-corpus value.
+    Generations must carry disjoint doc_ids (the new-ids append
+    contract shared with the ANN indexes)."""
+    from ..operators.retrieval import (
+        N_TERM_BUCKETS,
+        _raw_stats,
+        doc_lengths,
+        doc_term_freqs,
+        term_bucket,
+    )
+
+    nb = n_buckets or N_TERM_BUCKETS
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        tf = doc_term_freqs(batch_df, id_col, text_col)
+        dl = doc_lengths(batch_df, id_col, text_col)
+        postings = (
+            tf.join(dl, "doc_id")
+            .withColumn("term_bucket", term_bucket(F.col("term"), nb))
+        )
+        (
+            postings.repartition(F.col("term_bucket"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{index_path}/postings/batch_id={batch_id}")
+        )
+        _raw_stats(dl).write.mode("overwrite").parquet(
+            f"{index_path}/stats/batch_id={batch_id}"
+        )
+
+    (
+        spark.readStream.schema(
+            spark.read.parquet(landing_dir).schema
+        )
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
