@@ -999,6 +999,29 @@ def _x102_bm25_serve_fixedq(spark, d, batch_queries=128):
     )
 
 
+
+def _x105_pq_probe(spark, d):
+    # the compressed-codes serving row: the PQ index stores ~8 code
+    # bytes + one double per vector (vs 512 B of float64 — ~40x fewer
+    # scan bytes than the float index and ~10x fewer than int8); the
+    # ADC probe is one TakeOrderedAndProject scan of the codes table,
+    # no join, no shuffle.  Expected ~linear in rows with a tiny
+    # constant — the regime where scanning EVERYTHING beats pruning.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        pq_adc_probe,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = os.path.join(_SCALE_ROOT, "pq_index", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: write_pq_index(emb, path, dim=64), os.path.join(path, "codes")
+    )
+    return pq_adc_probe(spark, path, qv, k=5)
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
@@ -1021,6 +1044,7 @@ HEAVY = [
     ("x97_snapshot_refresh_500d", _x97_snapshot_refresh),
     ("x102_bm25_serve_128q", _x102_bm25_serve),
     ("x102_bm25_serve_fixedq_128q", _x102_bm25_serve_fixedq),
+    ("x105_pq_adc_probe", _x105_pq_probe),
     ("x101_bm25_inflight_128q", _x101_bm25_inflight),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
     ("x60_recall_audit_full", _x60_recall_audit),

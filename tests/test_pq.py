@@ -1,0 +1,138 @@
+"""Product quantization (operators/pq.py): hand-pinned encode/ADC on a
+tiny integer corpus, the frozen-codebook append contract, the zero-norm
+NULL guard, and the trained (per-subspace kmeans) codebook path."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trimet_bytes__data_engineering_project_spark.operators.pq import (
+    append_pq_codes,
+    pq_adc_probe,
+    pq_codebook_first_n,
+    pq_codebook_kmeans,
+    pq_encode,
+    write_pq_index,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+
+
+def test_pq_encode_hand_pin(spark):
+    """dim=4, m=2, ks=2.  Codebook (first 2 by id):
+      m=0: code0=[1,0] (v0), code1=[0,1] (v1); m=1: code0=[0,2], code1=[2,0].
+    v2=[1,1,2,2] encodes: m0 sub=[1,1]: d2 to c0=(0+1)=1, c1=(1+0)=1 ->
+    TIE -> code 0; m1 sub=[2,2]: d2 to c0=(4+0)=4, c1=(0+4)=4 -> tie ->
+    code 0.  recon = [1,0,0,2], recon_norm = sqrt(1+4)=sqrt(5)."""
+    corpus = _emb(
+        spark, [(0, [1, 0, 0, 2]), (1, [0, 1, 2, 0]), (2, [1, 1, 2, 2])]
+    )
+    cb = pq_codebook_first_n(corpus, dim=4, m=2, ks=2)
+    enc = {r.vec_id: (list(r.codes), r.recon_norm) for r in
+           pq_encode(corpus, cb, dim=4, m=2).collect()}
+    assert enc[0] == ([0, 0], pytest.approx(math.sqrt(5), abs=0))
+    assert enc[1] == ([1, 1], pytest.approx(math.sqrt(5), abs=0))
+    assert enc[2][0] == [0, 0]
+    assert enc[2][1] == pytest.approx(math.sqrt(5), abs=0)
+
+
+def test_pq_adc_probe_hand_pin(spark, tmp_path):
+    """ADC score of v0 for query [1,0,0,2] (= v0 itself): raw =
+    dot([1,0],[1,0]) + dot([0,2],[0,2]) = 1 + 4 = 5 exactly; cos =
+    5 / (sqrt(5)*sqrt(5)) — float sqrt(5)**2 is 5+1ulp, so the
+    self-match reads 1.0 only to ~1e-16 (the division is the single
+    inexact step; everything upstream is exact on integer floats)."""
+    corpus = _emb(
+        spark, [(0, [1, 0, 0, 2]), (1, [0, 1, 2, 0]), (2, [1, 1, 2, 2])]
+    )
+    path = str(tmp_path / "pq")
+    write_pq_index(corpus, path, dim=4, m=2, ks=2)
+    got = [(r.vec_id, r.cos_approx) for r in
+           pq_adc_probe(spark, path, [1.0, 0.0, 0.0, 2.0], k=3, m=2).collect()]
+    assert got[0][0] == 0 and got[0][1] == pytest.approx(1.0, rel=1e-12)
+    assert [v for v, _ in got] == [0, 2, 1]
+
+
+def test_pq_append_frozen_codebook(spark, tmp_path):
+    """Append encodes against the persisted codebook; when the base
+    build already contains the first-ks id range, append-then-probe is
+    bit-equal to a single full build."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base, late = emb.filter("vec_id < 300"), emb.filter("vec_id >= 300")
+
+    p_inc = str(tmp_path / "inc")
+    write_pq_index(base, p_inc, dim=64)
+    append_pq_codes(late, p_inc, dim=64)
+
+    p_full = str(tmp_path / "full")
+    write_pq_index(emb, p_full, dim=64)
+
+    inc = [tuple(r) for r in pq_adc_probe(spark, p_inc, qv, k=5).collect()]
+    full = [tuple(r) for r in pq_adc_probe(spark, p_full, qv, k=5).collect()]
+    assert inc == full and len(inc) == 5
+
+
+def test_pq_zero_vector_scores_null(spark, tmp_path):
+    """A corpus row that encodes to the zero codeword (the codebook's
+    code 0 here IS a zero vector) has recon_norm 0 -> NULL score,
+    sorted after every real score (the serve NULL-score contract),
+    never a fake 0.0 mid-list."""
+    corpus = _emb(
+        spark,
+        [(0, [0, 0, 0, 0]), (1, [1, 1, 1, 1]), (2, [0, 0, 0, 0]), (3, [2, 2, 2, 2])],
+    )
+    path = str(tmp_path / "pq")
+    write_pq_index(corpus, path, dim=4, m=2, ks=2)
+    got = [(r.vec_id, r.cos_approx) for r in
+           pq_adc_probe(spark, path, [1.0, 1.0, 1.0, 1.0], k=4, m=2).collect()]
+    real = [g for g in got if g[1] is not None]
+    nulls = [g for g in got if g[1] is None]
+    assert {g[0] for g in real} == {1, 3} and {g[0] for g in nulls} == {0, 2}
+    assert got[:2] == real  # NULLs sort last
+
+
+def test_pq_kmeans_codebook_path(spark):
+    """The trained per-subspace codebook drives the same encode/ADC
+    machinery: codes stay in range, every (vec, m) encodes, and the
+    ADC score of a vector equals the exact cosine of its
+    RECONSTRUCTION within float tolerance (the different summation
+    grouping — per-subspace folds vs one 64-fold — bounds the drift)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 120"
+    )
+    cb = pq_codebook_kmeans(emb, dim=64, m=4, ks=4, n_iter=1)
+    rows = cb.collect()
+    assert {(r.m, r.code) for r in rows} == {(m, c) for m in range(4) for c in range(4)}
+    enc = pq_encode(emb, cb, dim=64, m=4)
+    e = enc.collect()
+    assert len(e) == 120 and all(len(r.codes) == 4 for r in e)
+    # reconstruction-consistency: ADC(q, v) == cos(q, recon(v)) +- eps
+    cbm = {(r.m, r.code): np.asarray(r.cvec) for r in rows}
+    q = np.asarray(
+        [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    )
+    first = sorted(e, key=lambda r: r.vec_id)[0]
+    recon = np.concatenate([cbm[(m, first.codes[m])] for m in range(4)])
+    want = float(q @ recon / (np.linalg.norm(q) * np.linalg.norm(recon)))
+    import os
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "pq")
+        write_pq_index(emb, path, dim=64, m=4, ks=4, codebook=cb)
+        got = {
+            r.vec_id: r.cos_approx
+            for r in pq_adc_probe(spark, path, [float(x) for x in q], k=120, m=4).collect()
+        }
+    assert got[first.vec_id] == pytest.approx(want, rel=1e-9)

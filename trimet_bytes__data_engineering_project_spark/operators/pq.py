@@ -1,0 +1,293 @@
+"""Product quantization (PQ) with asymmetric distance computation —
+the compressed-codes tier of the ANN family.
+
+The quantization ladder so far (``operators/ann_index.py``): float
+indexes -> int8 SCALAR quantization (~4x fewer scan bytes, measured
+38 MB vs 70 MB at x100).  PQ is the next rung: each vector is stored
+as ``m`` one-byte CODES (m=8 at dim=64 -> 8 bytes + a stored
+reconstruction norm vs 512 bytes of float64 — the representation
+FAISS-scale systems serve billions of vectors from).  A vector is
+split into ``m`` subvectors of dim/m dims; each subspace has its own
+``ks``-entry codebook; the stored code is the index of the nearest
+(squared-L2) centroid per subspace.  Serving is ADC: the QUERY stays
+full-precision — its per-subspace dot products against every codebook
+entry form an m x ks distance table (bounded: 128 doubles at the
+defaults, driver-collected per the bounded-collect convention), and a
+candidate's approximate inner product is the sequential m-fold sum of
+table lookups at its codes.  Approximate cosine divides by the stored
+reconstruction norm (||recon|| = sqrt of the m-fold sum of chosen
+centroids' squared norms — reconstruction subvectors are orthogonal
+blocks, so the norm is exact, not approximated).
+
+Determinism / oracle contract: every float reduction is the repo's
+sequential fold (``similarity.dot`` / the DuckDB ``list_reduce``
+twin), argmin encoding breaks ties by code ascending, and the
+cross-subspace sums fold in m order — bit-identical across engines,
+so the whole encode -> store -> ADC lifecycle sits under the oracle
+gate (x105).  Two codebook sources:
+
+- :func:`pq_codebook_first_n` — deterministic first-``ks``-by-id
+  subvectors, train-free: the oracle-compact registered form (the same
+  convention as the pre-trained IVF quantizer, x12/x21).
+- :func:`pq_codebook_kmeans` — per-subspace Lloyd via
+  ``ann_index.kmeans_centroids`` (the trained form; x27's oracle shows
+  the training chain is SQL-expressible, but at m chains it is pytest-
+  covered instead, with the deterministic codebook carrying the oracle
+  gate).
+
+Scale shape: encoding is one corpus pass (posexplode to (vec, m) rows
+-> broadcast codebook join -> per-(vec, m) argmin window); the codes
+table is ~dim/ (m) x smaller than the float index, unpartitioned ON
+PURPOSE — an ADC scan reads every code (no pruning dimension), and the
+point is that reading ALL codes costs less than reading one float
+inverted list.  Compose with the IVF coarse quantizer (store codes
+partitioned by centroid_id) when corpus size outgrows the full-scan
+budget — the codebook/ADC machinery is unchanged.
+
+Zero-norm contract: a zero query or a zero reconstruction scores NULL
+(never a fake 0.0 ordering mid-list) — the same NULL-score contract as
+the float/int8 serves (round-6 hardening, ``ann_index.py``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import as_double_vec, dot, vector_literal
+
+PQ_M = 8  # subspaces
+PQ_KS = 16  # codebook entries per subspace
+
+
+def _sq_norm(a: F.Column) -> F.Column:
+    """Sequential-fold squared norm (l2_norm without the sqrt — kept as
+    its own fold so build-time cn2 and the oracle share one shape)."""
+    return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold squared L2 distance (the encode argmin metric)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subspaces(vec: F.Column, dim: int, m: int) -> F.Column:
+    """array of m subvector slices (dim/m dims each, 1-based slicing)."""
+    d = dim // m
+    return F.array(*[F.slice(vec, i * d + 1, d) for i in range(m)])
+
+
+def pq_codebook_first_n(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic train-free codebook: subspace ``j``'s entries are
+    the ``j``-th subvectors of the first ``ks`` vectors by id, code =
+    id rank (0-based).  (m, code, cvec, cn2) — cn2 is the build-time
+    squared norm every consumer folds from."""
+    # limit-first, then rank: the single-partition row_number window
+    # runs over ks rows (bounded), never the corpus
+    w = Window.orderBy("_id")
+    base = (
+        emb.select(F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("v"))
+        .orderBy("_id")
+        .limit(ks)
+        .withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+    )
+    sub = base.select(
+        "code",
+        F.posexplode(_subspaces(F.col("v"), dim, m)).alias("m", "cvec"),
+    )
+    return sub.select(
+        F.col("m").cast("int"), "code", "cvec", _sq_norm(F.col("cvec")).alias("cn2")
+    )
+
+
+def pq_codebook_kmeans(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Trained codebook: ``ann_index.kmeans_centroids`` run per
+    subspace over that subspace's slices (m independent Lloyd chains,
+    each deterministic — farthest-first seeding + the two-level
+    bit-stable fold mean).  code = centroid_id rank within the
+    subspace (0-based), so downstream encode/ADC are source-agnostic."""
+    from .ann_index import kmeans_centroids
+
+    d = dim // m
+    parts = []
+    for j in range(m):
+        sl = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(as_double_vec(vec_col), j * d + 1, d).alias("embedding"),
+        )
+        cents = kmeans_centroids(sl, n_centroids=ks, n_iter=n_iter)
+        w = Window.orderBy("centroid_id")
+        parts.append(
+            cents.select(
+                F.lit(j).cast("int").alias("m"),
+                (F.row_number().over(w) - 1).cast("int").alias("code"),
+                F.col("cvec"),
+            )
+        )
+    cb = parts[0]
+    for p in parts[1:]:
+        cb = cb.unionByName(p)
+    return cb.withColumn("cn2", _sq_norm(F.col("cvec")))
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One corpus pass: (vec_id, codes array<int>, recon_norm).
+
+    posexplode to (vec, m, subvector) rows, broadcast-join the codebook
+    on m (ks candidates per row), keep the squared-L2 argmin per
+    (vec, m) — ties by code ascending — then reassemble per vector:
+    codes in m order, recon_norm = sqrt of the m-ORDERED sequential
+    fold of chosen cn2 (a groupBy float SUM would have engine-dependent
+    partial order; the fold is bit-stable)."""
+    sub = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(_subspaces(as_double_vec(vec_col), dim, m)).alias("m", "sub"),
+    )
+    cand = sub.join(F.broadcast(codebook), "m").withColumn(
+        "d2", _l2sq(F.col("sub"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    grouped = best.groupBy("vec_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("m"), F.col("code"), F.col("cn2")))
+        ).alias("ms")
+    )
+    codes = F.transform(F.col("ms"), lambda s: s["code"])
+    rn2 = F.aggregate(
+        F.transform(F.col("ms"), lambda s: s["cn2"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return grouped.select(
+        "vec_id", codes.alias("codes"), F.sqrt(rn2).alias("recon_norm")
+    )
+
+
+def write_pq_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    codebook: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist codebook + codes.  Layout: ``{path}/codebook`` (m x ks
+    rows) and ``{path}/codes`` (vec_id, codes, recon_norm) — the whole
+    serving state; ~m bytes/vector of codes vs 8*dim of float64.  The
+    default codebook is the deterministic first-``ks`` form; pass the
+    kmeans one for trained quality (identical layout).  Appends: new
+    vectors encode against the PERSISTED codebook (codes never move
+    with corpus growth — the same frozen-quantizer contract as the
+    streaming IVF lands)."""
+    cb = codebook if codebook is not None else pq_codebook_first_n(
+        emb, dim, m, ks, vec_col, id_col
+    )
+    cb.write.mode(mode).parquet(os.path.join(path, "codebook"))
+    spark = emb.sparkSession
+    persisted = spark.read.parquet(os.path.join(path, "codebook"))
+    pq_encode(emb, persisted, dim, m, vec_col, id_col).write.mode(mode).parquet(
+        os.path.join(path, "codes")
+    )
+
+
+def pq_adc_probe(
+    spark: SparkSession, path: str, qvec: list[float], k: int = 5, m: int = PQ_M
+) -> DataFrame:
+    """ADC top-``k`` from the persisted PQ index: build the query's
+    m x ks partial-dot table with the SAME sequential folds the index
+    was built with (one tiny Spark job over the m x ks codebook,
+    driver-collected — bounded, 128 doubles at the defaults), then one
+    scan of the codes table where each row's approximate inner product
+    is the m-ordered fold of table lookups at its codes.  Approximate
+    cosine divides by the stored reconstruction norm and the query
+    norm; zero norms score NULL (the serve NULL-score contract).
+    Returns (vec_id, cos_approx), top-k by (cos_approx desc, vec_id).
+    TakeOrderedAndProject over a scan that reads ~m bytes + one double
+    per vector — the point of the representation."""
+    d = len(qvec) // m
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    qsub = F.array(
+        *[vector_literal(qvec[j * d : (j + 1) * d]) for j in range(m)]
+    )
+    dtab = (
+        cb.withColumn("p", dot(F.element_at(qsub, F.col("m") + 1), F.col("cvec")))
+        .select("m", "code", "p")
+        .collect()
+    )
+    table: dict[tuple[int, int], float] = {(r.m, r.code): r.p for r in dtab}
+    ks = 1 + max(c for (_, c) in table)
+    dt_rows = [[float(table[(j, c)]) for c in range(ks)] for j in range(m)]
+    dt_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dt_rows])
+    qn_row = spark.range(1).select(
+        F.sqrt(_sq_norm(vector_literal(qvec))).alias("qn")
+    ).collect()
+    qn = float(qn_row[0].qn)
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    raw = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(F.element_at(dt_col, i + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("recon_norm") > 0) & (F.lit(qn) > 0),
+        raw / (F.lit(qn) * F.col("recon_norm")),
+    )
+    return (
+        codes.select("vec_id", cos.alias("cos_approx"))
+        .orderBy(F.desc("cos_approx"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def append_pq_codes(
+    emb_new: DataFrame,
+    path: str,
+    dim: int,
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental append: encode NEW vectors against the PERSISTED
+    codebook (codes never move with corpus growth — the frozen-
+    quantizer contract of the streaming IVF lands) and append to the
+    codes table.  New generations must carry new vec_ids (the shared
+    append contract)."""
+    spark = emb_new.sparkSession
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    pq_encode(emb_new, cb, dim, m, vec_col, id_col).write.mode("append").parquet(
+        os.path.join(path, "codes")
+    )

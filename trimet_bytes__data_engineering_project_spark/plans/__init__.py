@@ -35,6 +35,7 @@ _WINDOW_HEAD = [
     "x102_bm25_index_serve",
     "x103_retrieval_decontamination",
     "x104_hybrid_rrf",
+    "x105_pq_adc_probe",
     # (2) the round-6 verdict's item 6: the 44 queries whose latest
     #     driver row is r02 — four rounds stale, beyond the intent of
     #     the park-the-twice-green convention.  Oldest tier first: the
@@ -78,11 +79,11 @@ _WINDOW_HEAD = [
     "x09_simhash",
     "x10_ann_bruteforce",
     "x11_ann_lsh",
-    "x12_ann_ivf",
-    # x13/x15/x17/x18 yield their head slots to the round-7 retrieval
-    # tier (x101-x104 above, first-round rows take priority); they stay
-    # r02-stale and lead the next rotation alongside the remaining
-    # stale singles.  40 of the 44 r02-stale rows still get r07 rows.
+    # x12/x13/x15/x17/x18 yield their head slots to the round-7
+    # retrieval + PQ tier (x101-x105 above, first-round rows take
+    # priority); they stay r02-stale and lead the next rotation
+    # alongside the remaining stale singles.  39 of the 44 r02-stale
+    # rows still get r07 rows.
     # (4) re-checks of code touched this round: x89/x96 gained the
     #     corpus-fingerprint staleness stamp on their ensure_index
     #     paths (and x96's writer the id_col threading); x97's

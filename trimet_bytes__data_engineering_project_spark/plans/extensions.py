@@ -4484,3 +4484,83 @@ def x104_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").alias("rank"),
     )
     return rrf_fuse([lex, den], k=5)
+
+
+def _build_pq_oracle(dim: int = 64, m: int = 8, ks: int = 16, k: int = 5) -> str:
+    """The full PQ lifecycle — deterministic first-ks codebook per
+    subspace, squared-L2 argmin encode, stored reconstruction norms,
+    ADC scoring — as one DuckDB statement (operators/pq.py).  Every
+    float reduction is the sequential-fold twin of the Spark side
+    (the x27 lesson: fold order IS the correctness contract), and the
+    cross-subspace sums fold in m order via list(p ORDER BY m)."""
+    d = dim // m
+
+    def foldsum(lst: str) -> str:
+        return f"list_reduce(list_prepend(0.0, {lst}), (acc, x) -> acc + x)"
+
+    def dot_sql(a: str, b: str) -> str:
+        return foldsum(f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])")
+
+    def l2sq_sql(a: str, b: str) -> str:
+        return foldsum(
+            f"list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))"
+        )
+
+    def sqn_sql(a: str) -> str:
+        return foldsum(f"list_transform({a}, x -> x * x)")
+
+    qsub = f"list_slice((SELECT qv FROM q), m*{d}+1, m*{d}+{d})"
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    q AS MATERIALIZED (SELECT {_QV_SQL} AS qv),
+    ms AS (SELECT CAST(unnest(range({m})) AS INT) AS m),
+    cb0 AS MATERIALIZED (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+                         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {ks})),
+    cbn AS MATERIALIZED (SELECT m, code, list_slice(v, m*{d}+1, m*{d}+{d}) AS cvec,
+                                {sqn_sql(f'list_slice(v, m*{d}+1, m*{d}+{d})')} AS cn2
+                         FROM cb0 CROSS JOIN ms),
+    sv AS (SELECT vec_id, m, list_slice(v, m*{d}+1, m*{d}+{d}) AS sub FROM e CROSS JOIN ms),
+    asg AS (SELECT vec_id, m, code, cn2,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY {l2sq_sql('sub', 'cvec')} ASC, code ASC) AS rn
+            FROM sv JOIN cbn USING (m)),
+    enc AS MATERIALIZED (SELECT vec_id, m, code, cn2 FROM asg WHERE rn = 1),
+    rn1 AS (SELECT vec_id, list(cn2 ORDER BY m) AS cs FROM enc GROUP BY 1),
+    rnv AS (SELECT vec_id, sqrt({foldsum('cs')}) AS recon_norm FROM rn1),
+    dt AS (SELECT m, code, {dot_sql(qsub, 'cvec')} AS p FROM cbn),
+    sc1 AS (SELECT vec_id, list(p ORDER BY m) AS ps FROM enc JOIN dt USING (m, code) GROUP BY 1),
+    sc AS (SELECT vec_id, {foldsum('ps')} AS raw FROM sc1),
+    qn AS (SELECT sqrt({sqn_sql('(SELECT qv FROM q)')}) AS qn)
+    SELECT s.vec_id,
+           CASE WHEN r.recon_norm > 0 AND qn.qn > 0
+                THEN s.raw / (qn.qn * r.recon_norm) END AS cos_approx
+    FROM sc s JOIN rnv r USING (vec_id) CROSS JOIN qn
+    ORDER BY cos_approx DESC NULLS LAST, vec_id LIMIT {k}
+    """
+
+
+@query("x105_pq_adc_probe", oracle=_build_pq_oracle())
+def x105_pq_adc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized index + asymmetric-distance probe — the
+    compressed-codes rung of the quantization ladder (float -> int8
+    scalar -> PQ, ``operators/pq.py``): vectors stored as m=8 one-byte
+    codes + a reconstruction norm (~8 bytes vs 512 of float64), the
+    query full-precision, scoring = m-ordered fold of distance-table
+    lookups.  The registered form uses the deterministic first-16
+    per-subspace codebook (the pre-trained-quantizer convention of
+    x12/x21) so the ENTIRE encode -> store -> ADC lifecycle sits under
+    the oracle gate; the per-subspace-kmeans trained codebook is the
+    pytest-covered quality path.  Staleness-guarded build-once index;
+    the probe scan reads only (vec_id, codes, recon_norm)."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.pq import pq_adc_probe, write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = _index_dir(sf_dir, "pq_v1")
+    ensure_index(
+        lambda: write_pq_index(emb, path, dim=64),
+        os.path.join(path, "codes"),
+        fingerprint=corpus_fingerprint(emb),
+    )
+    return pq_adc_probe(spark, path, qv, k=5)
