@@ -136,3 +136,21 @@ def test_pq_kmeans_codebook_path(spark):
             for r in pq_adc_probe(spark, path, [float(x) for x in q], k=120, m=4).collect()
         }
     assert got[first.vec_id] == pytest.approx(want, rel=1e-9)
+
+
+def test_pq_knn_join_agrees_with_single_probes(spark, tmp_path):
+    """The batch ADC join is bit-equal to per-query single probes (same
+    folds, same codebook — the table side just builds distributed)."""
+    from trimet_bytes__data_engineering_project_spark.operators.pq import pq_knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "pq")
+    write_pq_index(emb, path, dim=64)
+    batch = pq_knn_join(spark, emb.filter("vec_id % 100 = 0"), path, k=4)
+    got = {(r.q_id, r.rn): (r.c_id, r.cos_approx) for r in batch.collect()}
+    assert len(got) > 0
+    for qid in [r.vec_id for r in emb.filter("vec_id % 100 = 0").select("vec_id").collect()]:
+        qv = [float(x) for x in emb.filter(f"vec_id = {qid}").first()["embedding"]]
+        single = pq_adc_probe(spark, path, qv, k=4).collect()
+        for rn, r in enumerate(single, 1):
+            assert got[(qid, rn)] == (r.vec_id, r.cos_approx)

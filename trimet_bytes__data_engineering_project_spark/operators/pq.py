@@ -291,3 +291,79 @@ def append_pq_codes(
     pq_encode(emb_new, cb, dim, m, vec_col, id_col).write.mode("append").parquet(
         os.path.join(path, "codes")
     )
+
+
+def pq_knn_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    path: str,
+    k: int = 3,
+    m: int = PQ_M,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ADC kNN join — every full-precision query against the
+    PERSISTED codes table: the batch twin of :func:`pq_adc_probe` and
+    the compressed sibling of ``similarity.knn_join_exact``.
+
+    Per query the scoring is a distance-TABLE lookup fold (m array
+    accesses + m adds) instead of a dim-element dot — ~dim/m less
+    arithmetic per candidate at recall bounded by the quantizer.  The
+    per-query tables are built distributed (query subspaces x broadcast
+    codebook -> per-(q, m) code rows -> two-level reassembly into
+    array<array<double>>, code-sorted inside m-sorted), then the
+    O(batch) table side broadcasts over one codes scan.  All
+    reductions are the sequential folds of the build, so the batch
+    join sits under the oracle gate (x106).
+
+    Returns (q_id, c_id, cos_approx, rn), rn = 1..k, ties by c_id;
+    zero-norm rows score NULL and rank after every real score (the
+    serve NULL-score contract)."""
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    if dim is None:
+        dim = m * len(cb.select("cvec").first()["cvec"])
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        as_double_vec(vec_col).alias("qv"),
+    ).withColumn("qn", F.sqrt(_sq_norm(F.col("qv"))))
+    qsub = q.select(
+        "q_id", F.posexplode(_subspaces(F.col("qv"), dim, m)).alias("m", "sub")
+    )
+    qdt_flat = qsub.join(F.broadcast(cb), "m").select(
+        "q_id", "m", "code", dot(F.col("sub"), F.col("cvec")).alias("p")
+    )
+    per_m = qdt_flat.groupBy("q_id", "m").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("code", "p"))), lambda s: s["p"]
+        ).alias("row")
+    )
+    qdt = per_m.groupBy("q_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "row"))), lambda s: s["row"]
+        ).alias("dt")
+    )
+    qside = qdt.join(q.select("q_id", "qn"), "q_id")
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    raw = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(F.element_at(F.col("dt"), i + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("recon_norm") > 0) & (F.col("qn") > 0),
+        raw / (F.col("qn") * F.col("recon_norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_approx"), F.asc("c_id"))
+    return (
+        F.broadcast(qside)
+        .crossJoin(codes.select(F.col("vec_id").alias("c_id"), "codes", "recon_norm"))
+        .withColumn("cos_approx", cos)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos_approx", "rn")
+    )

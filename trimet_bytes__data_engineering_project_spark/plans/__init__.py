@@ -36,6 +36,7 @@ _WINDOW_HEAD = [
     "x103_retrieval_decontamination",
     "x104_hybrid_rrf",
     "x105_pq_adc_probe",
+    "x106_pq_knn_join",
     # (2) the round-6 verdict's item 6: the 44 queries whose latest
     #     driver row is r02 — four rounds stale, beyond the intent of
     #     the park-the-twice-green convention.  Oldest tier first: the
@@ -78,11 +79,10 @@ _WINDOW_HEAD = [
     "x08_ngram_jaccard_pairs",
     "x09_simhash",
     "x10_ann_bruteforce",
-    "x11_ann_lsh",
-    # x12/x13/x15/x17/x18 yield their head slots to the round-7
-    # retrieval + PQ tier (x101-x105 above, first-round rows take
+    # x11/x12/x13/x15/x17/x18 yield their head slots to the round-7
+    # retrieval + PQ tier (x101-x106 above, first-round rows take
     # priority); they stay r02-stale and lead the next rotation
-    # alongside the remaining stale singles.  39 of the 44 r02-stale
+    # alongside the remaining stale singles.  38 of the 44 r02-stale
     # rows still get r07 rows.
     # (4) re-checks of code touched this round: x89/x96 gained the
     #     corpus-fingerprint staleness stamp on their ensure_index

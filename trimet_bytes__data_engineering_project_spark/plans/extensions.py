@@ -4564,3 +4564,87 @@ def x105_pq_adc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=corpus_fingerprint(emb),
     )
     return pq_adc_probe(spark, path, qv, k=5)
+
+
+def _build_pq_knn_oracle(
+    dim: int = 64, m: int = 8, ks: int = 16, k: int = 3, modulus: int = 50
+) -> str:
+    """x105's lifecycle CTEs with a QUERY BATCH: per-query distance
+    tables over the same deterministic codebook, ADC scores grouped
+    (q, candidate), m-ordered folds, per-query top-k."""
+    d = dim // m
+
+    def foldsum(lst: str) -> str:
+        return f"list_reduce(list_prepend(0.0, {lst}), (acc, x) -> acc + x)"
+
+    def dot_sql(a: str, b: str) -> str:
+        return foldsum(f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])")
+
+    def l2sq_sql(a: str, b: str) -> str:
+        return foldsum(
+            f"list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))"
+        )
+
+    def sqn_sql(a: str) -> str:
+        return foldsum(f"list_transform({a}, x -> x * x)")
+
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    ms AS (SELECT CAST(unnest(range({m})) AS INT) AS m),
+    cb0 AS MATERIALIZED (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+                         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {ks})),
+    cbn AS MATERIALIZED (SELECT m, code, list_slice(v, m*{d}+1, m*{d}+{d}) AS cvec,
+                                {sqn_sql(f'list_slice(v, m*{d}+1, m*{d}+{d})')} AS cn2
+                         FROM cb0 CROSS JOIN ms),
+    sv AS (SELECT vec_id, m, list_slice(v, m*{d}+1, m*{d}+{d}) AS sub FROM e CROSS JOIN ms),
+    asg AS (SELECT vec_id, m, code, cn2,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY {l2sq_sql('sub', 'cvec')} ASC, code ASC) AS rn
+            FROM sv JOIN cbn USING (m)),
+    enc AS MATERIALIZED (SELECT vec_id, m, code, cn2 FROM asg WHERE rn = 1),
+    rn1 AS (SELECT vec_id, list(cn2 ORDER BY m) AS cs FROM enc GROUP BY 1),
+    rnv AS (SELECT vec_id, sqrt({foldsum('cs')}) AS recon_norm FROM rn1),
+    qv AS (SELECT vec_id AS q_id, v AS qvec FROM e WHERE vec_id % {modulus} = 0),
+    qns AS (SELECT q_id, sqrt({sqn_sql('qvec')}) AS qn FROM qv),
+    qsub AS (SELECT q_id, m, list_slice(qvec, m*{d}+1, m*{d}+{d}) AS sub
+             FROM qv CROSS JOIN ms),
+    dt AS (SELECT q_id, m, code, {dot_sql('sub', 'cvec')} AS p FROM qsub JOIN cbn USING (m)),
+    sc1 AS (SELECT q_id, vec_id, list(p ORDER BY m) AS ps
+            FROM enc JOIN dt USING (m, code) GROUP BY 1, 2),
+    sc AS (SELECT q_id, vec_id, {foldsum('ps')} AS raw FROM sc1),
+    fin AS (SELECT q_id, vec_id AS c_id,
+                   CASE WHEN recon_norm > 0 AND qn > 0
+                        THEN raw / (qn * recon_norm) END AS cos_approx
+            FROM sc JOIN rnv USING (vec_id) JOIN qns USING (q_id)),
+    rk AS (SELECT q_id, c_id, cos_approx,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos_approx DESC NULLS LAST, c_id ASC) AS INT) AS rn
+           FROM fin)
+    SELECT q_id, c_id, cos_approx, rn FROM rk WHERE rn <= {k}
+    """
+
+
+@query("x106_pq_knn_join", oracle=_build_pq_knn_oracle())
+def x106_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ADC kNN join over the persisted PQ index — x105's batch
+    twin and the compressed sibling of x104's exact dense arm: every
+    50th vector queries the codes table, scoring = per-query distance-
+    table lookups folded in m order (m array accesses + adds per
+    candidate instead of a dim-element dot).  Per-query tables build
+    distributed (query subspaces x broadcast codebook, two-level
+    code-in-m-ordered reassembly) and the O(batch) table side
+    broadcasts over ONE codes scan — no corpus shuffle.  Same frozen
+    deterministic codebook as x105, so the whole batch lifecycle is
+    oracle-gated; NULL scores (zero norms) rank after every real
+    score."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.pq import pq_knn_join, write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "pq_v1")
+    ensure_index(
+        lambda: write_pq_index(emb, path, dim=64),
+        os.path.join(path, "codes"),
+        fingerprint=corpus_fingerprint(emb),
+    )
+    return pq_knn_join(spark, emb.filter(F.col("vec_id") % 50 == 0), path, k=3)
