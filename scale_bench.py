@@ -1022,6 +1022,28 @@ def _x105_pq_probe(spark, d):
     return pq_adc_probe(spark, path, qv, k=5)
 
 
+
+def _x107_ivfpq_probe(spark, d):
+    # pruned AND compressed: the probe reads ONE inverted list's code
+    # files — partition pruning bounds rows, PQ bounds bytes/row.
+    # Expect at-or-below the flat PQ row (x105) with the margin growing
+    # as list count scales with the corpus (n_centroids here fixed at
+    # 16 — at 100 TB the list count scales like the IVF rows' sizing).
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        ivfpq_probe,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = os.path.join(_SCALE_ROOT, "ivfpq_index", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: write_ivfpq_index(emb, path, dim=64), os.path.join(path, "codes")
+    )
+    return ivfpq_probe(spark, path, qv, k=5, nprobe=1)
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
@@ -1045,6 +1067,7 @@ HEAVY = [
     ("x102_bm25_serve_128q", _x102_bm25_serve),
     ("x102_bm25_serve_fixedq_128q", _x102_bm25_serve_fixedq),
     ("x105_pq_adc_probe", _x105_pq_probe),
+    ("x107_ivfpq_probe", _x107_ivfpq_probe),
     ("x101_bm25_inflight_128q", _x101_bm25_inflight),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
     ("x60_recall_audit_full", _x60_recall_audit),

@@ -154,3 +154,71 @@ def test_pq_knn_join_agrees_with_single_probes(spark, tmp_path):
         single = pq_adc_probe(spark, path, qv, k=4).collect()
         for rn, r in enumerate(single, 1):
             assert got[(qid, rn)] == (r.vec_id, r.cos_approx)
+
+
+def test_streaming_pq_serve_equals_batch(spark, tmp_path):
+    """Streaming ADC serving (streaming/index.py:run_streaming_pq_serve)
+    lands per-batch_id results identical to the batch pq_knn_join over
+    the same queries; a replay on the same checkpoint is a no-op."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.operators.pq import pq_knn_join
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_pq_serve,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "pq")
+    write_pq_index(emb, path, dim=64)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    q = emb.filter("vec_id % 100 = 0")
+    t = str(tmp_path / "w")
+    q.coalesce(1).write.parquet(t)
+    shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/q.parquet")
+
+    results = str(tmp_path / "results")
+    ck = str(tmp_path / "ck")
+    run_streaming_pq_serve(spark, landing, path, results, ck, k=4)
+
+    got = sorted(map(tuple, spark.read.parquet(results).drop("batch_id").collect()))
+    want = sorted(map(tuple, pq_knn_join(spark, q, path, k=4).collect()))
+    assert got == want and len(got) > 0
+
+    n = spark.read.parquet(results).count()
+    run_streaming_pq_serve(spark, landing, path, results, ck, k=4)
+    assert spark.read.parquet(results).count() == n
+
+
+def test_ivfpq_probe_prunes_and_composes(spark, tmp_path):
+    """The IVFPQ probe (a) carries the probed list as a PARTITION
+    filter on the codes scan, and (b) with nprobe = all lists is
+    bit-equal to the unpartitioned full-scan ADC probe — the coarse
+    stage changes WHICH rows are read, never their scores."""
+    import contextlib
+    import io
+
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        ivfpq_probe,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, dim=64, n_centroids=8)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivfpq_probe(spark, path, qv, k=5, nprobe=1).explain("formatted")
+    pf = next(ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln)
+    assert "centroid_id" in pf
+
+    flat = str(tmp_path / "pq")
+    write_pq_index(emb, flat, dim=64)
+    all_lists = [tuple(r) for r in ivfpq_probe(spark, path, qv, k=5, nprobe=8).collect()]
+    full = [tuple(r) for r in pq_adc_probe(spark, flat, qv, k=5).collect()]
+    assert all_lists == full and len(full) == 5

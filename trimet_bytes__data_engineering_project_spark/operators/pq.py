@@ -220,20 +220,12 @@ def write_pq_index(
     )
 
 
-def pq_adc_probe(
-    spark: SparkSession, path: str, qvec: list[float], k: int = 5, m: int = PQ_M
-) -> DataFrame:
-    """ADC top-``k`` from the persisted PQ index: build the query's
-    m x ks partial-dot table with the SAME sequential folds the index
-    was built with (one tiny Spark job over the m x ks codebook,
-    driver-collected — bounded, 128 doubles at the defaults), then one
-    scan of the codes table where each row's approximate inner product
-    is the m-ordered fold of table lookups at its codes.  Approximate
-    cosine divides by the stored reconstruction norm and the query
-    norm; zero norms score NULL (the serve NULL-score contract).
-    Returns (vec_id, cos_approx), top-k by (cos_approx desc, vec_id).
-    TakeOrderedAndProject over a scan that reads ~m bytes + one double
-    per vector — the point of the representation."""
+
+def _adc_parts(spark: SparkSession, path: str, qvec: list[float], m: int):
+    """Shared ADC probe machinery: the query's m x ks partial-dot table
+    as a nested literal column (computed with the build's sequential
+    folds in one tiny Spark job over the codebook — bounded driver
+    collect) plus the query norm (same fold)."""
     d = len(qvec) // m
     cb = spark.read.parquet(os.path.join(path, "codebook"))
     qsub = F.array(
@@ -251,8 +243,24 @@ def pq_adc_probe(
     qn_row = spark.range(1).select(
         F.sqrt(_sq_norm(vector_literal(qvec))).alias("qn")
     ).collect()
-    qn = float(qn_row[0].qn)
+    return dt_col, float(qn_row[0].qn)
 
+
+def pq_adc_probe(
+    spark: SparkSession, path: str, qvec: list[float], k: int = 5, m: int = PQ_M
+) -> DataFrame:
+    """ADC top-``k`` from the persisted PQ index: build the query's
+    m x ks partial-dot table with the SAME sequential folds the index
+    was built with (one tiny Spark job over the m x ks codebook,
+    driver-collected — bounded, 128 doubles at the defaults), then one
+    scan of the codes table where each row's approximate inner product
+    is the m-ordered fold of table lookups at its codes.  Approximate
+    cosine divides by the stored reconstruction norm and the query
+    norm; zero norms score NULL (the serve NULL-score contract).
+    Returns (vec_id, cos_approx), top-k by (cos_approx desc, vec_id).
+    TakeOrderedAndProject over a scan that reads ~m bytes + one double
+    per vector — the point of the representation."""
+    dt_col, qn = _adc_parts(spark, path, qvec, m)
     codes = spark.read.parquet(os.path.join(path, "codes"))
     raw = F.aggregate(
         F.transform(
@@ -366,4 +374,122 @@ def pq_knn_join(
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", "cos_approx", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composite: pruned AND compressed
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """IVF + PQ: codes PARTITIONED by coarse centroid — the composite
+    that makes the full-scan ADC probe (:func:`pq_adc_probe`) pruned:
+    an nprobe probe reads only the probed lists' code files, each
+    ~dim*8/m x smaller than float rows.  This is the FAISS IVFPQ
+    layout; at 100 TB it is the serving architecture — partition
+    pruning bounds the scan, PQ bounds the bytes per scanned row.
+
+    Coarse quantizer: the deterministic first-``n_centroids``-by-id
+    table with ``ann_index.assign_to_centroids``'s argmax-cosine
+    assignment (bit-identical to the plain IVF build, so the oracle
+    chains compose).  PQ codebook: the GLOBAL raw-vector codebook
+    shared across lists — list-independent, so appends and the oracle
+    stay simple; encoding per-list RESIDUALS (v - centroid) is the
+    classic refinement and drops in here as one zip_with subtraction
+    before :func:`pq_encode` plus the matching term in the ADC table.
+
+    Layout: ``{path}/centroids`` (coarse), ``{path}/codebook`` (PQ),
+    ``{path}/codes/centroid_id=C`` (vec_id, codes, recon_norm)."""
+    from .ann_index import assign_to_centroids
+
+    spark = emb.sparkSession
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), as_double_vec(vec_col).alias("cvec"))
+    )
+    cents.write.mode(mode).parquet(os.path.join(path, "centroids"))
+    cb = pq_codebook_first_n(emb, dim, m, ks, vec_col, id_col)
+    cb.write.mode(mode).parquet(os.path.join(path, "codebook"))
+    persisted_cb = spark.read.parquet(os.path.join(path, "codebook"))
+    persisted_cents = spark.read.parquet(os.path.join(path, "centroids"))
+
+    assigned = assign_to_centroids(emb, persisted_cents, vec_col, id_col).select(
+        id_col, "centroid_id"
+    )
+    codes = pq_encode(emb, persisted_cb, dim, m, vec_col, id_col).join(
+        assigned.withColumnRenamed(id_col, "vec_id"), "vec_id"
+    )
+    (
+        codes.repartition(F.col("centroid_id"))
+        .write.mode(mode)
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+    m: int = PQ_M,
+) -> DataFrame:
+    """ADC top-``k`` over the ``nprobe`` nearest inverted lists of an
+    IVFPQ index: centroid selection is a driver-side fetch of the
+    n_c-row coarse table (the ``ivf_index_probe`` convention — the
+    Python cosine is the same left-to-right sequential sum as the
+    fold, bit-equal), the codes scan carries a literal IN-list
+    PARTITION filter, and each scanned row pays m table lookups.
+    Recall follows the coarse quantizer exactly as for plain IVF —
+    the PQ stage changes bytes-per-row, never which rows are read."""
+    cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
+
+    def _cos(cvec: list[float]) -> float:
+        dd = 0.0
+        for a, b in zip(cvec, qvec):
+            dd += a * b
+        na = 0.0
+        for a in cvec:
+            na += a * a
+        nb = 0.0
+        for b in qvec:
+            nb += b * b
+        return dd / ((na**0.5) * (nb**0.5))
+
+    ranked = sorted(cents, key=lambda r: (-_cos(r["cvec"]), r["centroid_id"]))
+    probe_ids = [r["centroid_id"] for r in ranked[:nprobe]]
+
+    dt_col, qn = _adc_parts(spark, path, qvec, m)
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    raw = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(F.element_at(dt_col, i + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("recon_norm") > 0) & (F.lit(qn) > 0),
+        raw / (F.lit(qn) * F.col("recon_norm")),
+    )
+    return (
+        codes.select("vec_id", cos.alias("cos_approx"))
+        .orderBy(F.desc("cos_approx"), F.asc("vec_id"))
+        .limit(k)
     )

@@ -4648,3 +4648,93 @@ def x106_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=corpus_fingerprint(emb),
     )
     return pq_knn_join(spark, emb.filter(F.col("vec_id") % 50 == 0), path, k=3)
+
+
+def _build_ivfpq_oracle(
+    dim: int = 64, m: int = 8, ks: int = 16, n_centroids: int = 16,
+    nprobe: int = 1, k: int = 5,
+) -> str:
+    """x105's PQ lifecycle + the deterministic-IVF coarse chain (x12's
+    quantizer): assignment by argmax fold-cosine, probe list selection
+    by the same ranking, ADC restricted to the probed lists."""
+    d = dim // m
+
+    def foldsum(lst: str) -> str:
+        return f"list_reduce(list_prepend(0.0, {lst}), (acc, x) -> acc + x)"
+
+    def dot_sql(a: str, b: str) -> str:
+        return foldsum(f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])")
+
+    def l2sq_sql(a: str, b: str) -> str:
+        return foldsum(
+            f"list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))"
+        )
+
+    def sqn_sql(a: str) -> str:
+        return foldsum(f"list_transform({a}, x -> x * x)")
+
+    qsub = f"list_slice((SELECT qv FROM q), m*{d}+1, m*{d}+{d})"
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    q AS MATERIALIZED (SELECT {_QV_SQL} AS qv),
+    ms AS (SELECT CAST(unnest(range({m})) AS INT) AS m),
+    cb0 AS MATERIALIZED (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+                         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {ks})),
+    cbn AS MATERIALIZED (SELECT m, code, list_slice(v, m*{d}+1, m*{d}+{d}) AS cvec,
+                                {sqn_sql(f'list_slice(v, m*{d}+1, m*{d}+{d})')} AS cn2
+                         FROM cb0 CROSS JOIN ms),
+    sv AS (SELECT vec_id, m, list_slice(v, m*{d}+1, m*{d}+{d}) AS sub FROM e CROSS JOIN ms),
+    asg AS (SELECT vec_id, m, code, cn2,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY {l2sq_sql('sub', 'cvec')} ASC, code ASC) AS rn
+            FROM sv JOIN cbn USING (m)),
+    enc AS MATERIALIZED (SELECT vec_id, m, code, cn2 FROM asg WHERE rn = 1),
+    rn1 AS (SELECT vec_id, list(cn2 ORDER BY m) AS cs FROM enc GROUP BY 1),
+    rnv AS (SELECT vec_id, sqrt({foldsum('cs')}) AS recon_norm FROM rn1),
+    dtq AS (SELECT m, code, {dot_sql(qsub, 'cvec')} AS p FROM cbn),
+    sc1 AS (SELECT vec_id, list(p ORDER BY m) AS ps FROM enc JOIN dtq USING (m, code) GROUP BY 1),
+    sc AS (SELECT vec_id, {foldsum('ps')} AS raw FROM sc1),
+    qn AS (SELECT sqrt({sqn_sql('(SELECT qv FROM q)')}) AS qn),
+    cents AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cvec
+                           FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_centroids})),
+    casgA AS (SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC,
+                                                 c.centroid_id) AS rn
+              FROM e CROSS JOIN cents c),
+    casg AS (SELECT vec_id, centroid_id FROM casgA WHERE rn = 1),
+    qc AS (SELECT centroid_id FROM cents
+           ORDER BY {_cos_sql('cvec', '(SELECT qv FROM q)')} DESC, centroid_id
+           LIMIT {nprobe})
+    SELECT s.vec_id,
+           CASE WHEN r.recon_norm > 0 AND qn.qn > 0
+                THEN s.raw / (qn.qn * r.recon_norm) END AS cos_approx
+    FROM sc s JOIN rnv r USING (vec_id) JOIN casg USING (vec_id)
+              JOIN qc USING (centroid_id) CROSS JOIN qn
+    ORDER BY cos_approx DESC NULLS LAST, vec_id LIMIT {k}
+    """
+
+
+@query("x107_ivfpq_probe", oracle=_build_ivfpq_oracle())
+def x107_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composite — pruned AND compressed (the FAISS IVFPQ
+    layout, ``operators/pq.py:write_ivfpq_index``): codes partitioned
+    by the deterministic coarse quantizer's argmax-cosine assignment
+    (x12's chain, bit-identical), probed with a literal IN-list
+    partition filter, each scanned row paying m table lookups on ~8
+    code bytes.  At 100 TB this is the serving architecture: partition
+    pruning bounds WHICH rows are scanned (exactly plain IVF's
+    recall), PQ bounds the BYTES per scanned row — the two compose
+    orthogonally and so do their oracle chains."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.pq import ivfpq_probe, write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = _index_dir(sf_dir, "ivfpq_v1")
+    ensure_index(
+        lambda: write_ivfpq_index(emb, path, dim=64),
+        os.path.join(path, "codes"),
+        fingerprint=corpus_fingerprint(emb),
+    )
+    return ivfpq_probe(spark, path, qv, k=5, nprobe=1)

@@ -312,3 +312,46 @@ def run_streaming_inverted_index(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_pq_serve(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    m: int | None = None,
+    vec_col: str = "embedding",
+    vec_element_type: str = "float",
+) -> None:
+    """Streaming ADC serving over a persisted PQ index — the
+    compressed-codes member of the serving family (LSH float, LSH
+    int8, IVF float/int8, and now PQ): each micro-batch of
+    full-precision query vectors delegates to the batch operator
+    ``pq.pq_knn_join`` (per-query distance tables over the frozen
+    codebook, one codes scan), landing per-query top-k under
+    ``batch_id=N`` with the idempotent-overwrite exactly-once
+    contract.  Results pinned identical to the batch join over the
+    same queries (test)."""
+    from ..operators.pq import PQ_M, pq_knn_join
+
+    mm = m or PQ_M
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            pq_knn_join(spark, batch_df, index_path, k=k, m=mm, vec_col=vec_col)
+            .write.mode("overwrite")
+            .parquet(f"{results_path}/batch_id={batch_id}")
+        )
+
+    schema = f"vec_id long, {vec_col} array<{vec_element_type}>"
+    (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
