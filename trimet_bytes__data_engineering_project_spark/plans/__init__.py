@@ -38,6 +38,7 @@ _WINDOW_HEAD = [
     "x105_pq_adc_probe",
     "x106_pq_knn_join",
     "x107_ivfpq_probe",
+    "x108_pq_recall_audit",
     # (2) the round-6 verdict's item 6: the 44 queries whose latest
     #     driver row is r02 — four rounds stale, beyond the intent of
     #     the park-the-twice-green convention.  Oldest tier first: the
@@ -78,11 +79,10 @@ _WINDOW_HEAD = [
     "x06_minhash_signature",
     "x07_minhash_near_dup_pairs",
     "x08_ngram_jaccard_pairs",
-    "x09_simhash",
-    # x10-x13/x15/x17/x18 yield their head slots to the round-7
-    # retrieval + PQ tier (x101-x107 above, first-round rows take
+    # x09-x13/x15/x17/x18 yield their head slots to the round-7
+    # retrieval + PQ tier (x101-x108 above, first-round rows take
     # priority); they stay r02-stale and lead the next rotation
-    # alongside the remaining stale singles.  37 of the 44 r02-stale
+    # alongside the remaining stale singles.  36 of the 44 r02-stale
     # rows still get r07 rows.
     # (4) re-checks of code touched this round: x89/x96 gained the
     #     corpus-fingerprint staleness stamp on their ensure_index

@@ -4460,12 +4460,17 @@ def x104_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for its index-served form (x102 / x90) without touching the
     fusion.  Arms may disagree on which queries they answer (a
     zero-token query doc has no lexical terms) — fusion is a union +
-    one O(batch) aggregation, never an outer join."""
+    one O(batch) aggregation, never an outer join.  The lexical arm
+    runs through the PERSISTED inverted index built for the embedded
+    slice (bm25_serve — bit-equal to in-flight bm25_topk by the x102
+    contract, so the oracle stays the in-flight chain verbatim): the
+    at-scale composition this operator exists for."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
     from ..operators.retrieval import (
-        bm25_topk,
-        materialize_queries,
+        bm25_serve,
         rrf_fuse,
-        top_terms_queries,
+        top_terms_from_index,
+        write_inverted_index,
     )
     from ..operators.similarity import knn_join_exact
 
@@ -4474,10 +4479,16 @@ def x104_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     edocs = docs.join(
         emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
     )
-    queries = materialize_queries(
-        top_terms_queries(edocs, F.col("doc_id") % 50 == 0, n_terms=3)
+    path = os.path.join(
+        _tagged_dir(_SCRATCH, "bm25_index", "v2", sf_dir=sf_dir), "embedded"
     )
-    lex = bm25_topk(edocs, queries, k=5).select("query_id", "doc_id", "rank")
+    ensure_index(
+        lambda: write_inverted_index(edocs, path),
+        os.path.join(path, "stats"),
+        fingerprint=corpus_fingerprint(edocs, id_col="doc_id"),
+    )
+    queries = top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
+    lex = bm25_serve(spark, queries, path, k=5).select("query_id", "doc_id", "rank")
     den = knn_join_exact(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5).select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("doc_id"),
@@ -4738,3 +4749,67 @@ def x107_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=corpus_fingerprint(emb),
     )
     return ivfpq_probe(spark, path, qv, k=5, nprobe=1)
+
+
+def _build_pq_recall_oracle(
+    dim: int = 64, m: int = 8, ks: int = 16, k: int = 5, modulus: int = 100
+) -> str:
+    """x106's batch-ADC chain and the exact-cosine chain over the same
+    query batch, intersected per query: recall@k of the PQ codes
+    against full-precision search."""
+    approx = _build_pq_knn_oracle(dim=dim, m=m, ks=ks, k=k, modulus=modulus)
+    # the exact side (knn_join_exact's twin)
+    return f"""
+    WITH ap AS MATERIALIZED ({approx}),
+    e2 AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    q2 AS (SELECT vec_id AS q_id, v AS qv FROM e2 WHERE vec_id % {modulus} = 0),
+    xj AS (SELECT q_id, e2.vec_id AS c_id, {_cos_sql('qv', 'v')} AS cos
+           FROM q2 CROSS JOIN e2),
+    xr AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, c_id ASC) AS rn
+           FROM xj),
+    ex AS (SELECT q_id, c_id FROM xr WHERE rn <= {k}),
+    hits AS (SELECT ap.q_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM ap JOIN ex ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id
+             GROUP BY 1)
+    SELECT q.q_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(n_hit, 0) AS DOUBLE) / {k}.0 AS recall
+    FROM (SELECT DISTINCT q_id FROM q2) q LEFT JOIN hits USING (q_id)
+    """
+
+
+@query("x108_pq_recall_audit", oracle=_build_pq_recall_oracle())
+def x108_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accuracy cost of the PQ representation, measured under the
+    oracle gate (the x92 convention, PQ edition): every 100th vector's
+    ADC top-5 from the persisted codes (x106's join) intersected with
+    its EXACT full-precision top-5 (``knn_join_exact``), recall@5 per
+    query.  Queries whose ADC list misses everything still appear
+    (recall 0.0 — a LEFT join against the query id set, never a
+    silently dropped row).  At 100 TB this is the audit run on a
+    sampled query budget after every index build — the number that
+    tells you whether m/ks are sized right before serving traffic."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.pq import pq_knn_join, write_pq_index
+    from ..operators.similarity import knn_join_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "pq_v1")
+    ensure_index(
+        lambda: write_pq_index(emb, path, dim=64),
+        os.path.join(path, "codes"),
+        fingerprint=corpus_fingerprint(emb),
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = pq_knn_join(spark, q, path, k=5).select("q_id", "c_id")
+    exact = knn_join_exact(q, emb, k=5).select("q_id", "c_id")
+    hits = approx.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    qids = q.select(F.col("vec_id").alias("q_id")).distinct()
+    return qids.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / 5.0).alias("recall"),
+    )
