@@ -341,3 +341,46 @@ def test_streaming_inverted_index_equals_batch(spark, tmp_path):
     )
     want_full = sorted(map(tuple, bm25_topk(docs, q_full, k=5).collect()))
     assert got_full == want_full and len(got_full) > 0
+
+
+def test_phrase_search_hand_pin(spark):
+    """Adjacency semantics on a hand corpus: "b c" occurs twice in d0
+    ('a b c b c'), once in d1 ('b c d'), zero in d2 ('c b' — reversed
+    order must NOT match).  Overlapping runs count per-start: "a a" in
+    'a a a' has phrase_tf 2."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    docs = _docs_df(spark, {0: "a b c b c", 1: "b c d", 2: "c b", 3: "a a a"})
+    phrases = spark.createDataFrame([("b c",), ("a a",)], ["phrase"])
+    got = {
+        (r.phrase, r.doc_id): (r.phrase_tf, r.rank)
+        for r in phrase_search(docs, phrases, k=3).collect()
+    }
+    assert got == {
+        ("b c", 0): (2, 1),
+        ("b c", 1): (1, 2),
+        ("a a", 3): (2, 1),
+    }
+
+
+def test_phrase_serve_from_positional_index(spark, tmp_path):
+    """phrase_search over the persisted positional postings returns the
+    identical result set as the in-flight form."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        phrase_search,
+        top_bigram_phrases,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    phrases = top_bigram_phrases(docs, n_phrases=5)
+    path = str(tmp_path / "posidx")
+    write_inverted_index(docs, path, store_positions=True)
+    postings = spark.read.parquet(f"{path}/postings")
+    inflight = sorted(map(tuple, phrase_search(docs, phrases, k=3).collect()))
+    served = sorted(
+        map(tuple, phrase_search(docs, phrases, k=3, postings=postings).collect())
+    )
+    assert served == inflight and len(served) > 0

@@ -331,6 +331,7 @@ def write_inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "overwrite",
+    store_positions: bool = False,
 ) -> None:
     """One pass over the corpus: the index build job.  Lays out
 
@@ -361,6 +362,15 @@ def write_inverted_index(
         .join(dfx, "term")
         .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
     )
+    if store_positions:
+        # positional payload: ~1 int per token corpus-wide, the price
+        # of phrase/proximity queries (phrase_search serves from it);
+        # tf column is redundant with size(positions) but kept so the
+        # BM25 serve path reads either layout unchanged
+        pos = positional_postings(docs, id_col, text_col).select(
+            "doc_id", "term", "positions"
+        )
+        postings = postings.join(pos, ["doc_id", "term"])
     (
         postings.repartition(F.col("term_bucket"))
         .sortWithinPartitions("term")
@@ -547,4 +557,117 @@ def rrf_fuse(
             "rank",
             (F.col("rrf_fp").cast("double") / float(s)).alias("rrf"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional postings and phrase retrieval
+# ---------------------------------------------------------------------------
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, positions): the positional posting list —
+    0-based token offsets, sorted ascending.  One tokenization; the
+    (doc, term) aggregation shuffles one row per distinct doc-term
+    carrying an int array bounded by tf (the standard positional-index
+    payload: ~1 int per token corpus-wide)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        ).alias("pos", "term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def top_bigram_phrases(
+    docs: DataFrame, n_phrases: int = 10, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic phrase workload: the corpus's ``n_phrases`` most
+    frequent word bigrams (ties by phrase ascending — total order).
+    Bigrams build ARRAY-SIDE by zipping the token array with its own
+    tail (the x80 shape — no lag-window shuffle); the count is one
+    two-phase hash agg and the top-N a single bounded sort."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+    grams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("phrase")
+    )
+    return (
+        grams.groupBy("phrase")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(n_phrases)
+        .select("phrase")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact phrase retrieval over positional postings: for each
+    two-word phrase, the documents where the words occur ADJACENTLY
+    (position p in w1's list with p+1 in w2's list), ranked by
+    occurrence count then doc_id — the query class bag-of-words BM25
+    cannot express ("new york" vs "york new").
+
+    ``phrases``: (phrase) rows of two space-joined terms (the
+    :func:`top_bigram_phrases` workload or any external list).
+    Returns (phrase, doc_id, phrase_tf, rank), rank = 1..k.
+
+    Scale shape: the phrase word set broadcasts; posting rows survive
+    only for phrase words, so the doc_id-keyed self-join carries
+    O(matched postings) rows whose arrays are tf-bounded; the
+    adjacency test is an array-op codegen filter (no explode of the
+    position lists); top-k is one window per phrase.  Pass
+    ``postings`` to serve from a PERSISTED positional index
+    (:func:`write_inverted_index` with ``store_positions=True``) —
+    identical results, pruned scan."""
+    pw = phrases.select(
+        "phrase",
+        F.split(F.col("phrase"), " ").getItem(0).alias("w1"),
+        F.split(F.col("phrase"), " ").getItem(1).alias("w2"),
+    )
+    pp = (
+        postings.select("doc_id", "term", "positions")
+        if postings is not None
+        else positional_postings(docs, id_col, text_col)
+    )
+    p1 = pp.select("doc_id", F.col("term").alias("w1"), F.col("positions").alias("pos1"))
+    p2 = pp.select("doc_id", F.col("term").alias("w2"), F.col("positions").alias("pos2"))
+    matched = (
+        F.broadcast(pw)
+        .join(p1, "w1")
+        .join(p2, ["w2", "doc_id"])
+        .withColumn(
+            "phrase_tf",
+            F.size(
+                F.filter(
+                    F.col("pos1"),
+                    lambda x: F.array_contains(F.col("pos2"), x + 1),
+                )
+            ).cast("long"),
+        )
+        .filter(F.col("phrase_tf") > 0)
+    )
+    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("phrase", "doc_id", "phrase_tf", "rank")
     )

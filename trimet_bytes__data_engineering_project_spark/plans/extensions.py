@@ -4813,3 +4813,105 @@ def x108_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
         (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / 5.0).alias("recall"),
     )
+
+
+_PHRASE_ORACLE = """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+               FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM t),
+    pp AS (SELECT doc_id, term, list(pos ORDER BY pos) AS positions
+           FROM toks GROUP BY 1, 2),
+    bg AS (SELECT unnest(list_transform(range(len(l) - 1), i -> l[i+1] || ' ' || l[i+2])) AS phrase
+           FROM t WHERE len(l) >= 2),
+    topb AS (SELECT phrase FROM (SELECT phrase, count(*) AS n FROM bg GROUP BY 1)
+             ORDER BY n DESC, phrase ASC LIMIT 10),
+    pw AS (SELECT phrase, split_part(phrase, ' ', 1) AS w1,
+                  split_part(phrase, ' ', 2) AS w2 FROM topb),
+    m AS (SELECT phrase, p1.doc_id,
+                 CAST(len(list_filter(p1.positions,
+                                      x -> list_contains(p2.positions, x + 1)))
+                      AS BIGINT) AS phrase_tf
+          FROM pw JOIN pp p1 ON p1.term = pw.w1
+                  JOIN pp p2 ON p2.term = pw.w2 AND p2.doc_id = p1.doc_id),
+    tk AS (SELECT phrase, doc_id, phrase_tf,
+                  CAST(row_number() OVER (PARTITION BY phrase
+                                          ORDER BY phrase_tf DESC, doc_id ASC) AS INT) AS rank
+           FROM m WHERE phrase_tf > 0)
+    SELECT phrase, doc_id, phrase_tf, rank FROM tk WHERE rank <= 3
+"""
+
+
+@query("x109_phrase_search", oracle=_PHRASE_ORACLE)
+def x109_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval over POSITIONAL postings — the query
+    class bag-of-words BM25 cannot express ("new york" != "york new"):
+    for the corpus's 10 most frequent word bigrams (ties by phrase —
+    deterministic workload), the top-3 documents by adjacent-occurrence
+    count.  Positions aggregate once per (doc, term) (~1 int per token
+    corpus-wide, the standard positional-index payload); the adjacency
+    test is an array-op codegen filter over the two position lists —
+    the position lists are never exploded; the phrase word set
+    broadcasts so the doc-keyed self-join carries O(matched postings).
+    x110 serves the identical results from the persisted positional
+    index."""
+    from ..operators.retrieval import phrase_search, top_bigram_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = top_bigram_phrases(docs, n_phrases=10)
+    return phrase_search(docs, phrases, k=3)
+
+
+@query("x110_phrase_index_serve", oracle=_PHRASE_ORACLE)
+def x110_phrase_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x109 served from the PERSISTED positional inverted index
+    (``write_inverted_index(store_positions=True)`` — position arrays
+    ride the same term-bucket-partitioned, term-sorted postings):
+    oracle is x109's VERBATIM (the index changes the cost, never the
+    result).  The phrase workload is the persisted corpus-derived
+    top-10 (built once with the index); serving reads only the pruned
+    postings for the phrase words."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.retrieval import (
+        phrase_search,
+        top_bigram_phrases,
+        write_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        _tagged_dir(_SCRATCH, "bm25_index", "v2", sf_dir=sf_dir), "positional"
+    )
+
+    def build() -> None:
+        write_inverted_index(docs, path, store_positions=True)
+        top_bigram_phrases(docs, n_phrases=10).write.mode("overwrite").parquet(
+            os.path.join(path, "phrases")
+        )
+
+    ensure_index(
+        build,
+        os.path.join(path, "stats"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
+    phrases = spark.read.parquet(os.path.join(path, "phrases"))
+    # prune the postings scan to the phrase words' buckets + terms
+    # (the bm25_serve pushdown pair, phrase edition)
+    words = sorted(
+        {w for r in phrases.collect() for w in r.phrase.split(" ")}
+    )
+    from ..operators.retrieval import term_bucket
+
+    import pyspark.sql.functions as _F
+
+    buckets = sorted(
+        {
+            r.b
+            for r in spark.createDataFrame([(w,) for w in words], ["term"])
+            .select(term_bucket(_F.col("term")).alias("b"))
+            .collect()
+        }
+    )
+    postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+        _F.col("term_bucket").isin(buckets) & _F.col("term").isin(words)
+    )
+    return phrase_search(docs, phrases, k=3, postings=postings)
