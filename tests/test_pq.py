@@ -222,3 +222,22 @@ def test_ivfpq_probe_prunes_and_composes(spark, tmp_path):
     all_lists = [tuple(r) for r in ivfpq_probe(spark, path, qv, k=5, nprobe=8).collect()]
     full = [tuple(r) for r in pq_adc_probe(spark, flat, qv, k=5).collect()]
     assert all_lists == full and len(full) == 5
+
+
+def test_ivfpq_residual_self_reconstruction(spark, tmp_path):
+    """A vector whose residual is IN the residual codebook (any of the
+    first ks ids) encodes with d2=0 per subspace, so its reconstruction
+    is exactly c + (v - c) = v — the ADC self-score reads ~1.0 and it
+    tops its own list's probe."""
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        ivfpq_residual_probe,
+        write_ivfpq_residual_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    path = str(tmp_path / "ivfpq_res")
+    write_ivfpq_residual_index(emb, path, dim=64, n_centroids=8)
+    got = [(r.vec_id, r.cos_approx) for r in
+           ivfpq_residual_probe(spark, path, qv, k=3, nprobe=8).collect()]
+    assert got[0][0] == 3 and got[0][1] == pytest.approx(1.0, rel=1e-9)

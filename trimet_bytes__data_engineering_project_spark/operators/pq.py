@@ -493,3 +493,165 @@ def ivfpq_probe(
         .orderBy(F.desc("cos_approx"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVFPQ: the classic form (encode v - centroid)
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_residual_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Classic IVFPQ: codes quantize the RESIDUAL v - c(v) against a
+    residual codebook (first-``ks`` residuals by id, deterministic),
+    and each row stores the exact reconstruction norm
+    ||c(v) + decode(codes)|| (per-subspace recon folds summed in m
+    order).  HONEST quality note: residual encoding pays off when the
+    coarse assignment is TIGHT (real clustered embeddings — residual
+    magnitudes shrink, so the same ks resolves finer structure); on
+    isotropic random vectors the residual is no smaller than the
+    vector (c(v) is nearly orthogonal to v) and the raw-vector form
+    (:func:`write_ivfpq_index`) measures equal-or-better — which is
+    why both forms exist and the recall audit (x108's machinery) is
+    how you choose per corpus.
+
+    Layout matches :func:`write_ivfpq_index` plus the residual
+    codebook semantics: ``centroids``, ``codebook`` (residual),
+    ``codes/centroid_id=C`` (vec_id, codes, recon_norm)."""
+    from .ann_index import assign_to_centroids
+
+    spark = emb.sparkSession
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), as_double_vec(vec_col).alias("cvec"))
+    )
+    cents.write.mode(mode).parquet(os.path.join(path, "centroids"))
+    p_cents = spark.read.parquet(os.path.join(path, "centroids"))
+
+    assigned = assign_to_centroids(emb, p_cents, vec_col, id_col).select(
+        F.col(id_col).alias("vec_id"), vec_col, "centroid_id"
+    )
+    av = assigned.join(F.broadcast(p_cents), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with(as_double_vec(vec_col), F.col("cvec"), lambda a, b: a - b).alias(
+            "resid"
+        ),
+        F.col("cvec"),
+    )
+    rcb = pq_codebook_first_n(av, dim, m, ks, vec_col="resid", id_col="vec_id")
+    rcb.write.mode(mode).parquet(os.path.join(path, "codebook"))
+    p_rcb = spark.read.parquet(os.path.join(path, "codebook"))
+
+    sub = av.select(
+        "vec_id",
+        "centroid_id",
+        F.posexplode(_subspaces(F.col("resid"), dim, m)).alias("m", "sub"),
+        _subspaces(F.col("cvec"), dim, m).alias("csubs"),
+    ).withColumn("csub", F.element_at(F.col("csubs"), F.col("m") + 1))
+    cand = sub.join(F.broadcast(p_rcb), "m").withColumn(
+        "d2", _l2sq(F.col("sub"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("recon_m", F.zip_with(F.col("csub"), F.col("cvec"), lambda a, b: a + b))
+        .withColumn("cn2", _sq_norm(F.col("recon_m")))
+    )
+    grouped = best.groupBy("vec_id", "centroid_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("m"), F.col("code"), F.col("cn2")))
+        ).alias("ms")
+    )
+    codes = F.transform(F.col("ms"), lambda s: s["code"])
+    rn2 = F.aggregate(
+        F.transform(F.col("ms"), lambda s: s["cn2"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    out = grouped.select(
+        "vec_id", codes.alias("codes"), F.sqrt(rn2).alias("recon_norm"), "centroid_id"
+    )
+    (
+        out.repartition(F.col("centroid_id"))
+        .write.mode(mode)
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+
+
+def ivfpq_residual_probe(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+    m: int = PQ_M,
+) -> DataFrame:
+    """ADC over the residual-encoded lists: a candidate's approximate
+    inner product is dot(q, c_list) + the m-ordered fold of residual
+    table lookups (the fold's INITIAL accumulator is the per-list
+    centroid dot, mirrored exactly by the oracle's list_prepend) —
+    both terms computed with the build's sequential folds in one tiny
+    Spark job.  Same pruning and NULL-score contract as
+    :func:`ivfpq_probe`."""
+    cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+
+    def _cos(cvec: list[float]) -> float:
+        dd = 0.0
+        for a, b in zip(cvec, qvec):
+            dd += a * b
+        na = 0.0
+        for a in cvec:
+            na += a * a
+        nb = 0.0
+        for b in qvec:
+            nb += b * b
+        return dd / ((na**0.5) * (nb**0.5))
+
+    ranked = sorted(cents_rows, key=lambda r: (-_cos(r["cvec"]), r["centroid_id"]))
+    probe_ids = [r["centroid_id"] for r in ranked[:nprobe]]
+
+    dt_col, qn = _adc_parts(spark, path, qvec, m)
+    # per-probed-list centroid dot, with the SAME fold as the scoring
+    cents_df = spark.read.parquet(os.path.join(path, "centroids")).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    qc_rows = cents_df.select(
+        "centroid_id", dot(vector_literal(qvec), F.col("cvec")).alias("qc")
+    ).collect()
+    qc_df = spark.createDataFrame(
+        [(int(r.centroid_id), float(r.qc)) for r in qc_rows], "centroid_id long, qc double"
+    )
+
+    codes = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .join(F.broadcast(qc_df), "centroid_id")
+    )
+    raw = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(F.element_at(dt_col, i + 1), c + 1),
+        ),
+        F.col("qc"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("recon_norm") > 0) & (F.lit(qn) > 0),
+        raw / (F.lit(qn) * F.col("recon_norm")),
+    )
+    return (
+        codes.select("vec_id", cos.alias("cos_approx"))
+        .orderBy(F.desc("cos_approx"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -41,6 +41,7 @@ _WINDOW_HEAD = [
     "x108_pq_recall_audit",
     "x109_phrase_search",
     "x110_phrase_index_serve",
+    "x111_ivfpq_residual_probe",
     # (2) the round-6 verdict's item 6: the 44 queries whose latest
     #     driver row is r02 — four rounds stale, beyond the intent of
     #     the park-the-twice-green convention.  Oldest tier first: the
@@ -78,11 +79,10 @@ _WINDOW_HEAD = [
     "q32_haversine_segments",
     "x01_exact_dedup",
     "x02_token_count",
-    "x06_minhash_signature",
-    # x07-x13/x15/x17/x18 yield their head slots to the round-7
-    # retrieval/PQ/phrase tier (x101-x110 above, first-round rows take
+    # x06-x13/x15/x17/x18 yield their head slots to the round-7
+    # retrieval/PQ/phrase tier (x101-x111 above, first-round rows take
     # priority); they stay r02-stale and lead the next rotation
-    # alongside the remaining stale singles.  34 of the 44 r02-stale
+    # alongside the remaining stale singles.  33 of the 44 r02-stale
     # rows still get r07 rows.
     # (4) re-checks of code touched this round: x89/x96 gained the
     #     corpus-fingerprint staleness stamp on their ensure_index

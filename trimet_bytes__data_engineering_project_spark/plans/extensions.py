@@ -4915,3 +4915,108 @@ def x110_phrase_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("term_bucket").isin(buckets) & _F.col("term").isin(words)
     )
     return phrase_search(docs, phrases, k=3, postings=postings)
+
+
+def _build_ivfpq_residual_oracle(
+    dim: int = 64, m: int = 8, ks: int = 16, n_centroids: int = 16,
+    nprobe: int = 1, k: int = 5,
+) -> str:
+    """The residual-IVFPQ lifecycle: coarse assignment, residual
+    codebook from the first-ks residuals, residual encode, EXACT
+    reconstruction norms ||c + decode||, and ADC whose fold STARTS
+    from the probed list's centroid dot (list_prepend mirrors Spark's
+    aggregate initial accumulator)."""
+    d = dim // m
+
+    def foldsum(lst: str) -> str:
+        return f"list_reduce(list_prepend(0.0, {lst}), (acc, x) -> acc + x)"
+
+    def foldfrom(init: str, lst: str) -> str:
+        return f"list_reduce(list_prepend({init}, {lst}), (acc, x) -> acc + x)"
+
+    def dot_sql(a: str, b: str) -> str:
+        return foldsum(f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])")
+
+    def l2sq_sql(a: str, b: str) -> str:
+        return foldsum(
+            f"list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))"
+        )
+
+    def sqn_sql(a: str) -> str:
+        return foldsum(f"list_transform({a}, x -> x * x)")
+
+    qsub = f"list_slice((SELECT qv FROM q), m*{d}+1, m*{d}+{d})"
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    q AS MATERIALIZED (SELECT {_QV_SQL} AS qv),
+    ms AS (SELECT CAST(unnest(range({m})) AS INT) AS m),
+    cents AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cvec
+                           FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_centroids})),
+    casgA AS (SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC,
+                                                 c.centroid_id) AS rn
+              FROM e CROSS JOIN cents c),
+    casg AS MATERIALIZED (SELECT vec_id, centroid_id FROM casgA WHERE rn = 1),
+    res AS MATERIALIZED (SELECT e.vec_id, casg.centroid_id,
+                                list_transform(list_zip(e.v, c.cvec), p -> p[1] - p[2]) AS rv,
+                                c.cvec
+                         FROM e JOIN casg USING (vec_id) JOIN cents c USING (centroid_id)),
+    rcb0 AS MATERIALIZED (SELECT rv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+                          FROM (SELECT * FROM res ORDER BY vec_id LIMIT {ks})),
+    rcbn AS MATERIALIZED (SELECT m, code, list_slice(rv, m*{d}+1, m*{d}+{d}) AS rcvec
+                          FROM rcb0 CROSS JOIN ms),
+    sv AS (SELECT vec_id, m, list_slice(rv, m*{d}+1, m*{d}+{d}) AS sub,
+                  list_slice(cvec, m*{d}+1, m*{d}+{d}) AS csub
+           FROM res CROSS JOIN ms),
+    asg AS (SELECT vec_id, m, code, csub, rcvec,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY {l2sq_sql('sub', 'rcvec')} ASC, code ASC) AS rn
+            FROM sv JOIN rcbn USING (m)),
+    enc AS MATERIALIZED (SELECT vec_id, m, code,
+                                {sqn_sql("list_transform(list_zip(csub, rcvec), p -> p[1] + p[2])")} AS cn2
+                         FROM asg WHERE rn = 1),
+    rn1 AS (SELECT vec_id, list(cn2 ORDER BY m) AS cs FROM enc GROUP BY 1),
+    rnv AS (SELECT vec_id, sqrt({foldsum('cs')}) AS recon_norm FROM rn1),
+    dtq AS (SELECT m, code, {dot_sql(qsub, 'rcvec')} AS p FROM rcbn),
+    qcd AS (SELECT centroid_id, {dot_sql('(SELECT qv FROM q)', 'cvec')} AS qc FROM cents),
+    qc AS (SELECT centroid_id FROM cents
+           ORDER BY {_cos_sql('cvec', '(SELECT qv FROM q)')} DESC, centroid_id
+           LIMIT {nprobe}),
+    sc1 AS (SELECT vec_id, list(p ORDER BY m) AS ps FROM enc JOIN dtq USING (m, code) GROUP BY 1),
+    sc AS (SELECT s.vec_id, {foldfrom('qcd.qc', 's.ps')} AS raw
+           FROM sc1 s JOIN casg USING (vec_id) JOIN qcd USING (centroid_id)),
+    qn AS (SELECT sqrt({sqn_sql('(SELECT qv FROM q)')}) AS qn)
+    SELECT s.vec_id,
+           CASE WHEN r.recon_norm > 0 AND qn.qn > 0
+                THEN s.raw / (qn.qn * r.recon_norm) END AS cos_approx
+    FROM sc s JOIN rnv r USING (vec_id) JOIN casg USING (vec_id)
+              JOIN qc USING (centroid_id) CROSS JOIN qn
+    ORDER BY cos_approx DESC NULLS LAST, vec_id LIMIT {k}
+    """
+
+
+@query("x111_ivfpq_residual_probe", oracle=_build_ivfpq_residual_oracle())
+def x111_ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFPQ — the CLASSIC form (codes quantize
+    v - c(v) against a residual codebook; stored norms are the exact
+    ||c + decode||; the ADC fold's initial accumulator is the probed
+    list's centroid dot).  Registered alongside the raw-vector
+    composite (x107) because the two trade places by corpus geometry:
+    residuals shrink on genuinely clustered embeddings (classic wins),
+    but on isotropic synthetic vectors c(v) is nearly orthogonal to v
+    and the residual is no smaller — the recall audit machinery
+    (x108) is how a real corpus chooses.  Whole lifecycle under the
+    oracle gate including the fold-from-centroid-dot scoring."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.pq import ivfpq_residual_probe, write_ivfpq_residual_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = _index_dir(sf_dir, "ivfpq_res_v1")
+    ensure_index(
+        lambda: write_ivfpq_residual_index(emb, path, dim=64),
+        os.path.join(path, "codes"),
+        fingerprint=corpus_fingerprint(emb),
+    )
+    return ivfpq_residual_probe(spark, path, qv, k=5, nprobe=1)
