@@ -384,3 +384,39 @@ def test_phrase_serve_from_positional_index(spark, tmp_path):
         map(tuple, phrase_search(docs, phrases, k=3, postings=postings).collect())
     )
     assert served == inflight and len(served) > 0
+
+
+def test_proximity_slop_semantics(spark):
+    """slop=3: 'a x x b' matches phrase "a b" (gap 3), 'a x x x b'
+    (gap 4) does not; slop=1 reduces to exact adjacency."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    docs = _docs_df(spark, {0: "a x x b", 1: "a x x x b", 2: "a b"})
+    phrases = spark.createDataFrame([("a b",)], ["phrase"])
+    prox = {r.doc_id: r.phrase_tf for r in
+            phrase_search(docs, phrases, k=5, slop=3).collect()}
+    assert prox == {0: 1, 2: 1}  # doc 1's gap of 4 is outside the window
+    adj = {r.doc_id: r.phrase_tf for r in
+           phrase_search(docs, phrases, k=5, slop=1).collect()}
+    assert adj == {2: 1}
+
+
+def test_collocations_hand_pin(spark):
+    """Corpus engineered so 'q z' is a perfect collocation: q and z
+    occur ONLY together (5 times), against a 'c c ...' background.
+    Tokens: 5x'q z' + 30x'c' -> Nt=40; bigrams: within one doc per
+    line...  Use one doc per pair occurrence plus filler docs so the
+    counts are hand-checkable: c(q)=c(z)=c(qz)=5, Nb=5 (each 'q z' doc
+    contributes exactly 1 bigram), filler docs are single tokens (no
+    bigrams).  lift = (5*40*40)/(5*5*5) = 64.0 exactly."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        collocations,
+    )
+
+    rows = {i: "q z" for i in range(5)}
+    rows.update({100 + i: "c" for i in range(30)})
+    got = [(r.phrase, r.n, r.lift, r.rank) for r in
+           collocations(_docs_df(spark, rows), n_top=5, min_count=5).collect()]
+    assert got == [("q z", 5, 64.0, 1)]

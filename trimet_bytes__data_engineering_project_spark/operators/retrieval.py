@@ -619,6 +619,7 @@ def phrase_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     postings: DataFrame | None = None,
+    slop: int = 1,
 ) -> DataFrame:
     """Exact phrase retrieval over positional postings: for each
     two-word phrase, the documents where the words occur ADJACENTLY
@@ -637,7 +638,11 @@ def phrase_search(
     position lists); top-k is one window per phrase.  Pass
     ``postings`` to serve from a PERSISTED positional index
     (:func:`write_inverted_index` with ``store_positions=True``) —
-    identical results, pruned scan."""
+    identical results, pruned scan.  ``slop`` widens adjacency to a
+    PROXIMITY window: w2 within ``slop`` positions AFTER w1 (slop=1 is
+    exact phrase; slop=3 catches "new [york] state" insertions) —
+    phrase_tf counts w1 occurrences with any in-window w2, identical
+    to the adjacency count at slop=1."""
     pw = phrases.select(
         "phrase",
         F.split(F.col("phrase"), " ").getItem(0).alias("w1"),
@@ -659,7 +664,9 @@ def phrase_search(
             F.size(
                 F.filter(
                     F.col("pos1"),
-                    lambda x: F.array_contains(F.col("pos2"), x + 1),
+                    lambda x: F.exists(
+                        F.col("pos2"), lambda y: (y > x) & (y <= x + slop)
+                    ),
                 )
             ).cast("long"),
         )
@@ -671,3 +678,75 @@ def phrase_search(
         .filter(F.col("rank") <= k)
         .select("phrase", "doc_id", "phrase_tf", "rank")
     )
+
+
+def collocations(
+    docs: DataFrame,
+    n_top: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI-lift collocation mining — the corpus's most associated word
+    pairs: lift(x,y) = p(xy) / (p(x)·p(y)) with bigram probability over
+    bigram positions (Nb) and unigram probabilities over tokens (Nt),
+    i.e. c(xy)·Nt² / (Nb·c(x)·c(y)), thresholded at ``min_count``
+    occurrences (PMI's low-count pathology screened the standard way).
+    The score is a FIXED-ORDER float product chain — products and
+    single divisions are correctly rounded, so with no summation there
+    is nothing for engines to disagree on (the no-libm contract's
+    multiplicative cousin; log-PMI would be a monotone transform).
+
+    Returns (phrase, n, lift, rank): top ``n_top`` by (lift desc,
+    phrase asc — total order).
+
+    Scale shape: bigram and unigram counts are two-phase hash aggs over
+    one tokenization each; the candidate set (pairs above min_count)
+    joins the unigram table on each word key; totals are 1-row
+    broadcasts.  Both count tables grow with vocabulary — the same
+    both-sides-grow class as the n-gram surprisal rungs, with the same
+    persisted-snapshot remedy."""
+    toks_arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+    )
+    grams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks_arr, 1, F.greatest(F.size(toks_arr) - 1, F.lit(0))),
+                F.slice(toks_arr, 2, F.greatest(F.size(toks_arr) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("phrase")
+    )
+    bg = grams.groupBy("phrase").agg(F.count("*").cast("long").alias("cxy"))
+    nb = bg.agg(F.coalesce(F.sum("cxy"), F.lit(0)).cast("long").alias("nb"))
+    uni = doc_tokens(docs, id_col, text_col).groupBy("term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    nt = uni.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("nt"))
+    cand = bg.filter(F.col("cxy") >= min_count).select(
+        "phrase",
+        "cxy",
+        F.split(F.col("phrase"), " ").getItem(0).alias("w1"),
+        F.split(F.col("phrase"), " ").getItem(1).alias("w2"),
+    )
+    j = (
+        cand.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("cy")), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+    )
+    lift = (
+        (F.col("cxy").cast("double") * F.col("nt").cast("double"))
+        * F.col("nt").cast("double")
+    ) / (
+        (F.col("nb").cast("double") * F.col("cx").cast("double"))
+        * F.col("cy").cast("double")
+    )
+    ranked = (
+        j.select("phrase", F.col("cxy").alias("n"), lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("phrase"))
+        .limit(n_top)
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("phrase"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -42,6 +42,8 @@ _WINDOW_HEAD = [
     "x109_phrase_search",
     "x110_phrase_index_serve",
     "x111_ivfpq_residual_probe",
+    "x112_proximity_search",
+    "x113_collocations",
     # (2) the round-6 verdict's item 6: the 44 queries whose latest
     #     driver row is r02 — four rounds stale, beyond the intent of
     #     the park-the-twice-green convention.  Oldest tier first: the
@@ -77,12 +79,10 @@ _WINDOW_HEAD = [
     "q30_hour_histogram",
     "q31_user_series",
     "q32_haversine_segments",
-    "x01_exact_dedup",
-    "x02_token_count",
-    # x06-x13/x15/x17/x18 yield their head slots to the round-7
-    # retrieval/PQ/phrase tier (x101-x111 above, first-round rows take
+    # x01-x13/x15/x17/x18 yield their head slots to the round-7
+    # retrieval/PQ/phrase tier (x101-x113 above, first-round rows take
     # priority); they stay r02-stale and lead the next rotation
-    # alongside the remaining stale singles.  33 of the 44 r02-stale
+    # alongside the remaining stale singles.  31 of the 44 r02-stale (the full q-core)
     # rows still get r07 rows.
     # (4) re-checks of code touched this round: x89/x96 gained the
     #     corpus-fingerprint staleness stamp on their ensure_index

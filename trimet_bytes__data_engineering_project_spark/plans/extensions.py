@@ -5020,3 +5020,90 @@ def x111_ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=corpus_fingerprint(emb),
     )
     return ivfpq_residual_probe(spark, path, qv, k=5, nprobe=1)
+
+
+_PROXIMITY_ORACLE = """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+               FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM t),
+    pp AS (SELECT doc_id, term, list(pos ORDER BY pos) AS positions
+           FROM toks GROUP BY 1, 2),
+    bg AS (SELECT unnest(list_transform(range(len(l) - 1), i -> l[i+1] || ' ' || l[i+2])) AS phrase
+           FROM t WHERE len(l) >= 2),
+    topb AS (SELECT phrase FROM (SELECT phrase, count(*) AS n FROM bg GROUP BY 1)
+             ORDER BY n DESC, phrase ASC LIMIT 10),
+    pw AS (SELECT phrase, split_part(phrase, ' ', 1) AS w1,
+                  split_part(phrase, ' ', 2) AS w2 FROM topb),
+    m AS (SELECT phrase, p1.doc_id,
+                 CAST(len(list_filter(p1.positions,
+                                      x -> len(list_filter(p2.positions,
+                                                           y -> y > x AND y <= x + 3)) > 0))
+                      AS BIGINT) AS phrase_tf
+          FROM pw JOIN pp p1 ON p1.term = pw.w1
+                  JOIN pp p2 ON p2.term = pw.w2 AND p2.doc_id = p1.doc_id),
+    tk AS (SELECT phrase, doc_id, phrase_tf,
+                  CAST(row_number() OVER (PARTITION BY phrase
+                                          ORDER BY phrase_tf DESC, doc_id ASC) AS INT) AS rank
+           FROM m WHERE phrase_tf > 0)
+    SELECT phrase, doc_id, phrase_tf, rank FROM tk WHERE rank <= 3
+"""
+
+
+@query("x112_proximity_search", oracle=_PROXIMITY_ORACLE)
+def x112_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x109's adjacency widened to a PROXIMITY window (slop=3: w2
+    within three positions after w1 — the "new [york] state" query
+    class): same positional postings, same broadcast-workload plan,
+    the window test still an array-op codegen filter with the
+    position lists never exploded.  phrase_tf counts w1 occurrences
+    with any in-window w2, so slop=1 degenerates to x109 exactly
+    (pinned by the shared operator)."""
+    from ..operators.retrieval import phrase_search, top_bigram_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = top_bigram_phrases(docs, n_phrases=10)
+    return phrase_search(docs, phrases, k=3, slop=3)
+
+
+@query(
+    "x113_collocations",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+               FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS term FROM t),
+    bgr AS (SELECT unnest(list_transform(range(len(l) - 1), i -> l[i+1] || ' ' || l[i+2])) AS phrase
+            FROM t WHERE len(l) >= 2),
+    bg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS cxy FROM bgr GROUP BY 1),
+    nbt AS (SELECT CAST(coalesce(sum(cxy), 0) AS BIGINT) AS nb FROM bg),
+    uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    ntt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nt FROM uni),
+    cand AS (SELECT phrase, cxy, split_part(phrase, ' ', 1) AS w1,
+                    split_part(phrase, ' ', 2) AS w2
+             FROM bg WHERE cxy >= 5),
+    j AS (SELECT phrase, cxy, ux.c AS cx, uy.c AS cy
+          FROM cand JOIN uni ux ON ux.term = cand.w1
+                    JOIN uni uy ON uy.term = cand.w2),
+    sc AS (SELECT phrase, cxy AS n,
+                  ((CAST(cxy AS DOUBLE) * CAST(nt AS DOUBLE)) * CAST(nt AS DOUBLE))
+                  / ((CAST(nb AS DOUBLE) * CAST(cx AS DOUBLE)) * CAST(cy AS DOUBLE)) AS lift
+           FROM j CROSS JOIN ntt CROSS JOIN nbt),
+    tk AS (SELECT phrase, n, lift FROM sc ORDER BY lift DESC, phrase ASC LIMIT 20)
+    SELECT phrase, n, lift,
+           CAST(row_number() OVER (ORDER BY lift DESC, phrase ASC) AS INT) AS rank
+    FROM tk
+    """,
+)
+def x113_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-lift collocation mining: the corpus's 20 most associated
+    word pairs by c(xy)·Nt²/(Nb·c(x)·c(y)) at min_count=5 (the
+    low-count screen) — the phrase-discovery complement of x109's
+    phrase RETRIEVAL (mine the collocations, then serve them as phrase
+    queries).  The score is a fixed-order float product chain: with no
+    summation, every op is correctly rounded and engines cannot
+    disagree (log-PMI would be a monotone transform of the same
+    ranking per pair).  Count tables are the x80 bigram class;
+    persisted-snapshot remedy documented."""
+    from ..operators.retrieval import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(docs, n_top=20, min_count=5)
