@@ -1044,6 +1044,39 @@ def _x107_ivfpq_probe(spark, d):
     return ivfpq_probe(spark, path, qv, k=5, nprobe=1)
 
 
+def _x111_ivfpq_residual_probe(spark, d):
+    # the classic residual-encoded form: identical pruning to x107 (the
+    # partition IN-list bounds rows, the codes bound bytes/row) plus one
+    # broadcast join against the probed lists' centroid-dot table (a
+    # bounded nprobe-row side).  Expect the x107 band — the residual
+    # arithmetic changes encode-time work, not the probe scan.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        ivfpq_residual_probe,
+        write_ivfpq_residual_index,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = os.path.join(_SCALE_ROOT, "ivfpq_resid_index", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: write_ivfpq_residual_index(emb, path, dim=64), os.path.join(path, "codes")
+    )
+    return ivfpq_residual_probe(spark, path, qv, k=5, nprobe=1)
+
+
+def _x113_collocations(spark, d):
+    # corpus-wide mining (not serving): two tokenization passes feed the
+    # bigram and unigram count tables, the candidate set joins the
+    # unigram table twice, totals broadcast.  Both count tables grow
+    # with vocabulary — expect the both-sides-grow n-gram band (x80's
+    # ~9x), NOT the serving band; the snapshot contract is the remedy
+    # when this runs nightly.
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import collocations
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return collocations(docs, n_top=20, min_count=5)
+
 
 def _x110_phrase_serve(spark, d):
     # phrase serving from the positional index: the postings for the 20
@@ -1111,6 +1144,8 @@ HEAVY = [
     ("x102_bm25_serve_fixedq_128q", _x102_bm25_serve_fixedq),
     ("x105_pq_adc_probe", _x105_pq_probe),
     ("x107_ivfpq_probe", _x107_ivfpq_probe),
+    ("x111_ivfpq_residual_probe", _x111_ivfpq_residual_probe),
+    ("x113_collocations", _x113_collocations),
     ("x110_phrase_serve", _x110_phrase_serve),
     ("x101_bm25_inflight_128q", _x101_bm25_inflight),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
