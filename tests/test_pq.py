@@ -241,3 +241,92 @@ def test_ivfpq_residual_self_reconstruction(spark, tmp_path):
     got = [(r.vec_id, r.cos_approx) for r in
            ivfpq_residual_probe(spark, path, qv, k=3, nprobe=8).collect()]
     assert got[0][0] == 3 and got[0][1] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pq_refine_full_shortlist_equals_exact(spark, tmp_path):
+    """With the shortlist as deep as the corpus, the refine stage IS
+    exact kNN: pq_refine_knn_join == knn_join_exact bit-for-bit (same
+    sequential-fold cosine, same tie order) — the shortlist only
+    gates membership, never the rerank arithmetic."""
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        pq_refine_knn_join,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 200"
+    )
+    path = str(tmp_path / "pq")
+    write_pq_index(emb, path, dim=64)
+    q = emb.filter("vec_id % 40 = 0")
+    got = {
+        (r.q_id, r.rn): (r.c_id, r.cos_exact)
+        for r in pq_refine_knn_join(
+            spark, q, emb, path, k=3, k_shortlist=200
+        ).collect()
+    }
+    want = {
+        (r.q_id, r.rn): (r.c_id, r.cos_sim)
+        for r in knn_join_exact(q, emb, k=3).collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_pq_refine_result_within_shortlist(spark, tmp_path):
+    """With a shallow shortlist the refined top-k is a reranking OF the
+    shortlist: every returned candidate appears in the stage-1 ADC
+    top-k_shortlist, and the rerank order is the exact cosine order
+    within it."""
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        pq_knn_join,
+        pq_refine_knn_join,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "pq")
+    write_pq_index(emb, path, dim=64)
+    q = emb.filter("vec_id % 100 = 0")
+    short = {
+        (r.q_id, r.c_id)
+        for r in pq_knn_join(spark, q, path, k=6).collect()
+    }
+    ref = pq_refine_knn_join(spark, q, emb, path, k=3, k_shortlist=6).collect()
+    assert len(ref) > 0
+    for r in ref:
+        assert (r.q_id, r.c_id) in short
+    # per query, exact scores are non-increasing in rn
+    by_q: dict = {}
+    for r in ref:
+        by_q.setdefault(r.q_id, []).append((r.rn, r.cos_exact))
+    for rows in by_q.values():
+        rows.sort()
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_refine_zero_norm_scores_null(spark, tmp_path):
+    """A zero-vector candidate in the shortlist gets NULL exact cosine
+    and ranks after every real score (the serve NULL-score contract,
+    refine edition)."""
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        pq_refine_knn_join,
+    )
+
+    corpus = _emb(
+        spark,
+        [(0, [0, 0, 0, 0]), (1, [1, 1, 1, 1]), (2, [1, 2, 1, 2]), (3, [2, 1, 2, 1])],
+    )
+    path = str(tmp_path / "pq")
+    write_pq_index(corpus, path, dim=4, m=2, ks=2)
+    q = _emb(spark, [(9, [1, 1, 1, 1])])
+    got = [
+        (r.c_id, r.cos_exact)
+        for r in pq_refine_knn_join(
+            spark, q, corpus, path, k=4, k_shortlist=4
+        ).collect()
+    ]
+    reals = [g for g in got if g[1] is not None]
+    assert got[: len(reals)] == reals  # NULL ranks last
+    assert got[-1][0] == 0 and got[-1][1] is None

@@ -420,3 +420,73 @@ def test_collocations_hand_pin(spark):
     got = [(r.phrase, r.n, r.lift, r.rank) for r in
            collocations(_docs_df(spark, rows), n_top=5, min_count=5).collect()]
     assert got == [("q z", 5, 64.0, 1)]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_prf_expansion_hand_pin(spark):
+    """Hand-built vocabulary-mismatch corpus: query {q} retrieves doc 1
+    (the only 'q' doc); doc 1's dominant other term is 'z' (tf 3), so
+    the expanded query becomes {q, z} and now also retrieves docs 2/3
+    (pure-'z' docs the original query missed).  The original term is
+    never re-added (anti-join) and expansion picks by summed tf with
+    term-ascending ties."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        prf_expand_queries,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "q z z z a"),
+            (2, "z z b"),
+            (3, "z c"),
+            (4, "w w w"),
+        ],
+    )
+    queries = spark.createDataFrame([(100, "q")], ["query_id", "term"])
+    exp = prf_expand_queries(docs, queries, fb_k=1, n_expand=1)
+    got = {(r.query_id, r.term) for r in exp.collect()}
+    assert got == {(100, "q"), (100, "z")}
+    # round 2 with the expanded workload now retrieves the z docs
+    hits = {r.doc_id for r in bm25_topk(docs, materialize_queries(exp), k=5).collect()}
+    assert {1, 2, 3} <= hits and 4 not in hits
+
+
+def test_prf_expansion_tie_and_anti_join(spark):
+    """Two feedback terms with equal summed tf break by term ascending;
+    a term present in the ORIGINAL query never re-enters even when it
+    dominates the feedback docs."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        prf_expand_queries,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "q q q m n"),  # feedback doc: m and n tie at tf 1; q dominates
+            (2, "m x"),
+            (3, "n y"),
+        ],
+    )
+    queries = spark.createDataFrame([(7, "q")], ["query_id", "term"])
+    exp = {(r.query_id, r.term) for r in
+           prf_expand_queries(docs, queries, fb_k=1, n_expand=1).collect()}
+    assert exp == {(7, "q"), (7, "m")}  # m < n on the tie; q not duplicated
+
+
+def test_prf_expansion_no_hits_keeps_original(spark):
+    """A query whose terms miss the corpus entirely has no feedback
+    docs — the expanded workload is exactly the original workload
+    (no NULL rows, no dropped queries)."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        prf_expand_queries,
+    )
+
+    docs = _docs(spark, [(1, "a b"), (2, "c d")])
+    queries = spark.createDataFrame([(5, "zzz")], ["query_id", "term"])
+    exp = [(r.query_id, r.term) for r in
+           prf_expand_queries(docs, queries, fb_k=2, n_expand=2).collect()]
+    assert exp == [(5, "zzz")]

@@ -377,6 +377,72 @@ def pq_knn_join(
     )
 
 
+def pq_refine_knn_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 3,
+    k_shortlist: int = 10,
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval: PQ shortlist, exact rerank — the classic
+    refine step (FAISS's IndexRefineFlat shape, public knowledge): the
+    CORPUS pass stays compressed (:func:`pq_knn_join` over the codes
+    table, ~m bytes + one double per vector), producing a
+    ``k_shortlist``-deep candidate set per query; only the shortlist's
+    O(batch * k_shortlist) rows fetch their full-precision vectors for
+    an exact cosine rerank.  Recall is bounded by whether the true
+    top-k survive the ADC shortlist (the x108 audit measures exactly
+    that); the rerank removes the quantizer's RANKING error within the
+    shortlist for free.
+
+    Scale shape: stage 1 is the x106 plan (broadcast O(batch) distance
+    tables over one codes scan); stage 2 broadcasts the shortlist's
+    distinct candidate ids as a semi-join against the float table —
+    the ONLY full-precision rows read all run are the fetched
+    candidates, so the float scan cost is a hash-semi-join scan, never
+    a shuffle of the corpus.  All reductions are the build's
+    sequential folds (the same exact-cosine expression as
+    ``similarity.knn_join_exact``), so the whole two-stage lifecycle
+    is oracle-expressible (x114).
+
+    Returns (q_id, c_id, cos_exact, rn), rn = 1..k by (cos_exact desc,
+    c_id asc); a zero-norm side scores NULL and ranks after every real
+    score (the serve NULL-score contract)."""
+    short = pq_knn_join(
+        spark, queries, path, k=k_shortlist, m=m, vec_col=vec_col, id_col=id_col
+    ).select("q_id", "c_id")
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("qvec")
+    ).withColumn("qn", F.sqrt(_sq_norm(F.col("qvec"))))
+    cv = corpus.select(
+        F.col(id_col).alias("c_id"), as_double_vec(vec_col).alias("cvec")
+    ).withColumn("cn", F.sqrt(_sq_norm(F.col("cvec"))))
+    fetched = cv.join(
+        F.broadcast(short.select("c_id").distinct()), "c_id", "left_semi"
+    )
+    exact = (
+        short.join(F.broadcast(qv), "q_id")
+        .join(fetched, "c_id")
+        .withColumn(
+            "cos_exact",
+            F.when(
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")),
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_exact"), F.asc("c_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos_exact", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF + PQ composite: pruned AND compressed
 # ---------------------------------------------------------------------------

@@ -750,3 +750,160 @@ def collocations(
     )
     w = Window.orderBy(F.desc("lift"), F.asc("phrase"))
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback: Rocchio-style query expansion
+# ---------------------------------------------------------------------------
+
+
+def prf_expand_queries(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_k: int = 3,
+    n_expand: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance feedback (the Rocchio/RM-family shape, kept
+    integer-exact): run the original workload once, treat each query's
+    top-``fb_k`` documents as relevant, and add the ``n_expand``
+    strongest feedback terms to the query — the classic fix for
+    vocabulary mismatch (a query phrased differently from the corpus
+    still retrieves, because the expansion terms come FROM the
+    corpus).
+
+    Expansion weight is the summed tf of the term across the query's
+    feedback docs (an int64 sum — RM3's probability weights would be
+    float mixtures; the integer weight preserves the no-libm
+    cross-engine contract), ties by term ascending; terms already in
+    the query are excluded (anti-join), so the expanded workload stays
+    DISTINCT (query_id, term) as :func:`bm25_topk` requires.
+
+    Returns the expanded (query_id, term) workload: original rows
+    UNION the expansion rows.
+
+    Scale shape: round 1 is the bm25 plan (O(matched postings) past
+    the broadcast); the feedback set is O(batch * fb_k) ids and
+    broadcasts as a semi-join against the corpus, so ONLY feedback
+    docs are re-tokenized; every aggregation after that is O(feedback
+    tokens).  The caller should :func:`materialize_queries` the result
+    before scoring — it feeds the round-2 plan at two points (the x100
+    multi-consumer finding)."""
+    qterms = queries.select("query_id", "term")
+    fb = bm25_topk(docs, queries, k=fb_k, id_col=id_col, text_col=text_col).select(
+        "query_id", "doc_id"
+    )
+    fb = materialize_queries(fb)  # bounded O(batch*fb_k); feeds two consumers
+    fetched = docs.join(
+        F.broadcast(fb.select("doc_id").distinct().withColumnRenamed("doc_id", id_col)),
+        id_col,
+        "left_semi",
+    )
+    ftf = doc_term_freqs(fetched, id_col, text_col)
+    cand = (
+        fb.join(ftf, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").cast("long").alias("w"))
+        .join(qterms, ["query_id", "term"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    exp = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_expand)
+        .select("query_id", "term")
+    )
+    return qterms.unionByName(exp)
+
+
+# ---------------------------------------------------------------------------
+# Segmented landings and compaction (the LSM shape for inverted indexes)
+# ---------------------------------------------------------------------------
+
+
+def land_inverted_batch(
+    docs_batch: DataFrame,
+    index_path: str,
+    batch_id: int,
+    n_buckets: int = N_TERM_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Land ONE generation of postings under
+    ``postings/batch_id=N/term_bucket=B`` + raw per-batch stats — the
+    single implementation behind both the streaming maintainer
+    (``streaming/index.py:run_streaming_inverted_index`` wraps this in
+    foreachBatch) and batch backfills.  Per-batch overwrite is
+    idempotent (a replayed batch repairs, never duplicates); postings
+    carry NO df (a global statistic that appends would stale — the
+    derived_df serve mode or :func:`compact_inverted_index` restores
+    it); the same bucket-aligned shuffle + per-bucket term sort as the
+    batch build, so pruning is identical on either layout.
+    Generations must carry disjoint doc_ids (the shared append
+    contract)."""
+    tf = doc_term_freqs(docs_batch, id_col, text_col)
+    dl = doc_lengths(docs_batch, id_col, text_col)
+    postings = tf.join(dl, "doc_id").withColumn(
+        "term_bucket", term_bucket(F.col("term"), n_buckets)
+    )
+    (
+        postings.repartition(F.col("term_bucket"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{index_path}/postings/batch_id={batch_id}")
+    )
+    _raw_stats(dl).write.mode("overwrite").parquet(
+        f"{index_path}/stats/batch_id={batch_id}"
+    )
+
+
+def compact_inverted_index(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    n_buckets: int = N_TERM_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Merge a SEGMENTED index (per-batch_id generations from
+    :func:`land_inverted_batch` / the streaming maintainer) into the
+    batch layout :func:`write_inverted_index` produces — the LSM
+    compaction step: one linear pass over all postings re-derives the
+    global df (a count window per term; one row per (doc, term)
+    because generations carry disjoint doc_ids), rewrites
+    bucket-aligned term-sorted files, and collapses the per-batch raw
+    stats to one row.  After compaction the index serves on the
+    STORED-df fast path (``bm25_serve(derived_df=False)``) — bit-equal
+    to a from-scratch batch build over the union corpus, pinned by
+    test.
+
+    ``n_buckets`` may DIFFER from the source's: compaction is where an
+    index re-buckets as vocabulary grows (the blocking-key rule —
+    bucket count scales with corpus cardinality), since the bucket map
+    is recomputed from the term, not read from the layout.
+
+    Scale shape: one shuffle keyed term (the df window) + the
+    bucket-aligned write shuffle — both linear in postings; stats are
+    a bounded per-batch-row sum.  This is the nightly/weekly amortized
+    job that keeps serving O(probed postings) with zero per-probe df
+    derivation."""
+    postings = spark.read.parquet(os.path.join(src_path, "postings")).select(
+        "term", "doc_id", "tf", "dl"
+    )
+    w_df = Window.partitionBy("term")
+    merged = (
+        postings.withColumn("df", F.count("*").over(w_df).cast("long"))
+        .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+    )
+    (
+        merged.repartition(F.col("term_bucket"))
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(dst_path, "postings"))
+    )
+    raw = spark.read.parquet(os.path.join(src_path, "stats"))
+    raw.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("l"), F.lit(0)).cast("long").alias("l"),
+    ).write.mode(mode).parquet(os.path.join(dst_path, "stats"))

@@ -5107,3 +5107,141 @@ def x113_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return collocations(docs, n_top=20, min_count=5)
+
+
+def _build_pq_refine_oracle(
+    dim: int = 64, m: int = 8, ks: int = 16, k: int = 3,
+    k_shortlist: int = 10, modulus: int = 50,
+) -> str:
+    """x106's batch-ADC chain at shortlist depth, then the exact-cosine
+    rerank over only the shortlisted (q, candidate) pairs — the same
+    sequential folds as ``similarity.knn_join_exact``."""
+    shortlist = _build_pq_knn_oracle(dim=dim, m=m, ks=ks, k=k_shortlist, modulus=modulus)
+
+    def foldsum(lst: str) -> str:
+        return f"list_reduce(list_prepend(0.0, {lst}), (acc, x) -> acc + x)"
+
+    dot_qc = foldsum("list_transform(list_zip(qv, v), p -> p[1] * p[2])")
+    qn = f"sqrt({foldsum('list_transform(qv, x -> x * x)')})"
+    cn = f"sqrt({foldsum('list_transform(v, x -> x * x)')})"
+    return f"""
+    WITH sh AS MATERIALIZED ({shortlist}),
+    e2 AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    qv2 AS (SELECT vec_id AS q_id, v AS qv FROM e2 WHERE vec_id % {modulus} = 0),
+    ex AS (SELECT sh.q_id, sh.c_id,
+                  CASE WHEN {qn} > 0 AND {cn} > 0
+                       THEN {dot_qc} / ({qn} * {cn}) END AS cos_exact
+           FROM sh JOIN qv2 ON qv2.q_id = sh.q_id
+                   JOIN e2 ON e2.vec_id = sh.c_id),
+    rk AS (SELECT q_id, c_id, cos_exact,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos_exact DESC NULLS LAST, c_id ASC) AS INT) AS rn
+           FROM ex)
+    SELECT q_id, c_id, cos_exact, rn FROM rk WHERE rn <= {k}
+    """
+
+
+@query("x114_pq_refine_knn", oracle=_build_pq_refine_oracle())
+def x114_pq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: PQ shortlist, exact rerank (the classic
+    refine step — FAISS's IndexRefineFlat shape): stage 1 is x106's
+    batch ADC join at shortlist depth 10 (the corpus pass reads ~8
+    code bytes + a double per vector), stage 2 fetches ONLY the
+    shortlisted candidates' full-precision vectors (a broadcast
+    semi-join of O(batch*10) ids against the float table) and reranks
+    by exact sequential-fold cosine, top-3 per query.  The rerank
+    erases the quantizer's ranking error WITHIN the shortlist; recall
+    is bounded by shortlist membership, which the x108 audit measures.
+    At 100 TB this is the standard serving stack: compressed scan for
+    candidates, exact arithmetic for the final order, float bytes read
+    proportional to the batch — never the corpus."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.pq import pq_refine_knn_join, write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "pq_v1")
+    ensure_index(
+        lambda: write_pq_index(emb, path, dim=64),
+        os.path.join(path, "codes"),
+        fingerprint=corpus_fingerprint(emb),
+    )
+    return pq_refine_knn_join(
+        spark, emb.filter(F.col("vec_id") % 50 == 0), emb, path, k=3, k_shortlist=10
+    )
+
+
+_PRF_ORACLE = f"""
+    WITH {_BM25_TABLES},
+    qtf AS (SELECT doc_id AS query_id, term, tf FROM tf WHERE doc_id % 50 = 0),
+    qs AS (SELECT query_id, q.term,
+                  CAST(q.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS s
+           FROM qtf q JOIN dfx d USING (term)),
+    qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, term ASC) AS rn
+             FROM qs) WHERE rn <= 3),
+    m1 AS (SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, dfx.df
+           FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfx USING (term)),
+    sc1 AS (SELECT query_id, m1.doc_id,
+                   CAST(sum(  ((1024 * (2*n - 2*df + 1)) // (2*df + 1))
+                            * ((1024 * 22 * tf * avgdl_fp)
+                               // (10 * tf * avgdl_fp + 3 * avgdl_fp + 9 * dl * 1024))
+                         ) AS BIGINT) AS score_fp
+            FROM m1 CROSS JOIN a GROUP BY 1, 2),
+    r1 AS (SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_fp DESC, doc_id ASC) AS rank
+             FROM sc1) WHERE rank <= 3),
+    cand AS (SELECT r1.query_id, tf.term, CAST(sum(tf.tf) AS BIGINT) AS w2
+             FROM r1 JOIN tf USING (doc_id) GROUP BY 1, 2),
+    cand2 AS (SELECT c.query_id, c.term, c.w2 FROM cand c
+              LEFT JOIN qt ON qt.query_id = c.query_id AND qt.term = c.term
+              WHERE qt.term IS NULL),
+    expd AS (SELECT query_id, term FROM (
+              SELECT query_id, term,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY w2 DESC, term ASC) AS rn
+              FROM cand2) WHERE rn <= 2),
+    q2 AS (SELECT query_id, term FROM qt
+           UNION ALL SELECT query_id, term FROM expd),
+    m AS (SELECT q2.query_id, tf.doc_id, tf.tf, dl.dl, dfx.df
+          FROM q2 JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfx USING (term)),
+    {_BM25_SCORE_TOPK}
+    SELECT query_id, doc_id, score_fp, rank,
+           CAST(score_fp AS DOUBLE) / 1048576.0 AS score
+    FROM tk WHERE rank <= 5
+"""
+
+
+@query("x115_prf_expansion", oracle=_PRF_ORACLE)
+def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio-style, integer-
+    exact): x101's workload runs once, each query's top-3 documents
+    are presumed relevant, the 2 strongest feedback terms (summed-tf
+    weight, int64 — not RM3's float mixtures, per the no-libm
+    contract) join the query, and the EXPANDED workload scores the
+    corpus again for the final top-5 — the classic vocabulary-mismatch
+    fix, two passes total.  Scale shape: the feedback set is
+    O(batch*3) ids broadcast as a semi-join, so only feedback docs
+    re-tokenize; both scoring passes carry O(matched postings); the
+    expanded workload is materialized once (the x100 multi-consumer
+    rule).  At index-serving scale both passes ride bm25_serve
+    unchanged — the workload contract is (query_id, term) rows either
+    way."""
+    from ..operators.retrieval import (
+        bm25_topk,
+        materialize_queries,
+        prf_expand_queries,
+        top_terms_queries,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    expanded = materialize_queries(
+        prf_expand_queries(docs, queries, fb_k=3, n_expand=2)
+    )
+    return bm25_topk(docs, expanded, k=5)

@@ -273,33 +273,14 @@ def run_streaming_inverted_index(
     additive, so the serve-time sum is exactly the full-corpus value.
     Generations must carry disjoint doc_ids (the new-ids append
     contract shared with the ANN indexes)."""
-    from ..operators.retrieval import (
-        N_TERM_BUCKETS,
-        _raw_stats,
-        doc_lengths,
-        doc_term_freqs,
-        term_bucket,
-    )
+    from ..operators.retrieval import N_TERM_BUCKETS, land_inverted_batch
 
     nb = n_buckets or N_TERM_BUCKETS
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        tf = doc_term_freqs(batch_df, id_col, text_col)
-        dl = doc_lengths(batch_df, id_col, text_col)
-        postings = (
-            tf.join(dl, "doc_id")
-            .withColumn("term_bucket", term_bucket(F.col("term"), nb))
-        )
-        (
-            postings.repartition(F.col("term_bucket"))
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(f"{index_path}/postings/batch_id={batch_id}")
-        )
-        _raw_stats(dl).write.mode("overwrite").parquet(
-            f"{index_path}/stats/batch_id={batch_id}"
-        )
+        # one shared implementation with batch backfills and the
+        # compaction source layout (operators/retrieval.py)
+        land_inverted_batch(batch_df, index_path, batch_id, nb, id_col, text_col)
 
     (
         spark.readStream.schema(
