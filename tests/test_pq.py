@@ -330,3 +330,80 @@ def test_pq_refine_zero_norm_scores_null(spark, tmp_path):
     reals = [g for g in got if g[1] is not None]
     assert got[: len(reals)] == reals  # NULL ranks last
     assert got[-1][0] == 0 and got[-1][1] is None
+
+
+def _py_opq_perm(vecs, dim, m):
+    """Independent Python model of opq_dim_permutation (id-ordered
+    energy fold + snake allocation)."""
+    energy = [0.0] * dim
+    for _, v in vecs:
+        for i in range(dim):
+            energy[i] += v[i] * v[i]
+    ranked = sorted(range(dim), key=lambda i: (-energy[i], i))
+    subs = [[] for _ in range(m)]
+    for r, d in enumerate(ranked):
+        rnd, p = divmod(r, m)
+        j = p if rnd % 2 == 0 else m - 1 - p
+        subs[j].append(d)
+    return [d for j in range(m) for d in subs[j]]
+
+
+def test_opq_permutation_matches_python_model(spark):
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        opq_dim_permutation,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = opq_dim_permutation(emb, dim=64, m=8, sample_n=256)
+    rows = sorted(
+        [(r.vec_id, [float(x) for x in r.embedding]) for r in
+         emb.orderBy("vec_id").limit(256).collect()]
+    )
+    want = _py_opq_perm(rows, 64, 8)
+    assert got == want
+    assert sorted(got) == list(range(64))  # a true permutation
+    # balanced: each subspace block is exactly dim/m dims
+    assert all(len(got[j * 8:(j + 1) * 8]) == 8 for j in range(8))
+
+
+def test_opq_m1_equals_plain_pq_on_integer_vectors(spark, tmp_path):
+    """At m=1 the permutation only reorders dims inside the single
+    subspace: with integer-valued vectors every fold is exact, so OPQ
+    scores equal plain PQ scores EXACTLY (permutation invariance of
+    dot/norm, no rounding to hide behind)."""
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        opq_adc_probe,
+        write_opq_index,
+    )
+
+    corpus = _emb(
+        spark,
+        [(0, [1, 0, 2, 0]), (1, [0, 3, 0, 1]), (2, [2, 2, 1, 1]), (3, [1, 1, 1, 1])],
+    )
+    q = [1.0, 0.0, 2.0, 0.0]
+    p_opq, p_pq = str(tmp_path / "opq"), str(tmp_path / "pq")
+    write_opq_index(corpus, p_opq, dim=4, m=1, ks=2, sample_n=4)
+    write_pq_index(corpus, p_pq, dim=4, m=1, ks=2)
+    got = [(r.vec_id, r.cos_approx) for r in
+           opq_adc_probe(spark, p_opq, q, k=4, m=1).collect()]
+    want = [(r.vec_id, r.cos_approx) for r in
+            pq_adc_probe(spark, p_pq, q, k=4, m=1).collect()]
+    assert got == want and len(got) == 4
+
+
+def test_opq_self_match_scores_one(spark, tmp_path):
+    """A codebook member probes itself at cos ~ 1.0 through the
+    permuted chain (the x105 self-match pin, OPQ edition)."""
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        opq_adc_probe,
+        write_opq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 200"
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "opq")
+    write_opq_index(emb, path, dim=64)
+    got = opq_adc_probe(spark, path, qv, k=1).collect()
+    assert got[0].vec_id == 0 and got[0].cos_approx == pytest.approx(1.0, rel=1e-12)

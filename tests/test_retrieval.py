@@ -490,3 +490,98 @@ def test_prf_expansion_no_hits_keeps_original(spark):
     exp = [(r.query_id, r.term) for r in
            prf_expand_queries(docs, queries, fb_k=2, n_expand=2).collect()]
     assert exp == [(5, "zzz")]
+
+
+def test_compaction_equals_batch_build(spark, tmp_path):
+    """Segmented landings (disjoint generations) + compaction serve
+    BIT-EQUAL to a from-scratch batch build on the stored-df fast
+    path, and the compacted postings carry the true global df."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        compact_inverted_index,
+        land_inverted_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seg, comp, full = str(tmp_path / "seg"), str(tmp_path / "comp"), str(tmp_path / "full")
+    land_inverted_batch(docs.filter("doc_id < 250"), seg, 0)
+    land_inverted_batch(docs.filter("doc_id >= 250"), seg, 1)
+    compact_inverted_index(spark, seg, comp)
+    write_inverted_index(docs, full)
+
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 100 == 0, n_terms=3)
+    )
+    got = [tuple(r) for r in bm25_serve(spark, queries, comp, k=5).collect()]
+    want = [tuple(r) for r in bm25_serve(spark, queries, full, k=5).collect()]
+    assert got == want and len(got) > 0
+
+    # stored df is the global document frequency, not a per-segment one
+    import os
+    cdf = {
+        (r.term, r.doc_id): r.df
+        for r in spark.read.parquet(os.path.join(comp, "postings")).collect()
+    }
+    fdf = {
+        (r.term, r.doc_id): r.df
+        for r in spark.read.parquet(os.path.join(full, "postings")).collect()
+    }
+    assert cdf == fdf
+
+
+def test_compaction_rebuckets(spark, tmp_path):
+    """Compaction re-derives the bucket map from terms, so the
+    compacted index may carry a DIFFERENT n_buckets than its source —
+    results unchanged when the serve passes the matching count."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        compact_inverted_index,
+        land_inverted_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    seg, comp = str(tmp_path / "seg"), str(tmp_path / "comp")
+    land_inverted_batch(docs, seg, 0, n_buckets=8)
+    compact_inverted_index(spark, seg, comp, n_buckets=16)
+
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=2)
+    )
+    got = [tuple(r) for r in
+           bm25_serve(spark, queries, comp, k=3, n_buckets=16).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, queries, k=3).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_snippet_hand_pin(spark):
+    """doc: 'a b a c a x x x x x b', query {a,b} -> matched positions
+    {0,1,2,4,10}; width=4 windows score 3,3,2,1,1 -> best start 0
+    (ties break earliest)."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        best_window_snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c a x x x x x b"), (2, "no terms here")], ["doc_id", "text"]
+    )
+    queries = spark.createDataFrame(
+        [(9, "a"), (9, "b")], ["query_id", "term"]
+    )
+    hits = spark.createDataFrame([(9, 1), (9, 2)], ["query_id", "doc_id"])
+    got = [tuple(r) for r in best_window_snippets(docs, queries, hits, width=4).collect()]
+    # doc 2 has no matched term -> no row; doc 1 pins (start 0, 3 hits)
+    assert got == [(9, 1, 0, 3)]
+
+
+def test_snippet_window_width_one(spark):
+    """width=1 degenerates to 'any single match': n_hits 1, earliest
+    matched position wins."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        best_window_snippets,
+    )
+
+    docs = spark.createDataFrame([(1, "x y z q z")], ["doc_id", "text"])
+    queries = spark.createDataFrame([(5, "z")], ["query_id", "term"])
+    hits = spark.createDataFrame([(5, 1)], ["query_id", "doc_id"])
+    got = [tuple(r) for r in best_window_snippets(docs, queries, hits, width=1).collect()]
+    assert got == [(5, 1, 2, 1)]

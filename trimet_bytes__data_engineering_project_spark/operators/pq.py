@@ -721,3 +721,106 @@ def ivfpq_residual_probe(
         .orderBy(F.desc("cos_approx"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite: variance-balanced dimension permutation (structured OPQ)
+# ---------------------------------------------------------------------------
+
+
+def opq_dim_permutation(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    sample_n: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[int]:
+    """A deterministic, oracle-expressible stand-in for OPQ's learned
+    rotation (Ge et al., CVPR 2013 — public knowledge): PERMUTE
+    dimensions so per-subspace energy is balanced before product
+    quantization.  The paper's non-parametric form learns an
+    orthogonal rotation by alternating SVD (libm-bound, outside the
+    no-libm oracle contract); its structured cousin — reorder
+    dimensions so each codebook sees a comparable energy budget — is
+    the standard cheap variant (FAISS ships random rotation for the
+    same purpose) and is a permutation matrix, i.e. exactly an
+    orthogonal rotation restricted to {0,1} entries: inner products
+    and norms are invariant, so ADC semantics are unchanged.
+
+    Energy statistic: sum of squares per dimension over the FIRST
+    ``sample_n`` vectors by id — a bounded deterministic sample
+    (bounded-collect convention), folded in id order left-to-right so
+    Python, Spark and DuckDB agree bitwise.  Allocation: rank
+    dimensions by (energy desc, dim asc) and deal them to the m
+    subspaces in SNAKE order (0..m-1, m-1..0, ...) — each subspace
+    gets dim/m dims with matched energy mix (the greedy balanced-
+    allocation heuristic).  Returns the permutation P as a list:
+    permuted[i] = v[P[i]], subspace j owning P[j*dim/m : (j+1)*dim/m].
+    """
+    rows = (
+        emb.orderBy(id_col)
+        .limit(sample_n)
+        .select(F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("v"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r._id)
+    energy = [0.0] * dim
+    for r in rows:
+        v = r.v
+        for i in range(dim):
+            energy[i] += v[i] * v[i]
+    ranked = sorted(range(dim), key=lambda i: (-energy[i], i))
+    subs: list[list[int]] = [[] for _ in range(m)]
+    for r, d in enumerate(ranked):
+        rnd, p = divmod(r, m)
+        j = p if rnd % 2 == 0 else m - 1 - p
+        subs[j].append(d)
+    return [d for j in range(m) for d in subs[j]]
+
+
+def write_opq_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    sample_n: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """PQ index over PERMUTED vectors: the permutation is computed
+    once (:func:`opq_dim_permutation`), persisted at ``{path}/perm``
+    (the index's rotation parameter — appends and probes read it, the
+    frozen-quantizer contract extended to the transform), and the
+    standard :func:`write_pq_index` machinery runs on the permuted
+    corpus.  Inner products are permutation-invariant, so scores are
+    exact cosines of the same vectors — only the SUBSPACE BOUNDARIES
+    move, which is the entire point: a subspace that mixes high- and
+    low-energy dimensions spends its ks codes on structure instead of
+    wasting codebook entries on near-constant blocks."""
+    spark = emb.sparkSession
+    perm = opq_dim_permutation(emb, dim, m, sample_n, vec_col, id_col)
+    spark.createDataFrame([(perm,)], "perm array<int>").write.mode(mode).parquet(
+        os.path.join(path, "perm")
+    )
+    stored = [int(i) for i in
+              spark.read.parquet(os.path.join(path, "perm")).first()["perm"]]
+    pv = as_double_vec(vec_col)
+    permuted = emb.select(
+        F.col(id_col),
+        F.array(*[pv.getItem(i) for i in stored]).alias(vec_col),
+    )
+    write_pq_index(permuted, path, dim, m, ks, vec_col=vec_col, id_col=id_col, mode=mode)
+
+
+def opq_adc_probe(
+    spark: SparkSession, path: str, qvec: list[float], k: int = 5, m: int = PQ_M
+) -> DataFrame:
+    """ADC probe of an OPQ index: the stored permutation applies to
+    the QUERY (driver-side — the perm table is one bounded row), then
+    the scan is exactly :func:`pq_adc_probe` over the permuted codes.
+    Same NULL-score contract, same top-k total order."""
+    perm = [int(i) for i in spark.read.parquet(os.path.join(path, "perm")).first()["perm"]]
+    return pq_adc_probe(spark, path, [float(qvec[i]) for i in perm], k=k, m=m)

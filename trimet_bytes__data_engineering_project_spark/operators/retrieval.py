@@ -764,6 +764,7 @@ def prf_expand_queries(
     n_expand: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    retrieve=None,
 ) -> DataFrame:
     """Pseudo-relevance feedback (the Rocchio/RM-family shape, kept
     integer-exact): run the original workload once, treat each query's
@@ -789,11 +790,19 @@ def prf_expand_queries(
     docs are re-tokenized; every aggregation after that is O(feedback
     tokens).  The caller should :func:`materialize_queries` the result
     before scoring — it feeds the round-2 plan at two points (the x100
-    multi-consumer finding)."""
+    multi-consumer finding).
+
+    ``retrieve``: optional ``(queries, k) -> (query_id, doc_id, ...)``
+    callable for round 1 — pass a :func:`bm25_serve` closure to run
+    the feedback retrieval off the PERSISTED index (the at-scale form;
+    in-flight :func:`bm25_topk` re-derives the corpus stat tables per
+    pass).  Results are bit-equal either way (the x102 contract)."""
     qterms = queries.select("query_id", "term")
-    fb = bm25_topk(docs, queries, k=fb_k, id_col=id_col, text_col=text_col).select(
-        "query_id", "doc_id"
-    )
+    if retrieve is None:
+        retrieve = lambda q, k: bm25_topk(  # noqa: E731
+            docs, q, k=k, id_col=id_col, text_col=text_col
+        )
+    fb = retrieve(queries, fb_k).select("query_id", "doc_id")
     fb = materialize_queries(fb)  # bounded O(batch*fb_k); feeds two consumers
     fetched = docs.join(
         F.broadcast(fb.select("doc_id").distinct().withColumnRenamed("doc_id", id_col)),
@@ -907,3 +916,67 @@ def compact_inverted_index(
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
         F.coalesce(F.sum("l"), F.lit(0)).cast("long").alias("l"),
     ).write.mode(mode).parquet(os.path.join(dst_path, "stats"))
+
+
+# ---------------------------------------------------------------------------
+# Snippet extraction: best query-term window per retrieved document
+# ---------------------------------------------------------------------------
+
+
+def best_window_snippets(
+    docs: DataFrame,
+    queries: DataFrame,
+    hits: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """For each retrieved (query, document) pair, the best snippet
+    window: the token offset ``start`` whose ``width``-token window
+    [start, start+width) covers the MOST query-term occurrences, ties
+    by earliest start — the highlighting step every retrieval UI runs
+    after top-k.  Candidate starts are exactly the matched positions
+    (an optimal window can always shift right until its left edge hits
+    a match), so the search is over matched occurrences, not all
+    offsets.
+
+    ``queries``: (query_id, term) rows; ``hits``: (query_id, doc_id)
+    pairs to annotate (a top-k result projection — the caller should
+    :func:`materialize_queries` it, it feeds the plan at two points).
+    Returns (query_id, doc_id, start, n_hits) with n_hits = matched
+    occurrences in the winning window; pairs whose doc contains no
+    query term emit nothing (they cannot be hits of a lexical
+    retriever).
+
+    Scale shape: only HIT documents tokenize (broadcast semi-join of
+    the O(batch*k) hit ids); matched occurrences survive the broadcast
+    term join, so the window scoring — one count window with an
+    integer RANGE frame [current, +width-1], then one argmax window —
+    runs over O(hits * per-doc matched occurrences) rows.  All counts
+    integer; ties total-ordered; no floats anywhere."""
+    hit_ids = hits.select("doc_id").distinct().withColumnRenamed("doc_id", id_col)
+    toks = docs.join(F.broadcast(hit_ids), id_col, "left_semi").select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        ).alias("pos", "term"),
+    )
+    matched = (
+        toks.join(F.broadcast(queries.select("query_id", "term")), "term")
+        .join(F.broadcast(hits.select("query_id", "doc_id")), ["query_id", "doc_id"])
+        .select("query_id", "doc_id", "pos")
+    )
+    w_cnt = (
+        Window.partitionBy("query_id", "doc_id")
+        .orderBy("pos")
+        .rangeBetween(Window.currentRow, width - 1)
+    )
+    scored = matched.withColumn("n_hits", F.count("*").over(w_cnt).cast("long"))
+    w_best = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("n_hits"), F.asc("pos")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "doc_id", F.col("pos").alias("start"), "n_hits")
+    )

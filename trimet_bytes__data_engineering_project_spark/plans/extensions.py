@@ -5227,21 +5227,245 @@ def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(batch*3) ids broadcast as a semi-join, so only feedback docs
     re-tokenize; both scoring passes carry O(matched postings); the
     expanded workload is materialized once (the x100 multi-consumer
-    rule).  At index-serving scale both passes ride bm25_serve
-    unchanged — the workload contract is (query_id, term) rows either
-    way."""
+    rule).  BOTH retrieval passes run through the PERSISTED inverted
+    index (``bm25_serve`` — bit-equal to in-flight scoring by the x102
+    contract, so the oracle is the in-flight chain verbatim): the
+    workload contract is (query_id, term) rows either way, and the
+    index is the shared x102 build (amortized via ensure_index)."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
     from ..operators.retrieval import (
-        bm25_topk,
+        bm25_serve,
         materialize_queries,
         prf_expand_queries,
-        top_terms_queries,
+        top_terms_from_index,
+        write_inverted_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_tagged_dir(_SCRATCH, "bm25_index", "v2", sf_dir=sf_dir), "full")
+    ensure_index(
+        lambda: write_inverted_index(docs, path),
+        os.path.join(path, "stats"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
     queries = materialize_queries(
-        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+        top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
     )
+    serve = lambda q, k: bm25_serve(spark, q, path, k=k)  # noqa: E731
     expanded = materialize_queries(
-        prf_expand_queries(docs, queries, fb_k=3, n_expand=2)
+        prf_expand_queries(docs, queries, fb_k=3, n_expand=2, retrieve=serve)
     )
-    return bm25_topk(docs, expanded, k=5)
+    return bm25_serve(spark, expanded, path, k=5)
+
+
+@query("x116_index_compaction", oracle=_BM25_TOPK_ORACLE)
+def x116_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSM lifecycle for the inverted index: two disjoint
+    generations land in the segmented per-batch_id layout
+    (``land_inverted_batch`` — the same implementation foreachBatch
+    wraps), ``compact_inverted_index`` merges them into the batch
+    layout (one linear pass re-derives the global df, rewrites
+    bucket-aligned term-sorted files, collapses per-batch stats), and
+    the compacted index serves x101's workload on the STORED-df fast
+    path.  Oracle is x101's VERBATIM: segmentation + compaction
+    change cost and layout, never results.  At 100 TB this is the
+    nightly amortized job that keeps serving free of per-probe df
+    derivation while ingest stays streaming; compaction is also where
+    the index RE-BUCKETS as vocabulary grows (n_buckets is recomputed
+    from terms, not read from the layout — the blocking-key rule)."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.retrieval import (
+        bm25_serve,
+        compact_inverted_index,
+        land_inverted_batch,
+        top_terms_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _tagged_dir(_SCRATCH, "bm25_index", "v2", sf_dir=sf_dir)
+    seg, comp = os.path.join(root, "segmented"), os.path.join(root, "compacted")
+
+    def build() -> None:
+        land_inverted_batch(docs.filter(F.col("doc_id") < 250), seg, 0)
+        land_inverted_batch(docs.filter(F.col("doc_id") >= 250), seg, 1)
+        compact_inverted_index(spark, seg, comp)
+
+    ensure_index(
+        build,
+        os.path.join(comp, "stats"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
+    queries = top_terms_from_index(spark, comp, F.col("doc_id") % 50 == 0, n_terms=3)
+    return bm25_serve(spark, queries, comp, k=5)
+
+
+_SNIPPET_ORACLE = f"""
+    WITH {_BM25_TABLES},
+    qtf AS (SELECT doc_id AS query_id, term, tf FROM tf WHERE doc_id % 50 = 0),
+    qs AS (SELECT query_id, q.term,
+                  CAST(q.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS s
+           FROM qtf q JOIN dfx d USING (term)),
+    qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, term ASC) AS rn
+             FROM qs) WHERE rn <= 3),
+    m AS (SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, dfx.df
+          FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfx USING (term)),
+    {_BM25_SCORE_TOPK},
+    hits AS (SELECT query_id, doc_id FROM tk WHERE rank <= 3),
+    ptoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term,
+                     CAST(unnest(range(len(regexp_extract_all(lower(text), '[a-z]+')))) AS INT) AS pos
+              FROM documents),
+    mt AS (SELECT qt.query_id, p.doc_id, p.pos
+           FROM ptoks p JOIN qt USING (term) JOIN hits USING (query_id, doc_id)),
+    wcnt AS (SELECT query_id, doc_id, pos,
+                    CAST(count(*) OVER (PARTITION BY query_id, doc_id ORDER BY pos
+                                        RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                         AS BIGINT) AS n_hits
+             FROM mt),
+    best AS (SELECT query_id, doc_id, pos AS start, n_hits,
+                    row_number() OVER (PARTITION BY query_id, doc_id
+                                       ORDER BY n_hits DESC, pos ASC) AS rn
+             FROM wcnt)
+    SELECT query_id, doc_id, start, n_hits FROM best WHERE rn = 1
+"""
+
+
+@query("x117_snippet_extraction", oracle=_SNIPPET_ORACLE)
+def x117_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet extraction over x101's top-3 hits: for each
+    retrieved (query, doc) pair, the 8-token window start covering the
+    most query-term occurrences (ties earliest — total order) — the
+    highlighting step after top-k, as a distributed operator.  Only
+    HIT docs tokenize (broadcast semi-join of O(batch*k) ids);
+    candidate starts are exactly the matched positions; scoring is one
+    integer RANGE-frame count window + one argmax window over
+    O(matched occurrences) rows.  No floats: the whole result is
+    integer columns under the oracle gate.  The workload and top-3
+    hits come off the PERSISTED index (bm25_serve — bit-equal by the
+    x102 contract, so the oracle stays the in-flight chain); only the
+    hit docs themselves tokenize for positions."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.retrieval import (
+        best_window_snippets,
+        bm25_serve,
+        materialize_queries,
+        top_terms_from_index,
+        write_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_tagged_dir(_SCRATCH, "bm25_index", "v2", sf_dir=sf_dir), "full")
+    ensure_index(
+        lambda: write_inverted_index(docs, path),
+        os.path.join(path, "stats"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
+    queries = materialize_queries(
+        top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    hits = materialize_queries(
+        bm25_serve(spark, queries, path, k=3).select("query_id", "doc_id")
+    )
+    return best_window_snippets(docs, queries, hits, width=8)
+
+
+def _build_opq_oracle(
+    dim: int = 64, m: int = 8, ks: int = 16, k: int = 5, sample_n: int = 256
+) -> str:
+    """x105's PQ lifecycle over PERMUTED vectors: the variance-balanced
+    snake permutation (energy = per-dim sum of squares over the first
+    ``sample_n`` vectors, folded in id order — Python/Spark/DuckDB
+    bit-equal), then the identical codebook/encode/ADC chain with e/q
+    swapped for their permuted forms (operators/pq.py:write_opq_index /
+    opq_adc_probe)."""
+    d = dim // m
+
+    def foldsum(lst: str) -> str:
+        return f"list_reduce(list_prepend(0.0, {lst}), (acc, x) -> acc + x)"
+
+    def dot_sql(a: str, b: str) -> str:
+        return foldsum(f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])")
+
+    def l2sq_sql(a: str, b: str) -> str:
+        return foldsum(
+            f"list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))"
+        )
+
+    def sqn_sql(a: str) -> str:
+        return foldsum(f"list_transform({a}, x -> x * x)")
+
+    qsub = f"list_slice((SELECT qv FROM q), m*{d}+1, m*{d}+{d})"
+    return f"""
+    WITH e0 AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    samp AS (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT {sample_n}),
+    dims AS (SELECT CAST(unnest(range({dim})) AS INT) AS dim),
+    en AS (SELECT dim,
+                  list_reduce(list_prepend(0.0, list(v[dim+1] * v[dim+1] ORDER BY vec_id)),
+                              (acc, x) -> acc + x) AS energy
+           FROM samp CROSS JOIN dims GROUP BY dim),
+    rk AS (SELECT dim, CAST(row_number() OVER (ORDER BY energy DESC, dim ASC) - 1 AS INT) AS r
+           FROM en),
+    al AS (SELECT dim, r,
+                  CASE WHEN (r // {m}) % 2 = 0 THEN r % {m} ELSE {m - 1} - (r % {m}) END AS sub
+           FROM rk),
+    pr AS (SELECT list(dim ORDER BY sub ASC, r ASC) AS perm FROM al),
+    e AS MATERIALIZED (SELECT vec_id,
+                              list_transform((SELECT perm FROM pr), i -> v[i+1]) AS v
+                       FROM e0),
+    q AS MATERIALIZED (SELECT list_transform((SELECT perm FROM pr), i -> qv0[i+1]) AS qv
+                       FROM (SELECT {_QV_SQL} AS qv0)),
+    ms AS (SELECT CAST(unnest(range({m})) AS INT) AS m),
+    cb0 AS MATERIALIZED (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+                         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {ks})),
+    cbn AS MATERIALIZED (SELECT m, code, list_slice(v, m*{d}+1, m*{d}+{d}) AS cvec,
+                                {sqn_sql(f'list_slice(v, m*{d}+1, m*{d}+{d})')} AS cn2
+                         FROM cb0 CROSS JOIN ms),
+    sv AS (SELECT vec_id, m, list_slice(v, m*{d}+1, m*{d}+{d}) AS sub FROM e CROSS JOIN ms),
+    asg AS (SELECT vec_id, m, code, cn2,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY {l2sq_sql('sub', 'cvec')} ASC, code ASC) AS rn
+            FROM sv JOIN cbn USING (m)),
+    enc AS MATERIALIZED (SELECT vec_id, m, code, cn2 FROM asg WHERE rn = 1),
+    rn1 AS (SELECT vec_id, list(cn2 ORDER BY m) AS cs FROM enc GROUP BY 1),
+    rnv AS (SELECT vec_id, sqrt({foldsum('cs')}) AS recon_norm FROM rn1),
+    dt AS (SELECT m, code, {dot_sql(qsub, 'cvec')} AS p FROM cbn),
+    sc1 AS (SELECT vec_id, list(p ORDER BY m) AS ps FROM enc JOIN dt USING (m, code) GROUP BY 1),
+    sc AS (SELECT vec_id, {foldsum('ps')} AS raw FROM sc1),
+    qn AS (SELECT sqrt({sqn_sql('(SELECT qv FROM q)')}) AS qn)
+    SELECT s.vec_id,
+           CASE WHEN r.recon_norm > 0 AND qn.qn > 0
+                THEN s.raw / (qn.qn * r.recon_norm) END AS cos_approx
+    FROM sc s JOIN rnv r USING (vec_id) CROSS JOIN qn
+    ORDER BY cos_approx DESC NULLS LAST, vec_id LIMIT {k}
+    """
+
+
+@query("x118_opq_probe", oracle=_build_opq_oracle())
+def x118_opq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite: product quantization over a variance-BALANCED
+    dimension permutation (the structured stand-in for OPQ's learned
+    rotation — Ge et al. 2013; a permutation IS an orthogonal rotation
+    with {0,1} entries, so inner products/norms are invariant and ADC
+    semantics unchanged).  The permutation ranks dimensions by energy
+    over a bounded deterministic sample (first 256 by id, id-ordered
+    fold — bit-equal in Python/Spark/DuckDB) and snake-deals them to
+    the m subspaces, so no codebook wastes its ks entries on a block
+    of near-constant dims.  Persisted with the index as its rotation
+    parameter (the frozen-quantizer contract extended to the
+    transform); the probe permutes the QUERY driver-side and runs the
+    x105 scan unchanged.  Whole lifecycle — sample, permutation,
+    encode, ADC — under the oracle gate."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.pq import opq_adc_probe, write_opq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = _index_dir(sf_dir, "opq_v1")
+    ensure_index(
+        lambda: write_opq_index(emb, path, dim=64),
+        os.path.join(path, "codes"),
+        fingerprint=corpus_fingerprint(emb),
+    )
+    return opq_adc_probe(spark, path, qv, k=5)
