@@ -1044,6 +1044,130 @@ def _x107_ivfpq_probe(spark, d):
     return ivfpq_probe(spark, path, qv, k=5, nprobe=1)
 
 
+def _x115_prf_serve(spark, d, batch_queries=128):
+    # PRF through the persisted index, pure-serve regime (workload
+    # persisted once): the timed region is round-1 serve -> feedback
+    # fetch (O(batch*fb_k) docs tokenize) -> expansion -> round-2
+    # serve.  Every stage is O(batch) or O(probed postings); the
+    # corpus-growing terms are the probed posting lists (the x102
+    # band) and nothing else — the multi-stage shape costs fixed
+    # per-job latency, not scan growth.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_serve,
+        index_df_stats,
+        materialize_queries,
+        prf_expand_queries,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    path, n_buckets = _bm25_index_path_and_buckets(spark, d)
+    ensure_index(
+        lambda: write_inverted_index(docs, path, n_buckets=n_buckets),
+        os.path.join(path, "stats"),
+    )
+    qpath = os.path.join(path, "workload")
+    ensure_index(
+        lambda: _bm25_query_workload(spark, d, path, batch_queries)
+        .write.mode("overwrite")
+        .parquet(qpath),
+        qpath,
+    )
+    q = spark.read.parquet(qpath)
+    serve = lambda qq, k: bm25_serve(spark, qq, path, k=k, n_buckets=n_buckets)  # noqa: E731
+    expanded = materialize_queries(
+        prf_expand_queries(
+            docs, q, fb_k=3, n_expand=2, retrieve=serve,
+            df_stats=index_df_stats(spark, path, n_buckets),
+        )
+    )
+    return bm25_serve(spark, expanded, path, k=5, n_buckets=n_buckets).agg(
+        F.count("*").alias("n_hits"), F.sum("score_fp").alias("s")
+    )
+
+
+def _x116_compaction(spark, d):
+    # the compaction JOB is the measured thing: two segmented
+    # generations (landed once per scale dir) merge into the batch
+    # layout — one postings pass for the df window + the bucket-aligned
+    # write, expected ~linear in postings (the index-build class, paid
+    # nightly and amortized over every stored-df serve).
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        compact_inverted_index,
+        land_inverted_batch,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    _, n_buckets = _bm25_index_path_and_buckets(spark, d)
+    seg = os.path.join(_SCALE_ROOT, "bm25_segmented", os.path.basename(d.rstrip("/")))
+    dst = os.path.join(_SCALE_ROOT, "bm25_compacted", os.path.basename(d.rstrip("/")))
+
+    def build():
+        land_inverted_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), seg, 0, n_buckets)
+        land_inverted_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1), seg, 1, n_buckets)
+
+    ensure_index(build, f"{seg}/stats/batch_id=1")
+    compact_inverted_index(spark, seg, dst, n_buckets=n_buckets)
+    return spark.read.parquet(os.path.join(dst, "stats"))
+
+
+def _x117_snippet_serve(spark, d, batch_queries=128):
+    # the request path: persisted workload -> top-3 serve -> best-window
+    # snippets.  Only HIT docs tokenize (O(batch*k) semi-join rows), the
+    # window scoring is O(matched occurrences) — expect the x102-fixedq
+    # band with the probed posting lists as the only growing term.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        best_window_snippets,
+        bm25_serve,
+        materialize_queries,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    path, n_buckets = _bm25_index_path_and_buckets(spark, d)
+    ensure_index(
+        lambda: write_inverted_index(docs, path, n_buckets=n_buckets),
+        os.path.join(path, "stats"),
+    )
+    qpath = os.path.join(path, "workload")
+    ensure_index(
+        lambda: _bm25_query_workload(spark, d, path, batch_queries)
+        .write.mode("overwrite")
+        .parquet(qpath),
+        qpath,
+    )
+    q = spark.read.parquet(qpath)
+    hits = materialize_queries(
+        bm25_serve(spark, q, path, k=3, n_buckets=n_buckets).select("query_id", "doc_id")
+    )
+    return best_window_snippets(docs, q, hits, width=8).agg(
+        F.count("*").alias("n"), F.sum("n_hits").alias("s")
+    )
+
+
+def _x118_opq_probe(spark, d):
+    # OPQ-lite serving: the scan is byte-identical to x105's flat row
+    # (8 codes + a double per vector) — the permutation costs one
+    # driver-side query transform; the row exists to pin that the
+    # transform adds nothing at serve time.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        opq_adc_probe,
+        write_opq_index,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = os.path.join(_SCALE_ROOT, "opq_index", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: write_opq_index(emb, path, dim=64), os.path.join(path, "codes")
+    )
+    return opq_adc_probe(spark, path, qv, k=5)
+
+
 def _x111_ivfpq_residual_probe(spark, d):
     # the classic residual-encoded form: identical pruning to x107 (the
     # partition IN-list bounds rows, the codes bound bytes/row) plus one
@@ -1146,6 +1270,10 @@ HEAVY = [
     ("x107_ivfpq_probe", _x107_ivfpq_probe),
     ("x111_ivfpq_residual_probe", _x111_ivfpq_residual_probe),
     ("x113_collocations", _x113_collocations),
+    ("x115_prf_serve_128q", _x115_prf_serve),
+    ("x116_compaction", _x116_compaction),
+    ("x117_snippet_serve_128q", _x117_snippet_serve),
+    ("x118_opq_probe", _x118_opq_probe),
     ("x110_phrase_serve", _x110_phrase_serve),
     ("x101_bm25_inflight_128q", _x101_bm25_inflight),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),

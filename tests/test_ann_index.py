@@ -661,3 +661,64 @@ def test_corpus_fingerprint_content_col(spark, emb):
     assert corpus_fingerprint(v1, content_col="embedding") == corpus_fingerprint(
         v1, content_col="embedding"
     )
+
+
+def test_prefix_refine_full_shortlist_equals_exact(spark, tmp_path):
+    """With the shortlist as deep as the corpus the prefix stage only
+    gates membership trivially — the refine output equals exact kNN
+    bit-for-bit (same folds, same ties)."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        prefix_refine_knn_join,
+        write_prefix_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 200"
+    )
+    path = str(tmp_path / "pfx")
+    write_prefix_index(emb, path, prefix_dim=16)
+    q = emb.filter("vec_id % 40 = 0")
+    got = {
+        (r.q_id, r.rn): (r.c_id, r.cos_exact)
+        for r in prefix_refine_knn_join(
+            spark, q, emb, path, k=3, k_shortlist=200, prefix_dim=16
+        ).collect()
+    }
+    want = {
+        (r.q_id, r.rn): (r.c_id, r.cos_sim)
+        for r in knn_join_exact(q, emb, k=3).collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_prefix_refine_zero_prefix_real_tail(spark, tmp_path):
+    """A vector whose PREFIX is zero but whose tail is not: NULL
+    prefix-cosine (ranked last in stage 1) yet — shortlisted in a small
+    corpus — it reranks with its REAL full-dimension score and can win
+    stage 2 (the truncation blind spot the refine stage exists for)."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        prefix_refine_knn_join,
+        write_prefix_index,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 5.0, 5.0]),   # zero PREFIX (p=2), strong tail
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.5, 1.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+    path = str(tmp_path / "pfx")
+    write_prefix_index(emb, path, prefix_dim=2)
+    q = spark.createDataFrame(
+        [(9, [0.0, 0.0, 1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    got = [(r.c_id, r.rn) for r in prefix_refine_knn_join(
+        spark, q, emb, path, k=3, k_shortlist=3, prefix_dim=2
+    ).collect()]
+    # exact cosine: c0 = 1.0 (parallel tails), c2 ~ 0.76, c1 = 0.0
+    assert got[0] == (0, 1)

@@ -428,11 +428,12 @@ def _docs(spark, rows):
 
 def test_prf_expansion_hand_pin(spark):
     """Hand-built vocabulary-mismatch corpus: query {q} retrieves doc 1
-    (the only 'q' doc); doc 1's dominant other term is 'z' (tf 3), so
-    the expanded query becomes {q, z} and now also retrieves docs 2/3
-    (pure-'z' docs the original query missed).  The original term is
-    never re-added (anti-join) and expansion picks by summed tf with
-    term-ascending ties."""
+    (the only 'q' doc); doc 1's dominant distinctive term is 'z'
+    (tf 3, df 3 -> weight 3*idf(3)=1314 beats 'a' at 1*idf(4)=113 —
+    'a' is in every doc, the idf weighting's point), so the expanded
+    query becomes {q, z} and now also retrieves docs 2/3 (z docs the
+    original query missed).  The original term is never re-added
+    (anti-join)."""
     from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
         prf_expand_queries,
     )
@@ -441,9 +442,9 @@ def test_prf_expansion_hand_pin(spark):
         spark,
         [
             (1, "q z z z a"),
-            (2, "z z b"),
-            (3, "z c"),
-            (4, "w w w"),
+            (2, "z z b a"),
+            (3, "z c a"),
+            (4, "w w w a"),
         ],
     )
     queries = spark.createDataFrame([(100, "q")], ["query_id", "term"])
@@ -453,6 +454,58 @@ def test_prf_expansion_hand_pin(spark):
     # round 2 with the expanded workload now retrieves the z docs
     hits = {r.doc_id for r in bm25_topk(docs, materialize_queries(exp), k=5).collect()}
     assert {1, 2, 3} <= hits and 4 not in hits
+
+
+def test_prf_expansion_idf_weighting_rejects_stopword(spark):
+    """The naive tf-only weight would elect the stop-word: 's' appears
+    twice in the feedback doc and in EVERY doc (df=n=4 -> idf_fp=113,
+    weight 2*113=226); 'z' appears once in feedback but in only two
+    docs (df=2 -> idf_fp=1024, weight 1024).  idf-weighted Rocchio
+    picks 'z' — the 100 TB skew guard, pinned small."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        prf_expand_queries,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "q s s z"),
+            (2, "s z b"),
+            (3, "s c d"),
+            (4, "s e f"),
+        ],
+    )
+    queries = spark.createDataFrame([(7, "q")], ["query_id", "term"])
+    exp = {(r.query_id, r.term) for r in
+           prf_expand_queries(docs, queries, fb_k=1, n_expand=1).collect()}
+    assert exp == {(7, "q"), (7, "z")}
+
+
+def test_prf_index_df_stats_matches_inflight(spark, tmp_path):
+    """The index-backed df lookup (denormalized postings column + the
+    stats sidecar) yields the same expansion as the in-flight
+    derivation — the serve path never touches the corpus for df."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        index_df_stats,
+        prf_expand_queries,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 300"
+    )
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path)
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 60 == 0, n_terms=3)
+    )
+    infl = {(r.query_id, r.term) for r in
+            prf_expand_queries(docs, queries, fb_k=3, n_expand=2).collect()}
+    served = {(r.query_id, r.term) for r in
+              prf_expand_queries(
+                  docs, queries, fb_k=3, n_expand=2,
+                  df_stats=index_df_stats(spark, path),
+              ).collect()}
+    assert infl == served and len(infl) > 0
 
 
 def test_prf_expansion_tie_and_anti_join(spark):
@@ -585,3 +638,116 @@ def test_snippet_window_width_one(spark):
     hits = spark.createDataFrame([(5, 1)], ["query_id", "doc_id"])
     got = [tuple(r) for r in best_window_snippets(docs, queries, hits, width=1).collect()]
     assert got == [(5, 1, 2, 1)]
+
+
+def test_diversified_topk_cap_binds(spark):
+    """Three same-group docs outscore the rest; cap=1 keeps only the
+    best of them, promoting the next group's doc — and a doc missing
+    from the group map forms its own singleton group."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        diversified_topk,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 90), (1, 12, 80), (1, 20, 70), (1, 30, 60)],
+        ["query_id", "doc_id", "score_fp"],
+    )
+    groups = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (12, "a"), (20, "b")], ["doc_id", "grp"]
+    )  # doc 30 unmapped -> singleton
+    got = [(r.doc_id, r.grp, r.rank) for r in
+           diversified_topk(scored, groups, k=3, cap=1).collect()]
+    assert got == [(10, "a", 1), (20, "b", 2), (30, "30", 3)]
+
+
+def test_diversified_topk_cap_two(spark):
+    """cap=2 keeps the two best per group; ranks re-number densely
+    over the survivors by (score desc, doc asc)."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        diversified_topk,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 90), (1, 12, 80), (1, 20, 70)],
+        ["query_id", "doc_id", "score_fp"],
+    )
+    groups = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (12, "a"), (20, "b")], ["doc_id", "grp"]
+    )
+    got = [(r.doc_id, r.rank) for r in
+           diversified_topk(scored, groups, k=4, cap=2).collect()]
+    assert got == [(10, 1), (11, 2), (20, 3)]  # doc 12 capped out
+
+
+def test_bm25f_title_occurrence_outranks_body(spark):
+    """Equal raw tf, equal length — the doc carrying the term in its
+    TITLE (first title_len tokens) outscores the body-only doc, which
+    is the observable BM25F behavior."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25f_topk,
+    )
+
+    docs = _docs(spark, [(1, "z a b c"), (2, "a b z c")])
+    queries = spark.createDataFrame([(9, "z")], ["query_id", "term"])
+    got = [(r.doc_id, r.rank) for r in
+           bm25f_topk(docs, queries, k=2, title_len=2).collect()]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_bm25f_unit_weights_equal_bm25(spark):
+    """w_title = w_body = 1 degenerates BM25F to plain BM25 exactly
+    (wtf = tf, wdl = dl — bit-equal fixed-point scores)."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25f_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    got = [tuple(r) for r in
+           bm25f_topk(docs, queries, k=5, w_title=1, w_body=1).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, queries, k=5).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_streaming_bm25_serve_equals_query_time(spark, tmp_path):
+    """Streaming lexical serving: micro-batches of (query_id, term)
+    workloads probe the persisted inverted index through bm25_serve
+    and land per-batch_id top-k pinned IDENTICAL to the query-time
+    serve over the union workload."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_bm25_serve,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    write_inverted_index(docs, idx)
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+
+    landing = str(tmp_path / "qs")
+    os.makedirs(landing)
+    for name, flt in (("a", "query_id % 100 = 0"), ("b", "query_id % 100 = 50")):
+        t = str(tmp_path / f"w_{name}")
+        queries.filter(flt).coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    results = str(tmp_path / "res")
+    run_streaming_bm25_serve(spark, landing, idx, results, str(tmp_path / "ck"), k=5)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(results)
+        .select("query_id", "doc_id", "score_fp", "rank", "score")
+        .collect()
+    )
+    want = sorted(tuple(r) for r in bm25_serve(spark, queries, idx, k=5).collect())
+    assert got == want and len(got) > 0

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import (
@@ -809,3 +809,116 @@ def corpus_fingerprint(
     if content_col is not None:
         stamp += f",crc={row['cs']}"
     return stamp
+
+
+# ---------------------------------------------------------------------------
+# Prefix-dimension (Matryoshka-style) index: truncated shortlist, exact rerank
+# ---------------------------------------------------------------------------
+
+
+def write_prefix_index(
+    emb: DataFrame,
+    path: str,
+    prefix_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a TRUNCATED-dimension serving table: (vec_id, pvec =
+    the first ``prefix_dim`` dims, pn = the prefix norm) — the
+    Matryoshka-retrieval serving layout (Kusupati et al. 2022, public:
+    embeddings trained so prefixes are themselves usable embeddings;
+    for untrained embeddings the prefix is a lossy projection and the
+    recall audit chooses the prefix width).  At dim=64, prefix 16 the
+    scan reads 4x fewer vector bytes than the full table; candidates
+    found on the prefix are REFINED against full vectors (see
+    :func:`prefix_refine_knn_join`), the same two-stage shape as the
+    PQ refine (x114) with truncation instead of quantization as the
+    compressor.  Norms are stored at build (the norm-hoisting rule)."""
+    from .similarity import as_double_vec, l2_norm
+
+    pv = F.slice(as_double_vec(vec_col), 1, prefix_dim)
+    (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            pv.alias("pvec"),
+            l2_norm(pv).alias("pn"),
+        )
+        .write.mode(mode)
+        .parquet(os.path.join(path, "prefix"))
+    )
+
+
+def prefix_refine_knn_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 3,
+    k_shortlist: int = 10,
+    prefix_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage kNN over the prefix index: stage 1 scores every query
+    against the TRUNCATED table (prefix cosine — sequential folds,
+    stored prefix norms, broadcast O(batch) query side, top
+    ``k_shortlist`` per query); stage 2 fetches only the shortlisted
+    candidates' FULL vectors (broadcast semi-join) and reranks by
+    exact full-dimension cosine, top-``k``.  Recall is bounded by
+    whether true neighbors rank into the prefix shortlist — on
+    Matryoshka-trained embeddings the prefix is faithful by
+    construction; on arbitrary embeddings audit with the x60/x108
+    machinery.  A zero PREFIX with a nonzero full vector is a real
+    case (first dims all zero): it scores NULL in stage 1 (ranked
+    last, the serve NULL-score contract) but reranks exactly if
+    shortlisted.
+
+    Returns (q_id, c_id, cos_exact, rn), ties by c_id — total order."""
+    from .similarity import as_double_vec, dot, l2_norm
+
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("qvec")
+    )
+    qp = qv.select(
+        "q_id",
+        F.slice(F.col("qvec"), 1, prefix_dim).alias("qp"),
+    ).withColumn("qpn", l2_norm(F.col("qp")))
+    prefix = spark.read.parquet(os.path.join(path, "prefix"))
+    w_s = Window.partitionBy("q_id").orderBy(F.desc("pcos"), F.asc("c_id"))
+    short = (
+        F.broadcast(qp)
+        .crossJoin(prefix.select(F.col("vec_id").alias("c_id"), "pvec", "pn"))
+        .withColumn(
+            "pcos",
+            F.when(
+                (F.col("qpn") > 0) & (F.col("pn") > 0),
+                dot(F.col("qp"), F.col("pvec")) / (F.col("qpn") * F.col("pn")),
+            ),
+        )
+        .withColumn("srn", F.row_number().over(w_s))
+        .filter(F.col("srn") <= k_shortlist)
+        .select("q_id", "c_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("c_id"), as_double_vec(vec_col).alias("cvec")
+    ).withColumn("cn", l2_norm(F.col("cvec")))
+    fetched = cv.join(F.broadcast(short.select("c_id").distinct()), "c_id", "left_semi")
+    qn = qv.withColumn("qn", l2_norm(F.col("qvec")))
+    exact = (
+        short.join(F.broadcast(qn), "q_id")
+        .join(fetched, "c_id")
+        .withColumn(
+            "cos_exact",
+            F.when(
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")),
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_exact"), F.asc("c_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos_exact", "rn")
+    )

@@ -765,8 +765,9 @@ def prf_expand_queries(
     id_col: str = "doc_id",
     text_col: str = "text",
     retrieve=None,
+    df_stats=None,
 ) -> DataFrame:
-    """Pseudo-relevance feedback (the Rocchio/RM-family shape, kept
+    """Pseudo-relevance feedback (the Rocchio shape, kept
     integer-exact): run the original workload once, treat each query's
     top-``fb_k`` documents as relevant, and add the ``n_expand``
     strongest feedback terms to the query — the classic fix for
@@ -774,12 +775,18 @@ def prf_expand_queries(
     still retrieves, because the expansion terms come FROM the
     corpus).
 
-    Expansion weight is the summed tf of the term across the query's
-    feedback docs (an int64 sum — RM3's probability weights would be
-    float mixtures; the integer weight preserves the no-libm
-    cross-engine contract), ties by term ascending; terms already in
-    the query are excluded (anti-join), so the expanded workload stays
-    DISTINCT (query_id, term) as :func:`bm25_topk` requires.
+    Expansion weight is IDF-WEIGHTED summed tf:
+    ``w = sum_fb(tf) * idf_fp(df)`` with the BM25 chain's own integer
+    idf — Rocchio's idf weighting, and NOT optional at scale: the
+    naive tf-only weight elects corpus stop-words ("the", "and") as
+    expansion terms, and one stop-word expansion hands a single
+    query's top-k window the term's ENTIRE posting list (measured on
+    this corpus at x100: 93 s of one-task window crawl vs ~3 s with
+    idf weighting — the known naive-PRF pathology, as a skew
+    mechanism).  Everything stays int64 (tf, df, idf_fp and their
+    product), ties by term ascending; terms already in the query are
+    excluded (anti-join), so the expanded workload stays DISTINCT
+    (query_id, term) as :func:`bm25_topk` requires.
 
     Returns the expanded (query_id, term) workload: original rows
     UNION the expansion rows.
@@ -787,16 +794,23 @@ def prf_expand_queries(
     Scale shape: round 1 is the bm25 plan (O(matched postings) past
     the broadcast); the feedback set is O(batch * fb_k) ids and
     broadcasts as a semi-join against the corpus, so ONLY feedback
-    docs are re-tokenized; every aggregation after that is O(feedback
-    tokens).  The caller should :func:`materialize_queries` the result
-    before scoring — it feeds the round-2 plan at two points (the x100
-    multi-consumer finding).
+    docs are re-tokenized; candidate-term df aggregates over the
+    candidate set's postings only (broadcast semi-join into the token
+    stream — the top_terms_queries shape); every other stage is
+    O(feedback tokens).  The caller should :func:`materialize_queries`
+    the result before scoring — it feeds the round-2 plan at two
+    points (the x100 multi-consumer finding).
 
     ``retrieve``: optional ``(queries, k) -> (query_id, doc_id, ...)``
     callable for round 1 — pass a :func:`bm25_serve` closure to run
     the feedback retrieval off the PERSISTED index (the at-scale form;
     in-flight :func:`bm25_topk` re-derives the corpus stat tables per
-    pass).  Results are bit-equal either way (the x102 contract)."""
+    pass).  Results are bit-equal either way (the x102 contract).
+    ``df_stats``: optional ``(cand_terms) -> (term, df, n)`` callable
+    supplying candidate document frequencies and the corpus doc count
+    — pass an index-backed lookup (df is denormalized in postings,
+    n in the stats sidecar) to keep the serve path off the corpus;
+    default derives both in-flight."""
     qterms = queries.select("query_id", "term")
     if retrieve is None:
         retrieve = lambda q, k: bm25_topk(  # noqa: E731
@@ -816,13 +830,61 @@ def prf_expand_queries(
         .agg(F.sum("tf").cast("long").alias("w"))
         .join(qterms, ["query_id", "term"], "left_anti")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    if df_stats is None:
+        cand_terms = cand.select("term").distinct()
+        df_m = (
+            doc_tokens(docs, id_col, text_col)
+            .join(F.broadcast(cand_terms), "term")
+            .groupBy("term")
+            .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+        )
+        dfn = df_m.crossJoin(
+            F.broadcast(
+                _raw_stats(doc_lengths(docs, id_col, text_col)).select("n")
+            )
+        )
+    else:
+        dfn = df_stats(cand.select("term").distinct())
+    idf_fp = F.expr(f"({S1_IDF} * (2*n - 2*df + 1)) div (2*df + 1)").cast("long")
+    weighted = cand.join(F.broadcast(dfn), "term").withColumn(
+        "wi", (F.col("w") * idf_fp).cast("long")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("wi"), F.asc("term"))
     exp = (
-        cand.withColumn("rn", F.row_number().over(w))
+        weighted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_expand)
         .select("query_id", "term")
     )
     return qterms.unionByName(exp)
+
+
+def index_df_stats(spark: SparkSession, path: str, n_buckets: int = N_TERM_BUCKETS):
+    """An index-backed ``df_stats`` for :func:`prf_expand_queries`:
+    candidate df comes off the DENORMALIZED postings column (bucket
+    IN-list + pushed term predicate, column-pruned to (term, df) —
+    never the corpus), n off the one-row stats sidecar.  The candidate
+    set is collected once (bounded: the distinct vocabulary of
+    O(batch*fb_k) feedback docs — the bm25_serve bounded-collect
+    class)."""
+
+    def look(cand_terms: DataFrame) -> DataFrame:
+        terms = sorted({r.term for r in cand_terms.collect()})
+        buckets = sorted(
+            {
+                r.b
+                for r in spark.createDataFrame([(t,) for t in terms], ["term"])
+                .select(term_bucket(F.col("term"), n_buckets).alias("b"))
+                .collect()
+            }
+        )
+        postings = spark.read.parquet(os.path.join(path, "postings")).filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        df_m = postings.select("term", "df").distinct()
+        n1 = _avgdl_from_raw(spark.read.parquet(os.path.join(path, "stats"))).select("n")
+        return df_m.crossJoin(F.broadcast(n1))
+
+    return look
 
 
 # ---------------------------------------------------------------------------
@@ -980,3 +1042,190 @@ def best_window_snippets(
         .filter(F.col("rn") == 1)
         .select("query_id", "doc_id", F.col("pos").alias("start"), "n_hits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Result diversification: per-group caps over a retrieved shortlist
+# ---------------------------------------------------------------------------
+
+
+def diversified_topk(
+    scored: DataFrame,
+    groups: DataFrame,
+    k: int = 5,
+    cap: int = 2,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Diversify a retrieved shortlist: per query, keep the top-``k``
+    results with AT MOST ``cap`` documents from any one group (source
+    domain, duplicate cluster, site — whatever ``groups`` maps
+    doc_id to).  The SQL-expressible diversification (MMR's greedy
+    similarity trade-off is order-dependent and float-laden; the
+    per-group cap is the form production search stacks actually ship
+    — host crowding in web search is exactly this operator).
+
+    ``scored``: (query_id, doc_id, score_fp) shortlist rows (deeper
+    than ``k`` — diversification reranks WITHIN the shortlist, the
+    standard two-stage shape).  ``groups``: (doc_id, ``group_col``).
+    Docs missing from ``groups`` form their own singleton group (left
+    join; NULL group never collides — it is filled with the doc_id).
+
+    Returns (query_id, doc_id, score_fp, grp, rank): rank 1..k by
+    (score_fp desc, doc_id asc) over the cap survivors.
+
+    Scale shape: the shortlist is O(batch * shortlist_k); the group
+    map joins by doc_id (broadcast the shortlist side against a big
+    dimension, or the dimension when it is small); both windows are
+    keyed by query — every stage O(batch)."""
+    g = groups.select("doc_id", F.col(group_col).alias("grp"))
+    with_g = scored.select("query_id", "doc_id", "score_fp").join(
+        g, "doc_id", "left"
+    ).withColumn("grp", F.coalesce(F.col("grp"), F.col("doc_id").cast("string")))
+    w_grp = Window.partitionBy("query_id", "grp").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    capped = with_g.withColumn("gr", F.row_number().over(w_grp)).filter(
+        F.col("gr") <= cap
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        capped.withColumn("rank", F.row_number().over(w_fin).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_fp", "grp", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25F-lite: fielded scoring with integer field weights
+# ---------------------------------------------------------------------------
+
+
+def _weighted_tokens(
+    docs: DataFrame,
+    title_len: int,
+    w_title: int,
+    w_body: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, wt) token stream with per-occurrence FIELD
+    weights: the first ``title_len`` tokens are the title field at
+    weight ``w_title``, the rest body at ``w_body``.  One posexplode;
+    the weighted tf is then a plain integer SUM of wt."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+        ).alias("pos", "term"),
+    ).select(
+        "doc_id",
+        "term",
+        F.when(F.col("pos") < title_len, F.lit(w_title))
+        .otherwise(F.lit(w_body))
+        .cast("long")
+        .alias("wt"),
+    )
+
+
+def _weighted_doc_lengths(
+    docs: DataFrame,
+    title_len: int,
+    w_title: int,
+    w_body: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dl) with dl = the WEIGHTED length
+    w_title*min(|toks|, title_len) + w_body*max(|toks|-title_len, 0) —
+    scan-side, no shuffle (the doc_lengths convention).  Zero-token
+    docs excluded as unretrievable."""
+    n_toks = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0))
+    ).cast("long")
+    wdl = (
+        F.lit(w_title) * F.least(n_toks, F.lit(title_len))
+        + F.lit(w_body) * F.greatest(n_toks - title_len, F.lit(0))
+    ).cast("long")
+    return docs.select(F.col(id_col).alias("doc_id"), wdl.alias("dl")).filter(
+        n_toks > 0
+    )
+
+
+def top_fielded_terms_queries(
+    docs: DataFrame,
+    doc_filter: F.Column,
+    n_terms: int = 3,
+    title_len: int = 8,
+    w_title: int = 2,
+    w_body: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`top_terms_queries` over WEIGHTED tf — the workload
+    constructor matched to :func:`bm25f_topk` (a title term counts
+    ``w_title`` per occurrence toward the query's distinguishing-term
+    ranking, mirroring how it will score).  df is weight-independent
+    (a doc either contains the term or not)."""
+    wq = _weighted_tokens(docs.filter(doc_filter), title_len, w_title, w_body, id_col, text_col)
+    qtf = wq.groupBy(F.col("doc_id").alias("query_id"), "term").agg(
+        F.sum("wt").cast("long").alias("tf")
+    )
+    cand_terms = qtf.select("term").distinct()
+    df_m = (
+        doc_tokens(docs, id_col, text_col)
+        .join(F.broadcast(cand_terms), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    )
+    return _top_terms(qtf, df_m, n_terms)
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    title_len: int = 8,
+    w_title: int = 2,
+    w_body: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25F-lite: fielded BM25 (Robertson & Zaragoza's weighted-field
+    model, the simple variant production engines ship): term
+    frequencies and document lengths are FIELD-WEIGHTED before the
+    standard saturation —
+
+        wtf(t, d) = w_title*tf_title + w_body*tf_body
+        wdl(d)    = w_title*len_title + w_body*len_body
+
+    — then score exactly as BM25 over (wtf, wdl, avg wdl).  Fields
+    here are structural (title = first ``title_len`` tokens of the
+    document; the corpus has one text column), but the operator is
+    field-source-agnostic: any (doc_id, term, wt) stream composes.
+    INTEGER weights keep every pre-division op in int64, so the whole
+    fielded chain sits under the oracle gate; the int64 ceilings of
+    the module docstring scale by max(w) (w=2 halves the documented
+    L bound — still ~18 PB of text).
+
+    Same plan shape as :func:`bm25_topk`: query terms broadcast, all
+    post-match shuffles O(matched postings), df as a count window,
+    weighted dl scan-side, one top-k window."""
+    qterms = queries.select("query_id", "term")
+    matched_wtf = (
+        _weighted_tokens(docs, title_len, w_title, w_body, id_col, text_col)
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.sum("wt").cast("long").alias("tf"))
+    )
+    wdl = _weighted_doc_lengths(docs, title_len, w_title, w_body, id_col, text_col)
+    w_df = Window.partitionBy("term")
+    matched = (
+        matched_wtf.withColumn("df", F.count("*").over(w_df).cast("long"))
+        .join(F.broadcast(qterms), "term")
+        .join(wdl, "doc_id")
+        .crossJoin(F.broadcast(_avgdl_stats(wdl)))
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.sum(_score_fp_col()).cast("long").alias("score_fp")
+    )
+    return _topk(scored, k)

@@ -5200,10 +5200,12 @@ _PRF_ORACLE = f"""
               LEFT JOIN qt ON qt.query_id = c.query_id AND qt.term = c.term
               WHERE qt.term IS NULL),
     expd AS (SELECT query_id, term FROM (
-              SELECT query_id, term,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY w2 DESC, term ASC) AS rn
-              FROM cand2) WHERE rn <= 2),
+              SELECT c.query_id, c.term,
+                     row_number() OVER (PARTITION BY c.query_id
+                                        ORDER BY c.w2 * ((1024 * (2*a.n - 2*d.df + 1))
+                                                         // (2*d.df + 1)) DESC,
+                                                 c.term ASC) AS rn
+              FROM cand2 c JOIN dfx d USING (term) CROSS JOIN a) WHERE rn <= 2),
     q2 AS (SELECT query_id, term FROM qt
            UNION ALL SELECT query_id, term FROM expd),
     m AS (SELECT q2.query_id, tf.doc_id, tf.tf, dl.dl, dfx.df
@@ -5219,13 +5221,18 @@ _PRF_ORACLE = f"""
 def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (Rocchio-style, integer-
     exact): x101's workload runs once, each query's top-3 documents
-    are presumed relevant, the 2 strongest feedback terms (summed-tf
-    weight, int64 — not RM3's float mixtures, per the no-libm
-    contract) join the query, and the EXPANDED workload scores the
-    corpus again for the final top-5 — the classic vocabulary-mismatch
-    fix, two passes total.  Scale shape: the feedback set is
-    O(batch*3) ids broadcast as a semi-join, so only feedback docs
-    re-tokenize; both scoring passes carry O(matched postings); the
+    are presumed relevant, the 2 strongest feedback terms join the
+    query (weight = summed tf x the chain's integer idf — Rocchio's
+    idf weighting, all int64, not RM3's float mixtures; the tf-only
+    weight elects stop-words and hands a query's top-k window an
+    entire stop-word posting list — measured 93 s -> ~3 s at x100,
+    operator docstring), and the EXPANDED workload scores the corpus
+    again for the final top-5 — the classic vocabulary-mismatch fix,
+    two passes total.  Scale shape: the feedback set is O(batch*3)
+    ids broadcast as a semi-join, so only feedback docs re-tokenize;
+    candidate df comes off the index's denormalized postings column
+    (``index_df_stats`` — never the corpus); both scoring passes
+    carry O(matched postings); the
     expanded workload is materialized once (the x100 multi-consumer
     rule).  BOTH retrieval passes run through the PERSISTED inverted
     index (``bm25_serve`` — bit-equal to in-flight scoring by the x102
@@ -5235,6 +5242,7 @@ def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_index import corpus_fingerprint, ensure_index
     from ..operators.retrieval import (
         bm25_serve,
+        index_df_stats,
         materialize_queries,
         prf_expand_queries,
         top_terms_from_index,
@@ -5253,7 +5261,10 @@ def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     serve = lambda q, k: bm25_serve(spark, q, path, k=k)  # noqa: E731
     expanded = materialize_queries(
-        prf_expand_queries(docs, queries, fb_k=3, n_expand=2, retrieve=serve)
+        prf_expand_queries(
+            docs, queries, fb_k=3, n_expand=2, retrieve=serve,
+            df_stats=index_df_stats(spark, path),
+        )
     )
     return bm25_serve(spark, expanded, path, k=5)
 
@@ -5469,3 +5480,216 @@ def x118_opq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=corpus_fingerprint(emb),
     )
     return opq_adc_probe(spark, path, qv, k=5)
+
+
+_DIVERSIFIED_ORACLE = f"""
+    WITH {_BM25_TABLES},
+    qtf AS (SELECT doc_id AS query_id, term, tf FROM tf WHERE doc_id % 50 = 0),
+    qs AS (SELECT query_id, q.term,
+                  CAST(q.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS s
+           FROM qtf q JOIN dfx d USING (term)),
+    qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, term ASC) AS rn
+             FROM qs) WHERE rn <= 3),
+    m AS (SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, dfx.df
+          FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfx USING (term)),
+    {_BM25_SCORE_TOPK},
+    short AS (SELECT query_id, doc_id, score_fp FROM tk WHERE rank <= 20),
+    wg AS (SELECT s.query_id, s.doc_id, s.score_fp,
+                  coalesce(d.source, CAST(s.doc_id AS VARCHAR)) AS grp
+           FROM short s LEFT JOIN documents d USING (doc_id)),
+    capd AS (SELECT query_id, doc_id, score_fp, grp,
+                    row_number() OVER (PARTITION BY query_id, grp
+                                       ORDER BY score_fp DESC, doc_id ASC) AS gr
+             FROM wg),
+    fin AS (SELECT query_id, doc_id, score_fp, grp,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rank
+            FROM capd WHERE gr <= 2)
+    SELECT query_id, doc_id, score_fp, grp, rank FROM fin WHERE rank <= 5
+"""
+
+
+@query("x119_diversified_topk", oracle=_DIVERSIFIED_ORACLE)
+def x119_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result diversification by per-group caps (host crowding): the
+    top-20 BM25 shortlist per query reranks to a top-5 allowing at
+    most 2 documents per source domain — the production form of search
+    diversification (MMR's greedy float trade-off is order-dependent;
+    the cap is deterministic, integer-only, and what web search
+    ships).  Two windows over the O(batch*20) shortlist: rank within
+    (query, group), keep <= cap, re-rank per query.  The shortlist
+    comes off the persisted index (bm25_serve, bit-equal by the x102
+    contract — oracle stays the in-flight chain); the group map is the
+    documents dimension joined by doc_id."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.retrieval import (
+        bm25_serve,
+        diversified_topk,
+        materialize_queries,
+        top_terms_from_index,
+        write_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_tagged_dir(_SCRATCH, "bm25_index", "v2", sf_dir=sf_dir), "full")
+    ensure_index(
+        lambda: write_inverted_index(docs, path),
+        os.path.join(path, "stats"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
+    queries = materialize_queries(
+        top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    short = bm25_serve(spark, queries, path, k=20).select(
+        "query_id", "doc_id", "score_fp"
+    )
+    return diversified_topk(
+        short, docs.select("doc_id", "source"), k=5, cap=2, group_col="source"
+    )
+
+
+_BM25F_ORACLE = """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+               FROM documents),
+    toksp AS (SELECT doc_id, unnest(l) AS term,
+                     CAST(unnest(range(len(l))) AS INT) AS pos FROM t),
+    wtf AS (SELECT doc_id, term,
+                   CAST(sum(CASE WHEN pos < 8 THEN 2 ELSE 1 END) AS BIGINT) AS tf
+            FROM toksp GROUP BY 1, 2),
+    dl AS (SELECT doc_id,
+                  CAST(2 * least(len(l), 8) + greatest(len(l) - 8, 0) AS BIGINT) AS dl
+           FROM t WHERE len(l) > 0),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
+    a AS (SELECT n, (l * 1024) // n AS avgdl_fp FROM st WHERE n > 0),
+    dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wtf GROUP BY 1),
+    qtf AS (SELECT doc_id AS query_id, term, tf FROM wtf WHERE doc_id % 50 = 0),
+    qs AS (SELECT query_id, q.term,
+                  CAST(q.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS s
+           FROM qtf q JOIN dfx d USING (term)),
+    qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, term ASC) AS rn
+             FROM qs) WHERE rn <= 3),
+    m AS (SELECT qt.query_id, wtf.doc_id, wtf.tf, dl.dl, dfx.df
+          FROM qt JOIN wtf USING (term) JOIN dl USING (doc_id) JOIN dfx USING (term)),
+    sc AS (SELECT query_id, m.doc_id,
+                  CAST(sum(  ((1024 * (2*n - 2*df + 1)) // (2*df + 1))
+                           * ((1024 * 22 * tf * avgdl_fp)
+                              // (10 * tf * avgdl_fp + 3 * avgdl_fp + 9 * dl * 1024))
+                        ) AS BIGINT) AS score_fp
+           FROM m CROSS JOIN a GROUP BY 1, 2),
+    tk AS (SELECT query_id, doc_id, score_fp,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rank
+           FROM sc)
+    SELECT query_id, doc_id, score_fp, rank,
+           CAST(score_fp AS DOUBLE) / 1048576.0 AS score
+    FROM tk WHERE rank <= 5
+"""
+
+
+@query("x120_bm25f_topk", oracle=_BM25F_ORACLE)
+def x120_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded BM25 (BM25F-lite, Robertson & Zaragoza's weighted-field
+    model): term frequencies and document lengths FIELD-WEIGHT before
+    the standard saturation — title occurrences (the document's first
+    8 tokens) count double, body single; weighted lengths keep the
+    normalization honest.  Integer weights keep the whole chain in
+    int64 (one display division at the end), so fielded scoring sits
+    under the same oracle gate as x101; df is weight-independent.  The
+    workload constructor weights identically (a title term counts
+    double toward what distinguishes a query doc), and the workload's
+    query docs rank their own titles highest — the observable BM25F
+    behavior this operator exists for."""
+    from ..operators.retrieval import (
+        bm25f_topk,
+        materialize_queries,
+        top_fielded_terms_queries,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = materialize_queries(
+        top_fielded_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    return bm25f_topk(docs, queries, k=5)
+
+
+def _build_prefix_refine_oracle(
+    dim: int = 64, prefix_dim: int = 16, k: int = 3,
+    k_shortlist: int = 10, modulus: int = 50,
+) -> str:
+    """Prefix-cosine shortlist (truncated dims, stored-norm folds) +
+    exact full-dimension rerank — operators/ann_index.py:
+    prefix_refine_knn_join's lifecycle as one statement."""
+
+    def foldsum(lst: str) -> str:
+        return f"list_reduce(list_prepend(0.0, {lst}), (acc, x) -> acc + x)"
+
+    def dot_sql(a: str, b: str) -> str:
+        return foldsum(f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])")
+
+    def nrm(a: str) -> str:
+        return f"sqrt({foldsum(f'list_transform({a}, x -> x * x)')})"
+
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {modulus} = 0),
+    pfx AS (SELECT vec_id AS c_id, list_slice(v, 1, {prefix_dim}) AS pvec FROM e),
+    qp AS (SELECT q_id, list_slice(qv, 1, {prefix_dim}) AS qp FROM qv),
+    sc AS (SELECT q_id, c_id,
+                  CASE WHEN {nrm('qp')} > 0 AND {nrm('pvec')} > 0
+                       THEN {dot_sql('qp', 'pvec')} / ({nrm('qp')} * {nrm('pvec')}) END AS pcos
+           FROM qp CROSS JOIN pfx),
+    sh AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY pcos DESC NULLS LAST, c_id ASC) AS srn
+             FROM sc) WHERE srn <= {k_shortlist}),
+    ex AS (SELECT sh.q_id, sh.c_id,
+                  CASE WHEN {nrm('qv')} > 0 AND {nrm('v')} > 0
+                       THEN {dot_sql('qv', 'v')} / ({nrm('qv')} * {nrm('v')}) END AS cos_exact
+           FROM sh JOIN qv ON qv.q_id = sh.q_id
+                   JOIN e ON e.vec_id = sh.c_id),
+    rk AS (SELECT q_id, c_id, cos_exact,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos_exact DESC NULLS LAST, c_id ASC) AS INT) AS rn
+           FROM ex)
+    SELECT q_id, c_id, cos_exact, rn FROM rk WHERE rn <= {k}
+    """
+
+
+@query("x121_prefix_refine_knn", oracle=_build_prefix_refine_oracle())
+def x121_prefix_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage kNN: the shortlist stage scans a
+    persisted TRUNCATED-dimension table (first 16 of 64 dims + stored
+    prefix norm — 4x fewer vector bytes than the float table; the
+    Matryoshka-retrieval layout, Kusupati et al. 2022) and the top-10
+    prefix-cosine candidates per query rerank by exact full-dimension
+    cosine (broadcast semi-join fetch of O(batch*10) full rows).
+    Truncation joins quantization (x114's PQ refine) as the second
+    compressor in the shortlist-then-refine family — same contract,
+    different bytes-vs-fidelity trade; a zero prefix with a nonzero
+    full vector scores NULL in stage 1 (ranked last) and exactly if
+    shortlisted.  Whole lifecycle under the oracle gate."""
+    from ..operators.ann_index import (
+        corpus_fingerprint,
+        ensure_index,
+        prefix_refine_knn_join,
+        write_prefix_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "prefix_v1")
+    ensure_index(
+        lambda: write_prefix_index(emb, path, prefix_dim=16),
+        os.path.join(path, "prefix"),
+        fingerprint=corpus_fingerprint(emb),
+    )
+    return prefix_refine_knn_join(
+        spark, emb.filter(F.col("vec_id") % 50 == 0), emb, path,
+        k=3, k_shortlist=10, prefix_dim=16,
+    )

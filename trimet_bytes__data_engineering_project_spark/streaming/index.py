@@ -336,3 +336,48 @@ def run_streaming_pq_serve(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_bm25_serve(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_buckets: int | None = None,
+    derived_df: bool = False,
+) -> None:
+    """Streaming LEXICAL serving over a persisted inverted index — the
+    :func:`run_streaming_knn_serve` contract for BM25: each micro-batch
+    of (query_id, term) rows probes the index through the batch
+    operator ``retrieval.bm25_serve`` (bucket IN-list partition filter
+    + pushed term predicate — serving IS the batch plan driven by the
+    stream), and the per-query top-k lands under ``batch_id=N`` with
+    the idempotent-overwrite exactly-once contract.  Results are
+    pinned identical to the query-time serve per batch (test).
+
+    ``derived_df=True`` serves a SEGMENTED (streamed-maintenance)
+    index whose stored df is absent — the bm25_serve append-tolerant
+    mode; after :func:`...retrieval.compact_inverted_index` runs, flip
+    it back to the stored-df fast path, results unchanged."""
+    from ..operators.retrieval import N_TERM_BUCKETS, bm25_serve
+
+    nb = n_buckets or N_TERM_BUCKETS
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            bm25_serve(spark, batch_df, index_path, k=k, n_buckets=nb, derived_df=derived_df)
+            .write.mode("overwrite")
+            .parquet(f"{results_path}/batch_id={batch_id}")
+        )
+
+    (
+        spark.readStream.schema("query_id long, term string")
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
