@@ -44,10 +44,20 @@ _WINDOW_HEAD = [
     "x111_ivfpq_residual_probe",
     "x112_proximity_search",
     "x113_collocations",
+    "x114_pq_refine_knn",
+    "x115_prf_expansion",
+    "x116_index_compaction",
+    "x117_snippet_extraction",
+    "x118_opq_probe",
+    "x119_diversified_topk",
+    "x120_bm25f_topk",
+    "x121_prefix_refine_knn",
     # (2) the round-6 verdict's item 6: the 44 queries whose latest
     #     driver row is r02 — four rounds stale, beyond the intent of
     #     the park-the-twice-green convention.  Oldest tier first: the
-    #     q-core (registration order), then the x01-x18 block;
+    #     q-core in registration order, q01-q25 = the 25 stalest (the
+    #     verdict's floor); q26/q28-q32 yield their slots to the
+    #     round-7 first-round rows above and lead the next rotation;
     "q01_count_on_date",
     "q02_hour_window_count",
     "q03_readings_per_dow",
@@ -73,23 +83,15 @@ _WINDOW_HEAD = [
     "q23_tracking_daily",
     "q24_union_counts",
     "q25_timestamp_roundtrip",
-    "q26_json_extract",
-    "q28_top_value_events",
-    "q29_distinct_event_types",
-    "q30_hour_histogram",
-    "q31_user_series",
-    "q32_haversine_segments",
-    # x01-x13/x15/x17/x18 yield their head slots to the round-7
-    # retrieval/PQ/phrase tier (x101-x113 above, first-round rows take
+    # q26/q28-q32 and the x01-x13/x15/x17/x18 block yield their head
+    # slots to the round-7 first-round rows (x101-x121 above take
     # priority); they stay r02-stale and lead the next rotation
-    # alongside the remaining stale singles.  31 of the 44 r02-stale (the full q-core)
-    # rows still get r07 rows.
-    # (4) re-checks of code touched this round: x89/x96 gained the
-    #     corpus-fingerprint staleness stamp on their ensure_index
-    #     paths (and x96's writer the id_col threading); x97's
-    #     refresh_counts gained the enforced max_batch_keys guard;
-    "x89_knn_index_join",
-    "x96_quantized_ivf_knn_join",
+    # alongside the remaining stale singles.
+    # (4) re-check of code touched this round: x97's refresh_counts
+    #     gained the enforced max_batch_keys guard.  The x89/x96
+    #     fingerprint-threading re-checks are served by the head's own
+    #     x115/x119/x121, which drive the SAME ensure_index(fingerprint=)
+    #     path on both the lexical and vector index families.
     "x97_snapshot_refresh",
 ]
 
