@@ -1168,6 +1168,121 @@ def _x118_opq_probe(spark, d):
     return opq_adc_probe(spark, path, qv, k=5)
 
 
+def _x119_diversified_serve(spark, d, batch_queries=128):
+    # diversification rides the serve: fixed 128-query workload ->
+    # top-20 shortlist off the persisted index -> per-source cap
+    # rerank.  The cap stage is two windows over the O(batch*20)
+    # shortlist plus one doc_id join against the documents dimension
+    # (broadcast the shortlist side); the ONLY corpus-growing term is
+    # the probed posting lists — expect the x102 serve band, with the
+    # rerank adding a constant.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import ensure_index
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_serve,
+        diversified_topk,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    path, n_buckets = _bm25_index_path_and_buckets(spark, d)
+    ensure_index(
+        lambda: write_inverted_index(docs, path, n_buckets=n_buckets),
+        os.path.join(path, "stats"),
+    )
+    qpath = os.path.join(path, "workload")
+    ensure_index(
+        lambda: _bm25_query_workload(spark, d, path, batch_queries)
+        .write.mode("overwrite")
+        .parquet(qpath),
+        qpath,
+    )
+    q = spark.read.parquet(qpath)
+    short = bm25_serve(spark, q, path, k=20, n_buckets=n_buckets).select(
+        "query_id", "doc_id", "score_fp"
+    )
+    return diversified_topk(
+        short, docs.select("doc_id", "source"), k=5, cap=2, group_col="source"
+    ).agg(F.count("*").alias("n"), F.sum("score_fp").alias("s"))
+
+
+def _x120_bm25f_inflight(spark, d, batch_queries=128):
+    # fielded scoring in the IN-FLIGHT regime (the x101 band): weighted
+    # tf and weighted dl are derived from the corpus per run — both
+    # grow with it — so this prices what field weighting adds to the
+    # full in-flight chain (one extra CASE per token occurrence, zero
+    # extra shuffles).  Expect ~x101's ratio; the serve form would ride
+    # x102 (weighted stats are index-build-time, same postings layout).
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25f_topk,
+        materialize_queries,
+        top_fielded_terms_queries,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n = docs.count()
+    modulus = max(50, n // batch_queries)
+    q = materialize_queries(
+        top_fielded_terms_queries(
+            docs, F.pmod(F.col("doc_id"), F.lit(modulus)) == 0, n_terms=3
+        )
+    )
+    return bm25f_topk(docs, q, k=5).agg(
+        F.count("*").alias("n"), F.sum("score_fp").alias("s")
+    )
+
+
+def _x121_prefix_probe(spark, d, batch_queries=16):
+    # truncated-dimension serving: stage 1 scans the WHOLE prefix table
+    # (brute force over 16 of 64 dims — 4x fewer vector bytes than the
+    # float table, the compressor-vs-fidelity sibling of x105's codes
+    # scan), stage 2 fetches only O(batch*shortlist) full rows.
+    # Expect ~linear in rows with a smaller constant than the float
+    # brute-force row (x58's band) — the row prices the byte saving.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+        prefix_refine_knn_join,
+        write_prefix_index,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    modulus = max(10, n // batch_queries)
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(modulus)) == 0)
+    path = os.path.join(_SCALE_ROOT, "prefix_index", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: write_prefix_index(emb, path, prefix_dim=16),
+        os.path.join(path, "prefix"),
+    )
+    return prefix_refine_knn_join(
+        spark, q, emb, path, k=3, k_shortlist=10, prefix_dim=16
+    ).agg(F.count("*").alias("n"), F.sum("cos_exact").alias("s"))
+
+
+def _x122_hamming_probe(spark, d, batch_queries=16):
+    # the 1-bit compressor's serving row: stage 1 scans 8 sketch
+    # bytes/vector (vs PQ's ~16, prefix's 128, float's 512) and ranks
+    # by integer popcount — expect the x105 flat band or below; the
+    # rerank fetch is O(batch*shortlist).
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+        hamming_refine_knn_join,
+        write_hamming_sketch,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    modulus = max(10, n // batch_queries)
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(modulus)) == 0)
+    path = os.path.join(_SCALE_ROOT, "hamming_index", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: write_hamming_sketch(emb, path, dim=64, n_bits=32),
+        os.path.join(path, "sketch"),
+    )
+    return hamming_refine_knn_join(
+        spark, q, emb, path, k=3, k_shortlist=10, dim=64, n_bits=32
+    ).agg(F.count("*").alias("n"), F.sum("cos_exact").alias("s"))
+
+
 def _x111_ivfpq_residual_probe(spark, d):
     # the classic residual-encoded form: identical pruning to x107 (the
     # partition IN-list bounds rows, the codes bound bytes/row) plus one
@@ -1274,6 +1389,10 @@ HEAVY = [
     ("x116_compaction", _x116_compaction),
     ("x117_snippet_serve_128q", _x117_snippet_serve),
     ("x118_opq_probe", _x118_opq_probe),
+    ("x119_diversified_serve_128q", _x119_diversified_serve),
+    ("x120_bm25f_inflight_128q", _x120_bm25f_inflight),
+    ("x121_prefix_probe_16q", _x121_prefix_probe),
+    ("x122_hamming_probe_16q", _x122_hamming_probe),
     ("x110_phrase_serve", _x110_phrase_serve),
     ("x101_bm25_inflight_128q", _x101_bm25_inflight),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),

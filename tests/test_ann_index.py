@@ -722,3 +722,91 @@ def test_prefix_refine_zero_prefix_real_tail(spark, tmp_path):
     ).collect()]
     # exact cosine: c0 = 1.0 (parallel tails), c2 ~ 0.76, c1 = 0.0
     assert got[0] == (0, 1)
+
+
+def test_hamming_refine_full_shortlist_equals_exact(spark, tmp_path):
+    """With the shortlist as deep as the corpus, stage 1 only gates
+    membership trivially — the refine output equals exact kNN
+    bit-for-bit (same folds, same ties)."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        hamming_refine_knn_join,
+        write_hamming_sketch,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        knn_join_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 200"
+    )
+    path = str(tmp_path / "ham")
+    write_hamming_sketch(emb, path, dim=64, n_bits=32)
+    q = emb.filter("vec_id % 40 = 0")
+    got = {
+        (r.q_id, r.rn): (r.c_id, r.cos_exact)
+        for r in hamming_refine_knn_join(
+            spark, q, emb, path, k=3, k_shortlist=200, dim=64, n_bits=32
+        ).collect()
+    }
+    want = {
+        (r.q_id, r.rn): (r.c_id, r.cos_sim)
+        for r in knn_join_exact(q, emb, k=3).collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_hamming_sketch_word_packing(spark, tmp_path):
+    """n_bits=64 packs into TWO 32-bit words and the distance sums
+    across them; a vector and its negation differ in every determined
+    bit, the vector and itself in none."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        sign_sketch_words,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+        hyperplanes,
+    )
+    from pyspark.sql import functions as F
+
+    planes = hyperplanes(64, 8, seed="hamming")
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0, 3.0, 0.5, -1.0, 2.0, -0.5, 1.5]),
+         (1, [-1.0, 2.0, -3.0, -0.5, 1.0, -2.0, 0.5, -1.5])],
+        ["vec_id", "embedding"],
+    )
+    words = sign_sketch_words(as_double_vec("embedding"), planes)
+    rows = {r.vec_id: (r.s0, r.s1) for r in emb.select(
+        "vec_id", words[0].alias("s0"), words[1].alias("s1")
+    ).collect()}
+    for s in rows.values():
+        assert 0 <= s[0] < (1 << 32) and 0 <= s[1] < (1 << 32)
+    # negation flips every sign bit where dot != 0 (all 64 here:
+    # md5-derived planes are never exactly orthogonal to this vector)
+    hd = bin(rows[0][0] ^ rows[1][0]).count("1") + bin(rows[0][1] ^ rows[1][1]).count("1")
+    assert hd == 64
+    assert rows[0][0] ^ rows[0][0] == 0
+
+
+def test_hamming_shortlist_orders_by_angle(spark, tmp_path):
+    """An exact-duplicate candidate has Hamming distance 0 and always
+    heads the shortlist; the near-duplicate beats the unrelated one —
+    integer distance, deterministic at every tie."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        hamming_refine_knn_join,
+        write_hamming_sketch,
+    )
+
+    base = [float((i * 7) % 13 - 6) for i in range(64)]
+    near = list(base); near[0] += 0.01
+    anti = [-x for x in base]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, anti)], ["vec_id", "embedding"]
+    )
+    path = str(tmp_path / "ham")
+    write_hamming_sketch(emb, path, dim=64, n_bits=32)
+    q = spark.createDataFrame([(9, base)], ["vec_id", "embedding"])
+    got = [(r.c_id, r.rn) for r in hamming_refine_knn_join(
+        spark, q, emb, path, k=3, k_shortlist=2, dim=64, n_bits=32
+    ).collect()]
+    # shortlist of 2 keeps {0, 1} (hd 0 and ~0); anti never enters
+    assert got == [(0, 1), (1, 2)]

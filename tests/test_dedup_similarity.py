@@ -1535,3 +1535,49 @@ def test_kn_snapshot_probe_equals_in_flight(spark, tmp_path):
         trigram_jm_surprisal(batch, t3_counts=t[3], t2_counts=t[2])
     with pytest.raises(ValueError):
         fourgram_jm_surprisal(batch, t4_counts=t[4])
+
+
+def test_hard_negative_mining_hand_pin(spark):
+    """Same-label near-duplicate is EXCLUDED (it would top a plain
+    kNN); the cross-label candidates rank by cosine with the hardest
+    first; max_sim ceiling drops the too-similar cross-label one."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, "a", base),                    # anchor
+        (1, "a", [0.99, 0.1, 0.0, 0.0]),   # same label: never a negative
+        (2, "b", [0.9, 0.4, 0.0, 0.0]),    # hard cross-label
+        (3, "b", [0.0, 1.0, 0.0, 0.0]),    # easy cross-label
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    q = emb.filter("vec_id = 0")
+    got = [(r.c_id, r.rn) for r in hard_negative_mining(q, emb, k=2).collect()]
+    assert got == [(2, 1), (3, 2)]
+    capped = [(r.c_id, r.rn) for r in
+              hard_negative_mining(q, emb, k=2, max_sim=0.9).collect()]
+    assert capped == [(3, 1)]  # doc 2's cos ~0.914 exceeds the ceiling
+
+
+def test_contrastive_triplets_hand_pin(spark):
+    """The positive is the nearest same-label vector excluding self;
+    an anchor whose label has no other member yields NO rows (three-
+    legged contract); the positive repeats per negative row."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    rows = [
+        (0, "a", [1.0, 0.0, 0.0, 0.0]),
+        (1, "a", [0.9, 0.1, 0.0, 0.0]),
+        (2, "b", [0.5, 0.5, 0.0, 0.0]),
+        (3, "b", [0.0, 1.0, 0.0, 0.0]),
+        (4, "c", [0.0, 0.0, 1.0, 0.0]),    # singleton label: no triplet
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    q = emb.filter("vec_id IN (0, 4)")
+    got = [(r.q_id, r.pos_id, r.neg_id, r.rn) for r in
+           contrastive_triplets(q, emb, n_neg=2).collect()]
+    assert sorted(got) == [(0, 1, 2, 1), (0, 1, 3, 2)]

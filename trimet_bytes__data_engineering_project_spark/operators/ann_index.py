@@ -24,6 +24,7 @@ probe queries is literally the same SQL as x11/x12.
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -896,6 +897,139 @@ def prefix_refine_knn_join(
                 dot(F.col("qp"), F.col("pvec")) / (F.col("qpn") * F.col("pn")),
             ),
         )
+        .withColumn("srn", F.row_number().over(w_s))
+        .filter(F.col("srn") <= k_shortlist)
+        .select("q_id", "c_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("c_id"), as_double_vec(vec_col).alias("cvec")
+    ).withColumn("cn", l2_norm(F.col("cvec")))
+    fetched = cv.join(F.broadcast(short.select("c_id").distinct()), "c_id", "left_semi")
+    qn = qv.withColumn("qn", l2_norm(F.col("qvec")))
+    exact = (
+        short.join(F.broadcast(qn), "q_id")
+        .join(fetched, "c_id")
+        .withColumn(
+            "cos_exact",
+            F.when(
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")),
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_exact"), F.asc("c_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos_exact", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed sign sketch (Hamming) index: 1 bit/dim shortlist, exact rerank
+# ---------------------------------------------------------------------------
+
+
+def sign_sketch_words(vec, planes, word_bits: int = 32) -> list:
+    """Sign-bit signature packed into 32-bit words carried as BIGINTs:
+    word w's bit i is set iff v . plane_(w*32+i) > 0.  Bits are
+    DISJOINT so plain addition assembles the word — identical in any
+    ANSI engine (no 1<<63 overflow; DuckDB range-checks the shift,
+    Spark wraps — 32-bit words sidestep both).  The charikar-style
+    sketch (random-hyperplane SimHash for vectors): E[hamming]/bits =
+    theta/pi, so integer Hamming distance ORDERS candidates by angular
+    proximity with no floats past the sign test."""
+    from .similarity import dot, vector_literal
+
+    words = []
+    for w0 in range(0, len(planes), word_bits):
+        word = F.lit(0).cast("long")
+        for i, plane in enumerate(planes[w0 : w0 + word_bits]):
+            word = word + F.when(
+                dot(vec, vector_literal(plane)) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(word)
+    return words
+
+
+def write_hamming_sketch(
+    emb: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_bits: int = 32,
+    seed: str = "hamming",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the bit-packed serving table: (vec_id, sig_0..sig_W) —
+    ceil(n_bits/32) BIGINT words per vector.  At n_bits=64 that is 16
+    sketch bytes against 512 B of float64 (32x fewer scan bytes; PQ's
+    x105 stores ~8 code bytes + a norm, the prefix table 128 B) — the
+    1-bit-per-projection end of the compressor family.  Planes are the
+    deterministic md5 family (similarity.hyperplanes), so any engine
+    rebuilds the same sketch and APPENDS never fork generations."""
+    from .similarity import as_double_vec, hyperplanes
+
+    planes = hyperplanes(n_bits, dim, seed=seed)
+    words = sign_sketch_words(as_double_vec(vec_col), planes)
+    cols = [F.col(id_col).alias("vec_id")] + [
+        w.alias(f"sig_{i}") for i, w in enumerate(words)
+    ]
+    emb.select(*cols).write.mode(mode).parquet(os.path.join(path, "sketch"))
+
+
+def hamming_refine_knn_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 3,
+    k_shortlist: int = 10,
+    dim: int = 64,
+    n_bits: int = 32,
+    seed: str = "hamming",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage kNN over the sign sketch: stage 1 scans the bit-packed
+    table and ranks by INTEGER Hamming distance — per word
+    ``bit_count(sig ^ qsig)``, summed; smaller = angularly closer
+    (Charikar 2002, public) — top ``k_shortlist`` per query by
+    (hd asc, c_id asc), a TOTAL integer order (no float ties, no NULL
+    contract: a zero vector still has a well-defined sign word).
+    Stage 2 fetches only the shortlisted candidates' full vectors
+    (broadcast semi-join) and reranks by exact cosine, top-``k`` —
+    the same refine contract as the PQ (x114) and prefix (x121)
+    stages, with the cheapest possible stage-1 bytes.
+
+    Returns (q_id, c_id, cos_exact, rn), ties by c_id."""
+    from .similarity import as_double_vec, dot, hyperplanes, l2_norm
+
+    planes = hyperplanes(n_bits, dim, seed=seed)
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(vec_col).alias("qvec")
+    )
+    qwords = sign_sketch_words(F.col("qvec"), planes)
+    qs = qv.select(
+        "q_id", *[w.alias(f"qsig_{i}") for i, w in enumerate(qwords)]
+    )
+    sketch = spark.read.parquet(os.path.join(path, "sketch"))
+    n_words = len(qwords)
+    hd = reduce(
+        lambda a, b: a + b,
+        [
+            F.bit_count(
+                F.col(f"sig_{i}").bitwiseXOR(F.col(f"qsig_{i}"))
+            ).cast("long")
+            for i in range(n_words)
+        ],
+    )
+    w_s = Window.partitionBy("q_id").orderBy(F.asc("hd"), F.asc("c_id"))
+    short = (
+        F.broadcast(qs)
+        .crossJoin(sketch.withColumnRenamed("vec_id", "c_id"))
+        .withColumn("hd", hd)
         .withColumn("srn", F.row_number().over(w_s))
         .filter(F.col("srn") <= k_shortlist)
         .select("q_id", "c_id")

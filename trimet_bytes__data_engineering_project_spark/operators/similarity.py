@@ -649,3 +649,119 @@ def knn_join_exact(
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-training mining: hard negatives and (anchor, pos, neg) triplets
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    max_sim: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+) -> DataFrame:
+    """Hard negatives for contrastive training (the DPR/dense-retriever
+    recipe, Karpukhin et al. 2020, public): for each anchor, the
+    top-``k`` most-similar corpus vectors whose ``group_col`` DIFFERS
+    from the anchor's — maximally confusable, definitely-wrong
+    examples.  ``max_sim`` optionally drops candidates ABOVE a cosine
+    ceiling (the false-negative guard: a near-duplicate with a
+    different label is more likely mislabeled than hard).
+
+    Returns (q_id, q_group, c_id, c_group, cos_sim, rn), rn = 1..k per
+    anchor by (cos_sim desc, c_id asc).
+
+    Scale shape: the exact form — O(batch) anchors broadcast over one
+    corpus scan, norms folded per side, the group predicate applied
+    BEFORE the top-k window (never a post-filter on a ranked list,
+    which would under-fill k).  For corpus-scale anchor sets compose
+    the index shortlist instead: over-fetch k_shortlist from any
+    persisted index, anti-filter on group, rerank — the shortlist
+    depth then bounds recall exactly as in the refine family."""
+    qv = as_double_vec(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(group_col).alias("q_group"),
+        qv.alias("qvec"),
+        l2_norm(qv).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(group_col).alias("c_group"),
+        qv.alias("cvec"),
+        l2_norm(qv).alias("cn"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    joined = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("c_group") != F.col("q_group"))
+        .withColumn("cos_sim", sim)
+    )
+    if max_sim is not None:
+        joined = joined.filter(F.col("cos_sim") < F.lit(float(max_sim)))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "q_group", "c_id", "c_group", "cos_sim", "rn")
+    )
+
+
+def contrastive_triplets(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_neg: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+) -> DataFrame:
+    """(anchor, positive, negative) triplets: the positive is the
+    anchor's nearest SAME-group corpus vector (excluding itself), the
+    negatives its ``n_neg`` hardest different-group vectors — the
+    training-row assembly behind triplet/InfoNCE losses.  Anchors with
+    no same-group neighbor in the corpus yield no rows (a triplet
+    needs all three legs; the inner join enforces it declaratively).
+
+    Returns (q_id, pos_id, pos_sim, neg_id, neg_sim, rn), rn = 1..n_neg
+    over the negatives; the positive repeats per negative row (the
+    standard flat triplet layout).
+
+    Scale shape: both arms are one broadcast-anchors pass over the
+    corpus scan (two scans total); the join back to anchors is by q_id
+    on two O(batch·k) sides."""
+    qv = as_double_vec(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(group_col).alias("q_group"),
+        qv.alias("qvec"),
+        l2_norm(qv).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(group_col).alias("c_group"),
+        qv.alias("cvec"),
+        l2_norm(qv).alias("cn"),
+    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    pos = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter((F.col("c_group") == F.col("q_group")) & (F.col("c_id") != F.col("q_id")))
+        .withColumn("cos_sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("c_id").alias("pos_id"), F.col("cos_sim").alias("pos_sim"))
+    )
+    neg = hard_negative_mining(
+        queries, corpus, k=n_neg, vec_col=vec_col, id_col=id_col, group_col=group_col
+    ).select("q_id", F.col("c_id").alias("neg_id"), F.col("cos_sim").alias("neg_sim"), "rn")
+    return pos.join(neg, "q_id").select(
+        "q_id", "pos_id", "pos_sim", "neg_id", "neg_sim", "rn"
+    )

@@ -5693,3 +5693,160 @@ def x121_prefix_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.filter(F.col("vec_id") % 50 == 0), emb, path,
         k=3, k_shortlist=10, prefix_dim=16,
     )
+
+
+def _build_hamming_refine_oracle(
+    k: int = 3, k_shortlist: int = 10, n_bits: int = 32, dim: int = 64,
+    modulus: int = 50,
+) -> str:
+    """Bit-packed sign-sketch shortlist (integer Hamming distance) +
+    exact cosine rerank — operators/ann_index.py:
+    hamming_refine_knn_join's lifecycle as one statement."""
+    planes = hyperplanes(n_bits, dim, seed="hamming")
+    lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
+    sig = " + ".join(
+        f"CASE WHEN {_dot_sql('v', lits[p])} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for p in range(n_bits)
+    )
+
+    def foldsum(lst: str) -> str:
+        return f"list_reduce(list_prepend(0.0, {lst}), (acc, x) -> acc + x)"
+
+    def nrm(a: str) -> str:
+        return f"sqrt({foldsum(f'list_transform({a}, x -> x * x)')})"
+
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    sk AS MATERIALIZED (SELECT vec_id AS c_id, CAST({sig} AS BIGINT) AS sig FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {modulus} = 0),
+    qs AS (SELECT q_id, sig AS qsig FROM sk JOIN q ON sk.c_id = q.q_id),
+    hd AS (SELECT q_id, c_id,
+                  CAST(bit_count(xor(sk.sig, qs.qsig)) AS BIGINT) AS hd
+           FROM qs CROSS JOIN sk),
+    sh AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY hd ASC, c_id ASC) AS srn
+             FROM hd) WHERE srn <= {k_shortlist}),
+    ex AS (SELECT sh.q_id, sh.c_id,
+                  CASE WHEN {nrm('qv')} > 0 AND {nrm('v')} > 0
+                       THEN {_dot_sql('qv', 'v')} / ({nrm('qv')} * {nrm('v')}) END AS cos_exact
+           FROM sh JOIN q ON q.q_id = sh.q_id
+                   JOIN e ON e.vec_id = sh.c_id),
+    rk AS (SELECT q_id, c_id, cos_exact,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos_exact DESC NULLS LAST, c_id ASC) AS INT) AS rn
+           FROM ex)
+    SELECT q_id, c_id, cos_exact, rn FROM rk WHERE rn <= {k}
+    """
+
+
+@query("x122_hamming_refine_knn", oracle=_build_hamming_refine_oracle())
+def x122_hamming_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-sketch (SimHash-for-vectors) two-stage kNN: the shortlist
+    stage scans a persisted BIT-PACKED table (32 sign bits in one
+    BIGINT word — 8 sketch bytes/vector, 64x fewer than the float
+    table; Charikar 2002's random-hyperplane sketch, E[hamming]
+    proportional to angle) and ranks by INTEGER Hamming distance
+    (bit_count(xor), total order — no float ties in stage 1 at all);
+    the top-10 per query rerank by exact full-dimension cosine.
+    Completes the shortlist-then-refine compressor family: PQ codes
+    (x114, ~8 B + norm), dimension truncation (x121, 128 B), and now
+    1-bit projections (8 B, integer distance) — same refine contract,
+    three different bytes-vs-fidelity points.  Whole lifecycle under
+    the oracle gate."""
+    from ..operators.ann_index import (
+        corpus_fingerprint,
+        ensure_index,
+        hamming_refine_knn_join,
+        write_hamming_sketch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "hamming_v1")
+    ensure_index(
+        lambda: write_hamming_sketch(emb, path, dim=64, n_bits=32),
+        os.path.join(path, "sketch"),
+        fingerprint=corpus_fingerprint(emb),
+    )
+    return hamming_refine_knn_join(
+        spark, emb.filter(F.col("vec_id") % 50 == 0), emb, path,
+        k=3, k_shortlist=10, dim=64, n_bits=32,
+    )
+
+
+_HARD_NEG_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, {_VEC} AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_group, v AS qv FROM e
+          WHERE vec_id % 50 = 0),
+    j AS (SELECT q_id, q_group, e.vec_id AS c_id, e.label AS c_group,
+                 {_cos_sql('qv', 'v')} AS cos_sim
+          FROM q CROSS JOIN e WHERE e.label <> q.q_group),
+    r AS (SELECT q_id, q_group, c_id, c_group, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, c_id ASC) AS rn
+          FROM j)
+    SELECT q_id, q_group, c_id, c_group, cos_sim, rn FROM r WHERE rn <= 3
+"""
+
+
+@query("x123_hard_negative_mining", oracle=_HARD_NEG_ORACLE)
+def x123_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR recipe,
+    Karpukhin et al. 2020): each anchor's top-3 most-similar vectors
+    whose label DIFFERS — maximally confusable, definitely-wrong
+    training examples.  The group predicate applies BEFORE the top-k
+    window (a post-filter on a ranked list would under-fill k);
+    O(batch) anchors broadcast over one corpus scan, norms folded per
+    side.  At corpus-scale anchor sets the shortlist comes off any
+    persisted index (over-fetch, anti-filter, rerank — the refine
+    family's contract); this registered form is the exact baseline the
+    index form is audited against."""
+    from ..operators.similarity import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, k=3
+    )
+
+
+_TRIPLETS_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, {_VEC} AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_group, v AS qv FROM e
+          WHERE vec_id % 50 = 0),
+    pj AS (SELECT q_id, e.vec_id AS pos_id, {_cos_sql('qv', 'v')} AS pos_sim
+           FROM q CROSS JOIN e
+           WHERE e.label = q.q_group AND e.vec_id <> q.q_id),
+    p AS (SELECT q_id, pos_id, pos_sim FROM (
+            SELECT q_id, pos_id, pos_sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY pos_sim DESC, pos_id ASC) AS rn
+            FROM pj) WHERE rn = 1),
+    nj AS (SELECT q_id, e.vec_id AS neg_id, {_cos_sql('qv', 'v')} AS neg_sim
+           FROM q CROSS JOIN e WHERE e.label <> q.q_group),
+    n AS (SELECT q_id, neg_id, neg_sim, rn FROM (
+            SELECT q_id, neg_id, neg_sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY neg_sim DESC, neg_id ASC) AS rn
+            FROM nj) WHERE rn <= 2)
+    SELECT p.q_id, pos_id, pos_sim, neg_id, neg_sim, rn
+    FROM p JOIN n ON n.q_id = p.q_id
+"""
+
+
+@query("x124_contrastive_triplets", oracle=_TRIPLETS_ORACLE)
+def x124_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplet assembly — the training-row
+    layout behind triplet/InfoNCE losses: positive = nearest same-label
+    vector (self excluded), negatives = the 2 hardest different-label
+    vectors, positive repeated per negative row.  Anchors with no
+    same-label neighbor yield no rows (the inner join enforces the
+    three-legged contract declaratively).  Two broadcast-anchor passes
+    over the corpus scan; the final join is by q_id on two O(batch·k)
+    sides."""
+    from ..operators.similarity import contrastive_triplets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_triplets(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, n_neg=2
+    )
