@@ -184,3 +184,63 @@ def test_cluster_dedup_quality_aware_keeps_best_member(spark):
         for r in cluster_dedup(docs, "doc_id", comp).collect()
     }
     assert baseline == {1: 3, 10: 2, 99: 1}
+
+
+def test_pagerank_hand_pin(spark):
+    """Path 1-2-3 (symmetrized) + isolated 4, scale=1000, 2 rounds —
+    every value hand-derived with the integer div at each step: the
+    center outranks the leaves, the isolated node holds the teleport
+    floor (15000 div 100 = 150 at scale 1000)."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import pagerank
+
+    und = [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "node_id long")
+    got = {
+        r.node_id: r.rank_fp
+        for r in pagerank(edges, nodes, iters=2, scale=1000).collect()
+    }
+    # iter1: r(1)=r(3)=(15000+85*500)div 100=575,
+    #        r(2)=(15000+85*2000)div 100=1850, r(4)=150
+    # iter2: r(1)=r(3)=(15000+85*(1850 div 2))div 100=936,
+    #        r(2)=(15000+85*(575+575))div 100=1127, r(4)=150
+    assert got == {1: 936, 2: 1127, 3: 936, 4: 150}
+
+
+def test_pagerank_dangling_and_directed(spark):
+    """Directed edge 1->2 only: node 1 has no in-links (pure teleport
+    each round), node 2 accumulates 1's full rank (deg=1), and 2's
+    rank never flows anywhere (dangling — mass leaves circulation by
+    design, the non-redistributing variant)."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,)], "node_id long")
+    got = {
+        r.node_id: r.rank_fp
+        for r in pagerank(edges, nodes, iters=2, scale=1000).collect()
+    }
+    # iter1: r(1)=(15000+0)div 100=150, r(2)=(15000+85*1000)div 100=1000
+    # iter2: r(1)=150, r(2)=(15000+85*150)div 100=277 (1's rank is now 150)
+    assert got == {1: 150, 2: 277}
+
+
+def test_pagerank_null_edge_dropped_and_rank_sum_bounded(spark):
+    """NULL endpoints are no edge; total fixed-point mass never
+    exceeds n*scale (floors only ever leak mass out)."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import pagerank
+
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und] + [(None, 1), (2, None)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 4)], "node_id long")
+    rows = pagerank(edges, nodes, iters=3, scale=10**9).collect()
+    got = {r.node_id: r.rank_fp for r in rows}
+    # symmetric triangle: all equal, just under scale (floor leakage)
+    assert len(set(got.values())) == 1
+    assert 0 < got[1] <= 10**9
+    assert sum(got.values()) <= 3 * 10**9

@@ -5850,3 +5850,72 @@ def x124_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_triplets(
         emb.filter(F.col("vec_id") % 50 == 0), emb, n_neg=2
     )
+
+
+def _build_pagerank_oracle(
+    iters: int = 3, scale: int = 10**9, num: int = 85, den: int = 100
+) -> str:
+    """Unrolled fixed-point PageRank over the x33 near-dup pair graph —
+    one CTE per iteration, integer `//` at every step (non-negative, so
+    DuckDB floor == Spark div truncation), SUMs cast back from HUGEINT
+    to BIGINT before the damping multiply."""
+    teleport = (den - num) * scale
+    its = []
+    prev = "n0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT n.node_id,
+             CAST(({teleport} + {num} * COALESCE(s.c, CAST(0 AS BIGINT))) // {den}
+                  AS BIGINT) AS r
+      FROM {prev} n LEFT JOIN (
+        SELECT e.dst AS node_id, CAST(SUM({prev}.r // deg.deg) AS BIGINT) AS c
+        FROM e JOIN deg USING (src)
+               JOIN {prev} ON {prev}.node_id = e.src
+        GROUP BY 1) s ON s.node_id = n.node_id)""")
+        prev = f"it{k}"
+    return f"""
+    WITH {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    n0 AS (SELECT doc_id AS node_id, CAST({scale} AS BIGINT) AS r FROM docs),
+    {", ".join(its)}
+    SELECT node_id AS doc_id, r AS rank_fp FROM {prev}
+    """
+
+
+@query("x125_link_centrality", oracle=_build_pagerank_oracle())
+def x125_link_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis centrality (fixed-point PageRank, 3 rounds,
+    d=85/100, scale 1e9) over the near-dup similarity graph x33's
+    pair policy consumes — the representativeness signal of the
+    quality family: a document centrally placed in a near-dup family
+    outranks its satellites, isolated documents hold the teleport
+    floor.  The whole loop is int64 (teleport + damping in rationals,
+    per-edge contribution r div deg), so three rounds are
+    bit-reproducible in any ANSI engine — no float enters until
+    nothing at all (ranks STAY fixed-point).  Graph derivation (LSH
+    banding) is checkpointed once inside the operator, not re-executed
+    per round (the x100 multi-consumer rule); each round is one join
+    on src + one agg shuffle on dst carrying two longs.  Int64
+    ceiling n < 1.08e8 nodes at scale 1e9 (drop scale for more), cf.
+    operators/graph.py:pagerank."""
+    from ..operators.dedup import minhash_candidates, minhash_estimate
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    return pagerank(
+        edges, docs.select(F.col("doc_id").alias("node_id")), iters=3
+    ).select(F.col("node_id").alias("doc_id"), "rank_fp")
