@@ -5919,3 +5919,87 @@ def x125_link_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, docs.select(F.col("doc_id").alias("node_id")), iters=3
     ).select(F.col("node_id").alias("doc_id"), "rank_fp")
+
+
+def _build_bpe_oracle(n_merges: int = 3, doc_cap: int = 500) -> str:
+    """Windowed twin of operators/bpe.py's greedy fold: per learning
+    step, count adjacent pairs with one lead() window, argmax (cnt
+    desc, pair asc), then apply the merge via run-parity — consecutive
+    match positions group into runs (pos - row_number) and every odd
+    member merges, which IS greedy left-to-right including the a==b
+    overlap case.  Positions are RENUMBERED dense at every rebuild so
+    run-adjacency stays positional at step k>1."""
+    ctes = ["""
+    s0 AS (SELECT doc_id, wp, CAST(pos AS BIGINT) AS pos, s FROM (
+             SELECT doc_id, wp,
+                    unnest(range(1, length(w)+1)) AS pos,
+                    unnest(list_transform(range(1, length(w)+1),
+                                          i -> substring(w, CAST(i AS INT), 1))) AS s
+             FROM (SELECT doc_id, unnest(range(len(toks))) AS wp,
+                          unnest(toks) AS word
+                   FROM (SELECT doc_id, """ + _TOKS + f""" AS toks
+                         FROM documents WHERE doc_id < {doc_cap})) t(doc_id, wp, w)))"""]
+    for k in range(1, n_merges + 1):
+        prev = f"s{k-1}"
+        ctes.append(f"""
+    top{k} AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+                 SELECT s AS a,
+                        lead(s) OVER (PARTITION BY doc_id, wp ORDER BY pos) AS b
+                 FROM {prev}) WHERE b IS NOT NULL
+               GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
+        if k < n_merges:
+            ctes.append(f"""
+    sel{k} AS (SELECT doc_id, wp, pos FROM (
+                 SELECT doc_id, wp, pos,
+                        row_number() OVER (PARTITION BY doc_id, wp, rid
+                                           ORDER BY pos) AS rr
+                 FROM (SELECT doc_id, wp, pos,
+                              pos - row_number() OVER (PARTITION BY doc_id, wp
+                                                       ORDER BY pos) AS rid
+                       FROM (SELECT x.doc_id, x.wp, x.pos
+                             FROM (SELECT doc_id, wp, pos, s,
+                                          lead(s) OVER (PARTITION BY doc_id, wp
+                                                        ORDER BY pos) AS nx
+                                   FROM {prev}) x CROSS JOIN top{k} t
+                             WHERE x.s = t.a AND x.nx = t.b)))
+               WHERE rr % 2 = 1),
+    s{k} AS (SELECT doc_id, wp,
+                    row_number() OVER (PARTITION BY doc_id, wp ORDER BY pos) AS pos,
+                    s
+             FROM (SELECT s.doc_id, s.wp, s.pos,
+                          CASE WHEN m.pos IS NOT NULL THEN t.a || t.b
+                               ELSE s.s END AS s
+                   FROM {prev} s CROSS JOIN top{k} t
+                   LEFT JOIN sel{k} m ON m.doc_id = s.doc_id AND m.wp = s.wp
+                                      AND m.pos = s.pos
+                   LEFT JOIN sel{k} d ON d.doc_id = s.doc_id AND d.wp = s.wp
+                                      AND d.pos = s.pos - 1
+                   WHERE d.pos IS NULL))""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS step, a, b, cnt FROM top{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n    " + finals
+
+
+@query("x126_bpe_vocabulary", oracle=_build_bpe_oracle())
+def x126_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al. 2016) — learn the
+    corpus's first 3 subword merge rules, the tokenizer-construction
+    step of a pretraining pipeline.  Each step: corpus-wide adjacent
+    symbol-pair count (pairs assembled array-locally via
+    zip_with(slice, slice) — ONE explode + one map-side-combining
+    count shuffle), deterministic argmax (cnt desc, pair asc, a
+    bounded 1-row collect — the loop-control of every iterative
+    operator here), then the merge applied as a pure ARRAY-LOCAL
+    greedy fold (F.aggregate, no shuffle, merge pair parameterized as
+    lit columns never spliced into SQL text).  Step k's count runs on
+    step k-1's rewritten corpus — the trainer dependence the oracle
+    reproduces with lead() windows + run-parity selection.  Symbol
+    totals only shrink as merges apply; at 100 TB the merge table is
+    learned on a hash-threshold sample and applied corpus-wide
+    (operators/bpe.py module docstring)."""
+    from ..operators.bpe import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return bpe_learn(docs, 3)
