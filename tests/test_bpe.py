@@ -132,3 +132,40 @@ def test_learn_matches_python_model(spark, corpus):
         for r in bpe_learn(_docs(spark, corpus), 3).orderBy("step").collect()
     ]
     assert got == expect
+
+
+def test_encode_priority_order(spark):
+    """Rule order matters: on 'abc', table [(a,b), (ab,c)] yields
+    ['abc']; table [(b,c), (a,b)] yields ['a','bc'] — rule 2 (a,b)
+    never fires because rule 1 consumed the 'b'."""
+    from trimet_bytes__data_engineering_project_spark.operators.bpe import bpe_encode
+
+    words = word_symbol_arrays(_docs(spark, ["abc"]))
+    got1 = bpe_encode(words, [("a", "b"), ("ab", "c")]).collect()[0].syms
+    got2 = bpe_encode(words, [("b", "c"), ("a", "b")]).collect()[0].syms
+    assert got1 == ["abc"] and got2 == ["a", "bc"]
+
+
+def test_learn_then_encode_round_trip(spark):
+    """Encoding with the learned table reproduces the trainer's final
+    state: vocab histogram of encode(learn(corpus)) equals the
+    histogram of the corpus the trainer left behind."""
+    from trimet_bytes__data_engineering_project_spark.operators.bpe import (
+        apply_merge as am,
+        bpe_encode,
+        vocab_histogram,
+    )
+
+    corpus = ["the cat sat on the mat", "that hat"]
+    docs = _docs(spark, corpus)
+    merges = [(r.a, r.b) for r in bpe_learn(docs, 3).orderBy("step").collect()]
+    words = word_symbol_arrays(docs)
+    via_encode = {
+        (r.symbol, r.cnt)
+        for r in vocab_histogram(bpe_encode(words, merges)).collect()
+    }
+    stepped = words
+    for a, b in merges:
+        stepped = am(stepped, a, b)
+    via_train = {(r.symbol, r.cnt) for r in vocab_histogram(stepped).collect()}
+    assert via_encode == via_train and len(via_encode) > 0

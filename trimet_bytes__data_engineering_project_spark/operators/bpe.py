@@ -172,3 +172,31 @@ def bpe_learn(
     return docs.sparkSession.createDataFrame(
         merges, "step int, a string, b string, cnt long"
     )
+
+
+def bpe_encode(
+    words: DataFrame, merges: list[tuple[str, str]], sym_col: str = "syms"
+) -> DataFrame:
+    """Tokenize with a LEARNED merge table: apply each rule in priority
+    order (the reference encoder's semantics — rule k only ever sees
+    the corpus as rules 1..k-1 left it).  Each rule is one array-local
+    fold, so encoding with an n-rule table is n chained folds in ONE
+    narrow stage — no shuffle at all; this is the form that applies a
+    sample-learned vocabulary to the full 100 TB corpus.  For tables
+    beyond a few hundred rules, checkpoint every ~32 folds to bound
+    plan depth (the expression tree grows linearly with rules)."""
+    out = words
+    for a, b in merges:
+        out = apply_merge(out, a, b, sym_col)
+    return out
+
+
+def vocab_histogram(words: DataFrame, sym_col: str = "syms") -> DataFrame:
+    """(symbol, cnt) corpus symbol-occurrence counts — the vocabulary
+    audit after encoding (coverage, top tokens, singleton tail).  One
+    explode + map-side-combining count."""
+    return (
+        words.select(F.explode(F.col(sym_col)).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -5921,14 +5921,18 @@ def x125_link_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node_id").alias("doc_id"), "rank_fp")
 
 
-def _build_bpe_oracle(n_merges: int = 3, doc_cap: int = 500) -> str:
+def _build_bpe_oracle(
+    n_merges: int = 3, doc_cap: int = 500, encode_topn: int | None = None
+) -> str:
     """Windowed twin of operators/bpe.py's greedy fold: per learning
     step, count adjacent pairs with one lead() window, argmax (cnt
     desc, pair asc), then apply the merge via run-parity — consecutive
     match positions group into runs (pos - row_number) and every odd
     member merges, which IS greedy left-to-right including the a==b
     overlap case.  Positions are RENUMBERED dense at every rebuild so
-    run-adjacency stays positional at step k>1."""
+    run-adjacency stays positional at step k>1.  With ``encode_topn``
+    the final merge is applied too and the result is the top-n symbol
+    histogram of the fully-encoded corpus (the x127 twin)."""
     ctes = ["""
     s0 AS (SELECT doc_id, wp, CAST(pos AS BIGINT) AS pos, s FROM (
              SELECT doc_id, wp,
@@ -5947,7 +5951,7 @@ def _build_bpe_oracle(n_merges: int = 3, doc_cap: int = 500) -> str:
                         lead(s) OVER (PARTITION BY doc_id, wp ORDER BY pos) AS b
                  FROM {prev}) WHERE b IS NOT NULL
                GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
-        if k < n_merges:
+        if k < n_merges or encode_topn is not None:
             ctes.append(f"""
     sel{k} AS (SELECT doc_id, wp, pos FROM (
                  SELECT doc_id, wp, pos,
@@ -5975,10 +5979,16 @@ def _build_bpe_oracle(n_merges: int = 3, doc_cap: int = 500) -> str:
                    LEFT JOIN sel{k} d ON d.doc_id = s.doc_id AND d.wp = s.wp
                                       AND d.pos = s.pos - 1
                    WHERE d.pos IS NULL))""")
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({k} AS INT) AS step, a, b, cnt FROM top{k}"
-        for k in range(1, n_merges + 1)
-    )
+    if encode_topn is not None:
+        finals = f"""SELECT symbol, cnt, rn FROM (
+      SELECT s AS symbol, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, s ASC) AS INT) AS rn
+      FROM s{n_merges} GROUP BY s) WHERE rn <= {encode_topn}"""
+    else:
+        finals = " UNION ALL ".join(
+            f"SELECT CAST({k} AS INT) AS step, a, b, cnt FROM top{k}"
+            for k in range(1, n_merges + 1)
+        )
     return "WITH " + ",".join(ctes) + "\n    " + finals
 
 
@@ -6003,3 +6013,30 @@ def x126_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return bpe_learn(docs, 3)
+
+
+@query("x127_bpe_encode_vocab", oracle=_build_bpe_oracle(encode_topn=10))
+def x127_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize step: encode the corpus with its own learned
+    3-rule BPE table (rules applied in priority order — n chained
+    array-local folds, ONE narrow stage, zero shuffles) and audit the
+    resulting vocabulary — top-10 symbols by occurrence (cnt desc,
+    symbol asc).  This is the apply-side of x126: at 100 TB the table
+    is learned once on a sample and THIS plan shape — fold chain +
+    one histogram count — is what touches the full corpus."""
+    from ..operators.bpe import (
+        bpe_encode,
+        bpe_learn,
+        vocab_histogram,
+        word_symbol_arrays,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    merges = [(r.a, r.b) for r in bpe_learn(docs, 3).orderBy("step").collect()]
+    hist = vocab_histogram(bpe_encode(word_symbol_arrays(docs), merges))
+    w = Window.orderBy(F.desc("cnt"), F.asc("symbol"))
+    return (
+        hist.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .select("symbol", "cnt", "rn")
+    )
