@@ -1581,3 +1581,28 @@ def test_contrastive_triplets_hand_pin(spark):
     got = [(r.q_id, r.pos_id, r.neg_id, r.rn) for r in
            contrastive_triplets(q, emb, n_neg=2).collect()]
     assert sorted(got) == [(0, 1, 2, 1), (0, 1, 3, 2)]
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Plain top-2 would be the two near-duplicate candidates; MMR's
+    second pick is the geometrically distant one (rel - max-sim
+    argmax), hand-checked: c3's 0.6 - 0.517 beats c2's 0.993 - ~1.0."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # query
+        (1, [0.99, 0.1, 0.0, 0.0]),     # top relevance
+        (2, [0.98, 0.12, 0.0, 0.0]),    # near-dup of 1
+        (3, [0.6, -0.8, 0.0, 0.0]),     # distant but relevant
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter("vec_id = 0")
+    got = [(r.c_id, r.mmr_rn) for r in
+           mmr_rerank(q, emb, k=2, k_shortlist=3).orderBy("mmr_rn").collect()]
+    assert got == [(1, 1), (3, 2)]
+    # k beyond the candidate pool returns every candidate, in MMR order
+    all3 = [(r.c_id, r.mmr_rn) for r in
+            mmr_rerank(q, emb, k=5, k_shortlist=3).orderBy("mmr_rn").collect()]
+    assert all3 == [(1, 1), (3, 2), (2, 3)]

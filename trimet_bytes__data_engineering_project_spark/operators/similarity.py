@@ -765,3 +765,105 @@ def contrastive_triplets(
     return pos.join(neg, "q_id").select(
         "q_id", "pos_id", "pos_sim", "neg_id", "neg_sim", "rn"
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    k_shortlist: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998,
+    public): greedily select ``k`` of the top-``k_shortlist``
+    candidates, each step taking the argmax of ``rel(c) - max_{s in S}
+    sim(c, s)`` — relevance minus redundancy against what's already
+    selected.  This is MMR at lambda=1/2 up to a positive scale (the
+    order is identical and the subtraction of two identically-derived
+    cosines is EXACT IEEE, so no float constant ever enters), the
+    embedding-space sibling of ``retrieval.diversified_topk``'s
+    per-source cap: the cap diversifies by a label, MMR by the
+    geometry itself.
+
+    Greedy selection is inherently sequential, but over an
+    O(batch * k_shortlist) shortlist — so the loop UNROLLS into k
+    declarative steps (window argmax + anti-join per step) instead of
+    reaching for a UDF: pairwise candidate sims are computed ONCE
+    (O(batch * k_shortlist^2) rows, every vector side broadcast),
+    checkpointed, and each step is joins over that small table.  The
+    corpus-sized work is exactly one exact-kNN shortlist pass;
+    compose with any index shortlist (PQ/prefix/Hamming refine
+    family) to keep round 1 off the corpus too.
+
+    Self-matches are excluded (a query drawn from the corpus never
+    selects itself).  Returns (q_id, c_id, rel, mmr_rn), mmr_rn =
+    1..k in selection order; ties by c_id ascending at every step."""
+    sl = knn_join_exact(
+        queries, corpus, k=k_shortlist + 1, vec_col=vec_col, id_col=id_col
+    ).filter(F.col("c_id") != F.col("q_id"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc_nulls_last("cos_sim"), F.asc("c_id")
+    )
+    cand = (
+        sl.withColumn("srn", F.row_number().over(wq))
+        .filter(F.col("srn") <= k_shortlist)
+        .select("q_id", "c_id", F.col("cos_sim").alias("rel"))
+        .localCheckpoint(eager=False)
+    )
+    ids = cand.select(F.col("c_id").alias("cid")).distinct()
+    vecs = (
+        corpus.select(
+            F.col(id_col).alias("cid"), as_double_vec(vec_col).alias("v")
+        )
+        .join(F.broadcast(ids), "cid", "left_semi")
+        .withColumn("n", l2_norm(F.col("v")))
+    )
+    va = vecs.select(
+        F.col("cid").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = vecs.select(
+        F.col("cid").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    pairs = (
+        cand.select("q_id", F.col("c_id").alias("a"))
+        .join(cand.select("q_id", F.col("c_id").alias("b")), "q_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .withColumn(
+            "sim",
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            ),
+        )
+        .select("q_id", "a", "b", "sim")
+        .localCheckpoint(eager=False)
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.desc_nulls_last("rel"), F.asc("c_id"))
+    selu = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "c_id", "rel", F.lit(1).cast("int").alias("mmr_rn"))
+        .localCheckpoint(eager=False)
+    )
+    for t in range(2, k + 1):
+        ms = (
+            pairs.join(selu.select("q_id", F.col("c_id").alias("b")), ["q_id", "b"])
+            .groupBy("q_id", F.col("a").alias("c_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        rem = cand.join(selu.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti")
+        ws = Window.partitionBy("q_id").orderBy(
+            F.desc_nulls_last("score"), F.asc("c_id")
+        )
+        step = (
+            rem.join(ms, ["q_id", "c_id"])
+            .withColumn("score", F.col("rel") - F.col("ms"))
+            .withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "c_id", "rel", F.lit(t).cast("int").alias("mmr_rn"))
+        )
+        selu = selu.unionByName(step).localCheckpoint(eager=False)
+    return selu

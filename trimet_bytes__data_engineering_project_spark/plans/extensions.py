@@ -6040,3 +6040,74 @@ def x127_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("symbol", "cnt", "rn")
     )
+
+
+def _build_mmr_oracle(k: int = 3, k_shortlist: int = 10, modulus: int = 50) -> str:
+    """Unrolled greedy MMR: shortlist by exact cosine, pairwise sims
+    once, then one (window-argmax + NOT EXISTS) CTE per selection step
+    — the relational twin of operators/similarity.py:mmr_rerank.  All
+    floats are identically-derived sequential-fold cosines; the step
+    score rel - max(sim) is one exact IEEE subtraction."""
+    ctes = [f"""
+    e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {modulus} = 0),
+    sc AS (SELECT q_id, e.vec_id AS c_id, {_cos_sql('qv', 'v')} AS rel
+           FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id),
+    short AS MATERIALIZED (SELECT q_id, c_id, rel FROM (
+               SELECT q_id, c_id, rel,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY rel DESC NULLS LAST, c_id ASC) AS srn
+               FROM sc) WHERE srn <= {k_shortlist}),
+    pairs AS MATERIALIZED (
+      SELECT s1.q_id, s1.c_id AS a, s2.c_id AS b,
+             {_cos_sql('e1.v', 'e2.v')} AS sim
+      FROM short s1 JOIN short s2 ON s1.q_id = s2.q_id AND s1.c_id <> s2.c_id
+           JOIN e e1 ON e1.vec_id = s1.c_id
+           JOIN e e2 ON e2.vec_id = s2.c_id),
+    sel1 AS (SELECT q_id, c_id, rel, CAST(1 AS INT) AS mmr_rn FROM (
+               SELECT q_id, c_id, rel,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY rel DESC NULLS LAST, c_id ASC) AS rn
+               FROM short) WHERE rn = 1),
+    selu1 AS (SELECT * FROM sel1)"""]
+    for t in range(2, k + 1):
+        ctes.append(f"""
+    sel{t} AS (SELECT q_id, c_id, rel, CAST({t} AS INT) AS mmr_rn FROM (
+                 SELECT r.q_id, r.c_id, r.rel,
+                        row_number() OVER (PARTITION BY r.q_id
+                                           ORDER BY (r.rel - m.ms) DESC NULLS LAST,
+                                                    r.c_id ASC) AS rn
+                 FROM short r
+                 JOIN (SELECT p.q_id, p.a AS c_id, max(p.sim) AS ms
+                       FROM pairs p JOIN selu{t-1} s
+                            ON s.q_id = p.q_id AND s.c_id = p.b
+                       GROUP BY 1, 2) m
+                      ON m.q_id = r.q_id AND m.c_id = r.c_id
+                 WHERE NOT EXISTS (SELECT 1 FROM selu{t-1} s
+                                   WHERE s.q_id = r.q_id AND s.c_id = r.c_id))
+               WHERE rn = 1),
+    selu{t} AS (SELECT * FROM selu{t-1} UNION ALL SELECT * FROM sel{t})""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT q_id, c_id, rel, mmr_rn FROM selu{k}"
+    )
+
+
+@query("x128_mmr_rerank", oracle=_build_mmr_oracle())
+def x128_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-diversity rerank: greedy maximal marginal relevance
+    (Carbonell & Goldstein 1998) over the exact top-10 shortlist —
+    each of 3 steps takes argmax(rel - max sim to already-selected),
+    lambda=1/2 up to positive scale so NO float constant enters and
+    the step score is one exact IEEE subtraction of two sequential-
+    fold cosines.  The geometric sibling of x119's per-source cap.
+    Corpus-sized work is the one shortlist pass; pairwise sims are
+    O(batch*10^2) computed once and checkpointed (x100 rule); each
+    greedy step is a window argmax + anti-join on that small table —
+    the sequential loop UNROLLS declaratively, no UDF."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, k=3, k_shortlist=10
+    )
