@@ -1283,6 +1283,74 @@ def _x122_hamming_probe(spark, d, batch_queries=16):
     ).agg(F.count("*").alias("n"), F.sum("cos_exact").alias("s"))
 
 
+def _x125_pagerank(spark, d):
+    # link centrality over the near-dup pair graph at full scale: the
+    # corpus-growing stage is the LSH pair generation (the
+    # minhash_near_dup_pairs_full band, ~2.5x); the 3 fixed-point
+    # rounds themselves shuffle two longs per edge and the replica
+    # design keeps the pair graph sparse, so expect the pair band plus
+    # a near-constant iteration tail.
+    from trimet_bytes__data_engineering_project_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    pairs = _minhash_pairs(spark, d).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    return pagerank(edges, docs.select(F.col("doc_id").alias("node_id")), iters=3).agg(
+        F.count("*").alias("n"), F.sum("rank_fp").alias("s")
+    )
+
+
+def _x126_bpe_learn(spark, d):
+    # vocabulary induction at full scale: ONE corpus-sized word count
+    # (the Zipf collapse to the type table), then 3 learning steps
+    # each a char explode + weighted (a,b) count over VOCABULARY rows.
+    # The replica design's md5-derived text makes vocab grow ~linearly
+    # (worst case for the collapse), so expect the word-count band —
+    # the per-occurrence form measured 22.16x/131 s here before the
+    # type refactor.
+    from trimet_bytes__data_engineering_project_spark.operators.bpe import bpe_learn
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return bpe_learn(docs, 3)
+
+
+def _x123_hard_negatives(spark, d, batch_queries=16):
+    # contrastive mining at full scale: one broadcast-anchors pass over
+    # the corpus scan with the cross-label predicate before the top-k
+    # window — expect the exact-kNN band (x58), the label filter adds
+    # no shuffle.
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    modulus = max(10, n // batch_queries)
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(modulus)) == 0)
+    return hard_negative_mining(q, emb, k=3).agg(
+        F.count("*").alias("n"), F.sum("rn").alias("s")
+    )
+
+
+def _x128_mmr(spark, d, batch_queries=16):
+    # MMR at full scale: corpus-sized work is the one exact shortlist
+    # pass (x58's band); the pairwise-sim table and the k unrolled
+    # greedy steps are O(batch*shortlist^2) constants.
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    modulus = max(10, n // batch_queries)
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(modulus)) == 0)
+    return mmr_rerank(q, emb, k=3, k_shortlist=10).agg(
+        F.count("*").alias("n"), F.sum("mmr_rn").alias("s")
+    )
+
+
 def _x111_ivfpq_residual_probe(spark, d):
     # the classic residual-encoded form: identical pruning to x107 (the
     # partition IN-list bounds rows, the codes bound bytes/row) plus one
@@ -1393,6 +1461,10 @@ HEAVY = [
     ("x120_bm25f_inflight_128q", _x120_bm25f_inflight),
     ("x121_prefix_probe_16q", _x121_prefix_probe),
     ("x122_hamming_probe_16q", _x122_hamming_probe),
+    ("x123_hard_negatives_16q", _x123_hard_negatives),
+    ("x125_pagerank_full", _x125_pagerank),
+    ("x126_bpe_learn_full", _x126_bpe_learn),
+    ("x128_mmr_16q", _x128_mmr),
     ("x110_phrase_serve", _x110_phrase_serve),
     ("x101_bm25_inflight_128q", _x101_bm25_inflight),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),

@@ -169,3 +169,21 @@ def test_learn_then_encode_round_trip(spark):
         stepped = am(stepped, a, b)
     via_train = {(r.symbol, r.cnt) for r in vocab_histogram(stepped).collect()}
     assert via_encode == via_train and len(via_encode) > 0
+
+
+def test_apply_merge_pruned_identical(spark):
+    """Pruned apply (affected-rows-only fold) is row-identical to the
+    full fold, including the overlap-run and flush families."""
+    from trimet_bytes__data_engineering_project_spark.operators.bpe import (
+        apply_merge_pruned,
+    )
+
+    words = word_symbol_arrays(
+        _docs(spark, ["aaaa aab axb ba a ok", "aaa abab"])
+    )
+    full = {(r.doc_id, r.wp): r.syms for r in apply_merge(words, "a", "a").collect()}
+    pruned = {
+        (r.doc_id, r.wp): r.syms
+        for r in apply_merge_pruned(words, "a", "a").collect()
+    }
+    assert pruned == full

@@ -751,3 +751,65 @@ def test_streaming_bm25_serve_equals_query_time(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in bm25_serve(spark, queries, idx, k=5).collect())
     assert got == want and len(got) > 0
+
+
+def test_forward_index_fetch_matches_tokenization(spark, tmp_path):
+    """Pruned forward fetch returns exactly the fetched docs' (term,
+    tf) rows — bit-equal to re-tokenizing those docs — and never rows
+    for unfetched ids."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        doc_term_freqs,
+        fetch_doc_terms,
+        write_forward_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 300"
+    )
+    path = str(tmp_path / "fwd")
+    write_forward_index(docs, path)
+    ids = docs.filter("doc_id % 37 = 0").select("doc_id")
+    got = {
+        (r.doc_id, r.term): r.tf
+        for r in fetch_doc_terms(spark, path, ids).collect()
+    }
+    fetched_docs = docs.filter("doc_id % 37 = 0")
+    want = {
+        (r.doc_id, r.term): r.tf for r in doc_term_freqs(fetched_docs).collect()
+    }
+    assert got == want and len(got) > 0
+    assert {d for d, _ in got} == {r.doc_id for r in ids.collect()}
+
+
+def test_prf_forward_fetch_bit_equal(spark, tmp_path):
+    """prf_expand_queries through a forward-index fetch_tf produces the
+    IDENTICAL expanded workload as the default corpus semi-join path
+    (the shared-tokenization contract)."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        fetch_doc_terms,
+        materialize_queries,
+        prf_expand_queries,
+        top_terms_queries,
+        write_forward_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 400"
+    )
+    path = str(tmp_path / "fwd")
+    write_forward_index(docs, path)
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 100 == 0, n_terms=3)
+    )
+    base = {
+        (r.query_id, r.term)
+        for r in prf_expand_queries(docs, queries, fb_k=3, n_expand=2).collect()
+    }
+    via_fwd = {
+        (r.query_id, r.term)
+        for r in prf_expand_queries(
+            docs, queries, fb_k=3, n_expand=2,
+            fetch_tf=lambda ids: fetch_doc_terms(spark, path, ids),
+        ).collect()
+    }
+    assert via_fwd == base and len(base) > 0

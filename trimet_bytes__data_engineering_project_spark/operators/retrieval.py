@@ -766,6 +766,7 @@ def prf_expand_queries(
     text_col: str = "text",
     retrieve=None,
     df_stats=None,
+    fetch_tf=None,
 ) -> DataFrame:
     """Pseudo-relevance feedback (the Rocchio shape, kept
     integer-exact): run the original workload once, treat each query's
@@ -810,7 +811,13 @@ def prf_expand_queries(
     supplying candidate document frequencies and the corpus doc count
     — pass an index-backed lookup (df is denormalized in postings,
     n in the stats sidecar) to keep the serve path off the corpus;
-    default derives both in-flight."""
+    default derives both in-flight.
+    ``fetch_tf``: optional ``(fb_doc_ids) -> (doc_id, term, tf)``
+    callable supplying the feedback docs' term frequencies — pass a
+    :func:`fetch_doc_terms` closure over a FORWARD index to make the
+    feedback fetch a bucket-pruned read of O(batch*fb_k) docs instead
+    of a corpus semi-join + re-tokenization (tf values are bit-equal
+    by the shared-tokenization build contract)."""
     qterms = queries.select("query_id", "term")
     if retrieve is None:
         retrieve = lambda q, k: bm25_topk(  # noqa: E731
@@ -818,12 +825,17 @@ def prf_expand_queries(
         )
     fb = retrieve(queries, fb_k).select("query_id", "doc_id")
     fb = materialize_queries(fb)  # bounded O(batch*fb_k); feeds two consumers
-    fetched = docs.join(
-        F.broadcast(fb.select("doc_id").distinct().withColumnRenamed("doc_id", id_col)),
-        id_col,
-        "left_semi",
-    )
-    ftf = doc_term_freqs(fetched, id_col, text_col)
+    if fetch_tf is not None:
+        ftf = fetch_tf(fb.select("doc_id").distinct())
+    else:
+        fetched = docs.join(
+            F.broadcast(
+                fb.select("doc_id").distinct().withColumnRenamed("doc_id", id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        ftf = doc_term_freqs(fetched, id_col, text_col)
     cand = (
         fb.join(ftf, "doc_id")
         .groupBy("query_id", "term")
@@ -885,6 +897,67 @@ def index_df_stats(spark: SparkSession, path: str, n_buckets: int = N_TERM_BUCKE
         return df_m.crossJoin(F.broadcast(n1))
 
     return look
+
+
+# ---------------------------------------------------------------------------
+# Forward (doc-major) index: pruned fetch of a bounded doc set's terms
+# ---------------------------------------------------------------------------
+
+
+def write_forward_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = N_TERM_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """The doc-major companion of :func:`write_inverted_index`:
+    ``path/forward`` holds (doc_id, term, tf) partitioned by
+    ``doc_bucket = pmod(doc_id, n_buckets)`` with files SORTED by
+    doc_id — the exact mirror of the postings layout's term-side
+    pruning, but keyed by document.  A fetch of a bounded doc set
+    pushes its buckets as a partition IN-list and the ids as a parquet
+    predicate (row-group skipping via the sorted column), so serving
+    paths that need "the terms of THESE docs" — PRF feedback
+    expansion, snippet construction, any rerank that re-reads matched
+    documents — touch O(fetched docs) storage instead of re-tokenizing
+    or corpus-scanning (an inverted index cannot prune on doc_id: a
+    doc's terms are scattered across every term bucket).  Same
+    tokenization as the inverted build, so tf values are bit-equal.
+    Overwrite-idempotent (the ``ensure_index`` build_fn contract)."""
+    tf = doc_term_freqs(docs, id_col, text_col)
+    (
+        tf.withColumn(
+            "doc_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition(F.col("doc_bucket"))
+        .sortWithinPartitions("doc_id")
+        .write.mode(mode)
+        .partitionBy("doc_bucket")
+        .parquet(os.path.join(path, "forward"))
+    )
+
+
+def fetch_doc_terms(
+    spark: SparkSession,
+    path: str,
+    doc_ids: DataFrame,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """(doc_id, term, tf) for a BOUNDED doc-id set, served from the
+    forward index: the id list is collected once (the bm25_serve
+    bounded-collect class — serving batches are O(batch) by contract)
+    and pushed down twice — bucket partition IN-list, then the ids as
+    a parquet predicate that skips row groups because the build sorted
+    by doc_id."""
+    ids = sorted({r[0] for r in doc_ids.select(doc_ids.columns[0]).collect()})
+    buckets = sorted({i % n_buckets for i in ids})
+    return (
+        spark.read.parquet(os.path.join(path, "forward"))
+        .filter(F.col("doc_bucket").isin(buckets) & F.col("doc_id").isin(ids))
+        .select("doc_id", "term", "tf")
+    )
 
 
 # ---------------------------------------------------------------------------

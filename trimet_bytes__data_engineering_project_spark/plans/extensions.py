@@ -5229,7 +5229,10 @@ def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator docstring), and the EXPANDED workload scores the corpus
     again for the final top-5 — the classic vocabulary-mismatch fix,
     two passes total.  Scale shape: the feedback set is O(batch*3)
-    ids broadcast as a semi-join, so only feedback docs re-tokenize;
+    ids whose term frequencies come off the FORWARD index
+    (``fetch_doc_terms`` — doc-bucket partition IN-list + sorted-file
+    row-group skipping; no corpus semi-join, no re-tokenization, tf
+    bit-equal by the shared-tokenization build);
     candidate df comes off the index's denormalized postings column
     (``index_df_stats`` — never the corpus); both scoring passes
     carry O(matched postings); the
@@ -5242,10 +5245,12 @@ def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_index import corpus_fingerprint, ensure_index
     from ..operators.retrieval import (
         bm25_serve,
+        fetch_doc_terms,
         index_df_stats,
         materialize_queries,
         prf_expand_queries,
         top_terms_from_index,
+        write_forward_index,
         write_inverted_index,
     )
 
@@ -5256,6 +5261,14 @@ def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(path, "stats"),
         fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
     )
+    fpath = os.path.join(
+        _tagged_dir(_SCRATCH, "bm25_forward", "v1", sf_dir=sf_dir), "full"
+    )
+    ensure_index(
+        lambda: write_forward_index(docs, fpath),
+        os.path.join(fpath, "forward"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
     queries = materialize_queries(
         top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
     )
@@ -5264,6 +5277,7 @@ def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         prf_expand_queries(
             docs, queries, fb_k=3, n_expand=2, retrieve=serve,
             df_stats=index_df_stats(spark, path),
+            fetch_tf=lambda ids: fetch_doc_terms(spark, fpath, ids),
         )
     )
     return bm25_serve(spark, expanded, path, k=5)
@@ -6111,3 +6125,40 @@ def x128_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb.filter(F.col("vec_id") % 50 == 0), emb, k=3, k_shortlist=10
     )
+
+
+@query(
+    "x129_forward_index_fetch",
+    oracle=f"""
+    WITH {_BM25_TABLES}
+    SELECT doc_id, term, tf FROM tf WHERE doc_id % 40 = 0
+    """,
+)
+def x129_forward_index_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward (doc-major) index lifecycle: build (doc_id, term, tf)
+    partitioned by pmod(doc_id, 64) with doc_id-sorted files, then
+    FETCH a bounded doc set's terms — bucket partition IN-list + the
+    ids as a pushed parquet predicate (row-group skipping on the
+    sorted column).  The doc-side mirror of x102's term-side pruning:
+    an inverted index scatters a doc's terms across every term bucket
+    and cannot serve "the terms of THESE docs" without a full-postings
+    doc_id filter — the measured growing term of the serve-side
+    workload constructors; the forward sidecar makes that fetch
+    O(fetched docs).  x115's feedback expansion now rides this path.
+    Whole lifecycle (build + pruned fetch) under the oracle gate: the
+    oracle re-derives tf from tokenization, so the fetch must be
+    byte-faithful to the build and the build to the tokenizer."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.retrieval import fetch_doc_terms, write_forward_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    fpath = os.path.join(
+        _tagged_dir(_SCRATCH, "bm25_forward", "v1", sf_dir=sf_dir), "full"
+    )
+    ensure_index(
+        lambda: write_forward_index(docs, fpath),
+        os.path.join(fpath, "forward"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
+    ids = docs.filter(F.col("doc_id") % 40 == 0).select("doc_id")
+    return fetch_doc_terms(spark, fpath, ids)
