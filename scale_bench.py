@@ -1334,6 +1334,22 @@ def _x123_hard_negatives(spark, d, batch_queries=16):
     )
 
 
+def _x130_power_iteration(spark, d):
+    # spectral pass at full scale: per round, one broadcast-iterate
+    # fold (narrow) + one 64-group agg with map-side combine — the
+    # shuffle carries 64 rows/task, so expect near-linear in the scan
+    # with a small constant (3 rounds over the checkpointed quantized
+    # matrix).
+    from trimet_bytes__data_engineering_project_spark.operators.spectral import (
+        power_iteration_top_component,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    return power_iteration_top_component(emb, iters=3).agg(
+        F.count("*").alias("n"), F.sum(F.abs(F.col("v_fp"))).alias("s")
+    )
+
+
 def _x128_mmr(spark, d, batch_queries=16):
     # MMR at full scale: corpus-sized work is the one exact shortlist
     # pass (x58's band); the pairwise-sim table and the k unrolled
@@ -1465,6 +1481,7 @@ HEAVY = [
     ("x125_pagerank_full", _x125_pagerank),
     ("x126_bpe_learn_full", _x126_bpe_learn),
     ("x128_mmr_16q", _x128_mmr),
+    ("x130_power_iteration_full", _x130_power_iteration),
     ("x110_phrase_serve", _x110_phrase_serve),
     ("x101_bm25_inflight_128q", _x101_bm25_inflight),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),

@@ -1,0 +1,188 @@
+"""Spectral embedding analytics: the corpus's dominant principal
+direction by quantized power iteration, and the "all-but-the-top"
+common-component removal built on it (Mu & Viswanath 2018, public —
+embedding sets share a large common direction; removing it measurably
+improves retrieval/similarity).  The training-data use: audit and
+de-bias an embedding column before ANN indexing or semantic dedup.
+
+Determinism contract (the repo's fixed-point conventions): a float
+power iteration is NOT reproducible across engines — every matrix-
+vector product is an order-dependent float reduction.  Here the matrix
+is quantized ONCE (``floor(x * Sx)``, Sx a power of two so the scaling
+is exact), the iterate is an int64 vector at scale Sv, and each
+half-step is an INTEGER sum (exact, order-free):
+
+    u_i  = floor( (sum_j xq_ij * v_j) / Sx )        -- int dot, exact /2^k
+    y_j  = sum_i xq_ij * u_i                         -- int64, exact
+    v'_j = floor( y_j * Sv / sqrt(sum_j y_j^2) )     -- ONE IEEE divide/row
+
+The only floats are the final normalize (sum of squares is computed
+EXACTLY in wide integers — DECIMAL(38,0) Spark-side, HUGEINT in an
+ANSI oracle — then one deterministic sqrt and one floor) — so a fixed
+iteration count is bit-reproducible in any engine.  Int64 ceilings at
+the defaults (Sx=2^10, Sv=2^20, |x|<2, d=64): |u| < 2^26, so
+``y_j < n * 2^36`` needs **n < 6.7e7 rows**; beyond that drop Sv to
+2^16 (n < 1e9) or shard-and-average — documented tradeoff, 4 fewer
+fixed-point bits.
+
+Scale shape per iteration: one broadcast of the 1-row iterate into the
+scan (crossJoin of a single row), an array-local integer fold for u,
+and ONE shuffle — the 64-group y aggregation, map-side combined to 64
+rows per task.  The quantized matrix is derived once and
+localCheckpointed (the x100 multi-consumer rule: 2 reads per
+iteration).  Power iteration is an anytime algorithm; 3 rounds
+separate the top direction on anything with a spectral gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double_vec
+
+
+def _assemble(vecs: DataFrame, j_col: str, val_col: str, out_col: str) -> DataFrame:
+    """(j, val) rows -> one row holding the j-ordered array."""
+    return vecs.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(j_col), F.col(val_col)))),
+            lambda s: s[val_col],
+        ).alias(out_col)
+    )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    sx: int = 1 << 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, xq): the embedding quantized to int64 at ``sx`` —
+    ``floor(x * sx)`` with sx a power of two, so the scaling itself is
+    float-exact and the floor deterministic."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            as_double_vec(vec_col), lambda x: F.floor(x * F.lit(float(sx))).cast("long")
+        ).alias("xq"),
+    )
+
+
+def power_iteration_top_component(
+    emb: DataFrame,
+    iters: int = 3,
+    sx: int = 1 << 10,
+    sv: int = 1 << 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(dim_idx, v_fp): the dominant right-singular direction of the
+    (uncentered) embedding matrix after ``iters`` quantized power
+    rounds, as an int64 unit vector at scale ``sv``.  Start iterate is
+    all-ones at sv (deterministic sign).  A zero corpus yields the
+    all-zero vector (norm guard), never NULLs.  Fully declarative —
+    no driver collect; the iterate lives as a 1-row DataFrame."""
+    xq = quantize_embeddings(emb, sx, vec_col, id_col).localCheckpoint(eager=False)
+    dim = len(xq.select("xq").first()["xq"])
+    spark = emb.sparkSession
+    v = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)), lambda _: F.lit(sv).cast("long")
+        ).alias("varr")
+    )
+    for _ in range(iters):
+        u = (
+            xq.crossJoin(F.broadcast(v))
+            .select(
+                "vec_id",
+                "xq",
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xq"), F.col("varr"), lambda x, w: x * w
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, p: acc + p,
+                    )
+                    / F.lit(float(sx))
+                )
+                .cast("long")
+                .alias("u"),
+            )
+        )
+        y = (
+            u.select(F.posexplode("xq").alias("j", "xv"), "u")
+            .groupBy("j")
+            .agg(F.sum(F.col("xv") * F.col("u")).cast("long").alias("y"))
+        )
+        n2 = y.agg(
+            F.sum(
+                F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("n2")
+        )
+        vrows = y.crossJoin(F.broadcast(n2)).select(
+            "j",
+            F.when(
+                F.col("n2") > 0,
+                F.floor(
+                    F.col("y").cast("double") * F.lit(float(sv)) / F.sqrt("n2")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("v"),
+        )
+        v = _assemble(vrows, "j", "v", "varr")
+    return (
+        v.select(F.posexplode("varr").alias("dim_idx", "v_fp"))
+        .select(F.col("dim_idx").cast("int"), "v_fp")
+    )
+
+
+def remove_top_component(
+    emb: DataFrame,
+    component: DataFrame,
+    sv: int = 1 << 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-but-the-top: subtract each vector's projection onto the
+    (quantized) top direction — x' = x - (x.v_hat) v_hat with
+    v_hat = v_fp / |v_fp| rebuilt in floats from the DETERMINISTIC
+    integer component, so the output is as reproducible as its input.
+    Returns (vec_id, embedding array<double>) — drop-in for any
+    downstream similarity/ANN operator.  One broadcast of the 64-int
+    component row into the scan; array-local arithmetic; no shuffle."""
+    comp = _assemble(
+        component.select(F.col("dim_idx").alias("j"), F.col("v_fp").alias("v")),
+        "j",
+        "v",
+        "carr",
+    )
+    x = F.col("_x")
+    c = F.col("carr")
+    cn2 = F.aggregate(
+        F.transform(c, lambda w: w.cast("double") * w.cast("double")),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    dotxc = F.aggregate(
+        F.zip_with(x, c, lambda xi, wi: xi * wi.cast("double")),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(vec_col).alias("_x")
+        )
+        .crossJoin(F.broadcast(comp))
+        .withColumn("_s", F.when(cn2 > 0, dotxc / cn2).otherwise(F.lit(0.0)))
+        .select(
+            "vec_id",
+            F.zip_with(
+                x, c, lambda xi, wi: xi - F.col("_s") * wi.cast("double")
+            ).alias("embedding"),
+        )
+    )

@@ -6162,3 +6162,113 @@ def x129_forward_index_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ids = docs.filter(F.col("doc_id") % 40 == 0).select("doc_id")
     return fetch_doc_terms(spark, fpath, ids)
+
+
+def _build_power_iteration_ctes(iters: int = 3, sx: int = 1 << 10, sv: int = 1 << 20) -> str:
+    """Shared CTE chain for x130/x131: the quantized power recurrence
+    unrolled — integer half-steps (HUGEINT-exact sums), one
+    deterministic sqrt + floor per round (operators/spectral.py)."""
+    ctes = [f"""
+    e AS (SELECT vec_id,
+                 list_transform({_VEC}, x -> CAST(floor(x * {float(sx)}) AS BIGINT)) AS xq
+          FROM embeddings),
+    x AS MATERIALIZED (SELECT vec_id, unnest(xq) AS xv,
+                              CAST(unnest(range(len(xq))) AS BIGINT) AS j
+                       FROM e),
+    v0 AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS j,
+                  CAST({sv} AS BIGINT) AS v)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+    u{k} AS (SELECT x.vec_id,
+                    CAST(floor(CAST(SUM(x.xv * v.v) AS DOUBLE) / {float(sx)}) AS BIGINT) AS u
+             FROM x JOIN v{k-1} v USING (j) GROUP BY x.vec_id),
+    y{k} AS (SELECT x.j, CAST(SUM(x.xv * u.u) AS BIGINT) AS y
+             FROM x JOIN u{k} u USING (vec_id) GROUP BY x.j),
+    n{k} AS (SELECT CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS n2
+             FROM y{k}),
+    v{k} AS (SELECT j, CASE WHEN n2 > 0
+                            THEN CAST(floor(CAST(y AS DOUBLE) * {float(sv)} / sqrt(n2)) AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS v
+             FROM y{k} CROSS JOIN n{k})""")
+    return ",".join(ctes)
+
+
+@query(
+    "x130_top_component",
+    oracle=f"""
+    WITH {_build_power_iteration_ctes()}
+    SELECT CAST(j AS INT) AS dim_idx, v AS v_fp FROM v3
+    """,
+)
+def x130_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by
+    QUANTIZED power iteration (3 rounds): the matrix is quantized once
+    (floor(x*2^10) — power-of-two scale, float-exact), the iterate is
+    an int64 vector at 2^20, and every matrix-vector half-step is an
+    exact integer sum — order-free, so a fixed round count is
+    bit-reproducible in any engine (a float power iteration is not:
+    its reductions are order-dependent).  The only float per round is
+    the normalize: sum-of-squares EXACT in wide integers
+    (decimal(38,0) / HUGEINT), one IEEE sqrt, one floor.  Scale
+    shape per round: broadcast the 1-row iterate into the scan,
+    array-local fold for u, ONE 64-group shuffle for y (map-side
+    combined); int64 ceiling n < 6.7e7 rows at these scales — drop
+    the iterate scale to 2^16 for n < 1e9 (operators/spectral.py).
+    The direction feeds x131's all-but-the-top cleanup."""
+    from ..operators.spectral import power_iteration_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(emb, iters=3)
+
+
+@query(
+    "x131_remove_top_component",
+    oracle=f"""
+    WITH {_build_power_iteration_ctes()},
+    c AS (SELECT list(v ORDER BY j) AS carr FROM v3),
+    s AS (SELECT vec_id, {_VEC} AS xv, carr FROM embeddings CROSS JOIN c
+          WHERE vec_id % 25 = 0),
+    pr AS (SELECT vec_id, xv, carr,
+                  CASE WHEN list_reduce(list_prepend(0.0,
+                           list_transform(carr, w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE))),
+                           (acc, p) -> acc + p) > 0
+                       THEN list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(xv, carr),
+                                          p -> p[1] * CAST(p[2] AS DOUBLE))),
+                           (acc, q) -> acc + q)
+                          / list_reduce(list_prepend(0.0,
+                           list_transform(carr, w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE))),
+                           (acc, p) -> acc + p)
+                       ELSE 0.0 END AS sc
+           FROM s)
+    SELECT vec_id,
+           sqrt(list_reduce(list_prepend(0.0,
+               list_transform(list_zip(xv, carr),
+                              p -> (p[1] - sc * CAST(p[2] AS DOUBLE))
+                                 * (p[1] - sc * CAST(p[2] AS DOUBLE)))),
+               (acc, q) -> acc + q)) AS resid_norm
+    FROM pr
+    """,
+)
+def x131_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top (Mu & Viswanath 2018): subtract each vector's
+    projection onto x130's top direction and report the residual norm
+    for the probe set — the de-biasing pass run before ANN indexing /
+    semantic dedup when an embedding set shares a large common
+    component.  The component is the DETERMINISTIC integer vector, so
+    the float projection/residual chain (sequential folds, one
+    division, one sqrt) is as reproducible as its input; one broadcast
+    of the 64-int row into the scan, array-local arithmetic, no
+    shuffle past x130's own."""
+    from ..operators.similarity import dot, l2_norm
+    from ..operators.spectral import (
+        power_iteration_top_component,
+        remove_top_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = power_iteration_top_component(emb, iters=3)
+    cleaned = remove_top_component(emb.filter(F.col("vec_id") % 25 == 0), comp)
+    return cleaned.select(
+        "vec_id", l2_norm(F.col("embedding")).alias("resid_norm")
+    )
