@@ -479,3 +479,33 @@ def test_systematic_pps_raises_below_k(spark):
         raise AssertionError("expected raise_error for total < k")
     except Exception as e:  # noqa: BLE001
         assert "no valid stride" in str(e)
+
+
+def test_histogram_quantiles_hand_pin(spark):
+    """Values 1..100 with width-1 bins make every quantity exact by
+    hand: median target ceil(50)=50 -> bin 50, est = 51.0 (one unit of
+    interpolation); p90 target 90 -> bin 90; clamping pins outliers to
+    the edge bins."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "v long")
+    got = {
+        (r.p_num, r.p_den): (r.target_rank, r.bin_idx, r.bin_lo, r.est)
+        for r in histogram_quantiles(
+            df, "v", [(1, 2), (9, 10)], lo=0, hi=128, n_bins=128
+        ).collect()
+    }
+    assert got[(1, 2)] == (50, 50, 50, 51.0)
+    assert got[(9, 10)] == (90, 90, 90, 91.0)
+    # clamp: values far outside [lo, hi) land in the edge bins
+    wild = spark.createDataFrame([(-50,), (10,), (10_000,)], "v long")
+    got2 = {
+        (r.p_num, r.p_den): (r.bin_idx, r.target_rank)
+        for r in histogram_quantiles(
+            wild, "v", [(1, 3), (3, 3)], lo=0, hi=128, n_bins=128
+        ).collect()
+    }
+    assert got2[(1, 3)] == (0, 1)       # ceil(3*1/3)=1 -> the clamped -50
+    assert got2[(3, 3)] == (127, 3)     # max -> the clamped 10000

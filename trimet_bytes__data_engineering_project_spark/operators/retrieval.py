@@ -1302,3 +1302,47 @@ def bm25f_topk(
         F.sum(_score_fp_col()).cast("long").alias("score_fp")
     )
     return _topk(scored, k)
+
+
+def write_lexicon(
+    docs: DataFrame,
+    path: str,
+    n_ranges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """``path/lexicon``: the vocabulary (term, df) RANGE-partitioned
+    and sorted by term — the third index layout next to the
+    hash-bucketed postings (term-equality probes) and the doc-bucketed
+    forward table (id fetches).  Hash buckets scatter a lexical RANGE
+    across every partition, so prefix/range queries over the postings
+    must touch all buckets; a range-partitioned, term-sorted lexicon
+    makes them file- and row-group-prunable (parquet min/max on the
+    sort column; Spark pushes StartsWith down).  The lexicon is
+    vocabulary-sized — tiny next to postings — and serves
+    autocomplete, wildcard expansion, and vocabulary audits without
+    touching posting lists."""
+    dfx = doc_term_freqs(docs, id_col, text_col).groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    (
+        dfx.repartitionByRange(n_ranges, "term")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .parquet(os.path.join(path, "lexicon"))
+    )
+
+
+def prefix_terms(spark: SparkSession, path: str, prefix: str) -> DataFrame:
+    """(term, df) for every vocabulary term starting with ``prefix``,
+    served from the lexicon with the StartsWith predicate pushed to
+    the scan — file pruning via range partitioning, row-group skipping
+    via the sorted column.  The expansion step of a wildcard query:
+    feed the result's terms into bm25_serve as additional workload
+    rows."""
+    return (
+        spark.read.parquet(os.path.join(path, "lexicon"))
+        .filter(F.col("term").startswith(prefix))
+        .select("term", "df")
+    )

@@ -654,3 +654,77 @@ def systematic_pps_sample(
             sel("_cum").cast("long").alias("pick"),
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[tuple[int, int]],
+    lo: int,
+    hi: int,
+    n_bins: int,
+) -> DataFrame:
+    """Deterministic distributed quantile estimation by fixed-bin
+    histogram — the engine-portable sibling of ``percentile_filter``'s
+    two forms: exact ``percentile`` is a single-reducer buffer (dies
+    at 100 TB), ``approx_percentile`` is a mergeable sketch but its
+    estimates are implementation-defined (not reproducible across
+    engines or versions).  A fixed integer binning is BOTH mergeable
+    and bit-reproducible: bin assignment is pure integer arithmetic in
+    the scan's project, the only shuffle aggregates ``n_bins`` groups
+    (map-side combined), and the estimate is read off the cumulative
+    histogram with one IEEE interpolation division per requested
+    quantile.
+
+    ``probs`` are RATIONALS (num, den) so the target rank
+    ``ceil(p*n) = (n*num + den - 1) div den`` stays integer-exact.
+    Values are clamped into [lo, hi): bin width must divide evenly
+    ((hi-lo) % n_bins == 0, asserted) so edges are integers.
+
+    Returns one row per prob: (p_num, p_den, target_rank, bin_idx,
+    bin_lo, est) where bin_idx/bin_lo locate the quantile bin
+    (integer-exact, the hashable contract) and ``est`` linearly
+    interpolates within it (est = bin_lo + width*(target-cum_below)/
+    bin_count).  Estimate error is bounded by one bin width — choose
+    n_bins from the tolerance, not the data size."""
+    assert (hi - lo) % n_bins == 0, "bin width must be integral"
+    width = (hi - lo) // n_bins
+    v = F.col(value_col).cast("long")
+    clamped = F.least(F.lit(hi - 1).cast("long"), F.greatest(F.lit(lo).cast("long"), v))
+    hist = (
+        df.select((clamped - F.lit(lo)).alias("_off"))
+        .selectExpr(f"_off div {width} as bin_idx")
+        .groupBy("bin_idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long")).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy()).cast("long")
+    )
+    spark = df.sparkSession
+    pdf = F.broadcast(
+        spark.createDataFrame(list(probs), "p_num long, p_den long")
+    )
+    hit = (
+        cum.crossJoin(pdf)
+        .withColumn(
+            "target_rank",
+            F.expr("(n * p_num + p_den - 1) div p_den").cast("long"),
+        )
+        .filter(F.col("cum") >= F.col("target_rank"))
+    )
+    wp = Window.partitionBy("p_num", "p_den").orderBy("bin_idx")
+    first = hit.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") == 1)
+    return first.select(
+        "p_num",
+        "p_den",
+        "target_rank",
+        "bin_idx",
+        (F.lit(lo) + F.col("bin_idx") * F.lit(width)).cast("long").alias("bin_lo"),
+        (
+            (F.lit(lo) + F.col("bin_idx") * F.lit(width)).cast("double")
+            + F.lit(float(width))
+            * (F.col("target_rank") - (F.col("cum") - F.col("cnt"))).cast("double")
+            / F.col("cnt").cast("double")
+        ).alias("est"),
+    )

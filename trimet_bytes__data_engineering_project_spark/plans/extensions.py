@@ -6272,3 +6272,85 @@ def x131_remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.select(
         "vec_id", l2_norm(F.col("embedding")).alias("resid_norm")
     )
+
+
+@query(
+    "x132_histogram_quantiles",
+    oracle=f"""
+    WITH t AS (SELECT CAST(len({_TOKS}) AS BIGINT) AS v FROM documents),
+    b AS (SELECT least(CAST(127 AS BIGINT), greatest(CAST(0 AS BIGINT), v)) // 2 AS bin_idx FROM t),
+    h AS (SELECT bin_idx, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+    c AS (SELECT bin_idx, cnt,
+                 CAST(SUM(cnt) OVER (ORDER BY bin_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER () AS BIGINT) AS n
+          FROM h),
+    p AS (SELECT CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den
+          FROM (VALUES (1, 2), (9, 10), (99, 100)) AS t(p_num, p_den)),
+    j AS (SELECT c.*, p.p_num, p.p_den,
+                 CAST((n * p_num + p_den - 1) // p_den AS BIGINT) AS target_rank
+          FROM c CROSS JOIN p),
+    f AS (SELECT *, row_number() OVER (PARTITION BY p_num, p_den
+                                       ORDER BY bin_idx) AS rn
+          FROM j WHERE cum >= target_rank)
+    SELECT p_num, p_den, target_rank, bin_idx,
+           CAST(bin_idx * 2 AS BIGINT) AS bin_lo,
+           CAST(bin_idx * 2 AS DOUBLE)
+             + 2.0 * CAST(target_rank - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE) AS est
+    FROM f WHERE rn = 1
+    """,
+)
+def x132_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile estimation of document token counts
+    (p50/p90/p99) by fixed-bin histogram — the engine-portable,
+    mergeable form: exact `percentile` is a single-reducer buffer and
+    `approx_percentile`'s sketch is implementation-defined, while an
+    integer binning (64 width-2 bins over [0,128), clamped edges) is
+    one map-side-combined 64-group count plus a window over the
+    64-row histogram — the corpus is never shuffled, never sorted.
+    Target ranks are rational-exact (ceil(p*n) as int div); the only
+    float is one interpolation division per quantile, bounded by one
+    bin width.  The length-distribution audit every filtering
+    pipeline runs before choosing thresholds."""
+    from ..operators.sampling import histogram_quantiles
+    from ..operators.textstats import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_v = docs.select(token_count_col(F.col("text")).alias("v"))
+    return histogram_quantiles(
+        with_v, "v", [(1, 2), (9, 10), (99, 100)], lo=0, hi=128, n_bins=64
+    )
+
+
+@query(
+    "x133_prefix_term_search",
+    oracle=f"""
+    WITH {_BM25_TABLES}
+    SELECT term, df FROM dfx WHERE term LIKE 's%'
+    """,
+)
+def x133_prefix_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard/prefix term lookup off the RANGE-partitioned lexicon
+    sidecar: the hash-bucketed postings layout scatters a lexical
+    range across all 64 buckets (term_bucket is md5-based — a prefix
+    prunes NOTHING there), so range queries get their own layout —
+    (term, df) repartitionByRange + sorted files, StartsWith pushed to
+    the parquet scan (file pruning via range partitioning, row-group
+    skipping via min/max on the sorted column).  Vocabulary-sized, so
+    the build is one df aggregation; the serve path never touches
+    posting lists.  Completes the index-layout triple: term-equality
+    (x102 hash buckets), doc fetch (x129 doc buckets), lexical range
+    (this)."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.retrieval import prefix_terms, write_lexicon
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        _tagged_dir(_SCRATCH, "lexicon", "v1", sf_dir=sf_dir), "full"
+    )
+    ensure_index(
+        lambda: write_lexicon(docs, path),
+        os.path.join(path, "lexicon"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
+    return prefix_terms(spark, path, "s")
