@@ -813,3 +813,67 @@ def test_prf_forward_fetch_bit_equal(spark, tmp_path):
         ).collect()
     }
     assert via_fwd == base and len(base) > 0
+
+
+def test_streaming_forward_index_serves_fetch(spark, tmp_path):
+    """Per-batch forward landings serve fetch_doc_terms identically to
+    a batch build over the union (no degraded mode — nothing global to
+    stale); a restart on the same checkpoint is a no-op; a late
+    landing extends the fetchable set."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        doc_term_freqs,
+        fetch_doc_terms,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_forward_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 600"
+    )
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    land_file(docs.filter("doc_id % 2 = 0"), "a")
+    idx = str(tmp_path / "fwd_idx")
+    ck = str(tmp_path / "ck")
+    run_streaming_forward_index(spark, landing, idx, ck)
+
+    ids = docs.filter("doc_id % 74 = 0").select("doc_id")
+    got = {
+        (r.doc_id, r.term): r.tf
+        for r in fetch_doc_terms(spark, idx, ids).collect()
+    }
+    want = {
+        (r.doc_id, r.term): r.tf
+        for r in doc_term_freqs(docs.filter("doc_id % 74 = 0")).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # restart: no-op
+    n_before = spark.read.parquet(f"{idx}/forward").count()
+    run_streaming_forward_index(spark, landing, idx, ck)
+    assert spark.read.parquet(f"{idx}/forward").count() == n_before
+
+    # late odd-ids landing: fetch now covers them too
+    land_file(docs.filter("doc_id % 2 = 1"), "b")
+    run_streaming_forward_index(spark, landing, idx, ck)
+    ids2 = docs.filter("doc_id % 37 = 0").select("doc_id")
+    got2 = {
+        (r.doc_id, r.term): r.tf
+        for r in fetch_doc_terms(spark, idx, ids2).collect()
+    }
+    want2 = {
+        (r.doc_id, r.term): r.tf
+        for r in doc_term_freqs(docs.filter("doc_id % 37 = 0")).collect()
+    }
+    assert got2 == want2 and len(got2) > len(got) // 2

@@ -1346,3 +1346,34 @@ def prefix_terms(spark: SparkSession, path: str, prefix: str) -> DataFrame:
         .filter(F.col("term").startswith(prefix))
         .select("term", "df")
     )
+
+
+def land_forward_batch(
+    docs_batch: DataFrame,
+    index_path: str,
+    batch_id: int,
+    n_buckets: int = N_TERM_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Land ONE generation of the forward table under
+    ``forward/batch_id=N/doc_bucket=B`` — the doc-major mirror of
+    :func:`land_inverted_batch` (idempotent per-batch overwrite, same
+    bucket-aligned shuffle + per-file doc_id sort as the batch build).
+    Unlike postings, the forward layout is FULLY append-friendly:
+    (doc_id, term, tf) rows are per-document facts with no global
+    statistic to stale, so :func:`fetch_doc_terms` reads a segmented
+    and a compacted layout identically (the batch_id partition column
+    is just dropped by the projection).  Generations must carry
+    disjoint doc_ids (the shared append contract)."""
+    tf = doc_term_freqs(docs_batch, id_col, text_col)
+    (
+        tf.withColumn(
+            "doc_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition(F.col("doc_bucket"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_bucket")
+        .parquet(f"{index_path}/forward/batch_id={batch_id}")
+    )

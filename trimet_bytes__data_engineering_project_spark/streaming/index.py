@@ -381,3 +381,40 @@ def run_streaming_bm25_serve(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_forward_index(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming maintenance for the FORWARD (doc-major) table — the
+    ``run_streaming_inverted_index`` contract applied to
+    ``operators/retrieval.py:write_forward_index``'s layout: each
+    micro-batch lands its (doc_id, term, tf) rows under
+    ``forward/batch_id=N/doc_bucket=B`` (idempotent overwrite per
+    batch_id).  No df/stats sidecar exists to stale, so the streamed
+    layout serves ``fetch_doc_terms`` with NO degraded mode — the
+    doc-bucket IN-list prunes inside every generation and the
+    projection drops the batch_id column.  Disjoint doc_ids per
+    generation (the shared append contract)."""
+    from ..operators.retrieval import N_TERM_BUCKETS, land_forward_batch
+
+    nb = n_buckets or N_TERM_BUCKETS
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        land_forward_batch(batch_df, index_path, batch_id, nb, id_col, text_col)
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
