@@ -1334,6 +1334,19 @@ def _x123_hard_negatives(spark, d, batch_queries=16):
     )
 
 
+def _x126_bpe_learn_incr(spark, d):
+    # the delta-count rung: full pair count once, then each step
+    # recounts only affected word types and folds signed deltas into
+    # the standing counts table — expect the full-recount row minus
+    # ~one vocab-wide explode+shuffle per later step.
+    from trimet_bytes__data_engineering_project_spark.operators.bpe import (
+        bpe_learn_incremental,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return bpe_learn_incremental(docs, 3)
+
+
 def _x130_power_iteration(spark, d):
     # spectral pass at full scale: per round, one broadcast-iterate
     # fold (narrow) + one 64-group agg with map-side combine — the
@@ -1480,6 +1493,7 @@ HEAVY = [
     ("x123_hard_negatives_16q", _x123_hard_negatives),
     ("x125_pagerank_full", _x125_pagerank),
     ("x126_bpe_learn_full", _x126_bpe_learn),
+    ("x126_bpe_learn_incr_full", _x126_bpe_learn_incr),
     ("x128_mmr_16q", _x128_mmr),
     ("x130_power_iteration_full", _x130_power_iteration),
     ("x110_phrase_serve", _x110_phrase_serve),

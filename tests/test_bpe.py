@@ -187,3 +187,27 @@ def test_apply_merge_pruned_identical(spark):
         for r in apply_merge_pruned(words, "a", "a").collect()
     }
     assert pruned == full
+
+
+@pytest.mark.parametrize(
+    "corpus",
+    [
+        ["the cat sat on the mat", "the bat"],
+        ["aa aab abab baba", "bbbb aaaa"],
+        ["abab abab", "ababab"],
+    ],
+)
+def test_incremental_learn_bit_equal(spark, corpus):
+    """Delta-maintained counts learn the IDENTICAL merge table (rules,
+    order, counts) as the full-recount trainer, including overlap-run
+    corpora where a merge changes its own pair's residual count."""
+    from trimet_bytes__data_engineering_project_spark.operators.bpe import (
+        bpe_learn_incremental,
+    )
+
+    docs = _docs(spark, corpus)
+    full = [(r.step, r.a, r.b, r.cnt)
+            for r in bpe_learn(docs, 4).orderBy("step").collect()]
+    incr = [(r.step, r.a, r.b, r.cnt)
+            for r in bpe_learn_incremental(docs, 4).orderBy("step").collect()]
+    assert incr == full and len(full) > 0

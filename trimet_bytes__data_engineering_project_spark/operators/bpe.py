@@ -269,3 +269,61 @@ def vocab_histogram(words: DataFrame, sym_col: str = "syms") -> DataFrame:
         .groupBy("symbol")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def _argmax_pair(counts: DataFrame):
+    rows = (
+        counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+    )
+    return (rows[0].a, rows[0].b, rows[0].cnt) if rows else None
+
+
+def bpe_learn_incremental(
+    docs: DataFrame,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`bpe_learn` with DELTA-maintained pair counts — the
+    distributed analogue of the reference trainer's in-memory delta
+    heap: the full pair count is paid ONCE; each subsequent step
+    recounts only the AFFECTED word types (before and after the
+    merge) and folds the signed difference into the standing counts
+    table.  Per step: one narrow `exists` scan for the affected set,
+    two tiny explodes over it, and a counts-table merge keyed (a, b)
+    — the distinct-pair table, bounded by (symbol alphabet)^2-ish,
+    orders of magnitude under vocabulary chars.  Bit-identical merge
+    tables to :func:`bpe_learn` (pinned by test); the form that makes
+    thousand-rule vocabularies tractable, where per-step full
+    recounts pay vocabulary chars x n_merges."""
+    words = word_types(docs, id_col, text_col).localCheckpoint(eager=False)
+    counts = pair_counts(words, weight_col="freq").localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        best = _argmax_pair(counts)
+        if best is None:
+            break
+        a, b, cnt = best
+        merges.append((k, a, b, cnt))
+        if k < n_merges:
+            hit = has_adjacent_pair(a, b)
+            affected = words.filter(hit).localCheckpoint(eager=False)
+            rewritten = apply_merge(affected, a, b).localCheckpoint(eager=False)
+            neg = pair_counts(affected, weight_col="freq").select(
+                "a", "b", (-F.col("cnt")).alias("cnt")
+            )
+            pos = pair_counts(rewritten, weight_col="freq")
+            counts = (
+                counts.unionByName(neg)
+                .unionByName(pos)
+                .groupBy("a", "b")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+                .localCheckpoint(eager=False)
+            )
+            words = words.filter(~hit).unionByName(rewritten).localCheckpoint(
+                eager=False
+            )
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, a string, b string, cnt long"
+    )
