@@ -5936,7 +5936,10 @@ def x125_link_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_bpe_oracle(
-    n_merges: int = 3, doc_cap: int = 500, encode_topn: int | None = None
+    n_merges: int = 3,
+    doc_cap: int = 500,
+    encode_topn: int | None = None,
+    fertility: bool = False,
 ) -> str:
     """Windowed twin of operators/bpe.py's greedy fold: per learning
     step, count adjacent pairs with one lead() window, argmax (cnt
@@ -5965,7 +5968,7 @@ def _build_bpe_oracle(
                         lead(s) OVER (PARTITION BY doc_id, wp ORDER BY pos) AS b
                  FROM {prev}) WHERE b IS NOT NULL
                GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""")
-        if k < n_merges or encode_topn is not None:
+        if k < n_merges or encode_topn is not None or fertility:
             ctes.append(f"""
     sel{k} AS (SELECT doc_id, wp, pos FROM (
                  SELECT doc_id, wp, pos,
@@ -5993,7 +5996,17 @@ def _build_bpe_oracle(
                    LEFT JOIN sel{k} d ON d.doc_id = s.doc_id AND d.wp = s.wp
                                       AND d.pos = s.pos - 1
                    WHERE d.pos IS NULL))""")
-    if encode_topn is not None:
+    if fertility:
+        finals = f"""SELECT n_symbols, n_words, n_chars,
+           CASE WHEN n_words > 0
+                THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END AS symbols_per_word
+    FROM (SELECT CAST(count(*) AS BIGINT) AS n_symbols,
+                 CAST((SELECT count(*) FROM (SELECT DISTINCT doc_id, wp
+                       FROM s{n_merges})) AS BIGINT) AS n_words,
+                 CAST(sum(length(s)) AS BIGINT) AS n_chars
+          FROM s{n_merges})"""
+    elif encode_topn is not None:
         finals = f"""SELECT symbol, cnt, rn FROM (
       SELECT s AS symbol, CAST(count(*) AS BIGINT) AS cnt,
              CAST(row_number() OVER (ORDER BY count(*) DESC, s ASC) AS INT) AS rn
@@ -6354,3 +6367,43 @@ def x133_prefix_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
     )
     return prefix_terms(spark, path, "s")
+
+
+@query("x134_tokenizer_fertility", oracle=_build_bpe_oracle(fertility=True))
+def x134_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: encode the corpus with its learned
+    3-rule BPE table and report (n_symbols, n_words, n_chars,
+    symbols_per_word) — fertility (tokens/word) is THE tokenizer
+    quality metric a pretraining pipeline tracks per language/domain
+    (high fertility = wasted context window), and chars vs symbols
+    gives the compression the merge table bought.  Integer counts
+    (hashable contract) + one guarded division; plan shape is x127's
+    fold chain plus one ungrouped aggregate."""
+    from ..operators.bpe import bpe_encode, bpe_learn, word_symbol_arrays
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    merges = [(r.a, r.b) for r in bpe_learn(docs, 3).orderBy("step").collect()]
+    enc = bpe_encode(word_symbol_arrays(docs), merges).filter(F.size("syms") > 0)
+    return enc.agg(
+        F.sum(F.size("syms")).cast("long").alias("n_symbols"),
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(
+            F.aggregate(
+                F.col("syms"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.length(s).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("n_chars"),
+    ).select(
+        "n_symbols",
+        "n_words",
+        "n_chars",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_symbols").cast("double") / F.col("n_words").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("symbols_per_word"),
+    )
