@@ -52,7 +52,9 @@ _WINDOW_HEAD = [
     "x119_diversified_topk",
     "x120_bm25f_topk",
     "x121_prefix_refine_knn",
-    # Queries registered after the head filled (x122+) sit mid-order
+    # Queries registered after the head filled (x122-x134: the Hamming
+    # sketch, contrastive mining, PageRank, BPE, MMR, forward-index,
+    # spectral, histogram-quantile, and lexicon tiers) sit mid-order
     # (slot 51+, swept by the in-repo parity test) and take head
     # priority at the next rotation as first-round rows.
     # (2) the round-6 verdict's item 6: the 44 queries whose latest
