@@ -244,3 +244,25 @@ def test_pagerank_null_edge_dropped_and_rank_sum_bounded(spark):
     assert len(set(got.values())) == 1
     assert 0 < got[1] <= 10**9
     assert sum(got.values()) <= 3 * 10**9
+
+
+def test_personalized_pagerank_hand_pin(spark):
+    """Seed {1} on path 1-2-3 + isolated 4: teleport lands only on the
+    seed, start vector is the seed indicator, node 4 (unreachable)
+    stays exactly 0.  Every value hand-derived."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import pagerank
+
+    und = [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "node_id long")
+    seeds = spark.createDataFrame([(1,)], "node_id long")
+    got = {
+        r.node_id: r.rank_fp
+        for r in pagerank(edges, nodes, iters=2, scale=1000, seeds=seeds).collect()
+    }
+    # iter1: r(1)=15000 div 100=150, r(2)=(85*1000) div 100=850, r(3)=r(4)=0
+    # iter2: r(1)=(15000+85*425) div 100=511, r(2)=(85*150) div 100=127,
+    #        r(3)=(85*425) div 100=361, r(4)=0
+    assert got == {1: 511, 2: 127, 3: 361, 4: 0}

@@ -45,6 +45,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     node_col: str = "node_id",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER fixed point — link-analysis
     centrality over a derived graph (the quality-signal family:
@@ -79,8 +80,21 @@ def pagerank(
     a convergence probe (PageRank is an anytime algorithm; rank ORDER
     stabilizes in a handful of rounds on power-law graphs).
 
+    ``seeds``: optional 1-column DataFrame of node ids — PERSONALIZED
+    PageRank (Page et al.'s biased-restart form): the teleport term
+    lands only on seed nodes (each seed gets the full per-node
+    teleport; non-seeds get zero) and the start vector is
+    seed-indicator * scale, so rank becomes graph PROXIMITY TO THE
+    SEED SET — the propagate-trust-from-a-curated-set recipe
+    (label propagation for quality: score every document by its
+    near-dup-graph closeness to vetted seeds).  Nodes unreachable
+    from any seed stay exactly 0 — integer arithmetic, no epsilon
+    floor.  The seed set is broadcast (a curated set is small by
+    contract).
+
     Returns (``node_col``, rank_fp) — rank_fp int64 at ``scale``.
-    Isolated nodes converge to (den-num)*scale div den."""
+    Isolated nodes converge to (den-num)*scale div den (uniform
+    mode) / exactly 0 (personalized mode, non-seed)."""
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
@@ -96,7 +110,25 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     teleport = (damping_den - damping_num) * scale
-    ranks = base.withColumn("rank_fp", F.lit(scale).cast("long"))
+    if seeds is not None:
+        seed_ids = seeds.select(
+            F.col(seeds.columns[0]).cast("long").alias("node_id")
+        ).distinct()
+        base = base.join(
+            F.broadcast(seed_ids.withColumn("_seed", F.lit(1))), "node_id", "left"
+        ).withColumn("_seed", F.coalesce(F.col("_seed"), F.lit(0))).localCheckpoint(
+            eager=False
+        )
+        ranks = base.withColumn(
+            "rank_fp", (F.col("_seed") * F.lit(scale)).cast("long")
+        ).select("node_id", "rank_fp")
+        tele_expr = f"_seed * {teleport}L"
+    else:
+        base = base.withColumn("_seed", F.lit(1))
+        ranks = base.select("node_id").withColumn(
+            "rank_fp", F.lit(scale).cast("long")
+        )
+        tele_expr = f"{teleport}L"
     for _ in range(iters):
         contrib = (
             ed.join(ranks.withColumnRenamed("node_id", "src"), "src")
@@ -110,7 +142,7 @@ def pagerank(
             .withColumn("csum", F.coalesce(F.col("csum"), F.lit(0).cast("long")))
             .selectExpr(
                 "node_id",
-                f"CAST(({teleport}L + {damping_num}L * csum) div {damping_den}L"
+                f"CAST(({tele_expr} + {damping_num}L * csum) div {damping_den}L"
                 " AS LONG) AS rank_fp",
             )
         )

@@ -6407,3 +6407,73 @@ def x134_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("symbols_per_word"),
     )
+
+
+def _build_ppr_oracle(
+    iters: int = 3, scale: int = 10**9, num: int = 85, den: int = 100,
+    seed_pred: str = "doc_id < 50",
+) -> str:
+    """Personalized-PageRank twin of _build_pagerank_oracle: teleport
+    CASEd on seed membership, start vector = seed indicator * scale."""
+    teleport = (den - num) * scale
+    its = []
+    prev = "n0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT n.node_id,
+             CAST((n.seed * {teleport} + {num} * COALESCE(s.c, CAST(0 AS BIGINT))) // {den}
+                  AS BIGINT) AS r, n.seed
+      FROM {prev} n LEFT JOIN (
+        SELECT e.dst AS node_id, CAST(SUM({prev}.r // deg.deg) AS BIGINT) AS c
+        FROM e JOIN deg USING (src)
+               JOIN {prev} ON {prev}.node_id = e.src
+        GROUP BY 1) s ON s.node_id = n.node_id)""")
+        prev = f"it{k}"
+    return f"""
+    WITH {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+    n0 AS (SELECT doc_id AS node_id,
+                  CAST(CASE WHEN {seed_pred} THEN 1 ELSE 0 END AS BIGINT) AS seed,
+                  CAST(CASE WHEN {seed_pred} THEN {scale} ELSE 0 END AS BIGINT) AS r
+           FROM docs),
+    {", ".join(its)}
+    SELECT node_id AS doc_id, r AS rank_fp FROM {prev}
+    """
+
+
+@query("x135_personalized_pagerank", oracle=_build_ppr_oracle())
+def x135_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a curated seed set (doc_id < 50
+    standing in for a vetted collection): teleport mass lands ONLY on
+    seeds and the start vector is the seed indicator, so the
+    fixed-point score becomes graph proximity to the trusted set —
+    the propagate-quality-labels recipe over the near-dup graph
+    (documents connected to vetted content inherit score; nodes
+    unreachable from any seed stay EXACTLY 0, integer arithmetic, no
+    epsilon floor).  Same bit-reproducible integer loop, ceilings and
+    checkpoint discipline as x125; the seed set broadcasts (curated
+    sets are small by contract)."""
+    from ..operators.dedup import minhash_candidates, minhash_estimate
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    return pagerank(
+        edges,
+        docs.select(F.col("doc_id").alias("node_id")),
+        iters=3,
+        seeds=docs.filter(F.col("doc_id") < 50).select("doc_id"),
+    ).select(F.col("node_id").alias("doc_id"), "rank_fp")
