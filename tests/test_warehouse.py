@@ -267,3 +267,29 @@ def test_merge_upsert_updates_win_no_loss(spark):
     assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses on a hand corpus, including the NULL-content
+    contract (NULL->value = changed, NULL->NULL = unchanged)."""
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, None)],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "x"), (5, None), (6, "f")],
+        "id long, text string",
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, "id", ["text"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "changed",
+        5: "unchanged",
+        6: "added",
+    }

@@ -6477,3 +6477,50 @@ def x135_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=3,
         seeds=docs.filter(F.col("doc_id") < 50).select("doc_id"),
     ).select(F.col("node_id").alias("doc_id"), "rank_fp")
+
+
+@query(
+    "x136_snapshot_diff",
+    oracle="""
+    WITH o AS (SELECT doc_id, md5(concat_ws(chr(31), coalesce(text, ''))) AS h
+               FROM documents WHERE doc_id < 900),
+    n AS (SELECT doc_id,
+                 md5(concat_ws(chr(31), coalesce(
+                     CASE WHEN doc_id % 97 = 0 THEN text || ' updated'
+                          ELSE text END, ''))) AS h
+          FROM documents WHERE doc_id >= 100),
+    j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.h IS NULL THEN 'added'
+                      WHEN n.h IS NULL THEN 'removed'
+                      WHEN o.h <> n.h THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY 1
+    """,
+)
+def x136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff audit: a simulated re-crawl (drops the
+    oldest tail, adds a new head, edits every 97th doc) is diffed
+    against the standing snapshot by content digest — per-status
+    counts of added/removed/changed/unchanged, the ingest-regression
+    check run before a landed batch replaces production data (the
+    read-side complement of x62's MERGE).  Digests computed in the
+    scan's project; the one shuffle is the full-outer id join
+    carrying (id, 32-hex) rows — never text; co-located to zero on an
+    id-bucketed layout (plans/warehouse.py:write_bucketed)."""
+    from ..plans.warehouse import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 900)
+    new = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    return (
+        snapshot_diff(old, new, "doc_id", ["text"])
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

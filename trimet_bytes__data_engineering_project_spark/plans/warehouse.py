@@ -328,3 +328,39 @@ def merge_upsert(
         keys = F.broadcast(keys)
     survivors = base.join(keys, key_cols, "left_anti")
     return updates.unionByName(survivors)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, content_cols: list[str]
+) -> DataFrame:
+    """Corpus version diff: (id, status) for the union of two corpus
+    snapshots, status in {added, removed, changed, unchanged} by
+    content digest — the read-side complement of :func:`merge_upsert`
+    (MERGE writes a new version; this audits what a landed version
+    changed — the ingest-regression / data-versioning check run
+    before a new crawl batch replaces the old).
+
+    Scale shape: digests are computed in each scan's project (md5 over
+    a unit-separator concat of the content columns — the join carries
+    (id, 32-hex) rows, never document text), and the single shuffle is
+    the full-outer id join; on an id-bucketed warehouse layout
+    (write_bucketed) both sides are co-located and even that shuffle
+    disappears.  NULL content columns digest as empty (coalesce) —
+    a NULL->'x' edit counts as changed, NULL->NULL as unchanged."""
+    def dig(df: DataFrame) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]
+            )
+        )
+
+    ho = old.select(F.col(id_col).alias("_id"), dig(old).alias("h_old"))
+    hn = new.select(F.col(id_col).alias("_id"), dig(new).alias("h_new"))
+    j = ho.join(hn, "_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("_id").alias(id_col), status.alias("status"))
