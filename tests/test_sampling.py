@@ -509,3 +509,53 @@ def test_histogram_quantiles_hand_pin(spark):
     }
     assert got2[(1, 3)] == (0, 1)       # ceil(3*1/3)=1 -> the clamped -50
     assert got2[(3, 3)] == (127, 3)     # max -> the clamped 10000
+
+
+def test_streaming_histogram_quantiles_equal_batch(spark, tmp_path):
+    """Two streamed landings' histograms sum to the union's; quantiles
+    served from the store are bit-equal to the in-flight form over the
+    full corpus; a replay on the same checkpoint is a no-op."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        histogram_quantiles,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        token_count_col,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        quantiles_from_store,
+        run_streaming_histogram,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    land_file(docs.filter("doc_id % 2 = 0"), "a")
+    land_file(docs.filter("doc_id % 2 = 1"), "b")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    expr = r"size(split(lower(trim(text)), '\\s+'))"
+    run_streaming_histogram(spark, landing, store, ck, expr, 0, 128, 64)
+
+    probs = [(1, 2), (9, 10)]
+    got = sorted(
+        map(tuple, quantiles_from_store(spark, store, probs, 0, 128, 64).collect())
+    )
+    with_v = docs.select(token_count_col(F.col("text")).alias("v"))
+    want = sorted(
+        map(tuple, histogram_quantiles(with_v, "v", probs, 0, 128, 64).collect())
+    )
+    assert got == want and len(got) == 2
+
+    n_before = spark.read.parquet(f"{store}/hist").count()
+    run_streaming_histogram(spark, landing, store, ck, expr, 0, 128, 64)
+    assert spark.read.parquet(f"{store}/hist").count() == n_before

@@ -687,21 +687,48 @@ def histogram_quantiles(
     interpolates within it (est = bin_lo + width*(target-cum_below)/
     bin_count).  Estimate error is bounded by one bin width — choose
     n_bins from the tolerance, not the data size."""
+    hist = value_histogram(df, value_col, lo, hi, n_bins)
+    return quantiles_from_histogram(hist, probs, lo, hi, n_bins)
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, lo: int, hi: int, n_bins: int
+) -> DataFrame:
+    """(bin_idx, cnt): the fixed-bin count table feeding
+    :func:`quantiles_from_histogram`.  MERGEABLE by construction —
+    two histograms (two snapshots, two streamed generations) sum
+    bin-wise to the histogram of the union, which is what makes the
+    streamed form exact (streaming/stats.py)."""
     assert (hi - lo) % n_bins == 0, "bin width must be integral"
     width = (hi - lo) // n_bins
     v = F.col(value_col).cast("long")
     clamped = F.least(F.lit(hi - 1).cast("long"), F.greatest(F.lit(lo).cast("long"), v))
-    hist = (
+    return (
         df.select((clamped - F.lit(lo)).alias("_off"))
         .selectExpr(f"_off div {width} as bin_idx")
         .groupBy("bin_idx")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    probs: list[tuple[int, int]],
+    lo: int,
+    hi: int,
+    n_bins: int,
+) -> DataFrame:
+    """The quantile read-off over a (bin_idx, cnt) table — shared by
+    the in-flight form and any persisted/streamed histogram (sum the
+    stored generations bin-wise first; additivity makes the result
+    bit-equal to an in-flight pass over the union)."""
+    assert (hi - lo) % n_bins == 0, "bin width must be integral"
+    width = (hi - lo) // n_bins
     w = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long")).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy()).cast("long")
     )
-    spark = df.sparkSession
+    spark = hist.sparkSession
     pdf = F.broadcast(
         spark.createDataFrame(list(probs), "p_num long, p_den long")
     )
