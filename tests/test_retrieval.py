@@ -877,3 +877,23 @@ def test_streaming_forward_index_serves_fetch(spark, tmp_path):
         for r in doc_term_freqs(docs.filter("doc_id % 37 = 0")).collect()
     }
     assert got2 == want2 and len(got2) > len(got) // 2
+
+
+def test_retrieval_metrics_hand_pin(spark):
+    """Query 1: first hit at rank 2 (rr=30/60), 1 of 2 judged found.
+    Query 2: judged doc at rank 6 -> beyond k, contributes 0 but is
+    NOT dropped.  Query 3: unjudged run rows ignored entirely."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3), (2, 40, 6), (3, 50, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 20), (1, 99), (2, 40)], "query_id long, doc_id long"
+    )
+    r = retrieval_metrics(run, qrels, k=5).collect()[0]
+    assert (r.n_queries, r.n_rel, r.n_found, r.sum_rr_fp) == (2, 3, 1, 30)
+    assert r.recall_at_k == 1 / 3 and r.mrr == 30 / 120

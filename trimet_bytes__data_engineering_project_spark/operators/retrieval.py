@@ -1377,3 +1377,69 @@ def land_forward_batch(
         .partitionBy("doc_bucket")
         .parquet(f"{index_path}/forward/batch_id={batch_id}")
     )
+
+
+def retrieval_metrics(
+    run: DataFrame, qrels: DataFrame, k: int = 5, rr_scale: int = 60
+) -> DataFrame:
+    """IR evaluation over a retrieval run — the audit rung for the
+    lexical tier (x60/x108's convention applied to ranked retrieval):
+    given ``run`` (query_id, doc_id, rank) and relevance judgments
+    ``qrels`` (query_id, doc_id), one summary row of
+
+      n_queries, n_rel (judged pairs), n_found (judged pairs ranked
+      <= k), sum_rr_fp (per-query reciprocal rank of the FIRST
+      relevant hit, fixed point at ``rr_scale``), recall_at_k, mrr
+
+    Reciprocal ranks stay integer-exact: ``rr_scale`` defaults to 60 =
+    lcm(1..5), so 1/rank is an exact int for every rank <= k=5 (choose
+    lcm(1..k) for other k: 2520 covers k<=10, 360360 k<=13 — assert
+    guards the divisibility).  The ONLY floats are the two final
+    display divisions — mean metrics over millions of queries carry no
+    float-summation order, the same no-libm discipline as the scorer
+    itself.  Unjudged queries in ``run`` are ignored; judged queries
+    with no hit contribute 0 to both metrics (never silently dropped).
+
+    Scale shape: one equi-join of the run against the judged pairs
+    (qrels broadcast — judgment sets are small by contract), a min-agg
+    per query, and a 1-row final aggregate."""
+    for r in range(1, k + 1):
+        assert rr_scale % r == 0, "rr_scale must be divisible by 1..k"
+    judged = qrels.select("query_id", "doc_id").distinct()
+    hits = run.filter(F.col("rank") <= k).join(
+        F.broadcast(judged), ["query_id", "doc_id"]
+    )
+    best = hits.groupBy("query_id").agg(
+        F.min("rank").alias("first_rank"), F.count("*").cast("long").alias("n_hit")
+    )
+    per_q = (
+        judged.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_rel_q"))
+        .join(best, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel_q",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce(
+                F.expr(f"{rr_scale} div first_rank"), F.lit(0)
+            ).cast("long").alias("rr_fp"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("n_rel_q").cast("long").alias("n_rel"),
+        F.sum("n_hit").cast("long").alias("n_found"),
+        F.sum("rr_fp").cast("long").alias("sum_rr_fp"),
+    ).select(
+        "n_queries",
+        "n_rel",
+        "n_found",
+        "sum_rr_fp",
+        (F.col("n_found").cast("double") / F.col("n_rel").cast("double")).alias(
+            "recall_at_k"
+        ),
+        (
+            F.col("sum_rr_fp").cast("double")
+            / (F.lit(float(rr_scale)) * F.col("n_queries").cast("double"))
+        ).alias("mrr"),
+    )

@@ -6524,3 +6524,69 @@ def x136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+@query(
+    "x137_retrieval_mrr",
+    oracle=f"""
+    WITH {_BM25_TABLES},
+    qtf AS (SELECT doc_id AS query_id, term, tf FROM tf WHERE doc_id % 50 = 0),
+    qs AS (SELECT query_id, q.term,
+                  CAST(q.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS s
+           FROM qtf q JOIN dfx d USING (term)),
+    qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, term ASC) AS rn
+             FROM qs) WHERE rn <= 3),
+    m AS (SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, dfx.df
+          FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dfx USING (term)),
+    {_BM25_SCORE_TOPK},
+    hits AS (SELECT query_id, rank FROM tk
+             WHERE rank <= 5 AND doc_id = query_id),
+    perq AS (SELECT q.query_id,
+                    coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+                    coalesce(h.rr_fp, CAST(0 AS BIGINT)) AS rr_fp
+             FROM (SELECT DISTINCT query_id FROM qt) q
+             LEFT JOIN (SELECT query_id,
+                               CAST(count(*) AS BIGINT) AS n_hit,
+                               CAST(60 // min(rank) AS BIGINT) AS rr_fp
+                        FROM hits GROUP BY 1) h USING (query_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_rel,
+           CAST(sum(n_hit) AS BIGINT) AS n_found,
+           CAST(sum(rr_fp) AS BIGINT) AS sum_rr_fp,
+           CAST(sum(n_hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k,
+           CAST(sum(rr_fp) AS DOUBLE) / (60.0 * CAST(count(*) AS DOUBLE)) AS mrr
+    FROM perq
+    """,
+)
+def x137_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit for the lexical tier: SELF-RETRIEVAL
+    MRR/recall@5 — every workload query is derived from a source
+    document (x101's construction), the source doc is its own
+    relevance judgment, and the metric asks "does BM25 rank the
+    document its query came from in the top 5, and how high?" — the
+    standard no-ground-truth sanity eval for a retrieval stack
+    (x60/x108's audit convention applied to ranked lexical search).
+    Reciprocal ranks in exact fixed point (60 = lcm(1..5) — 1/rank is
+    an integer for every rank <= 5), so the aggregate carries NO
+    float-summation order; the two display divisions are the only
+    floats.  One broadcast judged-pairs join + a min-agg per query
+    over the run."""
+    from ..operators.retrieval import (
+        bm25_topk,
+        materialize_queries,
+        retrieval_metrics,
+        top_terms_queries,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    run = bm25_topk(docs, queries, k=5).select("query_id", "doc_id", "rank")
+    qrels = queries.select(
+        "query_id", F.col("query_id").alias("doc_id")
+    ).distinct()
+    return retrieval_metrics(run, qrels, k=5)
