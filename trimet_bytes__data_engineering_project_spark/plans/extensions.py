@@ -6590,3 +6590,67 @@ def x137_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("query_id").alias("doc_id")
     ).distinct()
     return retrieval_metrics(run, qrels, k=5)
+
+
+def _fold_sql(products: str) -> str:
+    """Sequential float fold (list_reduce with a 0.0 prepend) — the
+    cross-engine twin of operators.similarity's F.aggregate folds."""
+    return f"list_reduce(list_prepend(0.0, {products}), (acc, x) -> acc + x)"
+
+
+@query(
+    "x138_debias_knn",
+    oracle=f"""
+    WITH {_build_power_iteration_ctes()},
+    c AS (SELECT list(v ORDER BY j) AS carr FROM v3),
+    s AS (SELECT vec_id, {_VEC} AS xv, carr FROM embeddings CROSS JOIN c),
+    cl AS (SELECT vec_id,
+                  list_transform(list_zip(xv, carr),
+                                 p -> p[1] - (CASE WHEN {_fold_sql('list_transform(carr, w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE))')} > 0
+                                              THEN {_fold_sql('list_transform(list_zip(xv, carr), q -> q[1] * CAST(q[2] AS DOUBLE))')}
+                                                 / {_fold_sql('list_transform(carr, w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE))')}
+                                              ELSE 0.0 END) * CAST(p[2] AS DOUBLE)) AS v
+           FROM s),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM cl WHERE vec_id % 50 = 0),
+    sc AS (SELECT q_id, cl.vec_id AS c_id, {_cos_sql('qv', 'v')} AS cos_sim
+           FROM q CROSS JOIN cl WHERE cl.vec_id <> q.q_id),
+    rk AS (SELECT q_id, c_id, cos_sim,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos_sim DESC NULLS LAST, c_id ASC) AS INT) AS rn
+           FROM sc)
+    SELECT q_id, c_id, cos_sim, rn FROM rk WHERE rn <= 3
+    """,
+)
+def x138_debias_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The de-biasing pipeline composed end-to-end: x130's quantized
+    top component -> x131's all-but-the-top removal -> exact kNN over
+    the CLEANED embeddings (self excluded) — the similarity search a
+    pipeline actually runs after removing the common direction (Mu &
+    Viswanath 2018 report retrieval gains from exactly this chain).
+    Every stage keeps its determinism contract (integer component,
+    sequential-fold projections and cosines), so the three-operator
+    composition stays oracle-exact — the point of the query: pipelines
+    compose without losing the correctness gate.  Corpus work = the
+    spectral rounds + one brute-force shortlist pass; swap the last
+    stage for any index family at scale (the x128 note applies)."""
+    from ..operators.similarity import knn_join_exact
+    from ..operators.spectral import (
+        power_iteration_top_component,
+        remove_top_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = power_iteration_top_component(emb, iters=3)
+    cleaned = remove_top_component(emb, comp).localCheckpoint(eager=False)
+    q = cleaned.filter(F.col("vec_id") % 50 == 0)
+    # self-exclusion (a query drawn from the corpus never reports
+    # itself): over-fetch one, drop self, re-rank — the x128 recipe
+    sl = knn_join_exact(q, cleaned, k=4).filter(F.col("c_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc_nulls_last("cos_sim"), F.asc("c_id")
+    )
+    return (
+        sl.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "c_id", "cos_sim", "rn")
+    )
