@@ -755,3 +755,64 @@ def quantiles_from_histogram(
             / F.col("cnt").cast("double")
         ).alias("est"),
     )
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    probs: list[tuple[int, int]],
+    lo: int,
+    hi: int,
+    n_bins: int,
+) -> DataFrame:
+    """:func:`histogram_quantiles` per group — the per-language /
+    per-domain form (length and quality thresholds are set per
+    stratum, not globally: a p90 length cut tuned on English truncates
+    languages with longer words).  Same integer contracts; the
+    histogram shuffle keys on (group, bin) and the windows run over
+    the per-group n_bins-row tables, so adding groups never adds a
+    corpus pass.  Returns one row per (group, prob)."""
+    assert (hi - lo) % n_bins == 0, "bin width must be integral"
+    width = (hi - lo) // n_bins
+    v = F.col(value_col).cast("long")
+    clamped = F.least(F.lit(hi - 1).cast("long"), F.greatest(F.lit(lo).cast("long"), v))
+    hist = (
+        df.select(F.col(group_col).alias("grp"), (clamped - F.lit(lo)).alias("_off"))
+        .selectExpr("grp", f"_off div {width} as bin_idx")
+        .groupBy("grp", "bin_idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("bin_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long")).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("grp")).cast("long")
+    )
+    pdf = F.broadcast(
+        df.sparkSession.createDataFrame(list(probs), "p_num long, p_den long")
+    )
+    hit = (
+        cum.crossJoin(pdf)
+        .withColumn(
+            "target_rank",
+            F.expr("(n * p_num + p_den - 1) div p_den").cast("long"),
+        )
+        .filter(F.col("cum") >= F.col("target_rank"))
+    )
+    wp = Window.partitionBy("grp", "p_num", "p_den").orderBy("bin_idx")
+    first = hit.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") == 1)
+    return first.select(
+        F.col("grp").alias(group_col),
+        "p_num",
+        "p_den",
+        "target_rank",
+        "bin_idx",
+        (F.lit(lo) + F.col("bin_idx") * F.lit(width)).cast("long").alias("bin_lo"),
+        (
+            (F.lit(lo) + F.col("bin_idx") * F.lit(width)).cast("double")
+            + F.lit(float(width))
+            * (F.col("target_rank") - (F.col("cum") - F.col("cnt"))).cast("double")
+            / F.col("cnt").cast("double")
+        ).alias("est"),
+    )

@@ -6654,3 +6654,47 @@ def x138_debias_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "c_id", "cos_sim", "rn")
     )
+
+
+@query(
+    "x139_grouped_quantiles",
+    oracle=f"""
+    WITH t AS (SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS v FROM documents),
+    b AS (SELECT lang, least(CAST(127 AS BIGINT), greatest(CAST(0 AS BIGINT), v)) // 2 AS bin_idx FROM t),
+    h AS (SELECT lang, bin_idx, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+    c AS (SELECT lang, bin_idx, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bin_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM h),
+    p AS (SELECT CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den
+          FROM (VALUES (1, 2), (9, 10)) AS t(p_num, p_den)),
+    j AS (SELECT c.*, p.p_num, p.p_den,
+                 CAST((n * p_num + p_den - 1) // p_den AS BIGINT) AS target_rank
+          FROM c CROSS JOIN p),
+    f AS (SELECT *, row_number() OVER (PARTITION BY lang, p_num, p_den
+                                       ORDER BY bin_idx) AS rn
+          FROM j WHERE cum >= target_rank)
+    SELECT lang, p_num, p_den, target_rank, bin_idx,
+           CAST(bin_idx * 2 AS BIGINT) AS bin_lo,
+           CAST(bin_idx * 2 AS DOUBLE)
+             + 2.0 * CAST(target_rank - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE) AS est
+    FROM f WHERE rn = 1
+    """,
+)
+def x139_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x132 per language: p50/p90 token-count quantiles per ``lang`` —
+    thresholds are set per stratum in practice (a global p90 length
+    cut tuned on the dominant language truncates the rest; the same
+    argument as x78's per-group percentile calibration, here in the
+    mergeable histogram form).  The histogram shuffle keys on
+    (lang, bin); every window runs over per-group 64-row tables —
+    adding languages adds histogram rows, never corpus passes."""
+    from ..operators.sampling import grouped_histogram_quantiles
+    from ..operators.textstats import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_v = docs.select("lang", token_count_col(F.col("text")).alias("v"))
+    return grouped_histogram_quantiles(
+        with_v, "v", "lang", [(1, 2), (9, 10)], lo=0, hi=128, n_bins=64
+    )
