@@ -6698,3 +6698,57 @@ def x139_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_histogram_quantiles(
         with_v, "v", "lang", [(1, 2), (9, 10)], lo=0, hi=128, n_bins=64
     )
+
+
+@query(
+    "x140_retention_cohorts",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 604800000000 AS wk FROM events),
+    c AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort_wk FROM u GROUP BY 1),
+    sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM c GROUP BY 1),
+    r AS (SELECT c.cohort_wk, CAST(u.wk - c.cohort_wk AS BIGINT) AS weeks_since,
+                 CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+          FROM u JOIN c USING (user_id) GROUP BY 1, 2)
+    SELECT r.cohort_wk, r.weeks_since, r.n_users, sz.cohort_size,
+           CAST(r.n_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+    FROM r JOIN sz USING (cohort_wk)
+    """,
+)
+def x140_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-active epoch
+    week (integer µs div — no date/timezone arithmetic to diverge
+    between engines), each cell = distinct users from that cohort
+    active k weeks later, with the cohort-size denominator and one
+    display division — the product-analytics complement of x63's
+    sessions and x70's funnel.  Scale shape: one distinct
+    (user, week) shuffle; the cohort min REUSES the user key; the
+    cell aggregate keys on (cohort, weeks_since) — events text/props
+    never leave the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.withColumn("us", epoch_us(F.col("ts")))
+        .selectExpr("user_id", "us div 604800000000 as wk")
+        .distinct()
+    )
+    c = u.groupBy("user_id").agg(F.min("wk").cast("long").alias("cohort_wk"))
+    sz = c.groupBy("cohort_wk").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    r = (
+        u.join(c, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).cast("long").alias("weeks_since")
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+    return r.join(sz, "cohort_wk").select(
+        "cohort_wk",
+        "weeks_since",
+        "n_users",
+        "cohort_size",
+        (F.col("n_users").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )
