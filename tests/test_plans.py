@@ -353,3 +353,32 @@ def test_kn_snapshot_probe_scans_persisted_type_tables(spark):
         ln for ln in plan.splitlines() if "ReadSchema" in ln and "text:string" in ln
     ]
     assert len(doc_scans) == 1, f"base corpus text re-read\n{plan}"
+
+
+def test_forward_index_fetch_pushes_ids_and_prunes_buckets(spark, tmp_path):
+    """fetch_doc_terms must push the id IN-list to the parquet scan
+    (row-group skipping on the doc_id-sorted files) and carry the
+    doc_bucket partition filter (directory pruning)."""
+    import contextlib
+    import io
+
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        fetch_doc_terms,
+        write_forward_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    path = str(tmp_path / "fwd")
+    write_forward_index(docs, path)
+    ids = spark.createDataFrame([(0,), (64,)], ["doc_id"])
+    fetched = fetch_doc_terms(spark, path, ids)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fetched.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [In(doc_id" in plan
+    assert "PartitionFilters" in plan and "doc_bucket" in plan
+    got = {r.doc_id for r in fetched.select("doc_id").distinct().collect()}
+    assert got == {0, 64}
