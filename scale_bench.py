@@ -1347,6 +1347,49 @@ def _x126_bpe_learn_incr(spark, d):
     return bpe_learn_incremental(docs, 3)
 
 
+def _x136_snapshot_diff(spark, d):
+    # version diff at full scale: digests in each scan's project, ONE
+    # full-outer id join carrying (id, 32-hex) rows — expect ~linear
+    # in rows (the join IS the operator); on an id-bucketed layout the
+    # shuffle disappears entirely (plans/warehouse.py:write_bucketed).
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        snapshot_diff,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 10 != 9)
+    new = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    return (
+        snapshot_diff(old, new, "doc_id", ["text"])
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _x139_grouped_quantiles(spark, d):
+    # per-group mergeable quantiles at full scale: one (group, bin)
+    # count with map-side combine; the windows run over per-group
+    # 64-row histograms — expect near-flat (the scan is the only
+    # corpus term, and it reads two columns).
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        grouped_histogram_quantiles,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        token_count_col,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    with_v = docs.select("lang", token_count_col(F.col("text")).alias("v"))
+    return grouped_histogram_quantiles(
+        with_v, "v", "lang", [(1, 2), (9, 10), (99, 100)], lo=0, hi=128, n_bins=64
+    )
+
+
 def _x130_power_iteration(spark, d):
     # spectral pass at full scale: per round, one broadcast-iterate
     # fold (narrow) + one 64-group agg with map-side combine — the
@@ -1496,6 +1539,8 @@ HEAVY = [
     ("x126_bpe_learn_incr_full", _x126_bpe_learn_incr),
     ("x128_mmr_16q", _x128_mmr),
     ("x130_power_iteration_full", _x130_power_iteration),
+    ("x136_snapshot_diff_full", _x136_snapshot_diff),
+    ("x139_grouped_quantiles_full", _x139_grouped_quantiles),
     ("x110_phrase_serve", _x110_phrase_serve),
     ("x101_bm25_inflight_128q", _x101_bm25_inflight),
     ("x59_knn_multiprobe_full", _x59_knn_multiprobe),
