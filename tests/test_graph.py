@@ -266,3 +266,37 @@ def test_personalized_pagerank_hand_pin(spark):
     # iter2: r(1)=(15000+85*425) div 100=511, r(2)=(85*150) div 100=127,
     #        r(3)=(85*425) div 100=361, r(4)=0
     assert got == {1: 511, 2: 127, 3: 361, 4: 0}
+
+
+def test_weighted_pagerank_hand_pin(spark):
+    """Edges 1->2 (w=3), 1->3 (w=1): node 1's rank splits 3:1 by
+    weight; unit weights reproduce the unweighted operator exactly."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node_id long")
+    got = {
+        r.node_id: r.rank_fp
+        for r in pagerank(
+            edges, nodes, iters=1, scale=1000, weight_col="w"
+        ).collect()
+    }
+    # wsum(1)=4; c(2)=(1000*3) div 4=750, c(3)=250
+    # r(2)=(15000+85*750) div 100=787, r(3)=(15000+85*250) div 100=362
+    assert got == {1: 150, 2: 787, 3: 362}
+    # unit weights == unweighted
+    und = [(1, 2), (2, 3)]
+    e2 = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    n2 = spark.createDataFrame([(1,), (2,), (3,), (4,)], "node_id long")
+    plain = {r.node_id: r.rank_fp for r in pagerank(e2, n2, iters=2, scale=1000).collect()}
+    w1 = {
+        r.node_id: r.rank_fp
+        for r in pagerank(
+            e2.withColumn("w", F.lit(1)), n2, iters=2, scale=1000, weight_col="w"
+        ).collect()
+    }
+    assert plain == w1 == {1: 936, 2: 1127, 3: 936, 4: 150}

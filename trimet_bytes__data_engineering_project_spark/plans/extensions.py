@@ -6752,3 +6752,77 @@ def x140_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+def _build_weighted_pagerank_oracle(
+    iters: int = 3, scale: int = 10**9, num: int = 85, den: int = 100
+) -> str:
+    """Weighted twin of _build_pagerank_oracle: edge weight = the
+    MinHash match count (an exact small integer), contributions split
+    (r*w) // sum_w — still pure int64."""
+    teleport = (den - num) * scale
+    its = []
+    prev = "n0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT n.node_id,
+             CAST(({teleport} + {num} * COALESCE(s.c, CAST(0 AS BIGINT))) // {den}
+                  AS BIGINT) AS r
+      FROM {prev} n LEFT JOIN (
+        SELECT e.dst AS node_id,
+               CAST(SUM(({prev}.r * e.w) // deg.deg) AS BIGINT) AS c
+        FROM e JOIN deg USING (src)
+               JOIN {prev} ON {prev}.node_id = e.src
+        GROUP BY 1) s ON s.node_id = n.node_id)""")
+        prev = f"it{k}"
+    return f"""
+    WITH {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id, CAST({_MATCHES} AS BIGINT) AS w FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    e AS (SELECT a_id AS src, b_id AS dst, w FROM pairs
+          UNION ALL SELECT b_id AS src, a_id AS dst, w FROM pairs),
+    deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY 1),
+    n0 AS (SELECT doc_id AS node_id, CAST({scale} AS BIGINT) AS r FROM docs),
+    {", ".join(its)}
+    SELECT node_id AS doc_id, r AS rank_fp FROM {prev}
+    """
+
+
+@query("x141_weighted_pagerank", oracle=_build_weighted_pagerank_oracle())
+def x141_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x125 with SIMILARITY-WEIGHTED edges: a node's rank splits
+    proportionally to the MinHash match count (an exact integer
+    1..128) instead of evenly — a 120/128-band near-dup pulls more
+    rank than a marginal 32/128 one, which is the right physics for a
+    representativeness score over a similarity graph.  Contribution =
+    (r*w) div sum_w, still pure int64 and bit-reproducible; tightened
+    ceiling (num*n*scale*max_w < 2^63) documented in
+    operators/graph.py with the drop-scale remedy.  Same checkpointed
+    two-shuffle rounds as x125."""
+    from ..operators.dedup import MINHASH_K, minhash_candidates, minhash_estimate
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    cands = minhash_candidates(docs).withColumn(
+        "est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig"))
+    )
+    pairs = (
+        cands.filter(F.col("est_sim") >= 0.25)
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("est_sim") * MINHASH_K).cast("long").alias("w"),
+        )
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "w")
+    )
+    return pagerank(
+        edges,
+        docs.select(F.col("doc_id").alias("node_id")),
+        iters=3,
+        weight_col="w",
+    ).select(F.col("node_id").alias("doc_id"), "rank_fp")
