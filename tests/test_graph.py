@@ -300,3 +300,165 @@ def test_weighted_pagerank_hand_pin(spark):
         ).collect()
     }
     assert plain == w1 == {1: 936, 2: 1127, 3: 936, 4: 150}
+
+
+def test_hits_hand_pin(spark):
+    """Star 1->3, 2->3 plus 3->4, scale=1000, 1 round — every value
+    hand-derived with the divide-by-quotient normalization.
+    a-step raw: a(3)=h(1)+h(2)=2000, a(4)=h(3)=1000; S=3000,
+    q=S div 1000=3 -> a(3)=666, a(4)=333, a(1)=a(2)=0.
+    h-step raw: h(1)=h(2)=a(3)=666, h(3)=a(4)=333; S=1665,
+    q=1 -> hubs unchanged by division."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "node_id long")
+    got = {
+        r.node_id: (r.hub_fp, r.auth_fp)
+        for r in hits(edges, nodes, iters=1, scale=1000).collect()
+    }
+    assert got == {1: (666, 0), 2: (666, 0), 3: (333, 666), 4: (0, 333)}
+
+
+def test_hits_empty_graph_and_null_edges(spark):
+    """No edges (or only NULL-endpoint edges): all scores collapse to
+    exactly 0 after the first normalization — no NULLs, no crash."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(None, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,)], "node_id long")
+    got = {
+        r.node_id: (r.hub_fp, r.auth_fp)
+        for r in hits(edges, nodes, iters=2, scale=1000).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 0)}
+
+
+def test_hits_mass_bounded(spark):
+    """On a symmetric triangle both score vectors stay bounded by
+    ~n*scale after normalization (truncation only leaks mass)."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import hits
+
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 4)], "node_id long")
+    rows = hits(edges, nodes, iters=3, scale=10**6).collect()
+    assert sum(r.hub_fp for r in rows) <= 3 * 10**6
+    assert sum(r.auth_fp for r in rows) <= 3 * 10**6
+    # symmetric graph: all nodes identical
+    assert len({(r.hub_fp, r.auth_fp) for r in rows}) == 1
+
+
+def test_propagate_labels_hand_pin(spark):
+    """Path 1-2-3-4 (symmetrized), seed labels 1->10, 4->20.
+    Round 1: node 2 sees {10}, node 3 sees {20}; seeds clamped.
+    Round 2 recomputes every non-seed from the round-1 labeling:
+    node 2 sees votes {10 from 1, 20 from 3} -> tie -> min label 10;
+    node 3 sees {10 from 2, 20 from 4} -> ALSO a tie -> 10 (the
+    synchronous-update + min-tie-break contract: round-1 winners are
+    not sticky, only seeds are clamped)."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        propagate_labels,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1, 10), (4, 20)], "node_id long, label long")
+    got = {
+        r.node_id: (r.label, r.is_seed)
+        for r in propagate_labels(edges, seeds, iters=2).collect()
+    }
+    assert got == {1: (10, 1), 2: (10, 0), 3: (10, 0), 4: (20, 1)}
+
+
+def test_propagate_labels_majority_beats_tiebreak(spark):
+    """Node 5 has two label-30 neighbors and one label-10 neighbor:
+    majority (2 votes) wins over the smaller label."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        propagate_labels,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, 30), (2, 30), (3, 10)], "node_id long, label long"
+    )
+    got = {
+        r.node_id: (r.label, r.is_seed)
+        for r in propagate_labels(edges, seeds, iters=1).collect()
+    }
+    assert got[5] == (30, 0)
+
+
+def test_propagate_labels_unreached_absent_and_clamp(spark):
+    """A node with no labeled neighbors within iters hops stays absent;
+    a seed adjacent to a differently-labeled majority keeps its own
+    label (clamping)."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        propagate_labels,
+    )
+
+    # 1(seed 10) - 2 - 3 - 4 : with iters=1 only node 2 is reached.
+    # 5,6 (seeds 99) both point at 1: clamped 1 keeps label 10.
+    und = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und] + [(5, 1), (6, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame(
+        [(1, 10), (5, 99), (6, 99)], "node_id long, label long"
+    )
+    got = {
+        r.node_id: (r.label, r.is_seed)
+        for r in propagate_labels(edges, seeds, iters=1).collect()
+    }
+    assert 3 not in got and 4 not in got
+    assert got[1] == (10, 1)
+    assert got[2] == (10, 0)
+
+
+def test_triangle_stats_hand_pin(spark):
+    """Triangle 1-2-3 + pendant 3-4 + isolated pair 5-6: per-node
+    triangle counts and degrees exact; duplicate/reversed/self edges
+    collapse."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6), (2, 1), (1, 1), (None, 2)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r.node: (r.degree, r.n_triangles)
+        for r in triangle_stats(pairs).collect()
+    }
+    assert got == {
+        1: (2, 1), 2: (2, 1), 3: (3, 1), 4: (1, 0), 5: (1, 0), 6: (1, 0),
+    }
+
+
+def test_triangle_stats_k4(spark):
+    """K4: every node has degree 3 and sits in C(3,2)=3 triangles;
+    4 triangles total counted once each."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    import itertools
+
+    pairs = spark.createDataFrame(
+        list(itertools.combinations(range(4), 2)), "a_id long, b_id long"
+    )
+    rows = triangle_stats(pairs).collect()
+    assert {r.node: (r.degree, r.n_triangles) for r in rows} == {
+        i: (3, 3) for i in range(4)
+    }
+    assert sum(r.n_triangles for r in rows) == 12  # 3 nodes x 4 triangles

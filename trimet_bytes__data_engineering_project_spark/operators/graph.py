@@ -164,6 +164,259 @@ def pagerank(
     return ranks.select(F.col("node_id").alias(node_col), "rank_fp")
 
 
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node_id",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) in INTEGER fixed point —
+    the hubs-and-authorities complement of :func:`pagerank` for
+    DIRECTED derived graphs.  Over a containment-oriented near-dup
+    graph (fragment → container) authority scores surface the
+    CANONICAL long documents many fragments point into, hub scores
+    the aggregator/boilerplate pages stitched out of many sources —
+    exactly the two roles a dedup policy treats differently (keep
+    authorities, drop hubs).
+
+    Arithmetic contract (the repo's no-libm convention): one round is
+
+        a(v)  = sum over u->v of h(u);  then a /= max(1, sum(a) div scale)
+        h(u)  = sum over u->v of a(v);  then h /= max(1, sum(h) div scale)
+
+    — the classic normalize-each-half-step iteration with the L1
+    normalizer rounded DOWN to an integer quotient (divide-by-quotient
+    instead of multiply-then-divide so no intermediate exceeds the sum
+    itself).  All int64, truncating ``div`` only: ``iters`` rounds are
+    bit-reproducible in Spark and any ANSI engine (DuckDB ``//``).
+    Each node's post-normalization score is ~``scale`` * its L1 share;
+    truncation loses at most 1 unit per node per half-step
+    (deterministic).  Int64 ceiling: the raw in-sum is bounded by
+    E*scale (every normalized score ≤ ~scale after round 1), so
+    ``E * scale < 2^63`` needs E < 9.2e12 edges at the default scale —
+    effectively unbounded; drop ``scale`` for denser graphs.
+
+    Scale shape: identical to :func:`pagerank` — edges and the node
+    base are localCheckpointed ONCE; each half-step is one equi-join
+    of scores into edges plus one agg shuffle keyed on the opposite
+    endpoint (payload two longs), and the L1 normalizer is a 1-row
+    broadcast (the same shape as unigram_surprisal's grand total).
+
+    Returns (``node_col``, hub_fp, auth_fp).  Empty graph: every
+    score 0 after the first normalization (sum 0 → divisor 1 → raw 0).
+    Nodes with no in-edges hold auth_fp 0; no out-edges → hub_fp 0."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).localCheckpoint(
+        eager=False
+    )
+    base = (
+        nodes.select(F.col(node_col).cast("long").alias("node_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = base.withColumn("hub_fp", F.lit(scale).cast("long"))
+    auth = base.withColumn("auth_fp", F.lit(0).cast("long"))
+
+    def _half_step(scores: DataFrame, score_col: str, join_on: str, out_col: str):
+        # sum the joined endpoint's score grouped by the other endpoint,
+        # then divide every raw sum by the integer L1 quotient
+        other = "dst" if join_on == "src" else "src"
+        raw = (
+            e.join(scores.withColumnRenamed("node_id", join_on), join_on)
+            .groupBy(F.col(other).alias("node_id"))
+            .agg(F.sum(score_col).cast("long").alias("raw"))
+        )
+        filled = base.join(raw, "node_id", "left").withColumn(
+            "raw", F.coalesce(F.col("raw"), F.lit(0).cast("long"))
+        )
+        s = filled.agg(F.sum("raw").cast("long").alias("s"))
+        return filled.join(F.broadcast(s)).selectExpr(
+            "node_id",
+            f"CAST(raw div greatest(CAST(1 AS LONG), s div CAST({scale} AS LONG))"
+            f" AS LONG) AS {out_col}",
+        )
+
+    for _ in range(iters):
+        auth = _half_step(hubs, "hub_fp", "src", "auth_fp")
+        hubs = _half_step(auth, "auth_fp", "dst", "hub_fp")
+    return (
+        hubs.join(auth, "node_id")
+        .select(F.col("node_id").alias(node_col), "hub_fp", "auth_fp")
+    )
+
+
+def propagate_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation with CLAMPED seeds — majority
+    vote over labeled neighbors, the cheap transductive classifier a
+    pipeline runs when a small vetted set (human quality labels, a
+    curated domain list) should spread across a similarity graph
+    (near-dup, kNN): an unlabeled document inherits the label most of
+    its labeled neighbors carry.  cf. Zhu & Ghahramani 2002's
+    iterative form, discretized to hard votes so every step is exact
+    integer arithmetic (no float diffusion to diverge across engines).
+
+    Semantics per round: every currently-labeled node votes its label
+    along each out-edge; a node's new label is the label with the
+    most votes, ties broken by the SMALLEST label (deterministic,
+    engine-portable).  Seed nodes are clamped — they never change.
+    Unreached nodes stay unlabeled (absent from the output); ``iters``
+    rounds spread labels ``iters`` hops.  Pass symmetrized edges for
+    undirected graphs (the near-dup convention, x125/x135).
+
+    Scale shape: per round, one equi-join of the label table into
+    edges on the voter endpoint, one (node, label) count agg, one
+    argmax window partitioned by node over the VOTE table (bounded by
+    the label alphabet per node, never corpus-wide), and one
+    anti-join to re-clamp seeds — every shuffle keys on node id with
+    two-long payloads.  Label tables are localCheckpointed per round
+    so the plan does not grow with ``iters``.
+
+    Returns (``node_col``, ``label_col``, is_seed) — is_seed 1 for
+    clamped seed rows, 0 for propagated ones."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).localCheckpoint(
+        eager=False
+    )
+    seed = (
+        seeds.select(
+            F.col(node_col).cast("long").alias("node_id"),
+            F.col(label_col).cast("long").alias("label"),
+        )
+        .where(F.col("node_id").isNotNull() & F.col("label").isNotNull())
+        .groupBy("node_id")
+        .agg(F.min("label").alias("label"))  # one label per seed node
+        .localCheckpoint(eager=False)
+    )
+    labels = seed
+    w = Window.partitionBy("node_id").orderBy(F.desc("votes"), F.asc("label"))
+    for _ in range(iters):
+        votes = (
+            e.join(labels.withColumnRenamed("node_id", "src"), "src")
+            .groupBy(F.col("dst").alias("node_id"), "label")
+            .agg(F.count("*").cast("long").alias("votes"))
+        )
+        winners = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node_id", "label")
+        )
+        labels = seed.unionByName(
+            winners.join(seed.select("node_id"), "node_id", "left_anti")
+        ).localCheckpoint(eager=False)
+    return (
+        labels.join(
+            seed.select("node_id").withColumn("_s", F.lit(1)), "node_id", "left"
+        )
+        .select(
+            F.col("node_id").alias(node_col),
+            F.col("label").alias(label_col),
+            F.coalesce(F.col("_s"), F.lit(0)).cast("int").alias("is_seed"),
+        )
+    )
+
+
+def triangle_stats(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """Per-node triangle counts + degree over an undirected pair list —
+    the graph-density audit for a near-dup graph: boilerplate families
+    are near-cliques (high triangle count relative to degree), while
+    chains of marginal matches are triangle-free, so the local
+    clustering coefficient separates "true duplicate cluster" from
+    "LSH chaining artifact" before any dedup policy runs.
+
+    Algorithm: DEGREE-ORDERED ORIENTATION (the standard distributed
+    triangle count — cf. Suri & Vassilvitskii, WWW'11): orient every
+    undirected edge from the lower-(degree, id) endpoint to the
+    higher one; every triangle then has exactly ONE wedge u→v, u→w
+    with v→w, so joining the oriented list with itself on the wedge
+    apex and closing against the oriented list counts each triangle
+    exactly once, and the join fan-out per node is bounded by its
+    ORIENTED out-degree ≤ O(sqrt(E)) on any graph (the arboricity
+    bound) — never the raw degree, which is what makes this survive
+    power-law hubs at scale.
+
+    Scale shape: dedup/symmetrize shuffles on the edge key; degrees
+    are one count agg; the wedge join and the closing join key on
+    node-id pairs carrying longs only.  All exact integer counts.
+
+    Returns (node, degree, n_triangles) for every node in ``pairs`` —
+    n_triangles is the number of triangles the node participates in;
+    the local clustering coefficient is 2*n_triangles /
+    (degree*(degree-1)), left to the caller as the one display
+    division."""
+    und = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).cast("long").alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("v"),
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+    # orient: lower (degree, id) -> higher (degree, id)
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # wedge (s -> d1, s -> d2) with d1 before d2 in orientation order is
+    # implied by closing edge existence (orientation is a total order);
+    # join the two out-edges of s, close with the oriented edge d1 -> d2
+    e1 = oriented.select(F.col("s"), F.col("d").alias("d1"))
+    e2 = oriented.select(F.col("s"), F.col("d").alias("d2"))
+    wedges = e1.join(e2, "s").where(F.col("d1") != F.col("d2"))
+    closing = oriented.select(F.col("s").alias("d1"), F.col("d").alias("d2"))
+    tri = wedges.join(closing, ["d1", "d2"]).select(
+        F.col("s").alias("n1"), F.col("d1").alias("n2"), F.col("d2").alias("n3")
+    )
+    per_node = (
+        tri.select(F.col("n1").alias("node"))
+        .unionByName(tri.select(F.col("n2").alias("node")))
+        .unionByName(tri.select(F.col("n3").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",

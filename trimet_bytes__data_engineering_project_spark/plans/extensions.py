@@ -6826,3 +6826,233 @@ def x141_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=3,
         weight_col="w",
     ).select(F.col("node_id").alias("doc_id"), "rank_fp")
+
+
+def _build_hits_oracle(iters: int = 2, scale: int = 10**6) -> str:
+    """Integer-HITS twin of _build_pagerank_oracle: each half-step is a
+    raw in/out-sum CTE plus an L1 divide-by-quotient normalization
+    (raw // greatest(1, sum(raw) // scale)) — bit-identical to
+    operators/graph.py:hits."""
+    parts = []
+    prev_h = "n0"
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    ar{k} AS (SELECT n.node_id, COALESCE(s.c, CAST(0 AS BIGINT)) AS raw
+              FROM n0 n LEFT JOIN (
+                SELECT e.dst AS node_id, CAST(SUM(h.hub) AS BIGINT) AS c
+                FROM e JOIN {prev_h} h ON h.node_id = e.src GROUP BY 1) s
+              ON s.node_id = n.node_id),
+    a{k} AS (SELECT node_id,
+                    CAST(raw // greatest(CAST(1 AS BIGINT),
+                         (SELECT SUM(raw) FROM ar{k}) // {scale}) AS BIGINT) AS auth
+             FROM ar{k}),
+    hr{k} AS (SELECT n.node_id, COALESCE(s.c, CAST(0 AS BIGINT)) AS raw
+              FROM n0 n LEFT JOIN (
+                SELECT e.src AS node_id, CAST(SUM(a.auth) AS BIGINT) AS c
+                FROM e JOIN a{k} a ON a.node_id = e.dst GROUP BY 1) s
+              ON s.node_id = n.node_id),
+    h{k} AS (SELECT node_id,
+                    CAST(raw // greatest(CAST(1 AS BIGINT),
+                         (SELECT SUM(raw) FROM hr{k}) // {scale}) AS BIGINT) AS hub
+             FROM hr{k})""")
+        prev_h = f"h{k}"
+    orient = "da.n_chars < db.n_chars OR (da.n_chars = db.n_chars AND p.a_id < p.b_id)"
+    return f"""
+    WITH {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    nc AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 1000),
+    e AS (SELECT CASE WHEN {orient} THEN p.a_id ELSE p.b_id END AS src,
+                 CASE WHEN {orient} THEN p.b_id ELSE p.a_id END AS dst
+          FROM pairs p JOIN nc da ON da.doc_id = p.a_id
+                       JOIN nc db ON db.doc_id = p.b_id),
+    n0 AS (SELECT doc_id AS node_id, CAST({scale} AS BIGINT) AS hub FROM docs),
+    {", ".join(parts)}
+    SELECT h.node_id AS doc_id, h.hub AS hub_fp, a.auth AS auth_fp
+    FROM h{iters} h JOIN a{iters} a USING (node_id)
+    """
+
+
+@query("x142_hits_containment", oracle=_build_hits_oracle())
+def x142_hits_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the CONTAINMENT-ORIENTED near-dup
+    graph: each candidate pair is directed fragment → container
+    (fewer n_chars → more, ties by id), so authority scores surface
+    the canonical long documents that many fragments point into and
+    hub scores the stitched-together aggregator pages — the two roles
+    a dedup retention policy treats oppositely (keep authorities,
+    drop hubs), which PageRank's single score cannot separate.
+    Integer fixed point with L1 divide-by-quotient normalization per
+    half-step — bit-reproducible, no libm (operators/graph.py:hits);
+    same checkpointed two-shuffle rounds + 1-row normalizer broadcast
+    as x125."""
+    from ..operators.dedup import minhash_candidates, minhash_estimate
+    from ..operators.graph import hits
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    nc = docs.select("doc_id", "n_chars")
+    j = (
+        pairs.join(nc.select(F.col("doc_id").alias("a_id"), F.col("n_chars").alias("na")), "a_id")
+        .join(nc.select(F.col("doc_id").alias("b_id"), F.col("n_chars").alias("nb")), "b_id")
+    )
+    a_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("a_id") < F.col("b_id"))
+    )
+    edges = j.select(
+        F.when(a_first, F.col("a_id")).otherwise(F.col("b_id")).alias("src"),
+        F.when(a_first, F.col("b_id")).otherwise(F.col("a_id")).alias("dst"),
+    )
+    return hits(
+        edges, docs.select(F.col("doc_id").alias("node_id")), iters=2
+    ).select(F.col("node_id").alias("doc_id"), "hub_fp", "auth_fp")
+
+
+def _build_label_prop_oracle(iters: int = 2) -> str:
+    """Synchronous majority-vote rounds with clamped seeds — the SQL
+    twin of operators/graph.py:propagate_labels (votes desc, label asc
+    argmax; seeds re-clamped by anti-join each round)."""
+    parts = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    v{k} AS (SELECT e.dst AS node_id, l.label, CAST(count(*) AS BIGINT) AS votes
+             FROM e JOIN {prev} l ON l.node_id = e.src GROUP BY 1, 2),
+    w{k} AS (SELECT node_id, label FROM (
+               SELECT node_id, label,
+                      row_number() OVER (PARTITION BY node_id
+                                         ORDER BY votes DESC, label ASC) AS rn
+               FROM v{k}) WHERE rn = 1),
+    l{k} AS (SELECT * FROM l0
+             UNION ALL
+             SELECT w.node_id, w.label FROM w{k} w
+             LEFT JOIN l0 ON l0.node_id = w.node_id
+             WHERE l0.node_id IS NULL)""")
+        prev = f"l{k}"
+    return f"""
+    WITH {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+    l0 AS (SELECT vec_id AS node_id, CAST(min(label) AS BIGINT) AS label
+           FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 1000
+           GROUP BY 1),
+    {", ".join(parts)}
+    SELECT l.node_id AS doc_id, l.label,
+           CAST(CASE WHEN s.node_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_seed
+    FROM l{iters} l LEFT JOIN l0 s ON s.node_id = l.node_id
+    """
+
+
+@query("x144_label_propagation", oracle=_build_label_prop_oracle())
+def x144_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading: every fifth document carries a
+    vetted label (the embeddings table's label column standing in for
+    a human-rated quality/domain tag); two majority-vote rounds over
+    the symmetrized near-dup graph extend those labels to unlabeled
+    neighbors — the transductive-classifier recipe for scaling a
+    small labeled set across a 100 TB corpus without training a
+    model.  Hard integer votes (no float diffusion), ties to the
+    smallest label, seeds clamped, unreached docs stay unlabeled —
+    all engine-portable (operators/graph.py:propagate_labels); per
+    round one id-keyed join + one (node,label) agg + one argmax
+    window over the VOTE table only."""
+    from ..operators.dedup import minhash_candidates, minhash_estimate
+    from ..operators.graph import propagate_labels
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    seeds = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 1000)).select(
+        F.col("vec_id").alias("node_id"), F.col("label")
+    )
+    return propagate_labels(edges, seeds, iters=2).select(
+        F.col("node_id").alias("doc_id"), "label", "is_seed"
+    )
+
+
+@query(
+    "x146_triangle_stats",
+    oracle=f"""
+    WITH {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v
+            FROM pairs WHERE a_id <> b_id),
+    sym AS (SELECT u AS node, v AS nbr FROM und
+            UNION ALL SELECT v AS node, u AS nbr FROM und),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1),
+    o AS (SELECT CASE WHEN du.degree < dv.degree
+                        OR (du.degree = dv.degree AND u < v)
+                      THEN u ELSE v END AS s,
+                 CASE WHEN du.degree < dv.degree
+                        OR (du.degree = dv.degree AND u < v)
+                      THEN v ELSE u END AS d
+          FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+    w AS (SELECT e1.s AS s, e1.d AS d1, e2.d AS d2
+          FROM o e1 JOIN o e2 ON e1.s = e2.s WHERE e1.d <> e2.d),
+    tri AS (SELECT w.s AS n1, w.d1 AS n2, w.d2 AS n3
+            FROM w JOIN o ON o.s = w.d1 AND o.d = w.d2),
+    pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT n1 AS node FROM tri
+             UNION ALL SELECT n2 FROM tri
+             UNION ALL SELECT n3 FROM tri) GROUP BY 1)
+    SELECT deg.node AS doc_id, deg.degree,
+           COALESCE(pn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN 2.0 * CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE)
+                     / (CAST(deg.degree AS DOUBLE) * CAST(deg.degree - 1 AS DOUBLE))
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN pn ON pn.node = deg.node
+    """,
+)
+def x146_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the
+    near-dup graph: boilerplate families are near-cliques (triangles
+    ~ degree²) while LSH chaining artifacts are triangle-poor, so the
+    coefficient separates "true duplicate cluster" from "transitive
+    accident" BEFORE cluster_dedup merges a chain — the structural
+    audit for x33/x93's clustering step.  Degree-ordered orientation
+    (Suri & Vassilvitskii, WWW'11) bounds the wedge-join fan-out by
+    the oriented out-degree (≤ O(sqrt E) — the arboricity bound), the
+    property that makes exact triangle counting survive power-law hub
+    nodes at 100 TB.  Exact integer counts; the coefficient is the
+    one display division (operators/graph.py:triangle_stats)."""
+    from ..operators.dedup import minhash_candidates, minhash_estimate
+    from ..operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    t = triangle_stats(pairs)
+    return t.select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.col("n_triangles").cast("double")
+            / (F.col("degree").cast("double") * (F.col("degree") - 1).cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
