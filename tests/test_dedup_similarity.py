@@ -1606,3 +1606,79 @@ def test_mmr_rerank_prefers_diversity(spark):
     all3 = [(r.c_id, r.mmr_rn) for r in
             mmr_rerank(q, emb, k=5, k_shortlist=3).orderBy("mmr_rn").collect()]
     assert all3 == [(1, 1), (3, 2), (2, 3)]
+
+
+# ---------------------------------------------------------------------------
+# hashed importance weights (DSIR-style target affinity, x143)
+# ---------------------------------------------------------------------------
+
+
+def test_importance_weights_self_target_is_flat(spark):
+    """target == raw corpus: every bucket's ratio is pt*scale div pt =
+    scale exactly, so every doc scores avg_affinity == scale — the
+    identity contract that makes the score a RELATIVE affinity."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    rows = hashed_importance_weights(docs, docs, scale=10**6).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.affinity_sum == r.n_tokens * 10**6
+        assert r.avg_affinity == 10**6
+
+
+def test_importance_weights_target_tokens_score_higher(spark):
+    """Docs made of the target's tokens outrank docs of tokens the
+    target never uses (md5 buckets of 'aaa' and 'bbb' differ)."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa"), (2, "bbb bbb bbb"), (3, "aaa bbb")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(9, "aaa aaa aaa aaa")], "doc_id long, text string")
+    got = {
+        r.doc_id: r.avg_affinity
+        for r in hashed_importance_weights(docs, target).collect()
+    }
+    assert got[1] > got[3] > got[2]
+
+
+def test_importance_weights_empty_target_no_nulls(spark):
+    """EMPTY target corpus (the round-5 falsifying-corpus convention):
+    every raw doc still scores — pt falls to the add-one floor
+    scale div (0 + 256), no NULL propagation, no division by zero."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    empty = docs.filter(F.col("doc_id") < 0)
+    rows = hashed_importance_weights(docs, empty).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.affinity_sum is not None and r.affinity_sum > 0
+        assert r.avg_affinity is not None
+
+
+def test_importance_weights_letterless_doc_dropped(spark):
+    """A doc with no [a-z]+ tokens has no profile to score — absent
+    from the output (unigram_surprisal's inner-join contract)."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "12345 !!!")], "doc_id long, text string"
+    )
+    rows = hashed_importance_weights(docs, docs).collect()
+    assert {r.doc_id for r in rows} == {1}

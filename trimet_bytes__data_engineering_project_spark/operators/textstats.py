@@ -1662,3 +1662,121 @@ def top_terms(
         .filter(F.col("rn") <= k)
         .select("term", "n", "rn")
     )
+
+
+def hashed_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_digits: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """DSIR-style data-selection affinity scores (cf. Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much its HASHED-unigram profile
+    looks like a small target corpus (the high-quality set you wish
+    the whole crawl resembled) relative to the raw distribution —
+    the published recipe for choosing pretraining data that matches a
+    target domain without training a classifier.
+
+    Feature space: tokens hash into 16^``hex_digits`` buckets via the
+    repo's portable md5 slice (first ``hex_digits`` hex chars — the
+    DuckDB strpos-ladder family), so both distributions are BOUNDED
+    tables (default 256 rows) regardless of vocabulary — DSIR's
+    hashed-n-gram trick, and the reason this scales: the raw corpus
+    contributes one 256-group count, never a vocabulary-sized table.
+
+    Arithmetic contract (the no-libm convention, unigram_surprisal's
+    integer-ratio surrogate): DSIR weights are products of per-token
+    probability ratios (sums of logs); this operator scores the
+    order-preserving integer surrogate
+
+        p_fp(b)     = (c(b)+1) * scale  div (N+B)      (add-one smoothed,
+                                                        fixed point)
+        ratio_fp(b) = p_t_fp(b) * scale div max(1, p_r_fp(b))
+        affinity    = sum over token instances of ratio_fp(bucket)
+
+    — per-token monotone in the true ratio, bit-identical across
+    engines (integer div only; the mean is ONE IEEE division).
+    Ceilings: ratio_fp ≤ scale², so a doc's int64 sum holds to
+    n_tokens < 2^63/scale² ≈ 9e5 tokens per doc at the default scale
+    (drop ``scale`` to 10**4 for book-length docs); bucket counts and
+    totals are plain int64 corpus counts.
+
+    Scale shape: the target profile is a ≤B-row table built from the
+    (small) target corpus; the raw profile is one map-side-combined
+    B-group count over the corpus; both broadcast into the token
+    stream (B rows), so the only corpus-sized shuffle is the final
+    per-doc aggregation — the same two-shuffle shape as
+    unigram_surprisal with the vocabulary join replaced by a bounded
+    broadcast.
+
+    Returns (doc_id, n_tokens, affinity_sum, avg_affinity) for every
+    raw doc with ≥1 token; rank by avg_affinity and keep the top
+    slice (or sample ∝ affinity via sampling.systematic_pps_sample)
+    to assemble the target-matched training set."""
+    n_buckets = 16**hex_digits
+    bucket = lambda c: F.conv(F.substring(F.md5(c), 1, hex_digits), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+            )
+        ).alias("t"),
+    ).select("doc_id", bucket(F.col("t")).alias("b"))
+    t_toks = target.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+            )
+        ).alias("t")
+    ).select(bucket(F.col("t")).alias("b"))
+
+    # left join + add-one default: a bucket absent from a profile has
+    # c=0 -> p_fp = scale div (N+B), which needs N; carry totals along
+    raw_counts = toks.groupBy("b").agg(F.count("*").cast("long").alias("c_r"))
+    t_counts = t_toks.groupBy("b").agg(F.count("*").cast("long").alias("c_t"))
+    raw_total = raw_counts.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("long").alias("n_r")
+    )
+    t_total = t_counts.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t")
+    )
+    # the full bucket table: every bucket either corpus touched
+    buckets = (
+        raw_counts.select("b")
+        .unionByName(t_counts.select("b"))
+        .distinct()
+        .join(raw_counts, "b", "left")
+        .join(t_counts, "b", "left")
+        .join(F.broadcast(raw_total))
+        .join(F.broadcast(t_total))
+        .selectExpr(
+            "b",
+            f"CAST((coalesce(c_t, CAST(0 AS LONG)) + 1) * CAST({scale} AS LONG)"
+            f" div (n_t + {n_buckets}) AS LONG) AS pt_fp",
+            f"CAST((coalesce(c_r, CAST(0 AS LONG)) + 1) * CAST({scale} AS LONG)"
+            f" div (n_r + {n_buckets}) AS LONG) AS pr_fp",
+        )
+        .selectExpr(
+            "b",
+            f"CAST(pt_fp * CAST({scale} AS LONG)"
+            " div greatest(CAST(1 AS LONG), pr_fp) AS LONG) AS ratio_fp",
+        )
+    )
+    return (
+        toks.join(F.broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("ratio_fp").cast("long").alias("affinity_sum"),
+        )
+        .withColumn(
+            "avg_affinity",
+            F.col("affinity_sum").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

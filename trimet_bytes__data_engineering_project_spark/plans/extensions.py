@@ -7056,3 +7056,62 @@ def x146_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def _hex_ladder(expr: str, hex_digits: int) -> str:
+    """md5-hex -> integer bucket, the DuckDB twin of
+    conv(substring(md5(x), 1, hex_digits), 16, 10)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (hex_digits - 1 - i)}"
+        for i in range(hex_digits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "x143_importance_weights",
+    oracle=f"""
+    WITH tb AS (SELECT doc_id, {_hex_ladder('t', 2)} AS b FROM (
+                  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+                  FROM documents)),
+    ttb AS (SELECT {_hex_ladder('t', 2)} AS b FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+              FROM documents WHERE lang = 'en')),
+    rc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM tb GROUP BY 1),
+    tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM ttb GROUP BY 1),
+    rt AS (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) AS n_r FROM rc),
+    tt AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS n_t FROM tc),
+    bk AS (SELECT ab.b,
+                  CAST((COALESCE(c_t, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT)
+                       // (n_t + 256) AS BIGINT) AS pt_fp,
+                  CAST((COALESCE(c_r, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT)
+                       // (n_r + 256) AS BIGINT) AS pr_fp
+           FROM (SELECT b FROM rc UNION SELECT b FROM tc) ab
+           LEFT JOIN rc ON rc.b = ab.b
+           LEFT JOIN tc ON tc.b = ab.b
+           CROSS JOIN rt CROSS JOIN tt),
+    br AS (SELECT b, CAST(pt_fp * CAST(1000000 AS BIGINT)
+                          // greatest(CAST(1 AS BIGINT), pr_fp) AS BIGINT) AS ratio_fp
+           FROM bk)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(ratio_fp) AS BIGINT) AS affinity_sum,
+           CAST(SUM(ratio_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_affinity
+    FROM tb JOIN br USING (b) GROUP BY 1
+    """,
+)
+def x143_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-affinity scoring (Xie et al. 2023): score
+    every document by how much its hashed-unigram profile matches the
+    English subset (the stand-in target domain) relative to the whole
+    crawl, in the integer-ratio fixed-point surrogate of the
+    log-ratio importance weight — the published select-by-domain
+    recipe with the repo's no-libm exactness contract
+    (operators/textstats.py:hashed_importance_weights).  Both
+    distributions live in 256 hashed buckets, so the corpus
+    contributes one bounded-group count and one per-doc agg; the
+    bucket table broadcasts — no vocabulary-sized shuffle anywhere."""
+    from ..operators.textstats import hashed_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_importance_weights(docs, docs.filter(F.col("lang") == "en"))
