@@ -881,3 +881,76 @@ def test_trigram_kneser_ney_matches_python_model(spark, base_texts, batch_texts)
         if gs:
             expect[i] = (len(gs), sum(inst(g) for g in gs))
     assert got == expect
+
+
+def _winnow_model(text: str, k: int = 3, w: int = 4) -> set[tuple[int, int]]:
+    """Direct Python winnowing (rightmost-min robust rule) — the
+    independent model operators/dedup.py:winnow_fingerprints must
+    match: md5 8-hex k-gram hashes over lowered whitespace tokens."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.lower().strip()) if t]
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    m = len(hs)
+    if m == 0:
+        return set()
+    windows = (
+        [(j, j + w - 1) for j in range(1, m - w + 2)] if m >= w else [(1, m)]
+    )
+    out = set()
+    for lo, hi in windows:
+        bv, bp = hs[lo - 1], lo
+        for q in range(lo + 1, hi + 1):
+            if hs[q - 1] <= bv:
+                bv, bp = hs[q - 1], q
+        out.add((bp, bv))
+    return out
+
+
+@given(st.lists(docs, min_size=1, max_size=12))
+@example(["a b c"])                      # exactly one k-gram
+@example(["a b c d"])                    # 2 k-grams < window
+@example(["a a a a a a a a a a"])        # all-equal hashes: rightmost ties
+@example([""])                           # no tokens at all
+@SETTINGS
+def test_winnow_matches_python_model(spark, texts):
+    """winnow_fingerprints == the direct Python winnowing model on
+    arbitrary corpora — positions, hashes, dedup and the short-doc
+    single-window rule all agree."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_model(t), (i, t)
+
+
+@given(st.lists(docs.filter(lambda t: len(t.split()) >= 6), min_size=2, max_size=6))
+@SETTINGS
+def test_winnow_coverage_guarantee(spark, texts):
+    """The SIGMOD'03 coverage theorem: a doc and itself-with-a-prefix
+    share a run of the full doc length >= window+k-1 tokens, so the
+    pair MUST share at least one fingerprint hash."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, "zzz qqq xxx " + t))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(texts):
+        if len(t.split()) >= 6:  # run of >= window+k-1 = 6 tokens
+            assert fps[2 * i] & fps[2 * i + 1], t

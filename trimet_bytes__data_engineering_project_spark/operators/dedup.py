@@ -733,3 +733,128 @@ def bloom_decontaminate(
         .select(id_col)
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    hex_digits: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram in
+    document order, slide a ``window`` of consecutive hashes, and
+    select each window's MINIMUM hash (rightmost position on ties —
+    the paper's robust-winnowing rule); the distinct selected
+    (position, hash) pairs are the document's fingerprint set.
+
+    Why this beats plain MinHash for overlap detection: winnowing
+    GUARANTEES any shared run of at least ``window + k - 1`` tokens
+    yields at least one identical fingerprint in both documents (the
+    paper's coverage theorem), while keeping the fingerprint density
+    ~2/(window+1) — a tunable, position-aware sample of the document,
+    the standard tool for plagiarism/clone detection and a
+    local-alignment complement to x83's global ExactSubstr mask.
+
+    Everything is array-local codegen — one md5 per k-gram, one
+    O(m·window) fold per document, NO shuffle until the caller
+    aggregates fingerprints; hashes are the portable md5-slice family
+    (first ``hex_digits`` hex chars as int64, DuckDB strpos-ladder
+    reproducible).  Short docs: fewer than ``window`` k-grams → one
+    fingerprint (the whole-doc minimum, same rightmost-tie rule);
+    no k-grams → no rows.
+
+    Returns (``id_col``, pos, fp) — pos is the 1-based k-gram index
+    the fingerprint was selected at.
+
+    Scale note: selection density is 2/(window+1) of k-grams, so the
+    exploded output is a bounded fraction of the token stream; the
+    downstream pair join (:func:`winnow_candidates`) carries int64
+    fingerprints, never text."""
+    if window < 2:
+        raise ValueError("winnow window must be >= 2")
+    grams = all_shingles(F.col(text_col), k)
+
+    def _hashes(g: Column) -> Column:
+        return F.transform(
+            g,
+            lambda x: F.conv(F.substring(F.md5(x), 1, hex_digits), 16, 10).cast(
+                "long"
+            ),
+        )
+
+    # bind the hash array once (the all_shingles lambda-binding rule)
+    hs = F.element_at(F.transform(F.array(grams), _hashes), 1)
+    with_hs = docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+    fold = (
+        "aggregate(sequence(j + 1, j + {last}), "
+        "named_struct('fp', element_at(hs, j), 'pos', j), "
+        "(acc, q) -> IF(element_at(hs, q) <= acc.fp, "
+        "named_struct('fp', element_at(hs, q), 'pos', q), acc))"
+    )
+    sel = F.expr(
+        f"""
+        CASE
+          WHEN size(hs) >= {window} THEN
+            array_distinct(transform(sequence(1, size(hs) - {window} + 1),
+                                     j -> {fold.format(last=window - 1)}))
+          WHEN size(hs) >= 2 THEN
+            transform(sequence(1, 1), j -> {fold.format(last='size(hs) - 1')})
+          WHEN size(hs) = 1 THEN
+            array(named_struct('fp', element_at(hs, 1), 'pos', 1))
+          ELSE array()
+        END
+        """
+    )
+    return (
+        with_hs.select("doc_id", F.explode(sel).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Shared-fingerprint candidate pairs from :func:`winnow_fingerprints`
+    — two documents sharing ``min_shared`` or more winnowed
+    fingerprints have (with the coverage guarantee) overlapping runs
+    of at least ``window + k - 1`` tokens each, the clone/plagiarism
+    candidate set.
+
+    Scale shape: distinct (doc, fp) → fingerprint-keyed self-join →
+    (a, b) count agg — the LSH band-bucket shape with fp as the
+    blocking key, including the same degenerate-bucket cap
+    (fingerprints shared by more than ``max_bucket`` docs are
+    boilerplate, dropped BEFORE the quadratic join — the
+    MAX_BUCKET/BENCH_NOTES sizing rule).
+
+    Returns (a_id, b_id, n_shared), a_id < b_id."""
+    fps = (
+        winnow_fingerprints(docs, id_col, text_col, k, window)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("fp")
+    )
+    kept = fps.join(keep, "fp")
+    a = kept.select(F.col("fp"), F.col("doc_id").alias("a_id"))
+    b = kept.select(F.col("fp"), F.col("doc_id").alias("b_id"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

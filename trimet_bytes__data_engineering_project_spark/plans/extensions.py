@@ -7115,3 +7115,122 @@ def x143_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return hashed_importance_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+@query(
+    "x145_ccnet_buckets",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+    n AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+    s AS (SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(sum(tf * (n_total // c)) AS BIGINT) AS surprisal_sum,
+                 CAST(CAST(sum(tf * (n_total // c)) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_surprisal
+          FROM tf JOIN c USING (term) CROSS JOIN n
+          GROUP BY doc_id),
+    r AS (SELECT s.doc_id, d.lang, s.avg_surprisal,
+                 CAST(row_number() OVER (PARTITION BY d.lang
+                                         ORDER BY s.avg_surprisal ASC,
+                                                  s.doc_id ASC) AS BIGINT) AS rnk,
+                 CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n_lang
+          FROM s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, avg_surprisal, rnk, n_lang,
+           CASE WHEN 3 * rnk <= n_lang THEN 'head'
+                WHEN 3 * rnk <= 2 * n_lang THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+    """,
+)
+def x145_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): rank every
+    document WITHIN ITS LANGUAGE by LM surprisal (the perplexity
+    proxy, x51's integer-exact unigram scorer) and cut each language
+    into head/middle/tail terciles — the published recipe for
+    stratifying a crawl before sampling (train mostly on head+middle,
+    keep tail for diversity ablations).  Per-language ranking is the
+    point (a global cut would call every non-dominant-language doc
+    'tail' — x139's argument); tercile edges are exact integer
+    comparisons 3·rank ≤ n, not a float quantile, so the assignment
+    is bit-stable across engines.  Composition query: surprisal
+    scorer → lang join → one per-lang window — each stage keeps its
+    exactness contract (the x138 composition argument).  At 100 TB
+    the scorer runs in snapshot mode (x85/x86) and the window keys on
+    (lang), salting-free because scores ride a per-lang SORT, not a
+    single reducer: rank windows shuffle by lang but Spark sorts
+    within partitions distributively."""
+    from ..operators.textstats import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = unigram_surprisal(docs)
+    j = s.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.asc("avg_surprisal"), F.asc("doc_id"))
+    wn = Window.partitionBy("lang")
+    r = j.select(
+        "doc_id",
+        "lang",
+        "avg_surprisal",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count("*").over(wn).cast("long").alias("n_lang"),
+    )
+    return r.withColumn(
+        "bucket",
+        F.when(3 * F.col("rnk") <= F.col("n_lang"), F.lit("head"))
+        .when(3 * F.col("rnk") <= 2 * F.col("n_lang"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def _build_winnow_oracle(k: int = 3, w: int = 4, min_shared: int = 2) -> str:
+    """DuckDB twin of winnow_fingerprints/winnow_candidates: same
+    k-gram md5-8hex hashes, same left-fold rightmost-min selection
+    (list_reduce's first-element init == the Spark aggregate's
+    init-at-window-start), same MAX_BUCKET cap."""
+    ladder = _hex_ladder("x", 8)
+    fold = (
+        "list_reduce(list_transform(range({lo}, {hi}), "
+        "q -> {{'fp': hs[q], 'pos': q}}), "
+        "(acc, x) -> CASE WHEN x.fp <= acc.fp THEN x ELSE acc END)"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    g AS (SELECT doc_id, {_all_shingles_sql(k)} AS grams FROM d),
+    h AS (SELECT doc_id, list_transform(grams, x -> {ladder}) AS hs FROM g),
+    sel AS (SELECT doc_id, CASE
+             WHEN len(hs) >= {w} THEN
+               list_transform(range(1, len(hs) - {w} + 2),
+                              j -> {fold.format(lo='j', hi=f'j + {w}')})
+             WHEN len(hs) >= 1 THEN
+               [{fold.format(lo='1', hi='len(hs) + 1')}]
+             ELSE [] END AS sels FROM h),
+    fp AS (SELECT DISTINCT doc_id, s.fp AS fp FROM (
+             SELECT doc_id, unnest(sels) AS s FROM sel)),
+    keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {MAX_BUCKET}),
+    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp))
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+    """
+
+
+@query("x147_winnow_candidates", oracle=_build_winnow_oracle())
+def x147_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint matching (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): per-document position-aware fingerprints by
+    rightmost-min selection over sliding hash windows, then pairs
+    sharing >= 2 fingerprints — GUARANTEED to catch any shared token
+    run of length >= window+k-1 (the coverage theorem), which MinHash
+    only catches probabilistically; the local-overlap complement of
+    x07 (whole-doc similarity) and x83 (global substring mask).
+    Selection is pure array-local codegen (one O(m·window) fold per
+    doc, density ~2/(window+1)); the pair join blocks on int64
+    fingerprints with the MAX_BUCKET degenerate-key cap BEFORE the
+    quadratic step (operators/dedup.py:winnow_candidates)."""
+    from ..operators.dedup import winnow_candidates
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return winnow_candidates(docs, k=3, window=4, min_shared=2)
