@@ -1499,6 +1499,139 @@ def _x110_phrase_serve(spark, d):
     return phrase_search(docs, phrases, k=3, postings=postings)
 
 
+def _x141_weighted_pagerank(spark, d):
+    # x125 with weighted rank splits: the corpus-growing stage is the
+    # same LSH pair generation; each round's contribution carries ONE
+    # extra long (the match weight) and an extra multiply — expect the
+    # x125 band (~2.4x), any excess means the weight column leaked
+    # into a wider shuffle payload than designed.
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import MINHASH_K
+    from trimet_bytes__data_engineering_project_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    pairs = _minhash_pairs(spark, d).select(
+        "a_id", "b_id", (F.col("est_sim") * MINHASH_K).cast("long").alias("w")
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "w")
+    )
+    return pagerank(
+        edges, docs.select(F.col("doc_id").alias("node_id")), iters=3, weight_col="w"
+    ).agg(F.count("*").alias("n"), F.sum("rank_fp").alias("s"))
+
+
+def _x142_hits(spark, d):
+    # hubs/authorities over the containment-oriented pair graph: pair
+    # generation dominates (the minhash band); the 2 rounds are four
+    # half-steps of (join + agg) on two-long payloads plus a 1-row
+    # normalizer broadcast each — expect the x125/x141 band.
+    from trimet_bytes__data_engineering_project_spark.operators.graph import hits
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    pairs = _minhash_pairs(spark, d).select("a_id", "b_id")
+    nc = docs.select("doc_id", "n_chars")
+    j = (
+        pairs.join(
+            nc.select(F.col("doc_id").alias("a_id"), F.col("n_chars").alias("na")),
+            "a_id",
+        )
+        .join(
+            nc.select(F.col("doc_id").alias("b_id"), F.col("n_chars").alias("nb")),
+            "b_id",
+        )
+    )
+    a_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("a_id") < F.col("b_id"))
+    )
+    edges = j.select(
+        F.when(a_first, F.col("a_id")).otherwise(F.col("b_id")).alias("src"),
+        F.when(a_first, F.col("b_id")).otherwise(F.col("a_id")).alias("dst"),
+    )
+    return hits(edges, docs.select(F.col("doc_id").alias("node_id")), iters=2).agg(
+        F.count("*").alias("n"),
+        F.sum("hub_fp").alias("sh"),
+        F.sum("auth_fp").alias("sa"),
+    )
+
+
+def _x143_importance_weights(spark, d):
+    # DSIR hashed affinity at full scale: two token streams (corpus +
+    # target subset) each collapse map-side into a 256-group count, the
+    # bucket table broadcasts back, and the only corpus-keyed shuffle
+    # is the per-doc agg — expect the cheap-text-pass band (x51's ~6x
+    # upper bound, likely much flatter since no vocabulary join).
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_importance_weights,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return hashed_importance_weights(docs, docs.filter(F.col("lang") == "en")).agg(
+        F.count("*").alias("n"), F.sum("affinity_sum").alias("s")
+    )
+
+
+def _x146_triangles(spark, d):
+    # exact triangle counting on the near-dup graph: pair generation is
+    # the corpus band; the count itself is two joins on the ORIENTED
+    # edge list whose fan-out is bounded by oriented out-degree (the
+    # arboricity bound) — the replica design keeps the graph sparse, so
+    # expect the pair band with a small join tail.
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    pairs = _minhash_pairs(spark, d).select("a_id", "b_id")
+    return triangle_stats(pairs).agg(
+        F.count("*").alias("n"),
+        F.sum("n_triangles").alias("t"),
+        F.sum("degree").alias("dg"),
+    )
+
+
+def _x147_winnow(spark, d):
+    # winnowing candidates at full scale: the fold is array-local per
+    # doc (O(m*window), no shuffle), the exploded fingerprint stream is
+    # ~2/(window+1) of the k-gram count, and the pair join blocks on
+    # int64 fingerprints with the MAX_BUCKET cap — the same shape as
+    # the minhash band (explode -> hash agg -> capped equi-join).
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        winnow_candidates,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return winnow_candidates(docs, k=3, window=4, min_shared=2).agg(
+        F.count("*").alias("n"), F.sum("n_shared").alias("s")
+    )
+
+
+def _x140_retention(spark, d):
+    # cohort retention over the full scaled events table: one distinct
+    # (user, week) shuffle, a user-keyed min-agg reusing the same key,
+    # and a (cohort, offset)-keyed cell agg — events text/properties
+    # never leave the scan, so cost tracks the distinct pass (expect
+    # the x63 sessionize band).
+    from trimet_bytes__data_engineering_project_spark.plans.tables import epoch_us
+
+    ev = load_table(spark, d, "events")
+    u = (
+        ev.withColumn("us", epoch_us(F.col("ts")))
+        .selectExpr("user_id", "us div 604800000000 as wk")
+        .distinct()
+    )
+    c = u.groupBy("user_id").agg(F.min("wk").cast("long").alias("cohort_wk"))
+    r = (
+        u.join(c, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+    return r.agg(F.count("*").alias("n_cells"), F.sum("n_users").alias("s"))
+
+
 HEAVY = [
     ("q27_pricing_summary", _q27),
     ("minhash_near_dup_pairs_full", _minhash_pairs),
@@ -1561,6 +1694,12 @@ HEAVY = [
     ("x83_span_dedup_full", _x83_span_dedup),
     ("x85_tfidf_snapshot_10pct", _x85_tfidf_snapshot_10pct),
     ("x86_surprisal_snapshot_10pct", _x86_surprisal_snapshot_10pct),
+    ("x140_retention_full", _x140_retention),
+    ("x141_weighted_pagerank_full", _x141_weighted_pagerank),
+    ("x142_hits_full", _x142_hits),
+    ("x143_importance_weights_full", _x143_importance_weights),
+    ("x146_triangles_full", _x146_triangles),
+    ("x147_winnow_full", _x147_winnow),
     ("t4_stream_rollup_full", _t4_stream_rollup),
     ("ss_join_stream_full", _ss_join_stream),
     ("cc_distributed_full", _cc_distributed),

@@ -1682,3 +1682,57 @@ def test_importance_weights_letterless_doc_dropped(spark):
     )
     rows = hashed_importance_weights(docs, docs).collect()
     assert {r.doc_id for r in rows} == {1}
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (x148)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_each_rule_fails_independently(spark):
+    """One crafted doc per rule, failing exactly that rule (plus any
+    rule its construction necessarily breaks) — pins the integer
+    cross-multiplication forms."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    good = " ".join(["the", "of", "and"] + ["word"] * 60)
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "the of " + " ".join(["word"] * 10)),       # too few words
+            (2, "the of " + " ".join(["a"] * 60)),          # mean len < 3
+            (3, "the of " + " ".join(["123"] * 58) + " w"), # alpha < 80%
+            (4, " ".join(["word"] * 60)),                   # no stopwords
+            (5, good + "\nfoo...\nbar..."),                 # 2/3 lines ellipsis
+            (6, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n"
+                + good),                                    # 10/11 bullet lines
+            (7, "the of " + " ".join(["word"] * 58) + " # # # # # # #"),  # symbols
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_quality_flags(docs).collect()}
+    assert got[0]["passes"] == 1
+    assert got[1]["r_word_count"] == 0 and got[1]["passes"] == 0
+    assert got[2]["r_mean_word_len"] == 0 and got[2]["r_word_count"] == 1
+    assert got[3]["r_alpha_words"] == 0
+    assert got[4]["r_stopwords"] == 0 and got[4]["r_word_count"] == 1
+    assert got[5]["r_ellipsis_lines"] == 0
+    assert got[6]["r_bullet_lines"] == 0
+    assert got[7]["r_symbol_ratio"] == 0
+    for i in (2, 3, 5, 6, 7):
+        assert got[i]["passes"] == 0
+
+
+def test_gopher_rules_empty_doc(spark):
+    """Empty text: n_words 0 fails the count rule, every ratio rule
+    holds vacuously (0 <= 0), passes = 0, no NULLs anywhere."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = gopher_quality_flags(docs).collect()[0]
+    assert r.n_words == 0 and r.r_word_count == 0 and r.passes == 0
+    assert None not in r.asDict().values()

@@ -1780,3 +1780,216 @@ def hashed_importance_weights(
             F.col("affinity_sum").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher/MassiveText repetition-free quality rule set (Rae et
+    al. 2021, Appendix A1 — the published heuristic filter every
+    modern pretraining pipeline starts from), evaluated as PURE
+    INTEGER comparisons so every rule is bit-identical across engines
+    (ratios become cross-multiplications: mean word length in [3,10]
+    is ``3·n ≤ Σlen ≤ 10·n`` — no division anywhere):
+
+      r_word_count     50 ≤ words ≤ 100 000
+      r_mean_word_len  3 ≤ Σlen(word)/words ≤ 10
+      r_alpha_words    ≥ 80% of words contain a letter (5·alpha ≥ 4·n)
+      r_stopwords      ≥ 2 distinct stopwords of the canonical 8
+      r_ellipsis_lines ≤ 30% of lines end with "..."
+      r_bullet_lines   ≤ 90% of lines start with a bullet (-, *, •)
+      r_symbol_ratio   (# + ellipsis occurrences) ≤ 10% of words
+
+    Words are the whitespace-token convention (dedup.tokens); lines
+    split on newline.  Everything is one codegen projection over the
+    scan — array_size/filter/aggregate on per-doc arrays, NO shuffle,
+    NO UDF; a 100 TB corpus pays exactly one pass.  Flags are int
+    0/1 (the is_seed convention) plus ``passes`` = AND of all seven.
+
+    Returns (doc_id, n_words, r_word_count, r_mean_word_len,
+    r_alpha_words, r_stopwords, r_ellipsis_lines, r_bullet_lines,
+    r_symbol_ratio, passes)."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    lines = F.split(F.col(text_col), "\n")
+
+    def _b(c: Column) -> Column:
+        return c.cast("int")
+
+    bound = F.array(ws)  # bind token array once (the all_shingles rule)
+
+    def _over_ws(f) -> Column:
+        return F.element_at(F.transform(bound, f), 1)
+
+    n_words = _over_ws(lambda t: F.size(F.filter(t, lambda w: w != "")))
+    sum_len = _over_ws(
+        lambda t: F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+    )
+    n_alpha = _over_ws(
+        lambda t: F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    )
+    n_stop = _over_ws(
+        lambda t: F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(t, s),
+            )
+        )
+    )
+    n_lines = F.size(lines)
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*")
+            | F.ltrim(l).startswith("•"),
+        )
+    )
+    c_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    c_ell = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    flags = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        sum_len.alias("_sum_len"),
+        n_alpha.cast("long").alias("_n_alpha"),
+        n_stop.cast("long").alias("_n_stop"),
+        n_lines.cast("long").alias("_n_lines"),
+        n_ellipsis.cast("long").alias("_n_ell"),
+        n_bullet.cast("long").alias("_n_bul"),
+        (c_hash + c_ell).cast("long").alias("_c_sym"),
+    )
+    out = flags.select(
+        "doc_id",
+        "n_words",
+        _b((F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)).alias(
+            "r_word_count"
+        ),
+        _b(
+            (F.col("_sum_len") >= 3 * F.col("n_words"))
+            & (F.col("_sum_len") <= 10 * F.col("n_words"))
+        ).alias("r_mean_word_len"),
+        _b(5 * F.col("_n_alpha") >= 4 * F.col("n_words")).alias("r_alpha_words"),
+        _b(F.col("_n_stop") >= 2).alias("r_stopwords"),
+        _b(10 * F.col("_n_ell") <= 3 * F.col("_n_lines")).alias(
+            "r_ellipsis_lines"
+        ),
+        _b(10 * F.col("_n_bul") <= 9 * F.col("_n_lines")).alias("r_bullet_lines"),
+        _b(10 * F.col("_c_sym") <= F.col("n_words")).alias("r_symbol_ratio"),
+    )
+    rule_cols = [c for c in out.columns if c.startswith("r_")]
+    expr = F.col(rule_cols[0])
+    for c in rule_cols[1:]:
+        expr = expr * F.col(c)
+    return out.withColumn("passes", expr.cast("int"))
+
+
+def hashed_lang_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    hex_digits: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Language RE-identification by hashed-profile argmax — the
+    multi-target generalization of :func:`hashed_importance_weights`:
+    build one hashed-unigram profile PER declared language, score
+    every document against every profile (the integer likelihood-
+    ratio surrogate vs the corpus-wide distribution), and predict the
+    argmax language.  Comparing the prediction against the document's
+    declared ``lang_col`` is the metadata-trust audit a multilingual
+    pipeline runs before per-language processing — mislabeled
+    documents poison per-language thresholds (x139/x145) and
+    per-language models.
+
+    Determinism: scores are exact int64 sums of fixed-point bucket
+    ratios (same arithmetic as x143 — add-one smoothing, truncating
+    div only), argmax ties break on the SMALLEST language string —
+    bit-stable across engines and partitionings.
+
+    Scale shape: the token stream collapses once into a per-doc
+    bucket tf table (≤ 16^``hex_digits`` rows per doc); per-language
+    profiles are (lang, bucket) counts — |langs|·B rows, broadcast;
+    the scoring join fans the BUCKET TABLE (not the token stream) out
+    by |langs|, and the argmax window partitions by doc over |langs|
+    rows — the corpus is shuffled exactly twice (bucket agg, score
+    agg), independent of language count.
+
+    Returns (doc_id, claimed, pred, agree) — agree int 0/1; docs with
+    no tokens are absent (nothing to score)."""
+    n_buckets = 16**hex_digits
+    bucket = lambda c: F.conv(F.substring(F.md5(c), 1, hex_digits), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("claimed"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+            )
+        ).alias("t"),
+    ).select("doc_id", "claimed", bucket(F.col("t")).alias("b"))
+    doc_tf = toks.groupBy("doc_id", "claimed", "b").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    lang_counts = toks.groupBy(F.col("claimed").alias("lang"), "b").agg(
+        F.count("*").cast("long").alias("c_t")
+    )
+    lang_totals = lang_counts.groupBy("lang").agg(
+        F.sum("c_t").cast("long").alias("n_t")
+    )
+    raw_counts = toks.groupBy("b").agg(F.count("*").cast("long").alias("c_r"))
+    raw_total = raw_counts.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("long").alias("n_r")
+    )
+    # every (lang, bucket-any-corpus-touched) cell, add-one smoothed
+    all_b = raw_counts.select("b").distinct()
+    grid = lang_totals.crossJoin(all_b)
+    ratios = (
+        grid.join(lang_counts, ["lang", "b"], "left")
+        .join(raw_counts, "b")
+        .join(F.broadcast(raw_total))
+        .selectExpr(
+            "lang",
+            "b",
+            f"CAST((coalesce(c_t, CAST(0 AS LONG)) + 1) * CAST({scale} AS LONG)"
+            f" div (n_t + {n_buckets}) AS LONG) AS pt_fp",
+            f"CAST((c_r + 1) * CAST({scale} AS LONG)"
+            f" div (n_r + {n_buckets}) AS LONG) AS pr_fp",
+        )
+        .selectExpr(
+            "lang",
+            "b",
+            f"CAST(pt_fp * CAST({scale} AS LONG)"
+            " div greatest(CAST(1 AS LONG), pr_fp) AS LONG) AS ratio_fp",
+        )
+    )
+    scored = (
+        doc_tf.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "claimed", "lang")
+        .agg(F.sum(F.col("tf") * F.col("ratio_fp")).cast("long").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "claimed",
+            F.col("lang").alias("pred"),
+            (F.col("lang") == F.col("claimed")).cast("int").alias("agree"),
+        )
+    )

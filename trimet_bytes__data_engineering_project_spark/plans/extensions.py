@@ -7234,3 +7234,59 @@ def x147_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return winnow_candidates(docs, k=3, window=4, min_shared=2)
+
+
+@query(
+    "x148_gopher_rules",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_aggregate(
+                    list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> len(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                  s -> list_contains(string_split_regex(lower(trim(text)), '\s+'), s)))
+                  AS BIGINT) AS n_stop,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                                  l -> l LIKE '%...')) AS BIGINT) AS n_ell,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                                  l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'
+                                       OR ltrim(l) LIKE '•%')) AS BIGINT) AS n_bul,
+             CAST((len(text) - len(replace(text, '#', '')))
+                  + (len(text) - len(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS c_sym
+      FROM documents),
+    r AS (SELECT doc_id, n_words,
+                 CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT) AS r_word_count,
+                 CAST(CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+                 CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS INT) AS r_alpha_words,
+                 CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stopwords,
+                 CAST(CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END AS INT) AS r_ellipsis_lines,
+                 CAST(CASE WHEN 10 * n_bul <= 9 * n_lines THEN 1 ELSE 0 END AS INT) AS r_bullet_lines,
+                 CAST(CASE WHEN 10 * c_sym <= n_words THEN 1 ELSE 0 END AS INT) AS r_symbol_ratio
+          FROM m)
+    SELECT *, CAST(r_word_count * r_mean_word_len * r_alpha_words * r_stopwords
+                   * r_ellipsis_lines * r_bullet_lines * r_symbol_ratio AS INT) AS passes
+    FROM r
+    """,
+)
+def x148_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText heuristic quality gate (Rae et al. 2021,
+    Appendix A1) as one codegen projection: seven published rules
+    (word count, mean word length, alphabetic-word fraction, stopword
+    presence, ellipsis/bullet line fractions, symbol ratio) evaluated
+    as pure integer cross-multiplications — no division, no libm, so
+    the pass/fail bit is identical on any engine and the whole filter
+    costs exactly ONE corpus pass with no shuffle and no UDF
+    (operators/textstats.py:gopher_quality_flags).  The standard
+    pre-filter that runs BEFORE dedup/scoring tiers in a pretraining
+    pipeline."""
+    from ..operators.textstats import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)
