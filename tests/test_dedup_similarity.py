@@ -1736,3 +1736,37 @@ def test_gopher_rules_empty_doc(spark):
     r = gopher_quality_flags(docs).collect()[0]
     assert r.n_words == 0 and r.r_word_count == 0 and r.passes == 0
     assert None not in r.asDict().values()
+
+
+def test_hashed_lang_id_separable_vocab(spark):
+    """Two languages with disjoint vocabularies re-identify perfectly;
+    a doc labeled 'xx' but written in 'yy' vocabulary is flagged."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_lang_id,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha", "xx"),
+            (2, "alpha gamma beta beta", "xx"),
+            (3, "uno dos tres uno dos", "yy"),
+            (4, "dos tres uno tres", "yy"),
+            (5, "uno dos tres dos uno", "xx"),  # mislabeled
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: (r.pred, r.agree) for r in hashed_lang_id(docs).collect()}
+    assert got[1] == ("xx", 1) and got[2] == ("xx", 1)
+    assert got[3] == ("yy", 1) and got[4] == ("yy", 1)
+    assert got[5] == ("yy", 0)  # the audit catches the mislabel
+
+
+def test_hashed_lang_id_letterless_absent(spark):
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_lang_id,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "xx"), (2, "123 !!!", "xx")], "doc_id long, text string, lang string"
+    )
+    assert {r.doc_id for r in hashed_lang_id(docs).collect()} == {1}

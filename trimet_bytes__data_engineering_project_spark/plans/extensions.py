@@ -7290,3 +7290,131 @@ def x148_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_quality_flags(docs)
+
+
+@query(
+    "x149_lang_reid_confusion",
+    oracle=f"""
+    WITH tb AS (SELECT doc_id, claimed, {_hex_ladder('t', 2)} AS b FROM (
+                  SELECT doc_id, lang AS claimed,
+                         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+                  FROM documents)),
+    dtf AS (SELECT doc_id, claimed, b, CAST(count(*) AS BIGINT) AS tf
+            FROM tb GROUP BY 1, 2, 3),
+    lc AS (SELECT claimed AS lang, b, CAST(count(*) AS BIGINT) AS c_t
+           FROM tb GROUP BY 1, 2),
+    lt AS (SELECT lang, CAST(SUM(c_t) AS BIGINT) AS n_t FROM lc GROUP BY 1),
+    rc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM tb GROUP BY 1),
+    rt AS (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) AS n_r FROM rc),
+    rat AS (SELECT g.lang, g.b,
+                   CAST((COALESCE(lc.c_t, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT)
+                        // (g.n_t + 256) AS BIGINT) AS pt_fp,
+                   CAST((g.c_r + 1) * CAST(1000000 AS BIGINT)
+                        // (n_r + 256) AS BIGINT) AS pr_fp
+            FROM (SELECT lt.lang, lt.n_t, rc.b, rc.c_r
+                  FROM lt CROSS JOIN rc) g
+            LEFT JOIN lc ON lc.lang = g.lang AND lc.b = g.b
+            CROSS JOIN rt),
+    rr AS (SELECT lang, b,
+                  CAST(pt_fp * CAST(1000000 AS BIGINT)
+                       // greatest(CAST(1 AS BIGINT), pr_fp) AS BIGINT) AS ratio_fp
+           FROM rat),
+    sc AS (SELECT d.doc_id, d.claimed, r.lang,
+                  CAST(SUM(d.tf * r.ratio_fp) AS BIGINT) AS score
+           FROM dtf d JOIN rr r ON r.b = d.b GROUP BY 1, 2, 3),
+    pr AS (SELECT doc_id, claimed, lang AS pred FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang ASC) AS rn
+             FROM sc) WHERE rn = 1)
+    SELECT claimed, pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pr GROUP BY 1, 2
+    """,
+)
+def x149_lang_reid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language re-identification confusion matrix: every document is
+    scored against every declared language's hashed-unigram profile
+    (the x143 integer-ratio machinery, one profile per language) and
+    the argmax prediction is cross-tabulated against the declared
+    ``lang`` — the metadata-trust audit run before any per-language
+    threshold (x139/x145) is trusted, since mislabeled documents
+    poison per-language statistics.  Profiles are |langs|·256 rows
+    broadcast; the corpus shuffles exactly twice (bucket agg, score
+    agg) regardless of language count; argmax ties break on the
+    smallest language string — fully engine-portable
+    (operators/textstats.py:hashed_lang_id)."""
+    from ..operators.textstats import hashed_lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hashed_lang_id(docs)
+        .groupBy("claimed", "pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@query(
+    "x150_split_leakage",
+    oracle=f"""
+    WITH {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    sp AS (SELECT doc_id,
+                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents WHERE doc_id < 1000),
+    j AS (SELECT least(sa.split, sb.split) AS split_a,
+                 greatest(sa.split, sb.split) AS split_b
+          FROM pairs p JOIN sp sa ON sa.doc_id = p.a_id
+                       JOIN sp sb ON sb.doc_id = p.b_id)
+    SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS INT) AS cross_split
+    FROM j GROUP BY 1, 2
+    """,
+)
+def x150_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split LEAKAGE audit: the deterministic 80/10/10 hash split
+    (x22) is safe against exact duplicates only if near-dups don't
+    straddle the cut — this query counts MinHash near-dup pairs by
+    (split, split) cell, and every off-diagonal row is memorization
+    leakage (a test doc whose near-copy sits in train overestimates
+    held-out performance; cf. Lee et al. 2022, "Deduplicating
+    training data makes language models better", which measured
+    exactly this effect).  The composition is the point: split
+    assignment is a pure hash projection, the pair generation is the
+    x07 banded pipeline, and the audit join keys on doc id — at
+    100 TB this is the decontamination gate run BEFORE exporting
+    shards, with the remedy being cluster-aware splitting (assign
+    whole x34 components to one split)."""
+    from ..operators.dedup import minhash_candidates, minhash_estimate
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sp = train_val_test_split(docs, "doc_id").select("doc_id", "split")
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    j = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa")),
+            "a_id",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb")),
+            "b_id",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    return j.groupBy("split_a", "split_b").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.when(F.col("split_a") != F.col("split_b"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("cross_split"),
+    )
