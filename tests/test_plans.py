@@ -382,3 +382,42 @@ def test_forward_index_fetch_pushes_ids_and_prunes_buckets(spark, tmp_path):
     assert "PartitionFilters" in plan and "doc_bucket" in plan
     got = {r.doc_id for r in fetched.select("doc_id").distinct().collect()}
     assert got == {0, 64}
+
+
+def test_gopher_rules_single_pass_no_shuffle(spark):
+    """x148: the whole seven-rule gate is ONE codegen projection over
+    the scan — no Exchange, no aggregate, no join, no UDF may appear;
+    the scan reads only (doc_id, text)."""
+    p = plan_of(spark, "x148_gopher_rules")
+    assert "Exchange" not in p
+    assert "Join" not in p and "Aggregate" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_importance_weights_profiles_broadcast(spark):
+    """x143: the 256-row ratio table must BROADCAST into the token
+    stream (a shuffle join there would shuffle the exploded corpus on
+    the bucket key); aggregations stay hash-based."""
+    p = plan_of(spark, "x143_importance_weights")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "SortAggregate" not in p
+
+
+def test_lang_reid_profiles_broadcast_and_two_corpus_shuffles(spark):
+    """x149: the |langs|x256 ratio grid broadcasts into the per-doc
+    bucket table; no sort-merge join of the corpus anywhere."""
+    p = plan_of(spark, "x149_lang_reid_confusion")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_winnow_fold_is_array_local(spark):
+    """x147: fingerprint selection must happen in the scan's project
+    (aggregate/transform array exprs) with NO window and NO python
+    eval; the pair join blocks on the int64 fp key."""
+    p = plan_of(spark, "x147_winnow_candidates")
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
