@@ -1606,6 +1606,34 @@ def _x147_winnow(spark, d):
     )
 
 
+def _x148_gopher(spark, d):
+    # one codegen projection over (doc_id, text) — the only corpus term
+    # is the scan itself; expect near-flat (the x139 class), and any
+    # ratio above ~2x means a shuffle crept into the gate.
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return gopher_quality_flags(docs).agg(
+        F.count("*").alias("n"), F.sum("passes").alias("p")
+    )
+
+
+def _x149_lang_reid(spark, d):
+    # x143's shape with a |langs| fan-out of the BUCKET table (never
+    # the token stream) and one extra per-doc argmax window over
+    # |langs| rows — expect the x143 band.
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_lang_id,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return hashed_lang_id(docs).agg(
+        F.count("*").alias("n"), F.sum("agree").alias("a")
+    )
+
+
 def _x140_retention(spark, d):
     # cohort retention over the full scaled events table: one distinct
     # (user, week) shuffle, a user-keyed min-agg reusing the same key,
@@ -1700,6 +1728,8 @@ HEAVY = [
     ("x143_importance_weights_full", _x143_importance_weights),
     ("x146_triangles_full", _x146_triangles),
     ("x147_winnow_full", _x147_winnow),
+    ("x148_gopher_full", _x148_gopher),
+    ("x149_lang_reid_full", _x149_lang_reid),
     ("t4_stream_rollup_full", _t4_stream_rollup),
     ("ss_join_stream_full", _ss_join_stream),
     ("cc_distributed_full", _cc_distributed),

@@ -7507,3 +7507,95 @@ def x151_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("cross_split"),
     )
+
+
+def _build_lsh_audit_oracle(max_id: int = 300, threshold: str = "0.25") -> str:
+    """x152: the _CAND_CTES chain re-parameterized to the audit sample,
+    plus the exact quadratic truth set over the same sample."""
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {max_id}),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM docs),
+    sigs AS (SELECT doc_id, s, [{_SIG_ELEMS}] AS sig FROM sh WHERE len(s) > 0),
+    bands AS (
+      SELECT doc_id, b.band_idx,
+             md5(array_to_string(list_slice(sig, b.band_idx * {BAND_ROWS} + 1,
+                                            b.band_idx * {BAND_ROWS} + {BAND_ROWS}), '|')) AS band_hash
+      FROM sigs, (SELECT unnest(range(0, {_N_BANDS})) AS band_idx) b
+    ),
+    keep AS (SELECT band_idx, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) <= {MAX_BUCKET}),
+    kept AS (SELECT bands.* FROM bands JOIN keep USING (band_idx, band_hash)),
+    cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM kept a JOIN kept b USING (band_idx, band_hash)
+              WHERE a.doc_id < b.doc_id),
+    truth AS (SELECT sa.doc_id AS a_id, sb.doc_id AS b_id
+              FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
+              WHERE len(list_intersect(sa.s, sb.s))
+                    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) >= {threshold}),
+    hit AS (SELECT t.a_id, t.b_id FROM truth t JOIN cands c
+            ON c.a_id = t.a_id AND c.b_id = t.b_id),
+    m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+                 (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_cand,
+                 (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+    SELECT n_true, n_cand, n_hit,
+           CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+                ELSE 0.0 END AS recall,
+           CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+                ELSE 0.0 END AS precision
+    FROM m
+    """
+
+
+@query("x152_lsh_recall_audit", oracle=_build_lsh_audit_oracle())
+def x152_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH PARAMETER audit: on a bounded sample (300 docs by
+    contract — the truth set is quadratic, which is exactly why the
+    production path uses banding), compare the banded candidate set
+    against the exact-Jaccard >= 0.25 truth set and report
+    recall/precision — the empirical check of the (bands, rows)
+    S-curve that BENCH_NOTES' n_planes sizing rule demands before
+    trusting a blocking config at 100 TB (the x60/x108/x137 audit
+    convention applied to the MinHash tier).  Counts are exact
+    integers; the two display divisions are the only floats.  The
+    quadratic truth join is the AUDIT's cost, not the pipeline's, and
+    is bounded by the sample cap."""
+    from ..operators.dedup import exact_jaccard, minhash_candidates, shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("s")).filter(
+        F.size("s") > 0
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    truth = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("jac", exact_jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("jac") >= 0.25)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    cands = minhash_candidates(docs).select("a_id", "b_id").localCheckpoint(
+        eager=False
+    )
+    hit = truth.join(cands, ["a_id", "b_id"])
+    m = (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(cands.agg(F.count("*").cast("long").alias("n_cand")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+    )
+    return m.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.col("n_hit").cast("double") / F.col("n_cand").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+    )
