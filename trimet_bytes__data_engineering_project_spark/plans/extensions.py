@@ -7599,3 +7599,108 @@ def x152_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("precision"),
     )
+
+
+@query(
+    "x153_modern_selection_pipeline",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_aggregate(
+                    list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> len(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST((len(text) - len(replace(text, '#', '')))
+                  + (len(text) - len(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS c_sym
+      FROM documents),
+    gate AS (SELECT doc_id FROM m
+             WHERE n_words >= 50 AND n_words <= 100000
+               AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+               AND 5 * n_alpha >= 4 * n_words
+               AND 10 * c_sym <= n_words),
+    tb AS (SELECT doc_id, {_hex_ladder('t', 2)} AS b FROM (
+             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+             FROM documents)),
+    ttb AS (SELECT {_hex_ladder('t', 2)} AS b FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+              FROM documents WHERE lang = 'en')),
+    rc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM tb GROUP BY 1),
+    tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM ttb GROUP BY 1),
+    rt AS (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) AS n_r FROM rc),
+    tt AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS n_t FROM tc),
+    bk AS (SELECT ab.b,
+                  CAST((COALESCE(c_t, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT)
+                       // (n_t + 256) AS BIGINT) AS pt_fp,
+                  CAST((COALESCE(c_r, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT)
+                       // (n_r + 256) AS BIGINT) AS pr_fp
+           FROM (SELECT b FROM rc UNION SELECT b FROM tc) ab
+           LEFT JOIN rc ON rc.b = ab.b
+           LEFT JOIN tc ON tc.b = ab.b
+           CROSS JOIN rt CROSS JOIN tt),
+    br AS (SELECT b, CAST(pt_fp * CAST(1000000 AS BIGINT)
+                          // greatest(CAST(1 AS BIGINT), pr_fp) AS BIGINT) AS ratio_fp
+           FROM bk),
+    aff AS (SELECT doc_id,
+                   CAST(SUM(ratio_fp) AS BIGINT) AS affinity_sum,
+                   CAST(SUM(ratio_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_affinity
+            FROM tb JOIN br USING (b) GROUP BY 1),
+    wt AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    sel AS (SELECT a.doc_id, wt.n_tokens, a.avg_affinity
+            FROM aff a JOIN gate USING (doc_id) JOIN wt USING (doc_id)),
+    r AS (SELECT doc_id, n_tokens, avg_affinity,
+                 CAST(SUM(n_tokens) OVER (ORDER BY avg_affinity DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM sel)
+    SELECT doc_id, n_tokens, avg_affinity, cum_tokens FROM r WHERE cum_tokens <= 5000
+    """,
+)
+def x153_modern_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2023-vintage selection pipeline composed as ONE Catalyst
+    plan — the successor to x54's hashed-classifier chain, built
+    entirely from this round's tier:
+
+    1. Gopher STRUCTURAL gate (x148's word-count, mean-word-length,
+       alphabetic and symbol rules — the stopword/line rules are for
+       natural prose and stay available on the flags table);
+    2. DSIR target-affinity scoring (x143 — rank what's left by
+       hashed-profile closeness to the English target);
+    3. greedy token-budget selection (x44's two-phase prefix
+       decomposition, 5 000 whitespace tokens).
+
+    The gate is a codegen projection fused into the scan, the
+    256-row profile broadcasts, and the only corpus shuffles are the
+    score-key exchanges of the selection step — same fusion argument
+    as x54 (plan-pinned there), now with published-method stages.
+    Gate → score → budget is exactly the DoReMi/DSIR-era recipe:
+    cheap structural filters first, importance weighting second,
+    budget cut last."""
+    from ..operators.sampling import select_token_budget
+    from ..operators.textstats import (
+        gopher_quality_flags,
+        hashed_importance_weights,
+        token_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs)
+    gate = flags.filter(
+        (F.col("r_word_count") == 1)
+        & (F.col("r_mean_word_len") == 1)
+        & (F.col("r_alpha_words") == 1)
+        & (F.col("r_symbol_ratio") == 1)
+    ).select("doc_id")
+    aff = hashed_importance_weights(docs, docs.filter(F.col("lang") == "en"))
+    wt = docs.select("doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens"))
+    sel = (
+        aff.select("doc_id", "avg_affinity")
+        .join(gate, "doc_id")
+        .join(wt, "doc_id")
+    )
+    return select_token_budget(sel, "avg_affinity", "doc_id", "n_tokens", 5000).select(
+        "doc_id", "n_tokens", "avg_affinity", "cum_tokens"
+    )
