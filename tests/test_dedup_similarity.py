@@ -1770,3 +1770,63 @@ def test_hashed_lang_id_letterless_absent(spark):
         [(1, "alpha", "xx"), (2, "123 !!!", "xx")], "doc_id long, text string, lang string"
     )
     assert {r.doc_id for r in hashed_lang_id(docs).collect()} == {1}
+
+
+def test_dup_ngram_stats_detects_repetition(spark):
+    """A doc dominated by one repeated 2-gram fails r_top; a doc whose
+    5-grams repeat fails r_dup; varied text passes; short docs pass
+    vacuously with 0.0 fractions."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        dup_ngram_stats,
+    )
+
+    spam = " ".join(["buy now"] * 20)                  # one 2-gram everywhere
+    template = " ".join(["a b c d e"] * 6)             # repeated 5-grams
+    varied = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, spam), (2, template), (3, varied), (4, "too short"), (5, "one")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in dup_ngram_stats(docs).collect()}
+    assert got[1]["r_top"] == 0 and got[1]["top_frac"] > 0.2
+    assert got[2]["r_dup"] == 0 and got[2]["dup_frac"] > 0.15
+    assert got[3]["r_top"] == 1 and got[3]["r_dup"] == 1
+    assert got[3]["top_frac"] < 0.2 and got[3]["dup_frac"] == 0.0
+    # a 2-word doc's single 2-gram IS the most frequent one: frac 1.0,
+    # rule fails — faithful to Gopher, where the word-count gate runs
+    # first; the 5-gram side is vacuous (no grams)
+    assert got[4]["top_frac"] == 1.0 and got[4]["r_top"] == 0
+    assert got[4]["dup_frac"] == 0.0 and got[4]["r_dup"] == 1
+    # a 1-word doc is vacuous on BOTH sides
+    assert got[5]["top_frac"] == 0.0 and got[5]["r_top"] == 1 and got[5]["r_dup"] == 1
+
+
+def test_importance_snapshot_equals_inline(spark):
+    """Scoring against a persisted ratio table == the inline
+    two-corpus path (the snapshot-probe equality contract)."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_importance_weights,
+        importance_ratio_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma delta"), (3, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") == 1)
+    inline = {
+        r.doc_id: (r.n_tokens, r.affinity_sum)
+        for r in hashed_importance_weights(docs, target).collect()
+    }
+    ratios = importance_ratio_table(docs, target)
+    snap = {
+        r.doc_id: (r.n_tokens, r.affinity_sum)
+        for r in hashed_importance_weights(docs, ratios=ratios).collect()
+    }
+    assert inline == snap and len(inline) == 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        hashed_importance_weights(docs)
+    with pytest.raises(ValueError):
+        hashed_importance_weights(docs, target, ratios=ratios)

@@ -1664,13 +1664,81 @@ def top_terms(
     )
 
 
-def hashed_importance_weights(
+def _bucketed_tokens(
+    df: DataFrame, cols: list[str], text_col: str, hex_digits: int
+) -> DataFrame:
+    """(cols..., b) — one row per token instance, bucketed by the
+    portable md5 slice (first ``hex_digits`` hex chars as int64)."""
+    return df.select(
+        *cols,
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+            )
+        ).alias("t"),
+    ).select(
+        *cols,
+        F.conv(F.substring(F.md5(F.col("t")), 1, hex_digits), 16, 10)
+        .cast("long")
+        .alias("b"),
+    )
+
+
+def importance_ratio_table(
     docs: DataFrame,
     target: DataFrame,
+    text_col: str = "text",
+    hex_digits: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """The (b, ratio_fp) bucket-ratio profile behind
+    :func:`hashed_importance_weights`, exposed for the snapshot-probe
+    lifecycle: build ONCE from the standing corpus + target, persist
+    the FULL 16^``hex_digits``-row grid (every bucket present, so a
+    later batch token can never miss the table), and score each daily
+    batch against the snapshot at O(batch) — the x85/x86 contract
+    applied to DSIR scoring.  Buckets neither corpus touched carry
+    the add-one floor ratio."""
+    n_buckets = 16**hex_digits
+    toks = _bucketed_tokens(docs, [], text_col, hex_digits)
+    t_toks = _bucketed_tokens(target, [], text_col, hex_digits)
+    raw_counts = toks.groupBy("b").agg(F.count("*").cast("long").alias("c_r"))
+    t_counts = t_toks.groupBy("b").agg(F.count("*").cast("long").alias("c_t"))
+    raw_total = raw_counts.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("long").alias("n_r")
+    )
+    t_total = t_counts.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t")
+    )
+    grid = docs.sparkSession.range(n_buckets).select(F.col("id").alias("b"))
+    return (
+        grid.join(raw_counts, "b", "left")
+        .join(t_counts, "b", "left")
+        .join(F.broadcast(raw_total))
+        .join(F.broadcast(t_total))
+        .selectExpr(
+            "b",
+            f"CAST((coalesce(c_t, CAST(0 AS LONG)) + 1) * CAST({scale} AS LONG)"
+            f" div (n_t + {n_buckets}) AS LONG) AS pt_fp",
+            f"CAST((coalesce(c_r, CAST(0 AS LONG)) + 1) * CAST({scale} AS LONG)"
+            f" div (n_r + {n_buckets}) AS LONG) AS pr_fp",
+        )
+        .selectExpr(
+            "b",
+            f"CAST(pt_fp * CAST({scale} AS LONG)"
+            " div greatest(CAST(1 AS LONG), pr_fp) AS LONG) AS ratio_fp",
+        )
+    )
+
+
+def hashed_importance_weights(
+    docs: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     hex_digits: int = 2,
     scale: int = 10**6,
+    ratios: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style data-selection affinity scores (cf. Xie et al. 2023,
     "Data Selection for Language Models via Importance Resampling"):
@@ -1712,64 +1780,31 @@ def hashed_importance_weights(
     unigram_surprisal with the vocabulary join replaced by a bounded
     broadcast.
 
+    ``ratios``: a persisted (b, ratio_fp) snapshot from
+    :func:`importance_ratio_table` — scoring skips both profile
+    builds and the run costs O(batch) (the snapshot-probe lifecycle);
+    ``target`` is ignored and may be None.  Exactly one of ``target``
+    / ``ratios`` must be given.
+
     Returns (doc_id, n_tokens, affinity_sum, avg_affinity) for every
     raw doc with ≥1 token; rank by avg_affinity and keep the top
     slice (or sample ∝ affinity via sampling.systematic_pps_sample)
     to assemble the target-matched training set."""
-    n_buckets = 16**hex_digits
-    bucket = lambda c: F.conv(F.substring(F.md5(c), 1, hex_digits), 16, 10).cast(  # noqa: E731
-        "long"
+    if (target is None) == (ratios is None):
+        raise ValueError("pass exactly one of target= or ratios=")
+    toks = _bucketed_tokens(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        ["doc_id"],
+        text_col,
+        hex_digits,
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
-            )
-        ).alias("t"),
-    ).select("doc_id", bucket(F.col("t")).alias("b"))
-    t_toks = target.select(
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
-            )
-        ).alias("t")
-    ).select(bucket(F.col("t")).alias("b"))
-
-    # left join + add-one default: a bucket absent from a profile has
-    # c=0 -> p_fp = scale div (N+B), which needs N; carry totals along
-    raw_counts = toks.groupBy("b").agg(F.count("*").cast("long").alias("c_r"))
-    t_counts = t_toks.groupBy("b").agg(F.count("*").cast("long").alias("c_t"))
-    raw_total = raw_counts.agg(
-        F.coalesce(F.sum("c_r"), F.lit(0)).cast("long").alias("n_r")
-    )
-    t_total = t_counts.agg(
-        F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t")
-    )
-    # the full bucket table: every bucket either corpus touched
     buckets = (
-        raw_counts.select("b")
-        .unionByName(t_counts.select("b"))
-        .distinct()
-        .join(raw_counts, "b", "left")
-        .join(t_counts, "b", "left")
-        .join(F.broadcast(raw_total))
-        .join(F.broadcast(t_total))
-        .selectExpr(
-            "b",
-            f"CAST((coalesce(c_t, CAST(0 AS LONG)) + 1) * CAST({scale} AS LONG)"
-            f" div (n_t + {n_buckets}) AS LONG) AS pt_fp",
-            f"CAST((coalesce(c_r, CAST(0 AS LONG)) + 1) * CAST({scale} AS LONG)"
-            f" div (n_r + {n_buckets}) AS LONG) AS pr_fp",
-        )
-        .selectExpr(
-            "b",
-            f"CAST(pt_fp * CAST({scale} AS LONG)"
-            " div greatest(CAST(1 AS LONG), pr_fp) AS LONG) AS ratio_fp",
-        )
+        ratios
+        if ratios is not None
+        else importance_ratio_table(docs, target, text_col, hex_digits, scale)
     )
     return (
-        toks.join(F.broadcast(buckets), "b")
+        toks.join(F.broadcast(buckets.select("b", "ratio_fp")), "b")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -1992,4 +2027,77 @@ def hashed_lang_id(
             F.col("lang").alias("pred"),
             (F.col("lang") == F.col("claimed")).cast("int").alias("agree"),
         )
+    )
+
+
+def dup_ngram_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_top: int = 2,
+    n_dup: int = 5,
+) -> DataFrame:
+    """The REPETITION half of the Gopher filter (Rae et al. 2021,
+    Appendix A1's dup-ngram rules — :func:`gopher_quality_flags`
+    covers the structural half): per document,
+
+      top{n}_frac  — characters covered by occurrences of the single
+                     most frequent word ``n_top``-gram / all
+                     ``n_top``-gram characters (rule: ≤ 0.20)
+      dup{n}_frac  — characters in word ``n_dup``-grams occurring ≥ 2
+                     times / all ``n_dup``-gram characters
+                     (rule: ≤ 0.15)
+
+    — the machine-generated-boilerplate detector (SEO spam repeats a
+    2-gram; templated pages repeat whole 5-grams).  Character mass is
+    ``length(gram)·count`` over the joined gram string (separators
+    included — documented convention); rules are integer
+    cross-multiplications (5·top ≤ total, 20·dup ≤ 3·total), the
+    fractions one display division each.  Docs too short for a gram
+    score 0.0 and pass vacuously.
+
+    Scale shape: two explode → (doc, gram) two-phase hash aggs (the
+    x51 shuffle shape, keyed on doc+gram) → per-doc aggregates →
+    id-keyed joins back to the doc list — no corpus-wide window, no
+    UDF.
+
+    Returns (doc_id, top_frac, dup_frac, r_top, r_dup)."""
+    from .dedup import all_shingles
+
+    def _per_n(n: int, pref: str) -> DataFrame:
+        g = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(all_shingles(F.col(text_col), n)).alias("g"),
+        )
+        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        mass = F.length("g").cast("long") * F.col("c")
+        return c.groupBy("doc_id").agg(
+            F.sum(mass).cast("long").alias(f"{pref}_total"),
+            F.max(mass).cast("long").alias(f"{pref}_top"),
+            F.sum(F.when(F.col("c") >= 2, mass).otherwise(F.lit(0).cast("long")))
+            .cast("long")
+            .alias(f"{pref}_dup"),
+        )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    j = (
+        base.join(_per_n(n_top, "t"), "doc_id", "left")
+        .join(_per_n(n_dup, "d"), "doc_id", "left")
+        .na.fill(0, ["t_total", "t_top", "t_dup", "d_total", "d_top", "d_dup"])
+    )
+    return j.select(
+        "doc_id",
+        F.when(
+            F.col("t_total") > 0,
+            F.col("t_top").cast("double") / F.col("t_total").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_frac"),
+        F.when(
+            F.col("d_total") > 0,
+            F.col("d_dup").cast("double") / F.col("d_total").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        (5 * F.col("t_top") <= F.col("t_total")).cast("int").alias("r_top"),
+        (20 * F.col("d_dup") <= 3 * F.col("d_total")).cast("int").alias("r_dup"),
     )

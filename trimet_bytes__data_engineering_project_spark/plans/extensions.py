@@ -7672,10 +7672,12 @@ def x153_modern_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     3. greedy token-budget selection (x44's two-phase prefix
        decomposition, 5 000 whitespace tokens).
 
-    The gate is a codegen projection fused into the scan, the
-    256-row profile broadcasts, and the only corpus shuffles are the
-    score-key exchanges of the selection step — same fusion argument
-    as x54 (plan-pinned there), now with published-method stages.
+    The gate is a codegen projection fused into the scan and the
+    256-row profile broadcasts; corpus-sized shuffles are the
+    affinity agg, the gate⋈affinity⋈tokens joins (all keyed on doc
+    id — AQE broadcasts them at audit scale, and an id-bucketed
+    layout co-locates them to zero at 100 TB), and the selection
+    step's score-key exchanges.
     Gate → score → budget is exactly the DoReMi/DSIR-era recipe:
     cheap structural filters first, importance weighting second,
     budget cut last."""
@@ -7703,4 +7705,114 @@ def x153_modern_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return select_token_budget(sel, "avg_affinity", "doc_id", "n_tokens", 5000).select(
         "doc_id", "n_tokens", "avg_affinity", "cum_tokens"
+    )
+
+
+@query(
+    "x154_dup_ngram_stats",
+    oracle=f"""
+    WITH g2 AS (SELECT doc_id, unnest({_all_shingles_sql(2)}) AS g FROM documents),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    a2 AS (SELECT doc_id,
+                  CAST(SUM(len(g) * c) AS BIGINT) AS t_total,
+                  CAST(MAX(len(g) * c) AS BIGINT) AS t_top
+           FROM c2 GROUP BY 1),
+    g5 AS (SELECT doc_id, unnest({_all_shingles_sql(5)}) AS g FROM documents),
+    c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+    a5 AS (SELECT doc_id,
+                  CAST(SUM(len(g) * c) AS BIGINT) AS d_total,
+                  CAST(SUM(CASE WHEN c >= 2 THEN len(g) * c ELSE 0 END) AS BIGINT) AS d_dup
+           FROM c5 GROUP BY 1),
+    j AS (SELECT d.doc_id,
+                 COALESCE(a2.t_total, CAST(0 AS BIGINT)) AS t_total,
+                 COALESCE(a2.t_top, CAST(0 AS BIGINT)) AS t_top,
+                 COALESCE(a5.d_total, CAST(0 AS BIGINT)) AS d_total,
+                 COALESCE(a5.d_dup, CAST(0 AS BIGINT)) AS d_dup
+          FROM documents d LEFT JOIN a2 ON a2.doc_id = d.doc_id
+                           LEFT JOIN a5 ON a5.doc_id = d.doc_id)
+    SELECT doc_id,
+           CASE WHEN t_total > 0 THEN CAST(t_top AS DOUBLE) / CAST(t_total AS DOUBLE)
+                ELSE 0.0 END AS top_frac,
+           CASE WHEN d_total > 0 THEN CAST(d_dup AS DOUBLE) / CAST(d_total AS DOUBLE)
+                ELSE 0.0 END AS dup_frac,
+           CAST(CASE WHEN 5 * t_top <= t_total THEN 1 ELSE 0 END AS INT) AS r_top,
+           CAST(CASE WHEN 20 * d_dup <= 3 * d_total THEN 1 ELSE 0 END AS INT) AS r_dup
+    FROM j
+    """,
+)
+def x154_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition half of the Gopher filter (dup/top n-gram
+    character fractions — x148 covers the structural half, x32 the
+    distinct-shingle ratio): top-2-gram char coverage ≤ 0.20 and
+    duplicated-5-gram char mass ≤ 0.15, the published boilerplate/SEO
+    detector.  Integer character-mass aggregates over (doc, gram)
+    two-phase hash aggs; rules are cross-multiplications, fractions
+    one display division each
+    (operators/textstats.py:dup_ngram_stats)."""
+    from ..operators.textstats import dup_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs)
+
+
+@query(
+    "x155_importance_snapshot_probe",
+    oracle=f"""
+    WITH tbb AS (SELECT {_hex_ladder('t', 2)} AS b FROM (
+                   SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+                   FROM documents WHERE doc_id < 250)),
+    ttb AS (SELECT {_hex_ladder('t', 2)} AS b FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+              FROM documents WHERE doc_id < 250 AND lang = 'en')),
+    rc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM tbb GROUP BY 1),
+    tc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM ttb GROUP BY 1),
+    rt AS (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) AS n_r FROM rc),
+    tt AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS n_t FROM tc),
+    grid AS (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS b),
+    bk AS (SELECT g.b,
+                  CAST((COALESCE(c_t, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT)
+                       // (n_t + 256) AS BIGINT) AS pt_fp,
+                  CAST((COALESCE(c_r, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT)
+                       // (n_r + 256) AS BIGINT) AS pr_fp
+           FROM grid g LEFT JOIN rc ON rc.b = g.b
+                       LEFT JOIN tc ON tc.b = g.b
+           CROSS JOIN rt CROSS JOIN tt),
+    br AS (SELECT b, CAST(pt_fp * CAST(1000000 AS BIGINT)
+                          // greatest(CAST(1 AS BIGINT), pr_fp) AS BIGINT) AS ratio_fp
+           FROM bk),
+    batch AS (SELECT doc_id, {_hex_ladder('t', 2)} AS b FROM (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+                FROM documents WHERE doc_id >= 250))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(ratio_fp) AS BIGINT) AS affinity_sum,
+           CAST(SUM(ratio_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_affinity
+    FROM batch JOIN br USING (b) GROUP BY 1
+    """,
+)
+def x155_importance_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x143's snapshot-probe lifecycle (the x85/x86 contract applied
+    to DSIR scoring): the standing corpus's 256-row bucket-ratio
+    profile (doc_id < 250 as base, its English subset as target) is
+    PERSISTED once and each daily batch (doc_id ≥ 250) scores against
+    the snapshot — the profile builds never re-run, every shuffle's
+    batch side is O(batch), and the full-grid persistence means a
+    batch token can never miss the table (absent buckets carry the
+    add-one floor).  The is-the-new-crawl-on-distribution gate a
+    target-matched pipeline runs nightly
+    (operators/textstats.py:importance_ratio_table)."""
+    from ..operators.ann_index import ensure_index
+    from ..operators.textstats import hashed_importance_weights, importance_ratio_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    path = _tagged_dir(_SCRATCH, "dsir_profile", "v1-split250", sf_dir=sf_dir)
+    ensure_index(
+        lambda: importance_ratio_table(base, base.filter(F.col("lang") == "en"))
+        .write.mode("overwrite")
+        .parquet(path),
+        path,
+    )
+    snap = spark.read.parquet(path)
+    return hashed_importance_weights(
+        docs.filter(F.col("doc_id") >= 250), ratios=snap
     )
