@@ -559,3 +559,65 @@ def test_streaming_histogram_quantiles_equal_batch(spark, tmp_path):
     n_before = spark.read.parquet(f"{store}/hist").count()
     run_streaming_histogram(spark, landing, store, ck, expr, 0, 128, 64)
     assert spark.read.parquet(f"{store}/hist").count() == n_before
+
+
+def test_streaming_quality_scores_equal_batch(spark, tmp_path):
+    """Two streamed landings scored against a frozen DSIR profile are
+    row-equal to one batch pass over the union (per-doc scorers +
+    frozen snapshot = exact streaming); letterless docs land with
+    NULL affinity but real gate flags; replay on the same checkpoint
+    is a no-op."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        gopher_quality_flags,
+        hashed_importance_weights,
+        importance_ratio_table,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.quality import (
+        run_streaming_quality,
+        scored_from_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    extra = spark.createDataFrame([(99991, "12345 !!!", "en", "s", 9)], docs.schema)
+    docs = docs.unionByName(extra)
+    profile = str(tmp_path / "profile")
+    importance_ratio_table(
+        docs, docs.filter(F.col("lang") == "en")
+    ).write.parquet(profile)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    land_file(docs.filter("doc_id % 2 = 0"), "a")
+    land_file(docs.filter("doc_id % 2 = 1"), "b")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    run_streaming_quality(spark, landing, store, ck, profile)
+
+    got = scored_from_store(spark, store)
+    cols = sorted(c for c in got.columns if c != "batch_id")
+    ratios = spark.read.parquet(profile)
+    want = gopher_quality_flags(docs).join(
+        hashed_importance_weights(docs, ratios=ratios).drop("n_tokens"),
+        "doc_id",
+        "left",
+    )
+    g = sorted(map(tuple, got.select(*cols).collect()), key=repr)
+    w = sorted(map(tuple, want.select(*cols).collect()), key=repr)
+    assert g == w and len(g) == 61
+    # the letterless doc landed: flags present, affinity NULL
+    r = got.filter("doc_id = 99991").collect()[0]
+    assert r.passes == 0 and r.affinity_sum is None
+    # replay idempotency
+    n_before = got.count()
+    run_streaming_quality(spark, landing, store, ck, profile)
+    assert scored_from_store(spark, store).count() == n_before

@@ -1,0 +1,69 @@
+"""Streaming quality scoring: the Gopher gate + DSIR affinity over
+micro-batch landings, against a FROZEN profile snapshot.
+
+Both scorers are pure per-document functions — the Gopher flags are a
+codegen projection and the DSIR affinity depends only on the persisted
+256-row ratio snapshot (``textstats.importance_ratio_table``) — so the
+streamed form is EXACT: scoring a document in batch 3 gives the same
+row it would get in one batch pass over the union.  Each micro-batch
+lands its scored rows under ``scored/batch_id=N`` (idempotent
+overwrite per batch_id — the shared landing contract of
+``streaming/index.py``), and serving reads the store, never the
+corpus.
+
+The profile is frozen by contract, exactly like the streaming IVF
+serve's frozen coarse quantizer (``streaming/index.py``): refreshing
+it is a BATCH maintenance job (``textstats.refresh_counts``'s
+lifecycle argument) — re-scoring history under a moved profile is a
+policy decision, not something a landing should do implicitly.
+
+Scale shape per batch: one scan of the batch (the gate rides the
+scan's project), one O(batch) token agg against the broadcast 256-row
+profile, one partition write — nothing corpus-sized anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_streaming_quality(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    profile_path: str,
+) -> None:
+    """availableNow stream over a parquet document landing; each
+    micro-batch lands (doc_id, the seven Gopher flags + passes,
+    n_tokens, affinity_sum, avg_affinity) under ``scored/batch_id=N``.
+    Letterless docs carry NULL affinity columns (nothing to score —
+    the inner-join contract of the batch scorer, surfaced instead of
+    dropped so the gate flags still land)."""
+    from ..operators.textstats import gopher_quality_flags, hashed_importance_weights
+
+    ratios = spark.read.parquet(profile_path)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        flags = gopher_quality_flags(batch_df)
+        aff = hashed_importance_weights(batch_df, ratios=ratios).drop("n_tokens")
+        flags.join(aff, "doc_id", "left").write.mode("overwrite").parquet(
+            f"{store_path}/scored/batch_id={batch_id}"
+        )
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def scored_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """All scored generations — row-equal to one batch pass over the
+    union of the landings (pinned by test; per-doc scorers + frozen
+    profile = exact streaming)."""
+    return spark.read.parquet(f"{store_path}/scored")
