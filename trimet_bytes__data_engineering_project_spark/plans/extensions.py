@@ -7816,3 +7816,59 @@ def x155_importance_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFram
     return hashed_importance_weights(
         docs.filter(F.col("doc_id") >= 250), ratios=snap
     )
+
+
+@query(
+    "x156_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_CTES},
+    pairs AS (SELECT a_id, b_id FROM cands
+              WHERE CAST({_MATCHES} AS DOUBLE) / {MINHASH_K} >= 0.25),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removable
+    FROM sizes GROUP BY 1
+    """,
+)
+def x156_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup PLANNING audit: the duplicate-family size distribution —
+    for each component size, how many families exist and how many
+    documents a keep-one-representative policy would remove
+    ((size−1)·families).  Run BEFORE committing to a dedup pass: the
+    histogram's tail says whether savings come from a few giant
+    boilerplate families (investigate them first — they're often one
+    template) or a long tail of pairs (safe to bulk-drop), and its
+    total is the exact storage/compute savings estimate.  Components
+    via the O(log diameter) hash-min rounds (x34); every aggregate
+    runs over the COMPONENT table (≪ corpus after blocking)."""
+    from ..operators.dedup import minhash_candidates, minhash_estimate
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    sizes = (
+        connected_components(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        ((F.col("cluster_size") - 1) * F.count("*")).cast("long").alias(
+            "docs_removable"
+        ),
+    )
