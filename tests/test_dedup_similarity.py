@@ -1830,3 +1830,49 @@ def test_importance_snapshot_equals_inline(spark):
         hashed_importance_weights(docs)
     with pytest.raises(ValueError):
         hashed_importance_weights(docs, target, ratios=ratios)
+
+
+def test_semantic_dedup_flag_rule(spark):
+    """SemDeDup keep-lowest-id contract on a hand-built corpus: within
+    a cluster, a vector is flagged iff some LOWER-id member reaches
+    tau; the lowest id of a dup family always survives, and a flagged
+    member does NOT immunize later vectors (the rule is pairwise to
+    earlier members, not to survivors only)."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two fixed clusters: ids 1-3 near-parallel (all pairwise cos=1.0
+    # on the first axis), id 4 alone on the second axis
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [2.0, 0.0]),
+            (3, [0.5, 0.0]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "centroid_id long, cvec array<double>"
+    )
+    got = {r.vec_id: r.asDict() for r in semantic_dedup(emb, cents, tau=0.9).collect()}
+    assert got[1]["is_dup"] == 0 and got[1]["max_prior_sim"] == 0.0
+    assert got[2]["is_dup"] == 1 and got[2]["max_prior_sim"] == 1.0
+    assert got[3]["is_dup"] == 1  # flagged even though 2 is itself a dup
+    assert got[4]["is_dup"] == 0 and got[4]["centroid_id"] == 20
+    assert {r["centroid_id"] for k, r in got.items() if k < 4} == {10}
+
+
+def test_semantic_dedup_below_threshold(spark):
+    """Orthogonal members of one cluster never flag each other."""
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.1, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame([(0, [1.0, 1.0])], "centroid_id long, cvec array<double>")
+    rows = semantic_dedup(emb, cents, tau=0.9).collect()
+    assert all(r.is_dup == 0 and r.max_prior_sim == 0.0 for r in rows)

@@ -713,7 +713,10 @@ def bloom_decontaminate(
     the corpus.  At fixture scale the confirm side still broadcasts;
     the two-stage plan is what changes."""
     bits = bloom_bitmap(benchmark, text_col, n, m_bits, k)
-    warr = F.lit(bits)
+    # pin array<bigint>: lit() infers array<int> when every packed word
+    # happens to fit in 32 bits (tiny benchmark sets), and bit_get on an
+    # int rejects positions >= 32
+    warr = F.lit(bits).cast("array<bigint>")
     bench_hashes = (
         benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
         .select(F.md5("g").alias("h"))

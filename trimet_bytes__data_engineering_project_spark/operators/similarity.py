@@ -867,3 +867,95 @@ def mmr_rerank(
         )
         selu = selu.unionByName(step).localCheckpoint(eager=False)
     return selu
+
+
+def assign_to_centroids(
+    emb: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Argmax-cosine assignment of every vector to its nearest centroid —
+    the IVF/k-means assignment step as a standalone operator: broadcast
+    the (tiny) centroid table, then ``max_by`` over a struct ordering
+    key ``(c_cos, -centroid_id)`` — ties broken by ``centroid_id``
+    ascending, the exact order the Lloyd iterations in
+    ``ann_index.kmeans_centroids`` use, so an assignment computed here
+    is bit-identical to the one the trainer would produce.  ``max_by``
+    instead of a rank-1 window because the aggregate is map-side
+    combinable: the n×n_c crossJoin rows fold down to one row per
+    vector BEFORE any exchange, where the window shape would shuffle
+    all n×n_c of them.  Keeps the per-vector norm (``_vn``) in the
+    output so downstream pair joins never re-fold it (the
+    fold-norms-per-vector rule, BENCH_NOTES)."""
+    data = emb.select(
+        "vec_id", as_double_vec(vec_col).alias("v")
+    ).withColumn("_vn", l2_norm(F.col("v")))
+    cents = centroids.withColumn("c_n", l2_norm(F.col("cvec")))
+    scored = data.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos", dot(F.col("v"), F.col("cvec")) / (F.col("_vn") * F.col("c_n"))
+    )
+    return scored.groupBy("vec_id").agg(
+        F.expr(
+            "max_by(centroid_id, struct(c_cos, -centroid_id))"
+        ).alias("centroid_id"),
+        F.any_value(F.col("v")).alias("v"),  # constant per vec_id
+        F.any_value(F.col("_vn")).alias("_vn"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped to k-means clusters.  Every vector is assigned
+    to its nearest centroid; within each cluster a vector is flagged as
+    a semantic duplicate when its cosine to ANY lower-``vec_id`` cluster
+    member reaches ``tau`` (keep-lowest-id — the deterministic stand-in
+    for the paper's keep-farthest-from-centroid rule, which varies with
+    random seeds; the flag rule, not the representative choice, is what
+    the operator contracts).
+
+    Scale shape: the only corpus-sized shuffle is the self-join keyed on
+    ``centroid_id`` — candidate pairs never leave their cluster, so the
+    cost is Σ m_c² over cluster sizes, and the published recipe holds:
+    ``n_centroids`` must scale with the corpus (n/target_cluster_size —
+    the same sizing contract as the LSH plane count, BENCH_NOTES).
+    Norms are folded once per vector BEFORE the join, never per pair.
+
+    Returns one row per vector: ``vec_id, centroid_id, is_dup,
+    max_prior_sim`` (0.0 when no earlier member reaches ``tau`` — MAX
+    over bit-equal pair cosines is order-free, so the column is
+    hash-stable)."""
+    assigned = assign_to_centroids(emb, centroids, vec_col)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), "centroid_id",
+        F.col("v").alias("a_vec"), F.col("_vn").alias("a_n"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), "centroid_id",
+        F.col("v").alias("b_vec"), F.col("_vn").alias("b_n"),
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cs",
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_n") * F.col("b_n")),
+        )
+        .filter(F.col("cs") >= F.lit(float(tau)))
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.max("cs").alias("max_prior_sim"))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.when(F.col("max_prior_sim").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+            F.coalesce(F.col("max_prior_sim"), F.lit(0.0)).alias("max_prior_sim"),
+        )
+    )

@@ -1032,20 +1032,13 @@ def x26_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "view_id")
 
 
-def _build_kmeans_ivf_oracle(n_centroids: int = 16, n_iter: int = 3, k: int = 5) -> str:
-    """The ENTIRE trained-IVF lifecycle as one DuckDB statement — the
-    hard correctness signal x27 lacked for three rounds.  k-means is
-    iterative but its iteration count is FIXED (3), so the loop unrolls
-    into chained CTEs: 15 farthest-first seed-selection steps, then
-    per-iteration (argmax-cosine assignment -> two-level deterministic
-    fold mean), then the final assignment (what ``write_ivf_index``
-    persists) and the probe-1 top-k.  Bit parity holds because every
-    float op mirrors the Spark side exactly: cosines are the
-    ``_cos_sql`` sequential fold (the shape x21 proved hash-green) and
-    the Lloyd mean is the same two-level vec_id-then-chunk-ordered fold
-    ``ann_index.kmeans_centroids`` switched to in round 4 — the old
-    ``posexplode -> avg`` update had engine-dependent partial-agg order,
-    which is exactly why no oracle was possible before."""
+def _kmeans_fasg_parts(n_centroids: int = 16, n_iter: int = 3) -> list[str]:
+    """The k-means lifecycle as chained-CTE parts ending at ``fasg``
+    (the converged assignment): farthest-first seeds, ``n_iter``
+    unrolled Lloyd iterations with the two-level deterministic fold
+    mean, final argmax-cosine assignment.  Shared by the x27 IVF-probe
+    oracle and the x157 SemDeDup oracle — the caller supplies the
+    ``e`` CTE (vec_id, v) and the final SELECT."""
 
     def fold_vec(lst: str) -> str:
         return (
@@ -1099,6 +1092,25 @@ def _build_kmeans_ivf_oracle(n_centroids: int = 16, n_iter: int = 3, k: int = 5)
         f"FROM e CROSS JOIN cents{n_iter} c)"
     )
     parts.append("fasg AS MATERIALIZED (SELECT vec_id, v, centroid_id FROM fasgA WHERE rn = 1)")
+    return parts
+
+
+def _build_kmeans_ivf_oracle(n_centroids: int = 16, n_iter: int = 3, k: int = 5) -> str:
+    """The ENTIRE trained-IVF lifecycle as one DuckDB statement — the
+    hard correctness signal x27 lacked for three rounds.  k-means is
+    iterative but its iteration count is FIXED (3), so the loop unrolls
+    into chained CTEs (``_kmeans_fasg_parts``): 15 farthest-first
+    seed-selection steps, then per-iteration (argmax-cosine assignment
+    -> two-level deterministic fold mean), then the final assignment
+    (what ``write_ivf_index`` persists) and the probe-1 top-k.  Bit
+    parity holds because every float op mirrors the Spark side exactly:
+    cosines are the ``_cos_sql`` sequential fold (the shape x21 proved
+    hash-green) and the Lloyd mean is the same two-level
+    vec_id-then-chunk-ordered fold ``ann_index.kmeans_centroids``
+    switched to in round 4 — the old ``posexplode -> avg`` update had
+    engine-dependent partial-agg order, which is exactly why no oracle
+    was possible before."""
+    parts = _kmeans_fasg_parts(n_centroids, n_iter)
     parts.append(
         f"qc AS MATERIALIZED (SELECT centroid_id FROM cents{n_iter} "
         f"ORDER BY {_cos_sql('cvec', '(SELECT qv FROM q)')} DESC, centroid_id LIMIT 1)"
@@ -7872,3 +7884,54 @@ def x156_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_removable"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-5 tier: SemDeDup, classifier training, packing, PII, curves
+# ---------------------------------------------------------------------------
+
+
+def _build_semdedup_oracle(tau: float, n_centroids: int = 16, n_iter: int = 3) -> str:
+    """SemDeDup's full lifecycle in one DuckDB statement: the shared
+    k-means chain (``_kmeans_fasg_parts`` — identical CTEs to the x27
+    oracle) down to the converged assignment, then within-cluster
+    lower-id pairs, the same sequential-fold cosine, and the
+    keep-lowest-id dup flag.  MAX over bit-equal pair cosines is
+    order-free, so ``max_prior_sim`` hash-compares exactly."""
+    parts = _kmeans_fasg_parts(n_centroids, n_iter)
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),\n"
+        f"{ctes},\n"
+        f"prs AS (SELECT b.vec_id AS vec_id, {_cos_sql('a.v', 'b.v')} AS cs\n"
+        f"        FROM fasg a JOIN fasg b ON a.centroid_id = b.centroid_id\n"
+        f"                               AND a.vec_id < b.vec_id),\n"
+        f"dups AS (SELECT vec_id, max(cs) AS max_prior_sim FROM prs\n"
+        f"         WHERE cs >= {tau!r} GROUP BY 1)\n"
+        f"SELECT f.vec_id, f.centroid_id,\n"
+        f"       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,\n"
+        f"       COALESCE(d.max_prior_sim, 0.0) AS max_prior_sim\n"
+        f"FROM fasg f LEFT JOIN dups d ON d.vec_id = f.vec_id"
+    )
+
+
+@query("x157_semdedup", oracle=_build_semdedup_oracle(tau=0.35))
+def x157_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space dedup scoped to
+    k-means clusters — the semantic rung of the dedup ladder (exact
+    x01 → MinHash x06 → SimHash x09 → embedding-LSH x13 → semantic
+    x157: catches paraphrases that share no shingles at all).  The
+    quantizer is the SAME trained k-means as x27's IVF (farthest-first
+    + 3 Lloyd rounds), so one training pass serves both the ANN index
+    and the dedup pass; candidate pairs never cross clusters, keeping
+    the pair count Σ m_c² with ``n_centroids`` sized to the corpus
+    (the LSH plane-count rule applied to centroid count).  Oracle runs
+    the entire lifecycle — seeds, 3 Lloyd rounds, assignment, pair
+    scan, flags — as one chained-CTE statement
+    (operators/similarity.py:semantic_dedup)."""
+    from ..operators.ann_index import kmeans_centroids
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=16, n_iter=3)
+    return semantic_dedup(emb, cents, tau=0.35)
