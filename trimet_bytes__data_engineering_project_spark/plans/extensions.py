@@ -7935,3 +7935,63 @@ def x157_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, n_centroids=16, n_iter=3)
     return semantic_dedup(emb, cents, tau=0.35)
+
+
+def _build_perceptron_oracle(n_epochs: int = 3, hex_digits: int = 2) -> str:
+    """The whole training run as one DuckDB statement: the epoch loop
+    is FIXED-length, so it unrolls into chained CTEs (the x27 k-means
+    precedent applied to a classifier) — per epoch one margin
+    aggregation against the previous weight table, one summed update
+    over the misclassified set, one weight refresh over the full
+    bucket grid.  All integer arithmetic; DuckDB's HUGEINT sums cast
+    back to BIGINT at every checked boundary."""
+    n_buckets = 16**hex_digits
+    parts = [
+        f"""tok AS (SELECT doc_id, {_hex_ladder('t', hex_digits)} AS b FROM (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+      FROM documents))""",
+        "tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2)",
+        "lab AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y FROM documents)",
+        "tfl AS MATERIALIZED (SELECT tf.doc_id, tf.b, tf.c, lab.y FROM tf JOIN lab USING (doc_id))",
+        f"grid AS (SELECT CAST(unnest(range(0, {n_buckets})) AS BIGINT) AS b)",
+        "w0 AS (SELECT b, CAST(0 AS BIGINT) AS w FROM grid)",
+    ]
+    for e in range(1, n_epochs + 1):
+        parts.append(
+            f"m{e} AS (SELECT doc_id, y, CAST(SUM(c * w) AS BIGINT) AS margin "
+            f"FROM tfl JOIN w{e - 1} USING (b) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"u{e} AS (SELECT b, CAST(SUM(y * c) AS BIGINT) AS du FROM tfl "
+            f"WHERE doc_id IN (SELECT doc_id FROM m{e} WHERE y * margin <= 0) "
+            f"GROUP BY 1)"
+        )
+        parts.append(
+            f"w{e} AS MATERIALIZED (SELECT p.b, p.w + COALESCE(u.du, CAST(0 AS BIGINT)) AS w "
+            f"FROM w{e - 1} p LEFT JOIN u{e} u ON u.b = p.b)"
+        )
+    sel = ", ".join(f"w{e}.w AS w{e}" for e in range(1, n_epochs + 1))
+    joins = " ".join(
+        f"JOIN w{e} ON w{e}.b = w1.b" for e in range(2, n_epochs + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT w1.b, {sel} FROM w1 {joins}"
+    )
+
+
+@query("x158_perceptron_train", oracle=_build_perceptron_oracle())
+def x158_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING at corpus scale — the batch
+    perceptron over hashed-unigram features (fasttext's model shape,
+    DSIR's bounded feature space), with ``lang = 'en'`` as the +1
+    class (the same target convention as x143's importance weights).
+    Three epochs, learning rate 1, integer-exact; the result is the
+    full weight trajectory (w1..w3 per bucket), so the oracle checks
+    every epoch's update, not just the converged vector.  Each epoch
+    costs two corpus aggregations; the driver round-trip is the
+    256-row weight table (the Lloyd-sync contract)
+    (operators/classifier.py:perceptron_train)."""
+    from ..operators.classifier import perceptron_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perceptron_train(docs, positive=F.col("lang") == "en")
