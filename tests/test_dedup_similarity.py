@@ -1876,3 +1876,36 @@ def test_semantic_dedup_below_threshold(spark):
     cents = spark.createDataFrame([(0, [1.0, 1.0])], "centroid_id long, cvec array<double>")
     rows = semantic_dedup(emb, cents, tau=0.9).collect()
     assert all(r.is_dup == 0 and r.max_prior_sim == 0.0 for r in rows)
+
+
+def test_pii_scan_counts_and_cascade(spark):
+    """Pattern semantics + cascade order: an email is consumed before
+    its digits could register as a digit run; counts come from the raw
+    text; redaction replaces ALL occurrences."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        pii_scan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a9@x.io and b@y.co.uk here"),
+            (2, "host 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call 12345678 or 999 short"),
+            (4, "user1234567@ex.com"),  # 7-digit run INSIDE an email
+            (5, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in pii_scan(docs).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 0
+    assert got[2]["n_ipv4"] == 2 and got[2]["n_email"] == 0
+    assert got[3]["n_digitrun"] == 1  # 999 is below the 7-digit floor
+    # digits embedded in a word ('user1234567') have no \b boundary, so
+    # the raw-side digit-run count is 0; the cascade still redacts the
+    # whole address as <EMAIL>
+    assert got[4]["n_email"] == 1 and got[4]["n_digitrun"] == 0
+    import hashlib
+
+    assert got[4]["redacted_md5"] == hashlib.md5(b"<EMAIL>").hexdigest()
+    assert got[5]["chars_delta"] == 0
+    assert got[2]["redacted_len"] == len("host <IPV4> and <IPV4> up")

@@ -621,3 +621,31 @@ def test_streaming_quality_scores_equal_batch(spark, tmp_path):
     n_before = got.count()
     run_streaming_quality(spark, landing, store, ck, profile)
     assert scored_from_store(spark, store).count() == n_before
+
+
+def test_concat_chunk_spans_matches_naive_prefix_sum(spark):
+    """Two-level distributed prefix sum == the naive global cumsum,
+    including sparse non-contiguous ids straddling bucket boundaries,
+    and chunk spans follow exactly."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        concat_chunk_spans,
+    )
+
+    rows = [(1, 3), (2, 10), (7, 1), (9, 12), (104, 5), (300, 7), (301, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: r.asDict()
+        for r in concat_chunk_spans(
+            df, "doc_id", "n_tok", context_len=8, bucket_size=100
+        ).collect()
+    }
+    off = 0
+    for did, n in rows:  # rows already in doc_id order
+        g = got[did]
+        assert g["start_off"] == off, (did, g)
+        assert g["first_chunk"] == off // 8
+        assert g["last_chunk"] == (off + n - 1) // 8
+        assert g["n_chunks"] == g["last_chunk"] - g["first_chunk"] + 1
+        assert g["crosses"] == int(g["n_chunks"] > 1)
+        off += n
+    assert len(got) == len(rows)

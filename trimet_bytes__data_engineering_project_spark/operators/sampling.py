@@ -816,3 +816,74 @@ def grouped_histogram_quantiles(
             / F.col("cnt").cast("double")
         ).alias("est"),
     )
+
+
+def concat_chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    context_len: int,
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk fragmentation audit: GPT-style packing
+    concatenates the corpus in a fixed document order and cuts every
+    ``context_len`` tokens — unlike :func:`pack_sequences` (shard-local
+    budgets) the offsets here are GLOBAL, so a document's chunk span
+    is exact across the whole corpus: which training windows it lands
+    in, and whether it is split across a window boundary (the
+    fragmentation a context-window data loader actually inflicts).
+
+    The global running offset is a two-level distributed prefix sum —
+    the textbook scan algorithm as DataFrame ops, never a global
+    single-partition window:
+
+      1. within-bucket cumsum: window partitioned by
+         ``bucket = id div bucket_size`` (parallel across buckets);
+      2. bucket offsets: the per-bucket totals (corpus/bucket_size
+         rows) get their own cumulative window — a table this small is
+         one partition by construction; were the corpus so large that
+         even IT overflows a partition, the same split applies again
+         (the scan recursion) — then broadcast back.
+
+    Returns one row per document: ``start_off`` (global token offset),
+    ``first_chunk``/``last_chunk`` (= ``start div C`` / ``(start+n-1)
+    div C``), ``n_chunks`` spanned and the ``crosses`` flag.  All
+    integers; exact for corpus token totals < 2^63."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(tokens_col).cast("long").alias("_n")
+    ).withColumn("_bkt", (F.col("_id") / F.lit(bucket_size)).cast("long"))
+    win = (
+        Window.partitionBy("_bkt")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_cum", F.sum("_n").over(win))
+    totals = base.groupBy("_bkt").agg(F.sum("_n").alias("_bt"))
+    woff = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.withColumn(
+        "_boff", (F.sum("_bt").over(woff) - F.col("_bt")).cast("long")
+    ).select("_bkt", "_boff")
+    c = F.lit(int(context_len))
+    out = (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn("start_off", (F.col("_boff") + F.col("_cum") - F.col("_n")))
+        .withColumn("first_chunk", F.floor(F.col("start_off") / c).cast("long"))
+        .withColumn(
+            "last_chunk",
+            F.floor((F.col("start_off") + F.col("_n") - F.lit(1)) / c).cast("long"),
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").alias("n_tok"),
+        F.col("start_off").cast("long"),
+        "first_chunk",
+        "last_chunk",
+        (F.col("last_chunk") - F.col("first_chunk") + F.lit(1)).cast("long").alias("n_chunks"),
+        F.when(F.col("last_chunk") > F.col("first_chunk"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("crosses"),
+    )

@@ -200,6 +200,12 @@ _PII_PATTERNS: dict[str, str] = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "URL": r"https?://[^\s]+",
     "PHONE": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    # round-7 additions (RefinedWeb's extra redaction classes); dict
+    # order IS the cascade order — EMAIL consumes an address before
+    # DIGITRUN could see its local part, PHONE before DIGITRUN so a
+    # hyphenated number never half-matches
+    "IPV4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "DIGITRUN": r"\b[0-9]{7,}\b",  # account/SSN/raw-phone shaped
 }
 
 
@@ -223,6 +229,33 @@ def pii_counts(text: Column) -> list[Column]:
         F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0))).alias(f"n_{t.lower()}")
         for t, p in _PII_PATTERNS.items()
     ]
+
+
+def pii_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scan + redaction audit — the pre-training hygiene pass every
+    published pipeline runs before releasing text.  Per document: match
+    counts per class (measured on the RAW text), the redacted text's
+    md5 (a portable content fingerprint — never the text itself, so
+    the audit table is safe to ship), its length and the char delta.
+
+    All matching is native ``regexp_extract_all`` / ``regexp_replace``
+    inside the scan's codegen — one pass, no UDF, no shuffle until
+    whatever aggregation the caller adds: the textbook embarrassingly
+    parallel map at 100 TB.  Patterns are the RE2∩Java-portable set in
+    ``_PII_PATTERNS``; the cascade order is part of the contract (see
+    the dict's comment)."""
+    text = F.col(text_col)
+    red = redact_pii(text)
+    return df.select(
+        F.col(id_col),
+        *[c.cast("long").alias(n) for c, n in zip(pii_counts(text),
+                                                  [f"n_{t.lower()}" for t in _PII_PATTERNS])],
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+        (F.length(red) - F.length(text)).cast("long").alias("chars_delta"),
+    )
 
 
 # Hashed linear model (fasttext-style) — dimensions of the feature space
@@ -2101,3 +2134,4 @@ def dup_ngram_stats(
         (5 * F.col("t_top") <= F.col("t_total")).cast("int").alias("r_top"),
         (20 * F.col("d_dup") <= 3 * F.col("d_total")).cast("int").alias("r_dup"),
     )
+

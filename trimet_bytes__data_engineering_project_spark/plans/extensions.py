@@ -7995,3 +7995,122 @@ def x158_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return perceptron_train(docs, positive=F.col("lang") == "en")
+
+
+@query(
+    "x159_concat_chunk_spans",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents),
+    s AS (SELECT doc_id, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_off
+          FROM n)
+    SELECT doc_id, n_tok, start_off,
+           CAST(start_off // 64 AS BIGINT) AS first_chunk,
+           CAST((start_off + n_tok - 1) // 64 AS BIGINT) AS last_chunk,
+           CAST((start_off + n_tok - 1) // 64 - start_off // 64 + 1 AS BIGINT) AS n_chunks,
+           CAST(CASE WHEN (start_off + n_tok - 1) // 64 > start_off // 64
+                THEN 1 ELSE 0 END AS INT) AS crosses
+    FROM s
+    """,
+)
+def x159_concat_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing audit: exact GLOBAL token
+    offsets (two-level distributed prefix sum — never a global
+    single-partition window; the oracle's one-window form is the
+    semantic spec, the Spark plan is the scale-correct scan algorithm)
+    and each document's context-window span at C=64 — which training
+    windows contain it and whether the loader fragments it across a
+    boundary.  The aggregate crossing fraction is the knob behind
+    "should we pack with document masking or pad" decisions
+    (operators/sampling.py:concat_chunk_spans)."""
+    from ..operators.sampling import concat_chunk_spans
+    from ..operators.textstats import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    withn = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tok")
+    )
+    return concat_chunk_spans(withn, "doc_id", "n_tok", context_len=64)
+
+
+_PII_AUG_SQL = """text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' 202655' || CAST(doc_id AS VARCHAR) ELSE '' END"""
+
+
+_PII_ORACLE_PATS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IPV4>"),
+    ("digitrun", r"\b[0-9]{7,}\b", "<DIGITRUN>"),
+]
+
+
+def _pii_redact_sql(expr: str) -> str:
+    for _, pat, tag in _PII_ORACLE_PATS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    return expr
+
+
+_PII_COUNT_COLS = ",\n           ".join(
+    f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat, _ in _PII_ORACLE_PATS
+)
+
+
+@query(
+    "x160_pii_scan",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+    red AS (SELECT doc_id, t, {_pii_redact_sql('t')} AS r FROM aug)
+    SELECT doc_id,
+           {_PII_COUNT_COLS},
+           md5(r) AS redacted_md5,
+           CAST(length(r) AS BIGINT) AS redacted_len,
+           CAST(length(r) - length(t) AS BIGINT) AS chars_delta
+    FROM red
+    """,
+)
+def x160_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over the corpus.  The synthetic documents
+    carry no natural PII, so the fixture PLANTS deterministic markers
+    (an email on every 3rd doc, an IPv4 on every 5th, a long digit run
+    on every 7th — the identical concat expression on both engines)
+    and the scanner runs on the augmented text; at scale the operator
+    runs on raw text unchanged.  Counts are measured on the raw side,
+    the redaction cascade (email → IP → digit run) on the output side,
+    and only the redacted md5 leaves the engine — the no-PII-in-the-
+    output contract (operators/textstats.py:pii_scan)."""
+    from ..operators.textstats import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" user"), did.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" 10.0."), (did % 256).cast("string"), F.lit(".1")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0, F.concat(F.lit(" 202655"), did.cast("string"))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(aug)
