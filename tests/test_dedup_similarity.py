@@ -1909,3 +1909,30 @@ def test_pii_scan_counts_and_cascade(spark):
     assert got[4]["redacted_md5"] == hashlib.md5(b"<EMAIL>").hexdigest()
     assert got[5]["chars_delta"] == 0
     assert got[2]["redacted_len"] == len("host <IPV4> and <IPV4> up")
+
+
+def test_vocab_growth_buckets(spark):
+    """Hand-built Heaps curve: doubling doc-id buckets, each type
+    charged to its FIRST doc's bucket, cumulative counts exact."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        vocab_growth_curve,
+    )
+
+    # bucket(id) = floor(log2(id+1)): 0->0, 1->1, 2->1, 3->2, 7->3
+    docs = spark.createDataFrame(
+        [
+            (0, "a b"),          # bucket 0: types a,b
+            (1, "a c"),          # bucket 1: new type c
+            (2, "b c d"),        # bucket 1: new type d
+            (3, "a a e"),        # bucket 2: new type e
+            (7, "a b c d e"),    # bucket 3: nothing new
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.bucket: r.asDict() for r in vocab_growth_curve(docs).collect()}
+    assert got[0]["n_new_types"] == 2 and got[0]["n_tokens"] == 2
+    assert got[1]["n_new_types"] == 2 and got[1]["n_tokens"] == 5
+    assert got[2]["n_new_types"] == 1 and got[2]["n_tokens"] == 3
+    assert got[3]["n_new_types"] == 0 and got[3]["n_tokens"] == 5
+    assert got[3]["cum_types"] == 5 and got[3]["cum_tokens"] == 15
+    assert [got[b]["cum_types"] for b in (0, 1, 2, 3)] == [2, 4, 5, 5]

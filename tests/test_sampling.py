@@ -649,3 +649,59 @@ def test_concat_chunk_spans_matches_naive_prefix_sum(spark):
         assert g["crosses"] == int(g["n_chunks"] > 1)
         off += n
     assert len(got) == len(rows)
+
+
+def test_streaming_pii_scrub_equals_batch(spark, tmp_path):
+    """Two streamed landings scrubbed per micro-batch are row-equal to
+    one batch pii_scan + redaction over the union (pure per-doc
+    projection = exact streaming); replay on the same checkpoint is a
+    no-op; no raw match string survives into the store."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        pii_scan,
+        redact_pii,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.quality import (
+        run_streaming_pii_scrub,
+        scrubbed_from_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    extra = spark.createDataFrame(
+        [(99991, "mail bob@evil.example and 192.168.7.9 now", "en", "s", 41)],
+        docs.schema,
+    )
+    docs = docs.unionByName(extra)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    land_file(docs.filter("doc_id % 2 = 0"), "a")
+    land_file(docs.filter("doc_id % 2 = 1"), "b")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    run_streaming_pii_scrub(spark, landing, store, ck)
+
+    got = scrubbed_from_store(spark, store)
+    cols = sorted(c for c in got.columns if c != "batch_id")
+    want = docs.select(
+        "doc_id", redact_pii(F.col("text")).alias("clean_text")
+    ).join(pii_scan(docs), "doc_id")
+    g = sorted(map(tuple, got.select(*cols).collect()), key=repr)
+    w = sorted(map(tuple, want.select(*cols).collect()), key=repr)
+    assert g == w and len(g) == 41
+    r = got.filter("doc_id = 99991").collect()[0]
+    assert r.n_email == 1 and r.n_ipv4 == 1
+    assert "bob@evil.example" not in r.clean_text and "192.168.7.9" not in r.clean_text
+    assert "<EMAIL>" in r.clean_text and "<IPV4>" in r.clean_text
+    n_before = got.count()
+    run_streaming_pii_scrub(spark, landing, store, ck)
+    assert scrubbed_from_store(spark, store).count() == n_before

@@ -2135,3 +2135,62 @@ def dup_ngram_stats(
         (20 * F.col("d_dup") <= 3 * F.col("d_total")).cast("int").alias("r_dup"),
     )
 
+
+
+def _log2_bucket(col: Column) -> Column:
+    """floor(log2(v+1)) as pure integer/string ops — length of the
+    binary expansion minus one (``conv`` base-2 ↔ DuckDB ``bin``), so
+    the bucket id is engine-exact with no libm in sight."""
+    return (
+        F.length(F.conv((col + F.lit(1)).cast("string"), 10, 2)) - F.lit(1)
+    ).cast("long")
+
+
+def vocab_growth_curve(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law vocabulary growth audit — will MORE data keep buying
+    new vocabulary, or has the type inventory saturated?  The planning
+    twin of x87's coverage question (that one sizes a tokenizer for the
+    corpus you have; this one says what the next decade of corpus does
+    to it).
+
+    Doc-id prefixes double per bucket (``bucket = floor(log2(id+1))``),
+    and every distinct term is charged to the bucket of its FIRST
+    document: ``cum_types`` at bucket b is then exactly the vocabulary
+    of the prefix ``id < 2^{b+1}-1``, and (cum_tokens, cum_types) are
+    points on the Heaps curve V = K·N^β — computed without ever
+    scanning prefixes repeatedly.  One explode feeds two aggregations:
+    per-term min-id (the only vocabulary-sized table, grouped on the
+    term key) and per-bucket token totals (map-side combined); the
+    cumulative windows run over the ≤64-row bucket table.  All
+    integers; the log2 bucket is a binary-string length, not a float
+    log."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+            )
+        ).alias("t"),
+    )
+    first = toks.groupBy("t").agg(F.min("_id").alias("fd"))
+    types_b = first.groupBy(_log2_bucket(F.col("fd")).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_new_types")
+    )
+    toks_b = toks.groupBy(_log2_bucket(F.col("_id")).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    j = toks_b.join(types_b, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("n_new_types"), F.lit(0)).cast("long").alias("n_new_types"),
+        "n_tokens",
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        "bucket",
+        "n_new_types",
+        F.sum("n_new_types").over(w).cast("long").alias("cum_types"),
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    )

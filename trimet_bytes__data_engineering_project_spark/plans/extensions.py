@@ -8114,3 +8114,39 @@ def x160_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scan(aug)
+
+
+@query(
+    "x161_vocab_growth",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+                 FROM documents),
+    ft AS (SELECT t, CAST(min(doc_id) AS BIGINT) AS fd FROM tok GROUP BY 1),
+    tb AS (SELECT CAST(length(bin(fd + 1)) - 1 AS BIGINT) AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_new_types
+           FROM ft GROUP BY 1),
+    db AS (SELECT CAST(length(bin(doc_id + 1)) - 1 AS BIGINT) AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_tokens
+           FROM tok GROUP BY 1),
+    j AS (SELECT db.bucket,
+                 COALESCE(tb.n_new_types, CAST(0 AS BIGINT)) AS n_new_types,
+                 db.n_tokens
+          FROM db LEFT JOIN tb ON tb.bucket = db.bucket)
+    SELECT bucket, n_new_types,
+           CAST(SUM(n_new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types,
+           n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+    FROM j
+    """,
+)
+def x161_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: doc-id prefixes that double
+    per bucket, each distinct term charged to the bucket of its first
+    document — (cum_tokens, cum_types) are exact Heaps points V=K·N^β
+    from ONE corpus pass (no repeated prefix scans).  The tokenizer-
+    budget planning audit x87 sizes against today's corpus; this one
+    projects tomorrow's (operators/textstats.py:vocab_growth_curve)."""
+    from ..operators.textstats import vocab_growth_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth_curve(docs)

@@ -67,3 +67,47 @@ def scored_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     union of the landings (pinned by test; per-doc scorers + frozen
     profile = exact streaming)."""
     return spark.read.parquet(f"{store_path}/scored")
+
+
+def run_streaming_pii_scrub(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming PII scrub: each micro-batch lands the REDACTED text
+    (``redact_pii`` cascade) plus the per-doc audit row
+    (``pii_scan`` counts / redacted md5 / char delta) under
+    ``scrubbed/batch_id=N`` — idempotent overwrite per batch_id, the
+    shared landing contract.  Redaction is a pure per-document
+    projection, so the streamed store is EXACT: row-for-row what one
+    batch pass over the union would produce (pinned by test).  This is
+    the hygiene pass positioned where it belongs at 100 TB — on the
+    ingest stream, so raw PII never lands in the lake at all."""
+    from ..operators.textstats import pii_scan, redact_pii
+    from pyspark.sql import functions as F
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        audit = pii_scan(batch_df)
+        out = batch_df.select(
+            "doc_id", redact_pii(F.col("text")).alias("clean_text")
+        ).join(audit, "doc_id")
+        out.write.mode("overwrite").parquet(
+            f"{store_path}/scrubbed/batch_id={batch_id}"
+        )
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def scrubbed_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The scrubbed corpus + audit — the only text downstream consumers
+    ever see."""
+    return spark.read.parquet(f"{store_path}/scrubbed")
