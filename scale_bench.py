@@ -1736,6 +1736,234 @@ HEAVY = [
 ]
 
 
+
+# --- round-7 session-5 entries ---------------------------------------------
+
+
+def _x144_label_prop(spark, d):
+    # label spreading over the FULL near-dup graph (no id cap): pair
+    # generation is the cc_distributed band; each round adds one
+    # id-keyed join + one (node, label) agg + an argmax window over the
+    # VOTE table (<< corpus) — expect the LSH-pair band.
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_estimate,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        propagate_labels,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    seeds = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("node_id"),
+        (F.col("doc_id") % 7).cast("int").alias("label"),
+    )
+    return propagate_labels(edges, seeds, iters=2).agg(
+        F.count("*").alias("n"), F.sum("label").alias("s")
+    )
+
+
+def _x145_ccnet(spark, d):
+    # full-corpus surprisal scorer + one per-lang rank window; the
+    # window shuffles by lang (few keys) but sorting is distributed —
+    # expect the x51_unigram_full band (the snapshot-mode contrast is
+    # x86's row).
+    return QUERIES["x145_ccnet_buckets"](spark, d).groupBy("lang", "bucket").count()
+
+
+def _x151_cluster_split(spark, d):
+    # cluster-aware split at full scale: components over the banded
+    # pair graph (cc band) + coalesce(component, id) hash split + the
+    # 9-cell leakage matrix — everything after the pair graph is an
+    # id-keyed join and a tiny agg.
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_estimate,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        connected_components,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs)
+    keyed = docs.join(
+        comp.select(F.col("node").alias("doc_id"), "cluster_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("skey")
+    )
+    sp = train_val_test_split(keyed, "skey").select("doc_id", "split")
+    a = sp.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb"))
+    return pairs.join(a, "a_id").join(b, "b_id").groupBy("sa", "sb").count()
+
+
+def _x154_dup_ngram(spark, d):
+    # the Gopher repetition rules over the full corpus: two (doc, gram)
+    # hash aggs (2- and 5-gram char masses) — the heaviest pure-text
+    # stats row; expect the explode-band (x32/x40 class).
+    return QUERIES["x154_dup_ngram_stats"](spark, d).agg(
+        F.count("*").alias("n"),
+        F.sum("r_top").alias("rt"),
+        F.sum("r_dup").alias("rd"),
+    )
+
+
+def _x155_dsir_snapshot(spark, d):
+    # DSIR snapshot-probe lifecycle: the 256-row ratio profile is
+    # prebuilt once per scale dir (ensure_index marker, _x49 protocol);
+    # the timed work is the 10% batch's token agg against the broadcast
+    # grid — expect the x85/x86 snapshot band (near-flat in the corpus,
+    # linear in the batch).
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        hashed_importance_weights,
+        importance_ratio_table,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    base = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    path = os.path.join(_SCALE_ROOT, "dsir_snapshot", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: importance_ratio_table(base, base.filter(F.col("lang") == "en"))
+        .write.mode("overwrite")
+        .parquet(path),
+        path,
+    )
+    out = hashed_importance_weights(batch, ratios=spark.read.parquet(path))
+    return out.agg(F.count("*").alias("n"), F.sum("affinity_sum").alias("a"))
+
+
+def _x157_semdedup(spark, d):
+    # SemDeDup pass with the compute-optimal centroid count: total fold
+    # work n·c + Σm²/2 ≈ n·c + n²/(2c) is minimized at c = √(n/2), so
+    # the centroid count grows with √corpus (the LSH plane-count rule's
+    # square-root sibling).  Centroids are the deterministic
+    # first-c-by-id table: this row measures the DEDUP pass (assignment
+    # + within-cluster pairs); quantizer TRAINING cost is x27's row.
+    import math
+
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_c = max(16, math.isqrt(n // 2))
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_c)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double_vec("embedding").alias("cvec"),
+        )
+    )
+    return semantic_dedup(emb, cents, tau=0.35).agg(
+        F.count("*").alias("n"), F.sum("is_dup").alias("dups")
+    )
+
+
+def _x158_perceptron(spark, d):
+    # classifier training: the tf table builds once (checkpointed);
+    # each of the 3 epochs is one broadcast-weights margin agg + one
+    # bucket-sum update — expect ~linear in corpus tokens.
+    from trimet_bytes__data_engineering_project_spark.operators.classifier import (
+        perceptron_train,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return perceptron_train(docs, F.col("lang") == "en").agg(
+        F.count("*").alias("n"), F.sum("w3").alias("s")
+    )
+
+
+def _x159_chunk_spans(spark, d):
+    # two-level prefix sum: a per-bucket window + a bucket-table window
+    # + one broadcast join — expect near-flat (the x139/x148 class; the
+    # only corpus-sized exchange is the bucket partition shuffle).
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        concat_chunk_spans,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        token_count_col,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    withn = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tok")
+    )
+    out = concat_chunk_spans(withn, "doc_id", "n_tok", context_len=64)
+    return out.agg(
+        F.count("*").alias("n"),
+        F.sum("crosses").alias("x"),
+        F.max("last_chunk").alias("m"),
+    )
+
+
+def _x160_pii(spark, d):
+    # five regexp_extract_all + five regexp_replace per doc, all in the
+    # scan's project: the row measures raw regex-engine throughput —
+    # expect near-flat-to-linear with zero shuffle beyond the one agg.
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        pii_scan,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return pii_scan(docs).agg(
+        F.count("*").alias("n"),
+        F.sum("n_email").alias("e"),
+        F.sum("chars_delta").alias("dl"),
+    )
+
+
+def _x161_vocab_growth(spark, d):
+    # one explode feeding a term-keyed min-agg (the only
+    # vocabulary-sized table) and a bucket-keyed count — the md5
+    # replica text makes the type table grow ~linearly, so this is the
+    # worst case for the min-agg; expect the x40 explode band.
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        vocab_growth_curve,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return vocab_growth_curve(docs)
+
+
+HEAVY += [
+    ("x144_label_prop_full", _x144_label_prop),
+    ("x145_ccnet_terciles_full", _x145_ccnet),
+    ("x151_cluster_split_full", _x151_cluster_split),
+    ("x154_dup_ngram_full", _x154_dup_ngram),
+    ("x155_dsir_snapshot_10pct", _x155_dsir_snapshot),
+    ("x157_semdedup_full", _x157_semdedup),
+    ("x158_perceptron_full", _x158_perceptron),
+    ("x159_chunk_spans_full", _x159_chunk_spans),
+    ("x160_pii_scan_full", _x160_pii),
+    ("x161_vocab_growth_full", _x161_vocab_growth),
+]
+
+
 def _union_all(frames):
     return reduce(lambda a, b: a.unionByName(b), frames)
 

@@ -87,3 +87,73 @@ def test_zero_token_docs_are_inert(spark):
     wa = {(r.b, r.w3) for r in perceptron_train(base, F.col("lang") == "en").collect()}
     wb = {(r.b, r.w3) for r in perceptron_train(noisy, F.col("lang") == "en").collect()}
     assert wa == wb
+
+
+def test_streaming_perceptron_continues_batch_training(spark, tmp_path):
+    """Two landings processed as successive micro-batches equal the
+    sequential batch twin: one epoch on A from zeros, then one epoch on
+    B warm-started from A's weights.  Replay on the same checkpoint is
+    a no-op; latest_weights serves the newest generation."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.streaming.classifier import (
+        latest_weights,
+        run_streaming_perceptron,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    # sequential landings => two distinct micro-batches with a
+    # deterministic order (the restart-continuation contract)
+    land_file(a, "a")
+    run_streaming_perceptron(spark, landing, store, ck)
+    land_file(b, "b")
+    run_streaming_perceptron(spark, landing, store, ck)
+
+    wa = perceptron_train(a, F.col("lang") == "en", n_epochs=1)
+    init = [0] * 256
+    for r in wa.collect():
+        init[int(r.b)] = int(r.w1)
+    wb = perceptron_train(b, F.col("lang") == "en", n_epochs=1, init_weights=init)
+    want = {int(r.b): int(r.w1) for r in wb.collect()}
+
+    got = {int(r.b): int(r.w) for r in latest_weights(spark, store).collect()}
+    assert got == want
+    gens = sorted(os.listdir(f"{store}/weights"))
+    assert len([g for g in gens if g.startswith("batch_id=")]) == 2
+    # replay: no new generations, same weights
+    run_streaming_perceptron(spark, landing, store, ck)
+    assert {int(r.b): int(r.w) for r in latest_weights(spark, store).collect()} == want
+
+
+def test_perceptron_warm_start_continues(spark):
+    """n_epochs=2 from zeros == epoch 1 from zeros, then epoch 1
+    warm-started from its weights (the continued-training identity the
+    streaming landing relies on)."""
+    docs = _toy(spark)
+    two = {(r.b, r.w2) for r in perceptron_train(docs, F.col("lang") == "en", n_epochs=2).collect()}
+    one = perceptron_train(docs, F.col("lang") == "en", n_epochs=1)
+    init = [0] * 256
+    for r in one.collect():
+        init[int(r.b)] = int(r.w1)
+    cont = {
+        (r.b, r.w1)
+        for r in perceptron_train(
+            docs, F.col("lang") == "en", n_epochs=1, init_weights=init
+        ).collect()
+    }
+    assert two == cont

@@ -1936,3 +1936,32 @@ def test_vocab_growth_buckets(spark):
     assert got[3]["n_new_types"] == 0 and got[3]["n_tokens"] == 5
     assert got[3]["cum_types"] == 5 and got[3]["cum_tokens"] == 15
     assert [got[b]["cum_types"] for b in (0, 1, 2, 3)] == [2, 4, 5, 5]
+
+
+def test_semantic_dedup_pairs_only_path(spark):
+    """semantic_dedup(assigned=...) over a persisted-index-shaped
+    assignment == the inline path; exactly-one-of contract enforced."""
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        assign_to_centroids,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "centroid_id long, cvec array<double>"
+    )
+    inline = {tuple(r) for r in semantic_dedup(emb, cents, tau=0.9).collect()}
+    pre = assign_to_centroids(emb, cents, "embedding")
+    via = {tuple(r) for r in semantic_dedup(emb, None, tau=0.9, assigned=pre).collect()}
+    assert inline == via and len(inline) == 3
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, cents, tau=0.9, assigned=pre)
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, None, tau=0.9)

@@ -705,3 +705,63 @@ def test_streaming_pii_scrub_equals_batch(spark, tmp_path):
     n_before = got.count()
     run_streaming_pii_scrub(spark, landing, store, ck)
     assert scrubbed_from_store(spark, store).count() == n_before
+
+
+def test_doremi_reweight_arithmetic(spark):
+    """Hand-built two-domain corpus: the high-surprisal domain gains
+    weight, the multiplier is the bounded integer surrogate, and the
+    updated weights renormalize to ~scale."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        doremi_reweight,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "easy"), (2, "hard"), (3, "easy2")],
+        "doc_id long, source string",
+    ).withColumn(
+        "source", F.when(F.col("doc_id") == 2, "rare").otherwise("common")
+    )
+    # synthetic per-doc scores: domain 'rare' has much higher surprisal
+    scores = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 900), (3, 10, 100)],
+        "doc_id long, n_tokens long, surprisal_sum long",
+    )
+    got = {r.source: r.asDict() for r in doremi_reweight(docs, scores, scale=100).collect()}
+    # common: avg=(200*100)//20=1000? scale=100: avg_fp = 200*100//20 = 1000
+    assert got["common"]["avg_fp"] == 1000 and got["rare"]["avg_fp"] == 9000
+    # baseline = 1100*100//30 = 3666
+    assert got["common"]["excess_fp"] == 0
+    assert got["rare"]["excess_fp"] == 9000 - (1100 * 100) // 30
+    # w0: common 20/30 -> 66, rare 10/30 -> 33
+    assert got["common"]["w0_fp"] == 66 and got["rare"]["w0_fp"] == 33
+    # multiplier: common 1.0 (no excess) -> w1_raw 66;
+    # rare: excess capped at scale=100 -> doubled -> 66
+    # renormalized: 66*100//132 = 50 each
+    assert got["common"]["w1_fp"] == 50 and got["rare"]["w1_fp"] == 50
+
+
+def test_chunk_dedup_counts_window_repeats(spark):
+    """Two docs with identical token streams whose global offsets align
+    produce duplicate windows; shifting alignment by one token breaks
+    the duplication (the offset-sensitivity the audit exists to show)."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        chunk_dedup_stats,
+    )
+
+    # C=4: doc1 tokens [a b c d][e f g h], doc2 identical -> with doc1
+    # length 8 (multiple of 4), doc2's windows align and duplicate
+    aligned = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    got = {r.mult: r.asDict() for r in chunk_dedup_stats(aligned, context_len=4).collect()}
+    assert got[2]["n_hashes"] == 2 and got[2]["n_chunks"] == 4
+    # append one token to doc1: doc2's copy of the stream now starts
+    # mid-window, so no window boundary lines up with doc1's
+    shifted = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    got2 = {r.mult: r.asDict() for r in chunk_dedup_stats(shifted, context_len=4).collect()}
+    assert 2 not in got2  # no aligned repeats survive the shift
+    assert sum(r["n_chunks"] for r in got2.values()) == (9 + 8 + 3) // 4  # ceil(17/4)

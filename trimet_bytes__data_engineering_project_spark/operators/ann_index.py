@@ -371,28 +371,41 @@ def assign_to_centroids(
     emb: DataFrame, cents: DataFrame, vec_col: str, id_col: str = "vec_id"
 ) -> DataFrame:
     """Argmax-cosine coarse assignment of every vector to a centroid —
-    shared by the batch build/append paths and the streaming landing.
-    Vector norm folded once per vector (not per centroid); centroid
-    norm derived inside the broadcast side — c_cos is the identical
-    expression value, bit-exact vs the naive per-pair cosine."""
-    from pyspark.sql import Window
+    shared by the batch build/append paths, the streaming landing, and
+    SemDeDup (x157).  Vector norm folded once per vector (not per
+    centroid); centroid norm derived inside the broadcast side — c_cos
+    is the identical expression value, bit-exact vs the naive per-pair
+    cosine.
 
+    The argmax is ``max_by`` over the struct key ``(c_cos,
+    -centroid_id)`` — ties to the LOWEST centroid id, the same order
+    the old rank-1 window used, but map-side combinable: the n×n_c
+    crossJoin rows fold to one row per vector BEFORE any exchange,
+    where the window shape shuffled all of them.  (Spark orders NaN
+    greatest in both window sorts and struct comparisons, so degenerate
+    zero-norm cosines break ties identically.)"""
     v = as_double_vec(vec_col)
     cents_n = cents.withColumn("c_n", l2_norm(F.col("cvec")))
-    assigned = (
+    scored = (
         emb.select(id_col, F.col(vec_col), v.alias("_v"), l2_norm(v).alias("_vn"))
         .crossJoin(F.broadcast(cents_n))
         .withColumn(
             "c_cos", dot(F.col("_v"), F.col("cvec")) / (F.col("_vn") * F.col("c_n"))
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), "centroid_id")
     return (
-        assigned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        # the norm was already folded for the assignment — persist it so
-        # batch probes (ivf_knn_join) read it instead of re-folding
-        .select(id_col, vec_col, F.col("_vn").alias("norm"), "centroid_id")
+        scored.groupBy(id_col)
+        .agg(
+            F.expr("max_by(centroid_id, struct(c_cos, -centroid_id))").alias(
+                "centroid_id"
+            ),
+            # constant per id; the norm was already folded for the
+            # assignment — persist it so batch probes (ivf_knn_join)
+            # read it instead of re-folding
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.any_value(F.col("_vn")).alias("norm"),
+        )
+        .select(id_col, vec_col, "norm", "centroid_id")
     )
 
 

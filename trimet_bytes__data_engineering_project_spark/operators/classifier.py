@@ -61,6 +61,7 @@ def perceptron_train(
     text_col: str = "text",
     hex_digits: int = 2,
     n_epochs: int = 3,
+    init_weights: list[int] | None = None,
 ) -> DataFrame:
     """Train a hashed-unigram linear classifier by the batch perceptron
     and return the FULL weight trajectory: one row per bucket ``b`` in
@@ -91,12 +92,18 @@ def perceptron_train(
 
     ``positive``: boolean Column over ``docs`` defining the +1 class
     (e.g. ``F.col("lang") == "en"`` — the DSIR target convention).
+    ``init_weights``: warm-start vector (len ``16^hex_digits``) — the
+    continued-training contract the streaming landing uses (train one
+    epoch per micro-batch from the previous batch's stored weights);
+    defaults to zeros.
     """
     spark = docs.sparkSession
     n_buckets = 16**hex_digits
     tf = _tf_with_labels(docs, positive, id_col, text_col, hex_digits)
     tf = tf.localCheckpoint(eager=False)
-    w = [0] * n_buckets
+    if init_weights is not None and len(init_weights) != n_buckets:
+        raise ValueError(f"init_weights must have {n_buckets} entries")
+    w = [int(x) for x in init_weights] if init_weights is not None else [0] * n_buckets
     trajectory: list[list[int]] = []
     for _ in range(n_epochs):
         wdf = spark.createDataFrame(

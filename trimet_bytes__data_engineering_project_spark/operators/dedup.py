@@ -861,3 +861,67 @@ def winnow_candidates(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    context_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-WINDOW dedup audit: after GPT-style concat-and-chunk
+    packing (``sampling.concat_chunk_spans``' global offsets), how many
+    context windows are byte-identical repeats?  Document-level dedup
+    (x01-x09) can pass a corpus whose PACKED windows still repeat —
+    boilerplate shorter than a doc, or identical docs concatenated in
+    different neighborhoods still yield duplicate windows whenever
+    their offsets align; this measures the duplication the MODEL
+    actually sees at the context granularity it sees it.
+
+    Each token instance gets its exact global position (two-level
+    prefix sum), windows are ``position div context_len``, each
+    window's content digests to one md5 over its in-order tokens, and
+    the output is the multiplicity histogram over window digests
+    (mult, n_hashes, n_chunks).
+
+    Scale shape: ONE shuffle of the token stream keyed on the window id
+    (linear, unavoidable — window contents must meet once to digest),
+    with per-group state bounded by ``context_len``; the histogram
+    aggregates the DIGEST table (corpus_tokens/context_len rows, md5s
+    only, never text)."""
+    from .sampling import concat_chunk_spans
+
+    toks_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    withn = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(toks_arr).cast("long").alias("n_tok")
+    )
+    offs = concat_chunk_spans(withn, "doc_id", "n_tok", context_len).select(
+        "doc_id", "start_off"
+    )
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks_arr).alias("p", "t"),
+    )
+    g = tk.join(offs, "doc_id").select(
+        (F.col("start_off") + F.col("p")).alias("gp"),
+        ((F.col("start_off") + F.col("p")) / F.lit(context_len))
+        .cast("long")
+        .alias("chunk"),
+        "t",
+    )
+    ch = g.groupBy("chunk").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("gp", "t"))),
+                    lambda s: s["t"],
+                ),
+            )
+        ).alias("h")
+    )
+    hc = ch.groupBy("h").agg(F.count("*").cast("long").alias("mult"))
+    return hc.groupBy("mult").agg(
+        F.count("*").cast("long").alias("n_hashes"),
+        (F.col("mult") * F.count("*")).cast("long").alias("n_chunks"),
+    )

@@ -887,3 +887,81 @@ def concat_chunk_spans(
         .cast("int")
         .alias("crosses"),
     )
+
+
+def doremi_reweight(
+    docs: DataFrame,
+    scores: DataFrame,
+    group_col: str = "source",
+    scale: int = 10**4,
+) -> DataFrame:
+    """One DoReMi-style mixture-reweighting step (cf. Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): domains whose excess loss (here: avg unigram
+    surprisal above the corpus-wide average, the x51 proxy) is larger
+    get their mixture weight multiplied UP, then weights renormalize.
+    DoReMi's update is ``w·exp(η·excess)``; this operator applies the
+    order-preserving bounded integer surrogate
+
+        w1_raw = w0 · (scale + min(scale, excess_fp)) div scale
+
+    (multiplier ∈ [1, 2] — the first-order exp surrogate, monotone in
+    excess, libm-free so the update is bit-identical across engines).
+    ``scores`` is the per-doc (doc_id, n_tokens, surprisal_sum) table
+    — x51's scorer inline, or the x86 snapshot form at scale so this
+    step never re-aggregates the corpus.
+
+    Scale shape: one doc→domain join + a |domains|-row aggregate;
+    everything after is arithmetic over the domain table with two
+    1-row broadcast totals.  Int64 ceiling: surprisal_sum · scale <
+    2^63 (at the default scale=10^4, corpus surprisal mass < 9·10^14 —
+    shard by language past that).
+
+    Returns per domain: token counts, fixed-point avg surprisal,
+    excess over baseline, the old (token-share) and updated mixture
+    weights, both normalized to ``scale``."""
+    s = F.lit(int(scale)).cast("long")
+    dom = (
+        scores.join(docs.select("doc_id", group_col), "doc_id")
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_d"),
+            F.sum("surprisal_sum").cast("long").alias("s_d"),
+        )
+    )
+    tot = dom.agg(
+        F.sum("n_d").cast("long").alias("n_all"),
+        F.sum("s_d").cast("long").alias("s_all"),
+    )
+    sc = dom.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_d",
+        F.expr("s_d * {0} DIV n_d".format(int(scale))).cast("long").alias("avg_fp"),
+        F.expr("s_all * {0} DIV n_all".format(int(scale))).cast("long").alias("base_fp"),
+        F.expr("n_d * {0} DIV n_all".format(int(scale))).cast("long").alias("w0_fp"),
+    )
+    up = sc.select(
+        group_col,
+        "n_d",
+        "avg_fp",
+        F.greatest(F.lit(0).cast("long"), F.col("avg_fp") - F.col("base_fp")).alias(
+            "excess_fp"
+        ),
+        "w0_fp",
+    ).withColumn(
+        "w1_raw",
+        F.expr(
+            "(w0_fp * ({0} + least(CAST({0} AS BIGINT), excess_fp))) DIV {0}".format(
+                int(scale)
+            )
+        ).cast("long"),
+    )
+    ut = up.agg(F.sum("w1_raw").cast("long").alias("w1_tot"))
+    return up.crossJoin(F.broadcast(ut)).select(
+        group_col,
+        F.col("n_d").alias("n_tokens"),
+        "avg_fp",
+        "excess_fp",
+        "w0_fp",
+        F.expr("w1_raw * {0} DIV w1_tot".format(int(scale))).cast("long").alias("w1_fp"),
+    )

@@ -869,43 +869,12 @@ def mmr_rerank(
     return selu
 
 
-def assign_to_centroids(
-    emb: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
-) -> DataFrame:
-    """Argmax-cosine assignment of every vector to its nearest centroid —
-    the IVF/k-means assignment step as a standalone operator: broadcast
-    the (tiny) centroid table, then ``max_by`` over a struct ordering
-    key ``(c_cos, -centroid_id)`` — ties broken by ``centroid_id``
-    ascending, the exact order the Lloyd iterations in
-    ``ann_index.kmeans_centroids`` use, so an assignment computed here
-    is bit-identical to the one the trainer would produce.  ``max_by``
-    instead of a rank-1 window because the aggregate is map-side
-    combinable: the n×n_c crossJoin rows fold down to one row per
-    vector BEFORE any exchange, where the window shape would shuffle
-    all n×n_c of them.  Keeps the per-vector norm (``_vn``) in the
-    output so downstream pair joins never re-fold it (the
-    fold-norms-per-vector rule, BENCH_NOTES)."""
-    data = emb.select(
-        "vec_id", as_double_vec(vec_col).alias("v")
-    ).withColumn("_vn", l2_norm(F.col("v")))
-    cents = centroids.withColumn("c_n", l2_norm(F.col("cvec")))
-    scored = data.crossJoin(F.broadcast(cents)).withColumn(
-        "c_cos", dot(F.col("v"), F.col("cvec")) / (F.col("_vn") * F.col("c_n"))
-    )
-    return scored.groupBy("vec_id").agg(
-        F.expr(
-            "max_by(centroid_id, struct(c_cos, -centroid_id))"
-        ).alias("centroid_id"),
-        F.any_value(F.col("v")).alias("v"),  # constant per vec_id
-        F.any_value(F.col("_vn")).alias("_vn"),
-    )
-
-
 def semantic_dedup(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     tau: float,
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication scoped to k-means clusters.  Every vector is assigned
@@ -919,15 +888,40 @@ def semantic_dedup(
     Scale shape: the only corpus-sized shuffle is the self-join keyed on
     ``centroid_id`` — candidate pairs never leave their cluster, so the
     cost is Σ m_c² over cluster sizes, and the published recipe holds:
-    ``n_centroids`` must scale with the corpus (n/target_cluster_size —
-    the same sizing contract as the LSH plane count, BENCH_NOTES).
-    Norms are folded once per vector BEFORE the join, never per pair.
+    ``n_centroids`` must scale with the corpus (the compute-optimal
+    count is c = √(n/2), minimizing assignment + pair folds — the
+    square-root sibling of the LSH plane-count rule, BENCH_NOTES).
+    Norms are folded once per vector BEFORE the join, never per pair —
+    assignment reuses the shared ``ann_index.assign_to_centroids``
+    (map-side-combinable max_by, persisted norm), so one quantizer
+    serves both the IVF index and the dedup pass.
+
+    ``assigned``: a pre-assigned ``(vec_id, <vec_col>, norm,
+    centroid_id)`` table — exactly what ``ann_index.write_ivf_index``
+    persists — making the dedup pass PAIRS-ONLY: the n·c assignment
+    term (the n^1.5 driver in the measured scale curve, BENCH_NOTES
+    x157) drops entirely, and the standing ANN index's coarse
+    quantization is reused instead of recomputed.  Pinned equal to the
+    inline path by test.  Exactly one of ``centroids`` / ``assigned``
+    must be given.
 
     Returns one row per vector: ``vec_id, centroid_id, is_dup,
     max_prior_sim`` (0.0 when no earlier member reaches ``tau`` — MAX
     over bit-equal pair cosines is order-free, so the column is
     hash-stable)."""
-    assigned = assign_to_centroids(emb, centroids, vec_col)
+    if (centroids is None) == (assigned is None):
+        raise ValueError("pass exactly one of centroids= or assigned=")
+    if assigned is None:
+        # lazy import: ann_index imports this module at load time
+        from .ann_index import assign_to_centroids
+
+        assigned = assign_to_centroids(emb, centroids, vec_col)
+    assigned = assigned.select(
+        "vec_id",
+        "centroid_id",
+        as_double_vec(vec_col).alias("v"),
+        F.col("norm").alias("_vn"),
+    )
     a = assigned.select(
         F.col("vec_id").alias("a_id"), "centroid_id",
         F.col("v").alias("a_vec"), F.col("_vn").alias("a_n"),

@@ -8150,3 +8150,96 @@ def x161_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_growth_curve(docs)
+
+
+@query(
+    "x162_doremi_reweight",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+    n AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+    ds AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+                  CAST(sum(tf * (n_total // c)) AS BIGINT) AS s_sum
+           FROM tf JOIN c USING (term) CROSS JOIN n GROUP BY doc_id),
+    dom AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_d,
+                   CAST(SUM(s_sum) AS BIGINT) AS s_d
+            FROM ds JOIN documents USING (doc_id) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n_all,
+                   CAST(SUM(s_d) AS BIGINT) AS s_all FROM dom),
+    sc AS (SELECT source, n_d,
+                  CAST(s_d * 10000 // n_d AS BIGINT) AS avg_fp,
+                  CAST(s_all * 10000 // n_all AS BIGINT) AS base_fp,
+                  CAST(n_d * 10000 // n_all AS BIGINT) AS w0_fp
+           FROM dom CROSS JOIN tot),
+    up AS (SELECT source, n_d, avg_fp,
+                  CAST(greatest(CAST(0 AS BIGINT), avg_fp - base_fp) AS BIGINT) AS excess_fp,
+                  w0_fp,
+                  CAST(w0_fp * (10000 + least(CAST(10000 AS BIGINT),
+                       greatest(CAST(0 AS BIGINT), avg_fp - base_fp))) // 10000
+                       AS BIGINT) AS w1_raw
+           FROM sc),
+    ut AS (SELECT CAST(SUM(w1_raw) AS BIGINT) AS w1_tot FROM up)
+    SELECT source, n_d AS n_tokens, avg_fp, excess_fp, w0_fp,
+           CAST(w1_raw * 10000 // w1_tot AS BIGINT) AS w1_fp
+    FROM up CROSS JOIN ut
+    """,
+)
+def x162_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi mixture-reweighting step over the source domains:
+    domains whose average unigram surprisal exceeds the corpus baseline
+    (the excess-loss proxy) get their token-share weight multiplied by
+    the bounded integer exp-surrogate (1 + min(1, excess)), then
+    renormalized — the data-mixture optimization loop's inner update,
+    libm-free and bit-identical across engines.  At scale the scorer
+    runs in snapshot mode (x86) so the step never re-aggregates the
+    corpus; everything after the per-domain aggregate is arithmetic
+    over the |domains|-row table
+    (operators/sampling.py:doremi_reweight)."""
+    from ..operators.sampling import doremi_reweight
+    from ..operators.textstats import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_surprisal(docs).select("doc_id", "n_tokens", "surprisal_sum")
+    return doremi_reweight(docs, scores)
+
+
+@query(
+    "x163_chunk_dedup",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_off
+          FROM n),
+    tk AS (SELECT doc_id, unnest({_TOKS}) AS t,
+                  generate_subscripts({_TOKS}, 1) AS p
+           FROM documents),
+    g AS (SELECT s.start_off + p - 1 AS gp,
+                 CAST((s.start_off + p - 1) // 16 AS BIGINT) AS chunk, t
+          FROM tk JOIN s USING (doc_id)),
+    ch AS (SELECT chunk, md5(array_to_string(list(t ORDER BY gp), ' ')) AS h
+           FROM g GROUP BY 1),
+    hc AS (SELECT h, CAST(count(*) AS BIGINT) AS mult FROM ch GROUP BY 1)
+    SELECT mult, CAST(count(*) AS BIGINT) AS n_hashes,
+           CAST(mult * count(*) AS BIGINT) AS n_chunks
+    FROM hc GROUP BY 1
+    """,
+)
+def x163_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-WINDOW dedup audit: document-level dedup can pass a
+    corpus whose PACKED context windows still repeat (boilerplate
+    shorter than a doc; identical docs whose global offsets happen to
+    align) — this measures duplication at the granularity the model
+    actually trains on.  Exact global token positions (x159's
+    two-level prefix sum) → window = pos div 16 → one md5 per window
+    over its in-order tokens → multiplicity histogram over window
+    digests.  One linear token-stream shuffle keyed on window id,
+    per-group state bounded by the context length, histogram over the
+    digest table only (operators/dedup.py:chunk_dedup_stats)."""
+    from ..operators.dedup import chunk_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_stats(docs, context_len=16)
