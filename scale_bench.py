@@ -1950,6 +1950,21 @@ def _x161_vocab_growth(spark, d):
     return vocab_growth_curve(docs)
 
 
+
+def _x163_chunk_dedup(spark, d):
+    # x159's offset pass + ONE linear shuffle of the token stream keyed
+    # on window id (contents must meet once to digest), per-group state
+    # bounded by the context length; the histogram aggregates the
+    # DIGEST table only — expect linear-ish (the token-shuffle floor,
+    # heavier than x159's (id, n) shuffle by the text payload).
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        chunk_dedup_stats,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return chunk_dedup_stats(docs, context_len=16)
+
+
 HEAVY += [
     ("x144_label_prop_full", _x144_label_prop),
     ("x145_ccnet_terciles_full", _x145_ccnet),
@@ -1961,6 +1976,7 @@ HEAVY += [
     ("x159_chunk_spans_full", _x159_chunk_spans),
     ("x160_pii_scan_full", _x160_pii),
     ("x161_vocab_growth_full", _x161_vocab_growth),
+    ("x163_chunk_dedup_full", _x163_chunk_dedup),
 ]
 
 

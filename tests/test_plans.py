@@ -421,3 +421,49 @@ def test_winnow_fold_is_array_local(spark):
     assert "Window" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_chunk_spans_prefix_sum_is_two_level(spark):
+    """x159: the corpus-sized cumulative window must be PARTITIONED by
+    the bucket key; the only unpartitioned window runs over the tiny
+    bucket-totals table, and the offsets join back as a broadcast —
+    never a sort-merge join of the corpus."""
+    df = QUERIES["x159_concat_chunk_spans"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") == 2
+    assert "_bkt" in plan  # bucket-partitioned corpus window
+    p = plan_of(spark, "x159_concat_chunk_spans")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pii_scan_single_pass_no_shuffle(spark):
+    """x160: counts + cascade + md5 are ONE codegen projection over the
+    scan — no Exchange, join, aggregate or Python eval; the scan reads
+    only (doc_id, text)."""
+    p = plan_of(spark, "x160_pii_scan")
+    assert "Exchange" not in p
+    assert "Join" not in p and "Aggregate" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_semdedup_pairs_stay_cluster_local(spark):
+    """x157: the pair stage must be an equi-join on centroid_id (never
+    a cartesian); the only nested-loop joins are broadcasts of the
+    bounded centroid table; per-vector norms come from the assignment
+    (no Window fallback — the max_by argmax is an aggregate)."""
+    p = plan_of(spark, "x157_semdedup")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin (" not in p or "centroid_id" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_vocab_growth_windows_over_bucket_table_only(spark):
+    """x161: the cumulative windows run AFTER the per-bucket aggregates
+    (<=64 rows) — the corpus feeds only hash aggregates; no sort-merge
+    join anywhere (the types<->tokens bucket join is tiny and
+    broadcast)."""
+    p = plan_of(spark, "x161_vocab_growth")
+    assert "SortAggregate" not in p
+    assert "CartesianProduct" not in p

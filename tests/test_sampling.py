@@ -765,3 +765,57 @@ def test_chunk_dedup_counts_window_repeats(spark):
     got2 = {r.mult: r.asDict() for r in chunk_dedup_stats(shifted, context_len=4).collect()}
     assert 2 not in got2  # no aligned repeats survive the shift
     assert sum(r["n_chunks"] for r in got2.values()) == (9 + 8 + 3) // 4  # ceil(17/4)
+
+
+def test_streaming_packer_matches_batch_offsets(spark, tmp_path):
+    """Sequential id-ordered landings packed per micro-batch equal one
+    batch concat_chunk_spans pass over the union — the running offset
+    is the only cross-batch state; replay is a no-op."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        concat_chunk_spans,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.packing import (
+        run_streaming_packer,
+        spans_from_store,
+    )
+
+    rows = [(i, 3 + (i * 7) % 11) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    a = df.filter("doc_id < 20")
+    b = df.filter("doc_id >= 20")
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(d, name):
+        t = str(tmp_path / f"w_{name}")
+        d.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    land_file(a, "a")
+    run_streaming_packer(spark, landing, store, ck, context_len=8)
+    land_file(b, "b")
+    run_streaming_packer(spark, landing, store, ck, context_len=8)
+
+    got = {
+        r.doc_id: (r.start_off, r.first_chunk, r.last_chunk, r.n_chunks, r.crosses)
+        for r in spans_from_store(spark, store).collect()
+    }
+    want = {
+        r.doc_id: (r.start_off, r.first_chunk, r.last_chunk, r.n_chunks, r.crosses)
+        for r in concat_chunk_spans(df, "doc_id", "n_tok", context_len=8).collect()
+    }
+    assert got == want and len(got) == 40
+    # replay idempotency: same generations, same rows
+    run_streaming_packer(spark, landing, store, ck, context_len=8)
+    again = {
+        r.doc_id: (r.start_off, r.first_chunk, r.last_chunk, r.n_chunks, r.crosses)
+        for r in spans_from_store(spark, store).collect()
+    }
+    assert again == want
