@@ -1965,3 +1965,22 @@ def test_semantic_dedup_pairs_only_path(spark):
         semantic_dedup(emb, cents, tau=0.9, assigned=pre)
     with pytest.raises(ValueError):
         semantic_dedup(emb, None, tau=0.9)
+
+
+def test_zipf_histogram_buckets_and_decay(spark):
+    """Hand corpus with known frequency octaves: counts 1,1,2,3,4,8 ->
+    buckets 0:{1,1}, 1:{2,3}, 2:{4}, 3:{8}; decay ratios follow."""
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        zipf_bucket_histogram,
+    )
+
+    text = " ".join(["a"] * 1 + ["b"] * 1 + ["c"] * 2 + ["d"] * 3 + ["e"] * 4 + ["f"] * 8)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.bucket: r.asDict() for r in zipf_bucket_histogram(docs).collect()}
+    assert got[0]["n_types"] == 2 and got[0]["n_tokens"] == 2
+    assert got[1]["n_types"] == 2 and got[1]["n_tokens"] == 5
+    assert got[2]["n_types"] == 1 and got[2]["n_tokens"] == 4
+    assert got[3]["n_types"] == 1 and got[3]["n_tokens"] == 8
+    assert got[0]["ratio_fp"] == 1000  # 2 types -> 2 types
+    assert got[1]["ratio_fp"] == 2000  # 2 -> 1: the s=1 line
+    assert got[3]["ratio_fp"] == 0  # last bucket: no successor

@@ -869,6 +869,62 @@ def mmr_rerank(
     return selu
 
 
+def _semantic_assigned(
+    emb: DataFrame,
+    centroids: DataFrame | None,
+    vec_col: str,
+    assigned: DataFrame | None,
+) -> DataFrame:
+    """Normalized (vec_id, centroid_id, v, _vn) assignment — inline
+    (shared ``ann_index.assign_to_centroids``) or from a persisted
+    index table.  Exactly one of centroids/assigned."""
+    if (centroids is None) == (assigned is None):
+        raise ValueError("pass exactly one of centroids= or assigned=")
+    if assigned is None:
+        # lazy import: ann_index imports this module at load time
+        from .ann_index import assign_to_centroids
+
+        assigned = assign_to_centroids(emb, centroids, vec_col)
+    return assigned.select(
+        "vec_id",
+        "centroid_id",
+        as_double_vec(vec_col).alias("v"),
+        F.col("norm").alias("_vn"),
+    )
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    centroids: DataFrame | None,
+    tau: float,
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cluster semantic near-dup PAIRS (a_id < b_id, cosine ≥
+    tau) — the candidate stream SemDeDup's flags (x157) and the
+    semantic leakage matrix (x166) both consume.  Pairs never cross
+    clusters; norms folded per side before the join."""
+    assigned = _semantic_assigned(emb, centroids, vec_col, assigned)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), "centroid_id",
+        F.col("v").alias("a_vec"), F.col("_vn").alias("a_n"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), "centroid_id",
+        F.col("v").alias("b_vec"), F.col("_vn").alias("b_n"),
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cs",
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_n") * F.col("b_n")),
+        )
+        .filter(F.col("cs") >= F.lit(float(tau)))
+        .select("a_id", "b_id", "centroid_id", "cs")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame | None,
@@ -909,40 +965,14 @@ def semantic_dedup(
     max_prior_sim`` (0.0 when no earlier member reaches ``tau`` — MAX
     over bit-equal pair cosines is order-free, so the column is
     hash-stable)."""
-    if (centroids is None) == (assigned is None):
-        raise ValueError("pass exactly one of centroids= or assigned=")
-    if assigned is None:
-        # lazy import: ann_index imports this module at load time
-        from .ann_index import assign_to_centroids
-
-        assigned = assign_to_centroids(emb, centroids, vec_col)
-    assigned = assigned.select(
-        "vec_id",
-        "centroid_id",
-        as_double_vec(vec_col).alias("v"),
-        F.col("norm").alias("_vn"),
-    )
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), "centroid_id",
-        F.col("v").alias("a_vec"), F.col("_vn").alias("a_n"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), "centroid_id",
-        F.col("v").alias("b_vec"), F.col("_vn").alias("b_n"),
-    )
+    norm = _semantic_assigned(emb, centroids, vec_col, assigned)
     dups = (
-        a.join(b, "centroid_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "cs",
-            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_n") * F.col("b_n")),
-        )
-        .filter(F.col("cs") >= F.lit(float(tau)))
+        semantic_pairs(emb, centroids, tau, vec_col, assigned)
         .groupBy(F.col("b_id").alias("vec_id"))
         .agg(F.max("cs").alias("max_prior_sim"))
     )
     return (
-        assigned.join(dups, "vec_id", "left")
+        norm.join(dups, "vec_id", "left")
         .select(
             "vec_id",
             "centroid_id",

@@ -2194,3 +2194,110 @@ def vocab_growth_curve(
         "n_tokens",
         F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
     )
+
+
+def zipf_bucket_histogram(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency audit WITHOUT the rank: under Zipf's law the
+    number of types with frequency in [2^b, 2^{b+1}) falls by ~2^s per
+    bucket (s = the Zipf exponent), so the count-bucket histogram
+    carries the whole diagnostic — no vocabulary-sized sort or global
+    rank window anywhere (the rank formulation needs exactly that, and
+    is why naive Zipf audits don't scale).  Output per bucket: type and
+    token-instance counts plus the consecutive-bucket decay ratio
+    ``ratio_fp = n_types(b) · 1000 div n_types(b+1)`` (≈ 2^s · 1000;
+    2000 ⇒ s=1, the natural-text line; well under that ⇒ synthetic or
+    truncated-vocabulary text — a fast corpus-forensics signal).
+
+    One explode → term-keyed count (the only vocabulary-sized table,
+    grouped on its key) → ≤64-row bucket histogram; the lead window
+    runs over the bucket table only.  Integer log2 is the
+    binary-string length (``_log2_bucket``), libm-free."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+            )
+        ).alias("t")
+    )
+    counts = toks.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    hist = counts.groupBy(
+        _log2_bucket(F.col("c") - F.lit(1)).alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy("bucket")
+    return (
+        hist.withColumn("lead_types", F.lead("n_types").over(w))
+        .select(
+            "bucket",
+            "n_types",
+            "n_tokens",
+            F.when(
+                F.col("lead_types").isNotNull(),
+                F.expr("n_types * 1000 DIV lead_types"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ratio_fp"),
+        )
+    )
+
+
+def corpus_datasheet(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The "datasheet for the dataset" headline table (cf. Gebru et al.
+    2021): one long-format (metric, value) summary a release pipeline
+    stamps on every corpus snapshot — sizes, composition cardinality,
+    exact-duplicate mass, vocabulary, and the longest document, each an
+    integer so the sheet diffs cleanly between snapshots (the x136
+    snapshot-diff audit consumes exactly this shape).
+
+    Each metric is one aggregate over the scan — counts, a digest
+    distinct (x01's exact-dup shape), one token explode for the
+    vocabulary/token totals — unioned into the long format.  Nothing
+    here is new machinery; the value is the single-call composition."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+            )
+        ).alias("t")
+    )
+
+    def one(name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(name).alias("metric"), F.col("v").cast("long").alias("value")
+        )
+
+    base = df
+    parts = [
+        one("n_docs", base.agg(F.count("*").alias("v"))),
+        one(
+            "n_tokens",
+            base.agg(
+                F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("v")
+            ),
+        ),
+        one("n_chars", base.agg(F.sum(F.length(text_col)).alias("v"))),
+        one("n_langs", base.agg(F.countDistinct("lang").alias("v"))),
+        one("n_sources", base.agg(F.countDistinct("source").alias("v"))),
+        one(
+            "n_exact_dup_docs",
+            base.agg(
+                (F.count("*") - F.countDistinct(F.md5(F.col(text_col)))).alias("v")
+            ),
+        ),
+        one("vocab_size", toks.agg(F.countDistinct("t").alias("v"))),
+        one(
+            "max_doc_tokens",
+            base.agg(
+                F.max(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("v")
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

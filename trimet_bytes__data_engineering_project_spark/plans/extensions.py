@@ -8243,3 +8243,129 @@ def x163_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_dedup_stats(docs, context_len=16)
+
+
+@query(
+    "x164_zipf_histogram",
+    oracle="""
+    WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+                  FROM documents),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    h AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(c) AS BIGINT) AS n_tokens
+          FROM c GROUP BY 1),
+    l AS (SELECT h.*, lead(n_types) OVER (ORDER BY bucket) AS lead_types FROM h)
+    SELECT bucket, n_types, n_tokens,
+           CAST(CASE WHEN lead_types IS NOT NULL THEN n_types * 1000 // lead_types
+                ELSE 0 END AS BIGINT) AS ratio_fp
+    FROM l
+    """,
+)
+def x164_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus forensics without a rank: the count-bucket
+    (frequency-octave) histogram — types per octave should decay by
+    ~2^s per bucket under Zipf, and the decay ratio lands in
+    ``ratio_fp`` (2000 ≈ the natural-text s=1 line).  The rank-based
+    formulation needs a vocabulary-wide sort; this one needs a term
+    count and a ≤64-row histogram.  Heaps (x161) asks "does more data
+    buy vocabulary"; Zipf asks "is the frequency structure natural" —
+    the two standard sanity curves a corpus datasheet carries
+    (operators/textstats.py:zipf_bucket_histogram)."""
+    from ..operators.textstats import zipf_bucket_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_bucket_histogram(docs)
+
+
+@query(
+    "x165_corpus_datasheet",
+    oracle=f"""
+    SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+    UNION ALL
+    SELECT 'n_tokens', CAST(sum(len({_TOKS})) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(sum(length(text)) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_exact_dup_docs',
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'vocab_size', CAST(count(DISTINCT t) AS BIGINT) FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t FROM documents)
+    UNION ALL
+    SELECT 'max_doc_tokens', CAST(max(len({_TOKS})) AS BIGINT) FROM documents
+    """,
+)
+def x165_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card headline table: sizes, composition cardinality,
+    exact-duplicate mass, vocabulary, longest doc — one long-format
+    (metric, value) row set per corpus snapshot, all integers so
+    snapshots diff cleanly (feed two of these to the x136 diff audit).
+    Composition of existing aggregates; the release-pipeline stamp
+    (operators/textstats.py:corpus_datasheet)."""
+    from ..operators.textstats import corpus_datasheet
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_datasheet(docs)
+
+
+def _build_semantic_leakage_oracle(
+    tau: float, n_centroids: int = 16, n_iter: int = 3
+) -> str:
+    """x150's leakage matrix with semantic pairs: the shared k-means
+    chain to the converged assignment, within-cluster pairs ≥ tau, and
+    the x22 hash-split CASE on both pair ends."""
+    parts = _kmeans_fasg_parts(n_centroids, n_iter)
+
+    def split(col: str) -> str:
+        return (
+            f"CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' "
+            f"WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 4) < 'e666' THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return (
+        f"WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),\n"
+        + ",\n".join(parts)
+        + ",\nprs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+        f"{_cos_sql('a.v', 'b.v')} AS cs\n"
+        "        FROM fasg a JOIN fasg b ON a.centroid_id = b.centroid_id\n"
+        "                               AND a.vec_id < b.vec_id)\n"
+        f"SELECT {split('a_id')} AS split_a, {split('b_id')} AS split_b,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_pairs\n"
+        f"FROM prs WHERE cs >= {tau!r} GROUP BY 1, 2"
+    )
+
+
+@query("x166_semantic_split_leakage", oracle=_build_semantic_leakage_oracle(0.35))
+def x166_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-split leakage: x150 counts near-dup pairs that
+    straddle the train/val/test cut using LEXICAL (MinHash) pairs —
+    paraphrases sharing no shingles sail through that audit.  This is
+    the same matrix over SemDeDup's cluster-scoped cosine pairs
+    (x157's candidate stream), catching embedding-level leakage; every
+    off-diagonal cell overestimates held-out performance.  Remedy
+    unchanged: cluster-aware splitting (x151) keyed on the SEMANTIC
+    component instead (operators/similarity.py:semantic_pairs)."""
+    from ..operators.ann_index import kmeans_centroids
+    from ..operators.sampling import train_val_test_split
+    from ..operators.similarity import semantic_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=16, n_iter=3)
+    pairs = semantic_pairs(emb, cents, tau=0.35)
+    sp = train_val_test_split(emb.select("vec_id"), "vec_id").select(
+        "vec_id", "split"
+    )
+    a = sp.select(F.col("vec_id").alias("a_id"), F.col("split").alias("split_a"))
+    b = sp.select(F.col("vec_id").alias("b_id"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
