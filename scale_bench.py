@@ -1965,6 +1965,39 @@ def _x163_chunk_dedup(spark, d):
     return chunk_dedup_stats(docs, context_len=16)
 
 
+
+def _x167_semdedup_hier(spark, d):
+    # the x157 remedy measured: same compute-optimal c = sqrt(n/2)
+    # centroid count and tau, but assignment runs two-level (fanout
+    # sqrt(c)) — ~2n*sqrt(c) folds instead of n*c, so the curve should
+    # collapse from x157's ~n^1.5 (40.9x) toward the pair-stage floor.
+    import math
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        assign_to_centroids_hier,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_c = max(16, math.isqrt(n // 2))
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_c)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double_vec("embedding").alias("cvec"),
+        )
+    )
+    assigned = assign_to_centroids_hier(emb, cents, "embedding")
+    return semantic_dedup(emb, None, tau=0.35, assigned=assigned).agg(
+        F.count("*").alias("n"), F.sum("is_dup").alias("dups")
+    )
+
+
 HEAVY += [
     ("x144_label_prop_full", _x144_label_prop),
     ("x145_ccnet_terciles_full", _x145_ccnet),
@@ -1977,6 +2010,7 @@ HEAVY += [
     ("x160_pii_scan_full", _x160_pii),
     ("x161_vocab_growth_full", _x161_vocab_growth),
     ("x163_chunk_dedup_full", _x163_chunk_dedup),
+    ("x167_semdedup_hier_full", _x167_semdedup_hier),
 ]
 
 

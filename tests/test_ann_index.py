@@ -810,3 +810,47 @@ def test_hamming_shortlist_orders_by_angle(spark, tmp_path):
     ).collect()]
     # shortlist of 2 keeps {0, 1} (hd 0 and ~0); anti never enters
     assert got == [(0, 1), (1, 2)]
+
+
+def test_hier_assignment_degenerates_to_flat_at_full_fanout(spark):
+    """With fanout == n_centroids every centroid is its own super and
+    the vector's super pick IS the flat argmax, so the two-level
+    assignment must equal assign_to_centroids exactly; at smaller
+    fanout the output stays schema-identical and deterministic."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        assign_to_centroids,
+        assign_to_centroids_hier,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double_vec("embedding").alias("cvec"),
+        )
+    )
+    flat = {
+        r.vec_id: (r.centroid_id, r.norm)
+        for r in assign_to_centroids(emb, cents, "embedding").collect()
+    }
+    full = {
+        r.vec_id: (r.centroid_id, r.norm)
+        for r in assign_to_centroids_hier(emb, cents, "embedding", fanout=8).collect()
+    }
+    assert flat == full
+    small = assign_to_centroids_hier(emb, cents, "embedding", fanout=2)
+    rows = small.collect()
+    assert sorted(small.columns) == ["centroid_id", "embedding", "norm", "vec_id"]
+    assert len(rows) == 80
+    # deterministic on re-run
+    again = {r.vec_id: r.centroid_id for r in assign_to_centroids_hier(
+        emb, cents, "embedding", fanout=2
+    ).collect()}
+    assert again == {r.vec_id: r.centroid_id for r in rows}

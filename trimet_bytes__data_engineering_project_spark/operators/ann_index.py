@@ -23,6 +23,7 @@ probe queries is literally the same SQL as x11/x12.
 
 from __future__ import annotations
 
+import math
 import os
 from functools import reduce
 
@@ -1068,4 +1069,103 @@ def hamming_refine_knn_join(
         exact.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", "cos_exact", "rn")
+    )
+
+
+def assign_to_centroids_hier(
+    emb: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    fanout: int | None = None,
+) -> DataFrame:
+    """Two-level coarse assignment — the scale remedy for the flat
+    argmax's n·c fold bill (BENCH_NOTES x157: with c=√(n/2) centroids
+    the flat form's total work grows as n^1.5):
+
+      1. supers = the first ``fanout`` centroids by id (default ⌊√c⌋)
+         — a quantizer OF the quantizer;
+      2. each centroid maps to its argmax-cosine super (c·√c folds —
+         driver-trivial);
+      3. every vector picks its super (n·√c folds), then argmaxes only
+         over THAT super's centroids (n·c/√c expected) — total ~2n√c,
+         near-linear where the flat form is n^1.5.
+
+    The price is boundary misses: a vector whose true nearest centroid
+    lives under a different super gets its second-best — the
+    approximation IVF's own coarse level makes and SemDeDup tolerates
+    (cluster scoping is already heuristic).  The procedure itself is
+    DETERMINISTIC (every argmax ties to the lowest id), so it oracles
+    exactly like the flat form.
+
+    MEASURED CAVEAT (BENCH_NOTES x167): the fold savings only convert
+    to wall-clock when the hierarchy keeps clusters BALANCED.  On the
+    isotropic synthetic corpus the super constraint skews final
+    cluster sizes (Σm² 2.2× the flat assignment's at ×100 — max
+    cluster 5×), and the downstream pair stage's Σm²/2 folds erase the
+    assignment savings; a farthest-first super sweep measured worse
+    still.  Use this operator when the data has real cluster structure
+    (or with a balance-constrained trained hierarchy); on flat-ish
+    corpora prefer the flat ``assign_to_centroids`` or, best, the
+    pairs-only reuse of a persisted IVF assignment.
+
+    Output schema matches :func:`assign_to_centroids` — (id, vec_col,
+    norm, centroid_id) — so SemDeDup's ``assigned=`` path and the
+    index writers consume either interchangeably."""
+    n_c = cents.count()  # centroid table is tiny by contract
+    s = int(fanout) if fanout is not None else max(1, math.isqrt(n_c))
+    cn = cents.select(
+        "centroid_id", F.col("cvec"), l2_norm(F.col("cvec")).alias("c_n")
+    )
+    sups = (
+        cn.orderBy("centroid_id")
+        .limit(s)
+        .select(
+            F.col("centroid_id").alias("super_id"),
+            F.col("cvec").alias("svec"),
+            F.col("c_n").alias("s_n"),
+        )
+    )
+    # child -> super map (c x s rows — trivial)
+    c2s = (
+        cn.crossJoin(F.broadcast(sups))
+        .withColumn(
+            "sc", dot(F.col("cvec"), F.col("svec")) / (F.col("c_n") * F.col("s_n"))
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.expr("max_by(super_id, struct(sc, -super_id))").alias("super_id"),
+            F.any_value(F.col("cvec")).alias("cvec"),
+            F.any_value(F.col("c_n")).alias("c_n"),
+        )
+    )
+    v = as_double_vec(vec_col)
+    base = emb.select(id_col, F.col(vec_col), v.alias("_v"), l2_norm(v).alias("_vn"))
+    v2s = (
+        base.crossJoin(F.broadcast(sups))
+        .withColumn(
+            "sc", dot(F.col("_v"), F.col("svec")) / (F.col("_vn") * F.col("s_n"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr("max_by(super_id, struct(sc, -super_id))").alias("super_id"),
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.any_value(F.col("_v")).alias("_v"),
+            F.any_value(F.col("_vn")).alias("_vn"),
+        )
+    )
+    return (
+        v2s.join(F.broadcast(c2s), "super_id")
+        .withColumn(
+            "c_cos", dot(F.col("_v"), F.col("cvec")) / (F.col("_vn") * F.col("c_n"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr("max_by(centroid_id, struct(c_cos, -centroid_id))").alias(
+                "centroid_id"
+            ),
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.any_value(F.col("_vn")).alias("norm"),
+        )
+        .select(id_col, vec_col, "norm", "centroid_id")
     )

@@ -904,7 +904,12 @@ def semantic_pairs(
     tau) — the candidate stream SemDeDup's flags (x157) and the
     semantic leakage matrix (x166) both consume.  Pairs never cross
     clusters; norms folded per side before the join."""
-    assigned = _semantic_assigned(emb, centroids, vec_col, assigned)
+    return _pairs_from_assigned(
+        _semantic_assigned(emb, centroids, vec_col, assigned), tau
+    )
+
+
+def _pairs_from_assigned(assigned: DataFrame, tau: float) -> DataFrame:
     a = assigned.select(
         F.col("vec_id").alias("a_id"), "centroid_id",
         F.col("v").alias("a_vec"), F.col("_vn").alias("a_n"),
@@ -965,9 +970,17 @@ def semantic_dedup(
     max_prior_sim`` (0.0 when no earlier member reaches ``tau`` — MAX
     over bit-equal pair cosines is order-free, so the column is
     hash-stable)."""
-    norm = _semantic_assigned(emb, centroids, vec_col, assigned)
+    # materialize the assignment ONCE: it feeds three consumers (both
+    # pair sides + the output base), and Spark re-executes a shared
+    # sub-plan per consumer — for the deeper two-level assignment that
+    # re-derivation measured SLOWER than flat despite 9× fewer folds
+    # (the BENCH_NOTES multi-consumer rule applied to a DAG, not a
+    # count table)
+    norm = _semantic_assigned(emb, centroids, vec_col, assigned).localCheckpoint(
+        eager=False
+    )
     dups = (
-        semantic_pairs(emb, centroids, tau, vec_col, assigned)
+        _pairs_from_assigned(norm, tau)
         .groupBy(F.col("b_id").alias("vec_id"))
         .agg(F.max("cs").alias("max_prior_sim"))
     )

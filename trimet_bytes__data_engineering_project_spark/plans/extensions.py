@@ -8369,3 +8369,69 @@ def x166_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+def _build_hier_semdedup_oracle(tau: float, n_c: int = 16, s: int = 4) -> str:
+    """x157's flags over the TWO-LEVEL deterministic assignment: first
+    ``n_c``-by-id centroids, first ``s`` of those as supers, every
+    argmax tied to the lowest id — no Lloyd chain needed, so the whole
+    lifecycle is four window CTEs plus the x157 pair/flag tail."""
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    cents AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                           ORDER BY vec_id LIMIT {n_c}),
+    sups AS MATERIALIZED (SELECT centroid_id AS super_id, cvec AS svec FROM cents
+                          ORDER BY centroid_id LIMIT {s}),
+    c2sA AS (SELECT c.centroid_id, c.cvec, s.super_id,
+                    row_number() OVER (PARTITION BY c.centroid_id
+                      ORDER BY {_cos_sql('c.cvec', 's.svec')} DESC, s.super_id) AS rn
+             FROM cents c CROSS JOIN sups s),
+    c2s AS (SELECT centroid_id, cvec, super_id FROM c2sA WHERE rn = 1),
+    v2sA AS (SELECT e.vec_id, e.v, s.super_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {_cos_sql('e.v', 's.svec')} DESC, s.super_id) AS rn
+             FROM e CROSS JOIN sups s),
+    v2s AS (SELECT vec_id, v, super_id FROM v2sA WHERE rn = 1),
+    v2cA AS (SELECT v2s.vec_id, v2s.v, c.centroid_id,
+                    row_number() OVER (PARTITION BY v2s.vec_id
+                      ORDER BY {_cos_sql('v2s.v', 'c.cvec')} DESC, c.centroid_id) AS rn
+             FROM v2s JOIN c2s c ON c.super_id = v2s.super_id),
+    fasg AS (SELECT vec_id, v, centroid_id FROM v2cA WHERE rn = 1),
+    prs AS (SELECT b.vec_id AS vec_id, {_cos_sql('a.v', 'b.v')} AS cs
+            FROM fasg a JOIN fasg b ON a.centroid_id = b.centroid_id
+                                   AND a.vec_id < b.vec_id),
+    dups AS (SELECT vec_id, max(cs) AS max_prior_sim FROM prs
+             WHERE cs >= {tau!r} GROUP BY 1)
+    SELECT f.vec_id, f.centroid_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+           COALESCE(d.max_prior_sim, 0.0) AS max_prior_sim
+    FROM fasg f LEFT JOIN dups d ON d.vec_id = f.vec_id
+    """
+
+
+@query("x167_semdedup_hier", oracle=_build_hier_semdedup_oracle(0.35))
+def x167_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the TWO-LEVEL coarse assignment — the measured
+    remedy for x157's n^1.5 fold bill (BENCH_NOTES: 40.9× at ×100):
+    vectors pick a super first (√c candidates), then argmax only over
+    that super's children, ~2n√c total folds vs n·c.  Boundary misses
+    are the accepted approximation (IVF's own coarse level makes the
+    same one), and the procedure stays deterministic, so the ENTIRE
+    lifecycle — both quantizer levels, both assignment hops, pairs,
+    flags — oracles exactly.  Deterministic first-16 centroids here
+    (the trained-quantizer variant composes via kmeans_centroids
+    unchanged) (operators/ann_index.py:assign_to_centroids_hier)."""
+    from ..operators.ann_index import assign_to_centroids_hier
+    from ..operators.similarity import as_double_vec, semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double_vec("embedding").alias("cvec"),
+        )
+    )
+    assigned = assign_to_centroids_hier(emb, cents, "embedding", fanout=4)
+    return semantic_dedup(emb, None, tau=0.35, assigned=assigned)
