@@ -1998,6 +1998,36 @@ def _x167_semdedup_hier(spark, d):
     )
 
 
+
+def _x168_semdedup_from_index(spark, d):
+    # the winning remedy measured: the IVF index (ensure_index marker,
+    # one-time build per scale dir with the same c = sqrt(n/2) count)
+    # already persists the assignment, so the warm runs time the
+    # PAIRS-ONLY dedup pass — expect roughly the pair-stage share of
+    # x157's 43.8 s.
+    import math
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+        write_ivf_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_c = max(16, math.isqrt(n // 2))
+    path = os.path.join(_SCALE_ROOT, "semdedup_ivf", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: write_ivf_index(emb, path, n_centroids=n_c), path
+    )
+    assigned = spark.read.parquet(path)
+    return semantic_dedup(emb, None, tau=0.35, assigned=assigned).agg(
+        F.count("*").alias("n"), F.sum("is_dup").alias("dups")
+    )
+
+
 HEAVY += [
     ("x144_label_prop_full", _x144_label_prop),
     ("x145_ccnet_terciles_full", _x145_ccnet),
@@ -2011,6 +2041,7 @@ HEAVY += [
     ("x161_vocab_growth_full", _x161_vocab_growth),
     ("x163_chunk_dedup_full", _x163_chunk_dedup),
     ("x167_semdedup_hier_full", _x167_semdedup_hier),
+    ("x168_semdedup_from_index_full", _x168_semdedup_from_index),
 ]
 
 

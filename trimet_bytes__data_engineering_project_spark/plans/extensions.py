@@ -8435,3 +8435,54 @@ def x167_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = assign_to_centroids_hier(emb, cents, "embedding", fanout=4)
     return semantic_dedup(emb, None, tau=0.35, assigned=assigned)
+
+
+def _build_index_semdedup_oracle(tau: float, n_c: int = 16) -> str:
+    """x157's pair/flag tail over the FLAT deterministic
+    first-``n_c``-by-id assignment — exactly what the x21 IVF index
+    persists, so this oracle doubles as the spec of the
+    index-assignment-reuse path."""
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    cents AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                           ORDER BY vec_id LIMIT {n_c}),
+    asgA AS (SELECT e.vec_id, e.v, c.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.centroid_id) AS rn
+             FROM e CROSS JOIN cents c),
+    fasg AS (SELECT vec_id, v, centroid_id FROM asgA WHERE rn = 1),
+    prs AS (SELECT b.vec_id AS vec_id, {_cos_sql('a.v', 'b.v')} AS cs
+            FROM fasg a JOIN fasg b ON a.centroid_id = b.centroid_id
+                                   AND a.vec_id < b.vec_id),
+    dups AS (SELECT vec_id, max(cs) AS max_prior_sim FROM prs
+             WHERE cs >= {tau!r} GROUP BY 1)
+    SELECT f.vec_id, f.centroid_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+           COALESCE(d.max_prior_sim, 0.0) AS max_prior_sim
+    FROM fasg f LEFT JOIN dups d ON d.vec_id = f.vec_id
+    """
+
+
+@query("x168_semdedup_from_index", oracle=_build_index_semdedup_oracle(0.35))
+def x168_semdedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED best remedy for SemDeDup's assignment bill
+    (BENCH_NOTES x157/x167): consume the assignment the standing x21
+    IVF index ALREADY persists — ``write_ivf_index`` stores (vec_id,
+    embedding, norm, centroid_id) partitioned by list, which is
+    byte-for-byte the ``assigned=`` contract — so the dedup pass is
+    PAIRS-ONLY and the n·c assignment folds are paid once by the index
+    build the ANN serving tier needs anyway.  One artifact, two
+    consumers: kNN serving and dedup (the forward-index/PRF sharing
+    argument applied to the vector tier)
+    (operators/similarity.py:semantic_dedup(assigned=...))."""
+    from ..operators.ann_index import ensure_index, write_ivf_index
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "ivf")
+    ensure_index(
+        lambda: write_ivf_index(emb, path, n_centroids=16),
+        path,
+    )
+    assigned = spark.read.parquet(path)
+    return semantic_dedup(emb, None, tau=0.35, assigned=assigned)
