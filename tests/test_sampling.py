@@ -819,3 +819,57 @@ def test_streaming_packer_matches_batch_offsets(spark, tmp_path):
         for r in spans_from_store(spark, store).collect()
     }
     assert again == want
+
+
+def test_streaming_window_digests_stitch_across_batches(spark, tmp_path):
+    """Windows straddling a micro-batch boundary are digested exactly
+    once, over the stitched token run: the store equals the
+    Python-computed digest table of the concatenated corpus restricted
+    to complete windows; replay is a no-op."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.streaming.packing import (
+        run_streaming_window_digests,
+        window_digests_from_store,
+    )
+
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range((i * 5) % 7 + 1))) for i in range(12)]
+    a = [r for r in rows if r[0] < 6]
+    b = [r for r in rows if r[0] >= 6]
+    C = 4
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(data, name):
+        df = spark.createDataFrame(data, "doc_id long, text string")
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    land_file(a, "a")
+    run_streaming_window_digests(spark, landing, store, ck, context_len=C)
+    land_file(b, "b")
+    run_streaming_window_digests(spark, landing, store, ck, context_len=C)
+
+    stream = " ".join(t for _, t in rows).lower().split()
+    want = {
+        i: hashlib.md5(" ".join(stream[i * C : (i + 1) * C]).encode()).hexdigest()
+        for i in range(len(stream) // C)
+    }
+    got = {
+        int(r.chunk): r.h for r in window_digests_from_store(spark, store).collect()
+    }
+    assert got == want and len(want) > 2
+    # at least one window straddles the a/b boundary and still matches
+    boundary_tokens = sum(len(t.split()) for _, t in a)
+    straddle = boundary_tokens // C
+    if boundary_tokens % C:  # the straddling window exists
+        assert got[straddle] == want[straddle]
+    run_streaming_window_digests(spark, landing, store, ck, context_len=C)
+    assert {int(r.chunk): r.h for r in window_digests_from_store(spark, store).collect()} == want
