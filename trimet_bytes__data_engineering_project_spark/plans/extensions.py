@@ -7937,22 +7937,24 @@ def x157_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, cents, tau=0.35)
 
 
-def _build_perceptron_oracle(n_epochs: int = 3, hex_digits: int = 2) -> str:
-    """The whole training run as one DuckDB statement: the epoch loop
-    is FIXED-length, so it unrolls into chained CTEs (the x27 k-means
-    precedent applied to a classifier) — per epoch one margin
-    aggregation against the previous weight table, one summed update
-    over the misclassified set, one weight refresh over the full
-    bucket grid.  All integer arithmetic; DuckDB's HUGEINT sums cast
-    back to BIGINT at every checked boundary."""
+def _perceptron_cte_parts(
+    n_epochs: int, hex_digits: int, train_where: str = ""
+) -> list[str]:
+    """The training-run CTE chain (tok/tf/lab/tfl/grid/w0..wN) shared
+    by the x158 trajectory oracle and the x169 held-out evaluation —
+    ``train_where`` restricts which documents the epochs see (the
+    hash-split filter), while ``tf`` stays corpus-wide so the eval side
+    can reuse it."""
     n_buckets = 16**hex_digits
     parts = [
         f"""tok AS (SELECT doc_id, {_hex_ladder('t', hex_digits)} AS b FROM (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
       FROM documents))""",
-        "tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2)",
+        "tf AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2)",
         "lab AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y FROM documents)",
-        "tfl AS MATERIALIZED (SELECT tf.doc_id, tf.b, tf.c, lab.y FROM tf JOIN lab USING (doc_id))",
+        "tfl AS MATERIALIZED (SELECT tf.doc_id, tf.b, tf.c, lab.y FROM tf JOIN lab USING (doc_id)"
+        + (f" WHERE {train_where}" if train_where else "")
+        + ")",
         f"grid AS (SELECT CAST(unnest(range(0, {n_buckets})) AS BIGINT) AS b)",
         "w0 AS (SELECT b, CAST(0 AS BIGINT) AS w FROM grid)",
     ]
@@ -7970,12 +7972,56 @@ def _build_perceptron_oracle(n_epochs: int = 3, hex_digits: int = 2) -> str:
             f"w{e} AS MATERIALIZED (SELECT p.b, p.w + COALESCE(u.du, CAST(0 AS BIGINT)) AS w "
             f"FROM w{e - 1} p LEFT JOIN u{e} u ON u.b = p.b)"
         )
+    return parts
+
+
+def _build_perceptron_oracle(n_epochs: int = 3, hex_digits: int = 2) -> str:
+    """The whole training run as one DuckDB statement: the epoch loop
+    is FIXED-length, so it unrolls into chained CTEs (the x27 k-means
+    precedent applied to a classifier) — per epoch one margin
+    aggregation against the previous weight table, one summed update
+    over the misclassified set, one weight refresh over the full
+    bucket grid.  All integer arithmetic; DuckDB's HUGEINT sums cast
+    back to BIGINT at every checked boundary."""
+    parts = _perceptron_cte_parts(n_epochs, hex_digits)
     sel = ", ".join(f"w{e}.w AS w{e}" for e in range(1, n_epochs + 1))
     joins = " ".join(
         f"JOIN w{e} ON w{e}.b = w1.b" for e in range(2, n_epochs + 1)
     )
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT w1.b, {sel} FROM w1 {joins}"
+    )
+
+
+_TEST_SPLIT_WHERE = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'e666'"
+_TRAIN_SPLIT_WHERE = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'"
+
+
+def _build_perceptron_eval_oracle(n_epochs: int = 3, hex_digits: int = 2) -> str:
+    """Held-out evaluation: epochs run over the hash-split TRAIN docs
+    only (the ``train_where`` filter on tfl), then the final weights
+    score the TEST split's tf rows and reduce to one confusion row.
+    pred is ``margin > 0`` (a zero margin counts negative — documented
+    tie rule); only test docs with ≥1 token appear (no features ⇒ no
+    prediction, both engines agree)."""
+    parts = _perceptron_cte_parts(n_epochs, hex_digits, _TRAIN_SPLIT_WHERE)
+    parts.append(
+        f"mt AS (SELECT tf.doc_id, lab.y, CAST(SUM(tf.c * w{n_epochs}.w) AS BIGINT) AS margin "
+        f"FROM tf JOIN lab USING (doc_id) JOIN w{n_epochs} ON w{n_epochs}.b = tf.b "
+        f"WHERE {_TEST_SPLIT_WHERE} GROUP BY 1, 2)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT CAST(SUM(CASE WHEN y = 1 AND margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = -1 AND margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 1 AND margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN y = -1 AND margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN (y = 1) = (margin > 0) THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS acc_fp
+    FROM mt"""
     )
 
 
@@ -8486,3 +8532,38 @@ def x168_semdedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = spark.read.parquet(path)
     return semantic_dedup(emb, None, tau=0.35, assigned=assigned)
+
+
+@query("x169_perceptron_heldout_eval", oracle=_build_perceptron_eval_oracle())
+def x169_perceptron_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→evaluate loop closed: the batch perceptron trains on
+    the deterministic hash split's TRAIN docs only (x22's thresholds),
+    the converged weights score the held-out TEST split, and the
+    output is the one-row confusion matrix + fixed-point accuracy —
+    the classifier-quality gate a selection pipeline checks before
+    trusting x158's weights on a crawl.  pred = margin > 0 (zero
+    margins count negative — the documented tie rule); every quantity
+    integer, the oracle unrolls training AND scoring in one statement
+    (operators/classifier.py:perceptron_train/perceptron_margins)."""
+    from ..operators.classifier import perceptron_margins, perceptron_train
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = train_val_test_split(docs, "doc_id")
+    pos = F.col("lang") == "en"
+    w = perceptron_train(sp.filter(F.col("split") == "train"), pos)
+    final = w.select("b", F.col("w3").alias("w"))
+    m = perceptron_margins(sp.filter(F.col("split") == "test"), final, pos)
+    pred_pos = F.col("margin") > 0
+    is_pos = F.col("y") == 1
+    return m.agg(
+        F.sum(F.when(is_pos & pred_pos, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(~is_pos & pred_pos, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(is_pos & ~pred_pos, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~is_pos & ~pred_pos, 1).otherwise(0)).cast("long").alias("tn"),
+        F.count("*").cast("long").alias("n_scored"),
+        F.expr(
+            "CAST(sum(CASE WHEN (y = 1) = (margin > 0) THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("acc_fp"),
+    )
