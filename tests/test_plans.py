@@ -467,3 +467,15 @@ def test_vocab_growth_windows_over_bucket_table_only(spark):
     p = plan_of(spark, "x161_vocab_growth")
     assert "SortAggregate" not in p
     assert "CartesianProduct" not in p
+
+
+def test_datasheet_is_two_scans(spark):
+    """x165: all seven row-level metrics fold into ONE aggregate over
+    one scan (a single Expand for the mixed distincts); the vocabulary
+    explode is the second and last scan — exactly two parquet reads of
+    documents, not one per metric."""
+    p = plan_of(spark, "x165_corpus_datasheet")
+    # count tree nodes ("+- Scan parquet"), not the detail section's
+    # repeated listing of the same nodes
+    assert p.count("- Scan parquet") == 2
+    assert "Expand" in p  # the one-pass mixed-distinct aggregate

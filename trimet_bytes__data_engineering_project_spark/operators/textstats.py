@@ -2254,50 +2254,43 @@ def corpus_datasheet(df: DataFrame, text_col: str = "text") -> DataFrame:
     integer so the sheet diffs cleanly between snapshots (the x136
     snapshot-diff audit consumes exactly this shape).
 
-    Each metric is one aggregate over the scan — counts, a digest
-    distinct (x01's exact-dup shape), one token explode for the
-    vocabulary/token totals — unioned into the long format.  Nothing
-    here is new machinery; the value is the single-call composition."""
-    toks = df.select(
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
-            )
-        ).alias("t")
+    TWO scans total: every row-level metric — counts, sums, the three
+    distinct cardinalities (langs, sources, x01's digest distinct) and
+    the max — folds into ONE aggregate over one scan (Spark plans the
+    mixed distinct aggregates with a single Expand, not one pass per
+    metric; the naive one-union-per-metric form read the table eight
+    times), unpivoted to long format via stack; the vocabulary size
+    needs the token explode and is the second scan.  Nothing here is
+    new machinery; the value is the single-call composition."""
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    wide = df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        (F.count("*") - F.countDistinct(F.md5(F.col(text_col))))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        F.max(ntok).cast("long").alias("max_doc_tokens"),
     )
-
-    def one(name: str, agg_df: DataFrame) -> DataFrame:
-        return agg_df.select(
-            F.lit(name).alias("metric"), F.col("v").cast("long").alias("value")
+    row_metrics = wide.select(
+        F.expr(
+            "stack(7, 'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars, "
+            "'n_langs', n_langs, 'n_sources', n_sources, "
+            "'n_exact_dup_docs', n_exact_dup_docs, 'max_doc_tokens', max_doc_tokens) "
+            "AS (metric, value)"
         )
-
-    base = df
-    parts = [
-        one("n_docs", base.agg(F.count("*").alias("v"))),
-        one(
-            "n_tokens",
-            base.agg(
-                F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("v")
-            ),
-        ),
-        one("n_chars", base.agg(F.sum(F.length(text_col)).alias("v"))),
-        one("n_langs", base.agg(F.countDistinct("lang").alias("v"))),
-        one("n_sources", base.agg(F.countDistinct("source").alias("v"))),
-        one(
-            "n_exact_dup_docs",
-            base.agg(
-                (F.count("*") - F.countDistinct(F.md5(F.col(text_col)))).alias("v")
-            ),
-        ),
-        one("vocab_size", toks.agg(F.countDistinct("t").alias("v"))),
-        one(
-            "max_doc_tokens",
-            base.agg(
-                F.max(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("v")
-            ),
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    vocab = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+                )
+            ).alias("t")
+        )
+        .agg(F.countDistinct("t").cast("long").alias("value"))
+        .select(F.lit("vocab_size").alias("metric"), "value")
+    )
+    return row_metrics.unionByName(vocab)
