@@ -954,3 +954,40 @@ def test_winnow_coverage_guarantee(spark, texts):
     for i, t in enumerate(texts):
         if len(t.split()) >= 6:  # run of >= window+k-1 = 6 tokens
             assert fps[2 * i] & fps[2 * i + 1], t
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(1, 40)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(2, 16),
+    st.integers(1, 50),
+)
+@SETTINGS
+@example([(0, 3), (99, 5), (100, 2), (101, 7)], 4, 100)  # ids straddling a bucket edge
+def test_concat_chunk_spans_equals_naive_cumsum(spark, rows, context_len, bucket_size):
+    """The two-level distributed prefix sum equals the naive sequential
+    cumsum for ANY sparse id set, bucket size and context length —
+    including ids that straddle bucket boundaries and single-doc
+    buckets."""
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        concat_chunk_spans,
+    )
+
+    rows = sorted(rows)
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.start_off, r.first_chunk, r.last_chunk, r.n_chunks, r.crosses)
+        for r in concat_chunk_spans(
+            df, "doc_id", "n_tok", context_len, bucket_size=bucket_size
+        ).collect()
+    }
+    off = 0
+    for did, n in rows:
+        first, last = off // context_len, (off + n - 1) // context_len
+        assert got[did] == (off, first, last, last - first + 1, int(last > first))
+        off += n
+    assert len(got) == len(rows)
