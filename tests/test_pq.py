@@ -407,3 +407,34 @@ def test_opq_self_match_scores_one(spark, tmp_path):
     write_opq_index(emb, path, dim=64)
     got = opq_adc_probe(spark, path, qv, k=1).collect()
     assert got[0].vec_id == 0 and got[0].cos_approx == pytest.approx(1.0, rel=1e-12)
+
+
+def test_coarse_ranking_guards_zero_norms(spark, tmp_path):
+    """The driver-side coarse-centroid cosine mirrors the scan path's
+    NULL-score contract instead of dividing by zero: a zero-norm
+    centroid ranks LAST (it can still be probed when nprobe covers
+    it), and a zero QUERY ranks all centroids as undefined — probed in
+    centroid_id order, candidates scoring NULL downstream, no
+    ZeroDivisionError anywhere (ADVICE r7: operators/pq.py)."""
+    from trimet_bytes__data_engineering_project_spark.operators.pq import (
+        _rank_coarse,
+        ivfpq_probe,
+        write_ivfpq_index,
+    )
+
+    cents = [
+        {"centroid_id": 0, "cvec": [0.0, 0.0]},  # zero-norm: ranks last
+        {"centroid_id": 1, "cvec": [1.0, 0.0]},
+        {"centroid_id": 2, "cvec": [0.0, 1.0]},
+    ]
+    assert _rank_coarse(cents, [1.0, 0.0], 3) == [1, 2, 0]
+    # zero query: all undefined -> centroid_id order, nprobe respected
+    assert _rank_coarse(cents, [0.0, 0.0], 2) == [0, 1]
+
+    # end-to-end: a zero query against a real index must not raise,
+    # and its candidates carry NULL scores (the scan-side contract)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_zero")
+    write_ivfpq_index(emb, path, dim=64, n_centroids=8)
+    rows = ivfpq_probe(spark, path, [0.0] * 64, k=3, nprobe=1).collect()
+    assert len(rows) == 3 and all(r.cos_approx is None for r in rows)

@@ -423,16 +423,10 @@ def ivf_index_probe(
     centroid table (same cost class as fetching the query vector); the
     corpus scan carries a literal IN-list partition filter — pruned at
     planning time, no join, no assignment recompute."""
+    from .pq import _rank_coarse  # zero-norm/zero-query guard shared
+
     cents = spark.read.parquet(_centroids_path(path)).collect()
-
-    def _cos(cvec: list[float]) -> float:
-        d = sum(a * b for a, b in zip(cvec, query_vec))
-        na = sum(a * a for a in cvec) ** 0.5
-        nb = sum(b * b for b in query_vec) ** 0.5
-        return d / (na * nb)
-
-    ranked = sorted(cents, key=lambda r: (-_cos(r["cvec"]), r["centroid_id"]))
-    probe_ids = [r["centroid_id"] for r in ranked[:nprobe]]
+    probe_ids = _rank_coarse(cents, query_vec, nprobe)
 
     idx = spark.read.parquet(path)
     v = as_double_vec(vec_col)

@@ -103,6 +103,16 @@ def pagerank(
     floor.  The seed set is broadcast (a curated set is small by
     contract).
 
+    Edge-list contract (matching :func:`propagate_labels`): the input
+    is read as a MULTIGRAPH — a duplicate (src, dst) row is a parallel
+    edge and doubles that edge's degree share and contribution (it is
+    NOT deduplicated here, because additive parallel edges are a
+    legitimate weighting; pre-``.distinct()`` if your derivation can
+    emit repeats).  Directed semantics: rank flows src→dst only — for
+    the undirected near-dup graphs (x125/x135/x141) callers must emit
+    BOTH directions of every pair, exactly as propagate_labels
+    documents.
+
     Returns (``node_col``, rank_fp) — rank_fp int64 at ``scale``.
     Isolated nodes converge to (den-num)*scale div den (uniform
     mode) / exactly 0 (personalized mode, non-seed)."""

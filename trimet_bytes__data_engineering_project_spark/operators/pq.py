@@ -221,6 +221,37 @@ def write_pq_index(
 
 
 
+def _rank_coarse(cents_rows, qvec: list[float], nprobe: int) -> list[int]:
+    """Driver-side coarse-centroid ranking shared by the IVFPQ probes:
+    the same left-to-right sequential cosine as the scan-side fold,
+    with the scan path's NULL-score contract mirrored — a zero-norm
+    centroid (possible: centroids are the first n vectors by id) or a
+    zero query yields an UNDEFINED cosine, which ranks LAST (ties by
+    centroid_id), never a ZeroDivisionError.  A zero query therefore
+    probes the first ``nprobe`` centroids by id and its candidates
+    score NULL downstream, exactly as the scan-side scorer would."""
+
+    def _cos(cvec: list[float]) -> float | None:
+        dd = 0.0
+        for a, b in zip(cvec, qvec):
+            dd += a * b
+        na = 0.0
+        for a in cvec:
+            na += a * a
+        nb = 0.0
+        for b in qvec:
+            nb += b * b
+        if na == 0.0 or nb == 0.0:
+            return None
+        return dd / ((na**0.5) * (nb**0.5))
+
+    def _key(r):
+        c = _cos(r["cvec"])
+        return (c is None, -(c if c is not None else 0.0), r["centroid_id"])
+
+    return [r["centroid_id"] for r in sorted(cents_rows, key=_key)[:nprobe]]
+
+
 def _adc_parts(spark: SparkSession, path: str, qvec: list[float], m: int):
     """Shared ADC probe machinery: the query's m x ks partial-dot table
     as a nested literal column (computed with the build's sequential
@@ -522,21 +553,7 @@ def ivfpq_probe(
     Recall follows the coarse quantizer exactly as for plain IVF —
     the PQ stage changes bytes-per-row, never which rows are read."""
     cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
-
-    def _cos(cvec: list[float]) -> float:
-        dd = 0.0
-        for a, b in zip(cvec, qvec):
-            dd += a * b
-        na = 0.0
-        for a in cvec:
-            na += a * a
-        nb = 0.0
-        for b in qvec:
-            nb += b * b
-        return dd / ((na**0.5) * (nb**0.5))
-
-    ranked = sorted(cents, key=lambda r: (-_cos(r["cvec"]), r["centroid_id"]))
-    probe_ids = [r["centroid_id"] for r in ranked[:nprobe]]
+    probe_ids = _rank_coarse(cents, qvec, nprobe)
 
     dt_col, qn = _adc_parts(spark, path, qvec, m)
     codes = spark.read.parquet(os.path.join(path, "codes")).filter(
@@ -671,21 +688,7 @@ def ivfpq_residual_probe(
     Spark job.  Same pruning and NULL-score contract as
     :func:`ivfpq_probe`."""
     cents_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
-
-    def _cos(cvec: list[float]) -> float:
-        dd = 0.0
-        for a, b in zip(cvec, qvec):
-            dd += a * b
-        na = 0.0
-        for a in cvec:
-            na += a * a
-        nb = 0.0
-        for b in qvec:
-            nb += b * b
-        return dd / ((na**0.5) * (nb**0.5))
-
-    ranked = sorted(cents_rows, key=lambda r: (-_cos(r["cvec"]), r["centroid_id"]))
-    probe_ids = [r["centroid_id"] for r in ranked[:nprobe]]
+    probe_ids = _rank_coarse(cents_rows, qvec, nprobe)
 
     dt_col, qn = _adc_parts(spark, path, qvec, m)
     # per-probed-list centroid dot, with the SAME fold as the scoring

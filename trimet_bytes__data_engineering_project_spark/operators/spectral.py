@@ -19,11 +19,16 @@ half-step is an INTEGER sum (exact, order-free):
 The only floats are the final normalize (sum of squares is computed
 EXACTLY in wide integers — DECIMAL(38,0) Spark-side, HUGEINT in an
 ANSI oracle — then one deterministic sqrt and one floor) — so a fixed
-iteration count is bit-reproducible in any engine.  Int64 ceilings at
-the defaults (Sx=2^10, Sv=2^20, |x|<2, d=64): |u| < 2^26, so
-``y_j < n * 2^36`` needs **n < 6.7e7 rows**; beyond that drop Sv to
-2^16 (n < 1e9) or shard-and-average — documented tradeoff, 4 fewer
-fixed-point bits.
+iteration count is bit-reproducible in any engine.  Ceilings at the
+defaults (Sx=2^10, Sv=2^20, |x|<2, d=64): |u| < 2^26 keeps
+``y_j < n * 2^36`` inside int64 to n < 1.3e8 — but the BINDING ceiling
+is the DECIMAL(38,0) sum of squares: Σ_j y_j² < 64·(n·2^36)² = n²·2^78
+must stay under 10^38 ≈ 2^126, so **n < 1.8e7 rows** at the defaults.
+Beyond that drop Sv to 2^16 (y_j < n·2^32, decimal ceiling n < 2.7e8)
+or shard-and-average — documented tradeoff, 4 fewer fixed-point bits.
+A breach cannot pass silently: a decimal overflow NULLs the sum (non-
+ANSI), and the normalize step treats a NULL norm as a hard error
+(raise_error), never as the zero-corpus zero vector.
 
 Scale shape per iteration: one broadcast of the 1-row iterate into the
 scan (crossJoin of a single row), an array-local integer fold for u,
@@ -123,6 +128,9 @@ def power_iteration_top_component(
             .cast("double")
             .alias("n2")
         )
+        # NULL n2 = the DECIMAL(38,0) sum of squares overflowed (corpus
+        # beyond the module-docstring ceiling) — hard error, NOT the
+        # zero-corpus zero vector (n2 == 0) it would otherwise alias.
         vrows = y.crossJoin(F.broadcast(n2)).select(
             "j",
             F.when(
@@ -131,7 +139,15 @@ def power_iteration_top_component(
                     F.col("y").cast("double") * F.lit(float(sv)) / F.sqrt("n2")
                 ).cast("long"),
             )
-            .otherwise(F.lit(0).cast("long"))
+            .when(F.col("n2") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "CAST(raise_error('power_iteration_top_component: sum of"
+                    " squares overflowed DECIMAL(38,0) — corpus exceeds the"
+                    " documented row ceiling; lower sv (2^16 raises it to"
+                    " ~2.7e8 rows) or shard-and-average') AS BIGINT)"
+                )
+            )
             .alias("v"),
         )
         v = _assemble(vrows, "j", "v", "varr")

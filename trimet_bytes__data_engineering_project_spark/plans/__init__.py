@@ -22,82 +22,69 @@ from . import extensions  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _WINDOW_HEAD = [
-    # Round-7 window (exactly 50). Order of priority:
-    # (1) the round-7 additions, driver-checked in their first round:
-    #     x98 modified Kneser-Ney (count-of-count discounts) and x99
-    #     trigram Kneser-Ney (recursive continuation backoff) and
-    #     x100, x99 through the persisted-snapshot lifecycle (oracle
-    #     verbatim x99's — the snapshot form is bit-equal);
-    "x98_modified_kneser_ney",
-    "x99_trigram_kneser_ney",
-    "x100_kn_snapshot_probe",
-    "x101_bm25_topk",
-    "x102_bm25_index_serve",
-    "x103_retrieval_decontamination",
-    "x104_hybrid_rrf",
-    "x105_pq_adc_probe",
-    "x106_pq_knn_join",
-    "x107_ivfpq_probe",
-    "x108_pq_recall_audit",
-    "x109_phrase_search",
-    "x110_phrase_index_serve",
-    "x111_ivfpq_residual_probe",
-    "x112_proximity_search",
-    "x113_collocations",
-    "x114_pq_refine_knn",
-    "x115_prf_expansion",
-    "x116_index_compaction",
-    "x117_snippet_extraction",
-    "x118_opq_probe",
-    "x119_diversified_topk",
-    "x120_bm25f_topk",
-    "x121_prefix_refine_knn",
-    # Queries registered after the head filled (x122-x134: the Hamming
-    # sketch, contrastive mining, PageRank, BPE, MMR, forward-index,
-    # spectral, histogram-quantile, and lexicon tiers) sit mid-order
-    # (slot 51+, swept by the in-repo parity test) and take head
-    # priority at the next rotation as first-round rows.
-    # (2) the round-6 verdict's item 6: the 44 queries whose latest
-    #     driver row is r02 — four rounds stale, beyond the intent of
-    #     the park-the-twice-green convention.  Oldest tier first: the
-    #     q-core in registration order, q01-q25 = the 25 stalest (the
-    #     verdict's floor); q26/q28-q32 yield their slots to the
-    #     round-7 first-round rows above and lead the next rotation;
-    "q01_count_on_date",
-    "q02_hour_window_count",
-    "q03_readings_per_dow",
-    "q04_running_avg_per_dow",
-    "q05_sunday_evening_count",
-    "q06_max_speed",
-    "q07_vehicles_per_speed",
-    "q08_longest_trip",
-    "q09_counts_by_dates",
-    "q10_trips_per_vehicle",
-    "q11_trips_per_date_dayname",
-    "q12_trip_start_end",
-    "q13_scalar_subquery_points",
-    "q14_in_list_counts",
-    "q15_service_key_counts",
-    "q16_speed_lag",
-    "q17_backfill_clip",
-    "q18_dedup_first_event",
-    "q19_validation_counts",
-    "q20_trip_full_view",
-    "q21_join_using_segment",
-    "q22_bbox_distinct_trips",
-    "q23_tracking_daily",
-    "q24_union_counts",
-    "q25_timestamp_roundtrip",
-    # q26/q28-q32 and the x01-x13/x15/x17/x18 block yield their head
-    # slots to the round-7 first-round rows (x101-x121 above take
-    # priority); they stay r02-stale and lead the next rotation
-    # alongside the remaining stale singles.
-    # (4) re-check of code touched this round: x97's refresh_counts
-    #     gained the enforced max_batch_keys guard.  The x89/x96
-    #     fingerprint-threading re-checks are served by the head's own
-    #     x115/x119/x121, which drive the SAME ensure_index(fingerprint=)
-    #     path on both the lexical and vector index families.
-    "x97_snapshot_refresh",
+    # Round-8 window (exactly 50), executing the round-7 verdict item 1:
+    # ALL 48 never-driver-checked queries (x122-x169 — everything
+    # registered after the r07 head was fixed: the Hamming/contrastive/
+    # graph tier, BPE, MMR, forward index, spectral, the modern
+    # selection pipeline, SemDeDup lifecycle, session-5 additions) take
+    # the head as first-round rows.  The remaining 2 slots go to this
+    # round's new queries (registered below the block, appended at the
+    # end of the head list).
+    "x122_hamming_refine_knn",
+    "x123_hard_negative_mining",
+    "x124_contrastive_triplets",
+    "x125_link_centrality",
+    "x126_bpe_vocabulary",
+    "x127_bpe_encode_vocab",
+    "x128_mmr_rerank",
+    "x129_forward_index_fetch",
+    "x130_top_component",
+    "x131_remove_top_component",
+    "x132_histogram_quantiles",
+    "x133_prefix_term_search",
+    "x134_tokenizer_fertility",
+    "x135_personalized_pagerank",
+    "x136_snapshot_diff",
+    "x137_retrieval_mrr",
+    "x138_debias_knn",
+    "x139_grouped_quantiles",
+    "x140_retention_cohorts",
+    "x141_weighted_pagerank",
+    "x142_hits_containment",
+    "x143_importance_weights",
+    "x144_label_propagation",
+    "x145_ccnet_buckets",
+    "x146_triangle_stats",
+    "x147_winnow_candidates",
+    "x148_gopher_rules",
+    "x149_lang_reid_confusion",
+    "x150_split_leakage",
+    "x151_cluster_aware_split",
+    "x152_lsh_recall_audit",
+    "x153_modern_selection_pipeline",
+    "x154_dup_ngram_stats",
+    "x155_importance_snapshot_probe",
+    "x156_cluster_size_histogram",
+    "x157_semdedup",
+    "x158_perceptron_train",
+    "x159_concat_chunk_spans",
+    "x160_pii_scan",
+    "x161_vocab_growth",
+    "x162_doremi_reweight",
+    "x163_chunk_dedup",
+    "x164_zipf_histogram",
+    "x165_corpus_datasheet",
+    "x166_semantic_split_leakage",
+    "x167_semdedup_hier",
+    "x168_semdedup_from_index",
+    "x169_perceptron_heldout_eval",
+    # Round-8 new queries (first-round rows), slots 49-50:
+    "x170_lang_snapshot_reid",
+    "x171_content_fingerprint_rebuild",
+    # The r02-stale block (q26/q28-q32, x01-x13, x15/x17/x18 — ~20
+    # queries, six rounds stale after this round) leads the r09
+    # rotation per verdict item 8, together with re-checks of any code
+    # touched in r08 (x126/x127 delta trainer, x137/x166 served forms).
 ]
 
 # Parked this round per the park-the-twice-green convention (every row

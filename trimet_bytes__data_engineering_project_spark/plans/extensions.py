@@ -6047,11 +6047,17 @@ def x126_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces with lead() windows + run-parity selection.  Symbol
     totals only shrink as merges apply; at 100 TB the merge table is
     learned on a hash-threshold sample and applied corpus-wide
-    (operators/bpe.py module docstring)."""
-    from ..operators.bpe import bpe_learn
+    (operators/bpe.py module docstring).
+
+    REGISTERED TRAINER (round 8): the DELTA-COUNT form
+    (``bpe_learn_incremental`` — full pair count paid once, each step
+    recounts only affected word types and folds the signed difference
+    in), pinned bit-identical to the full-recount ``bpe_learn`` by
+    test; the full form stays as the spec/reference implementation."""
+    from ..operators.bpe import bpe_learn_incremental
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return bpe_learn(docs, 3)
+    return bpe_learn_incremental(docs, 3)
 
 
 @query("x127_bpe_encode_vocab", oracle=_build_bpe_oracle(encode_topn=10))
@@ -6062,16 +6068,19 @@ def x127_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     resulting vocabulary — top-10 symbols by occurrence (cnt desc,
     symbol asc).  This is the apply-side of x126: at 100 TB the table
     is learned once on a sample and THIS plan shape — fold chain +
-    one histogram count — is what touches the full corpus."""
+    one histogram count — is what touches the full corpus.  Merge
+    table learned by the registered delta-count trainer (x126)."""
     from ..operators.bpe import (
         bpe_encode,
-        bpe_learn,
+        bpe_learn_incremental,
         vocab_histogram,
         word_symbol_arrays,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    merges = [(r.a, r.b) for r in bpe_learn(docs, 3).orderBy("step").collect()]
+    merges = [
+        (r.a, r.b) for r in bpe_learn_incremental(docs, 3).orderBy("step").collect()
+    ]
     hist = vocab_histogram(bpe_encode(word_symbol_arrays(docs), merges))
     w = Window.orderBy(F.desc("cnt"), F.asc("symbol"))
     return (
@@ -6390,11 +6399,14 @@ def x134_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high fertility = wasted context window), and chars vs symbols
     gives the compression the merge table bought.  Integer counts
     (hashable contract) + one guarded division; plan shape is x127's
-    fold chain plus one ungrouped aggregate."""
-    from ..operators.bpe import bpe_encode, bpe_learn, word_symbol_arrays
+    fold chain plus one ungrouped aggregate.  Merge table learned by
+    the registered delta-count trainer (x126)."""
+    from ..operators.bpe import bpe_encode, bpe_learn_incremental, word_symbol_arrays
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    merges = [(r.a, r.b) for r in bpe_learn(docs, 3).orderBy("step").collect()]
+    merges = [
+        (r.a, r.b) for r in bpe_learn_incremental(docs, 3).orderBy("step").collect()
+    ]
     enc = bpe_encode(word_symbol_arrays(docs), merges).filter(F.size("syms") > 0)
     return enc.agg(
         F.sum(F.size("syms")).cast("long").alias("n_symbols"),

@@ -18,10 +18,10 @@ state is the bounded 16^hex_digits-row weight vector.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .hadoopfs import fs_exists, fs_list_names
 
 
 def _load_weights(spark: SparkSession, path: str, n_buckets: int) -> list[int]:
@@ -52,7 +52,7 @@ def run_streaming_perceptron(
         prev = f"{store_path}/weights/batch_id={batch_id - 1}"
         init = (
             _load_weights(spark, prev, n_buckets)
-            if batch_id > 0 and os.path.exists(prev)
+            if batch_id > 0 and fs_exists(spark, prev)
             else None
         )
         out = perceptron_train(
@@ -81,7 +81,7 @@ def latest_weights(spark: SparkSession, store_path: str) -> DataFrame:
     root = f"{store_path}/weights"
     gens = [
         int(d.split("=", 1)[1])
-        for d in os.listdir(root)
+        for d in fs_list_names(spark, root)
         if d.startswith("batch_id=")
     ]
     return spark.read.parquet(f"{root}/batch_id={max(gens)}")

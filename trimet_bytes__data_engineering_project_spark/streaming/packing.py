@@ -20,10 +20,10 @@ two-level prefix sum runs on O(batch) rows) + one broadcast of the
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .hadoopfs import fs_exists
 
 
 def run_streaming_packer(
@@ -43,7 +43,7 @@ def run_streaming_packer(
         prev_path = f"{store_path}/state/batch_id={batch_id - 1}"
         prev_off = (
             int(spark.read.parquet(prev_path).collect()[0]["next_off"])
-            if batch_id > 0 and os.path.exists(prev_path)
+            if batch_id > 0 and fs_exists(spark, prev_path)
             else 0
         )
         rel = concat_chunk_spans(batch_df, "doc_id", "n_tok", context_len)
@@ -119,7 +119,7 @@ def run_streaming_window_digests(
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         prev_state = f"{store_path}/wstate/batch_id={batch_id - 1}"
-        if batch_id > 0 and os.path.exists(prev_state):
+        if batch_id > 0 and fs_exists(spark, prev_state):
             srow = spark.read.parquet(prev_state).collect()[0]
             prev_off, tail = int(srow["next_off"]), list(srow["tail"])
         else:
