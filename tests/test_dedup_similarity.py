@@ -1984,3 +1984,52 @@ def test_zipf_histogram_buckets_and_decay(spark):
     assert got[0]["ratio_fp"] == 1000  # 2 types -> 2 types
     assert got[1]["ratio_fp"] == 2000  # 2 -> 1: the s=1 line
     assert got[3]["ratio_fp"] == 0  # last bucket: no successor
+
+
+def test_x166_served_equals_inline_assignment(spark):
+    """The registered x166 (leakage matrix over the PERSISTED x21/x168
+    IVF assignment) is row-equal to the inline form that assigns
+    against the same deterministic first-16-by-id centroids without an
+    index — the persisted-assignment reuse changes where the coarse
+    quantization is paid, never the pair set (the r7-verdict
+    re-registration keeps the inline twin pinned here)."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        train_val_test_split,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+        semantic_pairs,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double_vec("embedding").alias("cvec"),
+        )
+    )
+    pairs = semantic_pairs(emb, cents, tau=0.35)
+    sp = train_val_test_split(emb.select("vec_id"), "vec_id").select(
+        "vec_id", "split"
+    )
+    a = sp.select(F.col("vec_id").alias("a_id"), F.col("split").alias("split_a"))
+    b = sp.select(F.col("vec_id").alias("b_id"), F.col("split").alias("split_b"))
+    want = sorted(
+        tuple(r)
+        for r in pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["x166_semantic_split_leakage"](spark, sf).collect()
+    )
+    assert got == want and len(got) > 0

@@ -897,3 +897,31 @@ def test_retrieval_metrics_hand_pin(spark):
     r = retrieval_metrics(run, qrels, k=5).collect()[0]
     assert (r.n_queries, r.n_rel, r.n_found, r.sum_rr_fp) == (2, 3, 1, 30)
     assert r.recall_at_k == 1 / 3 and r.mrr == 30 / 120
+
+
+def test_x137_served_equals_inflight(spark):
+    """The registered x137 (MRR/recall served off the standing x102
+    inverted index) is BIT-EQUAL to the in-flight form (tokenize +
+    bm25_topk) — the serve path changes the cost, never the metrics
+    (the r7-verdict re-registration keeps the in-flight twin pinned
+    here)."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+        materialize_queries,
+        retrieval_metrics,
+        top_terms_queries,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    run = bm25_topk(docs, queries, k=5).select("query_id", "doc_id", "rank")
+    qrels = queries.select("query_id", F.col("query_id").alias("doc_id")).distinct()
+    want = [tuple(r) for r in retrieval_metrics(run, qrels, k=5).collect()]
+    got = [tuple(r) for r in QUERIES["x137_retrieval_mrr"](spark, sf).collect()]
+    assert got == want

@@ -6597,19 +6597,35 @@ def x137_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     an integer for every rank <= 5), so the aggregate carries NO
     float-summation order; the two display divisions are the only
     floats.  One broadcast judged-pairs join + a min-agg per query
-    over the run."""
+    over the run.
+
+    SERVED FORM (round 8, per the r7 verdict): the run comes off the
+    STANDING x102 inverted index (``top_terms_from_index`` +
+    ``bm25_serve`` — workload mining and scoring both O(probed
+    postings), zero tokenization), not an in-flight BM25 pass; the
+    oracle is unchanged because the serve path is bit-equal to the
+    in-flight form (pinned by tests/test_retrieval.py).  This is the
+    shape a production gate prices: the eval rides the index the
+    serving tier already maintains."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
     from ..operators.retrieval import (
-        bm25_topk,
-        materialize_queries,
+        bm25_serve,
         retrieval_metrics,
-        top_terms_queries,
+        top_terms_from_index,
+        write_inverted_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    queries = materialize_queries(
-        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    path = os.path.join(
+        _tagged_dir(_SCRATCH, "bm25_index", "v2", sf_dir=sf_dir), "full"
     )
-    run = bm25_topk(docs, queries, k=5).select("query_id", "doc_id", "rank")
+    ensure_index(
+        lambda: write_inverted_index(docs, path),
+        os.path.join(path, "stats"),
+        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+    )
+    queries = top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
+    run = bm25_serve(spark, queries, path, k=5).select("query_id", "doc_id", "rank")
     qrels = queries.select(
         "query_id", F.col("query_id").alias("doc_id")
     ).distinct()
@@ -8371,13 +8387,11 @@ def x165_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_datasheet(docs)
 
 
-def _build_semantic_leakage_oracle(
-    tau: float, n_centroids: int = 16, n_iter: int = 3
-) -> str:
-    """x150's leakage matrix with semantic pairs: the shared k-means
-    chain to the converged assignment, within-cluster pairs ≥ tau, and
-    the x22 hash-split CASE on both pair ends."""
-    parts = _kmeans_fasg_parts(n_centroids, n_iter)
+def _build_index_leakage_oracle(tau: float, n_c: int = 16) -> str:
+    """The leakage matrix over the FLAT deterministic
+    first-``n_c``-by-id assignment — the assignment the x21 IVF index
+    persists (same CTEs as ``_build_index_semdedup_oracle``), with the
+    x22 hash-split CASE on both pair ends."""
 
     def split(col: str) -> str:
         return (
@@ -8386,36 +8400,52 @@ def _build_semantic_leakage_oracle(
             f"ELSE 'test' END"
         )
 
-    return (
-        f"WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),\n"
-        + ",\n".join(parts)
-        + ",\nprs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
-        f"{_cos_sql('a.v', 'b.v')} AS cs\n"
-        "        FROM fasg a JOIN fasg b ON a.centroid_id = b.centroid_id\n"
-        "                               AND a.vec_id < b.vec_id)\n"
-        f"SELECT {split('a_id')} AS split_a, {split('b_id')} AS split_b,\n"
-        f"       CAST(count(*) AS BIGINT) AS n_pairs\n"
-        f"FROM prs WHERE cs >= {tau!r} GROUP BY 1, 2"
-    )
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    cents AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cvec FROM e
+                           ORDER BY vec_id LIMIT {n_c}),
+    asgA AS (SELECT e.vec_id, e.v, c.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.centroid_id) AS rn
+             FROM e CROSS JOIN cents c),
+    fasg AS (SELECT vec_id, v, centroid_id FROM asgA WHERE rn = 1),
+    prs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_cos_sql('a.v', 'b.v')} AS cs
+            FROM fasg a JOIN fasg b ON a.centroid_id = b.centroid_id
+                                   AND a.vec_id < b.vec_id)
+    SELECT {split('a_id')} AS split_a, {split('b_id')} AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM prs WHERE cs >= {tau!r} GROUP BY 1, 2
+    """
 
 
-@query("x166_semantic_split_leakage", oracle=_build_semantic_leakage_oracle(0.35))
+@query("x166_semantic_split_leakage", oracle=_build_index_leakage_oracle(0.35))
 def x166_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic eval-split leakage: x150 counts near-dup pairs that
     straddle the train/val/test cut using LEXICAL (MinHash) pairs —
     paraphrases sharing no shingles sail through that audit.  This is
-    the same matrix over SemDeDup's cluster-scoped cosine pairs
-    (x157's candidate stream), catching embedding-level leakage; every
-    off-diagonal cell overestimates held-out performance.  Remedy
-    unchanged: cluster-aware splitting (x151) keyed on the SEMANTIC
-    component instead (operators/similarity.py:semantic_pairs)."""
-    from ..operators.ann_index import kmeans_centroids
+    the same matrix over SemDeDup's cluster-scoped cosine pairs,
+    catching embedding-level leakage; every off-diagonal cell
+    overestimates held-out performance.  Remedy unchanged:
+    cluster-aware splitting (x151) keyed on the SEMANTIC component
+    instead (operators/similarity.py:semantic_pairs).
+
+    SERVED FORM (round 8, per the r7 verdict): the candidate pairs
+    ride the PERSISTED x21/x168 IVF assignment (``semantic_pairs``
+    with ``assigned=`` — pairs-only, no in-query k-means; the measured
+    remedy, BENCH_NOTES x168: 43.8 → 21.8 s at ×100), so the audit
+    shares one coarse quantization with ANN serving and SemDeDup.  The
+    oracle is the flat first-16-by-id assignment the index persists;
+    the k-means lifecycle stays covered by x157."""
+    from ..operators.ann_index import ensure_index, write_ivf_index
     from ..operators.sampling import train_val_test_split
     from ..operators.similarity import semantic_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, n_centroids=16, n_iter=3)
-    pairs = semantic_pairs(emb, cents, tau=0.35)
+    path = _index_dir(sf_dir, "ivf")
+    ensure_index(lambda: write_ivf_index(emb, path, n_centroids=16), path)
+    pairs = semantic_pairs(
+        emb, None, tau=0.35, assigned=spark.read.parquet(path)
+    )
     sp = train_val_test_split(emb.select("vec_id"), "vec_id").select(
         "vec_id", "split"
     )
