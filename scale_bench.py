@@ -1634,6 +1634,41 @@ def _x149_lang_reid(spark, d):
     )
 
 
+def _x170_lang_snapshot(spark, d):
+    # the x149 remedy (r7 verdict item 3): per-language profiles +
+    # script masks prebuilt once per scale dir (ensure_index marker);
+    # the timed work is the 10% batch's token-instance join against the
+    # broadcast PIVOTED profile + ONE doc-keyed agg — no |langs| fanout
+    # anywhere, so expect the x85/x155 snapshot band (<3x), replacing
+    # x149's 10.57x as the nightly shape.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        lang_id_from_snapshot,
+        lang_ratio_profiles,
+        lang_script_masks,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    base = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    root = os.path.join(_SCALE_ROOT, "lang_snapshot", os.path.basename(d.rstrip("/")))
+    rpath, mpath = os.path.join(root, "ratios"), os.path.join(root, "masks")
+    ensure_index(
+        lambda: lang_ratio_profiles(base).write.mode("overwrite").parquet(rpath),
+        rpath,
+    )
+    ensure_index(
+        lambda: lang_script_masks(base).write.mode("overwrite").parquet(mpath),
+        mpath,
+    )
+    out = lang_id_from_snapshot(
+        batch, spark.read.parquet(rpath), spark.read.parquet(mpath)
+    )
+    return out.agg(F.count("*").alias("n"), F.sum("agree").alias("a"))
+
+
 def _x140_retention(spark, d):
     # cohort retention over the full scaled events table: one distinct
     # (user, week) shuffle, a user-keyed min-agg reusing the same key,
@@ -2042,6 +2077,7 @@ HEAVY += [
     ("x163_chunk_dedup_full", _x163_chunk_dedup),
     ("x167_semdedup_hier_full", _x167_semdedup_hier),
     ("x168_semdedup_from_index_full", _x168_semdedup_from_index),
+    ("x170_lang_snapshot_10pct", _x170_lang_snapshot),
 ]
 
 

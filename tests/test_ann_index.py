@@ -854,3 +854,56 @@ def test_hier_assignment_degenerates_to_flat_at_full_fanout(spark):
         emb, cents, "embedding", fanout=2
     ).collect()}
     assert again == {r.vec_id: r.centroid_id for r in rows}
+
+
+def test_content_fingerprint_rebuild_trip(spark, tmp_path, emb):
+    """The re-embedded-vectors-same-ids staleness case END TO END (r7
+    verdict item 6): an IVF index built under a content-sensitive
+    fingerprint is REBUILT when the embedding values change with ids
+    and count unchanged — and correctly kept when nothing changed.
+    The footer-only stamp would have kept serving the stale index."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        corpus_fingerprint,
+        ensure_index,
+        write_ivf_index,
+    )
+
+    v1 = emb.filter(F.col("vec_id") < 100)
+    v2 = v1.withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x + F.lit(1.0)).cast(
+            "array<float>"
+        ),
+    )
+    path = str(tmp_path / "ivf_content")
+    builds = []
+
+    def _build(df, tag):
+        def go():
+            builds.append(tag)
+            write_ivf_index(df, path, n_centroids=8)
+        return go
+
+    ensure_index(
+        _build(v1, "v1"), path,
+        fingerprint=corpus_fingerprint(v1, content_col="embedding"),
+    )
+    assert builds == ["v1"]
+    # unchanged corpus: stamp matches, no rebuild
+    ensure_index(
+        _build(v1, "v1-again"), path,
+        fingerprint=corpus_fingerprint(v1, content_col="embedding"),
+    )
+    assert builds == ["v1"]
+    # re-embedded corpus (same ids/count): stamp moves, rebuild fires
+    ensure_index(
+        _build(v2, "v2"), path,
+        fingerprint=corpus_fingerprint(v2, content_col="embedding"),
+    )
+    assert builds == ["v1", "v2"]
+    # the served index now holds v2's vectors (spot-check one value)
+    got = spark.read.parquet(path).filter(F.col("vec_id") == 0).first()
+    want = v2.filter(F.col("vec_id") == 0).first()
+    assert list(got["embedding"]) == list(want["embedding"])

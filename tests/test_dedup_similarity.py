@@ -2033,3 +2033,57 @@ def test_x166_served_equals_inline_assignment(spark):
         for r in QUERIES["x166_semantic_split_leakage"](spark, sf).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_lang_snapshot_reid_separable_and_script_gate(spark):
+    """The snapshot form of language re-ID: (a) disjoint-vocabulary
+    languages re-identify perfectly from a persisted base profile and
+    a mislabeled batch doc is flagged; (b) the SCRIPT prefilter
+    excludes a cross-script language from the candidate set — a
+    Cyrillic batch doc never scores against the Latin profile even
+    when the Latin score would win numerically; (c) a doc whose script
+    no profile covers predicts 'und'."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        lang_id_from_snapshot,
+        lang_ratio_profiles,
+        lang_script_masks,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha", "xx"),
+            (2, "alpha gamma beta beta", "xx"),
+            (3, "uno dos tres uno dos", "yy"),
+            (4, "dos tres uno tres", "yy"),
+            (5, "привет мир привет", "ru"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    ratios = lang_ratio_profiles(base)
+    masks = lang_script_masks(base)
+    m = {r.lang: r.mask for r in masks.collect()}
+    assert m["xx"] == 1 and m["yy"] == 1 and m["ru"] == 2  # latin / cyrillic
+
+    batch = spark.createDataFrame(
+        [
+            (11, "alpha beta alpha gamma", "xx"),
+            (12, "uno dos uno tres", "xx"),       # mislabeled -> yy
+            (13, "привет мир мир", "ru"),         # cyrillic: xx/yy not candidates
+            (14, "ελλαδα ωρα", "el"),              # greek: no profile -> und
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.doc_id: (r.pred, r.agree)
+        for r in lang_id_from_snapshot(batch, ratios, masks).collect()
+    }
+    assert got[11] == ("xx", 1)
+    assert got[12] == ("yy", 0)
+    # doc 13 tokenizes via LANG_WORD_PATTERN (the lang-ID family's
+    # script-aware tokenizer — repo-wide [a-z]+ would blind the
+    # operator to every non-Latin doc) and the script gate excludes
+    # the Latin profiles outright
+    assert got[13] == ("ru", 1)
+    assert got[14] == ("und", 0)

@@ -1698,7 +1698,8 @@ def top_terms(
 
 
 def _bucketed_tokens(
-    df: DataFrame, cols: list[str], text_col: str, hex_digits: int
+    df: DataFrame, cols: list[str], text_col: str, hex_digits: int,
+    word_pattern: str = WORD_PATTERN,
 ) -> DataFrame:
     """(cols..., b) — one row per token instance, bucketed by the
     portable md5 slice (first ``hex_digits`` hex chars as int64)."""
@@ -1706,7 +1707,7 @@ def _bucketed_tokens(
         *cols,
         F.explode(
             F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), F.lit(0)
+                F.lower(F.col(text_col)), F.lit(word_pattern), F.lit(0)
             )
         ).alias("t"),
     ).select(
@@ -2060,6 +2061,227 @@ def hashed_lang_id(
             F.col("lang").alias("pred"),
             (F.col("lang") == F.col("claimed")).cast("int").alias("agree"),
         )
+    )
+
+
+# Script classes for the language-ID candidate prefilter: bit i of a
+# text's script mask is set when the lowered text contains at least one
+# character of class i.  Deliberately coarse (a handful of Unicode
+# ranges, not a full property database) — the mask's job is CANDIDATE
+# PRUNING, never classification: a Cyrillic-only document should never
+# pay a score against 40 Latin-script profiles.  Orthogonal languages
+# sharing a script (en/es/de/fr) stay mutual candidates by design.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[a-z]"),
+    ("cyrillic", "[а-яё]"),
+    ("greek", "[α-ω]"),
+    ("cjk", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+)
+
+# Token pattern for the LANGUAGE-ID family: runs of characters from ANY
+# script class above (explicit BMP ranges only — identical semantics in
+# Java regex and RE2/DuckDB, unlike \\p{L}) — the repo-wide WORD_PATTERN
+# is [a-z]+, which would make non-Latin documents token-invisible to
+# the very operator whose job is telling scripts apart.  CJK "words"
+# are character runs (no segmentation) — deterministic, and adequate
+# for hashed-bucket profiles.
+LANG_WORD_PATTERN = "[" + "".join(pat[1:-1] for _, pat in SCRIPT_CLASSES) + "]+"
+
+
+def script_mask(text_col: Column) -> Column:
+    """int64 bitmask of :data:`SCRIPT_CLASSES` present in the lowered
+    text — one codegen projection (|classes| rlike tests), no UDF."""
+    lowered = F.lower(text_col)
+    mask = F.lit(0).cast("long")
+    for i, (_, pat) in enumerate(SCRIPT_CLASSES):
+        mask = mask + F.when(lowered.rlike(pat), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return mask
+
+
+def lang_ratio_profiles(
+    base: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    hex_digits: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """The PER-LANGUAGE (lang, b, ratio_fp) bucket-ratio profiles
+    behind :func:`hashed_lang_id`, exposed for the snapshot-probe
+    lifecycle (:func:`importance_ratio_table`'s multi-target sibling):
+    build ONCE from a standing labeled corpus, persist the FULL
+    |langs| × 16^``hex_digits`` grid (every bucket present for every
+    language, so a later batch token can never miss the table —
+    untouched cells carry the add-one floor), and score daily batches
+    against the snapshot at O(batch).  Same integer arithmetic as
+    :func:`hashed_lang_id` (add-one smoothing, truncating div only),
+    with the grid extended from corpus-touched buckets to ALL buckets
+    — the snapshot must cover tokens the base corpus never saw.
+
+    Scale shape: the base corpus is shuffled twice (per-lang bucket
+    agg, raw bucket agg — both map-side combined to ≤ |langs|·B and B
+    groups); the grid join is |langs|·B rows.  The profile is the
+    nightly-build artifact; probing never re-runs it."""
+    n_buckets = 16**hex_digits
+    toks = _bucketed_tokens(
+        base.select(F.col(lang_col).alias("lang"), F.col(text_col)),
+        ["lang"],
+        text_col,
+        hex_digits,
+        word_pattern=LANG_WORD_PATTERN,
+    )
+    lang_counts = toks.groupBy("lang", "b").agg(
+        F.count("*").cast("long").alias("c_t")
+    )
+    lang_totals = lang_counts.groupBy("lang").agg(
+        F.sum("c_t").cast("long").alias("n_t")
+    )
+    raw_counts = toks.groupBy("b").agg(F.count("*").cast("long").alias("c_r"))
+    raw_total = raw_counts.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("long").alias("n_r")
+    )
+    grid = base.sparkSession.range(n_buckets).select(F.col("id").alias("b"))
+    return (
+        lang_totals.crossJoin(grid)
+        .join(lang_counts, ["lang", "b"], "left")
+        .join(raw_counts, "b", "left")
+        .join(F.broadcast(raw_total))
+        .selectExpr(
+            "lang",
+            "b",
+            f"CAST((coalesce(c_t, CAST(0 AS LONG)) + 1) * CAST({scale} AS LONG)"
+            f" div (n_t + {n_buckets}) AS LONG) AS pt_fp",
+            f"CAST((coalesce(c_r, CAST(0 AS LONG)) + 1) * CAST({scale} AS LONG)"
+            f" div (n_r + {n_buckets}) AS LONG) AS pr_fp",
+        )
+        .selectExpr(
+            "lang",
+            "b",
+            f"CAST(pt_fp * CAST({scale} AS LONG)"
+            " div greatest(CAST(1 AS LONG), pr_fp) AS LONG) AS ratio_fp",
+        )
+    )
+
+
+def lang_script_masks(
+    base: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """(lang, mask): each language's observed script signature —
+    the bit-OR of its base documents' :func:`script_mask` — persisted
+    next to the ratio profiles as the candidate-prefilter sidecar."""
+    return (
+        base.select(
+            F.col(lang_col).alias("lang"), script_mask(F.col(text_col)).alias("m")
+        )
+        .groupBy("lang")
+        .agg(F.bit_or("m").cast("long").alias("mask"))
+    )
+
+
+def lang_id_from_snapshot(
+    batch: DataFrame,
+    ratios: DataFrame,
+    masks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    hex_digits: int = 2,
+) -> DataFrame:
+    """Language re-identification against a PERSISTED profile snapshot
+    — the measured remedy for :func:`hashed_lang_id`'s scale curve
+    (BENCH_NOTES x149, 10.57× at ×100: profiles rebuilt in-query AND
+    the per-doc bucket table fanned out by |langs| through the score
+    shuffle).  Two structural changes:
+
+    1. **Snapshot probe** (the x85/x155 contract): ``ratios`` /
+       ``masks`` come from :func:`lang_ratio_profiles` /
+       :func:`lang_script_masks` persisted once per corpus refresh;
+       per-run work is O(batch).
+    2. **No per-language fanout**: the |langs|·B profile is PIVOTED to
+       one ratio column per language (a plan-time broadcast — the
+       language list is a bounded collect, the deliberate-collect
+       convention) and joined into the batch's bucket table map-side,
+       so the ONLY shuffle is the per-doc aggregation carrying |langs|
+       int64 partial sums per group — rows = batch docs, independent
+       of language count, map-side combined.  The x149 form shuffled
+       docs × |langs| rows.
+
+    **Script-range candidate prefilter**: a document only competes
+    among languages whose persisted script mask intersects its own
+    (:func:`script_mask`); a zero mask on either side keeps the
+    candidate (never silently unpredictable).  With 100+ languages the
+    prefilter turns the argmax over all profiles into an argmax over
+    the document's script family; on a single-script corpus it prunes
+    nothing and costs one projection (documented fixture limitation).
+    A document with NO candidate scores predicts ``'und'``.
+
+    Determinism: integer scores (ceiling: doc tokens < 2^63/scale² ≈
+    9e5 at the default scale — x143's bound), argmax ties break on the
+    SMALLEST language string (greatest + first-match-in-sorted-order).
+    Docs with no tokens are absent (nothing to score).
+
+    Returns (doc_id, claimed, pred, agree)."""
+    langs = sorted(r["lang"] for r in masks.select("lang").distinct().collect())
+    if not langs:
+        raise ValueError("empty language snapshot")
+    mask_of = {
+        r["lang"]: int(r["mask"]) for r in masks.select("lang", "mask").collect()
+    }
+    piv = (
+        ratios.groupBy("b")
+        .pivot("lang", langs)
+        .agg(F.first("ratio_fp"))
+        .select("b", *[F.col(f"`{g}`").alias(f"_r{i}") for i, g in enumerate(langs)])
+    )
+    toks = _bucketed_tokens(
+        batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("claimed"),
+            script_mask(F.col(text_col)).alias("dmask"),
+            F.col(text_col),
+        ),
+        ["doc_id", "claimed", "dmask"],
+        text_col,
+        hex_digits,
+        word_pattern=LANG_WORD_PATTERN,
+    )
+    # one row per token INSTANCE joins the broadcast pivot map-side, so
+    # the per-doc sum of ratio columns IS Σ tf·ratio — the corpus pays
+    # exactly ONE shuffle (the doc-keyed agg, map-side combined),
+    # independent of |langs|
+    scored = (
+        toks.join(F.broadcast(piv), "b")
+        .groupBy("doc_id", "claimed", "dmask")
+        .agg(
+            *[
+                F.sum(F.col(f"_r{i}")).cast("long").alias(f"_s{i}")
+                for i in range(len(langs))
+            ]
+        )
+    )
+    # candidate gate per language: lang mask 0 / doc mask 0 keep it
+    eff = []
+    for i, g in enumerate(langs):
+        m = mask_of[g]
+        cand = (
+            F.lit(m == 0)
+            | (F.col("dmask") == 0)
+            | (F.col("dmask").bitwiseAND(F.lit(m)) != 0)
+        )
+        eff.append(F.when(cand, F.col(f"_s{i}")))
+    best = F.greatest(*eff) if len(eff) > 1 else eff[0]
+    pred = F.lit(None).cast("string")
+    for i, g in reversed(list(enumerate(langs))):
+        pred = F.when(eff[i] == best, F.lit(g)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "claimed",
+        F.coalesce(pred, F.lit("und")).alias("pred"),
+        (F.coalesce(pred, F.lit("und")) == F.col("claimed")).cast("int").alias(
+            "agree"
+        ),
     )
 
 

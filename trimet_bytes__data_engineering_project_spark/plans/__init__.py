@@ -78,9 +78,13 @@ _WINDOW_HEAD = [
     "x167_semdedup_hier",
     "x168_semdedup_from_index",
     "x169_perceptron_heldout_eval",
-    # Round-8 new queries (first-round rows), slots 49-50:
+    # Round-8 slots 49-50: the new first-round row (x170, the x149
+    # remedy) and x21 as the touched-code re-check — its probe path
+    # gained the zero-norm coarse-ranking guard and its build the
+    # content-sensitive fingerprint (_ensure_ivf_index, shared with
+    # the head's own x166/x168).
     "x170_lang_snapshot_reid",
-    "x171_content_fingerprint_rebuild",
+    "x21_ann_ivf_index_probe",
     # The r02-stale block (q26/q28-q32, x01-x13, x15/x17/x18 — ~20
     # queries, six rounds stale after this round) leads the r09
     # rotation per verdict item 8, together with re-checks of any code
@@ -148,7 +152,6 @@ _WINDOW_TAIL = [
     "q33_warehouse_roundtrip",
     "x16_asof_join",
     "x20_ann_lsh_index_probe",
-    "x21_ann_ivf_index_probe",
     "x24_sequence_packing",
     "x26_asof_join_skewed",
     "x27_ann_ivf_kmeans_probe",

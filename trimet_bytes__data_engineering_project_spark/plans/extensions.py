@@ -41,7 +41,12 @@ from ..operators.similarity import (
     lsh_topk,
     quantized_topk_arrow,
 )
-from ..operators.textstats import bpe_token_count_col, quality_stats, token_count_col
+from ..operators.textstats import (
+    LANG_WORD_PATTERN,
+    bpe_token_count_col,
+    quality_stats,
+    token_count_col,
+)
 from .registry import query
 from .tables import _session_cache, epoch_us, load_table
 
@@ -424,6 +429,33 @@ def _index_dir(sf_dir: str, kind: str) -> str:
     )
 
 
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """The STANDING IVF index shared by x21 (ANN probe), x166 (leakage
+    matrix) and x168 (SemDeDup) — one coarse quantization, three
+    consumers.  Staleness-guarded by the CONTENT-SENSITIVE corpus
+    fingerprint (count + max id + an order-independent crc32 sum over
+    the embedding column — ``ann_index.corpus_fingerprint``'s opt-in
+    tier, r7 verdict item 6): re-embedded vectors under UNCHANGED ids
+    now trigger a rebuild, which the footer-only stamp missed.  The
+    crc term is one column-pruned scan per ensure — the price of
+    correctness for a re-land-able corpus; rebuild-trip pinned by
+    tests/test_ann_index.py."""
+    from ..operators.ann_index import (
+        corpus_fingerprint,
+        ensure_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "ivf")
+    ensure_index(
+        lambda: write_ivf_index(emb, path, n_centroids=16),
+        path,
+        fingerprint=corpus_fingerprint(emb, content_col="embedding"),
+    )
+    return path
+
+
 @query(
     "q33_warehouse_roundtrip",
     oracle="""
@@ -506,15 +538,12 @@ def x21_ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted alongside; the probe picks its nprobe centroids from a
     driver-side read of that tiny table and scans only the matching
     list partitions (IN-list partition filter, pinned by plan test).
-    No per-query assignment recompute.  Result ≡ x12 (same oracle)."""
-    from ..operators.ann_index import ensure_index, ivf_index_probe, write_ivf_index
+    No per-query assignment recompute.  Result ≡ x12 (same oracle).
+    Index build content-fingerprinted via ``_ensure_ivf_index``."""
+    from ..operators.ann_index import ivf_index_probe
 
     qv = _query_vec(spark, sf_dir)
-    path = _index_dir(sf_dir, "ivf")
-    ensure_index(
-        lambda: write_ivf_index(load_table(spark, sf_dir, "embeddings"), path, n_centroids=16),
-        path,
-    )
+    path = _ensure_ivf_index(spark, sf_dir)
     return ivf_index_probe(spark, path, qv, k=5, nprobe=1)
 
 
@@ -8436,13 +8465,11 @@ def x166_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares one coarse quantization with ANN serving and SemDeDup.  The
     oracle is the flat first-16-by-id assignment the index persists;
     the k-means lifecycle stays covered by x157."""
-    from ..operators.ann_index import ensure_index, write_ivf_index
     from ..operators.sampling import train_val_test_split
     from ..operators.similarity import semantic_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _index_dir(sf_dir, "ivf")
-    ensure_index(lambda: write_ivf_index(emb, path, n_centroids=16), path)
+    path = _ensure_ivf_index(spark, sf_dir)
     pairs = semantic_pairs(
         emb, None, tau=0.35, assigned=spark.read.parquet(path)
     )
@@ -8562,16 +8589,12 @@ def x168_semdedup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     build the ANN serving tier needs anyway.  One artifact, two
     consumers: kNN serving and dedup (the forward-index/PRF sharing
     argument applied to the vector tier)
-    (operators/similarity.py:semantic_dedup(assigned=...))."""
-    from ..operators.ann_index import ensure_index, write_ivf_index
+    (operators/similarity.py:semantic_dedup(assigned=...)).  Index
+    build content-fingerprinted via ``_ensure_ivf_index``."""
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _index_dir(sf_dir, "ivf")
-    ensure_index(
-        lambda: write_ivf_index(emb, path, n_centroids=16),
-        path,
-    )
+    path = _ensure_ivf_index(spark, sf_dir)
     assigned = spark.read.parquet(path)
     return semantic_dedup(emb, None, tau=0.35, assigned=assigned)
 
@@ -8608,4 +8631,114 @@ def x169_perceptron_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CASE WHEN (y = 1) = (margin > 0) THEN 1 ELSE 0 END) * 1000000"
             " DIV count(*) AS BIGINT)"
         ).alias("acc_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 tier: language-ID snapshot serving, content-fingerprinted indexes
+# ---------------------------------------------------------------------------
+
+
+def _script_mask_sql(text_expr: str) -> str:
+    """DuckDB twin of operators.textstats.script_mask — generated from
+    the SAME SCRIPT_CLASSES tuple so the two sides cannot drift."""
+    from ..operators.textstats import SCRIPT_CLASSES
+
+    terms = [
+        f"{1 << i} * CASE WHEN regexp_matches(lower({text_expr}), '{pat}')"
+        " THEN 1 ELSE 0 END"
+        for i, (_, pat) in enumerate(SCRIPT_CLASSES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_X170_ORACLE = f"""
+    WITH tb AS (SELECT lang, {_hex_ladder('t', 2)} AS b FROM (
+                  SELECT lang, unnest(regexp_extract_all(lower(text), '{LANG_WORD_PATTERN}')) AS t
+                  FROM documents WHERE doc_id < 250)),
+    lc AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS c_t FROM tb GROUP BY 1, 2),
+    lt AS (SELECT lang, CAST(SUM(c_t) AS BIGINT) AS n_t FROM lc GROUP BY 1),
+    rc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM tb GROUP BY 1),
+    rt AS (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) AS n_r FROM rc),
+    grid AS (SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS b),
+    rat AS (SELECT g.lang, g.b,
+                   CAST((COALESCE(lc.c_t, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT)
+                        // (g.n_t + 256) AS BIGINT) AS pt_fp,
+                   CAST((COALESCE(rc.c_r, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT)
+                        // (rt.n_r + 256) AS BIGINT) AS pr_fp
+            FROM (SELECT lt.lang, lt.n_t, grid.b FROM lt CROSS JOIN grid) g
+            LEFT JOIN lc ON lc.lang = g.lang AND lc.b = g.b
+            LEFT JOIN rc ON rc.b = g.b
+            CROSS JOIN rt),
+    rr AS (SELECT lang, b,
+                  CAST(pt_fp * CAST(1000000 AS BIGINT)
+                       // greatest(CAST(1 AS BIGINT), pr_fp) AS BIGINT) AS ratio_fp
+           FROM rat),
+    mk AS (SELECT lang, CAST(bit_or({_script_mask_sql('text')}) AS BIGINT) AS mask
+           FROM documents WHERE doc_id < 250 GROUP BY 1),
+    batch AS (SELECT doc_id, claimed, dmask, {_hex_ladder('t', 2)} AS b FROM (
+                SELECT doc_id, lang AS claimed, {_script_mask_sql('text')} AS dmask,
+                       unnest(regexp_extract_all(lower(text), '{LANG_WORD_PATTERN}')) AS t
+                FROM documents WHERE doc_id >= 250)),
+    sc AS (SELECT doc_id, claimed, dmask, r.lang,
+                  CAST(SUM(ratio_fp) AS BIGINT) AS score
+           FROM batch JOIN rr r USING (b) GROUP BY 1, 2, 3, 4),
+    cand AS (SELECT sc.* FROM sc JOIN mk ON mk.lang = sc.lang
+             WHERE mk.mask = 0 OR sc.dmask = 0 OR (sc.dmask & mk.mask) <> 0),
+    pr AS (SELECT doc_id, lang AS pred FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang ASC) AS rn
+             FROM cand) WHERE rn = 1),
+    prd AS (SELECT b2.doc_id, b2.claimed, COALESCE(pr.pred, 'und') AS pred
+            FROM (SELECT DISTINCT doc_id, claimed FROM batch) b2
+            LEFT JOIN pr USING (doc_id))
+    SELECT claimed, pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM prd GROUP BY 1, 2
+"""
+
+
+@query("x170_lang_snapshot_reid", oracle=_X170_ORACLE)
+def x170_lang_snapshot_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x149's language re-ID as a SNAPSHOT PROBE — the remedy
+    BENCH_NOTES named for its 10.57× scale row, built per the r7
+    verdict (item 3): the per-language bucket-ratio profiles and
+    script masks are PERSISTED once from the standing labeled corpus
+    (doc_id < 250; the x85/x155 ensure_index contract), and each batch
+    (doc_id ≥ 250) scores against the snapshot with (1) NO
+    per-language shuffle fanout — the profile pivots to one ratio
+    column per language at plan time, so the only corpus shuffle is
+    the doc-keyed aggregation, rows independent of |langs| — and (2)
+    the SCRIPT-RANGE candidate prefilter: a doc competes only among
+    languages whose persisted script signature intersects its own (on
+    this single-script fixture the gate prunes nothing — documented —
+    but at 100+ languages it bounds the argmax to the doc's script
+    family).  Confusion matrix out, 'und' for no-candidate docs
+    (operators/textstats.py:lang_id_from_snapshot)."""
+    from ..operators.ann_index import ensure_index
+    from ..operators.textstats import (
+        lang_id_from_snapshot,
+        lang_ratio_profiles,
+        lang_script_masks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    root = _tagged_dir(_SCRATCH, "lang_profiles", "v1-split250", sf_dir=sf_dir)
+    rpath, mpath = os.path.join(root, "ratios"), os.path.join(root, "masks")
+    ensure_index(
+        lambda: lang_ratio_profiles(base).write.mode("overwrite").parquet(rpath),
+        rpath,
+    )
+    ensure_index(
+        lambda: lang_script_masks(base).write.mode("overwrite").parquet(mpath),
+        mpath,
+    )
+    return (
+        lang_id_from_snapshot(
+            docs.filter(F.col("doc_id") >= 250),
+            spark.read.parquet(rpath),
+            spark.read.parquet(mpath),
+        )
+        .groupBy("claimed", "pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
     )
