@@ -1347,6 +1347,81 @@ def _x126_bpe_learn_incr(spark, d):
     return bpe_learn_incremental(docs, 3)
 
 
+def ensure_zipf_docs(spark, copies: int) -> str:
+    """A HEAPS-REALISTIC text fixture for the BPE trainer rows: the
+    replica rig derives fresh md5 words per copy, so VOCABULARY grows
+    ~linearly with rows — the documented worst case for the trainer's
+    word-TYPE collapse (a real crawl follows Heaps' law, V ≈ K·n^0.5).
+    Here every scale draws its 8-word docs from a pool of
+    V = 400·ceil(√copies) word types with Zipf(1) frequencies
+    (inverse-CDF rank = floor(V^u), u a deterministic hash fraction —
+    pow is fine here: fixture GENERATION only, never an oracle-checked
+    value), so ×100 rows carries ×10 word types.  Built once per scale
+    under .scratch/scale/zipf/x{copies}."""
+    import math
+
+    out = os.path.join(_SCALE_ROOT, "zipf", f"x{copies}")
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    v = 400 * int(math.ceil(math.sqrt(copies)))
+    base = spark.read.parquet(f"{SF01}/documents.parquet").select("doc_id")
+    frames = []
+    for c in range(copies):
+        words = []
+        for i in range(8):
+            u = (
+                F.pmod(
+                    F.hash(F.col("doc_id"), F.lit(c), F.lit(i)), F.lit(1_000_000)
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            )
+            rank = F.floor(F.pow(F.lit(float(v)), u)).cast("long")
+            words.append(F.concat(F.lit("w"), rank.cast("string")))
+        frames.append(
+            base.select(
+                (F.col("doc_id") + c * _ID_STRIDE).alias("doc_id"),
+                F.concat_ws(" ", *words).alias("text"),
+            )
+        )
+    n_out = 32 if copies <= 10 else 128
+    _union_all(frames).repartition(n_out).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    with open(marker, "w"):
+        pass
+    return out
+
+
+def _zipf_copies(d: str) -> int:
+    return 1 if d == SF01 else int(os.path.basename(d.rstrip("/"))[1:])
+
+
+def _x126_bpe_incr_zipf(spark, d):
+    # the registered delta-count trainer on the Heaps-realistic corpus
+    # — separates the trainer's OWN scaling from the replica rig's
+    # linear-vocab artifact (r7 verdict item 4): vocabulary grows √rows
+    # here, so the per-step type-table work should track ~√scale while
+    # the one corpus word count stays the linear term.
+    from trimet_bytes__data_engineering_project_spark.operators.bpe import (
+        bpe_learn_incremental,
+    )
+
+    zd = ensure_zipf_docs(spark, _zipf_copies(d))
+    docs = spark.read.parquet(f"{zd}/documents.parquet")
+    return bpe_learn_incremental(docs, 3)
+
+
+def _x126_bpe_full_zipf(spark, d):
+    # the full-recount trainer on the same Heaps-realistic corpus —
+    # the delta-vs-full comparison at realistic vocabulary growth.
+    from trimet_bytes__data_engineering_project_spark.operators.bpe import bpe_learn
+
+    zd = ensure_zipf_docs(spark, _zipf_copies(d))
+    docs = spark.read.parquet(f"{zd}/documents.parquet")
+    return bpe_learn(docs, 3)
+
+
 def _x136_snapshot_diff(spark, d):
     # version diff at full scale: digests in each scan's project, ONE
     # full-outer id join carrying (id, 32-hex) rows — expect ~linear
@@ -2078,6 +2153,8 @@ HEAVY += [
     ("x167_semdedup_hier_full", _x167_semdedup_hier),
     ("x168_semdedup_from_index_full", _x168_semdedup_from_index),
     ("x170_lang_snapshot_10pct", _x170_lang_snapshot),
+    ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
+    ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
 ]
 
 
