@@ -479,3 +479,28 @@ def test_datasheet_is_two_scans(spark):
     # repeated listing of the same nodes
     assert p.count("- Scan parquet") == 2
     assert "Expand" in p  # the one-pass mixed-distinct aggregate
+
+
+def test_lang_snapshot_scoring_shuffles_corpus_once(spark):
+    """x170's structural claim, pinned: the batch side pays exactly ONE
+    shuffle (the doc-keyed aggregation — its hashpartitioning keys on
+    doc_id) independent of |langs|; the pivoted profile arrives by
+    BroadcastHashJoin; no SortMergeJoin, no cartesian anywhere.  Any
+    regression that reintroduces the per-language fanout (x149's
+    docs×langs shuffle) changes these invariants."""
+    import re
+
+    plan = plan_of(spark, "x170_lang_snapshot_reid")
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan
+    # numbered shuffle-Exchange nodes (BroadcastExchange excluded):
+    nodes = re.findall(r"\(\d+\) Exchange", plan)
+    parts = re.findall(r"Arguments: hashpartitioning\(([a-zA-Z_#0-9]+)", plan)
+    doc_keyed = [p for p in parts if p.startswith("doc_id")]
+    # one doc-keyed shuffle (the score agg) + the registered query's
+    # (claimed, pred) confusion agg; everything else must be the tiny
+    # snapshot-side pivot aggs (b / lang keyed)
+    assert len(doc_keyed) == 1, (nodes, parts)
+    assert all(
+        p.startswith(("doc_id", "b#", "lang", "claimed")) for p in parts
+    ), parts

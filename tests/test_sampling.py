@@ -873,3 +873,55 @@ def test_streaming_window_digests_stitch_across_batches(spark, tmp_path):
         assert got[straddle] == want[straddle]
     run_streaming_window_digests(spark, landing, store, ck, context_len=C)
     assert {int(r.chunk): r.h for r in window_digests_from_store(spark, store).collect()} == want
+
+
+def test_streaming_lang_router_matches_batch(spark, tmp_path):
+    """The streaming language router (frozen x170 snapshot) lands
+    per-batch predictions row-equal to one batch
+    lang_id_from_snapshot pass over the union; replay is idempotent."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        lang_id_from_snapshot,
+        lang_ratio_profiles,
+        lang_script_masks,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.quality import (
+        routed_from_store,
+        run_streaming_lang_router,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    base = docs.filter("doc_id < 30")
+    batch = docs.filter("doc_id >= 30")
+    rpath, mpath = str(tmp_path / "ratios"), str(tmp_path / "masks")
+    lang_ratio_profiles(base).write.parquet(rpath)
+    lang_script_masks(base).write.parquet(mpath)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    land_file(batch.filter("doc_id % 2 = 0"), "a")
+    land_file(batch.filter("doc_id % 2 = 1"), "b")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    run_streaming_lang_router(spark, landing, store, ck, rpath, mpath)
+
+    got = routed_from_store(spark, store)
+    want = lang_id_from_snapshot(
+        batch, spark.read.parquet(rpath), spark.read.parquet(mpath)
+    )
+    cols = ["doc_id", "claimed", "pred", "agree"]
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    w = sorted(map(tuple, want.select(*cols).collect()))
+    assert g == w and len(g) > 0
+    # replay idempotency (per-batch_id overwrite)
+    run_streaming_lang_router(spark, landing, store, ck, rpath, mpath)
+    assert routed_from_store(spark, store).count() == len(g)

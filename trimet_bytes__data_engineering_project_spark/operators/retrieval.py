@@ -880,15 +880,13 @@ def index_df_stats(spark: SparkSession, path: str, n_buckets: int = N_TERM_BUCKE
     class)."""
 
     def look(cand_terms: DataFrame) -> DataFrame:
-        terms = sorted({r.term for r in cand_terms.collect()})
-        buckets = sorted(
-            {
-                r.b
-                for r in spark.createDataFrame([(t,) for t in terms], ["term"])
-                .select(term_bucket(F.col("term"), n_buckets).alias("b"))
-                .collect()
-            }
-        )
+        # one bounded collect computes term AND bucket together (was
+        # two driver round-trips — the round-8 stage-count trim)
+        rows = cand_terms.select(
+            "term", term_bucket(F.col("term"), n_buckets).alias("b")
+        ).collect()
+        terms = sorted({r.term for r in rows})
+        buckets = sorted({r.b for r in rows})
         postings = spark.read.parquet(os.path.join(path, "postings")).filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )

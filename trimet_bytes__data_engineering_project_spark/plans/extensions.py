@@ -8742,3 +8742,141 @@ def x170_lang_snapshot_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("claimed", "pred")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def _build_calibration_oracle(n_epochs: int = 3, hex_digits: int = 2) -> str:
+    """x169's margin table bucketed into signed |margin| octaves
+    (length-of-binary-expansion — the x164 bin() convention), accuracy
+    per bucket."""
+    parts = _perceptron_cte_parts(n_epochs, hex_digits, _TRAIN_SPLIT_WHERE)
+    parts.append(
+        f"mt AS (SELECT tf.doc_id, lab.y, CAST(SUM(tf.c * w{n_epochs}.w) AS BIGINT) AS margin "
+        f"FROM tf JOIN lab USING (doc_id) JOIN w{n_epochs} ON w{n_epochs}.b = tf.b "
+        f"WHERE {_TEST_SPLIT_WHERE} GROUP BY 1, 2)"
+    )
+    parts.append(
+        "mb AS (SELECT CASE WHEN margin > 0 "
+        "THEN CAST(length(bin(abs(margin) + 1)) - 1 AS BIGINT) "
+        "ELSE -CAST(length(bin(abs(margin) + 1)) - 1 AS BIGINT) END AS mbucket, "
+        "CAST(CASE WHEN (y = 1) = (margin > 0) THEN 1 ELSE 0 END AS BIGINT) AS ok "
+        "FROM mt)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+    SELECT mbucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           CAST(SUM(ok) * 1000000 // count(*) AS BIGINT) AS acc_fp
+    FROM mb GROUP BY 1"""
+    )
+
+
+@query("x171_classifier_calibration", oracle=_build_calibration_oracle())
+def x171_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION audit — the follow-up question to x169's
+    single accuracy number: bucket the held-out margins into signed
+    |margin| octaves (floor(log2(|m|+1)), positive buckets = predicted
+    positive; the integer-exact x164 octave trick, so the histogram is
+    engine-portable) and report accuracy per bucket.  A selection
+    pipeline that uses classifier scores as QUALITY WEIGHTS (x153's
+    gate, DoReMi-style reweighting) is implicitly trusting that a
+    larger margin means a more reliable call — this table is the
+    evidence (monotone accuracy ⇒ margins are usable as confidence;
+    flat ⇒ threshold-only).  Composition of the x169 chain + one
+    projection; bucket 0 is exactly the zero-margin tie lane
+    (operators/classifier.py:perceptron_margins)."""
+    from ..operators.classifier import perceptron_margins, perceptron_train
+    from ..operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = train_val_test_split(docs, "doc_id")
+    pos = F.col("lang") == "en"
+    w = perceptron_train(sp.filter(F.col("split") == "train"), pos)
+    final = w.select("b", F.col("w3").alias("w"))
+    m = perceptron_margins(sp.filter(F.col("split") == "test"), final, pos)
+    octave = (
+        F.length(F.conv((F.abs(F.col("margin")) + 1).cast("string"), 10, 2)) - 1
+    ).cast("long")
+    mbucket = F.when(F.col("margin") > 0, octave).otherwise(-octave)
+    ok = ((F.col("y") == 1) == (F.col("margin") > 0)).cast("long")
+    return (
+        m.select(mbucket.alias("mbucket"), ok.alias("ok"))
+        .groupBy("mbucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("n_correct"),
+            F.expr(
+                "CAST(sum(ok) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("acc_fp"),
+        )
+    )
+
+
+_X172_ORACLE = """
+    WITH l AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1),
+    s AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1),
+    la AS (SELECT 'lang' AS axis, CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(c) AS BIGINT) AS n_docs,
+                  CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_share_fp,
+                  CAST(SUM(POW_SH) // 1000000 AS BIGINT) AS hhi_fp
+           FROM (SELECT c, SUM(c) OVER () AS n,
+                        (c * 1000000 // SUM(c) OVER ())
+                        * (c * 1000000 // SUM(c) OVER ()) AS POW_SH
+                 FROM l)),
+    sa AS (SELECT 'source' AS axis, CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(c) AS BIGINT) AS n_docs,
+                  CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_share_fp,
+                  CAST(SUM(POW_SH) // 1000000 AS BIGINT) AS hhi_fp
+           FROM (SELECT c, SUM(c) OVER () AS n,
+                        (c * 1000000 // SUM(c) OVER ())
+                        * (c * 1000000 // SUM(c) OVER ()) AS POW_SH
+                 FROM s))
+    SELECT * FROM la UNION ALL SELECT * FROM sa
+"""
+
+
+@query("x172_composition_concentration", oracle=_X172_ORACLE)
+def x172_composition_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition CONCENTRATION — the datasheet's missing
+    risk number: per axis (lang, source), the group count, the top
+    group's share, and the Herfindahl–Hirschman index in fixed point
+    (hhi_fp = Σ share_fp² div 10⁶, share_fp = c·10⁶ div N — per-group
+    floors make it integer-exact and engine-portable; int64-safe to
+    N < 9·10¹² docs).  HHI near 10⁶ = one group dominates (a 'diverse'
+    corpus that is 95% one source memorizes that source's artifacts);
+    HHI ≈ 10⁶/k = balanced over k groups.  The x55/x162 rebalancers
+    consume exactly this diagnosis.  One scan per axis, each collapsing
+    to a ≤|groups|-row aggregate (operators-free composition —
+    group-count + two integer folds)."""
+
+    def _axis(col: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        g = docs.groupBy(F.col(col).alias("grp")).agg(
+            F.count("*").cast("long").alias("c")
+        )
+        share_fp = F.expr("CAST(c * 1000000 DIV (SUM(c) OVER ()) AS BIGINT)")
+        return (
+            g.select("c", share_fp.alias("sfp"))
+            .agg(
+                F.count("*").cast("long").alias("n_groups"),
+                F.sum("c").cast("long").alias("n_docs"),
+                F.expr(
+                    "CAST(MAX(c) * 1000000 DIV SUM(c) AS BIGINT)"
+                ).alias("top_share_fp"),
+                F.expr(
+                    "CAST(SUM(sfp * sfp) DIV 1000000 AS BIGINT)"
+                ).alias("hhi_fp"),
+            )
+            .select(
+                F.lit(col).alias("axis"),
+                "n_groups",
+                "n_docs",
+                "top_share_fp",
+                "hhi_fp",
+            )
+        )
+
+    return _axis("lang").unionByName(_axis("source"))

@@ -111,3 +111,51 @@ def scrubbed_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """The scrubbed corpus + audit — the only text downstream consumers
     ever see."""
     return spark.read.parquet(f"{store_path}/scrubbed")
+
+
+def run_streaming_lang_router(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    ratios_path: str,
+    masks_path: str,
+) -> None:
+    """Streaming language routing against the FROZEN x170 snapshot
+    (``textstats.lang_ratio_profiles`` / ``lang_script_masks``): each
+    micro-batch predicts every document's language (pivoted-profile
+    scoring, script prefilter — one doc-keyed agg per batch, the x170
+    plan) and lands (doc_id, claimed, pred, agree) under
+    ``routed/batch_id=N``.  Downstream per-language consumers
+    partition-read their slice; 'und' rows are the quarantine lane
+    (no profile's script matched).  Pure per-document function of
+    (batch, frozen snapshot) → streamed == one batch pass over the
+    union (pinned by test); profile refresh is a batch maintenance
+    job, exactly the frozen-quantizer contract of streaming/index.py.
+    Token-less documents are absent from a batch's landing (nothing to
+    score — the batch scorer's documented contract)."""
+    from ..operators.textstats import lang_id_from_snapshot
+
+    ratios = spark.read.parquet(ratios_path)
+    masks = spark.read.parquet(masks_path)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        lang_id_from_snapshot(batch_df, ratios, masks).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/routed/batch_id={batch_id}")
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def routed_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """All routed generations — row-equal to one batch
+    ``lang_id_from_snapshot`` pass over the union (pinned)."""
+    return spark.read.parquet(f"{store_path}/routed")
