@@ -2138,6 +2138,43 @@ def _x168_semdedup_from_index(spark, d):
     )
 
 
+def _x171_calibration(spark, d):
+    # calibration audit at full scale: the x158 training band (tf build
+    # dominates, checkpointed once) + one margins agg over the test
+    # split + a <=128-row bucket agg — expect the x158/x169 band.
+    from trimet_bytes__data_engineering_project_spark.operators.classifier import (
+        perceptron_margins,
+        perceptron_train,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    sp = train_val_test_split(docs, "doc_id")
+    pos = F.col("lang") == "en"
+    w = perceptron_train(sp.filter(F.col("split") == "train"), pos)
+    final = w.select("b", F.col("w3").alias("w"))
+    m = perceptron_margins(sp.filter(F.col("split") == "test"), final, pos)
+    octave = (
+        F.length(F.conv((F.abs(F.col("margin")) + 1).cast("string"), 10, 2)) - 1
+    ).cast("long")
+    mbucket = F.when(F.col("margin") > 0, octave).otherwise(-octave)
+    ok = ((F.col("y") == 1) == (F.col("margin") > 0)).cast("long")
+    return (
+        m.select(mbucket.alias("mb"), ok.alias("ok"))
+        .groupBy("mb")
+        .agg(F.count("*").alias("n"), F.sum("ok").alias("k"))
+    )
+
+
+def _x172_concentration(spark, d):
+    # composition concentration: two scans, each collapsing to a
+    # <=|groups|-row agg with a window over the GROUP table — expect
+    # the cheapest (scan-bound, near-flat) band.
+    return QUERIES["x172_composition_concentration"](spark, d)
+
+
 HEAVY += [
     ("x144_label_prop_full", _x144_label_prop),
     ("x145_ccnet_terciles_full", _x145_ccnet),
@@ -2155,6 +2192,8 @@ HEAVY += [
     ("x170_lang_snapshot_10pct", _x170_lang_snapshot),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
+    ("x171_calibration_full", _x171_calibration),
+    ("x172_concentration_full", _x172_concentration),
 ]
 
 

@@ -991,3 +991,80 @@ def test_concat_chunk_spans_equals_naive_cumsum(spark, rows, context_len, bucket
         assert got[did] == (off, first, last, last - first + 1, int(last > first))
         off += n
     assert len(got) == len(rows)
+
+
+lang_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=1, max_size=12
+).map(" ".join)
+lang_doc = st.tuples(lang_words, st.sampled_from(["xx", "yy", "zz"]))
+
+
+@given(
+    st.lists(lang_doc, min_size=2, max_size=12),
+    st.lists(lang_doc, min_size=1, max_size=8),
+)
+@SETTINGS
+def test_lang_snapshot_matches_python_model(spark, base_rows, batch_rows):
+    """lang_id_from_snapshot == a pure-Python reference implementing
+    the SAME integer formulas (md5-slice buckets, add-one full-grid
+    ratios, per-lang summed ratio scores, smallest-lang argmax) — the
+    pivoted-column Spark plan is a pure re-expression, so every
+    prediction matches for ANY corpus (single-script here: masks are
+    uniform and the prefilter is vacuous by construction)."""
+    import hashlib
+
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        lang_id_from_snapshot,
+        lang_ratio_profiles,
+        lang_script_masks,
+    )
+
+    SCALE, B = 10**6, 256
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
+
+    # python reference: full-grid per-lang ratios from the base corpus
+    lc: dict = {}
+    rc: dict = {}
+    for text, lang in base_rows:
+        for t in text.split():
+            b = bucket(t)
+            lc[(lang, b)] = lc.get((lang, b), 0) + 1
+            rc[b] = rc.get(b, 0) + 1
+    langs = sorted({lang for _, lang in base_rows})
+    n_t = {g: sum(v for (l, _), v in lc.items() if l == g) for g in langs}
+    n_r = sum(rc.values())
+
+    def ratio(g: str, b: int) -> int:
+        pt = (lc.get((g, b), 0) + 1) * SCALE // (n_t[g] + B)
+        pr = (rc.get(b, 0) + 1) * SCALE // (n_r + B)
+        return pt * SCALE // max(1, pr)
+
+    want = {}
+    for i, (text, claimed) in enumerate(batch_rows):
+        toks = text.split()
+        if not toks:
+            continue
+        scores = {
+            g: sum(ratio(g, bucket(t)) for t in toks) for g in langs
+        }
+        best = max(scores.values())
+        pred = min(g for g in langs if scores[g] == best)
+        want[1000 + i] = (claimed, pred, int(pred == claimed))
+
+    base = spark.createDataFrame(
+        [(i, t, g) for i, (t, g) in enumerate(base_rows)],
+        "doc_id long, text string, lang string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, t, g) for i, (t, g) in enumerate(batch_rows)],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.doc_id: (r.claimed, r.pred, r.agree)
+        for r in lang_id_from_snapshot(
+            batch, lang_ratio_profiles(base), lang_script_masks(base)
+        ).collect()
+    }
+    assert got == want
