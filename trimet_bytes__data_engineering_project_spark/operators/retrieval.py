@@ -836,11 +836,17 @@ def prf_expand_queries(
             "left_semi",
         )
         ftf = doc_term_freqs(fetched, id_col, text_col)
+    # checkpoint: cand feeds TWO consumers (the df-stats term collect
+    # and the expanded-workload collect) — without materialization the
+    # whole feedback chain (round-1 serve + tf fetch + agg + anti-join)
+    # executes once PER consumer (the x100 multi-consumer rule;
+    # measured ~1.5 s of the x115 gate wall at sf0.1)
     cand = (
         fb.join(ftf, "doc_id")
         .groupBy("query_id", "term")
         .agg(F.sum("tf").cast("long").alias("w"))
         .join(qterms, ["query_id", "term"], "left_anti")
+        .localCheckpoint(eager=False)
     )
     if df_stats is None:
         cand_terms = cand.select("term").distinct()
