@@ -429,6 +429,23 @@ def _index_dir(sf_dir: str, kind: str) -> str:
     )
 
 
+def _fp_cached(spark: SparkSession, sf_dir: str, tag: str, make) -> str:
+    """Session-memoized index fingerprint: the driver tables under an
+    ``sf_dir`` are immutable inputs within a session (the ``load_table``
+    memoization contract), so each stamp recipe is computed ONCE per
+    (session, sf_dir) instead of once per query invocation — ~0.2-0.4 s
+    of driver-job latency × 23 ensure_index callers per corpus run.
+    ``tag`` names the RECIPE (which frame + which columns); two sites
+    may share a tag only if their frame derivation is identical.  The
+    staleness guard is unchanged across sessions: a fresh session (the
+    nightly run) recomputes every stamp."""
+    cache = _session_cache(spark)
+    key = ("_fingerprint", sf_dir, tag)
+    if key not in cache:
+        cache[key] = make()
+    return cache[key]
+
+
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """The STANDING IVF index shared by x21 (ANN probe), x166 (leakage
     matrix) and x168 (SemDeDup) — one coarse quantization, three
@@ -451,7 +468,8 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     ensure_index(
         lambda: write_ivf_index(emb, path, n_centroids=16),
         path,
-        fingerprint=corpus_fingerprint(emb, content_col="embedding"),
+        fingerprint=_fp_cached(spark, sf_dir, "emb_content",
+                               lambda: corpus_fingerprint(emb, content_col="embedding")),
     )
     return path
 
@@ -3060,7 +3078,7 @@ def x89_knn_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_lsh_index(corpus, path, dim=64),
         path,
-        fingerprint=corpus_fingerprint(corpus),
+        fingerprint=_fp_cached(spark, sf_dir, "emb90", lambda: corpus_fingerprint(corpus)),
     )
     return knn_join_index(spark, emb.filter(F.col("vec_id") % 10 == 0), path, dim=64, k=3)
 
@@ -4057,7 +4075,7 @@ def x96_quantized_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_quantized_ivf_index(corpus, path),
         path,
-        fingerprint=corpus_fingerprint(corpus),
+        fingerprint=_fp_cached(spark, sf_dir, "emb90", lambda: corpus_fingerprint(corpus)),
     )
     return quantized_ivf_knn_join(
         spark, emb.filter(F.col("vec_id") % 10 == 0), path, k=3
@@ -4366,7 +4384,8 @@ def x102_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_inverted_index(docs, path),
         os.path.join(path, "stats"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     queries = top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
     return bm25_serve(spark, queries, path, k=5)
@@ -4526,7 +4545,8 @@ def x104_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_inverted_index(edocs, path),
         os.path.join(path, "stats"),
-        fingerprint=corpus_fingerprint(edocs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "edocs",
+                                lambda: corpus_fingerprint(edocs, id_col="doc_id")),
     )
     queries = top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
     lex = bm25_serve(spark, queries, path, k=5).select("query_id", "doc_id", "rank")
@@ -4613,7 +4633,7 @@ def x105_pq_adc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_pq_index(emb, path, dim=64),
         os.path.join(path, "codes"),
-        fingerprint=corpus_fingerprint(emb),
+        fingerprint=_fp_cached(spark, sf_dir, "emb", lambda: corpus_fingerprint(emb)),
     )
     return pq_adc_probe(spark, path, qv, k=5)
 
@@ -4697,7 +4717,7 @@ def x106_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_pq_index(emb, path, dim=64),
         os.path.join(path, "codes"),
-        fingerprint=corpus_fingerprint(emb),
+        fingerprint=_fp_cached(spark, sf_dir, "emb", lambda: corpus_fingerprint(emb)),
     )
     return pq_knn_join(spark, emb.filter(F.col("vec_id") % 50 == 0), path, k=3)
 
@@ -4787,7 +4807,7 @@ def x107_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_ivfpq_index(emb, path, dim=64),
         os.path.join(path, "codes"),
-        fingerprint=corpus_fingerprint(emb),
+        fingerprint=_fp_cached(spark, sf_dir, "emb", lambda: corpus_fingerprint(emb)),
     )
     return ivfpq_probe(spark, path, qv, k=5, nprobe=1)
 
@@ -4840,7 +4860,7 @@ def x108_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_pq_index(emb, path, dim=64),
         os.path.join(path, "codes"),
-        fingerprint=corpus_fingerprint(emb),
+        fingerprint=_fp_cached(spark, sf_dir, "emb", lambda: corpus_fingerprint(emb)),
     )
     q = emb.filter(F.col("vec_id") % 100 == 0)
     approx = pq_knn_join(spark, q, path, k=5).select("q_id", "c_id")
@@ -4932,7 +4952,8 @@ def x110_phrase_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         build,
         os.path.join(path, "stats"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     phrases = spark.read.parquet(os.path.join(path, "phrases"))
     # prune the postings scan to the phrase words' buckets + terms
@@ -5058,7 +5079,7 @@ def x111_ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_ivfpq_residual_index(emb, path, dim=64),
         os.path.join(path, "codes"),
-        fingerprint=corpus_fingerprint(emb),
+        fingerprint=_fp_cached(spark, sf_dir, "emb", lambda: corpus_fingerprint(emb)),
     )
     return ivfpq_residual_probe(spark, path, qv, k=5, nprobe=1)
 
@@ -5204,7 +5225,7 @@ def x114_pq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_pq_index(emb, path, dim=64),
         os.path.join(path, "codes"),
-        fingerprint=corpus_fingerprint(emb),
+        fingerprint=_fp_cached(spark, sf_dir, "emb", lambda: corpus_fingerprint(emb)),
     )
     return pq_refine_knn_join(
         spark, emb.filter(F.col("vec_id") % 50 == 0), emb, path, k=3, k_shortlist=10
@@ -5300,7 +5321,8 @@ def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_inverted_index(docs, path),
         os.path.join(path, "stats"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     fpath = os.path.join(
         _tagged_dir(_SCRATCH, "bm25_forward", "v1", sf_dir=sf_dir), "full"
@@ -5308,7 +5330,8 @@ def x115_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_forward_index(docs, fpath),
         os.path.join(fpath, "forward"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     queries = materialize_queries(
         top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
@@ -5359,7 +5382,8 @@ def x116_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         build,
         os.path.join(comp, "stats"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     queries = top_terms_from_index(spark, comp, F.col("doc_id") % 50 == 0, n_terms=3)
     return bm25_serve(spark, queries, comp, k=5)
@@ -5426,7 +5450,8 @@ def x117_snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_inverted_index(docs, path),
         os.path.join(path, "stats"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     queries = materialize_queries(
         top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
@@ -5532,7 +5557,7 @@ def x118_opq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_opq_index(emb, path, dim=64),
         os.path.join(path, "codes"),
-        fingerprint=corpus_fingerprint(emb),
+        fingerprint=_fp_cached(spark, sf_dir, "emb", lambda: corpus_fingerprint(emb)),
     )
     return opq_adc_probe(spark, path, qv, k=5)
 
@@ -5593,7 +5618,8 @@ def x119_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_inverted_index(docs, path),
         os.path.join(path, "stats"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     queries = materialize_queries(
         top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
@@ -5742,7 +5768,7 @@ def x121_prefix_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_prefix_index(emb, path, prefix_dim=16),
         os.path.join(path, "prefix"),
-        fingerprint=corpus_fingerprint(emb),
+        fingerprint=_fp_cached(spark, sf_dir, "emb", lambda: corpus_fingerprint(emb)),
     )
     return prefix_refine_knn_join(
         spark, emb.filter(F.col("vec_id") % 50 == 0), emb, path,
@@ -5822,7 +5848,7 @@ def x122_hamming_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_hamming_sketch(emb, path, dim=64, n_bits=32),
         os.path.join(path, "sketch"),
-        fingerprint=corpus_fingerprint(emb),
+        fingerprint=_fp_cached(spark, sf_dir, "emb", lambda: corpus_fingerprint(emb)),
     )
     return hamming_refine_knn_join(
         spark, emb.filter(F.col("vec_id") % 50 == 0), emb, path,
@@ -6221,7 +6247,8 @@ def x129_forward_index_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_forward_index(docs, fpath),
         os.path.join(fpath, "forward"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     ids = docs.filter(F.col("doc_id") % 40 == 0).select("doc_id")
     return fetch_doc_terms(spark, fpath, ids)
@@ -6414,7 +6441,8 @@ def x133_prefix_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_lexicon(docs, path),
         os.path.join(path, "lexicon"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     return prefix_terms(spark, path, "s")
 
@@ -6651,7 +6679,8 @@ def x137_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_index(
         lambda: write_inverted_index(docs, path),
         os.path.join(path, "stats"),
-        fingerprint=corpus_fingerprint(docs, id_col="doc_id"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
     )
     queries = top_terms_from_index(spark, path, F.col("doc_id") % 50 == 0, n_terms=3)
     run = bm25_serve(spark, queries, path, k=5).select("query_id", "doc_id", "rank")
