@@ -2175,6 +2175,83 @@ def _x172_concentration(spark, d):
     return QUERIES["x172_composition_concentration"](spark, d)
 
 
+def _x137_mrr_served(spark, d):
+    # the round-8 served form in its AT-SCALE regime: a FIXED ~128-query
+    # eval workload (benchmark sets do not grow with the corpus — the
+    # registered query's %50 modulus is an sf0.1 fixture convention,
+    # and letting it scale makes the "eval" a 10K-query corpus crawl)
+    # served off the persisted inverted index — expect the x102 band.
+    import os as _os
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_serve,
+        retrieval_metrics,
+        top_terms_from_index,
+        write_inverted_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.extensions import (
+        _SCRATCH,
+        _tagged_dir,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n = docs.count()
+    modulus = max(50, n // 128)
+    path = _os.path.join(
+        _tagged_dir(_SCRATCH, "bm25_index", "v2", sf_dir=d), "full"
+    )
+    ensure_index(
+        lambda: write_inverted_index(docs, path), _os.path.join(path, "stats")
+    )
+    queries = top_terms_from_index(
+        spark, path, F.pmod(F.col("doc_id"), F.lit(modulus)) == 0, n_terms=3
+    )
+    run = bm25_serve(spark, queries, path, k=5).select("query_id", "doc_id", "rank")
+    qrels = queries.select("query_id", F.col("query_id").alias("doc_id")).distinct()
+    return retrieval_metrics(run, qrels, k=5)
+
+
+def _x166_leakage_served(spark, d):
+    # leakage matrix over the persisted IVF assignment: pairs-only
+    # (the x168 shape — SAME c = sqrt(n/2) sizing; the registered
+    # query's fixed 16 centroids are an oracle-size convention that
+    # becomes a Σm² bomb at 200 K vectors) + two id joins + a 9-cell
+    # agg — expect the x168 curve.
+    import math
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+        write_ivf_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.sampling import (
+        train_val_test_split,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        semantic_pairs,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_c = max(16, math.isqrt(n // 2))
+    path = os.path.join(_SCALE_ROOT, "semdedup_ivf", os.path.basename(d.rstrip("/")))
+    ensure_index(lambda: write_ivf_index(emb, path, n_centroids=n_c), path)
+    pairs = semantic_pairs(emb, None, tau=0.35, assigned=spark.read.parquet(path))
+    sp = train_val_test_split(emb.select("vec_id"), "vec_id").select(
+        "vec_id", "split"
+    )
+    a = sp.select(F.col("vec_id").alias("a_id"), F.col("split").alias("split_a"))
+    b = sp.select(F.col("vec_id").alias("b_id"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 HEAVY += [
     ("x144_label_prop_full", _x144_label_prop),
     ("x145_ccnet_terciles_full", _x145_ccnet),
@@ -2194,6 +2271,8 @@ HEAVY += [
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),
     ("x172_concentration_full", _x172_concentration),
+    ("x137_mrr_served", _x137_mrr_served),
+    ("x166_leakage_served", _x166_leakage_served),
 ]
 
 

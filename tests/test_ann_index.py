@@ -907,3 +907,29 @@ def test_content_fingerprint_rebuild_trip(spark, tmp_path, emb):
     got = spark.read.parquet(path).filter(F.col("vec_id") == 0).first()
     want = v2.filter(F.col("vec_id") == 0).first()
     assert list(got["embedding"]) == list(want["embedding"])
+
+
+def test_fp_cached_memoizes_per_recipe(spark, emb):
+    """_fp_cached computes each (sf_dir, tag) stamp recipe once per
+    session and distinguishes recipes by tag — the round-8 fix for the
+    per-invocation stamp jobs; staleness semantics across sessions are
+    unchanged because the cache dies with the session."""
+    from trimet_bytes__data_engineering_project_spark.plans.extensions import (
+        _fp_cached,
+    )
+
+    calls = []
+
+    def make(v):
+        def go():
+            calls.append(v)
+            return f"stamp-{v}"
+        return go
+
+    a1 = _fp_cached(spark, "/dir/a", "docs", make("a"))
+    a2 = _fp_cached(spark, "/dir/a", "docs", make("a-again"))
+    b = _fp_cached(spark, "/dir/a", "emb", make("b"))
+    c = _fp_cached(spark, "/dir/b", "docs", make("c"))
+    assert a1 == a2 == "stamp-a"
+    assert b == "stamp-b" and c == "stamp-c"
+    assert calls == ["a", "b", "c"]  # the second docs call never ran
