@@ -504,3 +504,19 @@ def test_lang_snapshot_scoring_shuffles_corpus_once(spark):
     assert all(
         p.startswith(("doc_id", "b#", "lang", "claimed")) for p in parts
     ), parts
+
+
+def test_served_forms_never_scan_base_tables(spark):
+    """The round-8 served re-registrations, plan-pinned: x137 (eval off
+    the standing inverted index) compiles to a plan with ZERO documents
+    scans and zero tokenization — workload mining, scoring, and metrics
+    all read index files; x166 (leakage off the persisted IVF
+    assignment) reads ONLY index files — no embeddings scan, no
+    documents scan.  A regression that re-introduces an in-flight
+    corpus pass changes these invariants."""
+    p137 = plan_of(spark, "x137_retrieval_mrr")
+    assert "documents.parquet" not in p137
+    assert "regexp_extract_all" not in p137
+    p166 = plan_of(spark, "x166_semantic_split_leakage")
+    assert "documents.parquet" not in p166
+    assert "embeddings.parquet" not in p166

@@ -8499,10 +8499,12 @@ def x166_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _ensure_ivf_index(spark, sf_dir)
-    pairs = semantic_pairs(
-        emb, None, tau=0.35, assigned=spark.read.parquet(path)
-    )
-    sp = train_val_test_split(emb.select("vec_id"), "vec_id").select(
+    assigned = spark.read.parquet(path)
+    pairs = semantic_pairs(emb, None, tau=0.35, assigned=assigned)
+    # the split side's id universe comes off the index too (it persists
+    # every vector), so the whole query reads ONLY index files —
+    # plan-pinned: zero embeddings/documents scans
+    sp = train_val_test_split(assigned.select("vec_id"), "vec_id").select(
         "vec_id", "split"
     )
     a = sp.select(F.col("vec_id").alias("a_id"), F.col("split").alias("split_a"))
