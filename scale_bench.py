@@ -2175,6 +2175,49 @@ def _x172_concentration(spark, d):
     return QUERIES["x172_composition_concentration"](spark, d)
 
 
+def _x173_debias_served(spark, d):
+    # the de-bias serve twin: spectral rounds + cleaned-index build are
+    # one-time (ensure_index marker, excluded by the warm run); the
+    # timed work is a FIXED ~128-query probe of the cleaned inverted
+    # lists (serving batches do not grow with the corpus) — expect the
+    # x90 IVF-serve band.
+    import math
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+        ivf_knn_join,
+        write_ivf_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.spectral import (
+        power_iteration_top_component,
+        remove_top_component,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_c = max(16, math.isqrt(n // 2))
+    path = os.path.join(_SCALE_ROOT, "debias_ivf", os.path.basename(d.rstrip("/")))
+
+    def build():
+        comp = power_iteration_top_component(emb, iters=3)
+        write_ivf_index(remove_top_component(emb, comp), path, n_centroids=n_c)
+
+    ensure_index(build, path)
+    modulus = max(50, n // 128)
+    q = spark.read.parquet(path).filter(F.pmod(F.col("vec_id"), F.lit(modulus)) == 0)
+    sl = ivf_knn_join(spark, q, path, k=4, nprobe=1).filter(
+        F.col("c_id") != F.col("q_id")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc_nulls_last("cos_sim"), F.asc("c_id"))
+    return (
+        sl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .agg(F.count("*").alias("n"), F.sum("rn").alias("s"))
+    )
+
+
 def _x137_mrr_served(spark, d):
     # the round-8 served form in its AT-SCALE regime: a FIXED ~128-query
     # eval workload (benchmark sets do not grow with the corpus — the
@@ -2273,6 +2316,7 @@ HEAVY += [
     ("x172_concentration_full", _x172_concentration),
     ("x137_mrr_served", _x137_mrr_served),
     ("x166_leakage_served", _x166_leakage_served),
+    ("x173_debias_knn_served", _x173_debias_served),
 ]
 
 

@@ -8911,3 +8911,95 @@ def x172_composition_concentration(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     return _axis("lang").unionByName(_axis("source"))
+
+
+_X173_ORACLE = f"""
+    WITH {_build_power_iteration_ctes()},
+    c AS (SELECT list(v ORDER BY j) AS carr FROM v3),
+    s AS (SELECT vec_id, {_VEC} AS xv, carr FROM embeddings CROSS JOIN c),
+    cl AS (SELECT vec_id,
+                  list_transform(list_zip(xv, carr),
+                                 p -> p[1] - (CASE WHEN {_fold_sql('list_transform(carr, w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE))')} > 0
+                                              THEN {_fold_sql('list_transform(list_zip(xv, carr), q -> q[1] * CAST(q[2] AS DOUBLE))')}
+                                                 / {_fold_sql('list_transform(carr, w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE))')}
+                                              ELSE 0.0 END) * CAST(p[2] AS DOUBLE)) AS v
+           FROM s),
+    cents AS MATERIALIZED (SELECT vec_id AS centroid_id, v AS cvec FROM cl
+                           ORDER BY vec_id LIMIT 16),
+    asgA AS (SELECT cl.vec_id, cl.v, ct.centroid_id,
+                    row_number() OVER (PARTITION BY cl.vec_id
+                      ORDER BY {_cos_sql('cl.v', 'ct.cvec')} DESC, ct.centroid_id) AS rn
+             FROM cl CROSS JOIN cents ct),
+    fasg AS (SELECT vec_id, v, centroid_id FROM asgA WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM cl WHERE vec_id % 50 = 0),
+    qcA AS (SELECT q.q_id, q.qv, ct.centroid_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY {_cos_sql('q.qv', 'ct.cvec')} DESC, ct.centroid_id) AS rn
+            FROM q CROSS JOIN cents ct),
+    qc AS (SELECT q_id, qv, centroid_id FROM qcA WHERE rn = 1),
+    sc AS (SELECT qc.q_id, f.vec_id AS c_id, {_cos_sql('qc.qv', 'f.v')} AS cos_sim
+           FROM qc JOIN fasg f USING (centroid_id)),
+    rk AS (SELECT q_id, c_id, cos_sim,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_sim DESC, c_id ASC) AS INT) AS rn
+           FROM sc WHERE cos_sim IS NOT NULL AND c_id <> q_id)
+    SELECT q_id, c_id, cos_sim, rn FROM rk WHERE rn <= 3
+"""
+
+
+@query("x173_debias_knn_served", oracle=_X173_ORACLE)
+def x173_debias_knn_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x138's SERVE twin, completing the de-biasing lifecycle pair the
+    way x168 completed SemDeDup's: the all-but-the-top CLEANED
+    embedding table is a derived ARTIFACT — the spectral rounds and the
+    projection removal run ONCE per corpus refresh, and the standing
+    IVF index is built over the cleaned vectors (ensure_index guarded
+    by the CONTENT-sensitive corpus fingerprint: a re-embedded corpus
+    moves the crc term, which moves the component, which must rebuild
+    the cleaned index — exactly the staleness case content_col exists
+    for).  Serving is then ``ivf_knn_join``: queries read their cleaned
+    vectors OFF the index, probe their nprobe=1 inverted list
+    (partition-pruned), and the x128/x138 over-fetch-drop-self recipe
+    yields top-3 — per-query work O(probed list), the spectral bill
+    amortized to zero.  Coarse recall bound is IVF's own (a true
+    neighbor in another list is missed; the oracle models the SAME
+    quantizer, so the gate checks the serve semantics exactly)
+    (operators/spectral.py + operators/ann_index.py:ivf_knn_join)."""
+    from ..operators.ann_index import (
+        corpus_fingerprint,
+        ensure_index,
+        ivf_knn_join,
+        write_ivf_index,
+    )
+    from ..operators.spectral import (
+        power_iteration_top_component,
+        remove_top_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_dir(sf_dir, "debias_ivf")
+
+    def build() -> None:
+        comp = power_iteration_top_component(emb, iters=3)
+        write_ivf_index(remove_top_component(emb, comp), path, n_centroids=16)
+
+    ensure_index(
+        build,
+        path,
+        fingerprint=_fp_cached(
+            spark,
+            sf_dir,
+            "emb_content",
+            lambda: corpus_fingerprint(emb, content_col="embedding"),
+        ),
+    )
+    q = spark.read.parquet(path).filter(F.col("vec_id") % 50 == 0)
+    sl = ivf_knn_join(spark, q, path, k=4, nprobe=1).filter(
+        F.col("c_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc_nulls_last("cos_sim"), F.asc("c_id"))
+    return (
+        sl.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "c_id", "cos_sim", "rn")
+    )
