@@ -140,9 +140,11 @@ def run_streaming_lang_router(
     masks = spark.read.parquet(masks_path)
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
+        # partitioned by predicted language so a per-language consumer
+        # partition-prunes to its slice ('und' = the quarantine dir)
         lang_id_from_snapshot(batch_df, ratios, masks).write.mode(
             "overwrite"
-        ).parquet(f"{store_path}/routed/batch_id={batch_id}")
+        ).partitionBy("pred").parquet(f"{store_path}/routed/batch_id={batch_id}")
 
     (
         spark.readStream.schema(spark.read.parquet(landing_dir).schema)
