@@ -9003,3 +9003,76 @@ def x173_debias_knn_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "c_id", "cos_sim", "rn")
     )
+
+
+_X174_ORACLE = _X170_ORACLE.replace(
+    """    SELECT claimed, pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM prd GROUP BY 1, 2
+""",
+    """,
+    cc AS (SELECT claimed AS lang, CAST(count(*) AS BIGINT) AS n_claimed
+           FROM prd GROUP BY 1),
+    pc AS (SELECT pred AS lang, CAST(count(*) AS BIGINT) AS n_pred
+           FROM prd GROUP BY 1)
+    SELECT COALESCE(cc.lang, pc.lang) AS lang,
+           CAST(COALESCE(n_claimed, 0) AS BIGINT) AS n_claimed,
+           CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(COALESCE(n_pred, 0) - COALESCE(n_claimed, 0) AS BIGINT) AS delta
+    FROM cc FULL OUTER JOIN pc ON cc.lang = pc.lang
+""",
+)
+
+
+@query("x174_label_correction_impact", oracle=_X174_ORACLE)
+def x174_label_correction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What trusting PREDICTED language labels (x170's routing) does to
+    corpus COMPOSITION: per language, the batch's claimed count vs its
+    predicted count and the delta — the number a multilingual pipeline
+    needs BEFORE per-language budgets (x25/x162) are computed from
+    claimed metadata, because a language whose count moves is a
+    language whose thresholds (x139/x145) were fit on polluted data;
+    the 'und' row sizes the quarantine lane.  Pure composition: the
+    x170 probe (same persisted snapshot artifact — ensure_index
+    amortizes across both queries) + two group-counts + one full-outer
+    on a ≤\\|langs\\|+1-row pair of tables
+    (operators/textstats.py:lang_id_from_snapshot)."""
+    from ..operators.ann_index import ensure_index
+    from ..operators.textstats import (
+        lang_id_from_snapshot,
+        lang_ratio_profiles,
+        lang_script_masks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    root = _tagged_dir(_SCRATCH, "lang_profiles", "v1-split250", sf_dir=sf_dir)
+    rpath, mpath = os.path.join(root, "ratios"), os.path.join(root, "masks")
+    ensure_index(
+        lambda: lang_ratio_profiles(base).write.mode("overwrite").parquet(rpath),
+        rpath,
+    )
+    ensure_index(
+        lambda: lang_script_masks(base).write.mode("overwrite").parquet(mpath),
+        mpath,
+    )
+    out = lang_id_from_snapshot(
+        docs.filter(F.col("doc_id") >= 250),
+        spark.read.parquet(rpath),
+        spark.read.parquet(mpath),
+    )
+    cc = out.groupBy(F.col("claimed").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_claimed")
+    )
+    pc = out.groupBy(F.col("pred").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_pred")
+    )
+    return (
+        cc.join(pc, "lang", "full_outer")
+        .na.fill(0, ["n_claimed", "n_pred"])
+        .select(
+            "lang",
+            "n_claimed",
+            "n_pred",
+            (F.col("n_pred") - F.col("n_claimed")).cast("long").alias("delta"),
+        )
+    )
