@@ -736,3 +736,50 @@ def test_streaming_ivf_serve_equals_batch_join(spark, tmp_path):
         )
         want = sorted(tuple(r) for r in join_fn(spark, queries, idx, k=3).collect())
         assert got == want and len(got) > 0, quantized
+
+
+def test_hadoopfs_probe_contract(spark, tmp_path):
+    """Pin the miss-behavior contract hadoopfs exists for: ``fs_exists``
+    answers present/absent through the Hadoop FileSystem API (the same
+    filesystem the landing writes go to), and ``fs_list_names`` returns
+    child names — for both bare local paths and scheme-qualified URIs.
+    An ``os.path`` probe against a non-local URI would read "absent" and
+    silently reset cross-batch state; this test pins the API the state
+    probes must keep using."""
+    from py4j.protocol import Py4JJavaError
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.streaming.hadoopfs import (
+        fs_exists,
+        fs_list_names,
+    )
+
+    root = tmp_path / "state"
+    (root / "gen=0").mkdir(parents=True)
+    (root / "gen=1").mkdir()
+    (root / "gen=1" / "weights.json").write_text("{}")
+
+    # Present/absent — bare local path.
+    assert fs_exists(spark, str(root)) is True
+    assert fs_exists(spark, str(root / "gen=1" / "weights.json")) is True
+    assert fs_exists(spark, str(root / "gen=2")) is False
+    assert fs_exists(spark, str(tmp_path / "never-written")) is False
+
+    # Present/absent — scheme-qualified URI (the non-local-shaped form;
+    # os.path.exists would still happen to work for file: but NOT for
+    # hdfs:/s3a:, which is why the probes go through the FS API).
+    uri = "file://" + str(root)
+    assert fs_exists(spark, uri) is True
+    assert fs_exists(spark, "file://" + str(root / "gen=2")) is False
+
+    # Listing: child names only (last path component), both forms.
+    assert sorted(fs_list_names(spark, str(root))) == ["gen=0", "gen=1"]
+    assert sorted(fs_list_names(spark, uri)) == ["gen=0", "gen=1"]
+    assert fs_list_names(spark, str(root / "gen=1")) == ["weights.json"]
+
+    # Listing a genuinely-missing path raises (FileNotFoundException
+    # through py4j) rather than silently returning [] — callers gate
+    # every fs_list_names behind fs_exists, and this pins that the gate
+    # is load-bearing.
+    with pytest.raises(Py4JJavaError):
+        fs_list_names(spark, str(root / "gen=2"))
