@@ -1744,6 +1744,51 @@ def _x170_lang_snapshot(spark, d):
     return out.agg(F.count("*").alias("n"), F.sum("agree").alias("a"))
 
 
+def _x174_label_impact(spark, d):
+    # label-correction impact (r8 verdict item 4: measure the row its
+    # class-mates all have): the x170 snapshot probe over the SAME
+    # persisted profile artifact, then two <=|langs|-row group-counts
+    # and one full-outer on those tables — the composition tail adds
+    # two map-side-combined exchanges over |langs| keys, so expect the
+    # x170 curve (~1x flat) plus noise.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        lang_id_from_snapshot,
+        lang_ratio_profiles,
+        lang_script_masks,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    base = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    root = os.path.join(_SCALE_ROOT, "lang_snapshot", os.path.basename(d.rstrip("/")))
+    rpath, mpath = os.path.join(root, "ratios"), os.path.join(root, "masks")
+    ensure_index(
+        lambda: lang_ratio_profiles(base).write.mode("overwrite").parquet(rpath),
+        rpath,
+    )
+    ensure_index(
+        lambda: lang_script_masks(base).write.mode("overwrite").parquet(mpath),
+        mpath,
+    )
+    out = lang_id_from_snapshot(
+        batch, spark.read.parquet(rpath), spark.read.parquet(mpath)
+    )
+    cc = out.groupBy(F.col("claimed").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_claimed")
+    )
+    pc = out.groupBy(F.col("pred").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_pred")
+    )
+    return (
+        cc.join(pc, "lang", "full_outer")
+        .na.fill(0, ["n_claimed", "n_pred"])
+        .select("lang", "n_claimed", "n_pred")
+    )
+
+
 def _x140_retention(spark, d):
     # cohort retention over the full scaled events table: one distinct
     # (user, week) shuffle, a user-keyed min-agg reusing the same key,
@@ -2196,7 +2241,7 @@ def _x173_debias_served(spark, d):
     emb = spark.read.parquet(f"{d}/embeddings.parquet")
     n = emb.count()
     n_c = max(16, math.isqrt(n // 2))
-    path = os.path.join(_SCALE_ROOT, "debias_ivf", os.path.basename(d.rstrip("/")))
+    path = os.path.join(_SCALE_ROOT, "debias_ivf_sv16", os.path.basename(d.rstrip("/")))
 
     def build():
         comp = power_iteration_top_component(emb, iters=3)
@@ -2310,6 +2355,7 @@ HEAVY += [
     ("x167_semdedup_hier_full", _x167_semdedup_hier),
     ("x168_semdedup_from_index_full", _x168_semdedup_from_index),
     ("x170_lang_snapshot_10pct", _x170_lang_snapshot),
+    ("x174_label_impact_10pct", _x174_label_impact),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),

@@ -19,16 +19,28 @@ half-step is an INTEGER sum (exact, order-free):
 The only floats are the final normalize (sum of squares is computed
 EXACTLY in wide integers — DECIMAL(38,0) Spark-side, HUGEINT in an
 ANSI oracle — then one deterministic sqrt and one floor) — so a fixed
-iteration count is bit-reproducible in any engine.  Ceilings at the
-defaults (Sx=2^10, Sv=2^20, |x|<2, d=64): |u| < 2^26 keeps
-``y_j < n * 2^36`` inside int64 to n < 1.3e8 — but the BINDING ceiling
-is the DECIMAL(38,0) sum of squares: Σ_j y_j² < 64·(n·2^36)² = n²·2^78
-must stay under 10^38 ≈ 2^126, so **n < 1.8e7 rows** at the defaults.
-Beyond that drop Sv to 2^16 (y_j < n·2^32, decimal ceiling n < 2.7e8)
-or shard-and-average — documented tradeoff, 4 fewer fixed-point bits.
-A breach cannot pass silently: a decimal overflow NULLs the sum (non-
-ANSI), and the normalize step treats a NULL norm as a hard error
-(raise_error), never as the zero-corpus zero vector.
+iteration count is bit-reproducible in any engine.
+
+Row ceiling (the 100-TB sizing rule, computed by ``row_ceiling``):
+the start iterate is norm-bounded — ``v0_j = isqrt(sv²/d)`` so
+``||v0||₂ ≤ sv``, the same invariant normalization restores every
+round (``v'_j = floor(y_j·sv/||y||)`` ⇒ ``||v'||₂ ≤ sv + √d``, the
+√d from per-coordinate floor slack) — which makes the FIRST round
+obey the same bounds as every later one:
+
+    |u_i| ≤ ||xq_i||·||v||/sx ≤ xmax·√d·(sv+√d)   (+1 for the floor)
+    |y_j| ≤ n · xmax·sx · |u|max
+    Σ_j y_j² ≤ d·|y|max²  < 10^38  (DECIMAL(38,0), the binding term)
+    |y|max                < 2^63   (int64)
+
+At the defaults (sx=2^10, **sv=2^16**, |x|<2, d=64) the binding
+DECIMAL ceiling is **n < 5.8e8 rows** (int64: 4.3e9) — wide enough
+for a 100-TB embedding shard without tuning.  sv=2^20 buys 4 more
+fixed-point bits for small corpora at a ~3.6e7-row ceiling; the
+tradeoff is a ``row_ceiling`` call away.  A breach cannot pass
+silently: a decimal overflow NULLs the sum (non-ANSI), and the
+normalize step treats a NULL norm as a hard error (raise_error),
+never as the zero-corpus zero vector.
 
 Scale shape per iteration: one broadcast of the 1-row iterate into the
 scan (crossJoin of a single row), an array-local integer fold for u,
@@ -41,10 +53,41 @@ separate the top direction on anything with a spectral gap.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import as_double_vec
+
+
+def row_ceiling(
+    d: int = 64, xmax: float = 2.0, sx: int = 1 << 10, sv: int = 1 << 16
+) -> int:
+    """Largest corpus row count the quantized power iteration is
+    PROVEN exact for at these scales — min of the DECIMAL(38,0)
+    sum-of-squares ceiling (the binding one at the defaults) and the
+    int64 ceiling on y_j, via the module-docstring worst-case chain
+    (norm-bounded iterate, so every round including the first obeys
+    it).  The 100-TB contract: callers sizing a corpus beyond this
+    must lower ``sv`` or shard-and-average."""
+    rd = math.isqrt(d - 1) + 1            # ceil(sqrt(d))
+    # normalize floors toward -inf: each |v'_j| picks up < 1 of slack,
+    # so the restored invariant is ||v'|| <= sv + sqrt(d), and
+    # |u_i| <= ||xq_i||*||v||/sx + 1 <= xmax*sqrt(d)*(sv+sqrt(d)) + 1
+    u_max = int(xmax * rd * (sv + rd)) + 1
+    y_per_row = int(xmax * sx) * u_max
+    n_decimal = math.isqrt(10**38 // d) // y_per_row
+    n_int64 = (2**63 - 1) // y_per_row
+    return min(n_decimal, n_int64)
+
+
+def _v0_fp(sv: int, d: int) -> int:
+    """Start-iterate coordinate: ``isqrt(sv²/d)`` — the largest
+    integer constant with ``||v0||₂ ≤ sv``, so round 1 is bounded by
+    the same invariant the normalization restores (exact integer
+    arithmetic; both engines inline the same literal)."""
+    return math.isqrt(sv * sv // d)
 
 
 def _assemble(vecs: DataFrame, j_col: str, val_col: str, out_col: str) -> DataFrame:
@@ -78,22 +121,24 @@ def power_iteration_top_component(
     emb: DataFrame,
     iters: int = 3,
     sx: int = 1 << 10,
-    sv: int = 1 << 20,
+    sv: int = 1 << 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(dim_idx, v_fp): the dominant right-singular direction of the
     (uncentered) embedding matrix after ``iters`` quantized power
     rounds, as an int64 unit vector at scale ``sv``.  Start iterate is
-    all-ones at sv (deterministic sign).  A zero corpus yields the
-    all-zero vector (norm guard), never NULLs.  Fully declarative —
+    all-ones at ``isqrt(sv²/d)`` (deterministic sign, norm-bounded so
+    round 1 obeys the ``row_ceiling`` chain).  A zero corpus yields
+    the all-zero vector (norm guard), never NULLs.  Fully declarative —
     no driver collect; the iterate lives as a 1-row DataFrame."""
     xq = quantize_embeddings(emb, sx, vec_col, id_col).localCheckpoint(eager=False)
     dim = len(xq.select("xq").first()["xq"])
     spark = emb.sparkSession
     v = spark.range(1).select(
         F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)), lambda _: F.lit(sv).cast("long")
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda _: F.lit(_v0_fp(sv, dim)).cast("long"),
         ).alias("varr")
     )
     for _ in range(iters):
@@ -143,9 +188,9 @@ def power_iteration_top_component(
             .otherwise(
                 F.expr(
                     "CAST(raise_error('power_iteration_top_component: sum of"
-                    " squares overflowed DECIMAL(38,0) — corpus exceeds the"
-                    " documented row ceiling; lower sv (2^16 raises it to"
-                    " ~2.7e8 rows) or shard-and-average') AS BIGINT)"
+                    " squares overflowed DECIMAL(38,0) — corpus exceeds"
+                    " row_ceiling(d, xmax, sx, sv) (~5.8e8 at the defaults);"
+                    " lower sv or shard-and-average') AS BIGINT)"
                 )
             )
             .alias("v"),
@@ -160,7 +205,6 @@ def power_iteration_top_component(
 def remove_top_component(
     emb: DataFrame,
     component: DataFrame,
-    sv: int = 1 << 20,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:

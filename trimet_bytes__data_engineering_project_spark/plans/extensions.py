@@ -6254,10 +6254,14 @@ def x129_forward_index_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_doc_terms(spark, fpath, ids)
 
 
-def _build_power_iteration_ctes(iters: int = 3, sx: int = 1 << 10, sv: int = 1 << 20) -> str:
+def _build_power_iteration_ctes(iters: int = 3, sx: int = 1 << 10, sv: int = 1 << 16) -> str:
     """Shared CTE chain for x130/x131: the quantized power recurrence
     unrolled — integer half-steps (HUGEINT-exact sums), one
-    deterministic sqrt + floor per round (operators/spectral.py)."""
+    deterministic sqrt + floor per round; start iterate norm-bounded at
+    isqrt(sv²/d), the row_ceiling invariant (operators/spectral.py)."""
+    import math as _math
+
+    v0 = _math.isqrt(sv * sv // 64)
     ctes = [f"""
     e AS (SELECT vec_id,
                  list_transform({_VEC}, x -> CAST(floor(x * {float(sx)}) AS BIGINT)) AS xq
@@ -6266,7 +6270,7 @@ def _build_power_iteration_ctes(iters: int = 3, sx: int = 1 << 10, sv: int = 1 <
                               CAST(unnest(range(len(xq))) AS BIGINT) AS j
                        FROM e),
     v0 AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS j,
-                  CAST({sv} AS BIGINT) AS v)"""]
+                  CAST({v0} AS BIGINT) AS v)"""]
     for k in range(1, iters + 1):
         ctes.append(f"""
     u{k} AS (SELECT x.vec_id,
@@ -6294,7 +6298,7 @@ def x130_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal direction of the embedding corpus by
     QUANTIZED power iteration (3 rounds): the matrix is quantized once
     (floor(x*2^10) — power-of-two scale, float-exact), the iterate is
-    an int64 vector at 2^20, and every matrix-vector half-step is an
+    an int64 vector at 2^16, and every matrix-vector half-step is an
     exact integer sum — order-free, so a fixed round count is
     bit-reproducible in any engine (a float power iteration is not:
     its reductions are order-dependent).  The only float per round is
@@ -6302,9 +6306,10 @@ def x130_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal(38,0) / HUGEINT), one IEEE sqrt, one floor.  Scale
     shape per round: broadcast the 1-row iterate into the scan,
     array-local fold for u, ONE 64-group shuffle for y (map-side
-    combined); int64 ceiling n < 6.7e7 rows at these scales — drop
-    the iterate scale to 2^16 for n < 1e9 (operators/spectral.py).
-    The direction feeds x131's all-but-the-top cleanup."""
+    combined); proven-exact to row_ceiling() ≈ 5.8e8 rows at the
+    defaults — a 100-TB shard fits the DEFAULT path
+    (operators/spectral.py).  The direction feeds x131's
+    all-but-the-top cleanup."""
     from ..operators.spectral import power_iteration_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -8977,7 +8982,7 @@ def x173_debias_knn_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _index_dir(sf_dir, "debias_ivf")
+    path = _index_dir(sf_dir, "debias_ivf_sv16")
 
     def build() -> None:
         comp = power_iteration_top_component(emb, iters=3)
