@@ -1789,6 +1789,46 @@ def _x174_label_impact(spark, d):
     )
 
 
+def _x14_media_features(spark, d):
+    # multimodal feature extraction over the full scaled blob table
+    # (r8 verdict item 6: the plumbing tier's first measured row):
+    # one blob scan through ONE Arrow mapInPandas boundary — sha256 +
+    # length + codepoint per payload, no shuffle; the corpus term is
+    # the Python-side digest work, so expect ~linear in bytes and
+    # NO join/shuffle blow-up (the ratio reads the Arrow path's
+    # throughput, not a plan shape).
+    from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    feats = extract_features(media_from_documents(docs))
+    return feats.agg(
+        F.count("*").alias("n"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.sum(F.length("sha256_hex")).alias("sha_chars"),
+    )
+
+
+def _x175_frame_manifest(spark, d):
+    # the 1-to-N frame fan-out at full scale: executor-side explode
+    # inside mapInPandas (frame rows never transit the driver), then
+    # per-frame sha — expect the x14 curve x the ~4x row fan-out,
+    # still shuffle-free.
+    from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    frames = sample_frames(media_from_documents(docs), max_frames=4)
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
+    )
+
+
 def _x140_retention(spark, d):
     # cohort retention over the full scaled events table: one distinct
     # (user, week) shuffle, a user-keyed min-agg reusing the same key,
@@ -2356,6 +2396,8 @@ HEAVY += [
     ("x168_semdedup_from_index_full", _x168_semdedup_from_index),
     ("x170_lang_snapshot_10pct", _x170_lang_snapshot),
     ("x174_label_impact_10pct", _x174_label_impact),
+    ("x14_media_features_full", _x14_media_features),
+    ("x175_frame_manifest_full", _x175_frame_manifest),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),

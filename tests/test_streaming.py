@@ -783,3 +783,61 @@ def test_hadoopfs_probe_contract(spark, tmp_path):
     # is load-bearing.
     with pytest.raises(Py4JJavaError):
         fs_list_names(spark, str(root / "gen=2"))
+
+
+def test_streaming_media_landing_equals_batch(spark, tmp_path):
+    """Two streamed blob landings produce feature + frame stores
+    row-equal to one batch pass over the union (pure per-blob
+    extractors = exact streaming); frame payload BYTES round-trip the
+    store binary-identical; replay on the same checkpoint is a no-op
+    (r8 verdict item 6 — the quality.py landing pattern applied to
+    blobs)."""
+    from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+        sample_frames,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.multimodal import (
+        features_from_store,
+        frames_from_store,
+        run_streaming_media_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    media = media_from_documents(docs)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    land_file(media.filter("media_id % 2 = 0"), "a")
+    land_file(media.filter("media_id % 2 = 1"), "b")
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    run_streaming_media_features(spark, landing, store, ck, max_frames=4)
+
+    fcols = ["media_id", "byte_len", "first_codepoint", "sha256_hex", "decoded"]
+    got_f = sorted(
+        map(tuple, features_from_store(spark, store).select(*fcols).collect())
+    )
+    want_f = sorted(map(tuple, extract_features(media).select(*fcols).collect()))
+    assert got_f == want_f and len(got_f) == 40
+
+    rcols = ["media_id", "frame_idx", "frame_bytes", "decoded"]
+    got_r = sorted(
+        map(tuple, frames_from_store(spark, store).select(*rcols).collect())
+    )
+    want_r = sorted(map(tuple, sample_frames(media, 4).select(*rcols).collect()))
+    assert got_r == want_r and len(got_r) >= 40
+    # blob-in/blob-out: landed frame bytes are exact payload slices
+    payload = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, idx, fb, decoded in got_r:
+        assert not decoded and bytes(fb) in payload[mid]
+
+    # replay idempotency: same checkpoint, no new landings -> no-op
+    run_streaming_media_features(spark, landing, store, ck, max_frames=4)
+    assert features_from_store(spark, store).count() == 40
+    assert frames_from_store(spark, store).count() == len(got_r)

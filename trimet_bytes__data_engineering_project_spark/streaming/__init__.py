@@ -1,4 +1,9 @@
 from .dedup import run_streaming_dedup  # noqa: F401
+from .multimodal import (  # noqa: F401
+    features_from_store,
+    frames_from_store,
+    run_streaming_media_features,
+)
 from .index import (  # noqa: F401
     bootstrap_ivf_quantizer,
     run_streaming_ivf_index,
