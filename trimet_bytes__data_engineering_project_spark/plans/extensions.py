@@ -34,6 +34,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import extract_features, media_from_documents
 from ..operators.similarity import (
+    as_double_vec,
     brute_force_topk,
     embedding_near_dup_pairs,
     hyperplanes,
@@ -9157,4 +9158,161 @@ def x175_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame_bytes").cast("long").alias("frame_len"),
         F.sha2("frame_bytes", 256).alias("frame_sha"),
         "decoded",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index-health + corpus-drift audits, round 9: the two standing checks
+# a serving stack runs against its OWN artifacts — list-skew detection
+# on the persisted IVF index (the Σm² bomb's early warning) and
+# between-generation embedding drift (the re-embed trigger).
+# ---------------------------------------------------------------------------
+
+_X176_ORACLE = f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < 16),
+    assigned AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC,
+                                         c.centroid_id) AS rn
+      FROM e CROSS JOIN cents c),
+    best AS (SELECT vec_id, v, centroid_id FROM assigned WHERE rn = 1),
+    sc AS (SELECT b.centroid_id,
+                  CAST(floor({_cos_sql('b.v', 'c.cvec')} * 1048576.0) AS BIGINT)
+                      AS cos_fp
+           FROM best b JOIN cents c USING (centroid_id)),
+    g AS (SELECT centroid_id,
+                 CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(sum(cos_fp) AS BIGINT) AS sum_cos_fp,
+                 CAST(min(cos_fp) AS BIGINT) AS min_cos_fp
+          FROM sc GROUP BY centroid_id),
+    t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM g)
+    SELECT c.centroid_id,
+           CAST(COALESCE(g.n_vecs, 0) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(g.n_vecs, 0) * 1000000 // t.total AS BIGINT) AS share_fp,
+           g.sum_cos_fp, g.min_cos_fp
+    FROM cents c LEFT JOIN g USING (centroid_id) CROSS JOIN t
+"""
+
+
+@query("x176_ivf_health_audit", oracle=_X176_ORACLE)
+def x176_ivf_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health audit of the STANDING IVF index (x21/x166/x168's shared
+    artifact), read off the index itself — the nightly check that
+    catches list skew BEFORE it becomes the pair stage's Σm² bomb
+    (BENCH_NOTES: a within-list stage is quadratic in its largest
+    list) or a probe-latency cliff: per inverted list, its size, its
+    corpus share (ppm, integer), and the sum/min of member→centroid
+    cosine in 2^20 fixed point — sum not mean, so every value is an
+    order-free integer fold (the repo's determinism convention); min
+    is the worst-assigned member, the boundary-quality signal that
+    says "this list needs a re-trained quantizer".  LEFT join from
+    the centroid sidecar keeps EMPTY lists visible (n_vecs=0, NULL
+    cosines) — a dead list is exactly what the audit exists to
+    surface.  Scale shape: one scan of the index (stored norms reused
+    — no re-fold), a broadcast of the 16-row quantizer, ONE map-side-
+    combined 16-group agg; the share window runs over the 16-row agg
+    table, never the corpus (operators/ann_index.py:write_ivf_index,
+    assign_to_centroids)."""
+    from ..operators.ann_index import _centroids_path
+    from ..operators.similarity import as_double_vec, dot, l2_norm
+
+    path = _ensure_ivf_index(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    cents = (
+        spark.read.parquet(_centroids_path(path))
+        .withColumn("c_n", l2_norm(F.col("cvec")))
+    )
+    cos = dot(as_double_vec("embedding"), F.col("cvec")) / (
+        F.col("norm") * F.col("c_n")
+    )
+    scored = idx.join(F.broadcast(cents), "centroid_id").select(
+        "centroid_id",
+        F.floor(cos * F.lit(1048576.0)).cast("long").alias("cos_fp"),
+    )
+    g = scored.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("cos_fp").cast("long").alias("sum_cos_fp"),
+        F.min("cos_fp").cast("long").alias("min_cos_fp"),
+    )
+    return (
+        cents.select("centroid_id")
+        .join(F.broadcast(g), "centroid_id", "left")
+        .na.fill(0, ["n_vecs"])
+        .select(
+            "centroid_id",
+            "n_vecs",
+            F.expr("n_vecs * 1000000 DIV sum(n_vecs) OVER ()")
+            .cast("long")
+            .alias("share_fp"),
+            "sum_cos_fp",
+            "min_cos_fp",
+        )
+    )
+
+
+_X177_ORACLE = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform({_VEC},
+                                     x -> CAST(floor(x * 1024.0) AS BIGINT)) AS xq
+               FROM embeddings),
+    x AS (SELECT vec_id, unnest(xq) AS xv,
+                 CAST(unnest(range(len(xq))) AS BIGINT) AS j
+          FROM e),
+    g AS (SELECT j,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN xv END) AS BIGINT) AS sum_a,
+                 CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN vec_id % 2 = 1 THEN xv END) AS BIGINT) AS sum_b,
+                 CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b
+          FROM x GROUP BY j)
+    SELECT CAST(j AS INT) AS dim_idx, sum_a, n_a, sum_b, n_b,
+           CAST(floor((CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      * 1048576.0) AS BIGINT) AS drift_fp
+    FROM g
+"""
+
+
+@query("x177_embedding_drift", oracle=_X177_ORACLE)
+def x177_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift between two embedding GENERATIONS (even/odd
+    vec_id as the stand-in generation split — the operator takes any
+    predicate): the audit that decides when a re-embed or quantizer
+    re-train is due, because every persisted ANN artifact (IVF lists,
+    PQ codebooks, the spectral component) was fit to generation A's
+    distribution and silently degrades as generation B drifts.  Each
+    side's per-dim mean is derived from an ORDER-FREE integer sum of
+    the 2^10-quantized matrix (the spectral module's quantization —
+    exact), and drift_fp is the mean difference in 2^20 fixed point
+    via elementwise IEEE ops on identical operands (deterministic
+    cross-engine; the float risk is order-dependent REDUCTIONS, which
+    this never does).  Scale shape: one scan, an array-local
+    conditional fold widened by posexplode, ONE 64-group map-side-
+    combined shuffle — the x130 shape without the iteration; output
+    is d rows regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        as_double_vec("embedding"),
+        lambda x: F.floor(x * F.lit(1024.0)).cast("long"),
+    )
+    rows = emb.select(F.col("vec_id"), F.posexplode(xq).alias("j", "xv"))
+    even = F.col("vec_id") % 2 == 0
+    g = rows.groupBy("j").agg(
+        F.sum(F.when(even, F.col("xv"))).cast("long").alias("sum_a"),
+        F.count(F.when(even, F.lit(1))).cast("long").alias("n_a"),
+        F.sum(F.when(~even, F.col("xv"))).cast("long").alias("sum_b"),
+        F.count(F.when(~even, F.lit(1))).cast("long").alias("n_b"),
+    )
+    drift = F.floor(
+        (
+            F.col("sum_b").cast("double") / F.col("n_b").cast("double")
+            - F.col("sum_a").cast("double") / F.col("n_a").cast("double")
+        )
+        * F.lit(1048576.0)
+    ).cast("long")
+    return g.select(
+        F.col("j").cast("int").alias("dim_idx"),
+        "sum_a", "n_a", "sum_b", "n_b",
+        drift.alias("drift_fp"),
     )
