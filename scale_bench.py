@@ -1829,6 +1829,64 @@ def _x175_frame_manifest(spark, d):
     )
 
 
+def _x176_ivf_health(spark, d):
+    # index health audit at scale: the compute-optimal c = sqrt(n/2)
+    # index (shared artifact with the x168 build — ensure_index
+    # amortizes), ONE map-side-combined n_c-group agg over the index
+    # scan with stored norms (no re-fold); everything after the agg is
+    # <=n_c rows — expect near-linear in index bytes, no join term.
+    import math
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        _centroids_path,
+        ensure_index,
+        write_ivf_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+        l2_norm,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    n_c = max(16, math.isqrt(n // 2))
+    path = os.path.join(_SCALE_ROOT, "semdedup_ivf", os.path.basename(d.rstrip("/")))
+    ensure_index(lambda: write_ivf_index(emb, path, n_centroids=n_c), path)
+    idx = spark.read.parquet(path)
+    cents = spark.read.parquet(_centroids_path(path)).withColumn(
+        "c_n", l2_norm(F.col("cvec"))
+    )
+    cos = dot(as_double_vec("embedding"), F.col("cvec")) / (
+        F.col("norm") * F.col("c_n")
+    )
+    g = (
+        idx.join(F.broadcast(cents), "centroid_id")
+        .select(
+            "centroid_id",
+            F.floor(cos * F.lit(1048576.0)).cast("long").alias("cos_fp"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("cos_fp").alias("sum_cos_fp"),
+            F.min("cos_fp").alias("min_cos_fp"),
+        )
+    )
+    return g.agg(
+        F.count("*").alias("n_lists"),
+        F.max("n_vecs").alias("max_list"),
+        F.sum("sum_cos_fp").alias("s"),
+    )
+
+
+def _x177_drift(spark, d):
+    # generation drift at scale: the registered query verbatim — one
+    # scan, one 64-group exchange, d-row output; expect the x130
+    # single-round band (near-linear in the posexplode).
+    return QUERIES["x177_embedding_drift"](spark, d)
+
+
 def _x140_retention(spark, d):
     # cohort retention over the full scaled events table: one distinct
     # (user, week) shuffle, a user-keyed min-agg reusing the same key,
@@ -2398,6 +2456,8 @@ HEAVY += [
     ("x174_label_impact_10pct", _x174_label_impact),
     ("x14_media_features_full", _x14_media_features),
     ("x175_frame_manifest_full", _x175_frame_manifest),
+    ("x176_ivf_health_full", _x176_ivf_health),
+    ("x177_embedding_drift_full", _x177_drift),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),
