@@ -1,0 +1,47 @@
+"""Compute the historical latency-bar subsets from BENCH_DETAIL.json.
+
+The bars (BENCH_NOTES round-8 reconciliation: 115-subset <=62 s,
+130 <=80, 167 <=145, full <=210) are sums over the query sets that
+existed when each bar was first set.  Those sets were previously
+reconstructed by hand each round; ``bench_subsets.json`` (extracted
+from the registry source at the round-4 / round-6 / round-7-session-3
+/ round-7-close commits) freezes them so the arithmetic is one
+command:
+
+    python tools/bench_subsets.py            # reads BENCH_DETAIL.json
+    python tools/bench_subsets.py detail.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BARS = {"subset_115_r4": 62.0, "subset_130_r6": 80.0, "subset_167_r7s3": 145.0}
+
+
+def main() -> None:
+    detail_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(HERE), "BENCH_DETAIL.json"
+    )
+    detail = json.load(open(detail_path))
+    times = detail["queries"] if "queries" in detail else detail
+    subsets = json.load(open(os.path.join(HERE, "bench_subsets.json")))
+    total = sum(times.values())
+    for name, members in subsets.items():
+        missing = [m for m in members if m not in times]
+        s = sum(times[m] for m in members if m in times)
+        bar = BARS.get(name)
+        status = ""
+        if bar is not None:
+            status = "  OK (<= %.0f)" % bar if s <= bar else "  BREACH (> %.0f)" % bar
+        print(f"{name}: {s:.1f} s over {len(members) - len(missing)} queries"
+              f"{' (missing ' + ','.join(missing) + ')' if missing else ''}{status}")
+    print(f"full corpus: {total:.1f} s over {len(times)} queries"
+          f"  {'OK (<= 210)' if total <= 210 else 'BREACH (> 210)'}")
+
+
+if __name__ == "__main__":
+    main()
