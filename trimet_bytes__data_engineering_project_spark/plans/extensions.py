@@ -9316,3 +9316,205 @@ def x177_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_a", "n_a", "sum_b", "n_b",
         drift.alias("drift_fp"),
     )
+
+
+_X178_ORACLE = f"""
+    WITH {_BM25_TABLES},
+    qtf AS (SELECT doc_id AS query_id, term, tf FROM tf WHERE doc_id % 50 = 0),
+    qs AS (SELECT query_id, q.term,
+                  CAST(q.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS s
+           FROM qtf q JOIN dfx d USING (term)),
+    qt AS (SELECT query_id, term FROM (
+             SELECT query_id, term,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, term ASC) AS rn
+             FROM qs) WHERE rn <= 3),
+    offs AS (SELECT doc_id, text, unnest(range(0, length(text), 150)) AS off
+             FROM documents),
+    pc AS (SELECT doc_id * 1048576 + off // 150 AS pid,
+                  substr(text, CAST(off AS INT) + 1, 200) AS ptext
+           FROM offs),
+    ptoks AS (SELECT pid, unnest(regexp_extract_all(lower(ptext), '[a-z]+')) AS term
+              FROM pc),
+    ptf AS (SELECT pid, term, CAST(count(*) AS BIGINT) AS tf
+            FROM ptoks GROUP BY 1, 2),
+    pdl AS (SELECT pid, CAST(sum(tf) AS BIGINT) AS dl FROM ptf GROUP BY 1),
+    pst AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l
+            FROM pdl),
+    pa AS (SELECT n, (l * 1024) // n AS avgdl_fp FROM pst WHERE n > 0),
+    pdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ptf GROUP BY 1),
+    pm AS (SELECT qt.query_id, ptf.pid, ptf.tf, pdl.dl, pdf.df
+           FROM qt JOIN ptf USING (term) JOIN pdl USING (pid)
+                   JOIN pdf USING (term)),
+    psc AS (SELECT query_id, pid,
+                   CAST(sum(  ((1024 * (2*n - 2*df + 1)) // (2*df + 1))
+                            * ((1024 * 22 * tf * avgdl_fp)
+                               // (10 * tf * avgdl_fp + 3 * avgdl_fp
+                                   + 9 * dl * 1024))
+                         ) AS BIGINT) AS score_fp
+            FROM pm CROSS JOIN pa GROUP BY 1, 2),
+    sl AS (SELECT query_id, pid, score_fp FROM (
+             SELECT query_id, pid, score_fp,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_fp DESC, pid ASC) AS prank
+             FROM psc) WHERE prank <= 50),
+    best AS (SELECT query_id, pid // 1048576 AS doc_id,
+                    pid % 1048576 AS chunk_idx, score_fp,
+                    row_number() OVER (PARTITION BY query_id, pid // 1048576
+                                       ORDER BY score_fp DESC,
+                                                pid % 1048576 ASC) AS brn,
+                    CAST(count(*) OVER (PARTITION BY query_id, pid // 1048576)
+                         AS BIGINT) AS n_passages
+             FROM sl),
+    pool AS (SELECT query_id, doc_id, score_fp AS best_score_fp,
+                    CAST(chunk_idx AS BIGINT) AS best_chunk, n_passages
+             FROM best WHERE brn = 1),
+    fin AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY best_score_fp DESC, doc_id ASC) AS INT)
+                       AS rank
+            FROM pool)
+    SELECT query_id, doc_id, best_score_fp, best_chunk, n_passages, rank,
+           CAST(best_score_fp AS DOUBLE) / 1048576.0 AS best_score
+    FROM fin WHERE rank <= 5
+"""
+
+
+@query("x178_passage_retrieval", oracle=_X178_ORACLE)
+def x178_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level retrieval with MAX-PASSAGE document pooling — the
+    RAG serving shape: long documents are chunked into overlapping
+    200-char windows (x50's chunker, zero-shuffle), the chunk corpus
+    is scored as its own BM25 collection (passage-level dl/df/avgdl —
+    a passage hit means THIS WINDOW answers the query, which document-
+    level BM25 dilutes across the whole doc), each query keeps a
+    50-passage shortlist, and documents rank by their BEST passage
+    (max-pool, ties to the lowest chunk) with the passage count and
+    winning chunk_idx carried for snippet routing.  Passage keys pack
+    as doc_id·2^20+chunk_idx so the pooling is integer arithmetic, not
+    a join back to the chunk table.  All integer fixed-point (the BM25
+    chain's own scales).  Scale shape: chunking rides the scan's
+    codegen; the scorer's shuffles carry O(matched passage postings)
+    integer rows; pooling folds the 50-row-per-query shortlist.  At
+    100 TB the chunk corpus becomes the persisted inverted index
+    (write_inverted_index over passages — the x102 serve contract
+    applies unchanged since passages ARE documents to the index)
+    (operators/retrieval.py:bm25_topk; operators/textstats.py:
+    chunk_documents)."""
+    from ..operators.retrieval import (
+        bm25_topk,
+        materialize_queries,
+        top_terms_queries,
+    )
+    from ..operators.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    passages = chunk_documents(docs, size=200, stride=150).select(
+        (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
+        .cast("long")
+        .alias("passage_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    hits = bm25_topk(passages, queries, k=50, id_col="passage_id", text_col="text")
+    parts = hits.select(
+        "query_id",
+        F.expr("doc_id DIV 1048576").cast("long").alias("src_doc"),
+        (F.col("doc_id") % 1048576).cast("long").alias("chunk_idx"),
+        "score_fp",
+    )
+    pool = parts.groupBy("query_id", "src_doc").agg(
+        F.max("score_fp").cast("long").alias("best_score_fp"),
+        F.expr("max_by(chunk_idx, struct(score_fp, -chunk_idx))")
+        .cast("long")
+        .alias("best_chunk"),
+        F.count("*").cast("long").alias("n_passages"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("best_score_fp"), F.asc("src_doc")
+    )
+    return (
+        pool.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("src_doc").alias("doc_id"),
+            "best_score_fp",
+            "best_chunk",
+            "n_passages",
+            "rank",
+            (F.col("best_score_fp").cast("double") / F.lit(1048576.0)).alias(
+                "best_score"
+            ),
+        )
+    )
+
+
+_X179_ORACLE = f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+               FROM documents),
+    b AS (SELECT doc_id, n_tok, n_tok // 64 AS bucket FROM t),
+    r AS (SELECT bucket, n_tok,
+                 (row_number() OVER (PARTITION BY bucket
+                                     ORDER BY n_tok, doc_id) - 1) // 32
+                     AS batch_idx
+          FROM b),
+    g AS (SELECT bucket, batch_idx,
+                 CAST(count(*) AS BIGINT) AS n_in_batch,
+                 CAST(max(n_tok) AS BIGINT) AS max_tok,
+                 CAST(sum(n_tok) AS BIGINT) AS sum_tok
+          FROM r GROUP BY 1, 2)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_in_batch) AS BIGINT) AS n_docs,
+           CAST(sum(sum_tok) AS BIGINT) AS real_tokens,
+           CAST(sum(n_in_batch * max_tok - sum_tok) AS BIGINT) AS padded_tokens,
+           CAST(sum(n_in_batch * max_tok - sum_tok) * 1000000
+                // sum(n_in_batch * max_tok) AS BIGINT) AS waste_ppm
+    FROM g GROUP BY 1
+"""
+
+
+@query("x179_padding_waste_audit", oracle=_X179_ORACLE)
+def x179_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The padding tax: what a pad-to-longest training loader wastes
+    per length bucket — docs bucket by n_tok/64, sort within bucket,
+    batch in 32s, and every batch pads each member to its own max
+    (n·max−Σ slots burned on pad tokens).  waste_ppm per bucket is the
+    number that justifies the packing tier (x24/x159): compare against
+    packed utilization and the decision is arithmetic, not folklore —
+    and the per-bucket breakdown shows WHERE the tax is paid (wide
+    buckets with fat tails, the last short batch of each bucket).
+    All integers (counts, maxes, ppm by integer division).  Scale
+    shape: one shuffle on the bucket key; the in-bucket sort
+    parallelizes per bucket (never global); both aggs are map-side
+    combinable; output is ≤ max_len/64 rows at any corpus size."""
+    from ..operators.textstats import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tok")
+    )
+    b = t.withColumn("bucket", F.expr("n_tok DIV 64").cast("long"))
+    w = Window.partitionBy("bucket").orderBy("n_tok", "doc_id")
+    r = b.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_idx", F.expr("CAST((rn - 1) DIV 32 AS BIGINT)")
+    )
+    g = r.groupBy("bucket", "batch_idx").agg(
+        F.count("*").cast("long").alias("n_in_batch"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+    )
+    return g.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum("n_in_batch").cast("long").alias("n_docs"),
+        F.sum("sum_tok").cast("long").alias("real_tokens"),
+        F.sum(F.col("n_in_batch") * F.col("max_tok") - F.col("sum_tok"))
+        .cast("long")
+        .alias("padded_tokens"),
+        F.expr(
+            "CAST(sum(n_in_batch * max_tok - sum_tok) * 1000000"
+            " DIV sum(n_in_batch * max_tok) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )
