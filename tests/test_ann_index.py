@@ -933,3 +933,60 @@ def test_fp_cached_memoizes_per_recipe(spark, emb):
     assert a1 == a2 == "stamp-a"
     assert b == "stamp-b" and c == "stamp-c"
     assert calls == ["a", "b", "c"]  # the second docs call never ran
+
+
+def test_ivf_compaction_bit_equal_to_batch_build(spark, tmp_path):
+    """compact_ivf_index over two bootstrap-quantized generations is
+    BIT-EQUAL to one fresh write_ivf_index over the union — same rows
+    (vec_id, embedding, norm, centroid_id), same centroid sidecar, and
+    identical probe results — because the re-derived first-n quantizer
+    is deterministic.  Also pins that the pre-compaction segmented
+    index really did use the DIFFERENT bootstrap quantizer (otherwise
+    the test proves nothing about re-derivation)."""
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        _centroids_path,
+        compact_ivf_index,
+        ivf_index_probe,
+        land_ivf_batch,
+        write_ivf_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seg, comp, fresh = (str(tmp_path / d) for d in ("seg", "comp", "fresh"))
+
+    gen0 = emb.filter(F.col("vec_id") % 2 == 0)
+    boot = (
+        gen0.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double_vec("embedding").alias("cvec"),
+        )
+    )
+    boot.write.parquet(_centroids_path(seg))
+    land_ivf_batch(gen0, boot, seg, 0)
+    land_ivf_batch(emb.filter(F.col("vec_id") % 2 == 1), boot, seg, 1)
+    compact_ivf_index(spark, seg, comp, n_centroids=16)
+    write_ivf_index(emb, fresh, n_centroids=16)
+
+    def table(path):
+        return sorted(
+            (r.vec_id, tuple(r.embedding), r.norm, r.centroid_id)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert table(comp) == table(fresh) and len(table(comp)) == emb.count()
+    cc = sorted(map(tuple, spark.read.parquet(_centroids_path(comp)).collect()))
+    fc = sorted(map(tuple, spark.read.parquet(_centroids_path(fresh)).collect()))
+    assert cc == fc
+    # the bootstrap quantizer was genuinely different (even ids only)
+    assert {r.centroid_id for r in boot.collect()} != {r[0] for r in cc}
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = [tuple(r) for r in ivf_index_probe(spark, comp, qv, k=5).collect()]
+    want = [tuple(r) for r in ivf_index_probe(spark, fresh, qv, k=5).collect()]
+    assert got == want and len(got) == 5

@@ -410,6 +410,59 @@ def assign_to_centroids(
     )
 
 
+def land_ivf_batch(
+    batch_df: DataFrame,
+    cents: DataFrame,
+    index_path: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+) -> None:
+    """Land one generation of an incrementally-built IVF index:
+    assign against the (frozen) quantizer and overwrite
+    ``batch_id=N/centroid_id=C`` — the per-batch_id idempotence
+    contract.  The SAME implementation the streaming landing
+    (``streaming/index.py:run_streaming_ivf_index``) wraps in
+    foreachBatch, so batch backfills and streamed generations are
+    bit-identical layouts."""
+    (
+        assign_to_centroids(batch_df, cents, vec_col)
+        .repartition(F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_path}/batch_id={batch_id}")
+    )
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    seg_path: str,
+    out_path: str,
+    n_centroids: int | None = None,
+    vec_col: str = "embedding",
+) -> None:
+    """The LSM maintenance job for a segmented IVF index — the vector
+    analogue of ``retrieval.compact_inverted_index``: read every
+    ``batch_id=N`` generation, RE-DERIVE the coarse quantizer from the
+    merged corpus (the streamed generations were assigned against a
+    FROZEN bootstrap quantizer — correct for homogeneity, but as the
+    corpus outgrows the bootstrap the lists skew, which is exactly
+    what the health audit (x176) flags), re-assign everything, and
+    rewrite the batch root-level layout (one file per inverted list,
+    fresh norms).  ``n_centroids=None`` re-sizes the quantizer by the
+    compute-optimal ``max(16, isqrt(n/2))`` rule — compaction is WHERE
+    the index re-buckets as the corpus grows (the blocking-key rule;
+    a constant list count becomes the Σm² bomb at 100 TB).  Results
+    served from the compacted index are bit-equal to a fresh batch
+    ``write_ivf_index`` over the union (same deterministic first-n
+    quantizer; pinned by test and by x180's oracle)."""
+    import math
+
+    merged = spark.read.parquet(seg_path).select("vec_id", vec_col)
+    if n_centroids is None:
+        n_centroids = max(16, math.isqrt(merged.count() // 2))
+    write_ivf_index(merged, out_path, n_centroids=n_centroids, vec_col=vec_col)
+
+
 def ivf_index_probe(
     spark: SparkSession,
     path: str,

@@ -9518,3 +9518,82 @@ def x179_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV sum(n_in_batch * max_tok) AS BIGINT)"
         ).alias("waste_ppm"),
     )
+
+
+_X180_ORACLE = f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < 16),
+         q AS (SELECT {_QV_SQL} AS qv),
+         assigned AS (
+           SELECT e.vec_id, e.v, c.centroid_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_cos_sql('e.v', 'c.cvec')} DESC, c.centroid_id) AS rn
+           FROM e CROSS JOIN cents c
+         ),
+         best AS (SELECT vec_id, v, centroid_id FROM assigned WHERE rn = 1),
+         qc AS (SELECT centroid_id FROM cents
+                ORDER BY {_cos_sql('cvec', '(SELECT qv FROM q)')} DESC, centroid_id LIMIT 1)
+    SELECT vec_id, {_cos_sql('v', '(SELECT qv FROM q)')} AS cos_sim
+    FROM best JOIN qc USING (centroid_id)
+    ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
+
+
+@query("x180_ivf_compaction", oracle=_X180_ORACLE)
+def x180_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSM lifecycle for the VECTOR index — x116's IVF analogue,
+    closing the maintenance loop x176's health audit opens: two
+    disjoint generations land segmented under ``batch_id=N`` against a
+    FROZEN bootstrap quantizer (first-16 of generation 0 — correct for
+    layout homogeneity, but the lists skew as the corpus outgrows the
+    bootstrap), ``compact_ivf_index`` merges them, RE-DERIVES the
+    quantizer from the merged corpus and rewrites the batch layout
+    (one file per list, fresh norms, re-bucketing point for the
+    compute-optimal √(n/2) list count — fixed 16 here as the oracle-
+    size convention), and the compacted index serves x21's probe.
+    Oracle is x21's VERBATIM: compaction changes cost and layout,
+    never results — the compacted index is bit-equal to a fresh batch
+    build over the union because the re-derived first-n quantizer is
+    deterministic (pinned by test).  At 100 TB this is the nightly
+    job that keeps probe latency off the generation count while
+    ingest stays streaming (operators/ann_index.py:compact_ivf_index,
+    land_ivf_batch)."""
+    from ..operators.ann_index import (
+        compact_ivf_index,
+        corpus_fingerprint,
+        ensure_index,
+        ivf_index_probe,
+        land_ivf_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = _index_dir(sf_dir, "ivf_lsm")
+    seg, comp = os.path.join(root, "segmented"), os.path.join(root, "compacted")
+
+    def build() -> None:
+        from ..streaming.index import bootstrap_ivf_quantizer
+
+        gen0 = emb.filter(F.col("vec_id") % 2 == 0)
+        boot = (
+            gen0.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                as_double_vec("embedding").alias("cvec"),
+            )
+        )
+        bootstrap_ivf_quantizer(boot, seg)
+        cents = boot
+        land_ivf_batch(gen0, cents, seg, 0)
+        land_ivf_batch(emb.filter(F.col("vec_id") % 2 == 1), cents, seg, 1)
+        compact_ivf_index(spark, seg, comp, n_centroids=16)
+
+    ensure_index(
+        build,
+        comp,
+        fingerprint=_fp_cached(
+            spark, sf_dir, "emb",
+            lambda: corpus_fingerprint(emb, id_col="vec_id"),
+        ),
+    )
+    return ivf_index_probe(spark, comp, _query_vec(spark, sf_dir), k=5, nprobe=1)

@@ -105,18 +105,12 @@ def run_streaming_ivf_index(
     directory (idempotent overwrite on replay).  ``ivf_index_probe``
     reads the root unchanged: partition discovery adds batch_id, the
     nprobe IN-list still prunes on centroid_id."""
-    from ..operators.ann_index import _centroids_path, assign_to_centroids
+    from ..operators.ann_index import _centroids_path, land_ivf_batch
 
     cents = spark.read.parquet(_centroids_path(index_path))
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            assign_to_centroids(batch_df, cents, vec_col)
-            .repartition(F.col("centroid_id"))
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(f"{index_path}/batch_id={batch_id}")
-        )
+        land_ivf_batch(batch_df, cents, index_path, batch_id, vec_col)
 
     # a landing written with double embeddings streams with
     # vec_element_type="double" — downstream as_double_vec normalizes
