@@ -1887,6 +1887,104 @@ def _x177_drift(spark, d):
     return QUERIES["x177_embedding_drift"](spark, d)
 
 
+def _x178_passage_retrieval(spark, d, batch_queries=128):
+    # passage retrieval with max-passage pooling at scale: FIXED
+    # ~128-query workload (the x137 eval convention — a serving batch
+    # does not grow with the corpus) against the FULL chunked corpus,
+    # scored in-flight; the corpus term is the matched passage
+    # postings, so expect the x101 in-flight band; the serve path is
+    # write_inverted_index over passages (the x102 contract unchanged).
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+        materialize_queries,
+        top_terms_queries,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n = docs.count()
+    modulus = max(50, n // batch_queries)
+    queries = materialize_queries(
+        top_terms_queries(docs, F.pmod(F.col("doc_id"), F.lit(modulus)) == 0, 3)
+    )
+    passages = chunk_documents(docs, size=200, stride=150).select(
+        (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
+        .cast("long")
+        .alias("passage_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    hits = bm25_topk(passages, queries, k=50, id_col="passage_id", text_col="text")
+    pool = (
+        hits.select(
+            "query_id",
+            F.expr("doc_id DIV 1048576").cast("long").alias("src_doc"),
+            "score_fp",
+        )
+        .groupBy("query_id", "src_doc")
+        .agg(F.max("score_fp").alias("best_fp"), F.count("*").alias("n_passages"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("best_fp"), F.asc("src_doc"))
+    return (
+        pool.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .agg(F.count("*").alias("n"), F.sum("best_fp").alias("s"))
+    )
+
+
+def _x179_padding_waste(spark, d):
+    # whole-corpus padding-tax audit: one bucket-keyed shuffle, per-
+    # bucket sorts, two map-side-combined aggs, <=max_len/64-row output
+    # — expect the x148/x172 cheap band (near-linear in the token-count
+    # projection).
+    return QUERIES["x179_padding_waste_audit"](spark, d)
+
+
+def _x180_ivf_compaction(spark, d):
+    # the compaction JOB itself at scale (a nightly build, not a probe):
+    # two bootstrap-quantized generations land once per scale dir
+    # (ensure marker), and the timed work is merge + re-derived
+    # sqrt(n/2) quantizer + re-assignment + rewrite — one linear
+    # assignment pass over the corpus, so expect the dedup/build band
+    # (~linear envelope, the honest cost of the nightly job).
+    import math
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        _centroids_path,
+        compact_ivf_index,
+        ensure_index,
+        land_ivf_batch,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    root = os.path.join(_SCALE_ROOT, "ivf_lsm", os.path.basename(d.rstrip("/")))
+    seg, comp = os.path.join(root, "segmented"), os.path.join(root, "compacted")
+
+    def land() -> None:
+        gen0 = emb.filter(F.col("vec_id") % 2 == 0)
+        boot = (
+            gen0.orderBy("vec_id")
+            .limit(16)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                as_double_vec("embedding").alias("cvec"),
+            )
+        )
+        boot.write.mode("overwrite").parquet(_centroids_path(seg))
+        land_ivf_batch(gen0, boot, seg, 0)
+        land_ivf_batch(emb.filter(F.col("vec_id") % 2 == 1), boot, seg, 1)
+
+    ensure_index(land, os.path.join(seg, "batch_id=1"))
+    n_c = max(16, math.isqrt(emb.count() // 2))
+    compact_ivf_index(spark, seg, comp, n_centroids=n_c)
+    return spark.read.parquet(comp).groupBy().agg(F.count("*").alias("n"))
+
+
 def _x140_retention(spark, d):
     # cohort retention over the full scaled events table: one distinct
     # (user, week) shuffle, a user-keyed min-agg reusing the same key,
@@ -2458,6 +2556,9 @@ HEAVY += [
     ("x175_frame_manifest_full", _x175_frame_manifest),
     ("x176_ivf_health_full", _x176_ivf_health),
     ("x177_embedding_drift_full", _x177_drift),
+    ("x178_passage_retrieval_128q", _x178_passage_retrieval),
+    ("x179_padding_waste_full", _x179_padding_waste),
+    ("x180_ivf_compaction_job", _x180_ivf_compaction),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),
