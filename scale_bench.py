@@ -1934,6 +1934,63 @@ def _x178_passage_retrieval(spark, d, batch_queries=128):
     )
 
 
+def _x181_passage_serve(spark, d, batch_queries=128):
+    # x178's serve twin: the passage index is built once per scale dir
+    # (chunking + tokenization amortized to the build); the timed work
+    # is the FIXED ~128-query probe of the term-bucket-pruned postings
+    # + shortlist pooling — expect the x102/x90 serve band (near-flat).
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_serve,
+        materialize_queries,
+        top_terms_queries,
+        write_inverted_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n = docs.count()
+    modulus = max(50, n // batch_queries)
+    ppath = os.path.join(
+        _SCALE_ROOT, "passage_index", os.path.basename(d.rstrip("/")), "full"
+    )
+
+    def build() -> None:
+        passages = chunk_documents(docs, size=200, stride=150).select(
+            (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
+            .cast("long")
+            .alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        write_inverted_index(passages, ppath)
+
+    ensure_index(build, os.path.join(ppath, "stats"))
+    queries = materialize_queries(
+        top_terms_queries(docs, F.pmod(F.col("doc_id"), F.lit(modulus)) == 0, 3)
+    )
+    hits = bm25_serve(spark, queries, ppath, k=50)
+    pool = (
+        hits.select(
+            "query_id",
+            F.expr("doc_id DIV 1048576").cast("long").alias("src_doc"),
+            "score_fp",
+        )
+        .groupBy("query_id", "src_doc")
+        .agg(F.max("score_fp").alias("best_fp"), F.count("*").alias("n_passages"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("best_fp"), F.asc("src_doc"))
+    return (
+        pool.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .agg(F.count("*").alias("n"), F.sum("best_fp").alias("s"))
+    )
+
+
 def _x179_padding_waste(spark, d):
     # whole-corpus padding-tax audit: one bucket-keyed shuffle, per-
     # bucket sorts, two map-side-combined aggs, <=max_len/64-row output
@@ -2559,6 +2616,7 @@ HEAVY += [
     ("x178_passage_retrieval_128q", _x178_passage_retrieval),
     ("x179_padding_waste_full", _x179_padding_waste),
     ("x180_ivf_compaction_job", _x180_ivf_compaction),
+    ("x181_passage_serve_128q", _x181_passage_serve),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),

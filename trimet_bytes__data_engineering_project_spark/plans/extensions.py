@@ -9597,3 +9597,86 @@ def x180_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ivf_index_probe(spark, comp, _query_vec(spark, sf_dir), k=5, nprobe=1)
+
+
+@query("x181_passage_index_serve", oracle=_X178_ORACLE)
+def x181_passage_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x178 served from a PERSISTED passage-level inverted index — the
+    lifecycle pair the retrieval tier keeps (x101→x102, x138→x173,
+    x157→x168): passages ARE documents to the index, so
+    ``write_inverted_index`` over the chunk corpus needs no new code
+    (passage dl/df/avgdl denormalized at build exactly as doc-level),
+    and the oracle is x178's VERBATIM because the index changes cost,
+    never results.  Per-run work: the query workload is the SAME
+    doc-level top-terms selection (bit-equal by the x101 contract),
+    ``bm25_serve`` reads only the probed term buckets (IN-list
+    partition filter + row-group skipping on the term-sorted files),
+    and pooling folds the 50-row shortlists — chunking and passage
+    tokenization are paid ONCE per corpus refresh inside the
+    ensure_index build, never per query.  At 100 TB this is the RAG
+    serving stack: a standing passage index + integer max-passage
+    pooling (operators/retrieval.py:write_inverted_index/bm25_serve)."""
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.retrieval import (
+        bm25_serve,
+        materialize_queries,
+        top_terms_queries,
+        write_inverted_index,
+    )
+    from ..operators.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppath = os.path.join(
+        _tagged_dir(_SCRATCH, "passage_index", "v1", sf_dir=sf_dir), "full"
+    )
+
+    def build() -> None:
+        passages = chunk_documents(docs, size=200, stride=150).select(
+            (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
+            .cast("long")
+            .alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        write_inverted_index(passages, ppath)
+
+    ensure_index(
+        build,
+        os.path.join(ppath, "stats"),
+        fingerprint=_fp_cached(spark, sf_dir, "docs",
+                                lambda: corpus_fingerprint(docs, id_col="doc_id")),
+    )
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    hits = bm25_serve(spark, queries, ppath, k=50)
+    parts = hits.select(
+        "query_id",
+        F.expr("doc_id DIV 1048576").cast("long").alias("src_doc"),
+        (F.col("doc_id") % 1048576).cast("long").alias("chunk_idx"),
+        "score_fp",
+    )
+    pool = parts.groupBy("query_id", "src_doc").agg(
+        F.max("score_fp").cast("long").alias("best_score_fp"),
+        F.expr("max_by(chunk_idx, struct(score_fp, -chunk_idx))")
+        .cast("long")
+        .alias("best_chunk"),
+        F.count("*").cast("long").alias("n_passages"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("best_score_fp"), F.asc("src_doc")
+    )
+    return (
+        pool.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("src_doc").alias("doc_id"),
+            "best_score_fp",
+            "best_chunk",
+            "n_passages",
+            "rank",
+            (F.col("best_score_fp").cast("double") / F.lit(1048576.0)).alias(
+                "best_score"
+            ),
+        )
+    )
