@@ -925,3 +925,129 @@ def test_x137_served_equals_inflight(spark):
     want = [tuple(r) for r in retrieval_metrics(run, qrels, k=5).collect()]
     got = [tuple(r) for r in QUERIES["x137_retrieval_mrr"](spark, sf).collect()]
     assert got == want
+
+
+def test_passage_pooling_matches_bruteforce(spark, tmp_path):
+    """x178/x181's max-passage pooling pinned against a pure-Python
+    model on a hand-sized corpus: chunking → passage BM25 (the chain's
+    own integer arithmetic via bm25_topk) → per-doc max-pool with
+    ties to the lowest chunk — and the SERVED form (persisted passage
+    index) is bit-equal to the in-flight form."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_serve,
+        bm25_topk,
+        materialize_queries,
+        top_terms_queries,
+        write_inverted_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    # docs long enough to chunk into several overlapping windows; doc 0
+    # repeats its key term in ONE late window so max-pool must pick a
+    # non-zero chunk
+    texts = {
+        0: ("alpha beta gamma " * 12) + ("zeta zeta zeta " * 14),
+        1: ("zeta epsilon delta " * 20),
+        2: ("omega psi chi " * 25),
+        50: ("zeta omega alpha " * 18),  # query doc (id % 50 == 0)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
+    )
+    passages = chunk_documents(docs, size=200, stride=150).select(
+        (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
+        .cast("long")
+        .alias("passage_id"),
+        F.col("chunk_text").alias("text"),
+    )
+
+    def pool(hits):
+        parts = hits.select(
+            "query_id",
+            F.expr("doc_id DIV 1048576").cast("long").alias("src_doc"),
+            (F.col("doc_id") % 1048576).cast("long").alias("chunk_idx"),
+            "score_fp",
+        )
+        g = parts.groupBy("query_id", "src_doc").agg(
+            F.max("score_fp").alias("best_fp"),
+            F.expr("max_by(chunk_idx, struct(score_fp, -chunk_idx))").alias(
+                "best_chunk"
+            ),
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("best_fp"), F.asc("src_doc"))
+        return (
+            g.withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 5")
+            .select("query_id", "src_doc", "best_fp", "best_chunk", "rank")
+        )
+
+    inflight = bm25_topk(passages, queries, k=50, id_col="passage_id", text_col="text")
+    got = sorted(map(tuple, pool(inflight).collect()))
+
+    # pure-Python model of the pooling over the Spark-scored passages
+    rows = [tuple(r) for r in inflight.collect()]
+    by_q = {}
+    for qid, pid, fp, _rank, _s in rows:
+        doc, chunk = pid // 1048576, pid % 1048576
+        cur = by_q.setdefault(qid, {}).get(doc)
+        if cur is None or (fp, -chunk) > (cur[0], -cur[1]):
+            by_q[qid][doc] = (fp, chunk)
+    want = []
+    for qid, docs_d in by_q.items():
+        ranked = sorted(docs_d.items(), key=lambda kv: (-kv[1][0], kv[0]))[:5]
+        for rk, (doc, (fp, chunk)) in enumerate(ranked, 1):
+            want.append((qid, doc, fp, chunk, rk))
+    assert got == sorted(want) and len(got) > 0
+    # the max-pool must have selected a non-zero chunk somewhere
+    assert any(r[3] > 0 for r in got)
+
+    # served form bit-equal
+    ppath = str(tmp_path / "pidx")
+    write_inverted_index(passages, ppath, id_col="passage_id", text_col="text")
+    served = bm25_serve(spark, queries, ppath, k=50)
+    assert sorted(map(tuple, pool(served).collect())) == got
+
+
+def test_passage_serve_prunes_term_buckets(spark, tmp_path):
+    """x181's probe carries the bucket IN-list as a PARTITION filter on
+    the passage index — the passage collection inherits the doc-level
+    index's pruning contract unchanged."""
+    import contextlib
+    import io
+
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_serve,
+        write_inverted_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 15) for i in range(6)],
+        "doc_id long, text string",
+    )
+    passages = chunk_documents(docs, size=200, stride=150).select(
+        (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
+        .cast("long")
+        .alias("passage_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    path = str(tmp_path / "pidx")
+    write_inverted_index(passages, path, id_col="passage_id", text_col="text")
+    q = spark.createDataFrame([(0, "alpha"), (0, "gamma")], "query_id long, term string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_serve(spark, q, path, k=5).explain("formatted")
+    pf = next(
+        ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
+    )
+    assert "term_bucket" in pf and ("IN" in pf or "in(" in pf.lower())

@@ -925,3 +925,46 @@ def test_streaming_lang_router_matches_batch(spark, tmp_path):
     # replay idempotency (per-batch_id overwrite)
     run_streaming_lang_router(spark, landing, store, ck, rpath, mpath)
     assert routed_from_store(spark, store).count() == len(g)
+
+
+def test_padding_waste_matches_bruteforce(spark):
+    """x179's per-bucket padding-tax arithmetic pinned against a pure-
+    Python loader model: same bucketing (n_tok DIV 64), same in-bucket
+    (n_tok, doc_id) order, batches of 32, pad-to-batch-max — waste and
+    ppm must match exactly, including the short last batch of every
+    bucket (where most of the tax hides)."""
+    import random
+
+    from trimet_bytes__data_engineering_project_spark.plans import QUERIES
+
+    rng = random.Random(7)
+    # uneven lengths across several buckets + a bucket with exactly one
+    # doc + a bucket with a 33-doc spill into a second batch
+    lens = (
+        [rng.randrange(1, 250) for _ in range(90)]
+        + [500]
+        + [70 + (i % 5) for i in range(33)]
+    )
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r.bucket: (r.n_batches, r.n_docs, r.real_tokens, r.padded_tokens, r.waste_ppm)
+        for r in QUERIES["x179_padding_waste_audit"](spark, d).collect()
+    }
+
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for i, n in enumerate(lens):
+        buckets.setdefault(n // 64, []).append((n, i))
+    want = {}
+    for b, members in buckets.items():
+        members.sort()
+        batches = [members[i : i + 32] for i in range(0, len(members), 32)]
+        real = sum(n for n, _ in members)
+        padded = sum(len(bt) * max(n for n, _ in bt) - sum(n for n, _ in bt) for bt in batches)
+        ppm = padded * 1_000_000 // (padded + real)
+        want[b] = (len(batches), len(members), real, padded, ppm)
+    assert got == want
