@@ -841,3 +841,63 @@ def test_streaming_media_landing_equals_batch(spark, tmp_path):
     run_streaming_media_features(spark, landing, store, ck, max_frames=4)
     assert features_from_store(spark, store).count() == 40
     assert frames_from_store(spark, store).count() == len(got_r)
+
+
+def test_streaming_passage_index_serves_equal_to_inflight(spark, tmp_path):
+    """Two streamed document landings build a passage index whose
+    derived-df serving scores bit-equal to an in-flight bm25_topk over
+    the chunked union — streamed chunking is exact (pure per-doc
+    projection) and the generation layout's raw stats are additive."""
+    from trimet_bytes__data_engineering_project_spark.operators.retrieval import (
+        bm25_serve,
+        bm25_topk,
+        materialize_queries,
+        top_terms_queries,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.textstats import (
+        chunk_documents,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.index import (
+        run_streaming_passage_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    land_file(docs.filter("doc_id % 2 = 0"), "a")
+    land_file(docs.filter("doc_id % 2 = 1"), "b")
+    idx, ck = str(tmp_path / "pidx"), str(tmp_path / "ck")
+    run_streaming_passage_index(spark, landing, idx, ck)
+
+    queries = materialize_queries(
+        top_terms_queries(docs, F.col("doc_id") % 25 == 0, n_terms=3)
+    )
+    got = sorted(
+        map(tuple, bm25_serve(spark, queries, idx, k=10, derived_df=True).collect())
+    )
+    passages = chunk_documents(docs, size=200, stride=150).select(
+        (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
+        .cast("long")
+        .alias("passage_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk(passages, queries, k=10, id_col="passage_id", text_col="text").collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # replay idempotency
+    run_streaming_passage_index(spark, landing, idx, ck)
+    got2 = sorted(
+        map(tuple, bm25_serve(spark, queries, idx, k=10, derived_df=True).collect())
+    )
+    assert got2 == got

@@ -412,3 +412,48 @@ def run_streaming_forward_index(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_passage_index(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    size: int = 200,
+    stride: int = 150,
+    n_buckets: int | None = None,
+) -> None:
+    """Streaming maintenance for the PASSAGE-level inverted index (the
+    RAG serving stack's ingest edge): each micro-batch of documents is
+    chunked into overlapping windows (``chunk_documents`` is a pure
+    per-document projection, so streamed chunking is EXACT), passage
+    keys pack as doc_id·2^20+chunk_idx (the x178 pooling contract),
+    and the passages land through the same
+    ``land_inverted_batch`` generation layout as the document index —
+    derived-df serving (``bm25_serve(derived_df=True)``) then scores
+    bit-equal to an in-flight pass over the union (pinned by test).
+    Generations must carry disjoint doc_ids, which makes passage ids
+    disjoint by construction."""
+    from ..operators.retrieval import N_TERM_BUCKETS, land_inverted_batch
+    from ..operators.textstats import chunk_documents
+
+    nb = n_buckets or N_TERM_BUCKETS
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        passages = chunk_documents(batch_df, size=size, stride=stride).select(
+            (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
+            .cast("long")
+            .alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        land_inverted_batch(passages, index_path, batch_id, nb)
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
