@@ -9487,20 +9487,38 @@ def x179_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-bucket breakdown shows WHERE the tax is paid (wide
     buckets with fat tails, the last short batch of each bucket).
     All integers (counts, maxes, ppm by integer division).  Scale
-    shape: one shuffle on the bucket key; the in-bucket sort
-    parallelizes per bucket (never global); both aggs are map-side
-    combinable; output is ≤ max_len/64 rows at any corpus size."""
+    shape: the in-bucket (n_tok, doc_id) rank is a TWO-LEVEL prefix
+    decomposition (the x159 machinery — a per-bucket window would put
+    every same-length-range doc in ONE task at 100 TB): rank = docs of
+    shorter lengths in the bucket (prefix over the ≤64-row
+    (bucket, n_tok) count table) + docs of the same length in earlier
+    doc_id chunks (prefix over the chunk count table) + row_number
+    within a ≤4096-row (bucket, n_tok, chunk) partition.  Every window
+    partition is bounded; both aggs are map-side combinable; output is
+    ≤ max_len/64 rows at any corpus size."""
     from ..operators.textstats import token_count_col
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tok")
     )
-    b = t.withColumn("bucket", F.expr("n_tok DIV 64").cast("long"))
-    w = Window.partitionBy("bucket").orderBy("n_tok", "doc_id")
-    r = b.withColumn("rn", F.row_number().over(w)).withColumn(
-        "batch_idx", F.expr("CAST((rn - 1) DIV 32 AS BIGINT)")
+    b = (
+        t.withColumn("bucket", F.expr("n_tok DIV 64").cast("long"))
+        .withColumn("chunk", F.expr("doc_id DIV 4096").cast("long"))
     )
+    c1 = b.groupBy("bucket", "n_tok").agg(F.count("*").alias("c1"))
+    w1 = Window.partitionBy("bucket").orderBy("n_tok")  # <=64 rows/bucket
+    off1 = c1.withColumn("off1", F.sum("c1").over(w1) - F.col("c1")).drop("c1")
+    c2 = b.groupBy("bucket", "n_tok", "chunk").agg(F.count("*").alias("c2"))
+    w2 = Window.partitionBy("bucket", "n_tok").orderBy("chunk")  # chunk table
+    off2 = c2.withColumn("off2", F.sum("c2").over(w2) - F.col("c2")).drop("c2")
+    w3 = Window.partitionBy("bucket", "n_tok", "chunk").orderBy("doc_id")  # <=4096
+    r = (
+        b.withColumn("r3", F.row_number().over(w3).cast("long"))
+        .join(off2, ["bucket", "n_tok", "chunk"])
+        .join(off1, ["bucket", "n_tok"])
+        .withColumn("rn", F.col("off1") + F.col("off2") + F.col("r3"))
+        .withColumn("batch_idx", F.expr("CAST((rn - 1) DIV 32 AS BIGINT)")))
     g = r.groupBy("bucket", "batch_idx").agg(
         F.count("*").cast("long").alias("n_in_batch"),
         F.max("n_tok").cast("long").alias("max_tok"),
