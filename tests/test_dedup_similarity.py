@@ -2087,3 +2087,39 @@ def test_lang_snapshot_reid_separable_and_script_gate(spark):
     # the Latin profiles outright
     assert got[13] == ("ru", 1)
     assert got[14] == ("und", 0)
+
+
+def test_vector_hygiene_classifies_planted_pathologies(spark, tmp_path):
+    """x182 on a corpus with planted pathologies: a zero vector, a NaN
+    element, a +Inf element, and healthy vectors across two norm
+    octaves — each lands in exactly one class, and a NaN norm² never
+    leaks into the octave histogram."""
+    import math
+    import os
+
+    from trimet_bytes__data_engineering_project_spark.plans import QUERIES
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),            # n2 = 1 -> octave of 2^20
+        (1, [2.0, 0.0, 0.0]),            # n2 = 4 -> two octaves up
+        (2, [0.0, 0.0, 0.0]),            # zero norm
+        (3, [float("nan"), 1.0, 0.0]),   # nonfinite
+        (4, [float("inf"), 1.0, 0.0]),   # nonfinite
+        (5, [1.0, 1.0, 1.0]),            # n2 = 3
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    got = {
+        (r.stat, r.k): r.n
+        for r in QUERIES["x182_vector_hygiene"](spark, d).collect()
+    }
+    assert got[("total", 0)] == 6
+    assert got[("zero_norm", 0)] == 1
+    assert got[("nonfinite", 0)] == 2
+    oct_counts = {k: n for (s, k), n in got.items() if s == "octave"}
+    def octave(n2):
+        return len(bin(math.floor(n2 * 1048576) + 1)) - 2 - 1  # bin() adds '0b'
+    # n2 = 1, 3, 4 land in octaves 20, 21, 22 respectively — distinct
+    assert oct_counts == {octave(1.0): 1, octave(3.0): 1, octave(4.0): 1}

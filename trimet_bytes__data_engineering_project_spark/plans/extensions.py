@@ -9698,3 +9698,77 @@ def x181_passage_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_X182_ORACLE = f"""
+    WITH e AS (SELECT vec_id, {_VEC} AS v FROM embeddings),
+    b AS (SELECT vec_id,
+                 {_fold_sql('list_transform(v, x -> x * x)')} AS n2,
+                 len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS bad
+          FROM e),
+    oct AS (SELECT CAST(length(bin(CAST(floor(n2 * 1048576.0) AS BIGINT) + 1))
+                        - 1 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b WHERE NOT bad AND n2 > 0 GROUP BY 1)
+    SELECT 'octave' AS stat, k, n FROM oct
+    UNION ALL
+    SELECT 'total', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT) FROM b
+    UNION ALL
+    SELECT 'zero_norm', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM b WHERE NOT bad AND n2 = 0
+    UNION ALL
+    SELECT 'nonfinite', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM b WHERE bad
+"""
+
+
+@query("x182_vector_hygiene", oracle=_X182_ORACLE)
+def x182_vector_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-hygiene audit — the corpus-level check behind every
+    zero-norm guard in the ANN/PQ tier (a zero or non-finite vector
+    reaching cosine turns a top-k window into NaN ordering; the serve
+    paths guard per-probe, this audits the CORPUS before an index
+    build): per run, total vectors, zero-norm count, vectors with any
+    NaN/±Inf element, and the norm² octave histogram (floor(log2) via
+    binary-string length — the x164 libm-free convention, on the
+    2^20-fixed-point norm²) whose shape flags silently re-scaled or
+    truncated embedding generations (a 4-octave shift = someone
+    re-normalized half the corpus; feeds the same decision as x177's
+    drift).  The norm² fold is the array-sequential float fold both
+    engines share (cosine's own convention).  Scale shape: ONE scan
+    derives (n2, bad) — localCheckpointed for its four consumers (the
+    x100 rule) — then three 1-row counts and a ≤64-group octave agg;
+    output is O(octaves) at any corpus size."""
+    from ..operators.similarity import as_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double_vec("embedding")
+    b = emb.select(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, p: a + p
+        ).alias("n2"),
+        F.exists(
+            v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        ).alias("bad"),
+    ).localCheckpoint(eager=False)
+    nf = F.floor(F.col("n2") * F.lit(1048576.0)).cast("long")
+    octave = (
+        F.length(F.conv((nf + F.lit(1)).cast("string"), 10, 2)) - F.lit(1)
+    ).cast("long")
+    oct_rows = (
+        b.filter(~F.col("bad") & (F.col("n2") > 0))
+        .groupBy(octave.alias("k"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("octave").alias("stat"), "k", "n")
+    )
+
+    def one(name: str, frame) -> DataFrame:
+        return frame.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(name).alias("stat"), F.lit(0).cast("long").alias("k"), "n"
+        )
+
+    return (
+        oct_rows.unionByName(one("total", b))
+        .unionByName(one("zero_norm", b.filter(~F.col("bad") & (F.col("n2") == 0))))
+        .unionByName(one("nonfinite", b.filter(F.col("bad"))))
+    )
