@@ -1991,6 +1991,13 @@ def _x181_passage_serve(spark, d, batch_queries=128):
     )
 
 
+def _x182_vector_hygiene(spark, d):
+    # corpus hygiene audit: one scan with an array-local norm fold +
+    # finiteness test, three 1-row counts and a <=64-group octave agg
+    # off the checkpointed (n2, bad) table — expect the cheap band.
+    return QUERIES["x182_vector_hygiene"](spark, d)
+
+
 def _x179_padding_waste(spark, d):
     # whole-corpus padding-tax audit: one bucket-keyed shuffle, per-
     # bucket sorts, two map-side-combined aggs, <=max_len/64-row output
@@ -2617,6 +2624,7 @@ HEAVY += [
     ("x179_padding_waste_full", _x179_padding_waste),
     ("x180_ivf_compaction_job", _x180_ivf_compaction),
     ("x181_passage_serve_128q", _x181_passage_serve),
+    ("x182_vector_hygiene_full", _x182_vector_hygiene),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),
