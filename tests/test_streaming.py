@@ -901,3 +901,67 @@ def test_streaming_passage_index_serves_equal_to_inflight(spark, tmp_path):
         map(tuple, bm25_serve(spark, queries, idx, k=10, derived_df=True).collect())
     )
     assert got2 == got
+
+
+def test_streaming_dim_sums_drift_equals_batch(spark, tmp_path):
+    """Two streamed embedding landings produce a dims store whose
+    cross-generation drift (dim_drift_from_store) is bit-equal to
+    x177's arithmetic computed directly over the same generation
+    split — integer sums are additive, so the streamed audit is
+    exact; replay is a no-op."""
+    from trimet_bytes__data_engineering_project_spark.operators.spectral import (
+        quantize_embeddings,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        dim_drift_from_store,
+        run_streaming_dim_sums,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    gen_a = emb.filter("vec_id % 2 = 0")
+    gen_b = emb.filter("vec_id % 2 = 1")
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    land_file(gen_a, "a")
+    run_streaming_dim_sums(spark, landing, store, ck)   # batch 0 = gen A
+    land_file(gen_b, "b")
+    run_streaming_dim_sums(spark, landing, store, ck)   # batch 1 = gen B
+
+    got = sorted(map(tuple, dim_drift_from_store(spark, store, 0).collect()))
+
+    # direct computation over the same split (x177's arithmetic)
+    def sums(df):
+        rows = (
+            quantize_embeddings(df, 1 << 10)
+            .select(F.posexplode("xq").alias("j", "xv"))
+            .groupBy("j")
+            .agg(F.sum("xv").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        return {r.j: (r.s, r.n) for r in rows}
+
+    import math
+    sa, sb = sums(gen_a), sums(gen_b)
+    want = sorted(
+        (
+            j,
+            sa[j][0], sa[j][1], sb[j][0], sb[j][1],
+            math.floor(
+                (sb[j][0] / sb[j][1] - sa[j][0] / sa[j][1]) * 1048576.0
+            ),
+        )
+        for j in sa
+    )
+    assert got == want and len(got) == 64
+
+    # replay idempotency
+    run_streaming_dim_sums(spark, landing, store, ck)
+    assert sorted(map(tuple, dim_drift_from_store(spark, store, 0).collect())) == got

@@ -9772,3 +9772,56 @@ def x182_vector_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("zero_norm", b.filter(~F.col("bad") & (F.col("n2") == 0))))
         .unionByName(one("nonfinite", b.filter(F.col("bad"))))
     )
+
+
+_X183_ORACLE = """
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_keys FROM c)
+    SELECT user_id, c,
+           CAST(c * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST((c * 1024 + total - 1) // total AS BIGINT) AS salt_factor,
+           n_keys, total
+    FROM c CROSS JOIN t
+    ORDER BY c DESC, user_id ASC LIMIT 20
+"""
+
+
+@query("x183_heavy_key_audit", oracle=_X183_ORACLE)
+def x183_heavy_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter join-key audit — the diagnostic that SIZES the
+    skew remedy before a key-partitioned join or agg ships (the
+    warehouse tier carries deterministic salting; this query computes
+    the salt factor instead of guessing it): per top-20 key, its row
+    count, corpus share in ppm, and ``salt_factor = ceil(c·1024 /
+    total)`` — how many ways the key must split so no salted partition
+    exceeds ~1/1024 of the corpus (integer ceiling division, no
+    floats), alongside total/n_keys for the uniform baseline.  A
+    salt_factor of 1 everywhere = skip salting (it costs a second
+    shuffle); one key at 50+ = the key that would have owned the
+    stage.  Scale shape: ONE map-side-combined count shuffle on the
+    key; total/n_keys aggregate the COUNT table (never the corpus
+    twice); the top-20 is TakeOrderedAndProject over the count table;
+    the 1-row stats broadcast into the final projection."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    t = c.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "c",
+            F.expr("CAST(c * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST((c * 1024 + total - 1) DIV total AS BIGINT)").alias(
+                "salt_factor"
+            ),
+            "n_keys",
+            "total",
+        )
+        .orderBy(F.desc("c"), F.asc("user_id"))
+        .limit(20)
+    )

@@ -77,3 +77,78 @@ def quantiles_from_store(
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     return quantiles_from_histogram(hist, probs, lo, hi, n_bins)
+
+
+def run_streaming_dim_sums(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    sx: int = 1 << 10,
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming maintenance for the embedding DRIFT audit (x177's
+    streamed twin): each micro-batch of vectors lands its per-dimension
+    (j, sum_q, n) over the 2^10-quantized matrix under
+    ``dims/batch_id=N`` — integer sums are additive, so ANY grouping of
+    stored generations reproduces the batch computation over the same
+    vectors EXACTLY (the additive raw-stats contract the histogram and
+    inverted-index landings already use).  Per batch: one scan, one
+    d-group map-side-combined agg; the store is O(d) rows per
+    generation."""
+    from ..operators.spectral import quantize_embeddings
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            quantize_embeddings(batch_df, sx, vec_col)
+            .select(F.posexplode("xq").alias("j", "xv"))
+            .groupBy("j")
+            .agg(
+                F.sum("xv").cast("long").alias("sum_q"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/dims/batch_id={batch_id}")
+        )
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def dim_drift_from_store(
+    spark: SparkSession, store_path: str, boundary_batch: int
+) -> DataFrame:
+    """Per-dimension mean shift between the generations landed at
+    ``batch_id <= boundary_batch`` (side A) and those after (side B) —
+    x177's output contract (dim_idx, sum_a, n_a, sum_b, n_b, drift_fp)
+    derived ENTIRELY from the O(d)-row store: generation sums fold by
+    addition, one elementwise IEEE division/subtraction per dim for
+    the fixed-point drift.  The corpus is never re-read — the audit a
+    100 TB pipeline runs after every landing for free."""
+    d = spark.read.parquet(f"{store_path}/dims")
+    side_a = F.col("batch_id") <= boundary_batch
+    g = d.groupBy("j").agg(
+        F.sum(F.when(side_a, F.col("sum_q"))).cast("long").alias("sum_a"),
+        F.sum(F.when(side_a, F.col("n"))).cast("long").alias("n_a"),
+        F.sum(F.when(~side_a, F.col("sum_q"))).cast("long").alias("sum_b"),
+        F.sum(F.when(~side_a, F.col("n"))).cast("long").alias("n_b"),
+    )
+    drift = F.floor(
+        (
+            F.col("sum_b").cast("double") / F.col("n_b").cast("double")
+            - F.col("sum_a").cast("double") / F.col("n_a").cast("double")
+        )
+        * F.lit(1048576.0)
+    ).cast("long")
+    return g.select(
+        F.col("j").cast("int").alias("dim_idx"),
+        "sum_a", "n_a", "sum_b", "n_b",
+        drift.alias("drift_fp"),
+    )
