@@ -1998,6 +1998,13 @@ def _x182_vector_hygiene(spark, d):
     return QUERIES["x182_vector_hygiene"](spark, d)
 
 
+def _x183_heavy_keys(spark, d):
+    # skew diagnostic over the full scaled events table: one map-side-
+    # combined count shuffle on the key + stats over the COUNT table +
+    # TakeOrderedAndProject — expect the scan-bound band.
+    return QUERIES["x183_heavy_key_audit"](spark, d)
+
+
 def _x179_padding_waste(spark, d):
     # whole-corpus padding-tax audit: one bucket-keyed shuffle, per-
     # bucket sorts, two map-side-combined aggs, <=max_len/64-row output
@@ -2625,6 +2632,7 @@ HEAVY += [
     ("x180_ivf_compaction_job", _x180_ivf_compaction),
     ("x181_passage_serve_128q", _x181_passage_serve),
     ("x182_vector_hygiene_full", _x182_vector_hygiene),
+    ("x183_heavy_keys_full", _x183_heavy_keys),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),
