@@ -2005,6 +2005,46 @@ def _x183_heavy_keys(spark, d):
     return QUERIES["x183_heavy_key_audit"](spark, d)
 
 
+def _x184_lsh_compaction(spark, d):
+    # the LSH compaction JOB at scale: generations land once per scale
+    # dir (ensure marker); the timed work is merge + re-signature at
+    # the corpus-sized plane count + rewrite — one linear signature
+    # pass, the build band (the re-bucketing the blocking-key rule
+    # demands, measured as the nightly job it is).
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        compact_lsh_index,
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+        hyperplanes,
+        l2_norm,
+        lsh_bucket,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    root = os.path.join(_SCALE_ROOT, "lsh_lsm", os.path.basename(d.rstrip("/")))
+    seg, comp = os.path.join(root, "segmented"), os.path.join(root, "compacted")
+
+    def land() -> None:
+        planes = hyperplanes(4, 64)
+        for gen, par in ((0, 0), (1, 1)):
+            v = as_double_vec("embedding")
+            (
+                emb.filter(F.col("vec_id") % 2 == par)
+                .withColumn("bucket", lsh_bucket(v, planes))
+                .withColumn("norm", l2_norm(v))
+                .repartition(F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(seg, f"batch_id={gen}"))
+            )
+
+    ensure_index(land, os.path.join(seg, "batch_id=1"))
+    compact_lsh_index(spark, seg, comp, 64)  # corpus-sized plane count
+    return spark.read.parquet(comp).groupBy().agg(F.count("*").alias("n"))
+
+
 def _x179_padding_waste(spark, d):
     # whole-corpus padding-tax audit: one bucket-keyed shuffle, per-
     # bucket sorts, two map-side-combined aggs, <=max_len/64-row output
@@ -2633,6 +2673,7 @@ HEAVY += [
     ("x181_passage_serve_128q", _x181_passage_serve),
     ("x182_vector_hygiene_full", _x182_vector_hygiene),
     ("x183_heavy_keys_full", _x183_heavy_keys),
+    ("x184_lsh_compaction_job", _x184_lsh_compaction),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),

@@ -990,3 +990,62 @@ def test_ivf_compaction_bit_equal_to_batch_build(spark, tmp_path):
     got = [tuple(r) for r in ivf_index_probe(spark, comp, qv, k=5).collect()]
     want = [tuple(r) for r in ivf_index_probe(spark, fresh, qv, k=5).collect()]
     assert got == want and len(got) == 5
+
+
+def test_lsh_compaction_bit_equal_to_batch_build(spark, tmp_path):
+    """compact_lsh_index over two 4-plane generations re-signatured at
+    5 planes is BIT-EQUAL to a fresh 5-plane batch build over the
+    union (hyperplanes are a deterministic function of (n_planes,
+    dim)); probes at the new plane count agree; and the auto-sizing
+    rule max(4, lg(n/125)) picks a growing plane count."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        compact_lsh_index,
+        lsh_index_probe,
+        write_lsh_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.similarity import (
+        as_double_vec,
+        hyperplanes,
+        l2_norm,
+        lsh_bucket,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.first()["embedding"])
+    seg, comp, fresh = (str(tmp_path / d) for d in ("seg", "comp", "fresh"))
+
+    planes4 = hyperplanes(4, dim)
+    for gen, par in ((0, 0), (1, 1)):
+        v = as_double_vec("embedding")
+        (
+            emb.filter(F.col("vec_id") % 2 == par)
+            .withColumn("bucket", lsh_bucket(v, planes4))
+            .withColumn("norm", l2_norm(v))
+            .repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{seg}/batch_id={gen}")
+        )
+    compact_lsh_index(spark, seg, comp, dim, n_planes=5)
+    write_lsh_index(emb, fresh, dim, n_planes=5)
+
+    def table(path):
+        return sorted(
+            (r.vec_id, tuple(r.embedding), r.norm, r.bucket)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert table(comp) == table(fresh) and len(table(comp)) == emb.count()
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = [tuple(r) for r in lsh_index_probe(spark, comp, qv, k=5, n_planes=5).collect()]
+    want = [tuple(r) for r in lsh_index_probe(spark, fresh, qv, k=5, n_planes=5).collect()]
+    assert got == want and len(got) == 5
+
+    # auto-sizing: n=1000 -> lg(8) = 3 -> floor stays at the 4 min;
+    # n=128_000 -> lg(1024) = 10
+    import math
+    for n, expect in ((1000, 4), (128_000, 10)):
+        np = max(4, int(math.log2(max(1, n // 125))) if n >= 250 else 4)
+        assert np == expect

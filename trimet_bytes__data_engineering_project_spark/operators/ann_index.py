@@ -463,6 +463,38 @@ def compact_ivf_index(
     write_ivf_index(merged, out_path, n_centroids=n_centroids, vec_col=vec_col)
 
 
+def compact_lsh_index(
+    spark: SparkSession,
+    seg_path: str,
+    out_path: str,
+    dim: int,
+    n_planes: int | None = None,
+    vec_col: str = "embedding",
+) -> None:
+    """LSM maintenance for a segmented LSH index — the third index
+    family's compaction, completing the triple (inverted index:
+    ``retrieval.compact_inverted_index``; IVF: :func:`compact_ivf_index`):
+    read every ``batch_id=N`` generation, RE-SIGNATURE at a plane
+    count sized to the MERGED corpus, and rewrite the batch root-level
+    layout.  This is where the LSH index re-buckets: streamed
+    generations signature with the bootstrap plane count (frozen for
+    layout homogeneity), but bucket population grows as n/2^p — the
+    measured unfinishable-at-200K case in BENCH_NOTES ("blocking-key
+    cardinality must scale with the corpus").  ``n_planes=None``
+    applies that sizing rule, ``max(4, floor(lg(n/125)))`` — ~125
+    vectors per bucket.  Hyperplanes are a deterministic function of
+    (n_planes, dim), so the compacted index is bit-equal to a fresh
+    batch build at the same plane count (pinned by test) and probes
+    pass the new plane count exactly as for a batch-built index."""
+    import math
+
+    merged = spark.read.parquet(seg_path).select("vec_id", vec_col)
+    if n_planes is None:
+        n = merged.count()
+        n_planes = max(4, int(math.log2(max(1, n // 125))) if n >= 250 else 4)
+    write_lsh_index(merged, out_path, dim, n_planes=n_planes, vec_col=vec_col)
+
+
 def ivf_index_probe(
     spark: SparkSession,
     path: str,

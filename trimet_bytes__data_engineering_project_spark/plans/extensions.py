@@ -302,14 +302,16 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
-def _build_lsh_oracle(hamming_radius: int = 0) -> str:
-    planes = hyperplanes(4, 64)
+def _build_lsh_oracle(hamming_radius: int = 0, n_planes: int = 4) -> str:
+    planes = hyperplanes(n_planes, 64)
     lits = [f"[{', '.join(repr(x) for x in p)}]" for p in planes]
     bucket = " + ".join(
-        f"CASE WHEN {_dot_sql('v', lits[p])} > 0 THEN {1 << p} ELSE 0 END" for p in range(4)
+        f"CASE WHEN {_dot_sql('v', lits[p])} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(n_planes)
     )
     qbucket = " + ".join(
-        f"CASE WHEN {_dot_sql('qv', lits[p])} > 0 THEN {1 << p} ELSE 0 END" for p in range(4)
+        f"CASE WHEN {_dot_sql('qv', lits[p])} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(n_planes)
     )
     if hamming_radius == 0:
         cond = "bucket = (SELECT bucket FROM qb)"
@@ -319,7 +321,7 @@ def _build_lsh_oracle(hamming_radius: int = 0) -> str:
         ham = " + ".join(
             f"CASE WHEN ((bucket // {1 << p}) % 2) <> "
             f"(((SELECT bucket FROM qb)) // {1 << p}) % 2 THEN 1 ELSE 0 END"
-            for p in range(4)
+            for p in range(n_planes)
         )
         cond = f"({ham}) <= {hamming_radius}"
     return f"""
@@ -9825,3 +9827,60 @@ def x183_heavy_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@query("x184_lsh_compaction", oracle=_build_lsh_oracle(n_planes=5))
+def x184_lsh_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH re-bucketing compaction — the third index family's LSM job,
+    completing the maintenance triple (x116 inverted index, x180 IVF):
+    two generations land segmented at the BOOTSTRAP plane count
+    (4 planes — frozen for layout homogeneity while streaming), and
+    ``compact_lsh_index`` merges them and RE-SIGNATURES at 5 planes
+    (fixed here as the oracle convention; the production default is
+    the measured ``lg(n/125)`` sizing rule — BENCH_NOTES' "blocking-key
+    cardinality must scale with the corpus", whose violation was the
+    unfinishable 1.2-billion-pair case).  The probe then reads 1 of 32
+    partitions instead of 1 of 16 with half the expected bucket
+    population — compaction is WHERE that dial turns without touching
+    ingest.  Oracle: the 5-plane bucket probe derived from scratch —
+    the compacted index is bit-equal to a fresh 5-plane batch build
+    because hyperplanes are a deterministic function of (n_planes,
+    dim) (operators/ann_index.py:compact_lsh_index)."""
+    from ..operators.ann_index import (
+        compact_lsh_index,
+        corpus_fingerprint,
+        ensure_index,
+        lsh_index_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    root = _index_dir(sf_dir, "lsh_lsm")
+    seg, comp = os.path.join(root, "segmented"), os.path.join(root, "compacted")
+
+    def build() -> None:
+        from ..operators.similarity import as_double_vec, hyperplanes, l2_norm, lsh_bucket
+
+        planes = hyperplanes(4, dim)
+        for gen, part in ((0, 0), (1, 1)):
+            v = as_double_vec("embedding")
+            (
+                emb.filter(F.col("vec_id") % 2 == part)
+                .withColumn("bucket", lsh_bucket(v, planes))
+                .withColumn("norm", l2_norm(v))
+                .repartition(F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(seg, f"batch_id={gen}"))
+            )
+        compact_lsh_index(spark, seg, comp, dim, n_planes=5)
+
+    ensure_index(
+        build,
+        comp,
+        fingerprint=_fp_cached(
+            spark, sf_dir, "emb",
+            lambda: corpus_fingerprint(emb, id_col="vec_id"),
+        ),
+    )
+    return lsh_index_probe(spark, comp, _query_vec(spark, sf_dir), k=5, n_planes=5)
