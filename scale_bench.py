@@ -2005,6 +2005,14 @@ def _x183_heavy_keys(spark, d):
     return QUERIES["x183_heavy_key_audit"](spark, d)
 
 
+def _x185_cms_sketch(spark, d):
+    # count-min sketch + exact top-20 over the full scaled events
+    # table: the same single key-count shuffle as x183 (the count
+    # table derives once, lazily checkpointed) plus the <=4096-cell
+    # fold and a broadcast probe — expect x183's scan-bound band.
+    return QUERIES["x185_cms_heavy_hitters"](spark, d)
+
+
 def _x184_lsh_compaction(spark, d):
     # the LSH compaction JOB at scale: generations land once per scale
     # dir (ensure marker); the timed work is merge + re-signature at
@@ -2674,6 +2682,7 @@ HEAVY += [
     ("x182_vector_hygiene_full", _x182_vector_hygiene),
     ("x183_heavy_keys_full", _x183_heavy_keys),
     ("x184_lsh_compaction_job", _x184_lsh_compaction),
+    ("x185_cms_sketch_full", _x185_cms_sketch),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),

@@ -9884,3 +9884,68 @@ def x184_lsh_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return lsh_index_probe(spark, comp, _query_vec(spark, sf_dir), k=5, n_planes=5)
+
+
+def _cms_bucket_sql(key_expr: str, row_expr: str, width: int) -> str:
+    """DuckDB twin of ``operators/sketch.py:cms_bucket`` — the first 8
+    hex chars of md5(key || ':' || row) as an integer via the strpos
+    ladder (no hex→int builtin portability trap), mod width."""
+    h = f"md5(CAST({key_expr} AS VARCHAR) || ':' || CAST({row_expr} AS VARCHAR))"
+    ladder = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"(CAST({ladder} AS BIGINT) % {width})"
+
+
+def _build_cms_oracle(depth: int = 4, width: int = 1024, k: int = 20) -> str:
+    rows = ", ".join(f"({i})" for i in range(depth))
+    return f"""
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY user_id),
+    rws AS (SELECT * FROM (VALUES {rows}) AS r(i)),
+    cells AS (SELECT r.i AS row,
+                     {_cms_bucket_sql("c.user_id", "r.i", width)} AS bucket,
+                     CAST(SUM(c.c) AS BIGINT) AS cell
+              FROM c CROSS JOIN rws r GROUP BY 1, 2),
+    top AS (SELECT user_id, c FROM c ORDER BY c DESC, user_id ASC LIMIT {k})
+    SELECT t.user_id, t.c,
+           CAST(MIN(cl.cell) AS BIGINT) AS est
+    FROM top t CROSS JOIN rws r
+    JOIN cells cl ON cl.row = r.i
+                 AND cl.bucket = {_cms_bucket_sql("t.user_id", "r.i", width)}
+    GROUP BY t.user_id, t.c
+    ORDER BY c DESC, user_id ASC
+    """
+
+
+@query("x185_cms_heavy_hitters", oracle=_build_cms_oracle())
+def x185_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs exact — the CONTINUOUS form of x183's
+    heavy-key audit: the sketch's depth·width counters are what a
+    100 TB pipeline keeps live (kilobytes, additive across landings —
+    see ``streaming/stats.py:run_streaming_cms``), and this query pins
+    its quality against ground truth: for the exact top-20 keys, the
+    exact count beside the sketch estimate (min over the key's depth
+    cells; overestimate-only, collisions only add — the property
+    ``tests/test_sketch.py`` pins for EVERY key).  Scale shape: the
+    count table derives once (lazy localCheckpoint — the
+    type-table-with-N-consumers finding) from ONE map-side-combined
+    key shuffle; the cell fold shuffles ≤ depth·width rows; counters
+    broadcast into the probe.  Oracle: identical md5-slice arithmetic
+    cell by cell (operators/sketch.py)."""
+    from ..operators.sketch import cms_estimate, cms_from_counts
+
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    counters = cms_from_counts(counts, "user_id", "c", depth=4, width=1024)
+    top = counts.orderBy(F.desc("c"), F.asc("user_id")).limit(20)
+    return (
+        cms_estimate(top, counters, "user_id", depth=4, width=1024)
+        .select("user_id", "c", "est")
+        .orderBy(F.desc("c"), F.asc("user_id"))
+    )

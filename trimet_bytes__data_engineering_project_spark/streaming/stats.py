@@ -152,3 +152,55 @@ def dim_drift_from_store(
         "sum_a", "n_a", "sum_b", "n_b",
         drift.alias("drift_fp"),
     )
+
+
+def run_streaming_cms(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    key_expr: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """Streaming maintenance for the count-min sketch (x185's streamed
+    twin): each micro-batch lands its own CMS counters under
+    ``cms/batch_id=N`` (idempotent overwrite per batch_id — the shared
+    landing contract).  Counters are ADDITIVE — per-key counts sum
+    across any split of the rows and the key→cell mapping is a fixed
+    function — so the summed store reproduces the batch sketch over the
+    union EXACTLY (pinned by test).  Per batch: one map-side-combined
+    key count + the ≤ depth·width cell fold; the store is ≤ depth·width
+    rows per generation, and every heavy-key question afterwards reads
+    kilobytes, never the corpus."""
+    from ..operators.sketch import cms_counters
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_counters(
+                batch_df.selectExpr(f"({key_expr}) AS _k"), "_k", depth, width
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/cms/batch_id={batch_id}")
+        )
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def cms_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the stored per-generation counters into the union's
+    counters — bit-equal to ``cms_counters`` over the union of the
+    landed rows (additivity; pinned by test)."""
+    return (
+        spark.read.parquet(f"{store_path}/cms")
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+    )
