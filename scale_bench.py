@@ -2013,6 +2013,25 @@ def _x185_cms_sketch(spark, d):
     return QUERIES["x185_cms_heavy_hitters"](spark, d)
 
 
+def _x186_blob_near_dup(spark, d):
+    # multimodal byte near-dup over the full scaled documents-as-blobs
+    # table: the signature pass is row-local md5 folds (linear, no
+    # shuffle); the band join obeys the blocking-key rule — band width
+    # sized so expected bucket population stays ~25 (w = lg(n/25), the
+    # LSH plane rule's shape), so the pair join never degenerates.
+    import math
+
+    from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+        blob_near_dup,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n = docs.count()
+    w = min(15, max(8, int(math.log2(max(1, n // 25)))))
+    return blob_near_dup(media_from_documents(docs), bits=4 * w, n_bands=4)
+
+
 def _x184_lsh_compaction(spark, d):
     # the LSH compaction JOB at scale: generations land once per scale
     # dir (ensure marker); the timed work is merge + re-signature at
@@ -2683,6 +2702,7 @@ HEAVY += [
     ("x183_heavy_keys_full", _x183_heavy_keys),
     ("x184_lsh_compaction_job", _x184_lsh_compaction),
     ("x185_cms_sketch_full", _x185_cms_sketch),
+    ("x186_blob_near_dup_full", _x186_blob_near_dup),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),

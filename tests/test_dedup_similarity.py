@@ -2123,3 +2123,61 @@ def test_vector_hygiene_classifies_planted_pathologies(spark, tmp_path):
         return len(bin(math.floor(n2 * 1048576) + 1)) - 2 - 1  # bin() adds '0b'
     # n2 = 1, 3, 4 land in octaves 20, 21, 22 respectively — distinct
     assert oct_counts == {octave(1.0): 1, octave(3.0): 1, octave(4.0): 1}
+
+
+def test_blob_near_dup_finds_planted_byte_neardups(spark):
+    """blob_simhash/blob_near_dup (x186): an exact byte copy pairs at
+    Hamming 0; a copy with a short byte suffix appended (a re-saved
+    blob with a metadata stamp) stays within the radius — existing
+    shingles are untouched, only a few new ones appear; every returned
+    pair respects a_id < b_id and the radius; max_bucket=0 empties the
+    result (the degenerate-bucket cap is live)."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+        blob_near_dup,
+        blob_simhash,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    media = media_from_documents(docs)
+    # plant on the LONGEST blob: the stamp perturbs a fixed number of
+    # shingles, so relative signature drift shrinks with blob size (a
+    # 128-byte blob drifts ~5 bits, a 540-byte one ~1 — measured)
+    base = media.orderBy(F.octet_length("payload").desc(), "media_id").first()
+    bid = base.media_id
+    planted = spark.createDataFrame(
+        [
+            (100000, bytes(base.payload)),                # exact byte copy
+            (100001, bytes(base.payload) + b" v2-stamp"), # suffix-stamped copy
+        ],
+        "media_id long, payload binary",
+    ).select("media_id", "payload")
+    corpus = media.select("media_id", "payload").unionByName(planted)
+
+    pairs = {
+        (r.a_id, r.b_id): r.hamming for r in blob_near_dup(corpus).collect()
+    }
+    assert pairs[(bid, 100000)] == 0
+    assert (bid, 100001) in pairs and pairs[(bid, 100001)] <= 3
+    assert all(a < b for a, b in pairs)
+    assert all(h <= 3 for h in pairs.values())
+
+    # exact copies have IDENTICAL signatures (determinism + byte purity)
+    sigs = {
+        r.media_id: r.blob_sig
+        for r in blob_simhash(corpus.filter(F.col("media_id").isin(bid, 100000))).collect()
+    }
+    assert sigs[bid] == sigs[100000]
+
+    assert blob_near_dup(corpus, max_bucket=0).count() == 0
+
+    # wide signatures (the corpus-sized blocking-key form the scale
+    # bench uses): the digest-chained digit stream is a strict
+    # EXTENSION — the low 32 bits of a 56-bit signature equal the
+    # 32-bit signature, and exact copies still collide exactly
+    s32 = {r.media_id: r.blob_sig for r in blob_simhash(corpus, bits=32).collect()}
+    s56 = {r.media_id: r.blob_sig for r in blob_simhash(corpus, bits=56).collect()}
+    assert all(s32[k] == (s56[k] & 0xFFFFFFFF) for k in s32)
+    assert s56[bid] == s56[100000]

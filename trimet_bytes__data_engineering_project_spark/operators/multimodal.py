@@ -247,3 +247,143 @@ def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def blob_simhash(
+    media: DataFrame,
+    gram: int = 8,
+    stride: int = 4,
+    bits: int = 32,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Codec-free fuzzy fingerprint over the raw BYTES of a blob — the
+    multimodal near-dup signal that needs NO decoder (the ssdeep/TLSH
+    family's approach): overlapping ``gram``-byte shingles taken every
+    ``stride`` bytes, one md5 per shingle, SimHash sign-fold into a
+    ``bits``-bit integer.  Byte-identical blobs collide exactly; blobs
+    sharing most byte runs (re-chunked uploads, metadata-stamped
+    re-saves, prefix-trimmed copies) land within a small Hamming
+    radius, because each shared shingle pushes every bit the same way.
+
+    Scale shape: the x09 ``simhashes`` shape — explode shingle OFFSETS
+    (the blob itself never duplicates across the wire: the md5 digit
+    stream is projected in the SAME stage and the payload column is
+    pruned before any exchange), then ``bits`` conditional sums under
+    one map-side-combined groupBy, so the shuffle carries ``bits``
+    small integers per blob.  Everything is whole-stage codegen — a
+    first cut used row-local ``aggregate``/``zip_with`` higher-order
+    folds (zero shuffle) and measured ~6× slower at sf0.1: interpreted
+    per-element lambdas lose to codegen'd hash aggregation even paying
+    for the exchange.  ``bits`` plays the blocking-key role downstream
+    and must grow with the corpus like LSH plane counts do
+    (BENCH_NOTES: blocking-key cardinality scales with the corpus);
+    beyond 32 bits (one md5's 32 hex digits) the digit stream extends
+    by digest CHAINING — ``md5(slice) || md5(md5(slice)) || …`` — so
+    any ``bits ≤ 63`` costs ⌈bits/32⌉ cheap md5s per shingle and stays
+    engine-portable (md5 of a hex STRING is the same everywhere)."""
+    from .dedup import _bit_col, ensure_parallelism
+
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63] (sign-free long)")
+    digit_stream = f"md5(substring({payload_col}, i, {gram}))"
+    chained = digit_stream
+    for _ in range((bits + 31) // 32 - 1):
+        chained = f"md5({chained})"
+        digit_stream = f"concat({digit_stream}, {chained})"
+    n_sh = f"greatest(octet_length({payload_col}) - {gram} + 1, 1)"
+    # a single input file must not serialize the md5 folds onto one
+    # core (the shingle work is ~len/stride hashes per blob — the
+    # expensive stage): same contract as dedup.simhashes
+    media = ensure_parallelism(media)
+    ex = media.select(
+        F.col(id_col),
+        F.expr(f"explode(sequence(1, {n_sh}, {stride}))").alias("i"),
+        F.col(payload_col),
+    ).select(F.col(id_col), F.expr(digit_stream).alias("h"))
+    agg = ex.groupBy(id_col).agg(
+        *[F.sum(_bit_col(F.col("h"), j)).alias(f"b{j}") for j in range(bits)]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(
+            F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), sig.alias("blob_sig"))
+
+
+def _hamming(a: str, b: str, bits: int) -> F.Column:
+    """Popcount of a XOR b as an explicit per-bit sum — portable to any
+    engine (no bit_count builtin divergence)."""
+    x = f"({a} ^ {b})"
+    return sum(
+        F.expr(f"CAST(({x} DIV {1 << j}) % 2 AS INT)") for j in range(bits)
+    ).alias("hamming")
+
+
+def blob_near_dup(
+    media: DataFrame,
+    gram: int = 8,
+    stride: int = 4,
+    bits: int = 32,
+    n_bands: int = 4,
+    radius: int = 3,
+    max_bucket: int = 50,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Blob near-duplicate pairs without decoding a single byte:
+    :func:`blob_simhash` signatures, banded into ``n_bands`` bit slices
+    (a pair within Hamming radius r < n_bands must agree on ≥1 band —
+    the pigeonhole guarantee SimHash banding shares with MinHash LSH),
+    bucket-local self-join on (band_idx, band_val), then the exact
+    Hamming verify on the full signature.
+
+    Scale shape: ONE shuffle on (band_idx, band_val); buckets larger
+    than ``max_bucket`` are dropped before the pair join (the dedup
+    tier's degenerate-bucket cap — an all-zeros-payload pileup cannot
+    own the stage); the verify is a row-local popcount on the joined
+    pairs, never a second corpus pass."""
+    w = bits // n_bands
+    sig = blob_simhash(media, gram, stride, bits, payload_col, id_col)
+    bands = sig.select(
+        F.col(id_col),
+        "blob_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"CAST((blob_sig DIV {1 << (b * w)}) % {1 << w} AS INT)")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    # three consumers (bucket sizes, a-side, b-side) would re-run the
+    # whole signature scan three times — the type-table finding; the
+    # 4·|blobs|-row band table is checkpointed once instead
+    ).localCheckpoint(eager=False)
+    ok = (
+        bands.groupBy("band_idx", "band_val")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select("band_idx", "band_val")
+    )
+    bands = bands.join(ok, ["band_idx", "band_val"])
+    a = bands.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("a_id"), F.col("blob_sig").alias("a_sig"),
+    )
+    b = bands.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("b_id"), F.col("blob_sig").alias("b_sig"),
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", _hamming("a_sig", "b_sig", bits))
+        .filter(F.col("hamming") <= radius)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -9949,3 +9949,70 @@ def x185_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "c", "est")
         .orderBy(F.desc("c"), F.asc("user_id"))
     )
+
+
+def _blob_sig_sql(bits: int = 32) -> str:
+    """DuckDB twin of ``multimodal.blob_simhash``'s sign-fold, over a
+    precomputed shingle-md5 list column ``hs``."""
+    terms = []
+    for j in range(bits):
+        bit_sum = (
+            "list_reduce(list_prepend(0, list_transform(hs, "
+            f"h -> CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)), "
+            "(acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {bit_sum} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _build_blob_near_dup_oracle(
+    gram: int = 8, stride: int = 4, bits: int = 32, n_bands: int = 4,
+    radius: int = 3, max_bucket: int = 50,
+) -> str:
+    w = bits // n_bands
+    divisors = ", ".join(f"({b}, {1 << (b * w)})" for b in range(n_bands))
+    ham = " + ".join(
+        f"CAST((xor(a_sig, b_sig) // {1 << j}) % 2 AS INT)" for j in range(bits)
+    )
+    return f"""
+    WITH m AS (SELECT doc_id AS media_id, text AS t FROM documents),
+    sh AS (SELECT media_id,
+                  [md5(substr(t, i, {gram}))
+                   FOR i IN range(1, greatest(length(t) - {gram} + 1, 1) + 1, {stride})] AS hs
+           FROM m),
+    sig AS (SELECT media_id, {_blob_sig_sql(bits)} AS sig FROM sh),
+    bands AS (SELECT media_id, sig, d.b AS band_idx,
+                     CAST((sig // d.dv) % {1 << w} AS INT) AS band_val
+              FROM sig CROSS JOIN (VALUES {divisors}) AS d(b, dv)
+              QUALIFY COUNT(*) OVER (PARTITION BY d.b, (sig // d.dv) % {1 << w}) <= {max_bucket}),
+    cand AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+                    a.sig AS a_sig, b.sig AS b_sig
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.media_id < b.media_id)
+    SELECT a_id, b_id, ({ham}) AS hamming
+    FROM cand WHERE ({ham}) <= {radius}
+    """
+
+
+@query("x186_blob_near_dup", oracle=_build_blob_near_dup_oracle())
+def x186_blob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate pairs WITHOUT a decoder — the dedup
+    semantics the brief's multimodal tier was missing: blobs are
+    fingerprinted from their raw bytes (``blob_simhash``: 8-byte
+    shingles every 4 bytes, one md5 each, 32-bit SimHash sign-fold —
+    entirely row-local JVM higher-order expressions, no explode, no
+    Python), banded into 4 × 8-bit slices, bucket-joined, and verified
+    by exact Hamming popcount ≤ 3 (pigeonhole: radius < n_bands ⇒ a
+    true pair agrees on ≥1 band).  The media table is the deterministic
+    fake (utf-8 bytes — brief contract: codecs stubbed, plumbing real);
+    the operator itself reads only ``BINARY`` payload bytes, so a real
+    image/audio corpus runs the identical plan.  Scale shape: one
+    band-bucket shuffle + the degenerate-bucket cap (≤50) shared with
+    the MinHash tier; the oracle reproduces shingles, fold, banding,
+    cap, and popcount bit-for-bit (ASCII corpus ⇒ DuckDB char slices =
+    byte slices)."""
+    from ..operators.multimodal import blob_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blob_near_dup(media_from_documents(docs)).orderBy("a_id", "b_id")
