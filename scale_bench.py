@@ -2013,6 +2013,18 @@ def _x185_cms_sketch(spark, d):
     return QUERIES["x185_cms_heavy_hitters"](spark, d)
 
 
+def _x187_hll_registers(spark, d):
+    # HLL registers over the full scaled events table: one scan with a
+    # map-side partial MAX — 256 rows per task on the wire, no distinct
+    # shuffle at any corpus size.  Expect the scan-bound flat band.
+    from trimet_bytes__data_engineering_project_spark.operators.sketch import (
+        hll_registers,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+
+    return hll_registers(load_table(spark, d, "events"), "user_id", p=8)
+
+
 def _x186_blob_near_dup(spark, d):
     # multimodal byte near-dup over the full scaled documents-as-blobs
     # table: the signature pass is row-local md5 folds (linear, no
@@ -2703,6 +2715,7 @@ HEAVY += [
     ("x184_lsh_compaction_job", _x184_lsh_compaction),
     ("x185_cms_sketch_full", _x185_cms_sketch),
     ("x186_blob_near_dup_full", _x186_blob_near_dup),
+    ("x187_hll_registers_full", _x187_hll_registers),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),

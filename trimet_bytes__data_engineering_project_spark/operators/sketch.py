@@ -82,3 +82,68 @@ def cms_estimate(
         .groupBy(*keys.columns)
         .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """Portable HyperLogLog registers over a key column — the
+    MAX-mergeable sketch that pairs with the count-min's sum-merge:
+    register index = the key digest's first ``p`` bits (p ≤ 16: the
+    first ⌈p/4⌉ hex digits of md5), register value = max over keys of
+    ρ = leading-zero count + 1 of the NEXT 32 digest bits (Flajolet et
+    al. 2007).  Duplicated keys hash identically, so the registers —
+    unlike an exact COUNT DISTINCT — need no distinct shuffle: one
+    scan, map-side partial MAX, and 2^p rows per task on the wire.
+
+    Everything is engine-portable integer arithmetic: md5 slices via
+    ``conv``, and the leading-zero count via the binary-expansion-
+    length idiom (``33 - length(bin(v))`` — the x164/x182 ``bin()``
+    convention, no libm).  A DuckDB oracle reproduces every register
+    bit-for-bit.  Registers never observed stay absent (reader supplies
+    the ρ=0 default); ``max`` over generations of this table IS the
+    union's table — the streamed form is exact, not approximate."""
+    if not 1 <= p <= 16:
+        raise ValueError("p must be in [1, 16] (hex-digit register index)")
+    nhex = (p + 3) // 4
+    h = F.md5(F.col(key_col).cast("string"))
+    reg = (
+        F.conv(F.substring(h, 1, nhex), 16, 10).cast("long") % (1 << p)
+    ).alias("reg")
+    v = F.conv(F.substring(h, nhex + 1, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(v))
+    ).cast("int")
+    return (
+        df.select(reg, rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+# bias-correction constant for m = 2^p registers, p >= 7 (Flajolet et
+# al. 2007 §4); exact literals keep the one IEEE estimate division
+# reproducible across engines.
+_HLL_ALPHA_INF = 0.7213475204444817
+
+
+def hll_estimate(registers: "list[tuple[int, int]]", p: int = 8) -> float:
+    """Cardinality estimate from a (reg, rho_max) register list — a
+    DRIVER-SIDE fold over ≤ 2^p rows (the bounded-collect class: the
+    sketch is kilobytes by construction; the corpus never moves).
+    Missing registers count as ρ=0.  Standard raw estimate with the
+    small-range linear-counting correction; the indicator sum is exact
+    dyadic arithmetic (Σ 2^(33-ρ) as integers over a 2^33 denominator)
+    so the only floats are the final constants and division."""
+    import math
+
+    m = 1 << p
+    alpha = (
+        {4: 0.673, 5: 0.697, 6: 0.709}.get(p)
+        or _HLL_ALPHA_INF / (1.0 + 1.079 / m)
+    )
+    got = dict(registers)
+    s_fp = sum(1 << (33 - got.get(j, 0)) for j in range(m))  # Σ 2^-ρ · 2^33
+    raw = alpha * m * m * float(1 << 33) / float(s_fp)
+    zeros = sum(1 for j in range(m) if got.get(j, 0) == 0)
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw

@@ -10016,3 +10016,47 @@ def x186_blob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return blob_near_dup(media_from_documents(docs)).orderBy("a_id", "b_id")
+
+
+def _build_hll_oracle(p: int = 8) -> str:
+    nhex = (p + 3) // 4
+    hexn = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (nhex - 1 - j)}"
+        for j in range(nhex)
+    )
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {nhex + j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+    WITH k AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+    rr AS (SELECT CAST(({hexn}) % {1 << p} AS BIGINT) AS reg,
+                  CAST({hex8} AS BIGINT) AS v
+           FROM k)
+    SELECT reg,
+           CAST(MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS INTEGER)
+             AS rho_max
+    FROM rr GROUP BY reg
+    """
+
+
+@query("x187_hll_registers", oracle=_build_hll_oracle())
+def x187_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog registers — x15's A4-at-scale claim made
+    INSPECTABLE and mergeable: where x15 trusts Spark's built-in HLL++
+    aggregate, this query materializes the sketch itself (2^8 (reg,
+    rho_max) rows over the same ``o_custkey`` universe) in the repo's
+    portable md5-slice arithmetic, so (a) a DuckDB oracle reproduces
+    every register bit-for-bit, (b) the registers MAX-merge across any
+    corpus split — the streamed landing (streaming/stats.py:
+    run_streaming_hll) is exact by algebra, completing the mergeable-
+    sketch trio: sum-merge (CMS x185, histograms, drift sums) and now
+    max-merge, and (c) the estimate read-off (``hll_estimate``) is a
+    driver-side fold over kilobytes, accuracy pinned in pytest at
+    planted cardinalities.  Scale shape: ONE scan, map-side partial
+    max, 2^p rows per task on the wire — no distinct shuffle at any
+    corpus size (operators/sketch.py:hll_registers)."""
+    from ..operators.sketch import hll_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hll_registers(orders, "o_custkey", p=8).orderBy("reg")

@@ -204,3 +204,51 @@ def cms_from_store(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cell").cast("long").alias("cell"))
     )
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    key_expr: str,
+    p: int = 8,
+) -> None:
+    """Streaming maintenance for the HLL register sketch (x187's
+    streamed twin) — the MAX-merge counterpart of the sum-merge
+    landings above: each micro-batch lands its own (reg, rho_max)
+    table under ``hll/batch_id=N`` (idempotent overwrite per batch_id).
+    ``max`` is idempotent and commutative, so the max-folded store is
+    BIT-EQUAL to the batch registers over the union — replays and
+    duplicate landings cannot even inflate it (strictly stronger than
+    the sum-merge contract, which needs the per-batch_id overwrite for
+    exactly-once; here at-least-once alone would already be exact)."""
+    from ..operators.sketch import hll_registers
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hll_registers(batch_df.selectExpr(f"({key_expr}) AS _k"), "_k", p)
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/hll/batch_id={batch_id}")
+        )
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def hll_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Max-fold the stored per-generation registers into the union's
+    registers — bit-equal to ``hll_registers`` over the union of the
+    landed rows (pinned by test)."""
+    return (
+        spark.read.parquet(f"{store_path}/hll")
+        .groupBy("reg")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
