@@ -2013,6 +2013,54 @@ def _x185_cms_sketch(spark, d):
     return QUERIES["x185_cms_heavy_hitters"](spark, d)
 
 
+def _cc_chain_edges(spark, d):
+    # deterministic 64-node chains over the scaled doc ids: the long-
+    # diameter shape that separates incremental maintenance (star
+    # store, diameter 2) from full recomputes (log2(64) jump rounds)
+    docs = spark.read.parquet(f"{d}/documents.parquet").select("doc_id")
+    return docs.filter("doc_id % 64 < 63").selectExpr(
+        "doc_id AS a_id", "doc_id + 1 AS b_id"
+    )
+
+
+def _x188_incremental_cc(spark, d):
+    # the maintenance form: fold the newest ~11% of edges into a
+    # PERSISTED label store built from the historical ~89% (the star
+    # side has diameter 2, so rounds converge in the batch's diameter,
+    # not the chain's); _x188_full_recompute prices what it avoids.
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+
+    edges = _cc_chain_edges(spark, d)
+    store = os.path.join(_SCALE_ROOT, "cc_store", os.path.basename(d.rstrip("/")))
+
+    def build() -> None:
+        connected_components(
+            edges.filter("a_id % 64 < 56"), small_graph_threshold=0
+        ).write.mode("overwrite").parquet(store)
+
+    ensure_index(build, store)
+    labels = spark.read.parquet(store)
+    return merge_components(
+        labels, edges.filter("a_id % 64 >= 56"), small_graph_threshold=0
+    )
+
+
+def _x188_full_recompute(spark, d):
+    # the recompute the store replaces: connected components over the
+    # WHOLE accumulated edge set, every landing
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    return connected_components(_cc_chain_edges(spark, d), small_graph_threshold=0)
+
+
 def _x187_hll_registers(spark, d):
     # HLL registers over the full scaled events table: one scan with a
     # map-side partial MAX — 256 rows per task on the wire, no distinct
@@ -2716,6 +2764,8 @@ HEAVY += [
     ("x185_cms_sketch_full", _x185_cms_sketch),
     ("x186_blob_near_dup_full", _x186_blob_near_dup),
     ("x187_hll_registers_full", _x187_hll_registers),
+    ("x188_incremental_cc_store", _x188_incremental_cc),
+    ("x188_cc_full_recompute", _x188_full_recompute),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),
     ("x126_bpe_full_zipf", _x126_bpe_full_zipf),
     ("x171_calibration_full", _x171_calibration),

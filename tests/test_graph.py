@@ -462,3 +462,57 @@ def test_triangle_stats_k4(spark):
         i: (3, 3) for i in range(4)
     }
     assert sum(r.n_triangles for r in rows) == 12  # 3 nodes x 4 triangles
+
+
+def test_merge_components_bit_equal_to_full_recompute(spark):
+    """Incremental CC (x188's operator): folding a new edge batch into
+    a stored labeling via star compression gives EXACTLY the full
+    recompute's min-id labels — for every split of the edge set, for
+    chained increments, and for singleton components with no new
+    edges.  Both the driver fast path and the distributed path."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+
+    # deterministic mixed graph: chains of 5, one big hub, singletons
+    edges = [(i, i + 1) for i in range(0, 50) if i % 5 != 4]
+    edges += [(100, 100 + i) for i in range(1, 8)]
+    edges += [(200, 200), (201, 201)]  # self-loop singletons
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    full = sorted(map(tuple, connected_components(df).collect()))
+
+    for mod in (2, 3):
+        old = df.filter((F.col("a_id") + F.col("b_id")) % mod == 0)
+        new = df.filter((F.col("a_id") + F.col("b_id")) % mod != 0)
+        store = connected_components(old)
+        got = sorted(map(tuple, merge_components(store, new).collect()))
+        assert got == full
+
+    # chained: fold three generations one at a time
+    gens = [df.filter(F.col("a_id") % 3 == g) for g in range(3)]
+    labels = connected_components(gens[0])
+    for g in gens[1:]:
+        labels = merge_components(labels, g)
+    assert sorted(map(tuple, labels.collect())) == full
+
+    # singletons survive a merge that doesn't touch them
+    assert (200, 200) in full and (201, 201) in full
+
+    # distributed path (fast path disabled) agrees
+    store = connected_components(
+        df.filter((F.col("a_id") + F.col("b_id")) % 2 == 0), small_graph_threshold=0
+    )
+    got = sorted(
+        map(
+            tuple,
+            merge_components(
+                store,
+                df.filter((F.col("a_id") + F.col("b_id")) % 2 != 0),
+                small_graph_threshold=0,
+            ).collect(),
+        )
+    )
+    assert got == full

@@ -597,3 +597,39 @@ def cluster_dedup(
         kept.join(sizes, "cluster_id", "left")
         .select(id_col, F.coalesce("_n", F.lit(1)).cast("long").alias("n_members"))
     )
+
+
+def merge_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    node_col: str = "node",
+    label_col: str = "cluster_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental connected components: fold a NEW edge batch into a
+    stored ``(node, cluster_id)`` labeling WITHOUT re-reading the
+    historical edge set.  Each stored component compresses to a star
+    (every node keeps one edge to its label — singletons keep a
+    self-loop, so isolated nodes survive the merge), and components of
+    ``star ∪ new_pairs`` EQUAL components of ``old_edges ∪ new_pairs``
+    exactly: two nodes were old-connected iff they share a label iff
+    the star connects them, and min-id labels are preserved because the
+    label itself is the component's min node id (pinned bit-equal to
+    the full recompute by test, including across chained increments).
+
+    This is the 100 TB maintenance shape: the label store is O(nodes)
+    — typically orders smaller than the accumulated pair list a
+    dedup pipeline has ever emitted — and the star side has diameter
+    ≤ 2, so the pointer-jumping rounds converge in the new batch's
+    diameter, not the historical graph's."""
+    star = labels.select(
+        F.col(node_col).cast("long").alias(a_col),
+        F.col(label_col).cast("long").alias(b_col),
+    )
+    batch = new_pairs.select(
+        F.col(a_col).cast("long").alias(a_col),
+        F.col(b_col).cast("long").alias(b_col),
+    )
+    return connected_components(star.unionByName(batch), a_col, b_col, **cc_kwargs)

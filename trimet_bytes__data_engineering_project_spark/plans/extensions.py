@@ -10060,3 +10060,36 @@ def x187_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return hll_registers(orders, "o_custkey", p=8).orderBy("reg")
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402  (x188 reuses x34's closure verbatim)
+
+
+@query("x188_incremental_components", oracle=_ORACLES["x34_duplicate_clusters"])
+def x188_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components — x34's clustering as the
+    MAINTENANCE job a streaming dedup pipeline runs per landing: the
+    x34 near-dup pair graph is split into two deterministic edge
+    generations ((a_id+b_id) parity), generation 0 is labeled and
+    STORED, and the new generation folds into the store via
+    ``merge_components`` — each stored component compresses to a star,
+    so the merge never re-reads historical edges and its rounds
+    converge in the BATCH's diameter, not the accumulated graph's.
+    The oracle is x34's recursive-CTE closure over ALL pairs,
+    verbatim: star-compression preserves connectivity and min-id
+    labels exactly (operators/graph.py:merge_components; chained-
+    increment bit-equality pinned in tests/test_graph.py)."""
+    from ..operators.graph import connected_components, merge_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        minhash_candidates(docs)
+        .withColumn("est_sim", minhash_estimate(F.col("a_sig"), F.col("b_sig")))
+        .filter(F.col("est_sim") >= 0.25)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    parity = (F.col("a_id") + F.col("b_id")) % 2
+    store = connected_components(pairs.filter(parity == 0))
+    merged = merge_components(store, pairs.filter(parity == 1))
+    return merged.select(F.col("node").alias("doc_id"), "cluster_id")
