@@ -2061,6 +2061,13 @@ def _x188_full_recompute(spark, d):
     return connected_components(_cc_chain_edges(spark, d), small_graph_threshold=0)
 
 
+def _x189_rollup(spark, d):
+    # grouping-sets datasheet over the full scaled documents table:
+    # one scan, map-side Expand (x|sets| fan-out compressed by the
+    # partial agg), one exchange — expect the scan-bound flat band.
+    return QUERIES["x189_rollup_datasheet"](spark, d)
+
+
 def _x187_hll_registers(spark, d):
     # HLL registers over the full scaled events table: one scan with a
     # map-side partial MAX — 256 rows per task on the wire, no distinct
@@ -2764,6 +2771,7 @@ HEAVY += [
     ("x185_cms_sketch_full", _x185_cms_sketch),
     ("x186_blob_near_dup_full", _x186_blob_near_dup),
     ("x187_hll_registers_full", _x187_hll_registers),
+    ("x189_rollup_datasheet_full", _x189_rollup),
     ("x188_incremental_cc_store", _x188_incremental_cc),
     ("x188_cc_full_recompute", _x188_full_recompute),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),

@@ -516,3 +516,50 @@ def test_merge_components_bit_equal_to_full_recompute(spark):
         )
     )
     assert got == full
+
+
+def test_streaming_components_equals_batch_and_replays(spark, tmp_path):
+    """Streamed label-store maintenance (streaming/graph.py): after two
+    pair landings the served labeling equals connected_components over
+    the UNION of all landed pairs (star-compression exactness carried
+    into the lifecycle); replaying the stream rewrites identical
+    generations (fold idempotence)."""
+    import glob
+    import os
+    import shutil
+
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        connected_components,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.graph import (
+        components_from_store,
+        latest_label_generation,
+        run_streaming_components,
+    )
+
+    edges = [(i, i + 1) for i in range(0, 40) if i % 5 != 4] + [(300, 300)]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    gen_a = df.filter("(a_id + b_id) % 2 = 0")
+    gen_b = df.filter("(a_id + b_id) % 2 <> 0")
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(d, name):
+        t = str(tmp_path / f"w_{name}")
+        d.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    land_file(gen_a, "a")
+    run_streaming_components(spark, landing, store, ck)
+    land_file(gen_b, "b")
+    run_streaming_components(spark, landing, store, ck)
+
+    got = sorted(map(tuple, components_from_store(spark, store).collect()))
+    want = sorted(map(tuple, connected_components(df).collect()))
+    assert got == want and (300, 300) in got
+    assert latest_label_generation(spark, store) == 1
+
+    run_streaming_components(spark, landing, store, ck)  # replay: no-op
+    assert sorted(map(tuple, components_from_store(spark, store).collect())) == got

@@ -481,6 +481,16 @@ def test_datasheet_is_two_scans(spark):
     assert "Expand" in p  # the one-pass mixed-distinct aggregate
 
 
+def test_rollup_datasheet_is_one_scan_one_exchange(spark):
+    """x189: the four grouping sets come from ONE corpus scan through a
+    map-side Expand and ONE exchange (the fan-out compresses in the
+    partial agg) — not four scans or four shuffles."""
+    p = plan_of(spark, "x189_rollup_datasheet")
+    assert p.count("- Scan parquet") == 1
+    assert "Expand" in p
+    assert p.count("Exchange") <= 2  # one agg exchange (+AQE read)
+
+
 def test_lang_snapshot_scoring_shuffles_corpus_once(spark):
     """x170's structural claim, pinned: the batch side pays exactly ONE
     shuffle (the doc-keyed aggregation — its hashpartitioning keys on

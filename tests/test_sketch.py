@@ -177,3 +177,46 @@ def test_streaming_hll_equals_batch_and_replays(spark, tmp_path):
 
     run_streaming_hll(spark, landing, store, ck, "user_id")
     assert sorted(map(tuple, hll_from_store(spark, store).collect())) == got
+
+
+def test_cms_store_sliding_window_readoff(spark, tmp_path):
+    """The windowed fold (min_batch_id) over the CMS store is
+    bit-equal to a batch sketch over exactly the window's rows — the
+    sliding-window heavy-hitter monitor falls out of the same store
+    with a batch_id filter, no extra state."""
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        cms_from_store,
+        run_streaming_cms,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+    gens = [events.filter(f"event_id % 3 = {g}") for g in range(3)]
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    for i, g in enumerate(gens):
+        land_file(g, f"g{i}")
+        run_streaming_cms(spark, landing, store, ck, "user_id", depth=4, width=64)
+
+    got = sorted(
+        map(tuple, cms_from_store(spark, store, min_batch_id=1).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            cms_counters(
+                gens[1].unionByName(gens[2]).selectExpr("user_id AS _k"),
+                "_k", 4, 64,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -10093,3 +10093,50 @@ def x188_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = connected_components(pairs.filter(parity == 0))
     merged = merge_components(store, pairs.filter(parity == 1))
     return merged.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "x189_rollup_datasheet",
+    oracle="""
+    SELECT coalesce(lang, '(all)') AS lang,
+           coalesce(source, '(all)') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN lang IS NULL AND source IS NULL THEN 3
+                     WHEN source IS NULL THEN 1
+                     WHEN lang IS NULL THEN 2
+                     ELSE 0 END AS BIGINT) AS gid
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+)
+def x189_rollup_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition at every aggregation level in ONE pass —
+    ``GROUPING SETS ((lang, source), (lang), (source), ())``, the
+    datasheet query a mixture designer reads before touching weights
+    (per-cell, per-language, per-source, and grand-total doc/char
+    masses).  Spark executes grouping sets with a map-side Expand (each
+    input row fans to |sets| grouping tuples BEFORE the exchange, then
+    one ordinary partial-agg shuffle) — one corpus scan replaces four,
+    and the fan-out compresses in the map-side combine, so the wire
+    still carries one row per live group per task.  ``grouping_id``
+    disambiguates a real NULL group value from a rolled-up level (both
+    engines' NULL placeholder) — the output coalesces display labels
+    and keeps ``gid`` so no (lang='(all)') string collision can alias a
+    rollup row.  Oracle: DuckDB's GROUPING SETS with the same gid
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the exact grouping-set list needs the SQL surface (DataFrame
+    # cube()/rollup() cover only their fixed lattices)
+    docs.createOrReplaceTempView("x189_docs")
+    return spark.sql(
+        """
+        SELECT coalesce(lang, '(all)') AS lang,
+               coalesce(source, '(all)') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(grouping_id(lang, source) AS BIGINT) AS gid
+        FROM x189_docs
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """
+    )

@@ -195,14 +195,21 @@ def run_streaming_cms(
     )
 
 
-def cms_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+def cms_from_store(
+    spark: SparkSession, store_path: str, min_batch_id: int | None = None
+) -> DataFrame:
     """Fold the stored per-generation counters into the union's
     counters — bit-equal to ``cms_counters`` over the union of the
-    landed rows (additivity; pinned by test)."""
-    return (
-        spark.read.parquet(f"{store_path}/cms")
-        .groupBy("row", "bucket")
-        .agg(F.sum("cell").cast("long").alias("cell"))
+    landed rows (additivity; pinned by test).  ``min_batch_id`` folds
+    only generations at or after it: the SLIDING-WINDOW heavy-hitter
+    read-off (what keys are hot in the last K landings) for free from
+    the same store — pinned bit-equal to a batch sketch over exactly
+    that window's rows."""
+    d = spark.read.parquet(f"{store_path}/cms")
+    if min_batch_id is not None:
+        d = d.filter(F.col("batch_id") >= min_batch_id)
+    return d.groupBy("row", "bucket").agg(
+        F.sum("cell").cast("long").alias("cell")
     )
 
 
