@@ -2061,6 +2061,13 @@ def _x188_full_recompute(spark, d):
     return connected_components(_cc_chain_edges(spark, d), small_graph_threshold=0)
 
 
+def _x190_column_stats(spark, d):
+    # ANALYZE pass over the full scaled events table: one scan, the
+    # multi-distinct Expand, exact NDVs (event_id NDV = row count, the
+    # worst case — at x100 that is a genuine 60M-distinct shuffle).
+    return QUERIES["x190_column_stats"](spark, d)
+
+
 def _x189_rollup(spark, d):
     # grouping-sets datasheet over the full scaled documents table:
     # one scan, map-side Expand (x|sets| fan-out compressed by the
@@ -2772,6 +2779,7 @@ HEAVY += [
     ("x186_blob_near_dup_full", _x186_blob_near_dup),
     ("x187_hll_registers_full", _x187_hll_registers),
     ("x189_rollup_datasheet_full", _x189_rollup),
+    ("x190_column_stats_full", _x190_column_stats),
     ("x188_incremental_cc_store", _x188_incremental_cc),
     ("x188_cc_full_recompute", _x188_full_recompute),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),

@@ -491,6 +491,15 @@ def test_rollup_datasheet_is_one_scan_one_exchange(spark):
     assert p.count("Exchange") <= 2  # one agg exchange (+AQE read)
 
 
+def test_column_stats_is_one_scan(spark):
+    """x190: four exact NDVs + per-column min/max/null stats from ONE
+    events scan (multi-distinct Expand), unpivoted with stack — not a
+    scan per column."""
+    p = plan_of(spark, "x190_column_stats")
+    assert p.count("- Scan parquet") == 1
+    assert "Expand" in p
+
+
 def test_lang_snapshot_scoring_shuffles_corpus_once(spark):
     """x170's structural claim, pinned: the batch side pays exactly ONE
     shuffle (the doc-keyed aggregation — its hashpartitioning keys on

@@ -10140,3 +10140,86 @@ def x189_rollup_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
         """
     )
+
+
+@query(
+    "x190_column_stats",
+    oracle="""
+    SELECT 'event_id' AS col_name, CAST(COUNT(event_id) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS ndv,
+           CAST(MIN(event_id) AS DOUBLE) AS min_num,
+           CAST(MAX(event_id) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(user_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(value) AS BIGINT),
+           CAST(COUNT(*) - COUNT(value) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(event_type) AS BIGINT),
+           CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(event_type), MAX(event_type)
+    FROM events
+    """,
+)
+def x190_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-equivalent column statistics in ONE corpus pass —
+    per column: non-null count, null count, exact NDV, min/max (typed:
+    numeric columns report doubles, string columns report strings) —
+    the statistics a cost-based optimizer, a salt-factor sizer (x183),
+    or a register-sketch consumer (x187 estimates NDV where exact is
+    too dear) reads before planning.  Spark executes the four
+    COUNT(DISTINCT)s in one aggregate via a map-side Expand (the x165
+    datasheet shape — one scan, not one per column; plan-pinned), and
+    the wide 1-row result unpivots to long form with ``stack`` — no
+    second scan, no driver loop.  The oracle is the spec form: one
+    UNION-ALL arm per column."""
+    events = load_table(spark, sf_dir, "events")
+    wide = events.agg(
+        *[
+            F.count(c).cast("long").alias(f"n_{c}")
+            for c in ("event_id", "user_id", "value", "event_type")
+        ],
+        F.count("*").cast("long").alias("n_all"),
+        *[
+            F.countDistinct(c).cast("long").alias(f"ndv_{c}")
+            for c in ("event_id", "user_id", "value", "event_type")
+        ],
+        *[
+            F.min(c).cast("double").alias(f"min_{c}")
+            for c in ("event_id", "user_id", "value")
+        ],
+        *[
+            F.max(c).cast("double").alias(f"max_{c}")
+            for c in ("event_id", "user_id", "value")
+        ],
+        F.min("event_type").alias("mins_event_type"),
+        F.max("event_type").alias("maxs_event_type"),
+    )
+    arms = []
+    for c in ("event_id", "user_id", "value"):
+        arms.append(
+            f"'{c}', n_{c}, n_all - n_{c}, ndv_{c}, min_{c}, max_{c}, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    arms.append(
+        "'event_type', n_event_type, n_all - n_event_type, ndv_event_type, "
+        "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mins_event_type, maxs_event_type"
+    )
+    return wide.selectExpr(
+        f"stack(4, {', '.join(arms)}) AS "
+        "(col_name, n, n_nulls, ndv, min_num, max_num, min_str, max_str)"
+    )
