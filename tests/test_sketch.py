@@ -220,3 +220,45 @@ def test_cms_store_sliding_window_readoff(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_bloom_words_match_driver_bitmap_and_or_merge(spark, tmp_path):
+    """The distributed (word_idx, word) Bloom equals the driver-built
+    bitmap bit-for-bit; generations OR-fold to the union's bitmap
+    (streaming landing pinned, replay a no-op); and probing through the
+    reconstructed literal keeps bloom_decontaminate ≡ the streamed
+    store's blocklist."""
+    from trimet_bytes__data_engineering_project_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_words,
+        to_bitmap_literal,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        bloom_from_store,
+        run_streaming_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    want = bloom_bitmap(docs, m_bits=1 << 12)
+    got = to_bitmap_literal(bloom_words(docs, m_bits=1 << 12), m_bits=1 << 12)
+    assert got == want and any(got)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    land_file(docs.filter("doc_id % 2 = 0"), "a")
+    run_streaming_bloom(spark, landing, store, ck, m_bits=1 << 12)
+    land_file(docs.filter("doc_id % 2 = 1"), "b")
+    run_streaming_bloom(spark, landing, store, ck, m_bits=1 << 12)
+
+    folded = to_bitmap_literal(bloom_from_store(spark, store), m_bits=1 << 12)
+    assert folded == want
+
+    run_streaming_bloom(spark, landing, store, ck, m_bits=1 << 12)  # replay
+    assert to_bitmap_literal(bloom_from_store(spark, store), m_bits=1 << 12) == want

@@ -925,3 +925,51 @@ def chunk_dedup_stats(
         F.count("*").cast("long").alias("n_hashes"),
         (F.col("mult") * F.count("*")).cast("long").alias("n_chunks"),
     )
+
+
+def bloom_words(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`bloom_bitmap`'s distributed twin: the bitmap as a
+    ``(word_idx, word)`` TABLE (≤ m_bits/64 rows, only set words
+    present) built entirely executor-side — ``bit_or`` of per-position
+    one-hot longs under one tiny groupBy, no driver fold.  This is the
+    OR-MERGEABLE form: bitmaps over any split of the benchmark
+    bit_or-fold to the union's bitmap (set bits only accumulate), so a
+    blocklist that GROWS by landings maintains incrementally —
+    ``streaming/stats.py:run_streaming_bloom``.  ``to_bitmap_literal``
+    reconstructs the probe-side array; equality with the driver-built
+    :func:`bloom_bitmap` is pinned by test."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    h = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    pos = h.select(
+        F.explode(F.array(*_bloom_positions(F.col("h"), m_bits, k))).alias("p")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("p") / 64).cast("long").alias("word_idx"),
+            # SQL shiftleft: the Python API only takes literal shifts
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(w)").alias("word"))
+    )
+
+
+def to_bitmap_literal(words: DataFrame, m_bits: int = 1 << 16) -> list[int]:
+    """Collect a ``(word_idx, word)`` table (≤ m_bits/64 rows — the
+    bounded-collect class) into the dense int64 list
+    :func:`bloom_decontaminate` probes."""
+    dense = [0] * (m_bits // 64)
+    for r in words.collect():
+        dense[int(r["word_idx"])] = int(r["word"])
+    return dense

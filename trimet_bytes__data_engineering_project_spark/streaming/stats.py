@@ -259,3 +259,51 @@ def hll_from_store(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("reg")
         .agg(F.max("rho_max").alias("rho_max"))
     )
+
+
+def run_streaming_bloom(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> None:
+    """Streaming maintenance for a GROWING Bloom blocklist (an eval
+    suite or contamination list that accretes by landings) — the
+    bitwise-OR member of the mergeable-store family (sum: cms/
+    histogram/drift; max: hll; or: this): each micro-batch lands its
+    own (word_idx, word) table under ``bloom/batch_id=N``.  Set bits
+    only accumulate and OR is idempotent, so — like the HLL landing —
+    at-least-once replay alone is already exact."""
+    from ..operators.dedup import bloom_words
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            bloom_words(batch_df, text_col, n, m_bits, k)
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/bloom/batch_id={batch_id}")
+        )
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def bloom_from_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """OR-fold the stored per-generation words into the union
+    blocklist's words — bit-equal to ``bloom_words`` over the union of
+    the landed rows (pinned by test)."""
+    return (
+        spark.read.parquet(f"{store_path}/bloom")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
