@@ -2061,6 +2061,13 @@ def _x188_full_recompute(spark, d):
     return connected_components(_cc_chain_edges(spark, d), small_graph_threshold=0)
 
 
+def _x191_burst(spark, d):
+    # per-key burst scan over the full scaled events table: one
+    # (key, day) count shuffle + one key-partitioned window over the
+    # count table — expect the x183 scan-bound band.
+    return QUERIES["x191_burst_detection"](spark, d)
+
+
 def _x190_column_stats(spark, d):
     # ANALYZE pass over the full scaled events table: one scan, the
     # multi-distinct Expand, exact NDVs (event_id NDV = row count, the
@@ -2780,6 +2787,7 @@ HEAVY += [
     ("x187_hll_registers_full", _x187_hll_registers),
     ("x189_rollup_datasheet_full", _x189_rollup),
     ("x190_column_stats_full", _x190_column_stats),
+    ("x191_burst_detection_full", _x191_burst),
     ("x188_incremental_cc_store", _x188_incremental_cc),
     ("x188_cc_full_recompute", _x188_full_recompute),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),

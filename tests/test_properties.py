@@ -1068,3 +1068,58 @@ def test_lang_snapshot_matches_python_model(spark, base_rows, batch_rows):
         ).collect()
     }
     assert got == want
+
+
+def test_burst_flag_matches_pure_python_zscore(spark):
+    """x191's integer cross-multiplied 2σ test against a pure-Python
+    float z-score model on planted series: a flat series never bursts
+    (variance 0 ⇒ dev 0), a single planted spike bursts, and for a
+    mixed random-ish table every (peak, flag) agrees with the float
+    model (the integer form is the SAME inequality scaled by n² —
+    no epsilon, no sqrt)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: flat 5/day for 10 days; user 2: 5/day with one 50-spike;
+    # user 3: deterministic pseudo-random 1..9
+    for day in range(10):
+        rows += [(1, base + datetime.timedelta(days=day, hours=h)) for h in range(5)]
+        n2 = 50 if day == 7 else 5
+        rows += [(2, base + datetime.timedelta(days=day, hours=h % 24, minutes=h // 24)) for h in range(n2)]
+        n3 = (day * 7 + 3) % 9 + 1
+        rows += [(3, base + datetime.timedelta(days=day, hours=h)) for h in range(n3)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        # x191 loads {dir}/events.parquet via load_table; give it one
+        df.withColumn("event_id", F.monotonically_increasing_id()) \
+          .withColumn("event_type", F.lit("e")).withColumn("value", F.lit(1.0)) \
+          .withColumn("props", F.lit("{}")) \
+          .write.parquet(f"{td}/events.parquet")
+        got = {r.user_id: r for r in QUERIES["x191_burst_detection"](spark, td).collect()}
+
+    # pure-python model
+    def model(counts):
+        n = len(counts)
+        mu = sum(counts) / n
+        var = sum((c - mu) ** 2 for c in counts) / n
+        peak = max(range(n), key=lambda i: (counts[i], -i))
+        dev = counts[peak] - mu
+        return peak, dev > 0 and dev * dev > 4 * var
+
+    series = {
+        1: [5] * 10,
+        2: [50 if d == 7 else 5 for d in range(10)],
+        3: [(d * 7 + 3) % 9 + 1 for d in range(10)],
+    }
+    for uid, counts in series.items():
+        peak_day, burst = model(counts)
+        assert got[uid].day == (base + datetime.timedelta(days=peak_day)).date()
+        assert bool(got[uid].burst) == burst, uid
+    assert not got[1].burst and got[2].burst

@@ -10223,3 +10223,73 @@ def x190_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack(4, {', '.join(arms)}) AS "
         "(col_name, n, n_nulls, ndv, min_num, max_num, min_str, max_str)"
     )
+
+
+@query(
+    "x191_burst_detection",
+    oracle="""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, day, c,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
+                 CAST(SUM(c) OVER w AS BIGINT) AS s_c,
+                 CAST(SUM(c * c) OVER w AS BIGINT) AS q_c
+          FROM d WINDOW w AS (PARTITION BY user_id)),
+    z AS (SELECT user_id, day, c, n_days,
+                 n_days * c - s_c AS dev_n,
+                 CASE WHEN n_days * c - s_c > 0
+                       AND CAST(n_days * c - s_c AS DECIMAL(38,0))
+                           * CAST(n_days * c - s_c AS DECIMAL(38,0))
+                           > 4 * (CAST(n_days AS DECIMAL(38,0)) * q_c - CAST(s_c AS DECIMAL(38,0)) * s_c)
+                      THEN true ELSE false END AS burst
+          FROM s)
+    SELECT user_id, day, c, n_days, dev_n, burst
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY dev_n DESC, day ASC) AS rn
+          FROM z)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def x191_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key burst detection — the operational question AFTER the
+    heavy-hitter audits (x183 exact, x185 continuous): not "which keys
+    are big" but "which key just SPIKED against its own history".  For
+    every user, the peak day (max deviation, day tiebreak) with an
+    exact 2σ flag computed entirely in cross-multiplied INTEGER
+    arithmetic — ``(n·c − S) > 0 ∧ (n·c − S)² > 4(nQ − S²)`` is the
+    z-score test with both sides scaled by n², no sqrt, no float, no
+    libm (squares in DECIMAL(38,0): |n·c − S| < 10¹⁰ at any plausible
+    per-key daily scale, so the square fits with 18 digits to spare).
+    Scale shape: one (key, day) count shuffle (map-side combined), one
+    key-partitioned window over the ≤|keys|·|days| count table — the
+    corpus is touched once."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("user_id")
+    s = d.select(
+        "user_id", "day", "c",
+        F.count("*").over(w).cast("long").alias("n_days"),
+        F.sum("c").over(w).cast("long").alias("s_c"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("q_c"),
+    )
+    dev = (F.col("n_days") * F.col("c") - F.col("s_c")).alias("dev_n")
+    dev_d = (F.col("n_days") * F.col("c") - F.col("s_c")).cast("decimal(38,0)")
+    var_d = (
+        F.col("n_days").cast("decimal(38,0)") * F.col("q_c")
+        - F.col("s_c").cast("decimal(38,0)") * F.col("s_c")
+    )
+    z = s.select(
+        "user_id", "day", "c", "n_days", dev,
+        ((F.col("n_days") * F.col("c") - F.col("s_c") > 0) & (dev_d * dev_d > 4 * var_d)).alias("burst"),
+    )
+    peak = Window.partitionBy("user_id").orderBy(F.desc("dev_n"), F.asc("day"))
+    return (
+        z.withColumn("rn", F.row_number().over(peak))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
