@@ -2061,6 +2061,13 @@ def _x188_full_recompute(spark, d):
     return connected_components(_cc_chain_edges(spark, d), small_graph_threshold=0)
 
 
+def _x192_funnel(spark, d):
+    # strict-order funnel over the full scaled events table: one
+    # map-side-combined groupBy(user) with three conditional MINs —
+    # expect the scan-bound flat band.
+    return QUERIES["x192_event_funnel"](spark, d)
+
+
 def _x191_burst(spark, d):
     # per-key burst scan over the full scaled events table: one
     # (key, day) count shuffle + one key-partitioned window over the
@@ -2788,6 +2795,7 @@ HEAVY += [
     ("x189_rollup_datasheet_full", _x189_rollup),
     ("x190_column_stats_full", _x190_column_stats),
     ("x191_burst_detection_full", _x191_burst),
+    ("x192_event_funnel_full", _x192_funnel),
     ("x188_incremental_cc_store", _x188_incremental_cc),
     ("x188_cc_full_recompute", _x188_full_recompute),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),

@@ -10293,3 +10293,59 @@ def x191_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+@query(
+    "x192_event_funnel",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+                      min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+                      min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+               FROM events GROUP BY user_id),
+    s AS (SELECT user_id,
+                 CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END
+               + CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
+                      THEN 1 ELSE 0 END AS stages
+          FROM f)
+    SELECT stages, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s GROUP BY stages ORDER BY stages
+    """,
+)
+def x192_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): how many users
+    completed each prefix of the journey, where a stage counts only if
+    its FIRST occurrence follows the previous stage's first occurrence
+    (the standard strict-order funnel; NULL comparisons fail closed in
+    both engines, so a user with clicks but no views is stage 0).
+    Scale shape: ONE map-side-combined groupBy(user) with three
+    conditional MINs — the corpus never shuffles, only (user, 3×µs)
+    rows; the stage fold and the final ≤4-row histogram are trivial.
+    Timestamps compare as exact epoch-µs bigints (the epoch_us
+    convention — no timezone/precision trap)."""
+    events = load_table(spark, sf_dir, "events")
+    t = lambda et: F.min(  # noqa: E731
+        F.when(F.col("event_type") == et, epoch_us(F.col("ts")))
+    )
+    f = events.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_buy"),
+    )
+    stage1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    stage2 = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+    ).otherwise(0)
+    stage3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_buy") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    return (
+        f.select((stage1 + stage2 + stage3).alias("stages"))
+        .groupBy("stages")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("stages")
+    )
