@@ -2061,6 +2061,50 @@ def _x188_full_recompute(spark, d):
     return connected_components(_cc_chain_edges(spark, d), small_graph_threshold=0)
 
 
+def ensure_scale_tpch(spark, scale_dir: str, copies: int) -> None:
+    """Upgrade a scale dir with the TPC-H join tables (marker-guarded
+    like ensure_scale_events): ORDERS scales with the fact side
+    (o_orderkey shifted per copy to match the lineitem copies,
+    o_custkey UNSHIFTED — more orders from the same customers, the way
+    a fact grows against fixed dims), and customer/supplier/nation/
+    region land verbatim (dims do not grow with the corpus), so the
+    registered x193/x194 plans run against the scale dir unmodified."""
+    if os.path.abspath(scale_dir) == os.path.abspath(SF01):
+        return  # x1 IS the (read-only) testdata dir — all tables present
+    marker = os.path.join(scale_dir, "_TPCH_BUILT")
+    if os.path.exists(marker):
+        return
+    n_out = 32 if copies <= 10 else 128
+    o = spark.read.parquet(f"{SF01}/orders.parquet")
+    o_copies = [o] + [
+        o.withColumn("o_orderkey", F.col("o_orderkey") + c * _ID_STRIDE)
+        for c in range(1, copies)
+    ]
+    _union_all(o_copies).repartition(n_out).write.mode("overwrite").parquet(
+        f"{scale_dir}/orders.parquet"
+    )
+    for t in ("customer", "supplier", "nation", "region"):
+        spark.read.parquet(f"{SF01}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{scale_dir}/{t}.parquet"
+        )
+    with open(marker, "w"):
+        pass
+
+
+def _x193_supplier_volume(spark, d):
+    # the six-table star-chain at scale: lineitem and orders x100, dims
+    # fixed; one fact-fact shuffle, dims broadcast.
+    ensure_scale_tpch(spark, d, 100 if "x100" in d else (10 if "x10" in d else 1))
+    return QUERIES["x193_local_supplier_volume"](spark, d)
+
+
+def _x194_shipping_priority(spark, d):
+    # Q3 shape at scale: both date predicates push to the scans, the
+    # one shuffle is lineitem JOIN orders, top-10 TakeOrderedAndProject.
+    ensure_scale_tpch(spark, d, 100 if "x100" in d else (10 if "x10" in d else 1))
+    return QUERIES["x194_shipping_priority"](spark, d)
+
+
 def _x192_funnel(spark, d):
     # strict-order funnel over the full scaled events table: one
     # map-side-combined groupBy(user) with three conditional MINs —
@@ -2796,6 +2840,8 @@ HEAVY += [
     ("x190_column_stats_full", _x190_column_stats),
     ("x191_burst_detection_full", _x191_burst),
     ("x192_event_funnel_full", _x192_funnel),
+    ("x193_supplier_volume_full", _x193_supplier_volume),
+    ("x194_shipping_priority_full", _x194_shipping_priority),
     ("x188_incremental_cc_store", _x188_incremental_cc),
     ("x188_cc_full_recompute", _x188_full_recompute),
     ("x126_bpe_incr_zipf", _x126_bpe_incr_zipf),

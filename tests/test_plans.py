@@ -491,6 +491,19 @@ def test_rollup_datasheet_is_one_scan_one_exchange(spark):
     assert p.count("Exchange") <= 2  # one agg exchange (+AQE read)
 
 
+def test_tpch_join_shapes(spark):
+    """x193/x194: the date predicates reach the parquet scans
+    (PushedFilters), the dim chain broadcasts (x193 ≥3 BHJs — at fleet
+    scale AQE keeps dims broadcast and demotes only the fact side),
+    and x194's top-10 is TakeOrderedAndProject, never a global sort."""
+    p5 = plan_of(spark, "x193_local_supplier_volume")
+    assert "GreaterThanOrEqual(o_orderdate" in p5 and "LessThan(o_orderdate" in p5
+    assert p5.count("BroadcastHashJoin") >= 3
+    p3 = plan_of(spark, "x194_shipping_priority")
+    assert "GreaterThan(l_shipdate" in p3 and "LessThan(o_orderdate" in p3
+    assert "TakeOrderedAndProject" in p3 and "Sort " not in p3.split("TakeOrderedAndProject")[0]
+
+
 def test_column_stats_is_one_scan(spark):
     """x190: four exact NDVs + per-column min/max/null stats from ONE
     events scan (multi-distinct Expand), unpivoted with stack — not a

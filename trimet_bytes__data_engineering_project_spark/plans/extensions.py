@@ -10314,16 +10314,20 @@ def x191_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x192_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (view → click → purchase): how many users
-    completed each prefix of the journey, where a stage counts only if
-    its FIRST occurrence follows the previous stage's first occurrence
-    (the standard strict-order funnel; NULL comparisons fail closed in
-    both engines, so a user with clicks but no views is stage 0).
-    Scale shape: ONE map-side-combined groupBy(user) with three
-    conditional MINs — the corpus never shuffles, only (user, 3×µs)
-    rows; the stage fold and the final ≤4-row histogram are trivial.
-    Timestamps compare as exact epoch-µs bigints (the epoch_us
-    convention — no timezone/precision trap)."""
+    """FIRST-TOUCH funnel (view → click → purchase): a stage counts
+    only if the user's GLOBAL first occurrence of it strictly follows
+    the previous stage's global first occurrence — the attribution
+    convention, and deliberately NOT x70's semantics (x70 is the
+    PROGRESSIVE funnel: each stage re-anchors, so a later re-click
+    still qualifies; the two disagree on users whose first click
+    precedes their first view).  The semantic difference buys a plan
+    difference: x70 must join stage tables (each stage filters on the
+    previous stage's time), while first-touch needs ONE map-side-
+    combined groupBy(user) with three conditional MINs — the corpus
+    never shuffles, only (user, 3×µs) rows; the stage fold and the
+    ≤4-row histogram are trivial.  NULL comparisons fail closed in
+    both engines (clicks-but-no-views ⇒ stage 0); timestamps compare
+    as exact epoch-µs bigints."""
     events = load_table(spark, sf_dir, "events")
     t = lambda et: F.min(  # noqa: E731
         F.when(F.col("event_type") == et, epoch_us(F.col("ts")))
@@ -10348,4 +10352,110 @@ def x192_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stages")
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("stages")
+    )
+
+
+@query(
+    "x193_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def x193_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the canonical six-table star-chain join
+    (region→nation→supplier⋈lineitem⋈orders⋈customer with the
+    same-nation correlation c_nationkey = s_nationkey): revenue by
+    nation for one region and a two-year order window.  The OLAP
+    completeness probe for join planning: region/nation/supplier/
+    customer are dims (auto-broadcast under AQE), lineitem⋈orders is
+    the one fact-fact shuffle, and the date predicate pushes to the
+    orders scan before the join (both plan properties in the
+    `tests/test_plans.py` gate family).  Revenue follows the repo's
+    decimal-sum convention — order-independent exact aggregation,
+    one cast to double at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey))
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "x194_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-06-01' AND l_shipdate > DATE '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def x194_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the unshipped-revenue top-k: orders from one
+    market segment placed before a date whose lineitems ship after it,
+    ranked by discounted revenue, top 10 (l_orderkey added to the tie
+    order so the LIMIT edge is deterministic in both engines).  Plan
+    shape: both date predicates push to their scans, the segment
+    filter shrinks customer before its broadcast, the one shuffle is
+    lineitem⋈orders, and the top-10 is TakeOrderedAndProject — never a
+    global sort of the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
     )
