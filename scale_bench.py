@@ -2105,6 +2105,25 @@ def _x194_shipping_priority(spark, d):
     return QUERIES["x194_shipping_priority"](spark, d)
 
 
+def _x195_transitions(spark, d):
+    # Markov bigrams over the full scaled events table: one user-keyed
+    # sequence window + a <=|types|^2 count — the window shuffle band.
+    return QUERIES["x195_event_transitions"](spark, d)
+
+
+def _x196_trend(spark, d):
+    # per-key OLS over daily counts: one (key, day) count shuffle +
+    # one key agg of five integer sums — the x183/x191 band.
+    return QUERIES["x196_trend_slope"](spark, d)
+
+
+def _x197_ref_audit(spark, d):
+    # four anti-joins over the scaled facts (dims fixed): lineitem ->
+    # orders is the one fact-fact check, rest broadcast.
+    ensure_scale_tpch(spark, d, 100 if "x100" in d else (10 if "x10" in d else 1))
+    return QUERIES["x197_referential_audit"](spark, d)
+
+
 def _x192_funnel(spark, d):
     # strict-order funnel over the full scaled events table: one
     # map-side-combined groupBy(user) with three conditional MINs —
@@ -2841,6 +2860,9 @@ HEAVY += [
     ("x191_burst_detection_full", _x191_burst),
     ("x192_event_funnel_full", _x192_funnel),
     ("x193_supplier_volume_full", _x193_supplier_volume),
+    ("x195_transitions_full", _x195_transitions),
+    ("x196_trend_slope_full", _x196_trend),
+    ("x197_ref_audit_full", _x197_ref_audit),
     ("x194_shipping_priority_full", _x194_shipping_priority),
     ("x188_incremental_cc_store", _x188_incremental_cc),
     ("x188_cc_full_recompute", _x188_full_recompute),

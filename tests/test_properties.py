@@ -1123,3 +1123,52 @@ def test_burst_flag_matches_pure_python_zscore(spark):
         assert got[uid].day == (base + datetime.timedelta(days=peak_day)).date()
         assert bool(got[uid].burst) == burst, uid
     assert not got[1].burst and got[2].burst
+
+
+def test_trend_slope_matches_pure_python_least_squares(spark):
+    """x196's integer OLS against Python float least squares on
+    planted series: increasing → positive slope, flat → 0, decreasing
+    → negative; the ppm read-off is floor(float_slope · 10⁶) within 1
+    ulp of the integer division (same numerator/denominator)."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    series = {
+        1: [2 + d for d in range(10)],          # +1/day
+        2: [5] * 10,                            # flat
+        3: [20 - 2 * d for d in range(10)],     # -2/day
+        4: [((d * 5 + 1) % 7) + 1 for d in range(10)],  # wobble
+    }
+    rows = []
+    for uid, counts in series.items():
+        for d, c in enumerate(counts):
+            rows += [(uid, base + datetime.timedelta(days=d, hours=h % 24, minutes=h // 24)) for h in range(c)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    with tempfile.TemporaryDirectory() as td:
+        df.withColumn("event_id", F.monotonically_increasing_id()) \
+          .withColumn("event_type", F.lit("e")).withColumn("value", F.lit(1.0)) \
+          .withColumn("props", F.lit("{}")) \
+          .write.parquet(f"{td}/events.parquet")
+        got = {r.user_id: r for r in QUERIES["x196_trend_slope"](spark, td).collect()}
+
+    import math
+    for uid, counts in series.items():
+        n = len(counts)
+        xs = list(range(n))
+        sx, sy = sum(xs), sum(counts)
+        sxy = sum(x * y for x, y in zip(xs, counts))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        r = got[uid]
+        assert (r.slope_num, r.slope_den) == (num, den), uid
+        assert r.slope_ppm == (num * 1000000) // den if den else r.slope_ppm == 0
+        # float model sign agreement
+        assert (r.slope_ppm > 0) == (num / den > 5e-7) or abs(num / den) < 1e-6
+    assert got[1].slope_ppm == 1000000 and got[2].slope_ppm == 0
+    assert got[3].slope_ppm == -2000000

@@ -10459,3 +10459,157 @@ def x194_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "x195_event_transitions",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_us(ts), event_id) AS prev
+               FROM events)
+    SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((COUNT(*) * 1000000)
+                // SUM(COUNT(*)) OVER (PARTITION BY prev) AS BIGINT) AS p_ppm
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    ORDER BY prev, next
+    """,
+)
+def x195_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the journey model behind funnel design (which edges
+    actually carry mass) and session anomaly detection (a generation
+    whose matrix shifts).  Per user, events order by (epoch-µs,
+    event_id) — the id tiebreak makes same-microsecond pairs
+    deterministic in both engines — and each (prev → next) bigram
+    counts once; probabilities are integer ppm (count·10⁶ DIV row
+    total, DECIMAL(38,0) cross-multiply — no float accumulation).
+    Scale shape: one user-keyed window (the sequence shuffle), one
+    (prev, next) map-side-combined count over ≤|types|² groups, and a
+    tiny window over the count table for row totals — the corpus
+    crosses the wire once."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_us(F.col("ts")), F.col("event_id"))
+    s = events.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    counts = s.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = Window.partitionBy("prev")
+    return (
+        counts.withColumn("t", F.sum("n").over(tot))
+        .selectExpr(
+            "prev", "next", "n",
+            "CAST((n * 1000000) DIV t AS BIGINT) AS p_ppm",
+        )
+        .orderBy("prev", "next")
+    )
+
+
+@query(
+    "x196_trend_slope",
+    oracle="""
+    WITH d AS (SELECT user_id,
+                      CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM d GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                ELSE CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS BIGINT)
+           END AS slope_ppm
+    FROM s ORDER BY user_id
+    """,
+)
+def x196_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares TREND over the daily count series — the
+    level-shift companion to x191's spike test (a key can burst once
+    yet trend flat, or never burst yet drift upward): ordinary least
+    squares slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) carried as an exact
+    integer numerator/denominator pair plus a ppm fixed-point read-off
+    (BIGINT floor division; x = days since a fixed epoch keeps Σx²
+    small).  Degenerate one-day histories report slope 0 (den = 0).
+    Scale shape: one (key, day) map-side-combined count shuffle, one
+    key-level agg of five integer sums — the corpus crosses the wire
+    once, and the regression is algebra over the ≤|keys|-row sum
+    table, never a per-key iterative fit."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long").alias("x"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    s = d.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.selectExpr(
+        "user_id", "n",
+        "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num",
+        "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den",
+        "CASE WHEN n * sxx - sx * sx = 0 THEN 0L "
+        "ELSE CAST(((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx) AS BIGINT) "
+        "END AS slope_ppm",
+    ).orderBy("user_id")
+
+
+@query(
+    "x197_referential_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    ORDER BY fk
+    """,
+)
+def x197_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphaned foreign keys per
+    relationship, the data-quality gate a warehouse runs after every
+    load (an orphan count that moves means a partial ingest or an
+    id-space collision upstream).  Each relationship is ONE LEFT ANTI
+    join; the three dim-side checks broadcast (supplier/customer/
+    nation never outgrow memory), and the one fact-fact check
+    (lineitem→orders) anti-joins on the already-shuffled key.  Counts
+    union into a 4-row report — the corpus is never collected."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(fact, dim, fk, pk, name, bcast):
+        d = dim.select(pk).distinct()
+        d = F.broadcast(d) if bcast else d
+        return (
+            fact.join(d, fact[fk] == d[pk], "left_anti")
+            .agg(F.count("*").cast("long").alias("orphans"))
+            .select(F.lit(name).alias("fk"), "orphans")
+        )
+    parts = [
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders", False),
+        orphans(o, c, "o_custkey", "c_custkey", "orders->customer", True),
+        orphans(li, s, "l_suppkey", "s_suppkey", "lineitem->supplier", True),
+        orphans(c, n, "c_nationkey", "n_nationkey", "customer->nation", True),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk")
