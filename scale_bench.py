@@ -2105,6 +2105,12 @@ def _x194_shipping_priority(spark, d):
     return QUERIES["x194_shipping_priority"](spark, d)
 
 
+def _x198_k_anonymity(spark, d):
+    # quasi-identifier class audit over the full scaled documents
+    # table: one class-keyed count shuffle + a 4-field fold — flat band.
+    return QUERIES["x198_k_anonymity"](spark, d)
+
+
 def _x195_transitions(spark, d):
     # Markov bigrams over the full scaled events table: one user-keyed
     # sequence window + a <=|types|^2 count — the window shuffle band.
@@ -2861,6 +2867,7 @@ HEAVY += [
     ("x192_event_funnel_full", _x192_funnel),
     ("x193_supplier_volume_full", _x193_supplier_volume),
     ("x195_transitions_full", _x195_transitions),
+    ("x198_k_anonymity_full", _x198_k_anonymity),
     ("x196_trend_slope_full", _x196_trend),
     ("x197_ref_audit_full", _x197_ref_audit),
     ("x194_shipping_priority_full", _x194_shipping_priority),

@@ -10613,3 +10613,47 @@ def x197_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("fk")
+
+
+@query(
+    "x198_k_anonymity",
+    oracle="""
+    WITH q AS (SELECT lang, source,
+                      CAST(length(bin(n_chars // 256 + 1)) - 1 AS BIGINT) AS size_octave,
+                      CAST(COUNT(*) AS BIGINT) AS class_size
+               FROM documents GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt5,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS rows_lt5
+    FROM q
+    """,
+)
+def x198_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus's quasi-identifiers — the
+    re-identification measure that complements the PII tier's direct-
+    identifier scan (x158-family): rows sharing a (lang, source,
+    size-octave) signature form an equivalence class, k = the smallest
+    class, and every row in a class below the policy threshold (5) is
+    individually distinguishable enough to flag.  The size octave uses
+    the repo's bin()-length log2 (n_chars DIV 256 granularity) so the
+    quasi-identifier is engine-portable integer arithmetic.  Scale
+    shape: one map-side-combined groupBy over the quasi-identifier
+    tuple (the shuffle carries one row per class per task), then a
+    4-field fold over the ≤|classes|-row table — the audit cost does
+    not grow with row width, and the corpus crosses the wire once."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy(
+        "lang", "source",
+        F.expr("CAST(length(bin(n_chars DIV 256 + 1)) - 1 AS BIGINT)").alias(
+            "size_octave"
+        ),
+    ).agg(F.count("*").cast("long").alias("class_size"))
+    return q.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("long").alias("classes_lt5"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .cast("long").alias("rows_lt5"),
+    )
