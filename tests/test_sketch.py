@@ -262,3 +262,48 @@ def test_bloom_words_match_driver_bitmap_and_or_merge(spark, tmp_path):
 
     run_streaming_bloom(spark, landing, store, ck, m_bits=1 << 12)  # replay
     assert to_bitmap_literal(bloom_from_store(spark, store), m_bits=1 << 12) == want
+
+
+def test_streaming_funnel_equals_batch_x192(spark, tmp_path):
+    """Streamed funnel store (min-merge per user, stage test after the
+    fold) is bit-equal to the batch x192 histogram over the union —
+    including the cross-batch case where a user's first view lands in
+    a LATER batch than their first click; replay is a no-op."""
+    from trimet_bytes__data_engineering_project_spark.plans.registry import QUERIES
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        funnel_from_store,
+        run_streaming_funnel,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    # split by event TYPE so stage-times for one user span batches —
+    # the ordering-across-batches case a per-batch stage fold would get
+    # wrong (clicks+purchases land before any views)
+    gen_a = events.filter("event_type <> 'view'")
+    gen_b = events.filter("event_type = 'view'")
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    land_file(gen_a, "a")
+    run_streaming_funnel(spark, landing, store, ck)
+    land_file(gen_b, "b")
+    run_streaming_funnel(spark, landing, store, ck)
+
+    got = sorted(map(tuple, funnel_from_store(spark, store).collect()))
+    want = sorted(
+        map(
+            tuple,
+            QUERIES["x192_event_funnel"](spark, "/root/testdata/sf0.001").collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    run_streaming_funnel(spark, landing, store, ck)  # replay
+    assert sorted(map(tuple, funnel_from_store(spark, store).collect())) == got

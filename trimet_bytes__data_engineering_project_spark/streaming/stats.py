@@ -307,3 +307,75 @@ def bloom_from_store(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.expr("bit_or(word)").alias("word"))
     )
+
+
+def run_streaming_funnel(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    stages: "tuple[str, ...]" = ("view", "click", "purchase"),
+) -> None:
+    """Streaming maintenance for the first-touch funnel (x192's
+    streamed twin): per-stage FIRST-occurrence times are MIN-mergeable
+    per user, so each micro-batch lands its own (user_id, t_stage...)
+    min table under ``funnel/batch_id=N`` and the stage comparison
+    applies AFTER the store's min-fold — ordering decisions are never
+    made on partial data, which is exactly why the fold is exact (a
+    user's first view may land three batches after their first click;
+    the folded mins still order correctly).  Min is idempotent —
+    at-least-once replay alone is exact, like the HLL/Bloom landings."""
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("event_type") == s,
+                    F.unix_micros(F.col("ts").cast("timestamp")),
+                )
+            ).alias(f"t_{s}")
+            for s in stages
+        ]
+        (
+            batch_df.groupBy("user_id").agg(*aggs)
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/funnel/batch_id={batch_id}")
+        )
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def funnel_from_store(
+    spark: SparkSession,
+    store_path: str,
+    stages: "tuple[str, ...]" = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Stage histogram from the min-folded store — bit-equal to x192
+    over the union of the landed rows (pinned by test): fold per-user
+    mins across generations, THEN apply the strict-order stage test."""
+    folded = (
+        spark.read.parquet(f"{store_path}/funnel")
+        .groupBy("user_id")
+        .agg(*[F.min(f"t_{s}").alias(f"t_{s}") for s in stages])
+    )
+    cond = F.when(F.col(f"t_{stages[0]}").isNotNull(), 1).otherwise(0)
+    total = cond
+    prev = stages[0]
+    acc = F.col(f"t_{stages[0]}").isNotNull()
+    for s in stages[1:]:
+        acc = acc & (F.col(f"t_{s}") > F.col(f"t_{prev}"))
+        total = total + F.when(acc, 1).otherwise(0)
+        prev = s
+    return (
+        folded.select(total.alias("stages"))
+        .groupBy("stages")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("stages")
+    )
