@@ -22,6 +22,16 @@ second shuffle over ≤ depth·width groups (thousands of rows, trivial).
 The hash family is the repo's portable md5-slice (`conv(substring(
 md5(key || ':' || row), 1, 8), 16, 10) % width`) so a DuckDB oracle
 reproduces every cell bit-for-bit — no xxhash/libm divergence.
+
+Relationship to ``textstats.top_terms(approx=True)`` (x79): that is the
+vocabulary-head INSTANCE of the same sketch idea, built inline over
+terms with digest-slice buckets (one md5, ``depth`` hex windows) and a
+sampling-based candidate prober, shipped in round 5.  This module is
+the sketch as a reusable KEYED operator — salted-row hash family,
+count-table input sharing, an estimate API, and the additive
+per-generation store (``streaming/stats.py:run_streaming_cms``) with
+the sliding-window read-off — the continuous-monitoring lifecycle x79
+never needed.
 """
 
 from __future__ import annotations
