@@ -2105,6 +2105,24 @@ def _x194_shipping_priority(spark, d):
     return QUERIES["x194_shipping_priority"](spark, d)
 
 
+def _x199_point_in_polygon(spark, d):
+    # integer ray casting over the full scaled lineitem table: a
+    # shuffle-free codegen scan + a <=3-group fold — flat band.
+    return QUERIES["x199_point_in_polygon"](spark, d)
+
+
+def _x200_grid_density(spark, d):
+    # 3x3 stencil density: 9x map-side fan-out absorbed by the partial
+    # agg; shuffle = one row per live cell per task — flat band.
+    return QUERIES["x200_grid_density"](spark, d)
+
+
+def _x201_nearest_station(spark, d):
+    # constant-folded nearest-facility assignment: shuffle-free argmin
+    # projection + an 8-group fold — flat band.
+    return QUERIES["x201_nearest_station"](spark, d)
+
+
 def _x198_k_anonymity(spark, d):
     # quasi-identifier class audit over the full scaled documents
     # table: one class-keyed count shuffle + a 4-field fold — flat band.
@@ -2868,6 +2886,9 @@ HEAVY += [
     ("x193_supplier_volume_full", _x193_supplier_volume),
     ("x195_transitions_full", _x195_transitions),
     ("x198_k_anonymity_full", _x198_k_anonymity),
+    ("x199_point_in_polygon_full", _x199_point_in_polygon),
+    ("x200_grid_density_full", _x200_grid_density),
+    ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),
     ("x197_ref_audit_full", _x197_ref_audit),
     ("x194_shipping_priority_full", _x194_shipping_priority),

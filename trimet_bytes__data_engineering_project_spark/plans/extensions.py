@@ -10657,3 +10657,190 @@ def x198_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
         .cast("long").alias("rows_lt5"),
     )
+
+
+_SERVICE_POLY = [(5, 100_000), (25, 50_000), (45, 200_000), (40, 900_000), (20, 700_000)]
+
+
+def _ray_cast_sql(x: str, y: str, poly: "list[tuple[int, int]]") -> str:
+    """Odd-crossings point-in-polygon test as ONE integer SQL
+    expression — per edge, the straddle test plus the intercept
+    comparison cross-multiplied by D = yj − yi (sign-aware flip, so no
+    division and no floats anywhere).  The same generated string feeds
+    the Spark plan and the DuckDB oracle: parity by construction."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        xi, yi = poly[i]
+        xj, yj = poly[(i + 1) % n]
+        d = yj - yi
+        straddle = f"(({yi} > {y}) <> ({yj} > {y}))"
+        lhs = f"(({x} - {xi}) * {d})"
+        rhs = f"(({xj} - {xi}) * ({y} - {yi}))"
+        cmp_ = f"{lhs} < {rhs}" if d > 0 else f"{lhs} > {rhs}"
+        terms.append(f"CASE WHEN {straddle} AND ({cmp_}) THEN 1 ELSE 0 END")
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+_X199_X = "CAST(l_quantity AS BIGINT)"
+_X199_Y = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_X199_INSIDE = _ray_cast_sql(_X199_X, _X199_Y, _SERVICE_POLY)
+
+
+@query(
+    "x199_point_in_polygon",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN {_X199_INSIDE} THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def x199_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment — the geo predicate one step past
+    P8's bounding box (the reference is a transit system; real service
+    areas are polygons, not boxes): odd-crossings ray casting against a
+    fixed 5-vertex polygon in the (quantity, price-cents) stand-in
+    plane (q22's documented coordinate convention), every edge test
+    CROSS-MULTIPLIED into exact integer arithmetic — no division, no
+    floats, no GIS library, the whole predicate one codegen projection
+    (the haversine/z-order tier's no-UDF discipline).  The edge
+    expressions come from ONE Python generator (``_ray_cast_sql``)
+    feeding both the Spark plan and the DuckDB oracle — parity by
+    construction.  Scale shape: shuffle-free scan + a ≤3-group fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.selectExpr(
+            "l_returnflag",
+            f"CASE WHEN {_X199_INSIDE} THEN 1 ELSE 0 END AS ins",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("ins").cast("long").alias("n_inside"),
+            F.count("*").cast("long").alias("n_total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "x200_grid_density",
+    oracle="""
+    WITH p AS (SELECT CAST(l_quantity AS BIGINT) // 5 AS cx,
+                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS cy
+               FROM lineitem),
+    sm AS (SELECT p.cx + dx.d AS cx, p.cy + dy.d AS cy, CAST(COUNT(*) AS BIGINT) AS density
+           FROM p
+           CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+           CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+           GROUP BY 1, 2)
+    SELECT cx, cy, density FROM sm
+    ORDER BY density DESC, cx, cy LIMIT 10
+    """,
+)
+def x200_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3-smoothed grid density surface — the hotspot map over the
+    (quantity, price-cents) stand-in plane: each point CONTRIBUTES to
+    its nine surrounding cells (a distributed stencil: posexplode of
+    the nine offsets map-side, then one cell-keyed count — smoothing
+    costs a constant 9× fan-in absorbed by the partial agg, never a
+    neighbor self-join of the cell table), and the top-10 densest
+    cells come off the ≤|cells|-row table via TakeOrderedAndProject.
+    This is how a density surface scales: the corpus crosses the wire
+    as at most one row per live cell per task, and the smoothing radius
+    changes the fan-out constant, not the shuffle key space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) DIV 5 AS cx",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100000 AS cy",
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    return (
+        p.select("cx", "cy", F.explode(offsets).alias("o"))
+        .selectExpr("cx + o.dx AS cx", "cy + o.dy AS cy")
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("density"))
+        .orderBy(F.desc("density"), "cx", "cy")
+        .limit(10)
+    )
+
+
+_STATIONS = [(4, 80_000), (12, 150_000), (20, 300_000), (28, 450_000),
+             (34, 600_000), (40, 750_000), (46, 900_000), (10, 500_000)]
+
+
+def _nearest_station_sql() -> "tuple[list[str], list[str]]":
+    """(per-station distance projection, argmin CASE chain) — one
+    Python generator feeding both engines.  Squared integer distance in
+    the stand-in plane with the x axis UP-SCALED by K = (2·10⁵)²
+    instead of dividing the y axis (division is the one operator whose
+    cast semantics differ across engines — truncate vs round; pure
+    multiplication is bit-identical everywhere, and every term stays
+    well inside a BIGINT: K·dx² ≤ 10¹⁴, dy² ≤ 10¹⁴); strict < in the
+    fold keeps the lowest station id on ties."""
+    K = 40_000_000_000  # (2e5)^2 — puts a 50-unit x range on the y-cents scale
+    x = "CAST(l_quantity AS BIGINT)"
+    y = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    ds = []
+    for i, (sx, sy) in enumerate(_STATIONS):
+        ds.append(
+            f"({K} * ({x} - {sx}) * ({x} - {sx})"
+            f" + ({y} - {sy}) * ({y} - {sy})) AS d{i}"
+        )
+    # argmin as least() + a LINEAR first-match chain — a nested
+    # min-tracking CASE fold doubles per station (2^k expression
+    # copies; the first cut measured 12.9x at x100 from exactly that)
+    names = [f"d{i}" for i in range(len(_STATIONS))]
+    m = f"least({', '.join(names)})"
+    sid = " ".join(
+        [f"CASE WHEN d0 = {m} THEN 0"]
+        + [f"WHEN d{i} = {m} THEN {i}" for i in range(1, len(_STATIONS))]
+        + ["END"]
+    )
+    return ds, [f"CAST({sid} AS BIGINT) AS station_id", f"CAST({m} AS BIGINT) AS d2"]
+
+
+@query(
+    "x201_nearest_station",
+    oracle=f"""
+    WITH d AS (SELECT {", ".join(_nearest_station_sql()[0])} FROM lineitem),
+    a AS (SELECT {", ".join(_nearest_station_sql()[1])} FROM d)
+    SELECT station_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(d2) AS BIGINT) AS min_d2, CAST(MAX(d2) AS BIGINT) AS max_d2
+    FROM a GROUP BY station_id ORDER BY station_id
+    """,
+)
+def x201_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment — every point labeled with its
+    closest of 8 fixed stations (the stop-assignment shape a transit
+    pipeline runs on every breadcrumb): squared INTEGER distances in
+    the stand-in plane and an argmin CASE fold with a strict-< lowest-
+    id tie rule, all generated by one Python helper feeding both
+    engines (``_nearest_station_sql``).  With a literal station table
+    the whole assignment is a shuffle-free codegen projection — the
+    broadcast-join analogue where the dim side is small enough to
+    CONSTANT-FOLD into the plan, one step cheaper than broadcasting;
+    the per-station report is a ≤8-group fold.  At fleet scale the
+    station list grows into a broadcast table and the argmin becomes
+    the x58 kNN-join shape — this query pins the k≪n endpoint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dists, arg = _nearest_station_sql()
+    return (
+        li.selectExpr(*dists)
+        .selectExpr(*arg)
+        .groupBy("station_id")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.min("d2").cast("long").alias("min_d2"),
+            F.max("d2").cast("long").alias("max_d2"),
+        )
+        .orderBy("station_id")
+    )
