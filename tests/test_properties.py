@@ -1172,3 +1172,116 @@ def test_trend_slope_matches_pure_python_least_squares(spark):
         assert (r.slope_ppm > 0) == (num / den > 5e-7) or abs(num / den) < 1e-6
     assert got[1].slope_ppm == 1000000 and got[2].slope_ppm == 0
     assert got[3].slope_ppm == -2000000
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_cms_and_hll_merge_invariants_random_multisets(spark, keys, splits):
+    """Sketch algebra on RANDOM key multisets: (a) CMS counters over
+    any split sum cell-wise to the whole's counters and every estimate
+    ≥ its exact count; (b) HLL registers over the same split max-fold
+    to the whole's registers.  The streaming landings are exact iff
+    exactly these identities hold."""
+    from trimet_bytes__data_engineering_project_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)], ["i", "k"])
+    parts = [df.filter(F.col("i") % (splits + 1) == m) for m in range(splits + 1)]
+
+    whole = {(r.row, r.bucket): r.cell for r in cms_counters(df, "k", 3, 8).collect()}
+    summed: dict = {}
+    for p in parts:
+        for r in cms_counters(p, "k", 3, 8).collect():
+            summed[(r.row, r.bucket)] = summed.get((r.row, r.bucket), 0) + r.cell
+    assert summed == whole
+
+    import collections
+    exact = collections.Counter(keys)
+    counts = df.groupBy("k").agg(F.count("*").cast("long").alias("c"))
+    est = {
+        r.k: r.est
+        for r in cms_estimate(counts, cms_counters(df, "k", 3, 8), "k", 3, 8).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+
+    hwhole = {r.reg: r.rho_max for r in hll_registers(df, "k", p=4).collect()}
+    hmax: dict = {}
+    for p in parts:
+        for r in hll_registers(p, "k", p=4).collect():
+            hmax[r.reg] = max(hmax.get(r.reg, 0), r.rho_max)
+    assert hmax == hwhole
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 1_200_000)),
+        min_size=1, max_size=60,
+    )
+)
+@SETTINGS
+def test_ray_casting_matches_pure_python(spark, pts):
+    """x199's generated integer ray-cast SQL against the classic
+    float-free Python crossing-count on random points — same polygon,
+    same strict comparisons, so the answers must be identical (points
+    exactly on an edge included: both sides make the same strict-<
+    decision)."""
+    from trimet_bytes__data_engineering_project_spark.plans.extensions import (
+        _SERVICE_POLY,
+        _ray_cast_sql,
+    )
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    expr = _ray_cast_sql("CAST(x AS BIGINT)", "CAST(y AS BIGINT)", _SERVICE_POLY)
+    got = [bool(r.ins) for r in df.selectExpr(f"{expr} AS ins").collect()]
+
+    def inside(x, y):
+        c = 0
+        n = len(_SERVICE_POLY)
+        for i in range(n):
+            xi, yi = _SERVICE_POLY[i]
+            xj, yj = _SERVICE_POLY[(i + 1) % n]
+            if (yi > y) != (yj > y):
+                d = yj - yi
+                lhs, rhs = (x - xi) * d, (xj - xi) * (y - yi)
+                if (lhs < rhs) if d > 0 else (lhs > rhs):
+                    c += 1
+        return c % 2 == 1
+
+    want = [inside(x, y) for x, y in pts]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0, max_size=60,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@SETTINGS
+def test_merge_components_random_graphs(spark, edges, mod):
+    """merge_components == full connected_components for random edge
+    sets under random splits — the star-compression exactness on
+    arbitrary graph shapes, not just the fixture chains."""
+    from trimet_bytes__data_engineering_project_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    full = sorted(map(tuple, connected_components(df).collect()))
+    old = df.filter((F.col("a_id") + F.col("b_id")) % mod == 0)
+    new = df.filter((F.col("a_id") + F.col("b_id")) % mod != 0)
+    if old.count() == 0:
+        return  # nothing to seed the store with
+    store = connected_components(old)
+    got = sorted(map(tuple, merge_components(store, new).collect()))
+    assert got == full
