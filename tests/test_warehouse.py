@@ -293,3 +293,75 @@ def test_snapshot_diff_statuses(spark):
         5: "unchanged",
         6: "added",
     }
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    """The snapshot layer end-to-end: (1) snapshots pin IMMUTABLE
+    pointer-committed generations, so a reader AS OF snapshot N is
+    untouched by later compactions AND later data changes (a new
+    generation with fewer rows flips the live pointer; the old
+    snapshot still reads the full fileset); (2) vacuum_table deletes
+    exactly the generations no retained snapshot and no live pointer
+    references, expires old manifests, and is idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        commit_snapshot,
+        compact_partition,
+        list_snapshots,
+        read_as_of,
+        read_compacted,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "fact")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2024-01-01").otherwise("2024-01-02").alias("day"),
+    )
+    df.repartition(4).write.partitionBy("day").parquet(path)
+
+    # pointer-commit both partitions (vacuum=False: snapshot mode)
+    for v in ("2024-01-01", "2024-01-02"):
+        compact_partition(
+            spark, path, "day", v, target_rows_per_file=1_000,
+            sort_cols=("id",), commit="pointer", vacuum=False,
+        )
+    snap1 = commit_snapshot(path, "day")
+
+    # second compaction generation + snapshot
+    for v in ("2024-01-01", "2024-01-02"):
+        compact_partition(
+            spark, path, "day", v, target_rows_per_file=50,
+            sort_cols=("id",), commit="pointer", vacuum=False,
+        )
+    snap2 = commit_snapshot(path, "day")
+
+    full = sorted(r.id for r in read_compacted(spark, path, "day").collect())
+    assert sorted(r.id for r in read_as_of(spark, path, "day", snap1).collect()) == full
+    assert sorted(r.id for r in read_as_of(spark, path, "day", snap2).collect()) == full
+
+    # DATA CHANGE: hand-commit a generation that drops ids >= 100 in one
+    # partition (write + atomic pointer flip — the compact commit path)
+    part = os.path.join(path, "day=2024-01-01")
+    gen9 = os.path.join(part, ".gen-9")
+    spark.read.parquet(os.path.join(part, ".gen-2")).filter("id < 100") \
+        .write.parquet(gen9)
+    with open(os.path.join(part, "._current.tmp"), "w") as fh:
+        fh.write(".gen-9")
+    os.replace(os.path.join(part, "._current.tmp"), os.path.join(part, "._current"))
+
+    live = sorted(r.id for r in read_compacted(spark, path, "day").collect())
+    assert len(live) < len(full)                    # live view shrank
+    assert sorted(r.id for r in read_as_of(spark, path, "day", snap2).collect()) == full
+
+    # vacuum keeping only snap2: .gen-1 dirs (snap1-only) go; .gen-2
+    # (snap2) and .gen-9 (live) stay; snap1's manifest expires
+    deleted = vacuum_table(path, "day", keep_snapshots=1)
+    assert deleted and all(d.endswith(".gen-1") for d in deleted)
+    assert list_snapshots(path) == [snap2]
+    assert sorted(r.id for r in read_as_of(spark, path, "day", snap2).collect()) == full
+    assert sorted(r.id for r in read_compacted(spark, path, "day").collect()) == live
+    assert vacuum_table(path, "day", keep_snapshots=1) == []  # idempotent

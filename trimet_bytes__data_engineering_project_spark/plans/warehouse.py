@@ -184,6 +184,7 @@ def compact_partition(
     target_rows_per_file: int = 1_000_000,
     sort_cols: tuple[str, ...] = ("trip_id", "tstamp"),
     commit: str = "swap",
+    vacuum: bool = True,
 ) -> int:
     """Small-file compaction for one partition of a written fact table —
     the maintenance job every streaming-append layout needs: micro-batch
@@ -250,13 +251,18 @@ def compact_partition(
             fh.write(new_gen)
         os.replace(tmp, _pointer_path(part_dir))
         # post-commit vacuum of superseded filesets (best-effort; a crash
-        # here leaves only already-invisible-to-resolve garbage)
-        if src_dir == part_dir:  # generation 0: the loose appended files
-            for f in os.listdir(part_dir):
-                if not f.startswith((".", "_")):
-                    os.remove(os.path.join(part_dir, f))
-        else:
-            shutil.rmtree(src_dir)
+        # here leaves only already-invisible-to-resolve garbage).
+        # vacuum=False RETAINS superseded generations — the snapshot /
+        # time-travel mode: reads still resolve through the pointer, and
+        # reclamation moves to vacuum_table(), which only deletes
+        # generations no retained snapshot references.
+        if vacuum:
+            if src_dir == part_dir:  # generation 0: the loose appended files
+                for f in os.listdir(part_dir):
+                    if not f.startswith((".", "_")):
+                        os.remove(os.path.join(part_dir, f))
+            else:
+                shutil.rmtree(src_dir)
         final_dir = new_dir
     elif commit == "swap":
         value_tag = os.path.basename(part_dir)
@@ -364,3 +370,139 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col("_id").alias(id_col), status.alias("status"))
+
+
+# ----------------------------------------------------------------------
+# Snapshot layer over the pointer-commit protocol — the Iceberg idea in
+# miniature: a table-level SNAPSHOT is one immutable manifest object
+# (snapshots/snap-<n>.json) mapping every partition to the generation
+# dir that was current when the snapshot committed.  Manifests are
+# written whole to a temp name and os.replace'd — a one-object atomic
+# PUT on any store, same contract as the ._current pointer.  Reads "AS
+# OF" a snapshot resolve through the manifest instead of the live
+# pointers, so a reader pinned to snapshot N is untouched by any number
+# of later compactions; vacuum_table() reclaims only generations that
+# NO retained snapshot (and no live pointer) references — the
+# time-travel / retention lifecycle table formats industrialize.
+# ----------------------------------------------------------------------
+
+
+def _snapshot_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_snapshots")
+
+
+def commit_snapshot(path: str, partition_col: str) -> int:
+    """Record the table's CURRENT per-partition generations as the next
+    snapshot; returns its id.  One listing + one atomic manifest write —
+    no data moves."""
+    import json
+    import os
+
+    prefix = f"{partition_col}="
+    mapping = {}
+    for d in sorted(os.listdir(path)):
+        part_dir = os.path.join(path, d)
+        if not (d.startswith(prefix) and os.path.isdir(part_dir)):
+            continue
+        resolved = resolve_partition_dir(part_dir)
+        mapping[d] = os.path.basename(resolved) if resolved != part_dir else ""
+    sdir = _snapshot_dir(path)
+    os.makedirs(sdir, exist_ok=True)
+    ids = [
+        int(f[len("snap-"):-len(".json")])
+        for f in os.listdir(sdir)
+        if f.startswith("snap-") and f.endswith(".json")
+    ]
+    sid = max(ids, default=0) + 1
+    tmp = os.path.join(sdir, f".snap-{sid}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"snapshot_id": sid, "partitions": mapping}, fh)
+    os.replace(tmp, os.path.join(sdir, f"snap-{sid}.json"))
+    return sid
+
+
+def _load_snapshot(path: str, snapshot_id: int) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(_snapshot_dir(path), f"snap-{snapshot_id}.json")) as fh:
+        return json.load(fh)
+
+
+def list_snapshots(path: str) -> list[int]:
+    import os
+
+    sdir = _snapshot_dir(path)
+    if not os.path.isdir(sdir):
+        return []
+    return sorted(
+        int(f[len("snap-"):-len(".json")])
+        for f in os.listdir(sdir)
+        if f.startswith("snap-") and f.endswith(".json")
+    )
+
+
+def read_as_of(
+    spark: SparkSession, path: str, partition_col: str, snapshot_id: int
+) -> DataFrame:
+    """Time-travel read: the table exactly as snapshot ``snapshot_id``
+    recorded it — each partition reads the manifest's generation dir
+    (or its loose files for generation 0), untouched by any compaction
+    committed since.  Same O(partitions) driver-side resolve contract
+    as read_compacted."""
+    import os
+    from functools import reduce
+
+    snap = _load_snapshot(path, snapshot_id)
+    prefix = f"{partition_col}="
+    frames = []
+    for d, gen in sorted(snap["partitions"].items()):
+        part_dir = os.path.join(path, d)
+        src = os.path.join(part_dir, gen) if gen else part_dir
+        frames.append(
+            spark.read.parquet(src).withColumn(
+                partition_col, F.lit(d[len(prefix):])
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def vacuum_table(path: str, partition_col: str, keep_snapshots: int = 2) -> list[str]:
+    """Reclaim generation dirs referenced by NEITHER a live pointer NOR
+    one of the newest ``keep_snapshots`` manifests; expire older
+    manifests.  Returns the deleted paths.  Crash-safe by the same
+    argument as the commit path: only hidden ``.gen-*`` dirs invisible
+    to resolve are ever deleted, the live pointer's generation is
+    always retained, and a re-run after any crash point deletes only
+    what remains unreferenced (idempotent)."""
+    import os
+    import shutil
+
+    snaps = list_snapshots(path)
+    keep_ids = set(snaps[-keep_snapshots:]) if keep_snapshots > 0 else set()
+    referenced: set[str] = set()
+    for sid in keep_ids:
+        snap = _load_snapshot(path, sid)
+        for d, gen in snap["partitions"].items():
+            if gen:
+                referenced.add(os.path.join(path, d, gen))
+    deleted: list[str] = []
+    prefix = f"{partition_col}="
+    for d in sorted(os.listdir(path)):
+        part_dir = os.path.join(path, d)
+        if not (d.startswith(prefix) and os.path.isdir(part_dir)):
+            continue
+        live = resolve_partition_dir(part_dir)
+        for g in sorted(os.listdir(part_dir)):
+            gen_dir = os.path.join(part_dir, g)
+            if not (g.startswith(".gen-") and os.path.isdir(gen_dir)):
+                continue
+            if gen_dir != live and gen_dir not in referenced:
+                shutil.rmtree(gen_dir)
+                deleted.append(gen_dir)
+    for sid in snaps:
+        if sid not in keep_ids:
+            os.remove(os.path.join(_snapshot_dir(path), f"snap-{sid}.json"))
+    return deleted
