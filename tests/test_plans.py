@@ -504,6 +504,26 @@ def test_tpch_join_shapes(spark):
     assert "TakeOrderedAndProject" in p3 and "Sort " not in p3.split("TakeOrderedAndProject")[0]
 
 
+def test_round9_audit_plans_scan_once(spark):
+    """x195/x196/x198: each audit reads the corpus exactly once (the
+    shuffles are key-table-sized after the first map-side combine);
+    x197 runs exactly one LEFT ANTI per relationship with the three
+    dim-side checks broadcast."""
+    for name, max_exch in (
+        ("x195_event_transitions", 4),   # seq window + bigram agg + totals window + sort
+        ("x196_trend_slope", 3),         # (key,day) agg + key agg + sort
+        ("x198_k_anonymity", 2),         # class agg + 1-row fold
+    ):
+        p = plan_of(spark, name)
+        tree = p.split("\n\n")[0]
+        assert tree.count("- Scan parquet") == 1, name
+        assert tree.count("Exchange") <= max_exch, name
+    p = plan_of(spark, "x197_referential_audit")
+    tree = p.split("\n\n")[0]
+    assert tree.count("LeftAnti") == 4
+    assert tree.count("BroadcastHashJoin") >= 3
+
+
 def test_column_stats_is_one_scan(spark):
     """x190: four exact NDVs + per-column min/max/null stats from ONE
     events scan (multi-distinct Expand), unpivoted with stack — not a

@@ -384,6 +384,15 @@ def snapshot_diff(
 # of later compactions; vacuum_table() reclaims only generations that
 # NO retained snapshot (and no live pointer) references — the
 # time-travel / retention lifecycle table formats industrialize.
+#
+# Filesystem contract: same as the pointer protocol it extends — these
+# helpers drive the driver-local filesystem (open/os.listdir), which is
+# where the compacted fixtures live in this repo.  On HDFS/S3A the port
+# point is mechanical: every probe/list/PUT here maps 1:1 onto the
+# Hadoop FileSystem API (streaming/hadoopfs.py holds the exists/list
+# helpers; atomic single-object PUT is create+rename there), and the
+# PROTOCOL itself is object-store-safe by design — nothing visible is
+# renamed or deleted mid-flight, commits are one-object writes.
 # ----------------------------------------------------------------------
 
 
