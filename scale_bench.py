@@ -2105,6 +2105,13 @@ def _x194_shipping_priority(spark, d):
     return QUERIES["x194_shipping_priority"](spark, d)
 
 
+def _x202_feed_outage(spark, d):
+    # feed-outage audit over the full scaled events table: one day-
+    # partitioned window (partitions bounded by the day key) + a day
+    # agg — the window-shuffle band.
+    return QUERIES["x202_feed_outage_audit"](spark, d)
+
+
 def _x199_point_in_polygon(spark, d):
     # integer ray casting over the full scaled lineitem table: a
     # shuffle-free codegen scan + a <=3-group fold — flat band.
@@ -2887,6 +2894,7 @@ HEAVY += [
     ("x195_transitions_full", _x195_transitions),
     ("x198_k_anonymity_full", _x198_k_anonymity),
     ("x199_point_in_polygon_full", _x199_point_in_polygon),
+    ("x202_feed_outage_full", _x202_feed_outage),
     ("x200_grid_density_full", _x200_grid_density),
     ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),

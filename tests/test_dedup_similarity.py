@@ -2181,3 +2181,39 @@ def test_blob_near_dup_finds_planted_byte_neardups(spark):
     s56 = {r.media_id: r.blob_sig for r in blob_simhash(corpus, bits=56).collect()}
     assert all(s32[k] == (s56[k] & 0xFFFFFFFF) for k in s32)
     assert s56[bid] == s56[100000]
+
+
+def test_blob_near_dup_banding_is_lossless_within_radius(spark):
+    """Pigeonhole completeness of x186's banding: with radius < n_bands
+    a true pair (Hamming ≤ 3 over 32 bits in 4×8-bit bands) MUST agree
+    on at least one band, so the banded join finds EVERY such pair —
+    pinned against a brute-force all-pairs popcount over the signature
+    table (cap disabled to isolate the banding property)."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+        blob_near_dup,
+        blob_simhash,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = media_from_documents(docs)
+    got = sorted(
+        (r.a_id, r.b_id, r.hamming)
+        for r in blob_near_dup(media, max_bucket=1 << 30).collect()
+    )
+
+    sigs = [(r.media_id, r.blob_sig) for r in blob_simhash(media).collect()]
+    want = sorted(
+        (a, b, bin(sa ^ sb).count("1"))
+        for i, (a, sa) in enumerate(sigs)
+        for b, sb in sigs[i + 1:]
+        if bin(sa ^ sb).count("1") <= 3 and a < b
+    ) + sorted(
+        (b, a, bin(sa ^ sb).count("1"))
+        for i, (a, sa) in enumerate(sigs)
+        for b, sb in sigs[i + 1:]
+        if bin(sa ^ sb).count("1") <= 3 and a > b
+    )
+    assert got == sorted(want) and len(got) > 0

@@ -10844,3 +10844,51 @@ def x201_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("station_id")
     )
+
+
+@query(
+    "x202_feed_outage_audit",
+    oracle="""
+    WITH s AS (SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS t,
+                      lag(epoch_us(ts)) OVER (PARTITION BY CAST(ts AS DATE)
+                                              ORDER BY epoch_us(ts), event_id) AS prev
+               FROM events)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(t - prev) AS BIGINT) AS max_gap_us,
+           MAX(t - prev) > 3600000000 AS outage
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def x202_feed_outage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-level outage detection — the ingest-ops staple the
+    reference's 6-hour-window pipeline lives or dies by: per service
+    day, the LONGEST silence between consecutive events across the
+    whole feed (not per vehicle — x63's sessionizer covers that), with
+    a >1 h outage flag.  Exact epoch-µs gaps under a deterministic
+    (t, event_id) order; single-event days have no gap and drop (the
+    lag-domain contract the speed/backfill windows share).  Scale
+    shape: one day-partitioned window (the day key bounds every
+    partition to one day's events) + a day-keyed agg — at fleet scale
+    the window partitions stay bounded by construction, unlike a
+    global-ordering lag."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.to_date("ts")).orderBy(
+        epoch_us(F.col("ts")), F.col("event_id")
+    )
+    s = events.select(
+        F.to_date("ts").alias("day"),
+        epoch_us(F.col("ts")).alias("t"),
+        F.lag(epoch_us(F.col("ts"))).over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    return (
+        s.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max(F.col("t") - F.col("prev")).cast("long").alias("max_gap_us"),
+            (F.max(F.col("t") - F.col("prev")) > 3600000000).alias("outage"),
+        )
+        .orderBy("day")
+    )
