@@ -2195,6 +2195,40 @@ def _x187_hll_registers(spark, d):
     return hll_registers(load_table(spark, d, "events"), "user_id", p=8)
 
 
+def _x186_store_probe_10pct(spark, d):
+    # x186's lifecycle pair at scale: the accumulated signature store
+    # (90% of blobs, prebuilt once per scale dir) is touched only
+    # through its band index; the timed work is signaturing the 10%
+    # batch + the bucket join — the _x49 protocol for blobs.
+    import math
+
+    from trimet_bytes__data_engineering_project_spark.operators.ann_index import (
+        ensure_index,
+    )
+    from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+        blob_bands,
+        blob_simhash,
+        blob_store_probe,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n = docs.count()
+    w = min(15, max(8, int(math.log2(max(1, n // 25)))))
+    media = media_from_documents(docs).select("media_id", "payload")
+    old = media.filter(F.pmod(F.col("media_id"), F.lit(10)) != 0)
+    new = media.filter(F.pmod(F.col("media_id"), F.lit(10)) == 0)
+    path = os.path.join(_SCALE_ROOT, "blob_store", os.path.basename(d.rstrip("/")))
+    ensure_index(
+        lambda: blob_bands(blob_simhash(old, bits=4 * w), 4 * w)
+        .repartition("band_val").write.mode("overwrite").parquet(path),
+        path,
+    )
+    store = spark.read.parquet(path)
+    dups, _ = blob_store_probe(new, store, bits=4 * w)
+    return dups
+
+
 def _x186_blob_near_dup(spark, d):
     # multimodal byte near-dup over the full scaled documents-as-blobs
     # table: the signature pass is row-local md5 folds (linear, no
@@ -2885,6 +2919,7 @@ HEAVY += [
     ("x184_lsh_compaction_job", _x184_lsh_compaction),
     ("x185_cms_sketch_full", _x185_cms_sketch),
     ("x186_blob_near_dup_full", _x186_blob_near_dup),
+    ("x186_store_probe_10pct", _x186_store_probe_10pct),
     ("x187_hll_registers_full", _x187_hll_registers),
     ("x189_rollup_datasheet_full", _x189_rollup),
     ("x190_column_stats_full", _x190_column_stats),

@@ -2217,3 +2217,66 @@ def test_blob_near_dup_banding_is_lossless_within_radius(spark):
         if bin(sa ^ sb).count("1") <= 3 and a > b
     )
     assert got == sorted(want) and len(got) > 0
+
+
+def test_streaming_blob_dedup_matches_batch_and_replays(spark, tmp_path):
+    """x186's lifecycle pair: two blob landings (a byte copy of a
+    batch-1 blob planted in batch 2 — the cross-batch catch) produce a
+    dup log whose unordered pairs equal the BATCH blob_near_dup over
+    the union; the store accumulates per-batch band partitions; replay
+    rewrites identical partitions (idempotent)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.operators.multimodal import (
+        blob_near_dup,
+        media_from_documents,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.multimodal import (
+        run_streaming_blob_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    media = media_from_documents(docs).select("media_id", "payload")
+    base = media.orderBy(F.octet_length("payload").desc(), "media_id").first()
+    gen_a = media.filter(F.col("media_id") % 2 == 0)
+    gen_b = media.filter(F.col("media_id") % 2 == 1).unionByName(
+        spark.createDataFrame(
+            [(100000, bytes(base.payload))], "media_id long, payload binary"
+        )
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store, log, ck = (str(tmp_path / d) for d in ("store", "log", "ck"))
+    land_file(gen_a, "a")
+    run_streaming_blob_dedup(spark, landing, store, log, ck)
+    land_file(gen_b, "b")
+    run_streaming_blob_dedup(spark, landing, store, log, ck)
+
+    got = {
+        (min(r.new_id, r.dup_of), max(r.new_id, r.dup_of)): r.hamming
+        for r in spark.read.parquet(log).collect()
+    }
+    want = {
+        (r.a_id, r.b_id): r.hamming
+        for r in blob_near_dup(gen_a.unionByName(gen_b)).collect()
+    }
+    assert got == want and (base.media_id, 100000) in got
+    assert got[(base.media_id, 100000)] == 0  # the cross-batch byte copy
+
+    run_streaming_blob_dedup(spark, landing, store, log, ck)  # replay
+    got2 = {
+        (min(r.new_id, r.dup_of), max(r.new_id, r.dup_of)): r.hamming
+        for r in spark.read.parquet(log).collect()
+    }
+    assert got2 == got

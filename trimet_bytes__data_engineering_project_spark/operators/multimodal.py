@@ -387,3 +387,78 @@ def blob_near_dup(
         .filter(F.col("hamming") <= radius)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def blob_bands(
+    sig_df: DataFrame, bits: int = 32, n_bands: int = 4
+) -> DataFrame:
+    """(media_id, blob_sig, band_idx, band_val) — the band table both
+    the batch near-dup join and the incremental store keep."""
+    w = bits // n_bands
+    return sig_df.select(
+        "media_id",
+        "blob_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"CAST((blob_sig DIV {1 << (b * w)}) % {1 << w} AS INT)")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+
+
+def blob_store_probe(
+    new_media: DataFrame,
+    store: DataFrame | None,
+    bits: int = 32,
+    n_bands: int = 4,
+    radius: int = 3,
+    max_bucket: int = 50,
+) -> "tuple[DataFrame, DataFrame]":
+    """The incremental blob-dedup core (x186's lifecycle pair; the
+    streaming wrapper in streaming/multimodal.py delegates here):
+    signature the NEW blobs once, band-join them against the
+    accumulated ``store`` band table plus themselves (higher id = the
+    duplicate intra-batch), Hamming-verify on the full signature.
+    Returns (dups, new_bands) — the findings and the band rows the
+    caller appends to the store.  The degenerate-bucket cap is computed
+    over store ∪ batch, so a bucket that grew hot across generations is
+    capped exactly as a batch build would cap it.  Per call the work is
+    O(batch signatures + probed buckets): the accumulated corpus is
+    touched only through its band index, never re-signatured."""
+    bands = blob_bands(blob_simhash(new_media, bits=bits), bits, n_bands)
+    universe = bands if store is None else bands.unionByName(
+        store.select("media_id", "blob_sig", "band_idx", "band_val")
+    )
+    ok = (
+        universe.groupBy("band_idx", "band_val")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select("band_idx", "band_val")
+    )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.join(ok, ["band_idx", "band_val"]).select(
+            "band_idx", "band_val",
+            F.col("media_id").alias(f"{tag}_id"),
+            F.col("blob_sig").alias(f"{tag}_sig"),
+        )
+
+    new_a = side(bands, "new")
+    cands = new_a.join(side(bands, "old"), ["band_idx", "band_val"]).filter(
+        F.col("new_id") > F.col("old_id")
+    )
+    if store is not None:
+        cands = cands.unionByName(
+            new_a.join(side(store, "old"), ["band_idx", "band_val"])
+        )
+    dups = (
+        cands.select("new_id", "old_id", "new_sig", "old_sig")
+        .distinct()
+        .withColumn("hamming", _hamming("new_sig", "old_sig", bits))
+        .filter(F.col("hamming") <= radius)
+        .select("new_id", F.col("old_id").alias("dup_of"), "hamming")
+    )
+    return dups, bands
