@@ -2280,3 +2280,17 @@ def test_streaming_blob_dedup_matches_batch_and_replays(spark, tmp_path):
         for r in spark.read.parquet(log).collect()
     }
     assert got2 == got
+
+    # at-least-once ACROSS batch boundaries: the same media_id arriving
+    # again in a LATER batch_id band-matches its own stored signature —
+    # the new_id != old_id guard must drop that self-pair, and the pair
+    # set must stay exactly the batch answer (re-delivery adds no rows)
+    land_file(gen_b.filter(F.col("media_id") == 100000), "c")
+    run_streaming_blob_dedup(spark, landing, store, log, ck)
+    rows3 = spark.read.parquet(log).collect()
+    assert all(r.new_id != r.dup_of for r in rows3)
+    got3 = {
+        (min(r.new_id, r.dup_of), max(r.new_id, r.dup_of)): r.hamming
+        for r in rows3
+    }
+    assert got3 == got

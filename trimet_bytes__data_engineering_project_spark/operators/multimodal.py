@@ -451,8 +451,14 @@ def blob_store_probe(
         F.col("new_id") > F.col("old_id")
     )
     if store is not None:
+        # new_id != old_id: under at-least-once delivery the same
+        # media_id can arrive again in a LATER batch_id — without the
+        # guard it band-matches its own stored signature at Hamming 0
+        # and reports itself as its own duplicate.
         cands = cands.unionByName(
-            new_a.join(side(store, "old"), ["band_idx", "band_val"])
+            new_a.join(side(store, "old"), ["band_idx", "band_val"]).filter(
+                F.col("new_id") != F.col("old_id")
+            )
         )
     dups = (
         cands.select("new_id", "old_id", "new_sig", "old_sig")

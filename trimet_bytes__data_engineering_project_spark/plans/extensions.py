@@ -10001,8 +10001,10 @@ def x186_blob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics the brief's multimodal tier was missing: blobs are
     fingerprinted from their raw bytes (``blob_simhash``: 8-byte
     shingles every 4 bytes, one md5 each, 32-bit SimHash sign-fold —
-    entirely row-local JVM higher-order expressions, no explode, no
-    Python), banded into 4 × 8-bit slices, bucket-joined, and verified
+    executed as posexplode + one map-side-combined groupBy, all JVM
+    expressions, no Python; the earlier row-local higher-order-fold
+    form measured ~6x slower and was dropped — see blob_simhash's
+    docstring), banded into 4 × 8-bit slices, bucket-joined, and verified
     by exact Hamming popcount ≤ 3 (pigeonhole: radius < n_bands ⇒ a
     true pair agrees on ≥1 band).  The media table is the deterministic
     fake (utf-8 bytes — brief contract: codecs stubbed, plumbing real);

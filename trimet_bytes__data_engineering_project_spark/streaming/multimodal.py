@@ -127,124 +127,6 @@ def run_streaming_blob_dedup(
     (
         spark.readStream.schema(spark.read.parquet(landing_dir).schema)
         .parquet(landing_dir)
-        .writeStream.foreachBatch(land)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-
-
-def features_from_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """All landed feature generations — row-equal to one batch
-    ``extract_features`` pass over the union of the landings (pinned
-    by test)."""
-    return spark.read.parquet(f"{store_path}/features")
-
-
-def frames_from_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """All landed frame generations — row-equal to one batch
-    ``sample_frames`` pass over the union (pinned by test)."""
-    return spark.read.parquet(f"{store_path}/frames")
-
-
-def run_streaming_blob_dedup(
-    spark: SparkSession,
-    landing_dir: str,
-    store_path: str,
-    dup_log_path: str,
-    checkpoint_dir: str,
-    bits: int = 32,
-    n_bands: int = 4,
-    radius: int = 3,
-    max_bucket: int = 50,
-) -> None:
-    """Incremental BLOB near-dup against an accumulated signature store
-    — x186's lifecycle pair, and the multimodal instance of the MinHash
-    streaming-dedup contract (streaming/dedup.py): each arriving blob
-    batch signatures once (byte-shingle SimHash — no decoder), LSH-joins
-    its bands against the store (new-vs-store plus intra-batch pairs,
-    higher id = the duplicate), Hamming-verifies on the full signature,
-    appends its dup findings under ``dup_log/batch_id=N`` and its bands
-    under ``store/batch_id=N`` — both idempotent per-batch_id overwrites
-    (replay rewrites identical partitions; the store read filters out
-    the replaying batch's own prior partial write).  The degenerate-
-    bucket cap is computed over store ∪ batch, so a bucket that grew hot
-    across generations is capped exactly as a batch build would cap it.
-    Per batch the work is O(batch signatures + probed buckets) — the
-    accumulated corpus is touched only through its band index, never
-    re-signatured."""
-    from ..operators.multimodal import _hamming, blob_simhash
-
-    w = bits // n_bands
-
-    def bands_of(sig_df: DataFrame) -> DataFrame:
-        return sig_df.select(
-            "media_id",
-            "blob_sig",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.expr(
-                            f"CAST((blob_sig DIV {1 << (b * w)}) % {1 << w} AS INT)"
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("band_idx", "band_val"),
-        )
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        bands = bands_of(blob_simhash(batch_df, bits=bits)).persist()
-        try:
-            store = sess.read.parquet(store_path).filter(
-                F.col("batch_id") != batch_id
-            )
-        except Exception:
-            store = None
-
-        universe = bands if store is None else bands.unionByName(
-            store.select("media_id", "blob_sig", "band_idx", "band_val")
-        )
-        sizes = universe.groupBy("band_idx", "band_val").count()
-        ok = sizes.filter(F.col("count") <= max_bucket).select("band_idx", "band_val")
-
-        def side(df: DataFrame, tag: str) -> DataFrame:
-            return df.join(ok, ["band_idx", "band_val"]).select(
-                "band_idx", "band_val",
-                F.col("media_id").alias(f"{tag}_id"),
-                F.col("blob_sig").alias(f"{tag}_sig"),
-            )
-
-        new_a = side(bands, "new")
-        intra = (
-            new_a.join(side(bands, "old"), ["band_idx", "band_val"])
-            .filter(F.col("new_id") > F.col("old_id"))
-        )
-        cands = intra
-        if store is not None:
-            cands = cands.unionByName(
-                new_a.join(side(store, "old"), ["band_idx", "band_val"])
-            )
-        dups = (
-            cands.select("new_id", "old_id", "new_sig", "old_sig")
-            .distinct()
-            .withColumn("hamming", _hamming("new_sig", "old_sig", bits))
-            .filter(F.col("hamming") <= radius)
-            .select("new_id", F.col("old_id").alias("dup_of"), "hamming")
-        )
-        dups.write.mode("overwrite").parquet(f"{dup_log_path}/batch_id={batch_id}")
-        (
-            bands.sortWithinPartitions("band_val")
-            .write.mode("overwrite")
-            .parquet(f"{store_path}/batch_id={batch_id}")
-        )
-        bands.unpersist()
-
-    (
-        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
-        .parquet(landing_dir)
         .writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
