@@ -2106,9 +2106,10 @@ def _x194_shipping_priority(spark, d):
 
 
 def _x202_feed_outage(spark, d):
-    # feed-outage audit over the full scaled events table: one day-
-    # partitioned window (partitions bounded by the day key) + a day
-    # agg — the window-shuffle band.
+    # feed-outage audit over the full scaled events table: two-level
+    # lag — (day, 15-min-shard) interior window with rate×width-bounded
+    # sort partitions + a tiny per-day boundary frame — the window-
+    # shuffle band.
     return QUERIES["x202_feed_outage_audit"](spark, d)
 
 

@@ -572,3 +572,152 @@ def test_served_forms_never_scan_base_tables(spark):
     p166 = plan_of(spark, "x166_semantic_split_leakage")
     assert "documents.parquet" not in p166
     assert "embeddings.parquet" not in p166
+
+
+def test_feed_outage_two_level_lag(spark):
+    """x202's round-10 rewrite (the r9 verdict's weak mark): the big
+    lag window partitions on (day, shard) — never day alone, whose
+    partition grows linearly with per-day feed volume — and the result
+    is pinned bit-equal to the naive one-window-per-day form on an
+    adversarial frame: a tie ON a 15-min shard boundary, an event
+    exactly AT a boundary, a multi-shard-spanning (empty-shard) gap,
+    and a single-event day that must drop."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    plan = plan_of(spark, "x202_feed_outage_audit")
+    # the interior window's partition spec carries the range shard
+    assert "shard" in plan
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert len(windows) >= 2, windows
+
+    # adversarial fixture (epoch µs hand-picked around 900 s shards)
+    day1 = dt.datetime(2023, 3, 6, tzinfo=dt.timezone.utc)
+    base = int(day1.timestamp()) * 1_000_000
+    shard = 900_000_000
+    rows = [
+        base + 10,            # shard 0
+        base + shard - 1,     # end of shard 0
+        base + shard,         # exactly AT the boundary -> shard 1
+        base + shard,         # tie at the boundary (event_id breaks it)
+        base + 5 * shard + 7, # 4 empty shards in between (straddling gap)
+        base + 5 * shard + 7, # tie inside a shard
+    ]
+    day2 = base + 86_400 * 1_000_000 + 42  # single-event day: must drop
+    data = [(i, t) for i, t in enumerate(rows + [day2])]
+    ev = spark.createDataFrame(data, "event_id long, tus long").select(
+        "event_id", F.timestamp_micros(F.col("tus")).alias("ts")
+    )
+    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda s, d, n: ev
+        got = [tuple(r) for r in QUERIES["x202_feed_outage_audit"](spark, "ignored").collect()]
+    finally:
+        ext.load_table = orig
+
+    # naive spec form: one window per day
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy(F.to_date("ts")).orderBy(eus, F.col("event_id"))
+    naive = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            eus.alias("t"),
+            F.lag(eus).over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max(F.col("t") - F.col("prev")).cast("long").alias("max_gap_us"),
+            (F.max(F.col("t") - F.col("prev")) > 3600000000).alias("outage"),
+        )
+        .orderBy("day")
+    )
+    want = [tuple(r) for r in naive.collect()]
+    assert got == want and len(got) == 1  # day2 dropped
+    assert got[0][1] == 5  # 6 events -> 5 gaps
+    # the straddling gap jumps 4 empty shards: 4*shard + 7 µs, just
+    # over the 1 h threshold -> outage fires
+    assert got[0][2] == 4 * shard + 7 and got[0][3] is True
+
+
+def test_salted_join_plan_splits_hot_key(spark):
+    """x203: with broadcast off, the join is a SortMergeJoin keyed on
+    (k, _salt) — the hot key's rows spread over 16 reduce slots — and
+    the result is bit-equal to the naive unsalted join (the oracle's
+    form).  Under the default session the replicated dim broadcasts,
+    which is equally skew-immune."""
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan_of(spark, "x203_salted_hot_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in p
+    import re
+
+    smj_args = re.search(r"SortMergeJoin[^\n]*\n(?:.*\n)*?.*Left keys \[2\]: \[(k#\d+L?), (_salt#\d+)", p)
+    assert smj_args, p[:2000]
+
+    got = [tuple(r) for r in QUERIES["x203_salted_hot_join"](spark, SF_DIR).collect()]
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id") % 50).alias("k"),
+        "value",
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("grp-"), F.col("id").cast("string")).alias("label"),
+        ((F.col("id") * F.col("id")) % 97).cast("long").alias("weight"),
+    )
+    naive = (
+        ev.join(dim, "k")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.max("weight").cast("long").alias("weight"),
+        )
+        .orderBy("label")
+    )
+    assert got == [tuple(r) for r in naive.collect()]
+
+
+def test_q18_shape_one_fact_scan_tiny_build_side(spark):
+    """x204: the aggregate-then-join-back reads lineitem EXACTLY once
+    (the semi-join-back collapses into the two-phase agg), the HAVING
+    survivors are the broadcast BUILD side both times (orders and
+    customer stream un-shuffled — the 100 TB plan), and the top-100 is
+    TakeOrderedAndProject, never a global sort."""
+    p = plan_of(spark, "x204_large_customer_orders")
+    assert p.count("lineitem.parquet") == 1
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in tree and "SortMergeJoin" not in tree
+
+
+def test_point_in_any_polygon_blocks_by_cell(spark):
+    """x205: the candidate join is a BroadcastHashJoin against the
+    ≤400-row polygon-cell table (points never shuffle), the ray cast is
+    a row-local aggregate() fold (no per-(point, edge) Generate above
+    the fact side), and the only fact-sized aggregation map-side-
+    combines into a ≤100-key count."""
+    p = plan_of(spark, "x205_point_in_any_polygon")
+    tree = p.split("\n\n")[0]
+    assert p.count("lineitem.parquet") == 1
+    assert tree.count("BroadcastHashJoin") == 2  # cell join + final left join
+    assert "SortMergeJoin" not in tree
+    # the two Generates (cell fan-out) sit under the BroadcastExchange,
+    # never above the lineitem scan
+    import re
+
+    fact_side = p.split("BroadcastExchange")[0]
+    assert "Generate" not in fact_side

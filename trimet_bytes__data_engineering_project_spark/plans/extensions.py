@@ -10864,33 +10864,348 @@ def x201_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
 )
-def x202_feed_outage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x202_feed_outage_audit(
+    spark: SparkSession, sf_dir: str, shard_us: int = 900_000_000
+) -> DataFrame:
     """Feed-level outage detection — the ingest-ops staple the
     reference's 6-hour-window pipeline lives or dies by: per service
     day, the LONGEST silence between consecutive events across the
     whole feed (not per vehicle — x63's sessionizer covers that), with
     a >1 h outage flag.  Exact epoch-µs gaps under a deterministic
     (t, event_id) order; single-event days have no gap and drop (the
-    lag-domain contract the speed/backfill windows share).  Scale
-    shape: one day-partitioned window (the day key bounds every
-    partition to one day's events) + a day-keyed agg — at fleet scale
-    the window partitions stay bounded by construction, unlike a
-    global-ordering lag."""
+    lag-domain contract the speed/backfill windows share).
+
+    Scale shape — a TWO-LEVEL lag (the x159/x81 two-level-prefix
+    pattern; the oracle's one-window-per-day form is the semantic
+    spec, not the plan).  A day-partitioned window is NOT bounded: its
+    partition grows linearly with per-day feed volume, so one task
+    would sort one full feed-day at fleet scale.  Instead:
+
+      1. range-shard within the day on ``shard = t div shard_us``
+         (15-min shards by default) and lag within ``(day, shard)`` —
+         every interior gap lives inside one shard because shards
+         partition the time axis, and the sort partition is bounded by
+         feed-rate × shard-width (a knob), not day volume;
+      2. straddling gaps come from a TINY boundary frame — one
+         ``(min_t, max_t)`` row per NON-EMPTY shard (empty shards
+         vanish, so the lag over shard order jumps them exactly) —
+         ≤ 96 rows/day at 15-min shards, windowed per day;
+      3. union both gap streams into one map-side-combined day agg.
+
+    Exactness: shards tile the time axis, so consecutive-event pairs
+    split exactly into same-shard (level 1) and cross-shard (level 2)
+    pairs — counts sum to day_events − 1 and the max is the max over
+    the union; ties in ``t`` share a shard, so the (t, event_id)
+    tie-break never crosses the boundary frame.  Pinned bit-equal to
+    the naive day-window form in tests/test_plans.py."""
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy(F.to_date("ts")).orderBy(
-        epoch_us(F.col("ts")), F.col("event_id")
-    )
     s = events.select(
         F.to_date("ts").alias("day"),
         epoch_us(F.col("ts")).alias("t"),
-        F.lag(epoch_us(F.col("ts"))).over(w).alias("prev"),
-    ).filter(F.col("prev").isNotNull())
+        F.col("event_id"),
+    ).withColumn("shard", F.floor(F.col("t") / F.lit(int(shard_us))))
+    # level 1: interior gaps — lag within the (day, shard) range shard
+    w_in = Window.partitionBy("day", "shard").orderBy("t", "event_id")
+    interior = (
+        s.withColumn("prev", F.lag("t").over(w_in))
+        .filter(F.col("prev").isNotNull())
+        .select("day", (F.col("t") - F.col("prev")).alias("gap"))
+    )
+    # level 2: straddling gaps — one row per non-empty shard, lagged
+    # over shard order within the day (empty shards are skipped by
+    # construction because they contribute no row)
+    bounds = s.groupBy("day", "shard").agg(
+        F.min("t").alias("min_t"), F.max("t").alias("max_t")
+    )
+    w_b = Window.partitionBy("day").orderBy("shard")
+    boundary = (
+        bounds.withColumn("prev_max", F.lag("max_t").over(w_b))
+        .filter(F.col("prev_max").isNotNull())
+        .select("day", (F.col("min_t") - F.col("prev_max")).alias("gap"))
+    )
     return (
-        s.groupBy("day")
+        interior.unionByName(boundary)
+        .groupBy("day")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.max(F.col("t") - F.col("prev")).cast("long").alias("max_gap_us"),
-            (F.max(F.col("t") - F.col("prev")) > 3600000000).alias("outage"),
+            F.max("gap").cast("long").alias("max_gap_us"),
+            (F.max("gap") > 3600000000).alias("outage"),
         )
         .orderBy("day")
+    )
+
+
+@query(
+    "x203_salted_hot_join",
+    oracle="""
+    WITH ev AS (SELECT CASE WHEN user_id % 10 < 7 THEN 0
+                            ELSE user_id % 50 END AS k, value
+                FROM events),
+    d AS (SELECT k,
+                 'grp-' || CAST(k AS VARCHAR) AS label,
+                 (k * k) % 97 AS weight
+          FROM range(0, 50) t(k))
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MAX(weight) AS BIGINT) AS weight
+    FROM ev JOIN d USING (k)
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def x203_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew path end-to-end, oracle-gated (the r9 verdict's item 6:
+    x183 SIZES salt factors and salted_join is pytest-pinned equal to
+    naive, but no registered query had demonstrated it against the
+    driver's oracle).  The fixture makes the hot key deliberately: 70%
+    of events collapse onto key 0 (``user_id % 10 < 7``), the rest
+    spread over ``user_id % 50`` — the one-busy-route shape the
+    reference's fleet data has.  The join runs through
+    ``operators/skew.py:salted_join``: the fact side salts on
+    ``pmod(hash(event_id), 16)`` (deterministic — retry-safe and
+    oracle-comparable, never rand()), the 50-row dim replicates ×16 via
+    explode(sequence), and the join keys on (k, _salt) so the hot key's
+    rows land on 16 reduce slots instead of one.  The oracle is the
+    NAIVE join — salting must be invisible in the result.  Plan pin
+    (tests/test_plans.py): with broadcast disabled the join is
+    SortMergeJoin keyed on (k, _salt); under the default session the
+    replicated dim broadcasts, which is equally skew-immune.  The
+    post-join groupBy(label) is NOT skew-prone: 50 groups partial-agg
+    map-side, so the shuffle carries ≤50 rows per task."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id") % 50)
+        .alias("k"),
+        "event_id",
+        "value",
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("grp-"), F.col("id").cast("string")).alias("label"),
+        ((F.col("id") * F.col("id")) % 97).cast("long").alias("weight"),
+    )
+    j = salted_join(ev, dim, key="k", fine_col="event_id", n_salts=16)
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.max("weight").cast("long").alias("weight"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "x204_large_customer_orders",
+    oracle="""
+    WITH big AS (SELECT l_orderkey,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                 FROM lineitem
+                 GROUP BY l_orderkey
+                 HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def x204_large_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — the aggregate-then-join-back probe (r9 verdict
+    item 7): customers whose orders total > 300 units, ranked by order
+    value.  The textbook SQL is a HAVING subquery semi-joined back to a
+    second lineitem pass; the Spark-first form collapses it — the
+    per-order quantity sum IS the outer aggregate (l_orderkey
+    functionally determines the Q18 group), so ONE lineitem scan feeds
+    the two-phase agg whose survivors (a few dozen orders) become the
+    join keys against orders and customer.  Plan pins
+    (tests/test_plans.py): exactly one lineitem scan — the
+    semi-join-back never re-reads the fact — and the top-100 is
+    TakeOrderedAndProject, never a global sort.  Quantities are
+    integral doubles in the testdata; the BIGINT cast keeps the sum and
+    the HAVING edge exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    # the HAVING survivors (dozens of rows) are the BUILD side both
+    # times — orders and customer stream past them un-shuffled, which
+    # is the plan that survives 100 TB (static estimates would instead
+    # broadcast the dims at toy scale)
+    j1 = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    return (
+        c.join(F.broadcast(j1), j1.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x205: the fleet-scale geo form — ~100 polygons, point-in-ANY via
+# bbox-bucket blocking then the exact ray-cast (r9 verdict item 8).
+# One Python generator emits the polygon fleet for BOTH engines.
+# ---------------------------------------------------------------------------
+_X205_HW, _X205_HH = 2, 400_000          # diamond half-width / half-height
+_X205_XC, _X205_YC = 5, 1_000_000        # blocking cell size per axis
+
+
+def _x205_polys() -> "list[tuple[int, int, int]]":
+    """100 deterministic diamonds tiling the (quantity, price-cents)
+    plane: centers on a 10×10 grid covering x∈[2,47], y∈[0.5M,9.5M]."""
+    return [
+        (k, 2 + (k % 10) * 5, 500_000 + (k // 10) * 1_000_000)
+        for k in range(100)
+    ]
+
+
+def _x205_edges() -> "list[tuple[int, int, int, int, int, int]]":
+    """(poly_id, xi, yi, xj, yj, d=yj-yi) rows — 4 diamond edges per
+    polygon, consumed as DATA by both engines (the data-driven twin of
+    x199's per-polygon literal expression)."""
+    rows = []
+    for k, cx, cy in _x205_polys():
+        verts = [
+            (cx - _X205_HW, cy), (cx, cy + _X205_HH),
+            (cx + _X205_HW, cy), (cx, cy - _X205_HH),
+        ]
+        for i in range(4):
+            xi, yi = verts[i]
+            xj, yj = verts[(i + 1) % 4]
+            rows.append((k, xi, yi, xj, yj, yj - yi))
+    return rows
+
+
+# the data-driven crossing term — identical string in both engines;
+# d != 0 is implied by the straddle test, so the sign-aware flip
+# ((lhs < rhs) = (d > 0)) replaces x199's per-edge compile-time branch
+_X205_TERM = (
+    "CASE WHEN (({yi} > {y}) <> ({yj} > {y}))"
+    " AND ((({x} - {xi}) * {d} < ({xj} - {xi}) * ({y} - {yi})) = ({d} > 0))"
+    " THEN 1 ELSE 0 END"
+)
+
+
+def _x205_oracle() -> str:
+    vals = ",\n          ".join(
+        f"({k}, {xi}, {yi}, {xj}, {yj}, {d})" for k, xi, yi, xj, yj, d in _x205_edges()
+    )
+    term = _X205_TERM.format(
+        x="x", y="y", xi="xi", yi="yi", xj="xj", yj="yj", d="d"
+    )
+    return f"""
+    WITH p AS (SELECT x, y, COUNT(*) AS w
+               FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                     FROM lineitem)
+               GROUP BY 1, 2),
+    e(poly_id, xi, yi, xj, yj, d) AS (VALUES {vals}),
+    hits AS (SELECT e.poly_id, p.x, p.y, p.w,
+                    SUM({term}) AS crossings
+             FROM p CROSS JOIN e
+             GROUP BY 1, 2, 3, 4)
+    SELECT polys.poly_id,
+           CAST(COALESCE(cnt, 0) AS BIGINT) AS n_points
+    FROM (SELECT DISTINCT poly_id FROM e) polys
+    LEFT JOIN (SELECT poly_id, SUM(w) AS cnt
+               FROM hits WHERE crossings % 2 = 1
+               GROUP BY poly_id) agg USING (poly_id)
+    ORDER BY poly_id
+    """
+
+
+@query("x205_point_in_any_polygon", oracle=_x205_oracle())
+def x205_point_in_any_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-ANY-of-100-polygons — x199 priced the single broadcast
+    literal polygon; the fleet-scale form makes the polygons DATA and
+    blocks candidates by bbox bucket before the exact test (the same
+    bin-and-conquer shape as operators/rangejoin.py), so cost scales in
+    POINTS, never points × polygons:
+
+      1. each polygon's edge list is packed into ONE array column of a
+         100-row table; its bbox fans out to every blocking cell it
+         overlaps (≤4 rows per polygon) — broadcast;
+      2. each point computes its (cell_x, cell_y) and BroadcastHashJoins
+         the cell table — candidates are per-cell, points never shuffle;
+      3. an exact bbox prefilter, then the full ray cast as ONE
+         row-local ``aggregate()`` fold over the polygon's edge array —
+         integer cross-multiplied, no division, no floats, no
+         per-(point, edge) explosion on the wire;
+      4. contained candidates map-side-combine into a ≤100-key count.
+
+    The oracle brute-forces points × all 400 edge rows from the SAME
+    generator — the blocking must be invisible in the result (a
+    candidate the buckets drop is a correctness bug, not a perf one).
+    Empty polygons survive via the final LEFT join from the polygon
+    table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = {}
+    for k, xi, yi, xj, yj, d in _x205_edges():
+        edges.setdefault(k, []).append((xi, yi, xj, yj, d))
+    polys = spark.createDataFrame(
+        [(k, cx, cy, edges[k]) for k, cx, cy in _x205_polys()],
+        "poly_id long, cx long, cy long, "
+        "edges array<struct<xi:long,yi:long,xj:long,yj:long,d:long>>",
+    )
+    hw, hh = F.lit(_X205_HW), F.lit(_X205_HH)
+    xc, yc = F.lit(_X205_XC), F.lit(_X205_YC)
+    pc = (
+        polys.withColumn(
+            "cell_x",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("cx") - hw) / xc), F.floor((F.col("cx") + hw) / xc)
+                )
+            ),
+        )
+        .withColumn(
+            "cell_y",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("cy") - hh) / yc), F.floor((F.col("cy") + hh) / yc)
+                )
+            ),
+        )
+    )
+    pts = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y",
+    ).withColumn("cell_x", F.floor(F.col("x") / xc)).withColumn(
+        "cell_y", F.floor(F.col("y") / yc)
+    )
+    term = _X205_TERM.format(
+        x="x", y="y", xi="e.xi", yi="e.yi", xj="e.xj", yj="e.yj", d="e.d"
+    )
+    cand = (
+        pts.join(F.broadcast(pc), ["cell_x", "cell_y"])
+        .filter(
+            (F.col("x") >= F.col("cx") - hw) & (F.col("x") <= F.col("cx") + hw)
+            & (F.col("y") >= F.col("cy") - hh) & (F.col("y") <= F.col("cy") + hh)
+        )
+        .withColumn(
+            "crossings",
+            F.expr(f"aggregate(edges, CAST(0 AS BIGINT), (acc, e) -> acc + {term})"),
+        )
+        .filter(F.col("crossings") % 2 == 1)
+    )
+    counts = cand.groupBy("poly_id").agg(F.count("*").alias("cnt"))
+    return (
+        polys.select("poly_id")
+        .join(F.broadcast(counts), "poly_id", "left")
+        .select(
+            "poly_id", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_points")
+        )
+        .orderBy("poly_id")
     )
