@@ -146,8 +146,14 @@ def test_compact_pointer_commit_reader_sees_old_or_new_only(spark, tmp_path):
     assert spark.read.parquet(gen2).orderBy("trip_id", "tstamp").collect() == before
 
     # pointer naming a vanished generation degrades to the loose fileset
-    with open(os.path.join(part_dir, "._current"), "w") as fh:
-        fh.write(".gen-99")
+    # (written through the same FS API as the commit path — the local
+    # Hadoop FS is checksummed, so a raw open() rewrite would corrupt
+    # the crc sidecar rather than simulate a dangling pointer)
+    from trimet_bytes__data_engineering_project_spark.streaming.hadoopfs import (
+        fs_write_text_atomic,
+    )
+
+    fs_write_text_atomic(os.path.join(part_dir, "._current"), ".gen-99", spark)
     assert resolve_partition_dir(part_dir) == part_dir
 
 
@@ -349,9 +355,11 @@ def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
     gen9 = os.path.join(part, ".gen-9")
     spark.read.parquet(os.path.join(part, ".gen-2")).filter("id < 100") \
         .write.parquet(gen9)
-    with open(os.path.join(part, "._current.tmp"), "w") as fh:
-        fh.write(".gen-9")
-    os.replace(os.path.join(part, "._current.tmp"), os.path.join(part, "._current"))
+    from trimet_bytes__data_engineering_project_spark.streaming.hadoopfs import (
+        fs_write_text_atomic,
+    )
+
+    fs_write_text_atomic(os.path.join(part, "._current"), ".gen-9", spark)
 
     live = sorted(r.id for r in read_compacted(spark, path, "day").collect())
     assert len(live) < len(full)                    # live view shrank
@@ -365,3 +373,115 @@ def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
     assert sorted(r.id for r in read_as_of(spark, path, "day", snap2).collect()) == full
     assert sorted(r.id for r in read_compacted(spark, path, "day").collect()) == live
     assert vacuum_table(path, "day", keep_snapshots=1) == []  # idempotent
+
+
+def test_commit_snapshot_race_first_publish_wins(spark, tmp_path):
+    """The snapshot concurrency contract: two writers racing to the
+    same id serialize by FIRST-PUBLISH-WINS — the manifest lands via an
+    exclusive no-overwrite rename, the loser detects the collision and
+    retries under the next id, and NO snapshot is ever lost.  The
+    interleave: writer A lists the table (allocating base id 1), writer
+    B runs a full commit_snapshot (taking id 1), then A publishes and
+    must land as id 2 with ITS OWN listed state intact."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        _load_snapshot,
+        _publish_snapshot,
+        commit_snapshot,
+        list_snapshots,
+    )
+
+    path = str(tmp_path / "fact")
+    spark.range(20).select(
+        F.col("id"), F.lit("2024-01-01").alias("day")
+    ).write.partitionBy("day").parquet(path)
+
+    # writer A: listing done (its view of the table), publish pending
+    a_mapping = {"day=2024-01-01": ""}
+    # writer B: full commit wins id 1
+    b_sid = commit_snapshot(path, "day")
+    assert b_sid == 1
+    # writer A publishes: collides on 1, retries, lands as 2
+    a_sid = _publish_snapshot(path, a_mapping)
+    assert a_sid == 2
+    assert list_snapshots(path) == [1, 2]
+    # neither manifest was overwritten: each carries its own writer's state
+    assert _load_snapshot(path, 1)["snapshot_id"] == 1
+    a_manifest = _load_snapshot(path, 2)
+    assert a_manifest["snapshot_id"] == 2
+    assert a_manifest["partitions"] == a_mapping
+    # no leftover tmp objects from the losing publish attempt
+    sdir = os.path.join(path, "_snapshots")
+    assert not [f for f in os.listdir(sdir) if ".tmp-" in f]
+
+
+def test_vacuum_skips_inflight_generation(spark, tmp_path):
+    """vacuum_table never touches a generation numbered ABOVE the live
+    pointer's — that is an uncommitted compaction in flight, and
+    deleting it would dangle the compactor's imminent pointer commit.
+    After the next commit moves the pointer past it, a crashed orphan
+    at a lower number becomes reclaimable."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        compact_partition,
+        resolve_partition_dir,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "fact")
+    spark.range(50).select(
+        F.col("id"), F.lit("2024-01-01").alias("day")
+    ).write.partitionBy("day").parquet(path)
+    part = _os.path.join(path, "day=2024-01-01")
+
+    # committed generation 1 (live pointer -> .gen-1)
+    compact_partition(
+        spark, path, "day", "2024-01-01", sort_cols=("id",),
+        commit="pointer", vacuum=False,
+    )
+    live1 = resolve_partition_dir(part)
+    assert _os.path.basename(live1) == ".gen-1"
+
+    # a concurrent compaction has written .gen-2 but NOT flipped the pointer
+    inflight = _os.path.join(part, ".gen-2")
+    spark.read.parquet(live1).write.parquet(inflight)
+
+    deleted = vacuum_table(path, "day", keep_snapshots=0)
+    assert _os.path.isdir(inflight), "in-flight generation must survive vacuum"
+    assert all(not d.endswith(".gen-2") for d in deleted)
+
+    # the compactor dies; a LATER compaction commits .gen-3, moving the
+    # pointer past the orphan — now vacuum reclaims it
+    compact_partition(
+        spark, path, "day", "2024-01-01", sort_cols=("id",),
+        commit="pointer", vacuum=False,
+    )
+    assert _os.path.basename(resolve_partition_dir(part)) == ".gen-3"
+    deleted2 = vacuum_table(path, "day", keep_snapshots=0)
+    assert not _os.path.exists(inflight)
+    assert any(d.endswith(".gen-2") for d in deleted2)
+
+
+def test_read_as_of_empty_snapshot_raises(spark, tmp_path):
+    """A snapshot committed on a table with zero partitions is a clear
+    error at read time, not a reduce() TypeError."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        commit_snapshot,
+        read_as_of,
+    )
+
+    path = str(tmp_path / "fact")
+    _os.makedirs(path)
+    sid = commit_snapshot(path, "day")
+    with _pytest.raises(ValueError, match="zero partitions"):
+        read_as_of(spark, path, "day", sid)

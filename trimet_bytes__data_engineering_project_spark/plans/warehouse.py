@@ -113,19 +113,38 @@ def resolve_partition_dir(part_dir: str) -> str:
     exists (and that generation finished — has ``_SUCCESS``), else the
     partition directory itself (the loose appended files, "generation
     0").  This is the read path for pointer-committed tables — one
-    metadata read, never a listing race."""
+    metadata read, never a listing race.
+
+    All probes go through the Hadoop FileSystem API
+    (streaming/hadoopfs.py), so the pointer is answered by the SAME
+    filesystem the commit wrote to — an ``os.path`` probe against an
+    HDFS/S3A table root would silently read "absent" and fall back to
+    the stale generation-0 files (the exact failure class the
+    streaming state stores fixed in round 7)."""
     import os
 
-    ptr = _pointer_path(part_dir)
-    try:
-        with open(ptr) as fh:
-            gen = fh.read().strip()
-    except FileNotFoundError:
+    from ..streaming.hadoopfs import fs_exists, fs_read_text
+
+    gen = fs_read_text(_pointer_path(part_dir))
+    if gen is None:
         return part_dir
-    gen_dir = os.path.join(part_dir, gen)
-    if os.path.exists(os.path.join(gen_dir, "_SUCCESS")):
+    gen_dir = os.path.join(part_dir, gen.strip())
+    spark = _active_session()
+    if fs_exists(spark, os.path.join(gen_dir, "_SUCCESS")):
         return gen_dir
     return part_dir  # pointer names an incomplete generation: ignore it
+
+
+def _active_session():
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError(
+            "warehouse pointer/manifest operations need an active "
+            "SparkSession (filesystem probes run through the Hadoop FS API)"
+        )
+    return s
 
 
 def read_compacted(spark: SparkSession, path: str, partition_col: str) -> DataFrame:
@@ -143,16 +162,22 @@ def read_compacted(spark: SparkSession, path: str, partition_col: str) -> DataFr
     import os
     from functools import reduce
 
+    from ..streaming.hadoopfs import fs_is_dir, fs_list
+
     prefix = f"{partition_col}="
     parts = sorted(
-        d for d in os.listdir(path)
-        if d.startswith(prefix) and os.path.isdir(os.path.join(path, d))
+        d for d in fs_list(path, spark)
+        if d.startswith(prefix) and fs_is_dir(os.path.join(path, d), spark)
     )
     frames = [
         spark.read.parquet(resolve_partition_dir(os.path.join(path, d)))
         .withColumn(partition_col, F.lit(d[len(prefix):]))
         for d in parts
     ]
+    if not frames:
+        raise ValueError(
+            f"{path} has no {partition_col}= partition directories to read"
+        )
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
@@ -162,18 +187,20 @@ def recover_compaction(path: str) -> None:
     sibling survives) and drop leftover hidden work dirs.  Idempotent;
     run before reads after an unclean shutdown."""
     import os
-    import shutil
 
-    for d in list(os.listdir(path)):
+    from ..streaming.hadoopfs import fs_delete, fs_exists, fs_list, fs_rename
+
+    spark = _active_session()
+    for d in fs_list(path):
         full = os.path.join(path, d)
         if d.startswith(".compact-old-"):
             orig = os.path.join(path, d[len(".compact-old-"):])
-            if not os.path.exists(orig):
-                os.rename(full, orig)  # crash between the two renames
+            if not fs_exists(spark, orig):
+                fs_rename(full, orig)  # crash between the two renames
             else:
-                shutil.rmtree(full)  # crash before rmtree: both copies exist
+                fs_delete(full)  # crash before rmtree: both copies exist
         elif d.startswith(".compact-new-"):
-            shutil.rmtree(full)  # never committed
+            fs_delete(full)  # never committed
 
 
 def compact_partition(
@@ -225,7 +252,13 @@ def compact_partition(
     """
     import math
     import os
-    import shutil
+
+    from ..streaming.hadoopfs import (
+        fs_delete,
+        fs_list,
+        fs_rename,
+        fs_write_text_atomic,
+    )
 
     part_dir = os.path.join(path, f"{partition_col}={partition_value}")
     src_dir = resolve_partition_dir(part_dir) if commit == "pointer" else part_dir
@@ -237,19 +270,24 @@ def compact_partition(
     )
 
     if commit == "pointer":
+        # SINGLE WRITER PER PARTITION: two concurrent compactions of the
+        # same partition can allocate the same .gen-<n> (the listing is
+        # not a lock) — serialize compaction per partition externally
+        # (the maintenance-scheduler contract).  Readers, snapshot
+        # commits, and vacuum_table are all safe to run concurrently
+        # with ONE in-flight compaction: the new generation stays
+        # invisible until the pointer flips and vacuum skips generations
+        # newer than the live pointer.
         gens = [
             int(d[len(".gen-"):])
-            for d in os.listdir(part_dir)
+            for d in fs_list(part_dir, spark)
             if d.startswith(".gen-") and d[len(".gen-"):].isdigit()
         ]
         new_gen = f".gen-{max(gens, default=0) + 1}"
         new_dir = os.path.join(part_dir, new_gen)
         compacted.write.mode("overwrite").parquet(new_dir)  # hidden: invisible until commit
-        # the commit: one atomic single-file write of the pointer
-        tmp = _pointer_path(part_dir) + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(new_gen)
-        os.replace(tmp, _pointer_path(part_dir))
+        # the commit: one atomic single-object write of the pointer
+        fs_write_text_atomic(_pointer_path(part_dir), new_gen, spark)
         # post-commit vacuum of superseded filesets (best-effort; a crash
         # here leaves only already-invisible-to-resolve garbage).
         # vacuum=False RETAINS superseded generations — the snapshot /
@@ -258,24 +296,24 @@ def compact_partition(
         # generations no retained snapshot references.
         if vacuum:
             if src_dir == part_dir:  # generation 0: the loose appended files
-                for f in os.listdir(part_dir):
+                for f in fs_list(part_dir, spark):
                     if not f.startswith((".", "_")):
-                        os.remove(os.path.join(part_dir, f))
+                        fs_delete(os.path.join(part_dir, f), recursive=False)
             else:
-                shutil.rmtree(src_dir)
+                fs_delete(src_dir)
         final_dir = new_dir
     elif commit == "swap":
         value_tag = os.path.basename(part_dir)
         new_dir = os.path.join(path, f".compact-new-{value_tag}")
         old_dir = os.path.join(path, f".compact-old-{value_tag}")
         compacted.write.mode("overwrite").parquet(new_dir)
-        os.rename(part_dir, old_dir)
-        os.rename(new_dir, part_dir)
-        shutil.rmtree(old_dir)
+        fs_rename(part_dir, old_dir)
+        fs_rename(new_dir, part_dir)
+        fs_delete(old_dir)
         final_dir = part_dir
     else:
         raise ValueError(f"unknown commit protocol: {commit!r}")
-    return len([f for f in os.listdir(final_dir) if f.endswith(".parquet")])
+    return len([f for f in fs_list(final_dir, spark) if f.endswith(".parquet")])
 
 
 def register_warehouse(spark: SparkSession, trip_path: str, breadcrumb_path: str) -> None:
@@ -405,50 +443,76 @@ def _snapshot_dir(path: str) -> str:
 def commit_snapshot(path: str, partition_col: str) -> int:
     """Record the table's CURRENT per-partition generations as the next
     snapshot; returns its id.  One listing + one atomic manifest write —
-    no data moves."""
-    import json
+    no data moves.
+
+    CONCURRENCY CONTRACT (pinned in tests/test_warehouse.py): snapshot
+    ids are allocated by FIRST-PUBLISH-WINS — the manifest lands via an
+    exclusive no-overwrite rename, so when two writers race to the same
+    id the loser detects the collision and retries under the next id.
+    No snapshot is ever silently overwritten; concurrent commits
+    serialize into consecutive ids (each capturing the table state its
+    writer listed — standard snapshot-isolation semantics, the same
+    promise Iceberg's optimistic commit makes before it adds conflict
+    *validation*)."""
+    mapping = _current_generations(path, partition_col)
+    return _publish_snapshot(path, mapping)
+
+
+def _current_generations(path: str, partition_col: str) -> dict[str, str]:
     import os
+
+    from ..streaming.hadoopfs import fs_is_dir, fs_list
 
     prefix = f"{partition_col}="
     mapping = {}
-    for d in sorted(os.listdir(path)):
+    for d in sorted(fs_list(path)):
         part_dir = os.path.join(path, d)
-        if not (d.startswith(prefix) and os.path.isdir(part_dir)):
+        if not (d.startswith(prefix) and fs_is_dir(part_dir)):
             continue
         resolved = resolve_partition_dir(part_dir)
         mapping[d] = os.path.basename(resolved) if resolved != part_dir else ""
+    return mapping
+
+
+def _publish_snapshot(path: str, mapping: dict[str, str]) -> int:
+    """Allocate the next id and publish the manifest exclusively,
+    retrying on id collision (the commit_snapshot race path — split out
+    so the interleaving test can drive two pre-listed writers)."""
+    import json
+    import os
+
+    from ..streaming.hadoopfs import fs_mkdirs, fs_publish_exclusive
+
     sdir = _snapshot_dir(path)
-    os.makedirs(sdir, exist_ok=True)
-    ids = [
-        int(f[len("snap-"):-len(".json")])
-        for f in os.listdir(sdir)
-        if f.startswith("snap-") and f.endswith(".json")
-    ]
-    sid = max(ids, default=0) + 1
-    tmp = os.path.join(sdir, f".snap-{sid}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"snapshot_id": sid, "partitions": mapping}, fh)
-    os.replace(tmp, os.path.join(sdir, f"snap-{sid}.json"))
-    return sid
+    fs_mkdirs(sdir)
+    sid = max(list_snapshots(path), default=0) + 1
+    while True:
+        body = json.dumps({"snapshot_id": sid, "partitions": mapping})
+        if fs_publish_exclusive(os.path.join(sdir, f"snap-{sid}.json"), body):
+            return sid
+        sid += 1  # a concurrent writer won this id; take the next
 
 
 def _load_snapshot(path: str, snapshot_id: int) -> dict:
     import json
     import os
 
-    with open(os.path.join(_snapshot_dir(path), f"snap-{snapshot_id}.json")) as fh:
-        return json.load(fh)
+    from ..streaming.hadoopfs import fs_read_text
+
+    text = fs_read_text(os.path.join(_snapshot_dir(path), f"snap-{snapshot_id}.json"))
+    if text is None:
+        raise FileNotFoundError(
+            f"snapshot {snapshot_id} of {path} does not exist (expired or never committed)"
+        )
+    return json.loads(text)
 
 
 def list_snapshots(path: str) -> list[int]:
-    import os
+    from ..streaming.hadoopfs import fs_list
 
-    sdir = _snapshot_dir(path)
-    if not os.path.isdir(sdir):
-        return []
     return sorted(
         int(f[len("snap-"):-len(".json")])
-        for f in os.listdir(sdir)
+        for f in fs_list(_snapshot_dir(path))
         if f.startswith("snap-") and f.endswith(".json")
     )
 
@@ -465,6 +529,11 @@ def read_as_of(
     from functools import reduce
 
     snap = _load_snapshot(path, snapshot_id)
+    if not snap["partitions"]:
+        raise ValueError(
+            f"snapshot {snapshot_id} of {path} records zero partitions — "
+            "it was committed on an empty table; nothing to read"
+        )
     prefix = f"{partition_col}="
     frames = []
     for d, gen in sorted(snap["partitions"].items()):
@@ -485,9 +554,18 @@ def vacuum_table(path: str, partition_col: str, keep_snapshots: int = 2) -> list
     argument as the commit path: only hidden ``.gen-*`` dirs invisible
     to resolve are ever deleted, the live pointer's generation is
     always retained, and a re-run after any crash point deletes only
-    what remains unreferenced (idempotent)."""
+    what remains unreferenced (idempotent).
+
+    Safe to run CONCURRENTLY with one in-flight compaction: a
+    generation numbered ABOVE the live pointer's is an in-progress (or
+    crashed) compaction that has not committed yet, and vacuum skips it
+    — deleting it would dangle the compactor's imminent pointer flip.
+    A crashed generation is reclaimed on the vacuum after the NEXT
+    successful commit moves the pointer past its number (pinned in
+    tests/test_warehouse.py)."""
     import os
-    import shutil
+
+    from ..streaming.hadoopfs import fs_delete, fs_is_dir, fs_list
 
     snaps = list_snapshots(path)
     keep_ids = set(snaps[-keep_snapshots:]) if keep_snapshots > 0 else set()
@@ -499,19 +577,27 @@ def vacuum_table(path: str, partition_col: str, keep_snapshots: int = 2) -> list
                 referenced.add(os.path.join(path, d, gen))
     deleted: list[str] = []
     prefix = f"{partition_col}="
-    for d in sorted(os.listdir(path)):
+    for d in sorted(fs_list(path)):
         part_dir = os.path.join(path, d)
-        if not (d.startswith(prefix) and os.path.isdir(part_dir)):
+        if not (d.startswith(prefix) and fs_is_dir(part_dir)):
             continue
         live = resolve_partition_dir(part_dir)
-        for g in sorted(os.listdir(part_dir)):
+        live_num = (
+            int(os.path.basename(live)[len(".gen-"):]) if live != part_dir else 0
+        )
+        for g in sorted(fs_list(part_dir)):
             gen_dir = os.path.join(part_dir, g)
-            if not (g.startswith(".gen-") and os.path.isdir(gen_dir)):
+            if not (g.startswith(".gen-") and g[len(".gen-"):].isdigit()):
                 continue
+            if int(g[len(".gen-"):]) > live_num:
+                continue  # uncommitted compaction in flight — never touch
             if gen_dir != live and gen_dir not in referenced:
-                shutil.rmtree(gen_dir)
+                fs_delete(gen_dir)
                 deleted.append(gen_dir)
     for sid in snaps:
         if sid not in keep_ids:
-            os.remove(os.path.join(_snapshot_dir(path), f"snap-{sid}.json"))
+            fs_delete(
+                os.path.join(_snapshot_dir(path), f"snap-{sid}.json"),
+                recursive=False,
+            )
     return deleted
