@@ -2113,6 +2113,26 @@ def _x202_feed_outage(spark, d):
     return QUERIES["x202_feed_outage_audit"](spark, d)
 
 
+def _x203_salted_join(spark, d):
+    # the skew demo over the full scaled events table: 70% of rows on
+    # one hot key, salted x16 against the replicated 50-row dim.
+    return QUERIES["x203_salted_hot_join"](spark, d)
+
+
+def _x204_q18(spark, d):
+    # Q18 shape at scale: one lineitem scan -> two-phase agg -> tiny
+    # broadcast build side against scaled orders, then fixed customers.
+    ensure_scale_tpch(spark, d, 100 if "x100" in d else (10 if "x10" in d else 1))
+    return QUERIES["x204_large_customer_orders"](spark, d)
+
+
+def _x205_point_in_any(spark, d):
+    # 100 polygons as data over the full scaled lineitem table: bbox-
+    # bucket blocking (broadcast cell table), row-local ray-cast fold,
+    # <=100-key count — must scale in points, never points x polygons.
+    return QUERIES["x205_point_in_any_polygon"](spark, d)
+
+
 def _x199_point_in_polygon(spark, d):
     # integer ray casting over the full scaled lineitem table: a
     # shuffle-free codegen scan + a <=3-group fold — flat band.
@@ -2931,6 +2951,9 @@ HEAVY += [
     ("x198_k_anonymity_full", _x198_k_anonymity),
     ("x199_point_in_polygon_full", _x199_point_in_polygon),
     ("x202_feed_outage_full", _x202_feed_outage),
+    ("x203_salted_join_full", _x203_salted_join),
+    ("x204_q18_full", _x204_q18),
+    ("x205_point_in_any_full", _x205_point_in_any),
     ("x200_grid_density_full", _x200_grid_density),
     ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),

@@ -1285,3 +1285,61 @@ def test_merge_components_random_graphs(spark, edges, mod):
     store = connected_components(old)
     got = sorted(map(tuple, merge_components(store, new).collect()))
     assert got == full
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * 86_400 * 1_000_000),  # µs over 3 days
+            st.integers(min_value=0, max_value=5),  # event_id (collisions welcome)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([900_000_000, 3_600_000_000, 40_000_000_000]),
+)
+@SETTINGS
+def test_two_level_lag_equals_naive_day_window(spark, rows, shard_us):
+    """x202's two-level lag (interior (day, shard) window + the
+    non-empty-shard boundary frame) is bit-equal to the naive
+    one-window-per-day form for ARBITRARY event streams and shard
+    widths — including duplicate timestamps, empty shards, shards wider
+    than a day, and single-event days."""
+    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+
+    ev = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(rows)], "event_id long, tus long"
+    ).select("event_id", F.timestamp_micros(F.col("tus")).alias("ts"))
+
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda s, d, n: ev
+        got = [
+            tuple(r)
+            for r in ext.x202_feed_outage_audit(
+                spark, "ignored", shard_us=shard_us
+            ).collect()
+        ]
+    finally:
+        ext.load_table = orig
+
+    from pyspark.sql import Window
+
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy(F.to_date("ts")).orderBy(eus, F.col("event_id"))
+    naive = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            eus.alias("t"),
+            F.lag(eus).over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max(F.col("t") - F.col("prev")).cast("long").alias("max_gap_us"),
+            (F.max(F.col("t") - F.col("prev")) > 3600000000).alias("outage"),
+        )
+        .orderBy("day")
+    )
+    assert got == [tuple(r) for r in naive.collect()]
