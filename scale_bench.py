@@ -2068,7 +2068,13 @@ def ensure_scale_tpch(spark, scale_dir: str, copies: int) -> None:
     o_custkey UNSHIFTED — more orders from the same customers, the way
     a fact grows against fixed dims), and customer/supplier/nation/
     region land verbatim (dims do not grow with the corpus), so the
-    registered x193/x194 plans run against the scale dir unmodified."""
+    registered x193/x194 plans run against the scale dir unmodified.
+
+    CONTRACT (r9 verdict nit): only KEYS shift per copy — o_orderdate
+    and every other attribute land verbatim, so the TPC-H date horizon
+    never moves and the literal date windows hard-coded in
+    x193/x194/x204's oracles select the same fraction at every scale.
+    If copies ever perturb dates, those oracles must parameterize."""
     if os.path.abspath(scale_dir) == os.path.abspath(SF01):
         return  # x1 IS the (read-only) testdata dir — all tables present
     marker = os.path.join(scale_dir, "_TPCH_BUILT")
