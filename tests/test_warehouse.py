@@ -485,3 +485,44 @@ def test_read_as_of_empty_snapshot_raises(spark, tmp_path):
     sid = commit_snapshot(path, "day")
     with _pytest.raises(ValueError, match="zero partitions"):
         read_as_of(spark, path, "day", sid)
+
+
+def test_compact_vacuum_spares_snapshot_referenced_fileset(spark, tmp_path):
+    """compact_partition(vacuum=True) must NOT delete a superseded
+    fileset a retained snapshot manifest still references — deleting it
+    would dangle read_as_of.  Once the manifest expires, the next
+    compaction's vacuum reclaims as usual."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        commit_snapshot,
+        compact_partition,
+        read_as_of,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "fact")
+    spark.range(60).select(
+        F.col("id"), F.lit("2024-01-01").alias("day")
+    ).write.partitionBy("day").parquet(path)
+    part = _os.path.join(path, "day=2024-01-01")
+    before = sorted(r.id for r in spark.read.parquet(part).collect())
+
+    # snapshot pins generation 0 (the loose files)
+    sid = commit_snapshot(path, "day")
+
+    # default vacuum=True compaction: loose files must SURVIVE
+    compact_partition(spark, path, "day", "2024-01-01", sort_cols=("id",), commit="pointer")
+    loose = [f for f in _os.listdir(part) if f.endswith(".parquet")]
+    assert loose, "snapshot-referenced generation 0 was vacuumed away"
+    assert sorted(r.id for r in read_as_of(spark, path, "day", sid).collect()) == before
+
+    # expire the manifest; the next compaction's vacuum now reclaims
+    # its superseded source (.gen-1) as usual
+    vacuum_table(path, "day", keep_snapshots=0)
+    gen1 = _os.path.join(part, ".gen-1")
+    assert _os.path.isdir(gen1)
+    compact_partition(spark, path, "day", "2024-01-01", sort_cols=("id",), commit="pointer")
+    assert not _os.path.exists(gen1)

@@ -293,8 +293,15 @@ def compact_partition(
         # vacuum=False RETAINS superseded generations — the snapshot /
         # time-travel mode: reads still resolve through the pointer, and
         # reclamation moves to vacuum_table(), which only deletes
-        # generations no retained snapshot references.
-        if vacuum:
+        # generations no retained snapshot references.  Even with
+        # vacuum=True the superseded fileset survives when a RETAINED
+        # snapshot manifest still references it — deleting it would
+        # dangle read_as_of; its reclamation moves to vacuum_table()
+        # once the manifest expires.
+        if vacuum and not _snapshot_references(
+            path, os.path.basename(part_dir),
+            "" if src_dir == part_dir else os.path.basename(src_dir),
+        ):
             if src_dir == part_dir:  # generation 0: the loose appended files
                 for f in fs_list(part_dir, spark):
                     if not f.startswith((".", "_")):
@@ -438,6 +445,16 @@ def _snapshot_dir(path: str) -> str:
     import os
 
     return os.path.join(path, "_snapshots")
+
+
+def _snapshot_references(path: str, part_name: str, gen: str) -> bool:
+    """True when ANY existing snapshot manifest maps ``part_name`` to
+    generation ``gen`` (`""` = the loose generation-0 files) — the
+    compact-time guard that keeps read_as_of from dangling."""
+    for sid in list_snapshots(path):
+        if _load_snapshot(path, sid)["partitions"].get(part_name) == gen:
+            return True
+    return False
 
 
 def commit_snapshot(path: str, partition_col: str) -> int:
