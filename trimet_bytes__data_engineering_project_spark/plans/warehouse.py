@@ -162,12 +162,12 @@ def read_compacted(spark: SparkSession, path: str, partition_col: str) -> DataFr
     import os
     from functools import reduce
 
-    from ..streaming.hadoopfs import fs_is_dir, fs_list
+    from ..streaming.hadoopfs import fs_list_entries
 
     prefix = f"{partition_col}="
     parts = sorted(
-        d for d in fs_list(path, spark)
-        if d.startswith(prefix) and fs_is_dir(os.path.join(path, d), spark)
+        d for d, is_dir in fs_list_entries(path, spark)
+        if d.startswith(prefix) and is_dir
     )
     frames = [
         spark.read.parquet(resolve_partition_dir(os.path.join(path, d)))
@@ -478,14 +478,14 @@ def commit_snapshot(path: str, partition_col: str) -> int:
 def _current_generations(path: str, partition_col: str) -> dict[str, str]:
     import os
 
-    from ..streaming.hadoopfs import fs_is_dir, fs_list
+    from ..streaming.hadoopfs import fs_list_entries
 
     prefix = f"{partition_col}="
     mapping = {}
-    for d in sorted(fs_list(path)):
-        part_dir = os.path.join(path, d)
-        if not (d.startswith(prefix) and fs_is_dir(part_dir)):
+    for d, is_dir in sorted(fs_list_entries(path)):
+        if not (d.startswith(prefix) and is_dir):
             continue
+        part_dir = os.path.join(path, d)
         resolved = resolve_partition_dir(part_dir)
         mapping[d] = os.path.basename(resolved) if resolved != part_dir else ""
     return mapping
@@ -582,7 +582,7 @@ def vacuum_table(path: str, partition_col: str, keep_snapshots: int = 2) -> list
     tests/test_warehouse.py)."""
     import os
 
-    from ..streaming.hadoopfs import fs_delete, fs_is_dir, fs_list
+    from ..streaming.hadoopfs import fs_delete, fs_list, fs_list_entries
 
     snaps = list_snapshots(path)
     keep_ids = set(snaps[-keep_snapshots:]) if keep_snapshots > 0 else set()
@@ -594,9 +594,9 @@ def vacuum_table(path: str, partition_col: str, keep_snapshots: int = 2) -> list
                 referenced.add(os.path.join(path, d, gen))
     deleted: list[str] = []
     prefix = f"{partition_col}="
-    for d in sorted(fs_list(path)):
+    for d, is_dir in sorted(fs_list_entries(path)):
         part_dir = os.path.join(path, d)
-        if not (d.startswith(prefix) and fs_is_dir(part_dir)):
+        if not (d.startswith(prefix) and is_dir):
             continue
         live = resolve_partition_dir(part_dir)
         live_num = (

@@ -149,3 +149,20 @@ def fs_list(path: str, spark: SparkSession | None = None) -> list[str]:
     if not fs.exists(p):
         return []
     return [str(st.getPath().getName()) for st in fs.listStatus(p)]
+
+
+def fs_list_entries(
+    path: str, spark: SparkSession | None = None
+) -> list[tuple[str, bool]]:
+    """(basename, is_dir) pairs from ONE listStatus call ([] when
+    absent) — the per-child type is already in the FileStatus, so
+    listing loops never pay a second JVM round-trip per child (the
+    O(partitions) warehouse scans use this)."""
+    s = _active(spark)
+    fs, p = _fs_and_path(s, path)
+    if not fs.exists(p):
+        return []
+    return [
+        (str(st.getPath().getName()), bool(st.isDirectory()))
+        for st in fs.listStatus(p)
+    ]
