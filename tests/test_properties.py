@@ -1343,3 +1343,64 @@ def test_two_level_lag_equals_naive_day_window(spark, rows, shard_us):
         .orderBy("day")
     )
     assert got == [tuple(r) for r in naive.collect()]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=60),       # x: spans off-grid too
+            st.integers(min_value=-10**6, max_value=12 * 10**6),  # y cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@example([(2, 500_000), (0, 500_000), (4, 500_000), (2, 900_000), (2, 100_000)])
+@SETTINGS
+def test_polygon_blocking_is_lossless(spark, pts):
+    """x205's bbox-bucket blocking is LOSSLESS for arbitrary point
+    coordinates (on vertices, on bbox corners, off-grid, negative):
+    the blocked+exact pipeline equals a brute-force ray cast against
+    all 100 polygons with no blocking at all.  A candidate the buckets
+    drop is a correctness bug, not a perf one."""
+    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [(float(x), y / 100.0) for x, y in pts],
+        "l_quantity double, l_extendedprice double",
+    )
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda s, d, n: li
+        got = [tuple(r) for r in ext.x205_point_in_any_polygon(spark, "ignored").collect()]
+    finally:
+        ext.load_table = orig
+
+    # brute force: every point against every polygon's edge array
+    edges = {}
+    for k, xi, yi, xj, yj, d in ext._x205_edges():
+        edges.setdefault(k, []).append((xi, yi, xj, yj, d))
+    polys = spark.createDataFrame(
+        [(k, edges[k]) for k, _, _ in ext._x205_polys()],
+        "poly_id long, edges array<struct<xi:long,yi:long,xj:long,yj:long,d:long>>",
+    )
+    term = ext._X205_TERM.format(
+        x="x", y="y", xi="e.xi", yi="e.yi", xj="e.xj", yj="e.yj", d="e.d"
+    )
+    pts_df = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y",
+    )
+    brute = (
+        pts_df.crossJoin(F.broadcast(polys))
+        .withColumn(
+            "crossings",
+            F.expr(f"aggregate(edges, CAST(0 AS BIGINT), (acc, e) -> acc + {term})"),
+        )
+        .filter(F.col("crossings") % 2 == 1)
+        .groupBy("poly_id")
+        .count()
+    )
+    want = {r["poly_id"]: r["count"] for r in brute.collect()}
+    assert got == sorted((k, want.get(k, 0)) for k, _, _ in ext._x205_polys())
