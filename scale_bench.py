@@ -2119,6 +2119,16 @@ def _x202_feed_outage(spark, d):
     return QUERIES["x202_feed_outage_audit"](spark, d)
 
 
+def _x190_column_stats_approx(spark, d):
+    # the built 100-TB swap for x190: HLL++ NDVs drop the map-side
+    # Expand and the 60M-distinct shuffle; everything else stays exact.
+    from trimet_bytes__data_engineering_project_spark.plans.extensions import (
+        column_stats_approx,
+    )
+
+    return column_stats_approx(spark, d)
+
+
 def _x203_salted_join(spark, d):
     # the skew demo over the full scaled events table: 70% of rows on
     # one hot key, salted x16 against the replicated 50-row dim.
@@ -2958,6 +2968,7 @@ HEAVY += [
     ("x199_point_in_polygon_full", _x199_point_in_polygon),
     ("x202_feed_outage_full", _x202_feed_outage),
     ("x203_salted_join_full", _x203_salted_join),
+    ("x190_column_stats_approx", _x190_column_stats_approx),
     ("x204_q18_full", _x204_q18),
     ("x205_point_in_any_full", _x205_point_in_any),
     ("x200_grid_density_full", _x200_grid_density),

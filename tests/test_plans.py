@@ -721,3 +721,39 @@ def test_point_in_any_polygon_blocks_by_cell(spark):
 
     fact_side = p.split("BroadcastExchange")[0]
     assert "Generate" not in fact_side
+
+
+def test_column_stats_approx_is_expand_free_and_close(spark):
+    """x190's built 100-TB form: approx_count_distinct drops the
+    map-side Expand from the plan (the exact form multiplies every row
+    ×5 and shuffles the full per-column distinct key space; the sketch
+    shuffle is constant-size) while counts/nulls/min/max stay EXACT and
+    every NDV estimate lands within 3×rsd of the exact form."""
+    import contextlib
+    import io
+
+    from trimet_bytes__data_engineering_project_spark.plans.extensions import (
+        column_stats_approx,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        column_stats_approx(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    assert "Expand" not in plan
+    assert plan.count("- Scan parquet") == 1
+
+    exact_plan = plan_of(spark, "x190_column_stats")
+    assert "Expand" in exact_plan  # the shape the swap removes
+
+    approx = {r["col_name"]: r for r in column_stats_approx(spark, SF_DIR).collect()}
+    exact = {r["col_name"]: r for r in QUERIES["x190_column_stats"](spark, SF_DIR).collect()}
+    assert set(approx) == set(exact)
+    for c in exact:
+        a, e = approx[c], exact[c]
+        # non-NDV statistics are identical, not approximate
+        for f in ("n", "n_nulls", "min_num", "max_num", "min_str", "max_str"):
+            assert a[f] == e[f], (c, f)
+        assert abs(a["ndv"] - e["ndv"]) <= max(1, 0.075 * e["ndv"]), (
+            c, a["ndv"], e["ndv"],
+        )

@@ -10188,8 +10188,27 @@ def x190_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     datasheet shape — one scan, not one per column; plan-pinned), and
     the wide 1-row result unpivots to long form with ``stack`` — no
     second scan, no driver loop.  The oracle is the spec form: one
-    UNION-ALL arm per column."""
+    UNION-ALL arm per column.  The 100-TB form is
+    :func:`column_stats_approx` below — built and ×100-priced, not
+    just documented."""
     events = load_table(spark, sf_dir, "events")
+    return _column_stats(events, approx_ndv=False)
+
+
+def _column_stats(events: DataFrame, approx_ndv: bool) -> DataFrame:
+    """Shared body of x190: ``approx_ndv=False`` is the exact spec form
+    (multi-COUNT(DISTINCT) via map-side Expand — the plan multiplies
+    every row ×|distinct-columns|+1 before the partial agg, and the
+    shuffle carries the full per-column distinct key space).
+    ``approx_ndv=True`` is the scale form: ``approx_count_distinct``
+    (Spark's native HLL++, rsd 2.5%) — ONE un-expanded pass, sketch-
+    sized shuffle, everything else (counts, nulls, min/max) identical
+    and still exact."""
+    ndv = (
+        (lambda c: F.approx_count_distinct(c, rsd=0.025))
+        if approx_ndv
+        else F.countDistinct
+    )
     wide = events.agg(
         *[
             F.count(c).cast("long").alias(f"n_{c}")
@@ -10197,7 +10216,7 @@ def x190_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.count("*").cast("long").alias("n_all"),
         *[
-            F.countDistinct(c).cast("long").alias(f"ndv_{c}")
+            ndv(c).cast("long").alias(f"ndv_{c}")
             for c in ("event_id", "user_id", "value", "event_type")
         ],
         *[
@@ -10225,6 +10244,17 @@ def x190_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack(4, {', '.join(arms)}) AS "
         "(col_name, n, n_nulls, ndv, min_num, max_num, min_str, max_str)"
     )
+
+
+def column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x190's 100-TB form (the swap BENCH_NOTES documents, built): the
+    exact multi-distinct Expand carries a worst-case 60 M-distinct
+    shuffle at ×100; HLL++ replaces it with a sketch-sized one and the
+    plan loses the Expand entirely.  Not oracle-registered (the NDVs
+    are estimates); pinned by pytest within 3×rsd of the exact form and
+    plan-pinned Expand-free, priced at ×100 in scale_bench."""
+    events = load_table(spark, sf_dir, "events")
+    return _column_stats(events, approx_ndv=True)
 
 
 @query(
