@@ -30,6 +30,11 @@ BARS = {
     # its wall = subset_206_r8 + the post-bar additions, each of which
     # carries its own cost note in BENCH_NOTES when registered.
     "subset_206_r8": 210.0,
+    # frozen at the round-9 close (235 queries; driver r9 measured
+    # 187.3 s, builder close 183.5 s).  Bar = 25% headroom over the
+    # driver measurement — the same convention as subset_206_r8 —
+    # so round-10+ growth (x203/x204/x205 onward) is priced separately.
+    "subset_235_r9": 235.0,
 }
 
 
