@@ -655,6 +655,11 @@ def test_salted_join_plan_splits_hot_key(spark):
 
     from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
 
+    # default session: the x16-replicated dim broadcasts (equally
+    # skew-immune — no reduce partitioning to overload)
+    p_default = plan_of(spark, "x203_salted_hot_join")
+    assert "BroadcastHashJoin" in p_default and "SortMergeJoin" not in p_default
+
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
