@@ -145,16 +145,30 @@ def test_compact_pointer_commit_reader_sees_old_or_new_only(spark, tmp_path):
     assert gen2 != gen_dir and not os.path.exists(gen_dir)
     assert spark.read.parquet(gen2).orderBy("trip_id", "tstamp").collect() == before
 
-    # pointer naming a vanished generation degrades to the loose fileset
-    # (written through the same FS API as the commit path — the local
-    # Hadoop FS is checksummed, so a raw open() rewrite would corrupt
-    # the crc sidecar rather than simulate a dangling pointer)
+    # pointer naming a vanished generation FAILS LOUDLY (round-10 close
+    # finding 782e08e: the loose files it would silently degrade to may
+    # have been vacuumed — a corrupt pointer must never read as an
+    # empty/stale partition).  Written through the same FS API as the
+    # commit path — the local Hadoop FS is checksummed, so a raw open()
+    # rewrite would corrupt the crc sidecar rather than simulate a
+    # dangling pointer.
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        CorruptPointerError,
+    )
     from trimet_bytes__data_engineering_project_spark.streaming.hadoopfs import (
         fs_write_text_atomic,
     )
 
     fs_write_text_atomic(os.path.join(part_dir, "._current"), ".gen-99", spark)
-    assert resolve_partition_dir(part_dir) == part_dir
+    with pytest.raises(CorruptPointerError, match="does not exist"):
+        resolve_partition_dir(part_dir)
+    # restore the real pointer so later asserts see a healthy partition
+    fs_write_text_atomic(
+        os.path.join(part_dir, "._current"), os.path.basename(gen2), spark
+    )
+    assert resolve_partition_dir(part_dir) == gen2
 
 
 def test_compact_swap_crash_states_recoverable_and_invisible(spark, tmp_path):
@@ -526,3 +540,194 @@ def test_compact_vacuum_spares_snapshot_referenced_fileset(spark, tmp_path):
     assert _os.path.isdir(gen1)
     compact_partition(spark, path, "day", "2024-01-01", sort_cols=("id",), commit="pointer")
     assert not _os.path.exists(gen1)
+
+
+def test_corrupt_pointer_fails_loudly(spark, tmp_path):
+    """Round-10 close finding (782e08e), pinned per the r10 verdict: a
+    ._current pointer that cannot be honored raises CorruptPointerError
+    — garbage generation name, missing generation, or a generation
+    lacking _SUCCESS — because the silent fallback it replaced read the
+    loose generation-0 files, which may have been vacuumed (a corrupt
+    pointer must never masquerade as an empty/stale partition)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        CorruptPointerError,
+        read_compacted,
+        resolve_partition_dir,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.hadoopfs import (
+        fs_write_text_atomic,
+    )
+
+    path = str(tmp_path / "fact")
+    spark.range(10).select(
+        F.col("id"), F.lit("2024-01-01").alias("day")
+    ).write.partitionBy("day").parquet(path)
+    part = _os.path.join(path, "day=2024-01-01")
+    ptr = _os.path.join(part, "._current")
+
+    # garbage generation name → the pointer object itself is corrupt
+    fs_write_text_atomic(ptr, "../../../etc", spark)
+    with _pytest.raises(CorruptPointerError, match="not a valid"):
+        resolve_partition_dir(part)
+    # ... and the loud error propagates through the table-level reader
+    with _pytest.raises(CorruptPointerError, match="not a valid"):
+        read_compacted(spark, path, "day")
+
+    # pointer names a generation that exists but lacks _SUCCESS — a
+    # truncated/foreign fileset, NOT a commit-protocol crash state (the
+    # pointer flips only after _SUCCESS lands)
+    gen = _os.path.join(part, ".gen-5")
+    spark.read.parquet(part).write.parquet(gen)
+    _os.remove(_os.path.join(gen, "_SUCCESS"))
+    fs_write_text_atomic(ptr, ".gen-5", spark)
+    with _pytest.raises(CorruptPointerError, match="lacks _SUCCESS"):
+        resolve_partition_dir(part)
+
+    # absent pointer stays the healthy generation-0 read path
+    from trimet_bytes__data_engineering_project_spark.streaming.hadoopfs import (
+        fs_delete,
+    )
+
+    fs_delete(ptr, recursive=False, spark=spark)
+    assert resolve_partition_dir(part) == part
+
+
+def test_swap_commit_checked_rename_raises_not_silent(spark, tmp_path):
+    """Round-10 advice (warehouse.py:317): Hadoop FileSystem.rename /
+    delete report failure as a False return, not an exception — the
+    swap branch must check each step and raise, never return the old
+    file count as if compaction succeeded.  Pinned by failing the
+    FIRST rename via a monkeypatched fs_rename (deterministic across
+    local-FS rename-semantics variants)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans import warehouse as wh
+
+    path = str(tmp_path / "fact")
+    spark.range(10).select(
+        F.col("id"), F.lit("2024-01-01").alias("day")
+    ).write.partitionBy("day").parquet(path)
+    part = _os.path.join(path, "day=2024-01-01")
+    before = sorted(r.id for r in spark.read.parquet(part).collect())
+
+    real_rename = wh.fs_rename if hasattr(wh, "fs_rename") else None
+    assert real_rename is None  # fs_rename is imported inside the function
+
+    import trimet_bytes__data_engineering_project_spark.streaming.hadoopfs as hfs
+
+    orig = hfs.fs_rename
+    calls = []
+
+    def failing_rename(src, dst, spark_arg=None):
+        calls.append((src, dst))
+        return False  # e.g. a leftover .compact-old-* blocks the rename
+
+    hfs.fs_rename = failing_rename
+    try:
+        with _pytest.raises(IOError, match="rename failed"):
+            wh.compact_partition(spark, path, "day", "2024-01-01", sort_cols=("id",))
+    finally:
+        hfs.fs_rename = orig
+    assert len(calls) == 1, "must abort at the FIRST failed rename"
+    # the partition is untouched (old fileset intact and readable)
+    assert sorted(r.id for r in spark.read.parquet(part).collect()) == before
+    # recovery sweep clears the orphaned .compact-new-* work dir
+    wh.recover_compaction(path)
+    assert not [d for d in _os.listdir(path) if d.startswith(".compact-")]
+
+
+def test_publish_exclusive_real_collision_and_retry(spark, tmp_path):
+    """Round-10 advice (test_warehouse.py:408): actually exercise the
+    collision path — the no-overwrite rename refusing an existing
+    manifest, and _publish_snapshot's sid+=1 retry loop landing on the
+    next id with the loser's content preserved."""
+    import json
+    import os as _os
+
+    from trimet_bytes__data_engineering_project_spark.plans import warehouse as wh
+    from trimet_bytes__data_engineering_project_spark.streaming.hadoopfs import (
+        fs_publish_exclusive,
+        fs_read_text,
+    )
+
+    path = str(tmp_path / "fact")
+    sdir = _os.path.join(path, "_snapshots")
+    _os.makedirs(sdir)
+
+    # 1. the primitive refuses to overwrite: second publish at the same
+    #    path returns False and the first writer's content survives
+    target = _os.path.join(sdir, "snap-1.json")
+    assert fs_publish_exclusive(target, '{"writer": "A"}', spark) is True
+    assert fs_publish_exclusive(target, '{"writer": "B"}', spark) is False
+    assert json.loads(fs_read_text(target, spark)) == {"writer": "A"}
+    assert not [f for f in _os.listdir(sdir) if ".tmp-" in f]  # loser cleaned up
+
+    # 2. the retry loop: monkeypatch list_snapshots so the publisher's
+    #    FIRST attempt targets the already-taken id 1 and must retry
+    orig = wh.list_snapshots
+    wh.list_snapshots = lambda p: []  # stale listing: publisher thinks table is empty
+    try:
+        sid = wh._publish_snapshot(path, {"day=2024-01-01": ".gen-3"})
+    finally:
+        wh.list_snapshots = orig
+    assert sid == 2  # collided on 1, landed on 2
+    assert json.loads(fs_read_text(_os.path.join(sdir, "snap-2.json"), spark)) == {
+        "snapshot_id": 2,
+        "partitions": {"day=2024-01-01": ".gen-3"},
+    }
+    assert json.loads(fs_read_text(target, spark)) == {"writer": "A"}  # untouched
+
+
+def test_read_via_manifest_row_equal_to_probe_path(spark, tmp_path):
+    """read_via_manifest (r10 verdict item 3): the partition→generation
+    map served from ONE manifest read must produce exactly the rows the
+    O(partitions) pointer-probe path (read_compacted) produces — across
+    a mixed layout (compacted + never-compacted partitions), and after
+    a further compact+snapshot cycle."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        commit_snapshot,
+        compact_partition,
+        read_compacted,
+        read_via_manifest,
+    )
+
+    path = str(tmp_path / "fact")
+    df = spark.range(90).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string")).alias("day"),
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    # no snapshot yet → loud error pointing at commit_snapshot
+    with _pytest.raises(ValueError, match="no snapshot"):
+        read_via_manifest(spark, path, "day")
+
+    # mixed layout: one partition pointer-compacted, two loose
+    compact_partition(spark, path, "day", "2024-01-01", sort_cols=("id",), commit="pointer")
+    commit_snapshot(path, "day")
+
+    probe = read_compacted(spark, path, "day")
+    manifest = read_via_manifest(spark, path, "day")
+    key = lambda r: (r["day"], r["id"])  # noqa: E731
+    assert sorted(manifest.collect(), key=key) == sorted(probe.collect(), key=key)
+
+    # another compaction + snapshot: the NEWEST manifest tracks it
+    compact_partition(spark, path, "day", "2024-01-02", sort_cols=("id",), commit="pointer")
+    commit_snapshot(path, "day")
+    assert sorted(
+        read_via_manifest(spark, path, "day").collect(), key=key
+    ) == sorted(read_compacted(spark, path, "day").collect(), key=key)

@@ -107,13 +107,44 @@ def _pointer_path(part_dir: str) -> str:
     return os.path.join(part_dir, "._current")
 
 
+class CorruptPointerError(IOError):
+    """A ``._current`` pointer that cannot be honored — garbage
+    generation name, or a named generation that is missing/incomplete.
+
+    The pointer protocol makes every such state abnormal (the pointer
+    flips only AFTER the generation's fileset, including ``_SUCCESS``,
+    has landed; vacuum never deletes the live pointer's generation), so
+    the read path fails LOUDLY instead of silently degrading to the
+    loose generation-0 files — which may have been vacuumed, turning a
+    corrupt pointer into silent data loss (BENCH_NOTES finding,
+    round-10 close 782e08e)."""
+
+
 def resolve_partition_dir(part_dir: str) -> str:
     """The directory a pointer-committed partition's CURRENT fileset
     lives in: the generation named by ``._current`` if the pointer
-    exists (and that generation finished — has ``_SUCCESS``), else the
-    partition directory itself (the loose appended files, "generation
-    0").  This is the read path for pointer-committed tables — one
-    metadata read, never a listing race.
+    exists, else the partition directory itself (the loose appended
+    files, "generation 0").  This is the read path for pointer-
+    committed tables — one metadata read, never a listing race.
+
+    FAIL-LOUD CONTRACT (pinned in tests/test_warehouse.py): a pointer
+    that exists but cannot be honored raises :class:`CorruptPointerError`
+    rather than silently falling back —
+
+    - garbage generation name (not ``.gen-<digits>``): the pointer
+      object itself is corrupt;
+    - named generation directory absent: vacuum raced past the live
+      pointer, or external deletion;
+    - named generation present but ``_SUCCESS`` absent: a truncated /
+      foreign-written fileset — the commit protocol flips the pointer
+      only after the write (including ``_SUCCESS``) completes, so no
+      crash point of compact_partition produces this state.
+
+    A genuinely in-flight compaction is NEVER pointed at (its hidden
+    ``.gen-<n>`` is numbered above the pointer and invisible until the
+    flip), so none of the three raises can fire on a healthy table —
+    distinguishing mid-compaction states from corruption is exactly
+    what the protocol's commit ordering buys.
 
     All probes go through the Hadoop FileSystem API
     (streaming/hadoopfs.py), so the pointer is answered by the SAME
@@ -122,17 +153,39 @@ def resolve_partition_dir(part_dir: str) -> str:
     the stale generation-0 files (the exact failure class the
     streaming state stores fixed in round 7)."""
     import os
+    import re
 
     from ..streaming.hadoopfs import fs_exists, fs_read_text
 
     gen = fs_read_text(_pointer_path(part_dir))
     if gen is None:
         return part_dir
-    gen_dir = os.path.join(part_dir, gen.strip())
+    gen = gen.strip()
+    if not re.fullmatch(r"\.gen-\d+", gen):
+        raise CorruptPointerError(
+            f"{_pointer_path(part_dir)} names {gen!r}, which is not a "
+            "valid .gen-<n> generation — the pointer object is corrupt; "
+            "refusing to silently read the loose generation-0 files "
+            "(they may have been vacuumed)"
+        )
+    gen_dir = os.path.join(part_dir, gen)
     spark = _active_session()
-    if fs_exists(spark, os.path.join(gen_dir, "_SUCCESS")):
-        return gen_dir
-    return part_dir  # pointer names an incomplete generation: ignore it
+    if not fs_exists(spark, gen_dir):
+        raise CorruptPointerError(
+            f"{_pointer_path(part_dir)} names {gen}, but that generation "
+            "directory does not exist — vacuum raced past the live "
+            "pointer or the fileset was externally deleted; refusing to "
+            "silently read the loose generation-0 files"
+        )
+    if not fs_exists(spark, os.path.join(gen_dir, "_SUCCESS")):
+        raise CorruptPointerError(
+            f"{_pointer_path(part_dir)} names {gen}, but the generation "
+            "lacks _SUCCESS — the commit protocol flips the pointer only "
+            "after the fileset (including _SUCCESS) lands, so this is a "
+            "truncated or foreign-written generation, not a mid-"
+            "compaction state; refusing to silently fall back"
+        )
+    return gen_dir
 
 
 def _active_session():
@@ -147,20 +200,43 @@ def _active_session():
     return s
 
 
+def _read_resolved_dirs(
+    spark: SparkSession, resolved_dirs: list[str], partition_col: str
+) -> DataFrame:
+    """ONE multi-path parquet read over the resolved generation dirs,
+    with the partition value re-attached by parsing the ``col=value``
+    path segment out of each row's file path (JVM-side regexp over
+    ``input_file_name`` — same escaped-dir-name string the old
+    per-partition ``lit()`` attached).
+
+    Why one read and not a union: a 200-way ``unionByName`` of 200
+    separately-constructed parquet relations pays 200 driver-side
+    schema reads plus an optimizer pass over a 200-leaf plan — measured
+    ~12 s of pure plan construction at 200 partitions (BENCH_NOTES,
+    round 11).  One relation over N dirs lists files in one
+    (distributable) job and plans in O(1) — the shape that survives
+    10k-partition tables."""
+    import re
+
+    pattern = f"{re.escape(partition_col)}=([^/]+)"
+    return spark.read.parquet(*resolved_dirs).withColumn(
+        partition_col, F.regexp_extract(F.input_file_name(), pattern, 1)
+    )
+
+
 def read_compacted(spark: SparkSession, path: str, partition_col: str) -> DataFrame:
     """Read a (possibly pointer-compacted) partitioned table: each
-    partition resolves through :func:`resolve_partition_dir`, with the
-    partition value re-attached from the directory name.  On a plain
+    partition resolves through :func:`resolve_partition_dir`, then ONE
+    multi-path read covers all resolved filesets.  On a plain
     never-compacted layout this reads exactly what
     ``spark.read.parquet(path)`` reads.
 
-    Scale note: the per-partition union here is driver-side listing
-    over O(partitions) — fine for day-partitioned tables (≤ thousands
-    of partitions); a general table format (Delta/Iceberg) replaces
-    this resolve with a transaction-log read, which is the production
-    answer when partitions are many or nested."""
+    Scale note: the per-partition pointer probe is driver-side
+    O(partitions) at ~5.4 ms each — fine for day-partitioned tables
+    (≤ thousands of partitions); past that, :func:`read_via_manifest`
+    serves the same map from ONE snapshot-manifest read (the
+    transaction-log move table formats industrialize)."""
     import os
-    from functools import reduce
 
     from ..streaming.hadoopfs import fs_list_entries
 
@@ -169,16 +245,22 @@ def read_compacted(spark: SparkSession, path: str, partition_col: str) -> DataFr
         d for d, is_dir in fs_list_entries(path, spark)
         if d.startswith(prefix) and is_dir
     )
-    frames = [
-        spark.read.parquet(resolve_partition_dir(os.path.join(path, d)))
-        .withColumn(partition_col, F.lit(d[len(prefix):]))
-        for d in parts
-    ]
-    if not frames:
+    if not parts:
         raise ValueError(
             f"{path} has no {partition_col}= partition directories to read"
         )
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    dirs = [resolve_partition_dir(os.path.join(path, d)) for d in parts]
+    return _read_resolved_dirs(spark, dirs, partition_col)
+
+
+def _checked(ok: bool, op: str, src: str, dst: str | None = None) -> None:
+    """Hadoop FileSystem.rename/delete signal failure by returning
+    False, not raising (unlike the os.rename/shutil.rmtree they
+    replaced) — an unchecked False on the swap path would leave the
+    partition uncompacted while reporting success (round-10 advice)."""
+    if not ok:
+        target = f"{src} -> {dst}" if dst else src
+        raise IOError(f"filesystem {op} failed: {target}")
 
 
 def recover_compaction(path: str) -> None:
@@ -196,11 +278,11 @@ def recover_compaction(path: str) -> None:
         if d.startswith(".compact-old-"):
             orig = os.path.join(path, d[len(".compact-old-"):])
             if not fs_exists(spark, orig):
-                fs_rename(full, orig)  # crash between the two renames
+                _checked(fs_rename(full, orig), "rename", full, orig)
             else:
-                fs_delete(full)  # crash before rmtree: both copies exist
+                _checked(fs_delete(full), "delete", full)  # crash before rmtree: both copies exist
         elif d.startswith(".compact-new-"):
-            fs_delete(full)  # never committed
+            _checked(fs_delete(full), "delete", full)  # never committed
 
 
 def compact_partition(
@@ -314,9 +396,12 @@ def compact_partition(
         new_dir = os.path.join(path, f".compact-new-{value_tag}")
         old_dir = os.path.join(path, f".compact-old-{value_tag}")
         compacted.write.mode("overwrite").parquet(new_dir)
-        fs_rename(part_dir, old_dir)
-        fs_rename(new_dir, part_dir)
-        fs_delete(old_dir)
+        # each step checked: a False return (e.g. a leftover
+        # .compact-old-* from an unrecovered crash blocking the rename)
+        # must abort loudly, not report the old file count as success
+        _checked(fs_rename(part_dir, old_dir), "rename", part_dir, old_dir)
+        _checked(fs_rename(new_dir, part_dir), "rename", new_dir, part_dir)
+        _checked(fs_delete(old_dir), "delete", old_dir)
         final_dir = part_dir
     else:
         raise ValueError(f"unknown commit protocol: {commit!r}")
@@ -540,10 +625,10 @@ def read_as_of(
     """Time-travel read: the table exactly as snapshot ``snapshot_id``
     recorded it — each partition reads the manifest's generation dir
     (or its loose files for generation 0), untouched by any compaction
-    committed since.  Same O(partitions) driver-side resolve contract
-    as read_compacted."""
+    committed since.  One manifest read + one multi-path parquet read —
+    NO per-partition pointer probes (the manifest already holds the
+    map), so the metadata cost is O(1) in partition count."""
     import os
-    from functools import reduce
 
     snap = _load_snapshot(path, snapshot_id)
     if not snap["partitions"]:
@@ -551,17 +636,49 @@ def read_as_of(
             f"snapshot {snapshot_id} of {path} records zero partitions — "
             "it was committed on an empty table; nothing to read"
         )
-    prefix = f"{partition_col}="
-    frames = []
-    for d, gen in sorted(snap["partitions"].items()):
-        part_dir = os.path.join(path, d)
-        src = os.path.join(part_dir, gen) if gen else part_dir
-        frames.append(
-            spark.read.parquet(src).withColumn(
-                partition_col, F.lit(d[len(prefix):])
-            )
+    dirs = [
+        os.path.join(path, d, gen) if gen else os.path.join(path, d)
+        for d, gen in sorted(snap["partitions"].items())
+    ]
+    return _read_resolved_dirs(spark, dirs, partition_col)
+
+
+def read_via_manifest(
+    spark: SparkSession, path: str, partition_col: str
+) -> DataFrame:
+    """Current-table read whose partition→generation map comes from the
+    NEWEST snapshot manifest — ONE metadata object read — instead of
+    read_compacted's per-partition pointer probes.
+
+    Why it exists (round-10 close, 2030a1a): the FS-API probe costs
+    ~5.4 ms/partition (pointer read + _SUCCESS check), so the listing
+    path is linear in partition count — fine for day-partitioned tables
+    (≤ thousands of partitions, ~1 s at 200), but past day-partition
+    cardinality (hour partitions, multi-year retention, nested keys)
+    the resolve itself dominates.  The snapshot manifest is already one
+    atomic object holding the full map; serving reads from it makes the
+    metadata cost O(1) in partition count — the same move Iceberg/Delta
+    make by reading a transaction log instead of listing.
+
+    CURRENCY CONTRACT: the manifest is authoritative only when a
+    snapshot was committed AFTER the last layout change (compaction or
+    new-partition append) — the maintenance-scheduler convention this
+    warehouse already runs (compact → commit_snapshot).  A read between
+    a compaction and its snapshot serves the pre-compaction generations
+    (still complete and un-vacuumed — vacuum retains snapshot-referenced
+    filesets), i.e. a consistent slightly-stale view, never a torn one.
+    Tables with no snapshot raise — commit one first.
+
+    Pinned row-equal to read_compacted in tests/test_warehouse.py;
+    measured at 200 partitions in BENCH_NOTES.md."""
+    snaps = list_snapshots(path)
+    if not snaps:
+        raise ValueError(
+            f"{path} has no snapshot manifest to read through — run "
+            "commit_snapshot() first (read_compacted is the probe-path "
+            "alternative for never-snapshotted tables)"
         )
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    return read_as_of(spark, path, partition_col, snaps[-1])
 
 
 def vacuum_table(path: str, partition_col: str, keep_snapshots: int = 2) -> list[str]:
