@@ -762,3 +762,24 @@ def test_column_stats_approx_is_expand_free_and_close(spark):
         assert abs(a["ndv"] - e["ndv"]) <= max(1, 0.075 * e["ndv"]), (
             c, a["ndv"], e["ndv"],
         )
+
+
+def test_exists_decorrelates_to_semi_anti_joins(spark):
+    """x206: Catalyst's RewritePredicateSubquery must turn the
+    correlated EXISTS into a LeftSemi and the NOT EXISTS into a
+    LeftAnti join — never a per-row nested loop or cartesian — with the
+    o_orderdate window pushed into the orders scan and the lineitem
+    sides pruned to the join key (+ its filter column)."""
+    p = plan_of(spark, "x206_returned_orders_exists")
+    tree = p.split("\n\n")[0]
+    assert "LeftSemi" in tree and "LeftAnti" in tree
+    assert "BroadcastNestedLoopJoin" not in tree and "Cartesian" not in tree
+    # the date range reaches the orders scan as a pushed filter
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+    # each correlated lineitem scan reads only what its predicate + key
+    # need (column pruning through the rewritten subquery)
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    li_schemas = [s for s in read_schemas if "l_orderkey" in s]
+    assert li_schemas and all(len(s.split(",")) <= 2 for s in li_schemas), li_schemas

@@ -1304,11 +1304,18 @@ def test_two_level_lag_equals_naive_day_window(spark, rows, shard_us):
     non-empty-shard boundary frame) is bit-equal to the naive
     one-window-per-day form for ARBITRARY event streams and shard
     widths — including duplicate timestamps, empty shards, shards wider
-    than a day, and single-event days."""
+    than a day, and single-event days.
+
+    event_id collisions (including exact duplicate (t, event_id) rows)
+    ARE generated and kept: the tie order among equal sort keys is
+    arbitrary on both sides, but the per-day aggregates are permutation-
+    invariant over ties (equal rows contribute a 0 gap wherever they
+    land, and the gaps to their neighbors are unchanged), so the
+    comparison stays deterministic without deduplication."""
     import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
 
     ev = spark.createDataFrame(
-        [(i, t) for i, (t, _) in enumerate(rows)], "event_id long, tus long"
+        rows, "tus long, event_id long"
     ).select("event_id", F.timestamp_micros(F.col("tus")).alias("ts"))
 
     orig = ext.load_table

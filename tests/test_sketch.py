@@ -307,3 +307,77 @@ def test_streaming_funnel_equals_batch_x192(spark, tmp_path):
 
     run_streaming_funnel(spark, landing, store, ck)  # replay
     assert sorted(map(tuple, funnel_from_store(spark, store).collect())) == got
+
+
+def test_streaming_outage_equals_batch_x202(spark, tmp_path):
+    """Streamed outage store (per-batch range-disjoint segment
+    summaries, chained per day at serve) is bit-equal to the batch
+    x202 over the union — with a batch boundary that SPLITS a shard
+    mid-range (the cross-batch same-shard gap a per-batch-only fold
+    would miss); replay under the same checkpoint is a no-op; and an
+    out-of-order (interleaved) landing raises loudly instead of
+    serving a silently-low max."""
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.plans.registry import QUERIES
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_store,
+        run_streaming_outage,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    # three TIME-RANGED landings (the feed contract), cut at arbitrary
+    # percentiles so batch boundaries fall mid-shard
+    p33, p66 = events.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.33) p33",
+        "percentile(unix_micros(cast(ts as timestamp)), 0.66) p66",
+    ).first()
+    eus = "unix_micros(cast(ts as timestamp))"
+    gens = [
+        events.filter(f"{eus} < {int(p33)}"),
+        events.filter(f"{eus} >= {int(p33)} AND {eus} < {int(p66)}"),
+        events.filter(f"{eus} >= {int(p66)}"),
+    ]
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    for i, g in enumerate(gens):
+        land_file(g, f"g{i}")
+        run_streaming_outage(spark, landing, store, ck)
+
+    got = [tuple(r) for r in outage_from_store(spark, store).collect()]
+    want = [
+        tuple(r)
+        for r in QUERIES["x202_feed_outage_audit"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    run_streaming_outage(spark, landing, store, ck)  # replay: no-op
+    assert [tuple(r) for r in outage_from_store(spark, store).collect()] == got
+
+    # interleaved landings (odd ids then even ids — ranges overlap)
+    # must raise, not serve a wrong answer
+    store2, ck2 = str(tmp_path / "store2"), str(tmp_path / "ck2")
+    landing2 = str(tmp_path / "landing2")
+    os.makedirs(landing2)
+
+    def land_file2(df, name):
+        t = str(tmp_path / f"w2_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing2}/{name}.parquet")
+
+    land_file2(events.filter("event_id % 2 = 1"), "odd")
+    run_streaming_outage(spark, landing2, store2, ck2)
+    land_file2(events.filter("event_id % 2 = 0"), "even")
+    run_streaming_outage(spark, landing2, store2, ck2)
+    with pytest.raises(ValueError, match="overlapping segments"):
+        outage_from_store(spark, store2).collect()

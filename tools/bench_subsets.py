@@ -35,6 +35,13 @@ BARS = {
     # driver measurement — the same convention as subset_206_r8 —
     # so round-10+ growth (x203/x204/x205 onward) is priced separately.
     "subset_235_r9": 235.0,
+    # frozen at the round-11 open (238 queries = subset_235_r9 + the
+    # round-10 registrations x203/x204/x205; driver r10 measured
+    # 222.3 s under a ~9% environmental inflation, builder's clean
+    # close 207.2 s).  Bar = the r10 verdict's prescribed ~245 s class
+    # (≈18% headroom over the clean close) so round-11+ growth (x206/
+    # x207 onward) is priced separately.
+    "subset_238_r10": 245.0,
 }
 
 

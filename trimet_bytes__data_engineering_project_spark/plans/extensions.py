@@ -11239,3 +11239,153 @@ def x205_point_in_any_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("poly_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x206: correlated EXISTS / NOT EXISTS — the decorrelation probe (r10
+# verdict item 4).  The OLAP tier pins scan-agg (q27), star-chain
+# (x193), top-k (x194), and agg-join-back (x204); the remaining
+# canonical optimizer shape is the correlated predicate subquery
+# (TPC-H Q4/Q21 class), which Catalyst's RewritePredicateSubquery must
+# turn into semi/anti joins — never a per-row nested loop.
+# ---------------------------------------------------------------------------
+_X206_SQL = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate <  DATE '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("x206_returned_orders_exists", oracle=_X206_SQL)
+def x206_returned_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4/Q21 shape — orders in a six-month window that have at
+    least one returned line (correlated EXISTS) and no deep-discount
+    line (correlated NOT EXISTS), counted per priority.
+
+    Deliberately declared as the correlated SQL — the DataFrame API
+    cannot express a correlated predicate subquery without hand-writing
+    the join, and the POINT of this probe is that the OPTIMIZER does
+    the rewrite: RewritePredicateSubquery turns EXISTS into a LeftSemi
+    and NOT EXISTS into a LeftAnti join on l_orderkey, both fed by a
+    filtered, column-pruned lineitem scan (only l_orderkey survives the
+    project).  Plan-pinned in tests/test_plans.py: LeftSemi + LeftAnti
+    present, no BroadcastNestedLoopJoin / CartesianProduct, and the
+    o_orderdate range reaches the orders scan as a pushed filter.
+
+    Scale shape: the date window prunes orders to ~8 % before either
+    join; the two lineitem sides carry one bigint column each after
+    pruning.  At 100 TB both sides hash-shuffle on orderkey — the
+    honest fact-fact band (cf. x193/x204); on an orderkey-bucketed
+    layout (write_bucketed) even that shuffle disappears.  The NOT
+    EXISTS side uses a null-safe-free equality (l_orderkey is NOT NULL
+    in the model), so the anti join needs no null-aware machinery."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_X206_SQL)
+
+
+# ---------------------------------------------------------------------------
+# x207: the approx column-stats gate (r10 verdict item 8) —
+# column_stats_approx (x190's built 100-TB swap) under the driver's
+# oracle protocol, the x15 convention: exact columns checked exactly,
+# the HLL++ NDV pinned by a boolean bound computed Spark-side.
+# ---------------------------------------------------------------------------
+_X207_ARMS = """
+    SELECT 'event_id' AS col_name, CAST(COUNT(event_id) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+           CAST(MIN(event_id) AS DOUBLE) AS min_num,
+           CAST(MAX(event_id) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           true AS ndv_within_3rsd
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(event_type) AS BIGINT),
+           CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(event_type), MAX(event_type), true
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(user_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+           NULL, NULL, true
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(value) AS BIGINT),
+           CAST(COUNT(*) - COUNT(value) AS BIGINT),
+           CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+           NULL, NULL, true
+    FROM events
+"""
+
+
+@query(
+    "x207_column_stats_approx_gate",
+    oracle=f"SELECT * FROM ({_X207_ARMS}) ORDER BY col_name",
+)
+def x207_column_stats_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """column_stats_approx under the oracle gate.  The approx form
+    itself (x190's documented-and-built 100-TB swap: HLL++ NDVs, no
+    Expand, sketch-sized shuffle) was pytest-pinned within 3×rsd but
+    had no driver row; this query puts its accuracy contract under the
+    driver's rows+schema+value-hash protocol, the x15/x79 convention
+    for estimate-valued operators:
+
+    - n / n_nulls / min / max come from the SAME single-pass agg the
+      approx form runs and are checked EXACTLY against DuckDB;
+    - the HLL++ NDV (deterministic for a fixed dataset) is checked as
+      a boolean: |approx − exact| ≤ 3·rsd·exact per column, which the
+      oracle pins as literal ``true`` — a sketch regression past its
+      advertised error flips the hash, failing the driver row.
+
+    The exact-NDV comparison side necessarily pays x190's Expand once
+    HERE (the gate needs the truth); column_stats_approx itself stays
+    Expand-free — the gate prices accuracy, the swap prices scale."""
+    events = load_table(spark, sf_dir, "events")
+    rsd = 0.025
+    cols = ("event_id", "event_type", "user_id", "value")
+    wide = events.agg(
+        F.count("*").cast("long").alias("n_all"),
+        *[F.count(c).cast("long").alias(f"n_{c}") for c in cols],
+        *[F.countDistinct(c).cast("long").alias(f"ndv_{c}") for c in cols],
+        *[
+            F.approx_count_distinct(c, rsd=rsd).cast("long").alias(f"andv_{c}")
+            for c in cols
+        ],
+        *[
+            F.min(c).cast("double").alias(f"min_{c}")
+            for c in ("event_id", "user_id", "value")
+        ],
+        *[
+            F.max(c).cast("double").alias(f"max_{c}")
+            for c in ("event_id", "user_id", "value")
+        ],
+        F.min("event_type").alias("mins_event_type"),
+        F.max("event_type").alias("maxs_event_type"),
+    )
+    arms = []
+    for c in cols:
+        bound = (
+            f"abs(andv_{c} - ndv_{c}) <= CAST({3 * rsd} * ndv_{c} AS DOUBLE)"
+        )
+        if c == "event_type":
+            arms.append(
+                f"'{c}', n_{c}, n_all - n_{c}, CAST(NULL AS DOUBLE), "
+                f"CAST(NULL AS DOUBLE), mins_{c}, maxs_{c}, {bound}"
+            )
+        else:
+            arms.append(
+                f"'{c}', n_{c}, n_all - n_{c}, min_{c}, max_{c}, "
+                f"CAST(NULL AS STRING), CAST(NULL AS STRING), {bound}"
+            )
+    return wide.selectExpr(
+        f"stack(4, {', '.join(arms)}) AS "
+        "(col_name, n, n_nulls, min_num, max_num, min_str, max_str, ndv_within_3rsd)"
+    ).orderBy("col_name")

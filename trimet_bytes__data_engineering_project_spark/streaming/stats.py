@@ -379,3 +379,118 @@ def funnel_from_store(
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("stages")
     )
+
+
+def run_streaming_outage(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    shard_us: int = 900_000_000,
+) -> None:
+    """Streaming maintenance for the feed-outage audit (x202's streamed
+    twin — r10 verdict item 7): each micro-batch lands per-(day, shard)
+    SEGMENT summaries — ``(seg_min, seg_max, cnt, interior_max_gap)``
+    over the batch's own events — under ``outage/batch_id=N``
+    (idempotent overwrite per batch_id, the shared landing contract).
+
+    Why segments are the exact bounded state: max-gap over a timestamp
+    multiset is NOT a bounded-state mergeable aggregate under arbitrary
+    interleaving (two batches' (min, max, max_gap) summaries of the
+    same interval cannot reconstruct the merged gaps), but a feed's
+    micro-batches arrive in event-time order, so each batch's events
+    form RANGE-DISJOINT segments of the day timeline.  Within a
+    segment every union gap is the segment's own interior lag (exact,
+    x202's level-1 with the sort bounded by rate × shard width);
+    between consecutive segments the union gap is
+    ``next.seg_min − prev.seg_max`` (exact, x202's level-2 boundary
+    frame generalized to batch boundaries).  The serve side CHECKS the
+    disjointness instead of assuming it — overlapping segments (late /
+    re-delivered data under a NEW batch_id) raise loudly rather than
+    serving a silently-wrong max (the round-11 fail-loud contract);
+    the remedy for genuinely late feeds is re-landing the affected day
+    through the batch form.
+
+    State size: O(non-empty shards) rows per batch (≤ 96/day at 15-min
+    shards), min/max/sum/count columns only — the corpus is scanned
+    once per landing, every audit afterwards reads kilobytes."""
+    from ..plans.tables import epoch_us
+    from pyspark.sql import Window
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.select(
+            F.to_date("ts").alias("day"),
+            epoch_us(F.col("ts")).alias("t"),
+            F.col("event_id"),
+        ).withColumn("shard", F.floor(F.col("t") / F.lit(int(shard_us))))
+        w = Window.partitionBy("day", "shard").orderBy("t", "event_id")
+        seg = (
+            s.withColumn("prev", F.lag("t").over(w))
+            .groupBy("day", "shard")
+            .agg(
+                F.min("t").alias("seg_min"),
+                F.max("t").alias("seg_max"),
+                F.count("*").cast("long").alias("cnt"),
+                F.max(F.col("t") - F.col("prev")).alias("interior_max_gap"),
+            )
+        )
+        seg.write.mode("overwrite").parquet(
+            f"{store_path}/outage/batch_id={batch_id}"
+        )
+
+    (
+        spark.readStream.schema(spark.read.parquet(landing_dir).schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def outage_from_store(
+    spark: SparkSession,
+    store_path: str,
+    threshold_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Per-day outage audit from the segment store — bit-equal to the
+    batch x202 over the union of the landed rows (pinned by test):
+    chain segments per day in seg_min order, take cross-segment gaps
+    from the lag and interior gaps from the landed per-segment maxima,
+    and fold into x202's exact (n_events, max_gap_us, outage) row.
+    Raises ``ValueError`` when any two segments overlap in range —
+    out-of-order or duplicate-id landings make the store's gap algebra
+    unsound, and a LOUD stop beats a silently-low max (see
+    run_streaming_outage)."""
+    from pyspark.sql import Window
+
+    segs = spark.read.parquet(f"{store_path}/outage")
+    w = Window.partitionBy("day").orderBy("seg_min", "seg_max")
+    chained = segs.withColumn("prev_max", F.lag("seg_max").over(w))
+    # disjointness check: one bounded action over the tiny segment store
+    overlaps = chained.filter(F.col("prev_max") > F.col("seg_min")).limit(1).count()
+    if overlaps:
+        raise ValueError(
+            f"{store_path}/outage holds overlapping segments — the feed "
+            "landed out of event-time order (late data or a duplicate "
+            "landing under a new batch_id); the segment gap algebra is "
+            "unsound on interleaved ranges.  Re-land the affected days "
+            "through the batch form (x202_feed_outage_audit)."
+        )
+    per_day = chained.groupBy("day").agg(
+        F.sum("cnt").alias("total"),
+        F.max("interior_max_gap").alias("max_interior"),
+        F.max(F.col("seg_min") - F.col("prev_max")).alias("max_cross"),
+    )
+    gap = F.greatest(F.col("max_interior"), F.col("max_cross"))
+    return (
+        per_day.filter(F.col("total") >= 2)
+        .select(
+            "day",
+            (F.col("total") - 1).cast("long").alias("n_events"),
+            gap.cast("long").alias("max_gap_us"),
+            (gap > F.lit(int(threshold_us))).alias("outage"),
+        )
+        .orderBy("day")
+    )
