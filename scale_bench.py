@@ -2149,6 +2149,23 @@ def _x205_point_in_any(spark, d):
     return QUERIES["x205_point_in_any_polygon"](spark, d)
 
 
+def _x206_exists_semi_anti(spark, d):
+    # correlated EXISTS/NOT EXISTS over the scaled facts: Catalyst's
+    # decorrelation -> one LeftSemi + one LeftAnti on orderkey, the
+    # date window pruning orders first; both fact sides x100 — the
+    # honest fact-fact shuffle band (cf. x193/x204).
+    ensure_scale_tpch(spark, d, 100 if "x100" in d else (10 if "x10" in d else 1))
+    return QUERIES["x206_returned_orders_exists"](spark, d)
+
+
+def _x207_stats_gate(spark, d):
+    # the accuracy gate: exact stats agg (with the multi-distinct
+    # Expand — the truth side) + the Expand-free HLL pass, cross-joined
+    # 1-row x 1-row.  Expect ~x190's exact band; the deployable approx
+    # form is the separate x190_column_stats_approx entry.
+    return QUERIES["x207_column_stats_approx_gate"](spark, d)
+
+
 def _x199_point_in_polygon(spark, d):
     # integer ray casting over the full scaled lineitem table: a
     # shuffle-free codegen scan + a <=3-group fold — flat band.
@@ -2971,6 +2988,8 @@ HEAVY += [
     ("x190_column_stats_approx", _x190_column_stats_approx),
     ("x204_q18_full", _x204_q18),
     ("x205_point_in_any_full", _x205_point_in_any),
+    ("x206_exists_semi_anti_full", _x206_exists_semi_anti),
+    ("x207_stats_gate_full", _x207_stats_gate),
     ("x200_grid_density_full", _x200_grid_density),
     ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),
