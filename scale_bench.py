@@ -2166,6 +2166,15 @@ def _x207_stats_gate(spark, d):
     return QUERIES["x207_column_stats_approx_gate"](spark, d)
 
 
+def _x208_null_aware_notin(spark, d):
+    # the deliberate broadcast cliff, priced: the null-aware anti join
+    # must broadcast the 1995 order-key set (x100 here); past the
+    # broadcast threshold Spark falls back to BNLJ — the docstring
+    # routes provably-non-null keys to x206's shuffle-able NOT EXISTS.
+    ensure_scale_tpch(spark, d, 100 if "x100" in d else (10 if "x10" in d else 1))
+    return QUERIES["x208_unmatched_customers_notin"](spark, d)
+
+
 def _x199_point_in_polygon(spark, d):
     # integer ray casting over the full scaled lineitem table: a
     # shuffle-free codegen scan + a <=3-group fold — flat band.
@@ -2990,6 +2999,7 @@ HEAVY += [
     ("x205_point_in_any_full", _x205_point_in_any),
     ("x206_exists_semi_anti_full", _x206_exists_semi_anti),
     ("x207_stats_gate_full", _x207_stats_gate),
+    ("x208_null_aware_notin_full", _x208_null_aware_notin),
     ("x200_grid_density_full", _x200_grid_density),
     ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),

@@ -783,3 +783,45 @@ def test_exists_decorrelates_to_semi_anti_joins(spark):
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     li_schemas = [s for s in read_schemas if "l_orderkey" in s]
     assert li_schemas and all(len(s.split(",")) <= 2 for s in li_schemas), li_schemas
+
+
+def test_notin_plans_null_aware_anti_join(spark):
+    """x208: NOT IN over a nullable key must plan Spark's null-aware
+    anti join (BroadcastHashJoin LeftAnti with the isNullAwareAntiJoin
+    flag), never a silent rewrite to a plain anti join — and the
+    three-valued edge (one NULL in the subquery -> zero rows out) must
+    hold in BOTH engines on an injected-NULL fixture."""
+    import duckdb
+
+    # explain("formatted") elides the isNullAwareAntiJoin argument;
+    # the simple plan string carries it as the trailing flag
+    df = QUERIES["x208_unmatched_customers_notin"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in p, p
+
+    # three-valued edge: a real NULL in the subquery empties the result
+    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+    from pyspark.sql import functions as F
+
+    cust = spark.createDataFrame([(1, "A"), (2, "B")], "c_custkey long, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(1, "1995-03-01"), (None, "1995-04-01")],
+        "o_custkey long, o_d string",
+    ).select("o_custkey", F.col("o_d").cast("timestamp").alias("o_orderdate"))
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda s, d, n: {"customer": cust, "orders": orders}[n]
+        got = QUERIES["x208_unmatched_customers_notin"](spark, "ignored").collect()
+    finally:
+        ext.load_table = orig
+    assert got == [], got
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW customer AS SELECT 1 AS c_custkey, 'A' AS c_mktsegment UNION ALL SELECT 2, 'B'")
+    con.execute(
+        "CREATE VIEW orders AS SELECT 1 AS o_custkey, TIMESTAMP '1995-03-01' AS o_orderdate "
+        "UNION ALL SELECT NULL, TIMESTAMP '1995-04-01'"
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.extensions import _X208_SQL
+
+    assert con.sql(_X208_SQL).fetchall() == []

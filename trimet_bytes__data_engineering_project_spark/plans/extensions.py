@@ -11399,3 +11399,49 @@ def x207_column_stats_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         f"stack(4, {', '.join(arms)}) AS "
         "(col_name, n, n_nulls, min_num, max_num, min_str, max_str, ndv_within_3rsd)"
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# x208: NOT IN over a NULLABLE subquery key — the null-aware anti join,
+# the last canonical join shape the optimizer tier did not pin (x206
+# pinned EXISTS/NOT EXISTS -> semi/anti on non-null keys).  NOT IN is
+# NOT an anti join under three-valued logic: one NULL in the subquery
+# empties the whole result, and a NULL probe row never qualifies.
+# ---------------------------------------------------------------------------
+_X208_SQL = """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT NULLIF(o_custkey, -1) FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@query("x208_unmatched_customers_notin", oracle=_X208_SQL)
+def x208_unmatched_customers_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order in 1995, per market segment — declared
+    as ``NOT IN`` over a NULLABLE key.  ``NULLIF(o_custkey, -1)`` never
+    fires on real data (custkeys are positive) but makes the column
+    nullable BY TYPE, which models the late-arriving-dimension shape
+    (an unresolved foreign key lands as NULL) and forces the planner to
+    honor three-valued logic: Spark cannot rewrite this to a plain anti
+    join, so it plans the single-column NULL-AWARE anti join
+    (``BroadcastHashJoin ... LeftAnti, BuildRight, true`` — the
+    trailing flag is isNullAwareAntiJoin; plan-pinned in
+    tests/test_plans.py).  DuckDB evaluates the same SQL under the
+    same semantics — the oracle pins cross-engine agreement, and the
+    three-valued edge (one actual NULL in the subquery → ZERO rows
+    out) is pinned by a fixture pytest against both engines.
+
+    Scale note — this shape is a deliberate anti-pattern cliff: the
+    null-aware path REQUIRES broadcasting the subquery side (Spark
+    falls back to BroadcastNestedLoopJoin past the broadcast threshold,
+    quadratic at fleet scale).  The production rewrite when the key is
+    provably non-null is NOT EXISTS (x206's LeftAnti, shuffle-able and
+    bucketable); this query exists to pin that the engine gets the
+    TRICKY semantics right, and its docstring is the routing advice."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_X208_SQL)
