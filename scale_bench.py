@@ -2175,6 +2175,14 @@ def _x208_null_aware_notin(spark, d):
     return QUERIES["x208_unmatched_customers_notin"](spark, d)
 
 
+def _x209_dpp(spark, d):
+    # dynamic partition pruning over the engine-written date-partitioned
+    # fact (events x100 -> ~60M-row fact, one-time ensure_index write
+    # absorbed by min-of-2): the dim's runtime date set prunes the scan
+    # to ~9/30 partitions — expect well under the full-scan envelope.
+    return QUERIES["x209_dynamic_partition_pruning"](spark, d)
+
+
 def _x199_point_in_polygon(spark, d):
     # integer ray casting over the full scaled lineitem table: a
     # shuffle-free codegen scan + a <=3-group fold — flat band.
@@ -3000,6 +3008,7 @@ HEAVY += [
     ("x206_exists_semi_anti_full", _x206_exists_semi_anti),
     ("x207_stats_gate_full", _x207_stats_gate),
     ("x208_null_aware_notin_full", _x208_null_aware_notin),
+    ("x209_dpp_full", _x209_dpp),
     ("x200_grid_density_full", _x200_grid_density),
     ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),

@@ -825,3 +825,22 @@ def test_notin_plans_null_aware_anti_join(spark):
     from trimet_bytes__data_engineering_project_spark.plans.extensions import _X208_SQL
 
     assert con.sql(_X208_SQL).fetchall() == []
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """x209: the fact scan's partition filter must be the RUNTIME
+    dynamicpruningexpression injected from the dim's broadcast — the
+    literal-free fact⋈calendar join that static pruning cannot help;
+    without DPP every partition of the date-partitioned fact is read."""
+    df = QUERIES["x209_dynamic_partition_pruning"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    # executedPlan().toString() TRUNCATES the PartitionFilters list
+    # mid-expression ("dy..."), so pin the optimized logical plan's
+    # dynamicpruning subquery filter instead
+    p = qe.optimizedPlan().toString()
+    assert "dynamicpruning" in p.lower(), p
+    phys = qe.executedPlan().toString()
+    assert "BroadcastHashJoin" in phys, phys
+    # bonus constraint propagation: the dim's derived date predicate is
+    # ALSO pushed through the join as a static partition filter
+    assert "datediff(service_date" in phys

@@ -11445,3 +11445,73 @@ def x208_unmatched_customers_notin(spark: SparkSession, sf_dir: str) -> DataFram
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_X208_SQL)
+
+
+# ---------------------------------------------------------------------------
+# x209: dynamic partition pruning — the remaining flagship Spark scale
+# mechanism the plan tier did not pin.  Static pruning (q33/P12) needs
+# the partition predicate as a literal; at 100 TB the date set usually
+# comes from a DIMENSION filter ("peak days", "billing period", "days
+# in this campaign"), and without DPP the fact scan reads every
+# partition before the join drops 70% of them.
+# ---------------------------------------------------------------------------
+@query(
+    "x209_dynamic_partition_pruning",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS DATE) AS d, value FROM events),
+         peak AS (SELECT DISTINCT d FROM ev
+                  WHERE (((d - DATE '2024-01-01') % 7) + 7) % 7 IN (0, 3))
+    SELECT d AS service_date, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS speed_sum
+    FROM ev JOIN peak USING (d)
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def x209_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim where the partition predicate is only known at RUNTIME:
+    the q33-written date-partitioned warehouse fact joins a derived
+    calendar dim filtered to "peak" days (2 of every 7, keyed off an
+    anchor date with the engine-neutral pmod form).  Catalyst's
+    DynamicPartitionPruning injects the dim's date set into the fact
+    scan as a ``dynamicpruningexpression`` partition filter REUSING the
+    join's broadcast — the fact reads ~2/7 of its partitions and the
+    filter costs nothing extra (plan-pinned in tests/test_plans.py:
+    the fact scan carries the dynamic filter, the dim broadcasts, and
+    the literal-free join would otherwise scan every partition).
+
+    Scale shape: this is THE mechanism that makes date-partitioned
+    100 TB facts queryable through dimension filters — static pruning
+    (q33) covers literal predicates, DPP covers the join-derived ones;
+    together with partitioned writes (S8) the fact never reads a
+    partition the query provably does not need.  The oracle recomputes
+    from raw events, so the answer also re-verifies the warehouse
+    write path q33 exercises."""
+    from ..operators.ann_index import ensure_index
+    from .warehouse import write_breadcrumb
+
+    ev = load_table(spark, sf_dir, "events")
+    bc = ev.select(
+        F.col("ts").alias("tstamp"),
+        F.lit(None).cast("double").alias("latitude"),
+        F.lit(None).cast("double").alias("longitude"),
+        F.col("value").alias("speed"),
+        F.col("user_id").alias("trip_id"),
+    )
+    path = os.path.join(_tagged_dir(_SCRATCH, "warehouse", sf_dir=sf_dir), "breadcrumb")
+    ensure_index(lambda: write_breadcrumb(bc, path, mode="overwrite"), path)
+    wh = spark.read.parquet(path)
+    anchor = F.lit("2024-01-01").cast("date")
+    peak = (
+        ev.select(F.to_date("ts").alias("d")).distinct()
+        .filter((((F.datediff(F.col("d"), anchor) % 7) + 7) % 7).isin(0, 3))
+    )
+    return (
+        wh.join(F.broadcast(peak), wh.service_date == peak.d)
+        .groupBy("service_date")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("speed").cast("decimal(18,2)")).cast("double").alias("speed_sum"),
+        )
+        .orderBy("service_date")
+    )
