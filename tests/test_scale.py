@@ -362,3 +362,56 @@ def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
     run_streaming_dedup(spark, str(landing), paths["store"], paths["dups"], paths["ckpt_b"])
     assert spark.read.parquet(paths["store"]).count() == store_1
     assert spark.read.parquet(paths["dups"]).count() == dups_1
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Runtime bloom-filter join pruning — the runtime-filter mechanism
+    for the scans DPP cannot cover (unpartitioned join keys): when a
+    shuffle join's build side is selectively filtered, InjectRuntimeFilter
+    adds a bloom_filter_agg over the build keys and a might_contain()
+    pre-filter on the big side's scan, dropping non-joining rows BEFORE
+    the shuffle.  Spark gates it on a 10 GiB application-side scan by
+    default (invisible at test scale), so the thresholds are lowered
+    here to pin that the engine's canonical fact-fact join shape is
+    ELIGIBLE — at 100 TB the same plan gets the filter under stock
+    defaults.  Result equality with the filter on/off is also pinned
+    (the bloom is a performance-only pre-filter, never semantics)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    )
+
+    def shape():
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("o_orderpriority")
+        )
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        filtered = shape()
+        p = filtered._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in p and "might_contain" in p, p
+        with_filter = [tuple(r) for r in filtered.collect()]
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = [tuple(r) for r in shape().collect()]
+        assert with_filter == without and len(with_filter) > 0
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            spark.conf.set(k, v)
