@@ -1411,3 +1411,65 @@ def test_polygon_blocking_is_lossless(spark, pts):
     )
     want = {r["poly_id"]: r["count"] for r in brute.collect()}
     assert got == sorted((k, want.get(k, 0)) for k, _, _ in ext._x205_polys())
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * 86_400 * 1_000_000),  # µs over 3 days
+            st.integers(min_value=0, max_value=5),  # event_id (collisions welcome)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([900_000_000, 3_600_000_000, 40_000_000_000]),
+    st.lists(st.integers(min_value=1, max_value=39), min_size=0, max_size=3),
+)
+@SETTINGS
+def test_outage_segment_store_equals_batch_x202(spark, rows, shard_us, cuts):
+    """The streaming outage store's segment algebra (outage_segments per
+    batch + outage_from_segments chain/fold at serve) is bit-equal to
+    the batch x202 for ARBITRARY event multisets split into ARBITRARY
+    time-ordered batches — including batch boundaries inside a shard,
+    empty batches, duplicate timestamps, and shards wider than a day.
+    Batches are cut at random positions of the time-sorted sequence
+    (the feed's arrival-order contract); the INTERLEAVED case is pinned
+    separately as a loud error in tests/test_sketch.py."""
+    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_segments,
+        outage_segments,
+    )
+
+    ordered = sorted(rows)  # time-ordered arrival; ties arrive together
+    bounds = sorted({min(c, len(ordered)) for c in cuts} | {0, len(ordered)})
+    batches = [
+        ordered[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+    ] or [ordered]
+
+    def to_df(batch):
+        return spark.createDataFrame(
+            batch, "tus long, event_id long"
+        ).select("event_id", F.timestamp_micros(F.col("tus")).alias("ts"))
+
+    from functools import reduce
+
+    segs = reduce(
+        lambda a, b: a.unionByName(b),
+        [outage_segments(to_df(b), shard_us) for b in batches],
+    )
+    got = [tuple(r) for r in outage_from_segments(segs).collect()]
+
+    ev = to_df(ordered)
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda s, d, n: ev
+        want = [
+            tuple(r)
+            for r in ext.x202_feed_outage_audit(
+                spark, "ignored", shard_us=shard_us
+            ).collect()
+        ]
+    finally:
+        ext.load_table = orig
+    assert got == want

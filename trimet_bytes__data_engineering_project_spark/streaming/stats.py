@@ -381,6 +381,31 @@ def funnel_from_store(
     )
 
 
+def outage_segments(batch_df: DataFrame, shard_us: int) -> DataFrame:
+    """One batch's per-(day, shard) segment summary — the landing unit
+    of the outage store (see run_streaming_outage).  Split out so the
+    segment algebra is property-testable without a running stream."""
+    from ..plans.tables import epoch_us
+    from pyspark.sql import Window
+
+    s = batch_df.select(
+        F.to_date("ts").alias("day"),
+        epoch_us(F.col("ts")).alias("t"),
+        F.col("event_id"),
+    ).withColumn("shard", F.floor(F.col("t") / F.lit(int(shard_us))))
+    w = Window.partitionBy("day", "shard").orderBy("t", "event_id")
+    return (
+        s.withColumn("prev", F.lag("t").over(w))
+        .groupBy("day", "shard")
+        .agg(
+            F.min("t").alias("seg_min"),
+            F.max("t").alias("seg_max"),
+            F.count("*").cast("long").alias("cnt"),
+            F.max(F.col("t") - F.col("prev")).alias("interior_max_gap"),
+        )
+    )
+
+
 def run_streaming_outage(
     spark: SparkSession,
     landing_dir: str,
@@ -414,27 +439,8 @@ def run_streaming_outage(
     State size: O(non-empty shards) rows per batch (≤ 96/day at 15-min
     shards), min/max/sum/count columns only — the corpus is scanned
     once per landing, every audit afterwards reads kilobytes."""
-    from ..plans.tables import epoch_us
-    from pyspark.sql import Window
-
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.select(
-            F.to_date("ts").alias("day"),
-            epoch_us(F.col("ts")).alias("t"),
-            F.col("event_id"),
-        ).withColumn("shard", F.floor(F.col("t") / F.lit(int(shard_us))))
-        w = Window.partitionBy("day", "shard").orderBy("t", "event_id")
-        seg = (
-            s.withColumn("prev", F.lag("t").over(w))
-            .groupBy("day", "shard")
-            .agg(
-                F.min("t").alias("seg_min"),
-                F.max("t").alias("seg_max"),
-                F.count("*").cast("long").alias("cnt"),
-                F.max(F.col("t") - F.col("prev")).alias("interior_max_gap"),
-            )
-        )
-        seg.write.mode("overwrite").parquet(
+        outage_segments(batch_df, shard_us).write.mode("overwrite").parquet(
             f"{store_path}/outage/batch_id={batch_id}"
         )
 
@@ -463,16 +469,28 @@ def outage_from_store(
     out-of-order or duplicate-id landings make the store's gap algebra
     unsound, and a LOUD stop beats a silently-low max (see
     run_streaming_outage)."""
+    return outage_from_segments(
+        spark.read.parquet(f"{store_path}/outage"), threshold_us, store_path
+    )
+
+
+def outage_from_segments(
+    segs: DataFrame,
+    threshold_us: int = 3_600_000_000,
+    origin: str = "<segments>",
+) -> DataFrame:
+    """The store-serve fold over an explicit segment DataFrame (union of
+    outage_segments outputs) — outage_from_store minus the parquet read,
+    so the chain/fold algebra is property-testable in memory."""
     from pyspark.sql import Window
 
-    segs = spark.read.parquet(f"{store_path}/outage")
     w = Window.partitionBy("day").orderBy("seg_min", "seg_max")
     chained = segs.withColumn("prev_max", F.lag("seg_max").over(w))
     # disjointness check: one bounded action over the tiny segment store
     overlaps = chained.filter(F.col("prev_max") > F.col("seg_min")).limit(1).count()
     if overlaps:
         raise ValueError(
-            f"{store_path}/outage holds overlapping segments — the feed "
+            f"{origin} holds overlapping segments — the feed "
             "landed out of event-time order (late data or a duplicate "
             "landing under a new batch_id); the segment gap algebra is "
             "unsound on interleaved ranges.  Re-land the affected days "
