@@ -55,3 +55,56 @@ def test_orc_roundtrip_matches_parquet(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == docs.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_schema_evolution_reads(spark, tmp_path):
+    """Evolving landing store: generation 1 lands (doc_id, text),
+    generation 2 adds quality — the discovery read (mergeSchema)
+    serves the union schema with nulls backfilled, the pinned-schema
+    scale read (no footer sweep) serves the identical rows, and a type
+    CONFLICT between generations fails the discovery read loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from trimet_bytes__data_engineering_project_spark.sources.readers import (
+        read_evolved,
+        read_with_schema,
+    )
+
+    path = str(tmp_path / "landing")
+    g1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    g1.write.parquet(f"{path}/batch_id=1")
+    g2 = spark.createDataFrame(
+        [(3, "c", 0.9)], "doc_id long, text string, quality double"
+    )
+    g2.write.parquet(f"{path}/batch_id=2")
+
+    ev = read_evolved(spark, path)
+    rows = sorted(
+        ev.select("doc_id", "text", "quality").collect(), key=lambda r: r["doc_id"]
+    )
+    assert [tuple(r) for r in rows] == [(1, "a", None), (2, "b", None), (3, "c", 0.9)]
+
+    target = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("quality", DoubleType()),
+        ]
+    )
+    pinned = read_with_schema(spark, path, target)
+    assert sorted(
+        [tuple(r) for r in pinned.select("doc_id", "text", "quality").collect()]
+    ) == [tuple(r) for r in rows]
+    # the pinned read keeps partition discovery (batch_id) intact too
+    assert set(r["doc_id"] for r in pinned.filter(F.col("batch_id") == 2).collect()) == {3}
+
+    # type conflict between generations: discovery read fails LOUDLY
+    spark.createDataFrame([(4, "d", "high")], "doc_id long, text string, quality string").write.parquet(
+        f"{path}/batch_id=3"
+    )
+    with pytest.raises(Exception, match="[Mm]erge|SCHEMA"):
+        read_evolved(spark, path).collect()

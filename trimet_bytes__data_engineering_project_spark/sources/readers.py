@@ -105,3 +105,42 @@ def read_stop_event_html(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return pages.mapInPandas(parse, schema=STOP_EVENT_RAW)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution DISCOVERY read of a multi-generation parquet
+    landing: batches landed over time gain columns (new quality scores,
+    new metadata — the standing shape of a training-data store), and a
+    plain read serves whichever schema the footer sample happens to
+    hit.  ``mergeSchema`` reconciles every generation's footer into the
+    union schema, null-filling columns a generation predates.
+
+    Cost contract: schema merging reads ALL file footers — O(files) of
+    driver/job work, fine for exploration and small stores, WRONG at a
+    100 TB landing with 100k+ files.  The scale path is
+    :func:`read_with_schema` — same result, zero footer sweep — once
+    the target schema is known (e.g. from this function run once, or
+    from the store's registered schema).
+
+    Type CONFLICTS between generations (same column, different type)
+    fail loudly in the merge with Spark's "Failed to merge" error — an
+    int column silently widening to string between batches is an
+    upstream bug, not something a reader should paper over."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_with_schema(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-evolution SCALE read: project every generation of a
+    landing onto an explicit target schema — files missing a column
+    null-fill it, files carrying extra columns drop them, and NO footer
+    sweep happens (the reader trusts the declared schema; parquet's
+    per-file projection does the per-generation adaptation).  This is
+    the production read for evolving landings: the schema comes from
+    the catalog/manifest, not from listing 100k footers.
+
+    Pinned equal to :func:`read_evolved` on mixed-generation fixtures
+    in tests/test_sources.py.  Caveat (documented, not hidden): a type
+    CONFLICT a mergeSchema read would reject loudly is instead resolved
+    by parquet's cast-or-null per file — pin the store's types with the
+    validators (P16/P17) upstream when generations are untrusted."""
+    return spark.read.schema(schema).parquet(path)
