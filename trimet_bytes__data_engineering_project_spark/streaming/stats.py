@@ -468,7 +468,17 @@ def outage_from_store(
     Raises ``ValueError`` when any two segments overlap in range —
     out-of-order or duplicate-id landings make the store's gap algebra
     unsound, and a LOUD stop beats a silently-low max (see
-    run_streaming_outage)."""
+    run_streaming_outage).
+
+    Detection bound, stated precisely: a duplicated landing is caught
+    whenever the duplicated segment spans >0 time (its range then
+    strictly overlaps its twin).  A segment spanning ZERO time (every
+    event at one timestamp) duplicated under a NEW batch_id is
+    indistinguishable by ranges from legitimate equal-timestamp
+    arrivals in two batches — such a slip can only inflate n_events,
+    never max_gap_us or the outage flag (the duplicate contributes
+    only 0-gaps).  Same-batch_id replays are fully idempotent
+    regardless (overwrite landing)."""
     return outage_from_segments(
         spark.read.parquet(f"{store_path}/outage"), threshold_us, store_path
     )
