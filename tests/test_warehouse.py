@@ -731,3 +731,126 @@ def test_read_via_manifest_row_equal_to_probe_path(spark, tmp_path):
     assert sorted(
         read_via_manifest(spark, path, "day").collect(), key=key
     ) == sorted(read_compacted(spark, path, "day").collect(), key=key)
+
+
+def test_resolve_pointer_rereads_once_on_vacuum_race(spark, tmp_path):
+    """Round-11 advice (warehouse.py:173): a reader that loads ._current
+    just before a concurrent compaction flips it can have the superseded
+    generation vacuumed between the pointer read and the existence probe
+    — a HEALTHY-table state, not corruption.  The missing-generation
+    branch must re-read the pointer once and retry; only a pointer that
+    STILL names a vanished generation raises.  Pinned by a monkeypatched
+    fs_read_text that serves the stale generation first."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    import trimet_bytes__data_engineering_project_spark.streaming.hadoopfs as hfs
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        CorruptPointerError,
+        resolve_partition_dir,
+    )
+
+    path = str(tmp_path / "fact")
+    spark.range(10).select(
+        F.col("id"), F.lit("2024-01-01").alias("day")
+    ).write.partitionBy("day").parquet(path)
+    part = _os.path.join(path, "day=2024-01-01")
+    gen2 = _os.path.join(part, ".gen-2")
+    spark.read.parquet(part).write.parquet(gen2)  # live generation, _SUCCESS included
+
+    orig = hfs.fs_read_text
+    reads = iter([".gen-1", ".gen-2"])  # stale read, then the flipped pointer
+    hfs.fs_read_text = lambda p, s=None: next(reads)
+    try:
+        assert resolve_partition_dir(part) == gen2
+    finally:
+        hfs.fs_read_text = orig
+
+    # the pointer STILL naming the vanished generation on re-read IS corruption
+    hfs.fs_read_text = lambda p, s=None: ".gen-9"
+    try:
+        with _pytest.raises(CorruptPointerError, match="re-read"):
+            resolve_partition_dir(part)
+    finally:
+        hfs.fs_read_text = orig
+
+
+def test_read_compacted_partition_value_anchored_and_uri_decoded(spark, tmp_path):
+    """Round-11 advice (warehouse.py:221): the partition value is parsed
+    from input_file_name(), so (a) an ancestor directory containing
+    '<col>=' in the TABLE-ROOT PATH must not shadow the partition's own
+    segment (the greedy-prefix anchor takes the LAST occurrence), and
+    (b) the URI's percent-encoding must be undone — a value with a space
+    arrives as %20 — while a literal '+' (legal bare in URI paths, but
+    form-decoded to space by url_decode) survives."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        read_compacted,
+    )
+
+    # table root itself sits under a 'day=archive' ancestor directory
+    root = str(tmp_path / "day=archive" / "fact")
+    df = spark.range(20).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("2024 01+x"))
+        .otherwise(F.lit("2024-01-02"))
+        .alias("day"),
+    )
+    df.write.partitionBy("day").parquet(root)
+    assert _os.path.isdir(_os.path.join(root, "day=2024 01+x"))  # on-disk form
+
+    out = read_compacted(spark, root, "day")
+    assert out.count() == 20
+    vals = {r.day for r in out.select("day").distinct().collect()}
+    # NOT 'archive' (ancestor shadow), NOT '2024%2001+x' (URI residue),
+    # NOT '2024 01 x' (form-decoded '+')
+    assert vals == {"2024 01+x", "2024-01-02"}
+
+
+def test_swap_post_commit_cleanup_failure_warns_not_raises(spark, tmp_path):
+    """Round-11 advice (warehouse.py:404): once BOTH swap renames have
+    landed the compaction is durably committed — a failure of the
+    trailing fs_delete of .compact-old-* is cleanup-only and must not be
+    reported like a failed commit (a caller retrying compact_partition
+    would then abort on the leftover until recover_compaction runs).
+    Pinned: delete returns False → RuntimeWarning naming
+    recover_compaction, the call SUCCEEDS, the compacted data serves,
+    and the recovery sweep drops the leftover on its both-copies
+    branch."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    import trimet_bytes__data_engineering_project_spark.streaming.hadoopfs as hfs
+    from trimet_bytes__data_engineering_project_spark.plans import warehouse as wh
+
+    path = str(tmp_path / "fact")
+    spark.range(30).select(
+        F.col("id"), F.lit("2024-01-01").alias("day")
+    ).write.partitionBy("day").parquet(path)
+    part = _os.path.join(path, "day=2024-01-01")
+    before = sorted(r.id for r in spark.read.parquet(part).collect())
+
+    orig = hfs.fs_delete
+    hfs.fs_delete = lambda p, recursive=True, spark=None: False
+    try:
+        with _pytest.warns(RuntimeWarning, match="post-commit cleanup"):
+            n_files = wh.compact_partition(spark, path, "day", "2024-01-01", sort_cols=("id",))
+    finally:
+        hfs.fs_delete = orig
+    assert n_files >= 1  # the commit reported success, not an IOError
+    # compacted partition serves the same rows; the leftover lingers
+    assert sorted(r.id for r in spark.read.parquet(part).collect()) == before
+    assert [d for d in _os.listdir(path) if d.startswith(".compact-old-")]
+    # the advertised remedy clears it without touching the live data
+    wh.recover_compaction(path)
+    assert not [d for d in _os.listdir(path) if d.startswith(".compact-")]
+    assert sorted(r.id for r in spark.read.parquet(part).collect()) == before

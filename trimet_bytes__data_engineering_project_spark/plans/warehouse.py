@@ -142,9 +142,16 @@ def resolve_partition_dir(part_dir: str) -> str:
 
     A genuinely in-flight compaction is NEVER pointed at (its hidden
     ``.gen-<n>`` is numbered above the pointer and invisible until the
-    flip), so none of the three raises can fire on a healthy table —
-    distinguishing mid-compaction states from corruption is exactly
-    what the protocol's commit ordering buys.
+    flip), so on a healthy table none of the three raises fires —
+    with ONE read-side race handled here rather than raised: a reader
+    that loads ``._current`` just before a concurrent compaction flips
+    it can see the superseded generation vacuumed between the pointer
+    read and the existence probe (pointer reads are not transactional
+    with the fileset probe).  On the missing-generation branch the
+    pointer is therefore RE-READ once and resolution retried; only a
+    pointer that STILL names the vanished generation is corruption
+    (round-11 advice — the retry distinguishes the benign
+    read-vs-compaction race from real pointer damage).
 
     All probes go through the Hadoop FileSystem API
     (streaming/hadoopfs.py), so the pointer is answered by the SAME
@@ -157,35 +164,43 @@ def resolve_partition_dir(part_dir: str) -> str:
 
     from ..streaming.hadoopfs import fs_exists, fs_read_text
 
-    gen = fs_read_text(_pointer_path(part_dir))
-    if gen is None:
-        return part_dir
-    gen = gen.strip()
-    if not re.fullmatch(r"\.gen-\d+", gen):
-        raise CorruptPointerError(
-            f"{_pointer_path(part_dir)} names {gen!r}, which is not a "
-            "valid .gen-<n> generation — the pointer object is corrupt; "
-            "refusing to silently read the loose generation-0 files "
-            "(they may have been vacuumed)"
-        )
-    gen_dir = os.path.join(part_dir, gen)
-    spark = _active_session()
-    if not fs_exists(spark, gen_dir):
-        raise CorruptPointerError(
-            f"{_pointer_path(part_dir)} names {gen}, but that generation "
-            "directory does not exist — vacuum raced past the live "
-            "pointer or the fileset was externally deleted; refusing to "
-            "silently read the loose generation-0 files"
-        )
-    if not fs_exists(spark, os.path.join(gen_dir, "_SUCCESS")):
-        raise CorruptPointerError(
-            f"{_pointer_path(part_dir)} names {gen}, but the generation "
-            "lacks _SUCCESS — the commit protocol flips the pointer only "
-            "after the fileset (including _SUCCESS) lands, so this is a "
-            "truncated or foreign-written generation, not a mid-"
-            "compaction state; refusing to silently fall back"
-        )
-    return gen_dir
+    spark = None
+    for attempt in (0, 1):
+        gen = fs_read_text(_pointer_path(part_dir))
+        if gen is None:
+            return part_dir
+        gen = gen.strip()
+        if not re.fullmatch(r"\.gen-\d+", gen):
+            raise CorruptPointerError(
+                f"{_pointer_path(part_dir)} names {gen!r}, which is not a "
+                "valid .gen-<n> generation — the pointer object is corrupt; "
+                "refusing to silently read the loose generation-0 files "
+                "(they may have been vacuumed)"
+            )
+        gen_dir = os.path.join(part_dir, gen)
+        spark = spark or _active_session()
+        if not fs_exists(spark, gen_dir):
+            if attempt == 0:
+                # benign race: the generation we read was superseded and
+                # vacuumed between the pointer read and this probe — a
+                # fresh pointer read names the new live generation.
+                continue
+            raise CorruptPointerError(
+                f"{_pointer_path(part_dir)} names {gen} (after a pointer "
+                "re-read), but that generation directory does not exist — "
+                "vacuum raced past the live pointer or the fileset was "
+                "externally deleted; refusing to silently read the loose "
+                "generation-0 files"
+            )
+        if not fs_exists(spark, os.path.join(gen_dir, "_SUCCESS")):
+            raise CorruptPointerError(
+                f"{_pointer_path(part_dir)} names {gen}, but the generation "
+                "lacks _SUCCESS — the commit protocol flips the pointer only "
+                "after the fileset (including _SUCCESS) lands, so this is a "
+                "truncated or foreign-written generation, not a mid-"
+                "compaction state; refusing to silently fall back"
+            )
+        return gen_dir
 
 
 def _active_session():
@@ -215,13 +230,35 @@ def _read_resolved_dirs(
     ~12 s of pure plan construction at 200 partitions (BENCH_NOTES,
     round 11).  One relation over N dirs lists files in one
     (distributable) job and plans in O(1) — the shape that survives
-    10k-partition tables."""
+    10k-partition tables.
+
+    Schema-drift contract (changed vs the pre-r11 union, noted per
+    round-11 advice): one multi-path relation takes its schema from a
+    sampled footer, so a column missing from some generation's files is
+    silently null-filled where the old per-partition ``unionByName``
+    failed loudly on the mismatch.  Engine-written tables have uniform
+    schemas (compact_partition rewrites whole filesets), so drift here
+    means EXTERNAL writes — validate those upstream (P16/P17) or read
+    them through sources.read_evolved, whose mergeSchema sweep rejects
+    type conflicts loudly."""
     import re
 
-    pattern = f"{re.escape(partition_col)}=([^/]+)"
-    return spark.read.parquet(*resolved_dirs).withColumn(
-        partition_col, F.regexp_extract(F.input_file_name(), pattern, 1)
-    )
+    # Greedy '.*/' prefix anchors the match to the LAST '<col>=' path
+    # segment — an ancestor directory in the table-root path containing
+    # '<col>=' must not shadow the partition's own segment (round-11
+    # advice); nothing deeper can match because the remaining segments
+    # are '.gen-<n>' and 'part-*.parquet'.
+    pattern = f".*/{re.escape(partition_col)}=([^/]+)"
+    raw = F.regexp_extract(F.input_file_name(), pattern, 1)
+    # input_file_name() returns a URI, so the on-disk directory name
+    # arrives percent-encoded (space→%20; Spark's own %XX partition
+    # escapes re-encoded, %3A→%253A).  ONE percent-decode recovers
+    # exactly the on-disk 'col=value' segment — the same escaped-dir-
+    # name string the pre-r11 per-partition lit() attached.  url_decode
+    # alone is form-decoding ('+'→space), so literal '+' — which URI
+    # path encoding leaves bare — is protected as %2B first.
+    value = F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+    return spark.read.parquet(*resolved_dirs).withColumn(partition_col, value)
 
 
 def read_compacted(spark: SparkSession, path: str, partition_col: str) -> DataFrame:
@@ -396,12 +433,27 @@ def compact_partition(
         new_dir = os.path.join(path, f".compact-new-{value_tag}")
         old_dir = os.path.join(path, f".compact-old-{value_tag}")
         compacted.write.mode("overwrite").parquet(new_dir)
-        # each step checked: a False return (e.g. a leftover
+        # each rename checked: a False return (e.g. a leftover
         # .compact-old-* from an unrecovered crash blocking the rename)
         # must abort loudly, not report the old file count as success
         _checked(fs_rename(part_dir, old_dir), "rename", part_dir, old_dir)
         _checked(fs_rename(new_dir, part_dir), "rename", new_dir, part_dir)
-        _checked(fs_delete(old_dir), "delete", old_dir)
+        # the second rename COMMITS the swap — a delete failure past
+        # this point is cleanup-only (the compaction is durable, only
+        # the superseded .compact-old-* lingers), so it must not be
+        # reported identically to a failed commit: warn and succeed,
+        # advising recover_compaction, which deletes the leftover on
+        # its both-copies-exist branch (round-11 advice).
+        if not fs_delete(old_dir):
+            import warnings
+
+            warnings.warn(
+                f"compaction of {part_dir} committed, but post-commit "
+                f"cleanup of {old_dir} failed — run recover_compaction("
+                f"{path!r}) to drop the superseded fileset",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         final_dir = part_dir
     else:
         raise ValueError(f"unknown commit protocol: {commit!r}")
