@@ -1473,3 +1473,60 @@ def test_outage_segment_store_equals_batch_x202(spark, rows, shard_us, cuts):
     finally:
         ext.load_table = orig
     assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=3 * 86_400 * 1_000_000),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([900_000_000, 3_600_000_000]),
+    st.lists(st.integers(min_value=1, max_value=39), min_size=0, max_size=3),
+)
+@SETTINGS
+def test_outage_store_with_ids_replay_invariance(spark, times, shard_us, cuts):
+    """Property form of the id-bearing outage store (round-12): on a
+    feed with UNIQUE event ids (the id-bearing-feed contract), (a) the
+    with-ids fold equals the range-only fold for arbitrary time-ordered
+    batch cuts — the id evidence never changes a clean serve — and
+    (b) re-landing every ZERO-SPAN batch under a new batch_id (the one
+    replay the range-only store documents as undetectable) leaves the
+    with-ids fold bit-unchanged.  >0-span replays keep raising via the
+    overlap check, pinned in tests/test_sketch.py."""
+    from functools import reduce
+
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_segments,
+        outage_from_segments_with_ids,
+        outage_segments,
+        outage_segments_with_ids,
+    )
+
+    ordered = sorted(times)
+    rows = [(t, i) for i, t in enumerate(ordered)]  # unique ids over the feed
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {0, len(rows)})
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:]) if b > a] or [rows]
+
+    def to_df(batch):
+        return spark.createDataFrame(batch, "tus long, event_id long").select(
+            "event_id", F.timestamp_micros(F.col("tus")).alias("ts")
+        )
+
+    union = lambda frames: reduce(lambda a, b: a.unionByName(b), frames)  # noqa: E731
+    segs = union([outage_segments_with_ids(to_df(b), shard_us) for b in batches])
+    got = [tuple(r) for r in outage_from_segments_with_ids(segs).collect()]
+
+    plain = union([outage_segments(to_df(b), shard_us) for b in batches])
+    assert got == [tuple(r) for r in outage_from_segments(plain).collect()]
+
+    zero_span = [
+        outage_segments_with_ids(to_df(b), shard_us)
+        for b in batches
+        if len({t for t, _ in b}) == 1
+    ]
+    if zero_span:
+        replayed = union([segs] + zero_span)
+        assert [
+            tuple(r) for r in outage_from_segments_with_ids(replayed).collect()
+        ] == got

@@ -381,3 +381,81 @@ def test_streaming_outage_equals_batch_x202(spark, tmp_path):
     run_streaming_outage(spark, landing2, store2, ck2)
     with pytest.raises(ValueError, match="overlapping segments"):
         outage_from_store(spark, store2).collect()
+
+
+def test_outage_store_with_ids_closes_zero_span_duplicate_bound(spark, tmp_path):
+    """Round-11 verdict item 5: the range-only outage store documents
+    one undetectable slip — a ZERO-SPAN segment (all events at one
+    timestamp) re-landed under a NEW batch_id inflates n_events (never
+    the gap or flag).  The id-bearing-feed form closes it: landing
+    n_ids + an order-independent id fingerprint per segment lets the
+    serve fold collapse the replayed segment (same id multiset) while
+    KEEPING legitimate equal-timestamp arrivals (distinct ids).  Pinned
+    in-memory on the segment algebra, then end-to-end through the
+    with_ids=True stream."""
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_segments,
+        outage_from_segments_with_ids,
+        outage_from_store_with_ids,
+        outage_segments_with_ids,
+        run_streaming_outage,
+    )
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(t, i) for t, i in rows], "ts string, event_id long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+
+    d = "2024-01-01 "
+    spread = [(d + "00:00:00", 10), (d + "00:10:00", 11),
+              (d + "00:20:00", 12), (d + "07:00:00", 13)]
+    cluster = [(d + "08:00:00", 1), (d + "08:00:00", 2), (d + "08:00:00", 3)]
+    legit_same_ts = [(d + "08:00:00", 4), (d + "08:00:00", 5)]
+
+    seg = lambda rows: outage_segments_with_ids(to_df(rows), 900_000_000)  # noqa: E731
+    base = seg(spread).unionByName(seg(cluster))
+
+    want = [tuple(r) for r in outage_from_segments_with_ids(base).collect()]
+    assert len(want) == 1
+    day, n_events, max_gap_us, outage = want[0]
+    assert (n_events, max_gap_us, outage) == (6, 24_000_000_000, True)
+
+    # duplicate zero-span landing under a new batch_id: with-ids serve is
+    # UNCHANGED (the closed bound) ...
+    dup = base.unionByName(seg(cluster))
+    assert [tuple(r) for r in outage_from_segments_with_ids(dup).collect()] == want
+    # ... where the range-only fold inflates n_events by the replayed cnt
+    # (and, as documented, never the gap or the flag)
+    plain = [tuple(r) for r in outage_from_segments(dup).collect()]
+    assert plain == [(day, 9, max_gap_us, outage)]
+
+    # legitimate equal-timestamp arrivals (same instant, DISTINCT ids)
+    # survive the collapse: n_events grows, gap/flag unchanged
+    legit = dup.unionByName(seg(legit_same_ts))
+    assert [tuple(r) for r in outage_from_segments_with_ids(legit).collect()] == [
+        (day, 8, max_gap_us, outage)
+    ]
+
+    # end-to-end through the stream: land the spread, the cluster, then
+    # the cluster AGAIN as a new file (new micro-batch => new batch_id)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+
+    def land_file(rows, name):
+        t = str(tmp_path / f"w_{name}")
+        to_df(rows).coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    for rows, name in [(spread, "g0"), (cluster, "g1")]:
+        land_file(rows, name)
+        run_streaming_outage(spark, landing, store, ck, with_ids=True)
+    assert [
+        tuple(r) for r in outage_from_store_with_ids(spark, store).collect()
+    ] == want
+
+    land_file(cluster, "g1_replay")  # duplicate landing, new batch_id
+    run_streaming_outage(spark, landing, store, ck, with_ids=True)
+    assert [
+        tuple(r) for r in outage_from_store_with_ids(spark, store).collect()
+    ] == want

@@ -406,12 +406,57 @@ def outage_segments(batch_df: DataFrame, shard_us: int) -> DataFrame:
     )
 
 
+def outage_segments_with_ids(batch_df: DataFrame, shard_us: int) -> DataFrame:
+    """The id-bearing-feed landing unit (round-11 verdict item 5):
+    :func:`outage_segments` plus two id-evidence columns per
+    (day, shard) segment —
+
+    - ``n_ids``: exact ``COUNT(DISTINCT event_id)`` within the segment;
+    - ``id_fp``: an order-independent fingerprint of the segment's id
+      multiset, ``SUM(xxhash64(event_id))`` over the segment's events.
+
+    Why: range evidence alone cannot distinguish a duplicated ZERO-SPAN
+    segment (every event at one timestamp, re-landed under a NEW
+    batch_id) from legitimate equal-timestamp arrivals in two batches —
+    the documented n_events-inflation bound of the range-only store.
+    Ids close it: a re-landed segment carries the SAME id multiset
+    (identical ``id_fp``), legitimate equal-timestamp arrivals carry
+    DISTINCT event ids (different ``id_fp``), so the serve side can
+    collapse the former and keep the latter.  ``xxhash64`` is fine here
+    because the fingerprint never reaches an oracle-checked value — it
+    exists only to equate a segment with its own replay (non-adversarial
+    64-bit sum collision, ~2^-64 per segment pair that already matches
+    on day/shard/range/count/gap)."""
+    from ..plans.tables import epoch_us
+    from pyspark.sql import Window
+
+    s = batch_df.select(
+        F.to_date("ts").alias("day"),
+        epoch_us(F.col("ts")).alias("t"),
+        F.col("event_id"),
+    ).withColumn("shard", F.floor(F.col("t") / F.lit(int(shard_us))))
+    w = Window.partitionBy("day", "shard").orderBy("t", "event_id")
+    return (
+        s.withColumn("prev", F.lag("t").over(w))
+        .groupBy("day", "shard")
+        .agg(
+            F.min("t").alias("seg_min"),
+            F.max("t").alias("seg_max"),
+            F.count("*").cast("long").alias("cnt"),
+            F.max(F.col("t") - F.col("prev")).alias("interior_max_gap"),
+            F.count_distinct("event_id").cast("long").alias("n_ids"),
+            F.sum(F.xxhash64("event_id")).alias("id_fp"),
+        )
+    )
+
+
 def run_streaming_outage(
     spark: SparkSession,
     landing_dir: str,
     store_path: str,
     checkpoint_dir: str,
     shard_us: int = 900_000_000,
+    with_ids: bool = False,
 ) -> None:
     """Streaming maintenance for the feed-outage audit (x202's streamed
     twin — r10 verdict item 7): each micro-batch lands per-(day, shard)
@@ -438,9 +483,18 @@ def run_streaming_outage(
 
     State size: O(non-empty shards) rows per batch (≤ 96/day at 15-min
     shards), min/max/sum/count columns only — the corpus is scanned
-    once per landing, every audit afterwards reads kilobytes."""
+    once per landing, every audit afterwards reads kilobytes.
+
+    ``with_ids=True`` is the ID-BEARING-FEED form (round-11 verdict
+    item 5): segments land with :func:`outage_segments_with_ids`'s
+    n_ids/id_fp columns and are served by
+    :func:`outage_from_store_with_ids`, which additionally collapses a
+    duplicated zero-span segment re-landed under a new batch_id — the
+    one slip the range-only store can document but not detect."""
+    build = outage_segments_with_ids if with_ids else outage_segments
+
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        outage_segments(batch_df, shard_us).write.mode("overwrite").parquet(
+        build(batch_df, shard_us).write.mode("overwrite").parquet(
             f"{store_path}/outage/batch_id={batch_id}"
         )
 
@@ -522,3 +576,52 @@ def outage_from_segments(
         )
         .orderBy("day")
     )
+
+
+def outage_from_store_with_ids(
+    spark: SparkSession,
+    store_path: str,
+    threshold_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Serve the id-bearing outage store (segments landed by
+    ``run_streaming_outage(..., with_ids=True)``): identical to
+    :func:`outage_from_store`, EXCEPT that a duplicated zero-span
+    segment re-landed under a new batch_id changes NOTHING — not even
+    n_events.  See :func:`outage_from_segments_with_ids` for why the
+    id fingerprint makes that collapse sound."""
+    return outage_from_segments_with_ids(
+        spark.read.parquet(f"{store_path}/outage"), threshold_us, store_path
+    )
+
+
+def outage_from_segments_with_ids(
+    segs: DataFrame,
+    threshold_us: int = 3_600_000_000,
+    origin: str = "<segments>",
+) -> DataFrame:
+    """Id-exact store-serve fold (round-11 verdict item 5 — closing the
+    range-only store's documented n_events-inflation bound): before the
+    chain/fold, collapse segments that are IDENTICAL across batch_ids in
+    every evidence column — (day, shard, seg_min, seg_max, cnt,
+    interior_max_gap, n_ids, id_fp).
+
+    Soundness of the collapse: a >0-span duplicate is already caught by
+    the overlap raise (its range strictly overlaps its twin); a
+    ZERO-SPAN duplicate has seg_min == seg_max == its twin's, so range
+    evidence is silent — but its id multiset is its twin's, hence equal
+    ``id_fp``, while legitimate equal-timestamp arrivals in two batches
+    carry DISTINCT event ids and thus different fingerprints and both
+    rows survive.  Same-batch replays were already idempotent
+    (overwrite landing); this extends the no-op guarantee to replays
+    under a NEW batch_id, for feeds that carry event ids.
+
+    The dedup is one shuffle over the TINY segment store (≤ 96 rows per
+    day-batch), then the fold is byte-for-byte
+    :func:`outage_from_segments` — including its overlap raise and
+    n_events = Σcnt − 1 semantics over the retained segments."""
+    seg_cols = [
+        "day", "shard", "seg_min", "seg_max",
+        "cnt", "interior_max_gap", "n_ids", "id_fp",
+    ]
+    deduped = segs.select(*seg_cols).dropDuplicates(seg_cols)
+    return outage_from_segments(deduped, threshold_us, origin)
