@@ -415,3 +415,124 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's OptimizeSkewedJoin — the last stock runtime-replan
+    mechanism without a plan pin (round-11 verdict item 7; x203 pins
+    MANUAL salting): when one shuffle partition of a sort-merge join is
+    skewed (> factor × median AND > the byte threshold), AQE splits it
+    into sub-partitions and duplicates the matching build partition,
+    so one straggler task becomes N parallel ones — the runtime answer
+    to hot keys the engine relies on at 100 TB.  Thresholds default to
+    256 MiB (invisible at test scale) and are lowered here to pin that
+    the canonical hot-key join shape is ELIGIBLE; the final adaptive
+    plan must carry SortMergeJoin(skew=true) + a skewed AQEShuffleRead.
+    Result equality with the mechanism on/off is pinned too (the split
+    is performance-only, never semantics).
+
+    Documented decline (asserted below, not a bug): when the join feeds
+    an aggregation keyed on the SAME join key, the agg reuses the
+    join's hash partitioning, and splitting the skewed partition would
+    force an extra shuffle — AQE then declines unless
+    forceOptimizeSkewedJoin is set.  Salting (x203) remains the remedy
+    for skew under partitioning-reuse shapes."""
+    left = spark.range(300_000).select(
+        F.when(F.col("id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("id") % 50)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    right = spark.range(0, 2_000).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") * 3).alias("w")
+    )
+
+    def shape():
+        return left.join(right, "k").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v") + F.col("w")).cast("long").alias("sv"),
+        )
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        df = shape()
+        with_split = [tuple(r) for r in df.collect()]
+        p = df._jdf.queryExecution().executedPlan().toString()  # final adaptive plan
+        assert "SortMergeJoin(skew=true)" in p, p
+        assert "skewed" in p, p  # the AQEShuffleRead that carries the sub-splits
+
+        # the documented decline: same join feeding a groupBy on the join
+        # key — partitioning reuse wins, no skew split in the final plan
+        keyed = (
+            left.join(right, "k")
+            .groupBy("k")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("k")
+        )
+        keyed.collect()
+        assert "skew=true" not in keyed._jdf.queryExecution().executedPlan().toString()
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        without = [tuple(r) for r in shape().collect()]
+        assert with_split == without and with_split[0][0] == 12_000_000
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """AQE's runtime join-strategy switch — the replan that rescues the
+    statically-mis-sized joins a 100 TB workload is full of: a filtered
+    build side's STATIC size estimate is its file footprint (filters
+    don't shrink sizeInBytes without CBO stats), so the initial plan is
+    a sort-merge join; after the build side's shuffle stage
+    materializes, its true byte size is under the broadcast threshold
+    and AQE replans the join as BroadcastHashJoin — no shuffle on the
+    100 TB probe side.  Pinned: initial plan SMJ-no-BHJ, final adaptive
+    plan carries the BHJ, and the result equals the non-adaptive run
+    (the switch is performance-only).  Completes the stock-mechanism
+    pin set (DPP, runtime bloom, skew split, decorrelation, null-aware
+    anti join)."""
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    )
+
+    def shape():
+        return li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count("*").cast("long").alias("n")
+        )
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # below orders' ~2.7 MB file footprint => static plan can't broadcast;
+        # the ~30k filtered rows' runtime bytes are well under it => AQE can
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "512k")
+        df = shape()
+        pre = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in pre and "BroadcastHashJoin" not in pre, pre
+        with_aqe = [tuple(r) for r in df.collect()]
+        post = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in post, post
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert [tuple(r) for r in shape().collect()] == with_aqe
+        assert with_aqe[0][0] > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
