@@ -108,3 +108,49 @@ def test_schema_evolution_reads(spark, tmp_path):
     )
     with pytest.raises(Exception, match="[Mm]erge|SCHEMA"):
         read_evolved(spark, path).collect()
+
+
+def test_pinned_schema_read_runs_no_footer_sweep_job(spark, tmp_path):
+    """The r11 verdict's x210 'no footer sweep' pin, made mechanical:
+    mergeSchema (read_evolved) launches a Spark JOB at DataFrame
+    CONSTRUCTION time to read every generation's footers — O(files)
+    work that is the exact thing the pinned-schema scale read must NOT
+    do at a 100k-file landing.  Job counts per job group: the discovery
+    read costs >=1 construction job, the pinned read costs ZERO (its
+    only driver work is the file listing; per-file schema adaptation
+    happens inside the scan at execution)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from trimet_bytes__data_engineering_project_spark.sources.readers import (
+        read_evolved,
+        read_with_schema,
+    )
+
+    path = str(tmp_path / "landing")
+    spark.range(100).selectExpr("id AS doc_id", "id*2 AS n_chars").write.parquet(
+        f"{path}/batch_id=0"
+    )
+    spark.range(100, 200).selectExpr(
+        "id AS doc_id", "id*2 AS n_chars", "0.5 AS quality"
+    ).write.parquet(f"{path}/batch_id=1")
+
+    pinned = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("quality", DoubleType()),
+        ]
+    )
+    sc = spark.sparkContext
+    try:
+        sc.setJobGroup("probe-merge", "footer sweep probe")
+        read_evolved(spark, path)  # construction only — no action
+        merge_jobs = sc.statusTracker().getJobIdsForGroup("probe-merge")
+        sc.setJobGroup("probe-pinned", "footer sweep probe")
+        read_with_schema(spark, path, pinned)  # construction only
+        pinned_jobs = sc.statusTracker().getJobIdsForGroup("probe-pinned")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert len(merge_jobs) >= 1, "mergeSchema should sweep footers in a job"
+    assert len(pinned_jobs) == 0, f"pinned read ran {len(pinned_jobs)} jobs"

@@ -965,3 +965,71 @@ def test_streaming_dim_sums_drift_equals_batch(spark, tmp_path):
     # replay idempotency
     run_streaming_dim_sums(spark, landing, store, ck)
     assert sorted(map(tuple, dim_drift_from_store(spark, store, 0).collect())) == got
+
+
+def test_streaming_evolving_landing_union_and_type_conflict(spark, tmp_path):
+    """Round-11 verdict item 8 — the streamed twin of the r11
+    schema-evolution readers: generation-1 rows land under schema v1;
+    the feed gains a column; the stream RESTARTS with the evolved
+    schema under the SAME checkpoint (the file-source log replays
+    nothing, so only generation-2 lands, carrying the new column); and
+    the mixed-schema store serves through read_with_schema — the
+    pinned, zero-footer-sweep scale read — with the old generation
+    null-filling the added column.  A mid-stream TYPE conflict (id
+    re-typed string by a broken producer) must kill the run loudly,
+    never null a mistyped generation into the store."""
+    import pytest
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from trimet_bytes__data_engineering_project_spark.sources.readers import (
+        read_evolved,
+        read_with_schema,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.pipeline import (
+        run_streaming_evolving_landing,
+    )
+
+    landing = str(tmp_path / "landing")
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    v1 = StructType([StructField("id", LongType()), StructField("text", StringType())])
+    # a fresh StructType, NOT v1.add(...) — StructType.add mutates in place
+    v2 = StructType(list(v1.fields) + [StructField("quality", DoubleType())])
+
+    land_file(spark.createDataFrame([(1, "a"), (2, "b")], v1), "g1")
+    run_streaming_evolving_landing(spark, landing, store, ck, v1)
+    land_file(spark.createDataFrame([(3, "c", 0.5)], v2), "g2")
+    run_streaming_evolving_landing(spark, landing, store, ck, v2)  # same checkpoint
+
+    # two generations landed — g1 was NOT replayed under the new schema
+    gens = sorted(os.listdir(f"{store}/gen"))
+    assert gens == ["batch_id=0", "batch_id=1"]
+
+    served = read_with_schema(spark, f"{store}/gen", v2)
+    # explicit schema still picks up the batch_id partition column
+    assert served.schema.simpleString() == (
+        "struct<id:bigint,text:string,quality:double,batch_id:int>"
+    )
+    assert sorted((r.id, r.text, r.quality) for r in served.collect()) == [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", 0.5),
+    ]
+    # the discovery/audit read reconciles the same union schema
+    assert read_evolved(spark, f"{store}/gen").columns == served.columns
+
+    # type conflict mid-stream: the run dies, loudly naming the parquet
+    # conversion — the store never receives a silently-nulled generation
+    bad = spark.createDataFrame(
+        [("x", "d", 1.0)], "id string, text string, quality double"
+    )
+    land_file(bad, "g3")
+    with pytest.raises(Exception) as exc:
+        run_streaming_evolving_landing(spark, landing, store, ck, v2)
+    assert "convert" in str(exc.value).lower()

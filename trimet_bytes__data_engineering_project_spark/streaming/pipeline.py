@@ -297,3 +297,50 @@ def dedup_within_watermark(
         ts = act_time_timestamp(parse_opd_date("OPD_DATE"), F.col("ACT_TIME"))
         stream = stream.withColumn(ts_col, ts).filter(F.col(ts_col).isNotNull())
     return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(list(keys))
+
+
+def run_streaming_evolving_landing(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema,
+) -> None:
+    """Streamed twin of the schema-evolution readers (round-11 verdict
+    item 8 — evolving landings arrive via STREAMS in practice): an
+    availableNow file stream over ``landing_dir`` read with the
+    EXPLICIT current schema, landing each micro-batch verbatim under
+    ``gen/batch_id=N`` (idempotent overwrite per batch_id, the shared
+    landing contract of streaming/index.py).
+
+    Evolution contract: a file stream's schema is fixed PER RUN, not
+    per checkpoint — when the feed gains a column, restart the stream
+    with the evolved schema under the SAME checkpoint; the file-source
+    log replays nothing (already-processed generation-1 files stay
+    processed), so only the new generation lands, carrying the new
+    column.  The store then holds mixed-schema generations — exactly
+    the multi-generation landing sources.read_with_schema serves with
+    ZERO footer sweep (old generations null-fill the added column), and
+    sources.read_evolved audits with a loud type-conflict merge.
+
+    Fail-loud contract, pinned by test: a file whose column TYPE
+    conflicts with the declared schema (an int landing re-typed string
+    mid-stream by a broken producer) kills the run with Spark's
+    parquet-conversion error — the reader never silently nulls a
+    mistyped generation into the store (same contract as
+    read_with_schema's documented caveat: pin types upstream when
+    generations are untrusted)."""
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{store_path}/gen/batch_id={batch_id}"
+        )
+
+    (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
