@@ -2183,6 +2183,15 @@ def _x209_dpp(spark, d):
     return QUERIES["x209_dynamic_partition_pruning"](spark, d)
 
 
+def _x210_evolved_landing(spark, d):
+    # pinned-schema read over the two-generation evolved landing (built
+    # once per scale dir by the query's ensure_index guard, absorbed by
+    # the warm run): a multi-path scan with per-file projection + one
+    # 5-group map-side-combined agg — expect the scan-bound flat band;
+    # the point is that NO footer sweep appears at any corpus size.
+    return QUERIES["x210_evolved_landing_stats"](spark, d)
+
+
 def _x199_point_in_polygon(spark, d):
     # integer ray casting over the full scaled lineitem table: a
     # shuffle-free codegen scan + a <=3-group fold — flat band.
@@ -3009,6 +3018,7 @@ HEAVY += [
     ("x207_stats_gate_full", _x207_stats_gate),
     ("x208_null_aware_notin_full", _x208_null_aware_notin),
     ("x209_dpp_full", _x209_dpp),
+    ("x210_evolved_landing_full", _x210_evolved_landing),
     ("x200_grid_density_full", _x200_grid_density),
     ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),

@@ -11515,3 +11515,99 @@ def x209_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("service_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# x210: multi-generation landing served through the pinned-schema scale
+# read — the r11 schema-evolution readers (sources/readers.py) under the
+# driver's rows+schema+value-hash oracle protocol (round-11 verdict
+# item 6).  Evolving landings are the standing shape of a training-data
+# store: batches gain columns (new quality scores) over time, and the
+# production read must serve every generation through ONE declared
+# schema with zero footer sweep.
+# ---------------------------------------------------------------------------
+@query(
+    "x210_evolved_landing_stats",
+    oracle="""
+    WITH landing AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(n_chars % 100 AS DOUBLE) / 4 END AS quality
+        FROM documents
+    )
+    SELECT doc_id % 5 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(quality) AS BIGINT) AS n_quality,
+           SUM(quality) / COUNT(quality) AS avg_quality
+    FROM landing
+    GROUP BY doc_id % 5
+    ORDER BY bucket
+    """,
+)
+def x210_evolved_landing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a TWO-GENERATION landing read with the pinned
+    declared schema (``sources.read_with_schema`` — zero footer sweep):
+    generation 0 landed (doc_id, n_chars) for even doc_ids; the feed
+    then gained a quality column and generation 1 landed
+    (doc_id, n_chars, quality) for odd doc_ids.  The pinned read
+    null-fills quality across generation 0 — visible in the result as
+    ``n_quality < n_docs`` in every bucket — and the oracle recomputes
+    the same rows from the raw documents table, so the driver's
+    value-hash verifies the multi-generation landing contract
+    end-to-end (write → schema evolution → pinned union read).
+
+    quality is quarter-integer-valued (``(n_chars % 100) / 4``), so
+    SUM(DOUBLE) is order-independent-exact in both engines and the avg
+    is one IEEE division — the corpus float-parity convention.
+
+    Scale shape: read_with_schema trusts the catalog schema and plans
+    straight to a multi-path scan — no O(files) mergeSchema footer
+    sweep (pinned by the job-count test in tests/test_sources.py), the
+    per-file projection adapts each generation, and the agg is one
+    map-side-combined shuffle of 5 groups.  This is the 100 TB evolving
+    -landing read: list once, never touch 100k footers."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..sources.readers import read_with_schema
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = os.path.join(_tagged_dir(_SCRATCH, "evolved_landing", sf_dir=sf_dir), "gen")
+
+    def build() -> None:
+        base = docs.select("doc_id", "n_chars")
+        base.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{store}/batch_id=0"
+        )
+        base.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "quality", (F.col("n_chars") % 100).cast("double") / F.lit(4)
+        ).write.mode("overwrite").parquet(f"{store}/batch_id=1")
+
+    # batch_id=1 is written LAST, so its _SUCCESS is the whole-build marker
+    ensure_index(
+        build,
+        f"{store}/batch_id=1",
+        fingerprint=_fp_cached(
+            spark, sf_dir, "docs",
+            lambda: corpus_fingerprint(docs, id_col="doc_id"),
+        ),
+    )
+    pinned = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("quality", DoubleType()),
+        ]
+    )
+    landing = read_with_schema(spark, store, pinned)
+    return (
+        landing.groupBy((F.col("doc_id") % 5).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.count("quality").cast("long").alias("n_quality"),
+            (F.sum("quality") / F.count("quality")).alias("avg_quality"),
+        )
+        .orderBy("bucket")
+    )
