@@ -42,6 +42,14 @@ BARS = {
     # (≈18% headroom over the clean close) so round-11+ growth (x206/
     # x207 onward) is priced separately.
     "subset_238_r10": 245.0,
+    # frozen at the round-12 open (242 queries = the full r11-close
+    # corpus, subset_238_r10 + the r11 registrations x206-x209; driver
+    # r11 measured 215.2 s, r11 close triad 204.4/195.7/227.9 s on
+    # identical code — the ±14% box-epoch spread the r11 bisect
+    # proved).  Bar = the r11 verdict's prescribed ~250 s class
+    # (≈10% headroom over the WORST triad run) so round-12+ growth
+    # (x210 onward) is priced separately.
+    "subset_242_r11": 250.0,
 }
 
 
@@ -51,6 +59,10 @@ def main() -> None:
     )
     detail = json.load(open(detail_path))
     times = detail["queries"] if "queries" in detail else detail
+    # executor-CPU sums ride along when bench.py's probe recorded them
+    # (r11 verdict item 4): wall answers "did we regress vs the bar",
+    # cpu answers "or did the box epoch move" without a bisect.
+    cpu = detail.get("cpu_seconds", {}) if isinstance(detail, dict) else {}
     subsets = json.load(open(os.path.join(HERE, "bench_subsets.json")))
     total = sum(times.values())
     for name, members in subsets.items():
@@ -60,9 +72,12 @@ def main() -> None:
         status = ""
         if bar is not None:
             status = "  OK (<= %.0f)" % bar if s <= bar else "  BREACH (> %.0f)" % bar
-        print(f"{name}: {s:.1f} s over {len(members) - len(missing)} queries"
+        c = sum(cpu[m] for m in members if m in cpu)
+        cpu_part = f" (cpu {c:.1f} s)" if cpu else ""
+        print(f"{name}: {s:.1f} s{cpu_part} over {len(members) - len(missing)} queries"
               f"{' (missing ' + ','.join(missing) + ')' if missing else ''}{status}")
-    print(f"full corpus: {total:.1f} s over {len(times)} queries"
+    cpu_part = f" (cpu {sum(cpu.values()):.1f} s)" if cpu else ""
+    print(f"full corpus: {total:.1f} s{cpu_part} over {len(times)} queries"
           "  (informational — the <=210 bar binds subset_206_r8)")
 
 

@@ -27,12 +27,21 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def get_session(app_name: str = "trimet-bytes-spark", cpus: int | None = None) -> SparkSession:
+def get_session(
+    app_name: str = "trimet-bytes-spark",
+    cpus: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
+    """``ui=True`` enables the Spark UI solely for its task-metrics REST
+    endpoint (bench.py's executor-CPU probe — r11 verdict item 4); the
+    default stays off so tests and the driver's entry smoke never race
+    on ports."""
     n = cpus or default_parallelism()
     return (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -40,7 +49,6 @@ def get_session(app_name: str = "trimet-bytes-spark", cpus: int | None = None) -
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.ui.enabled", "false")
         # catalog tables (bucketed layouts) land outside the repo tree
         .config(
             "spark.sql.warehouse.dir",
