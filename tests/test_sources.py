@@ -154,3 +154,74 @@ def test_pinned_schema_read_runs_no_footer_sweep_job(spark, tmp_path):
         sc.setLocalProperty("spark.job.description", None)
     assert len(merge_jobs) >= 1, "mergeSchema should sweep footers in a job"
     assert len(pinned_jobs) == 0, f"pinned read ran {len(pinned_jobs)} jobs"
+
+
+def test_landing_schema_registry_add_only(spark, tmp_path):
+    """The catalog half of the schema-evolution path (round-12): the
+    landing's declared schema is VERSIONED inside the landing
+    (_schema/v<n>.json + atomic 'current' pointer), read_registered
+    serves the current contract with zero caller plumbing, old versions
+    stay pinnable, and the add-only rule rejects — loudly, at
+    registration time — the three changes that would corrupt old
+    generations: a type change, a column drop, a non-nullable
+    addition."""
+    import pytest
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from trimet_bytes__data_engineering_project_spark.sources.readers import (
+        SchemaEvolutionError,
+        landing_schema,
+        read_registered,
+        register_landing_schema,
+    )
+
+    path = str(tmp_path / "landing")
+    v1 = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    v2 = StructType(list(v1.fields) + [StructField("quality", DoubleType())])
+
+    assert register_landing_schema(spark, path, v1) == 1
+    spark.createDataFrame([(1, "a"), (2, "b")], v1).write.parquet(f"{path}/batch_id=0")
+    assert register_landing_schema(spark, path, v2) == 2
+    spark.createDataFrame([(3, "c", 0.5)], v2).write.parquet(f"{path}/batch_id=1")
+
+    # the registry is invisible to a plain read (underscore-prefixed)
+    assert spark.read.parquet(path).count() == 3
+
+    got = read_registered(spark, path)
+    assert sorted((r.doc_id, r.text, r.quality) for r in got.collect()) == [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", 0.5),
+    ]
+    # historical pin: version 1 still serves the old contract
+    assert landing_schema(spark, path, 1) == v1
+    assert landing_schema(spark, path) == v2
+
+    with pytest.raises(SchemaEvolutionError, match="re-types"):
+        register_landing_schema(
+            spark, path,
+            StructType([StructField("doc_id", LongType()),
+                        StructField("text", LongType()),
+                        StructField("quality", DoubleType())]),
+        )
+    with pytest.raises(SchemaEvolutionError, match="drops column"):
+        register_landing_schema(
+            spark, path, StructType([StructField("doc_id", LongType())])
+        )
+    with pytest.raises(SchemaEvolutionError, match="non-nullable"):
+        register_landing_schema(
+            spark, path,
+            StructType(list(v2.fields)
+                       + [StructField("score", DoubleType(), nullable=False)]),
+        )
+    # rejected registrations must not have moved the pointer
+    assert landing_schema(spark, path) == v2
+
+    # corrupt pointer: current names a version file that does not exist
+    from trimet_bytes__data_engineering_project_spark.streaming.hadoopfs import (
+        fs_write_text_atomic,
+    )
+
+    fs_write_text_atomic(f"{path}/_schema/current", "v99", spark)
+    with pytest.raises(IOError, match="does not exist"):
+        landing_schema(spark, path)

@@ -144,3 +144,118 @@ def read_with_schema(spark: SparkSession, path: str, schema) -> DataFrame:
     by parquet's cast-or-null per file — pin the store's types with the
     validators (P16/P17) upstream when generations are untrusted."""
     return spark.read.schema(schema).parquet(path)
+
+
+class SchemaEvolutionError(ValueError):
+    """A registration that would break existing generations: a column
+    type change (old files would silently cast-or-null under the new
+    declared type) or a non-nullable addition (old generations cannot
+    supply it).  Evolution is ADD-ONLY NULLABLE — everything else is a
+    re-land, not a registration."""
+
+
+def register_landing_schema(spark: SparkSession, path: str, schema) -> int:
+    """The catalog half of the schema-evolution read path: version the
+    landing's declared schema INSIDE the landing (``_schema/v<n>.json``
+    + an atomically-written ``_schema/current`` pointer — the same
+    one-object-PUT commit idiom as the warehouse's pointer-compaction),
+    so :func:`read_registered` serves every generation with ZERO footer
+    sweep and zero caller-side schema plumbing.
+
+    Add-only contract, enforced LOUDLY at registration time (the only
+    moment both schemas are in hand): every column of the current
+    version must keep its exact dataType in the new one (a type change
+    would make parquet's per-file adaptation silently cast-or-null the
+    OLD generations — the mistyped-generation hazard the streamed
+    landing kills per-batch), and every NEW column must be nullable
+    (old generations null-fill it).  Column removal is likewise
+    rejected: readers pinned to the registry must never lose a column
+    that landed generations still carry.
+
+    Single-writer contract (same as compact_partition): concurrent
+    registrations can allocate the same version — serialize schema
+    changes externally; READERS are safe concurrently with one
+    registration (the pointer flips only after the version file
+    lands)."""
+    import json
+    import os
+
+    from ..streaming.hadoopfs import fs_exists, fs_write_text_atomic
+
+    cur = landing_schema(spark, path, _absent_ok=True)
+    if cur is not None:
+        new_fields = {f.name: f for f in schema.fields}
+        for f in cur.fields:
+            nf = new_fields.get(f.name)
+            if nf is None:
+                raise SchemaEvolutionError(
+                    f"{path}: registration drops column {f.name!r} — landed "
+                    "generations still carry it; evolution is add-only"
+                )
+            if nf.dataType != f.dataType:
+                raise SchemaEvolutionError(
+                    f"{path}: registration re-types {f.name!r} from "
+                    f"{f.dataType.simpleString()} to {nf.dataType.simpleString()}"
+                    " — old generations would silently cast-or-null under "
+                    "the new declared type; re-land them instead"
+                )
+        old_names = {f.name for f in cur.fields}
+        for f in schema.fields:
+            if f.name not in old_names and not f.nullable:
+                raise SchemaEvolutionError(
+                    f"{path}: new column {f.name!r} is non-nullable — old "
+                    "generations cannot supply it; added columns must be "
+                    "nullable"
+                )
+    version = 1
+    while fs_exists(spark, os.path.join(path, "_schema", f"v{version}.json")):
+        version += 1
+    fs_write_text_atomic(
+        os.path.join(path, "_schema", f"v{version}.json"),
+        json.dumps(json.loads(schema.json()), sort_keys=True),
+        spark,
+    )
+    fs_write_text_atomic(os.path.join(path, "_schema", "current"), f"v{version}", spark)
+    return version
+
+
+def landing_schema(
+    spark: SparkSession, path: str, version: int | None = None, _absent_ok: bool = False
+):
+    """Read the landing's registered schema — the CURRENT version, or a
+    pinned historical one (time-travel for readers that must replay an
+    old contract).  A pointer naming a missing version file fails
+    loudly (the registry is corrupt), matching the warehouse pointer
+    contract."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from ..streaming.hadoopfs import fs_read_text
+
+    if version is None:
+        cur = fs_read_text(os.path.join(path, "_schema", "current"))
+        if cur is None:
+            if _absent_ok:
+                return None
+            raise ValueError(f"{path} has no registered landing schema")
+        tag = cur.strip()
+    else:
+        tag = f"v{int(version)}"
+    txt = fs_read_text(os.path.join(path, "_schema", f"{tag}.json"))
+    if txt is None:
+        raise IOError(
+            f"{path}: registry names {tag}, but _schema/{tag}.json does not "
+            "exist — the schema registry is corrupt; refusing to guess"
+        )
+    return StructType.fromJson(json.loads(txt))
+
+
+def read_registered(spark: SparkSession, path: str) -> DataFrame:
+    """:func:`read_with_schema` under the landing's OWN current
+    registered schema — the self-describing form of the scale read: the
+    catalog lives next to the data, the read costs one small text GET
+    plus the pinned multi-path scan, and no caller threads StructTypes
+    around."""
+    return read_with_schema(spark, path, landing_schema(spark, path))
