@@ -1530,3 +1530,64 @@ def test_outage_store_with_ids_replay_invariance(spark, times, shard_us, cuts):
         assert [
             tuple(r) for r in outage_from_segments_with_ids(replayed).collect()
         ] == got
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=3, unique=True),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_landing_schema_registry_chain(spark, tmp_path_factory, added_cols):
+    """Property form of the add-only registry (round-12): for ANY chain
+    of registrations that each append a random set of nullable columns,
+    (a) every registration succeeds and bumps the version, (b) landing
+    one generation per version and serving via read_registered yields
+    exactly the union with nulls backfilled for columns a generation
+    predates, and (c) every historical version stays pinnable and is a
+    prefix-compatible subset of the final schema."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from trimet_bytes__data_engineering_project_spark.sources.readers import (
+        landing_schema,
+        read_registered,
+        register_landing_schema,
+    )
+
+    path = str(tmp_path_factory.mktemp("reg") / "landing")
+    fields = [StructField("id", LongType())]
+    seen = {"id"}
+    versions: list[StructType] = []
+    row_id = 0
+    for gen, cols in enumerate(added_cols):
+        for c in cols:
+            if c not in seen:
+                seen.add(c)
+                fields.append(StructField(c, LongType()))
+        schema = StructType(list(fields))
+        assert register_landing_schema(spark, path, schema) == gen + 1
+        versions.append(schema)
+        spark.createDataFrame(
+            [tuple(row_id * 100 + j for j in range(len(schema.fields)))], schema
+        ).write.parquet(f"{path}/batch_id={gen}")
+        row_id += 1
+
+    served = read_registered(spark, path)
+    final = versions[-1]
+    assert [f.name for f in served.schema.fields][: len(final.fields)] == [
+        f.name for f in final.fields
+    ]
+    rows = {r["id"]: r for r in served.collect()}
+    assert len(rows) == len(versions)
+    for gen, schema in enumerate(versions):
+        r = rows[gen * 100]
+        gen_cols = {f.name for f in schema.fields}
+        for f in final.fields:
+            if f.name in gen_cols:
+                assert r[f.name] is not None
+            else:  # the generation predates this column: null-filled
+                assert r[f.name] is None
+        # historical pin reproduces each registered version exactly
+        assert landing_schema(spark, path, gen + 1) == schema
