@@ -459,3 +459,92 @@ def test_outage_store_with_ids_closes_zero_span_duplicate_bound(spark, tmp_path)
     assert [
         tuple(r) for r in outage_from_store_with_ids(spark, store).collect()
     ] == want
+
+
+def test_store_compaction_folds_exactly_and_is_replay_safe(spark, tmp_path):
+    """Round-12 store compaction: folding all landed generations into
+    one consolidated fileset (pointer-committed, hidden dir) leaves
+    every serve BIT-EQUAL — cms (sum-fold) and hll (max-fold) pinned
+    here — drops the per-batch dirs, keeps serving landings that arrive
+    AFTER the fold, ignores a fresh-checkpoint REPLAY of already-folded
+    batches (the double-count a naive file merge would produce), and
+    the batch-granular window read refuses windows below the high-water
+    mark instead of silently folding the wrong rows."""
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.operators.sketch import (
+        hll_registers,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.compaction import (
+        compact_store,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        cms_from_store,
+        hll_from_store,
+        run_streaming_cms,
+        run_streaming_hll,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+    gens = [events.filter(f"event_id % 3 = {i}") for i in range(3)]
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    for i, g in enumerate(gens[:2]):  # batches 0 and 1
+        land_file(g, f"g{i}")
+        run_streaming_cms(spark, landing, store, ck, "user_id", depth=4, width=64)
+        run_streaming_hll(spark, landing, store, str(tmp_path / "ck_h"), "user_id")
+
+    cms_before = sorted(map(tuple, cms_from_store(spark, store).collect()))
+    hll_before = sorted(map(tuple, hll_from_store(spark, store).collect()))
+
+    assert compact_store(spark, store, "cms") == 1
+    assert compact_store(spark, store, "hll") == 1
+    # folded dirs are gone; the hidden consolidated generation serves
+    assert not [d for d in os.listdir(f"{store}/cms") if d.startswith("batch_id=")]
+    assert sorted(map(tuple, cms_from_store(spark, store).collect())) == cms_before
+    assert sorted(map(tuple, hll_from_store(spark, store).collect())) == hll_before
+    # re-compacting with nothing new is a no-op at the same hwm
+    assert compact_store(spark, store, "cms") == 1
+
+    # landings after the fold keep serving (consolidated ∪ tail)
+    land_file(gens[2], "g2")
+    run_streaming_cms(spark, landing, store, ck, "user_id", depth=4, width=64)
+    run_streaming_hll(spark, landing, store, str(tmp_path / "ck_h"), "user_id")
+    want_all = sorted(
+        map(
+            tuple,
+            cms_counters(events.selectExpr("user_id AS _k"), "_k", 4, 64).collect(),
+        )
+    )
+    assert sorted(map(tuple, cms_from_store(spark, store).collect())) == want_all
+    want_hll = sorted(
+        map(tuple, hll_registers(events.selectExpr("user_id AS _k"), "_k", 8).collect())
+    )
+    assert sorted(map(tuple, hll_from_store(spark, store).collect())) == want_hll
+
+    # window serves above the hwm, refuses at/below it
+    assert cms_from_store(spark, store, min_batch_id=2).count() > 0
+    with pytest.raises(ValueError, match="compacted through batch_id=1"):
+        cms_from_store(spark, store, min_batch_id=1)
+
+    # fresh-checkpoint replay: every landing re-delivers as batch 0 —
+    # at/below the hwm, so the serve ignores it (no double count)
+    run_streaming_cms(spark, landing, store, str(tmp_path / "ck2"), "user_id",
+                      depth=4, width=64)
+    assert os.path.isdir(f"{store}/cms/batch_id=0")  # the replay landed...
+    assert sorted(map(tuple, cms_from_store(spark, store).collect())) == want_all
+
+    # ...and a second compaction folds tail + ignores the stale replay
+    hwm = compact_store(spark, store, "cms")
+    assert hwm >= 2
+    assert sorted(map(tuple, cms_from_store(spark, store).collect())) == want_all

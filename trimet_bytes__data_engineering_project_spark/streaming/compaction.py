@@ -1,0 +1,187 @@
+"""Replay-safe compaction for the per-batch_id maintenance stores.
+
+The mergeable stores (histogram/drift-sums/CMS: sum-fold; HLL: max-fold;
+Bloom: or-fold) land one ``<kind>/batch_id=N`` directory per micro-batch
+— the idempotent-overwrite landing contract that makes at-least-once
+replay exactly-once.  At one landing per 15 minutes that is ~35k
+directories/year PER STORE: every serve pays an O(dirs) listing and the
+filesystem pays O(dirs) small files — the same small-file decay
+compact_partition fixes for fact tables, reappearing in the metadata
+tier.
+
+``compact_store`` folds every currently-landed generation into ONE
+consolidated parquet under a HIDDEN ``.consolidated-gen-<n>`` directory
+and commits it with the warehouse's one-object-PUT idiom: an atomic
+``._consolidated`` pointer recording ``gen-<n>:<high-water batch_id>``.
+Because the stores' folds are associative+commutative (sum/max/min/or),
+the consolidated rows ARE the fold of the folded generations — serving
+``consolidated ∪ {batch dirs > hwm}`` through the store's own fold is
+bit-equal to serving the original union (pinned by test).
+
+REPLAY SAFETY — the part a naive "merge the files" job gets wrong: a
+stream restarted on a FRESH checkpoint re-lands old batches under
+already-folded batch_ids.  The serve path therefore IGNORES batch dirs
+at or below the pointer's high-water mark (their content is already in
+the consolidated fileset), so a replay is a no-op instead of a double
+count, and the post-commit deletion of folded dirs is best-effort by
+construction — a leftover or re-landed low dir is invisible, never
+wrong.  What compaction DOES spend is per-batch granularity below the
+hwm: the sliding-window reads (``cms_from_store(min_batch_id=...)``,
+``dim_drift_from_store(boundary_batch=...)``) RAISE loudly when their
+window reaches below it — retention rollup trades history granularity
+for file count, and the reader must say so rather than silently fold
+the wrong rows.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FOLDS = {
+    "sum": lambda c: F.sum(c).cast("long").alias(c),
+    "max": lambda c: F.max(c).alias(c),
+    "min": lambda c: F.min(c).alias(c),
+    "or": lambda c: F.expr(f"bit_or({c})").alias(c),
+}
+
+# the fixed-shape stores of streaming/stats.py; funnel's columns are
+# parameterized by its stage tuple, so it goes through compact_store
+# with explicit group/fold args
+STORE_SPECS: dict[str, tuple[list[str], dict[str, str]]] = {
+    "hist": (["bin_idx"], {"cnt": "sum"}),
+    "dims": (["j"], {"sum_q": "sum", "n": "sum"}),
+    "cms": (["row", "bucket"], {"cell": "sum"}),
+    "hll": (["reg"], {"rho_max": "max"}),
+    "bloom": (["word_idx"], {"word": "or"}),
+}
+
+
+def _pointer(base: str) -> str:
+    return os.path.join(base, "._consolidated")
+
+
+def _read_pointer(base: str) -> tuple[str, int] | None:
+    """(gen dirname, high-water batch_id) or None; garbage raises —
+    the warehouse CorruptPointerError convention, not silent fallback."""
+    from .hadoopfs import fs_read_text
+
+    txt = fs_read_text(_pointer(base))
+    if txt is None:
+        return None
+    m = re.fullmatch(r"(\.consolidated-gen-\d+):(\d+)", txt.strip())
+    if not m:
+        raise IOError(
+            f"{_pointer(base)} holds {txt!r}, not "
+            "'.consolidated-gen-<n>:<hwm>' — the store pointer is corrupt; "
+            "refusing to guess which generations are folded"
+        )
+    return m.group(1), int(m.group(2))
+
+
+def _batch_dirs(spark: SparkSession, base: str) -> list[tuple[int, str]]:
+    from .hadoopfs import fs_list_entries
+
+    out = []
+    for name, is_dir in fs_list_entries(base, spark):
+        m = re.fullmatch(r"batch_id=(\d+)", name)
+        if is_dir and m:
+            out.append((int(m.group(1)), os.path.join(base, name)))
+    return sorted(out)
+
+
+def store_rows(spark: SparkSession, store_path: str, kind: str) -> tuple[DataFrame, int | None]:
+    """The serve-side read: (rows, hwm).  Rows = the consolidated
+    generation (``batch_id`` NULL — it spans many) ∪ batch dirs ABOVE
+    the high-water mark; dirs at/below it are already folded and are
+    ignored (replay safety).  hwm None = never compacted, all dirs
+    serve."""
+    base = os.path.join(store_path, kind)
+    ptr = _read_pointer(base)
+    if ptr is None:
+        # never compacted: byte-identical to the pre-compaction readers'
+        # plain partition-discovery read
+        return spark.read.parquet(base), None
+    batches = _batch_dirs(spark, base)
+    gen, hwm = ptr
+    cons = spark.read.parquet(os.path.join(base, gen)).withColumn(
+        "batch_id", F.lit(None).cast("int")
+    )
+    live = [d for b, d in batches if b > hwm]
+    if not live:
+        return cons, hwm
+    tail = spark.read.parquet(*live).withColumn(
+        "batch_id",
+        F.regexp_extract(F.input_file_name(), r".*/batch_id=(\d+)/", 1).cast("int"),
+    )
+    return cons.unionByName(tail.select(*cons.columns)), hwm
+
+
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    kind: str,
+    group_cols: list[str] | None = None,
+    folds: dict[str, str] | None = None,
+) -> int:
+    """Fold everything currently served into one consolidated
+    generation; returns the new high-water batch_id.  Commit order (the
+    pointer protocol): write ``.consolidated-gen-<n+1>`` (hidden, with
+    parquet's atomic ``_SUCCESS``), flip ``._consolidated`` in one
+    atomic PUT, then best-effort delete the folded batch dirs and the
+    superseded generation — a cleanup failure leaves only dirs the
+    serve path already ignores (warn-and-succeed, the round-12 swap
+    convention).  Single writer per store, readers safe concurrently
+    (they resolve the old pointer until the flip).
+
+    No-op (returns the current hwm) when nothing has landed above it."""
+    import warnings
+
+    from .hadoopfs import fs_delete, fs_write_text_atomic
+
+    if group_cols is None or folds is None:
+        spec = STORE_SPECS.get(kind)
+        if spec is None:
+            raise ValueError(
+                f"no built-in spec for store kind {kind!r} — pass group_cols "
+                f"and folds explicitly (known: {sorted(STORE_SPECS)})"
+            )
+        group_cols, folds = spec
+    base = os.path.join(store_path, kind)
+    ptr = _read_pointer(base)
+    batches = _batch_dirs(spark, base)
+    prior_hwm = ptr[1] if ptr else None
+    new = [b for b, _ in batches if prior_hwm is None or b > prior_hwm]
+    if not new:
+        if prior_hwm is None:
+            raise ValueError(f"{base} has no landed generations to compact")
+        return prior_hwm
+    new_hwm = max(new)
+    rows, _ = store_rows(spark, store_path, kind)
+    folded = rows.groupBy(*group_cols).agg(
+        *[_FOLDS[how](col) for col, how in folds.items()]
+    )
+    n = int(ptr[0].rsplit("-", 1)[1]) + 1 if ptr else 1
+    gen = f".consolidated-gen-{n}"
+    folded.write.mode("overwrite").parquet(os.path.join(base, gen))
+    fs_write_text_atomic(_pointer(base), f"{gen}:{new_hwm}", spark)
+    # post-commit cleanup: every target is already invisible to serve
+    leftovers = []
+    for b, d in batches:
+        if b <= new_hwm and not fs_delete(d):
+            leftovers.append(d)
+    if ptr and not fs_delete(os.path.join(base, ptr[0])):
+        leftovers.append(os.path.join(base, ptr[0]))
+    if leftovers:
+        warnings.warn(
+            f"store compaction of {base} committed (hwm={new_hwm}), but "
+            f"cleanup left {len(leftovers)} superseded dir(s) — harmless "
+            "(the serve path ignores them); re-run compact_store or remove "
+            "manually to reclaim space",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return new_hwm

@@ -68,14 +68,14 @@ def quantiles_from_store(
     n_bins: int,
 ) -> DataFrame:
     """Quantile read-off over the summed stored generations —
-    bit-equal to the in-flight form over the union (additivity)."""
+    bit-equal to the in-flight form over the union (additivity).
+    Serves through compaction.store_rows, so a compacted store (the
+    consolidated generation + post-hwm landings) folds identically."""
     from ..operators.sampling import quantiles_from_histogram
+    from .compaction import store_rows
 
-    hist = (
-        spark.read.parquet(f"{store_path}/hist")
-        .groupBy("bin_idx")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-    )
+    rows, _ = store_rows(spark, store_path, "hist")
+    hist = rows.groupBy("bin_idx").agg(F.sum("cnt").cast("long").alias("cnt"))
     return quantiles_from_histogram(hist, probs, lo, hi, n_bins)
 
 
@@ -131,9 +131,24 @@ def dim_drift_from_store(
     derived ENTIRELY from the O(d)-row store: generation sums fold by
     addition, one elementwise IEEE division/subtraction per dim for
     the fixed-point drift.  The corpus is never re-read — the audit a
-    100 TB pipeline runs after every landing for free."""
-    d = spark.read.parquet(f"{store_path}/dims")
-    side_a = F.col("batch_id") <= boundary_batch
+    100 TB pipeline runs after every landing for free.
+
+    Compaction interaction: this is a BATCH-GRANULAR read — the
+    boundary must not reach below a compacted store's high-water mark
+    (those generations are folded together and can no longer split into
+    sides); that raises loudly.  At/above the hwm the consolidated rows
+    all belong to side A (every folded batch_id <= hwm <= boundary)."""
+    from .compaction import store_rows
+
+    d, hwm = store_rows(spark, store_path, "dims")
+    if hwm is not None and boundary_batch < hwm:
+        raise ValueError(
+            f"{store_path}/dims is compacted through batch_id={hwm}; a "
+            f"drift boundary at {boundary_batch} needs per-batch "
+            "granularity below the fold — recompute from the landing, or "
+            "compact less aggressively"
+        )
+    side_a = F.col("batch_id").isNull() | (F.col("batch_id") <= boundary_batch)
     g = d.groupBy("j").agg(
         F.sum(F.when(side_a, F.col("sum_q"))).cast("long").alias("sum_a"),
         F.sum(F.when(side_a, F.col("n"))).cast("long").alias("n_a"),
@@ -204,9 +219,24 @@ def cms_from_store(
     only generations at or after it: the SLIDING-WINDOW heavy-hitter
     read-off (what keys are hot in the last K landings) for free from
     the same store — pinned bit-equal to a batch sketch over exactly
-    that window's rows."""
-    d = spark.read.parquet(f"{store_path}/cms")
+    that window's rows.
+
+    Compaction interaction: the windowed form is BATCH-GRANULAR — a
+    window reaching at/below a compacted store's high-water mark raises
+    loudly (those generations are folded and cannot be re-windowed);
+    the full fold is unaffected (consolidated ∪ tail sums identically,
+    pinned by test)."""
+    from .compaction import store_rows
+
+    d, hwm = store_rows(spark, store_path, "cms")
     if min_batch_id is not None:
+        if hwm is not None and min_batch_id <= hwm:
+            raise ValueError(
+                f"{store_path}/cms is compacted through batch_id={hwm}; a "
+                f"window from batch_id={min_batch_id} needs per-batch "
+                "granularity below the fold — keep recent landings "
+                "uncompacted as wide as the longest window you serve"
+            )
         d = d.filter(F.col("batch_id") >= min_batch_id)
     return d.groupBy("row", "bucket").agg(
         F.sum("cell").cast("long").alias("cell")
@@ -253,12 +283,12 @@ def run_streaming_hll(
 def hll_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Max-fold the stored per-generation registers into the union's
     registers — bit-equal to ``hll_registers`` over the union of the
-    landed rows (pinned by test)."""
-    return (
-        spark.read.parquet(f"{store_path}/hll")
-        .groupBy("reg")
-        .agg(F.max("rho_max").alias("rho_max"))
-    )
+    landed rows (pinned by test; compaction-transparent — max is
+    associative/idempotent, so consolidated ∪ tail folds identically)."""
+    from .compaction import store_rows
+
+    rows, _ = store_rows(spark, store_path, "hll")
+    return rows.groupBy("reg").agg(F.max("rho_max").alias("rho_max"))
 
 
 def run_streaming_bloom(
@@ -301,12 +331,12 @@ def run_streaming_bloom(
 def bloom_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     """OR-fold the stored per-generation words into the union
     blocklist's words — bit-equal to ``bloom_words`` over the union of
-    the landed rows (pinned by test)."""
-    return (
-        spark.read.parquet(f"{store_path}/bloom")
-        .groupBy("word_idx")
-        .agg(F.expr("bit_or(word)").alias("word"))
-    )
+    the landed rows (pinned by test; compaction-transparent — OR is
+    associative/idempotent, so consolidated ∪ tail folds identically)."""
+    from .compaction import store_rows
+
+    rows, _ = store_rows(spark, store_path, "bloom")
+    return rows.groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))
 
 
 def run_streaming_funnel(
