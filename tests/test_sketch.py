@@ -548,3 +548,50 @@ def test_store_compaction_folds_exactly_and_is_replay_safe(spark, tmp_path):
     hwm = compact_store(spark, store, "cms")
     assert hwm >= 2
     assert sorted(map(tuple, cms_from_store(spark, store).collect())) == want_all
+
+
+def test_store_compaction_funnel_explicit_and_outage_refused(spark, tmp_path):
+    """The parameterized members of the store family: the funnel store
+    compacts through compact_store's EXPLICIT group/fold args (min is
+    associative/idempotent — the folded serve is bit-equal), and the
+    outage store is REFUSED outright: its segments are order-sensitive
+    ranges whose serve chains consecutive (seg_min, seg_max) pairs, so
+    no per-column groupBy fold is sound there."""
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.streaming.compaction import (
+        compact_store,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        funnel_from_store,
+        run_streaming_funnel,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land_file(df, name):
+        t = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(t)
+        shutil.move(glob.glob(f"{t}/part-*.parquet")[0], f"{landing}/{name}.parquet")
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    for i in range(2):
+        land_file(events.filter(f"event_id % 2 = {i}"), f"g{i}")
+        run_streaming_funnel(spark, landing, store, ck)
+
+    before = [tuple(r) for r in funnel_from_store(spark, store).collect()]
+    assert len(before) > 0
+
+    hwm = compact_store(
+        spark, store, "funnel",
+        group_cols=["user_id"],
+        folds={"t_view": "min", "t_click": "min", "t_purchase": "min"},
+    )
+    assert hwm == 1
+    assert not [d for d in os.listdir(f"{store}/funnel") if d.startswith("batch_id=")]
+    assert [tuple(r) for r in funnel_from_store(spark, store).collect()] == before
+
+    with pytest.raises(ValueError, match="order.*sensitive|NOT compactable"):
+        compact_store(spark, store, "outage")

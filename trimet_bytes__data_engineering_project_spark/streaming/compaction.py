@@ -142,12 +142,23 @@ def compact_store(
 
     from .hadoopfs import fs_delete, fs_write_text_atomic
 
+    if kind == "outage":
+        raise ValueError(
+            "the outage store is NOT compactable: its rows are ORDER-"
+            "SENSITIVE range segments whose serve chains consecutive "
+            "(seg_min, seg_max) pairs — no per-column groupBy fold "
+            "preserves the cross-segment gaps.  Its state is already "
+            "bounded (O(non-empty shards) rows per batch); if dir count "
+            "ever matters, re-land whole days through the batch form."
+        )
     if group_cols is None or folds is None:
         spec = STORE_SPECS.get(kind)
         if spec is None:
             raise ValueError(
                 f"no built-in spec for store kind {kind!r} — pass group_cols "
-                f"and folds explicitly (known: {sorted(STORE_SPECS)})"
+                f"and folds explicitly (known: {sorted(STORE_SPECS)}), and "
+                "make sure the kind's *_from_store reader resolves the "
+                "consolidation pointer via store_rows (all in-repo readers do)"
             )
         group_cols, folds = spec
     base = os.path.join(store_path, kind)

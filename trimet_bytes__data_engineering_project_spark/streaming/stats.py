@@ -389,11 +389,15 @@ def funnel_from_store(
 ) -> DataFrame:
     """Stage histogram from the min-folded store — bit-equal to x192
     over the union of the landed rows (pinned by test): fold per-user
-    mins across generations, THEN apply the strict-order stage test."""
-    folded = (
-        spark.read.parquet(f"{store_path}/funnel")
-        .groupBy("user_id")
-        .agg(*[F.min(f"t_{s}").alias(f"t_{s}") for s in stages])
+    mins across generations, THEN apply the strict-order stage test.
+    Serves through compaction.store_rows; min is associative/idempotent,
+    so a store compacted with explicit args — group ``user_id``, fold
+    ``min`` per stage column — folds identically (pinned by test)."""
+    from .compaction import store_rows
+
+    rows, _ = store_rows(spark, store_path, "funnel")
+    folded = rows.groupBy("user_id").agg(
+        *[F.min(f"t_{s}").alias(f"t_{s}") for s in stages]
     )
     cond = F.when(F.col(f"t_{stages[0]}").isNotNull(), 1).otherwise(0)
     total = cond
@@ -562,9 +566,15 @@ def outage_from_store(
     arrivals in two batches — such a slip can only inflate n_events,
     never max_gap_us or the outage flag (the duplicate contributes
     only 0-gaps).  Same-batch_id replays are fully idempotent
-    regardless (overwrite landing)."""
+    regardless (overwrite landing).
+
+    (Read via compaction.store_rows for pointer consistency — though
+    compact_store REFUSES the outage kind outright: segments are
+    order-sensitive and no groupBy fold preserves cross-segment gaps.)"""
+    from .compaction import store_rows
+
     return outage_from_segments(
-        spark.read.parquet(f"{store_path}/outage"), threshold_us, store_path
+        store_rows(spark, store_path, "outage")[0], threshold_us, store_path
     )
 
 
@@ -619,8 +629,10 @@ def outage_from_store_with_ids(
     segment re-landed under a new batch_id changes NOTHING — not even
     n_events.  See :func:`outage_from_segments_with_ids` for why the
     id fingerprint makes that collapse sound."""
+    from .compaction import store_rows
+
     return outage_from_segments_with_ids(
-        spark.read.parquet(f"{store_path}/outage"), threshold_us, store_path
+        store_rows(spark, store_path, "outage")[0], threshold_us, store_path
     )
 
 
