@@ -1591,3 +1591,58 @@ def test_landing_schema_registry_chain(spark, tmp_path_factory, added_cols):
                 assert r[f.name] is None
         # historical pin reproduces each registered version exactly
         assert landing_schema(spark, path, gen + 1) == schema
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["land", "compact", "replay0"]),
+                  st.integers(min_value=0, max_value=99)),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_store_compaction_any_interleaving_serves_truth(
+    spark, tmp_path_factory, ops
+):
+    """Property form of the round-12 store compaction: for ANY
+    interleaving of landings, compactions, and a fresh-checkpoint-style
+    replay of batch 0, the served sum-fold equals the truth fold over
+    everything ever landed — compaction never loses rows, double-counts
+    a replay, or misorders the consolidated/tail split.  (Batch dirs
+    are written directly; the landing unit is just parquet under
+    batch_id=N, the same artifact the streams produce.)"""
+    from collections import Counter
+
+    from trimet_bytes__data_engineering_project_spark.streaming.compaction import (
+        compact_store,
+        store_rows,
+    )
+
+    path = str(tmp_path_factory.mktemp("cstore"))
+    truth: Counter = Counter()
+    batches: list[list[tuple[int, int]]] = []
+
+    def land(rows, bid):
+        spark.createDataFrame(rows, "bin_idx int, cnt long").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/hist/batch_id={bid}")
+
+    for op, seed in [("land", 7)] + ops:  # force one initial landing
+        if op == "land":
+            rows = [(seed % 7, seed % 50 + 1), ((seed + 3) % 7, 3)]
+            land(rows, len(batches))
+            batches.append(rows)
+            for b, c in rows:
+                truth[b] += c
+        elif op == "compact":
+            compact_store(spark, path, "hist")
+        else:  # replay0: batch 0 re-lands verbatim under its old batch_id
+            land(batches[0], 0)
+
+    rows, _ = store_rows(spark, path, "hist")
+    got = {
+        r["bin_idx"]: r["cnt"]
+        for r in rows.groupBy("bin_idx").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert got == dict(truth)
