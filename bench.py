@@ -151,6 +151,39 @@ def main() -> None:
     }
     if cpu:
         summary["cpu_seconds"] = round(sum(cpu.values()), 1)
+
+    # Automated drift-vs-regression verdict against the newest committed
+    # close baseline (r12 verdict item 6: the close records applied
+    # tools/cpu_compare.py by hand; now every bench run classifies its
+    # own wall movement).  Fails soft — a missing baseline or cpu column
+    # never blocks the timing output the driver tails for.
+    try:
+        import glob as _glob
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from cpu_compare import compare as _cpu_compare
+
+        baselines = sorted(
+            _glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools", "bench_baselines", "r*_close.json",
+                )
+            ),
+            key=lambda p: int(re.search(r"r(\d+)_close", p).group(1)),
+        )
+        if baselines:
+            _, verdict_line, code = _cpu_compare(json.load(open(baselines[-1])), detail)
+            verdict = {
+                "metric": "cpu_compare",
+                "baseline": os.path.basename(baselines[-1]),
+                "verdict": verdict_line,
+                "classification": ["environmental", "code-does-more-work", "no-cpu-column"][code],
+            }
+            print(json.dumps(verdict))
+            summary["cpu_compare"] = verdict["classification"]
+    except Exception as e:  # pragma: no cover - advisory path only
+        print(json.dumps({"metric": "cpu_compare", "error": repr(e)}))
     # Compact summary LAST so a small tail capture always sees `value`.
     print(json.dumps(summary))
     spark.stop()

@@ -595,3 +595,204 @@ def test_store_compaction_funnel_explicit_and_outage_refused(spark, tmp_path):
 
     with pytest.raises(ValueError, match="order.*sensitive|NOT compactable"):
         compact_store(spark, store, "outage")
+
+
+def test_compact_store_fold_input_single_listing_toctou(spark, tmp_path):
+    """Round-12 advice (compaction.py, medium): the landing stream is a
+    STANDING concurrent writer, so a batch that lands between
+    compact_store's directory listing and its fold must NOT be folded
+    into the consolidated generation — folded AND still live above the
+    recorded hwm would serve twice.  The fix builds the fold input from
+    the one listing (explicit paths), so a late batch stays a live dir
+    above the hwm, served exactly once.  Simulated by compacting under
+    a monkeypatched stale listing while the late batch already sits on
+    disk — the exact interleaving, made deterministic."""
+    import pytest
+
+    import trimet_bytes__data_engineering_project_spark.streaming.compaction as comp
+
+    store = str(tmp_path / "store")
+    # four landed generations of a 'hist' store (bin_idx, cnt)
+    for b in range(4):
+        spark.createDataFrame(
+            [(i, 10 + b) for i in range(3)], "bin_idx int, cnt long"
+        ).write.parquet(f"{store}/hist/batch_id={b}")
+
+    # the compactor's listing happened BEFORE batch 3 landed
+    orig = comp._batch_dirs
+    comp._batch_dirs = lambda s, base: [e for e in orig(s, base) if e[0] <= 2]
+    try:
+        hwm = comp.compact_store(spark, store, "hist")
+    finally:
+        comp._batch_dirs = orig
+    assert hwm == 2
+
+    # batch 3 must still be a live dir above the hwm ...
+    assert os.path.isdir(f"{store}/hist/batch_id=3")
+    # ... and the serve counts every batch EXACTLY once:
+    # cnt per bin = (10+0) + (10+1) + (10+2) + (10+3) = 46
+    rows, got_hwm = comp.store_rows(spark, store, "hist")
+    got = sorted(
+        map(tuple, rows.groupBy("bin_idx").agg(F.sum("cnt").alias("cnt")).collect())
+    )
+    assert got_hwm == 2
+    assert got == [(i, 46) for i in range(3)]
+
+    # a second compaction (fresh listing) folds the late batch in
+    assert comp.compact_store(spark, store, "hist") == 3
+    rows2, _ = comp.store_rows(spark, store, "hist")
+    got2 = sorted(
+        map(tuple, rows2.groupBy("bin_idx").agg(F.sum("cnt").alias("cnt")).collect())
+    )
+    assert got2 == got
+
+    # an empty store still refuses loudly under the new fold-input path
+    with pytest.raises(ValueError, match="no landed generations"):
+        comp.compact_store(spark, str(tmp_path / "empty"), "hist")
+
+
+def test_outage_id_fingerprint_ansi_proof(spark):
+    """Round-12 advice (stats.py, id_fp): SUM(xxhash64(...)) overflows
+    int64 within a couple of rows — a harmless deterministic wraparound
+    under non-ANSI sessions, but ARITHMETIC_OVERFLOW under
+    spark.sql.ansi.enabled=true, killing the landing on a healthy feed.
+    The decimal-sum-mod-2^64 fold must (a) run under ANSI and (b) land
+    values BIT-IDENTICAL to the historical wraparound, so stores landed
+    before the fix compare equal to fresh landings."""
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_segments_with_ids,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:%02d:00" % (i % 30), 100 + i) for i in range(60)],
+        "ts string, event_id long",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+
+    # non-ANSI run first: its id_fp IS the historical wraparound value
+    # (pinned separately below against a hand-built legacy fold)
+    plain = sorted(map(tuple, outage_segments_with_ids(df, 900_000_000).collect()))
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        ansi = sorted(map(tuple, outage_segments_with_ids(df, 900_000_000).collect()))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert ansi == plain
+
+    # bit-identity with the legacy non-ANSI bigint wraparound (what
+    # pre-fix stores landed): same groups, both folds, equal values
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        _wrapped_hash_sum,
+    )
+
+    g = df.withColumn("grp", F.col("event_id") % 5).groupBy("grp")
+    legacy = sorted(
+        map(tuple, g.agg(F.sum(F.xxhash64("event_id")).alias("fp")).collect())
+    )
+    wrapped = sorted(map(tuple, g.agg(_wrapped_hash_sum("event_id").alias("fp")).collect()))
+    assert wrapped == legacy
+
+
+def test_compact_outage_day_resegmentation(spark, tmp_path):
+    """Round-12 verdict item 7: the outage store's order-aware
+    compactor.  compact_store refuses the outage kind (no column fold
+    preserves cross-segment gaps); compact_outage_day folds each CLOSED
+    day's chained segments into one equivalent row via the serve's own
+    gap algebra, passes open days through verbatim, and keeps the
+    pointer/hwm replay contract.  Pinned: (a) serve after compaction is
+    bit-equal to the fresh fold, (b) later segments of a compacted day
+    chain correctly against the consolidated row, (c) a fresh-
+    checkpoint replay (re-land at batch_id 0) is a no-op, (d) with_ids
+    folds n_ids/id_fp soundly, (e) overlapping closed-day segments
+    REFUSE compaction loudly."""
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.streaming.compaction import (
+        compact_outage_day,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_segments_with_ids,
+        outage_from_store,
+        outage_from_store_with_ids,
+        outage_segments,
+        outage_segments_with_ids,
+    )
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(t, i) for t, i in rows], "ts string, event_id long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+
+    # two days; each batch is a time slice (the feed's arrival order)
+    d1, d2 = "2024-01-01 ", "2024-01-02 "
+    b0 = [(d1 + "00:00:00", 1), (d1 + "00:10:00", 2), (d2 + "01:00:00", 20)]
+    b1 = [(d1 + "02:00:00", 3), (d1 + "02:05:00", 4), (d2 + "03:00:00", 21)]
+    b2 = [(d1 + "09:00:00", 5), (d2 + "11:00:00", 22)]
+    shard = 900_000_000
+
+    store = str(tmp_path / "store")
+    seg = lambda rows: outage_segments_with_ids(to_df(rows), shard)  # noqa: E731
+    for i, b in enumerate([b0, b1]):
+        seg(b).write.parquet(f"{store}/outage/batch_id={i}")
+
+    want_fresh = [
+        tuple(r)
+        for r in outage_from_segments_with_ids(
+            seg(b0).unionByName(seg(b1)).unionByName(seg(b2))
+        ).collect()
+    ]
+
+    # compact day 1 (closed); day 2 passes through verbatim
+    assert compact_outage_day(spark, store, "2024-01-01", with_ids=True) == 1
+    assert not [
+        d for d in os.listdir(f"{store}/outage") if d.startswith("batch_id=")
+    ]
+    # consolidated gen: ONE row for the closed day, verbatim rows for day 2
+    from trimet_bytes__data_engineering_project_spark.streaming.compaction import (
+        store_rows,
+    )
+
+    rows, hwm = store_rows(spark, store, "outage")
+    assert hwm == 1
+    day1 = rows.filter("day = DATE '2024-01-01'").collect()
+    assert len(day1) == 1
+    assert day1[0]["cnt"] == 4 and day1[0]["n_ids"] == 4
+
+    # a LATER batch adds segments to BOTH days — the compacted day's new
+    # segment chains against its consolidated row
+    seg(b2).write.parquet(f"{store}/outage/batch_id=2")
+    got = [tuple(r) for r in outage_from_store_with_ids(spark, store).collect()]
+    assert got == want_fresh
+
+    # fresh-checkpoint replay: batch 0 re-lands at batch_id=0 <= hwm
+    seg(b0).write.parquet(f"{store}/outage/batch_id=0")
+    assert [
+        tuple(r) for r in outage_from_store_with_ids(spark, store).collect()
+    ] == want_fresh
+
+    # second compaction folds the tail in (day 2 still open)
+    assert compact_outage_day(spark, store, "2024-01-01", with_ids=True) == 2
+    assert [
+        tuple(r) for r in outage_from_store_with_ids(spark, store).collect()
+    ] == want_fresh
+
+    # range-only variant, same algebra
+    store2 = str(tmp_path / "store2")
+    rseg = lambda rows: outage_segments(to_df(rows), shard)  # noqa: E731
+    for i, b in enumerate([b0, b1]):
+        rseg(b).write.parquet(f"{store2}/outage/batch_id={i}")
+    want2 = [
+        tuple(r)
+        for r in outage_from_store(spark, store2).collect()
+    ]
+    assert compact_outage_day(spark, store2, "2024-01-01") == 1
+    assert [tuple(r) for r in outage_from_store(spark, store2).collect()] == want2
+
+    # overlapping closed-day segments refuse compaction loudly
+    store3 = str(tmp_path / "store3")
+    rseg(b0).write.parquet(f"{store3}/outage/batch_id=0")
+    rseg([(d1 + "00:05:00", 91), (d1 + "00:20:00", 92)]).write.parquet(
+        f"{store3}/outage/batch_id=1"
+    )
+    with pytest.raises(ValueError, match="overlapping segments"):
+        compact_outage_day(spark, store3, "2024-01-01")

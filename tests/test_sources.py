@@ -214,8 +214,21 @@ def test_landing_schema_registry_add_only(spark, tmp_path):
             StructType(list(v2.fields)
                        + [StructField("score", DoubleType(), nullable=False)]),
         )
+    # round-12 advice: nullability TIGHTENING on an existing column is
+    # the fourth corruption — old generations null-fill 'quality', and
+    # a non-null declaration would miscompile IS NULL over them
+    with pytest.raises(SchemaEvolutionError, match="tightens"):
+        register_landing_schema(
+            spark, path,
+            StructType([StructField("doc_id", LongType()),
+                        StructField("text", StringType()),
+                        StructField("quality", DoubleType(), nullable=False)]),
+        )
     # rejected registrations must not have moved the pointer
     assert landing_schema(spark, path) == v2
+    # relaxing direction stays legal: nullable -> nullable re-register
+    # of the same shape allocates a new version without complaint
+    assert register_landing_schema(spark, path, v2) == 3
 
     # corrupt pointer: current names a version file that does not exist
     from trimet_bytes__data_engineering_project_spark.streaming.hadoopfs import (
@@ -225,3 +238,40 @@ def test_landing_schema_registry_add_only(spark, tmp_path):
     fs_write_text_atomic(f"{path}/_schema/current", "v99", spark)
     with pytest.raises(IOError, match="does not exist"):
         landing_schema(spark, path)
+
+
+def test_registered_read_runs_no_footer_sweep_job(spark, tmp_path):
+    """x211's serve path (r12 verdict item 3): read_registered = one
+    small text GET for _schema/current plus the pinned multi-path scan
+    — ZERO Spark jobs at DataFrame construction, same mechanical pin as
+    the read_with_schema test above.  The registry must not reintroduce
+    the O(files) footer sweep it exists to remove."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from trimet_bytes__data_engineering_project_spark.sources.readers import (
+        read_registered,
+        register_landing_schema,
+    )
+
+    path = str(tmp_path / "landing")
+    v1 = StructType([StructField("doc_id", LongType()), StructField("n_chars", LongType())])
+    v2 = StructType(list(v1.fields) + [StructField("quality", DoubleType())])
+    register_landing_schema(spark, path, v1)
+    spark.range(100).selectExpr("id AS doc_id", "id*2 AS n_chars").write.parquet(
+        f"{path}/batch_id=0"
+    )
+    register_landing_schema(spark, path, v2)
+    spark.range(100, 200).selectExpr(
+        "id AS doc_id", "id*2 AS n_chars", "0.5 AS quality"
+    ).write.parquet(f"{path}/batch_id=1")
+
+    sc = spark.sparkContext
+    try:
+        sc.setJobGroup("probe-registered", "footer sweep probe")
+        df = read_registered(spark, path)  # construction only — no action
+        jobs = sc.statusTracker().getJobIdsForGroup("probe-registered")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert len(jobs) == 0, f"read_registered ran {len(jobs)} construction jobs"
+    assert df.count() == 200 and df.filter("quality IS NULL").count() == 100

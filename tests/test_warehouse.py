@@ -854,3 +854,52 @@ def test_swap_post_commit_cleanup_failure_warns_not_raises(spark, tmp_path):
     wh.recover_compaction(path)
     assert not [d for d in _os.listdir(path) if d.startswith(".compact-")]
     assert sorted(r.id for r in spark.read.parquet(part).collect()) == before
+
+
+def test_resolve_pointer_rereads_once_on_missing_success_race(spark, tmp_path):
+    """Round-12 advice (warehouse.py): a vacuum's recursive delete is
+    not atomic, so a reader racing it can observe the superseded gen
+    dir STILL PRESENT but its _SUCCESS already gone.  That is the same
+    benign read-vs-vacuum race the missing-generation branch retries —
+    the _SUCCESS probe must also re-read the pointer once, and only a
+    pointer that still names the _SUCCESS-less generation raises."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    import trimet_bytes__data_engineering_project_spark.streaming.hadoopfs as hfs
+    from trimet_bytes__data_engineering_project_spark.plans.warehouse import (
+        CorruptPointerError,
+        resolve_partition_dir,
+    )
+
+    path = str(tmp_path / "fact")
+    spark.range(10).select(
+        F.col("id"), F.lit("2024-01-01").alias("day")
+    ).write.partitionBy("day").parquet(path)
+    part = _os.path.join(path, "day=2024-01-01")
+    gen1 = _os.path.join(part, ".gen-1")
+    gen2 = _os.path.join(part, ".gen-2")
+    spark.read.parquet(part).write.parquet(gen1)
+    spark.read.parquet(part).write.parquet(gen2)
+    # mid-vacuum state: gen-1's dir survives, its _SUCCESS is gone
+    _os.remove(_os.path.join(gen1, "_SUCCESS"))
+
+    orig = hfs.fs_read_text
+    reads = iter([".gen-1", ".gen-2"])  # stale read, then the flipped pointer
+    hfs.fs_read_text = lambda p, s=None: next(reads)
+    try:
+        assert resolve_partition_dir(part) == gen2
+    finally:
+        hfs.fs_read_text = orig
+
+    # a pointer STILL naming the _SUCCESS-less generation on re-read IS
+    # corruption (truncated or foreign-written fileset)
+    hfs.fs_read_text = lambda p, s=None: ".gen-1"
+    try:
+        with _pytest.raises(CorruptPointerError, match="re-read.*_SUCCESS|_SUCCESS"):
+            resolve_partition_dir(part)
+    finally:
+        hfs.fs_read_text = orig

@@ -27,26 +27,24 @@ import json
 import sys
 
 
-def main() -> None:
-    argv = sys.argv[1:]
-    threshold = 1.3
-    if "--threshold" in argv:
-        i = argv.index("--threshold")
-        threshold = float(argv[i + 1])
-        del argv[i : i + 2]
-    if len(argv) != 2:
-        sys.exit(__doc__)
-    old, new = (json.load(open(p)) for p in argv)
+def compare(old: dict, new: dict, threshold: float = 1.3):
+    """(lead_lines, summary_line, exit_code) for two BENCH_DETAIL
+    payloads — split from main() in round 13 so bench.py can run the
+    classification automatically against the newest committed baseline
+    (r12 verdict item 6) with the exact same arithmetic the CLI uses.
+    exit codes: 0 environmental / 1 code-does-more-work / 2 no cpu
+    column in one input."""
     ow, nw = old["queries"], new["queries"]
     oc, nc = old.get("cpu_seconds", {}), new.get("cpu_seconds", {})
 
+    leads: list[str] = []
     for q in sorted(set(ow) & set(nw)):
         if ow[q] <= 0 or nw[q] / ow[q] <= threshold:
             continue
         line = f"{q}: wall {ow[q]:.2f}->{nw[q]:.2f} ({nw[q] / ow[q]:.2f}x)"
         if q in oc and q in nc and oc[q] > 0:
             line += f", cpu {oc[q]:.2f}->{nc[q]:.2f} ({nc[q] / oc[q]:.2f}x)"
-        print(line)
+        leads.append(line)
 
     common = set(ow) & set(nw)
     tw_o, tw_n = sum(ow[q] for q in common), sum(nw[q] for q in common)
@@ -59,11 +57,27 @@ def main() -> None:
         summary += (f", cpu {tc_o:.1f}->{tc_n:.1f} s ({ratio:.2f}x) — "
                     + ("CODE does more work" if code else
                        "cpu flat: wall movement is ENVIRONMENTAL"))
-        print(summary)
-        sys.exit(1 if code else 0)
-    print(summary + " — no cpu column in one input; rerun both benches "
-          "with the probe for a verdict")
-    sys.exit(2)
+        return leads, summary, 1 if code else 0
+    summary += (" — no cpu column in one input; rerun both benches "
+                "with the probe for a verdict")
+    return leads, summary, 2
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    threshold = 1.3
+    if "--threshold" in argv:
+        i = argv.index("--threshold")
+        threshold = float(argv[i + 1])
+        del argv[i : i + 2]
+    if len(argv) != 2:
+        sys.exit(__doc__)
+    old, new = (json.load(open(p)) for p in argv)
+    leads, summary, code = compare(old, new, threshold)
+    for line in leads:
+        print(line)
+    print(summary)
+    sys.exit(code)
 
 
 if __name__ == "__main__":

@@ -11611,3 +11611,269 @@ def x210_evolved_landing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# x211: the schema REGISTRY's serve path under the oracle gate (r12
+# verdict item 3).  x210 gates read_with_schema (caller-supplied
+# StructType); this query drives the full catalog loop — register v1,
+# land gen 0, register v2 (added nullable column), land gen 1, serve via
+# read_registered (the landing's OWN _schema/current pointer) — so the
+# registry half of the evolution path gets a driver row, not just
+# pytest coverage.
+# ---------------------------------------------------------------------------
+@query(
+    "x211_registered_landing_serve",
+    oracle="""
+    WITH landing AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(n_chars // 4 AS DOUBLE) END AS tok_est
+        FROM documents
+    )
+    SELECT doc_id % 3 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(tok_est) AS BIGINT) AS n_tok,
+           CAST(SUM(tok_est) AS BIGINT) AS sum_tok,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM landing
+    GROUP BY doc_id % 3
+    ORDER BY bucket
+    """,
+)
+def x211_registered_landing_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a two-generation landing served through its OWN
+    registered schema (``sources.read_registered``): the build registers
+    v1 (doc_id, n_chars), lands generation 0 (even doc_ids), registers
+    v2 adding a nullable ``tok_est`` (a whitespace-free token estimate,
+    ``floor(n_chars / 4)`` — integral-valued double, so sums are
+    order-independent-exact), and lands generation 1 (odd doc_ids) under
+    it.  The serve resolves ``_schema/current`` — one small text GET —
+    and projects every generation onto v2 with ZERO footer sweep
+    (job-count-pinned for this exact path in tests/test_sources.py);
+    generation 0 null-fills ``tok_est``, visible as ``n_tok < n_docs``
+    per bucket.  The oracle recomputes from the raw documents table, so
+    the driver's value-hash verifies register → land → evolve → serve
+    end-to-end.
+
+    Scale shape: the catalog lives next to the data (the warehouse's
+    one-object-PUT pointer idiom), readers thread no StructTypes, and
+    the read plans straight to a multi-path scan — at a 100k-file
+    landing this is the difference between one GET and an O(files)
+    mergeSchema footer sweep.  The add-only registry contract
+    (type/drop/non-nullable/tightening rejections) is pinned in
+    tests/test_sources.py."""
+    import shutil
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..sources.readers import read_registered, register_landing_schema
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = os.path.join(_tagged_dir(_SCRATCH, "registered_landing", sf_dir=sf_dir), "gen")
+
+    v1 = StructType([StructField("doc_id", LongType()), StructField("n_chars", LongType())])
+    v2 = StructType(list(v1.fields) + [StructField("tok_est", DoubleType())])
+
+    def build() -> None:
+        # a REBUILD must start from an empty registry: re-registering v1
+        # over a surviving v2 pointer is a column drop, which the
+        # add-only contract rejects loudly (by design)
+        shutil.rmtree(store, ignore_errors=True)
+        base = docs.select("doc_id", "n_chars")
+        register_landing_schema(spark, store, v1)
+        base.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{store}/batch_id=0")
+        register_landing_schema(spark, store, v2)
+        base.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "tok_est", F.floor(F.col("n_chars") / 4).cast("double")
+        ).write.parquet(f"{store}/batch_id=1")
+
+    # batch_id=1 is written LAST, so its _SUCCESS is the whole-build marker
+    ensure_index(
+        build,
+        f"{store}/batch_id=1",
+        fingerprint=_fp_cached(
+            spark, sf_dir, "docs",
+            lambda: corpus_fingerprint(docs, id_col="doc_id"),
+        ),
+    )
+    landing = read_registered(spark, store)
+    return (
+        landing.groupBy((F.col("doc_id") % 3).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("tok_est").cast("long").alias("n_tok"),
+            F.sum("tok_est").cast("long").alias("sum_tok"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x212: a COMPACTED maintenance store under the oracle gate (r12 verdict
+# item 4).  compact_store's consolidated-∪-tail serve is pinned
+# bit-equal in pytest; this query runs the full lifecycle — land, fold,
+# land more, fresh-checkpoint REPLAY — and serves the result against an
+# oracle that recomputes the sketch from raw events, so the replay-
+# safety contract gets a rows+schema+value-hash driver row.
+# ---------------------------------------------------------------------------
+@query("x212_compacted_cms_serve", oracle=_build_cms_oracle())
+def x212_compacted_cms_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x185's heavy-hitter probe served from a COMPACTED CMS store: the
+    build lands per-batch counters for two thirds of the feed
+    (event_id % 3 ∈ {0, 1}), folds them into one consolidated
+    generation (``compact_store`` — hidden gen + atomic pointer,
+    hwm = 1), lands the third slice as a live tail dir, then re-lands
+    slice 0 at batch_id=0 — the fresh-checkpoint replay shape.  The
+    serve (``cms_from_store``) reads consolidated ∪ dirs above the hwm:
+    the replay is IGNORED (its content is already in the fold), so the
+    estimates equal a single sketch over the whole feed — which is
+    exactly what the oracle recomputes cell-by-cell from raw events
+    with the portable md5-slice hash.  A double-counted replay or a
+    dropped consolidated generation (the f47e29c hazard class) would
+    inflate or deflate ``est`` and fail the value-hash.
+
+    Scale shape: counters are ≤ depth·width rows per landing — the
+    store compaction bounds METADATA (one landing per 15 min = ~35k
+    dirs/year → O(1) consolidated + current tail), not data volume; the
+    serve fold shuffles ≤ depth·width rows and the probe broadcasts the
+    counters (x185's plan).  Replay safety is the part a naive
+    file-merge gets wrong (streaming/compaction.py docstring)."""
+    import shutil
+
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..operators.sketch import cms_counters, cms_estimate
+    from ..streaming.compaction import compact_store
+    from ..streaming.stats import cms_from_store
+
+    events = load_table(spark, sf_dir, "events")
+    store = _tagged_dir(_SCRATCH, "compacted_cms", sf_dir=sf_dir)
+
+    def build() -> None:
+        shutil.rmtree(store, ignore_errors=True)
+        slices = [
+            events.filter(F.col("event_id") % 3 == i).selectExpr("user_id AS _k")
+            for i in range(3)
+        ]
+        for i in (0, 1):
+            cms_counters(slices[i], "_k", 4, 1024).write.parquet(
+                f"{store}/cms/batch_id={i}"
+            )
+        compact_store(spark, store, "cms")  # folds 0,1 -> gen 1, hwm 1
+        cms_counters(slices[2], "_k", 4, 1024).write.parquet(f"{store}/cms/batch_id=2")
+        # fresh-checkpoint replay: slice 0 re-lands at batch_id 0 <= hwm
+        cms_counters(slices[0], "_k", 4, 1024).write.parquet(f"{store}/cms/batch_id=0")
+        with open(os.path.join(store, "_STORE_DONE"), "w"):
+            pass
+
+    ensure_index(
+        build,
+        store,
+        marker="_STORE_DONE",
+        fingerprint=_fp_cached(
+            spark, sf_dir, "events",
+            lambda: corpus_fingerprint(events, id_col="event_id"),
+        ),
+    )
+    counters = cms_from_store(spark, store)
+    counts = events.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("user_id")).limit(20)
+    return (
+        cms_estimate(top, counters, "user_id", depth=4, width=1024)
+        .select("user_id", "c", "est")
+        .orderBy(F.desc("c"), F.asc("user_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x213: the outage store's DAY-COMPACTION under the oracle gate (r12
+# verdict item 7's implementation, driver-gated): land time-sliced
+# batches, re-segment the closed days into one consolidated generation
+# (compact_outage_day — the order-aware compactor compact_store refuses
+# to be), land a later slice, replay a folded one, and serve the audit
+# against x202's raw-event oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "x213_outage_day_compaction",
+    oracle="""
+    WITH s AS (SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS t,
+                      lag(epoch_us(ts)) OVER (PARTITION BY CAST(ts AS DATE)
+                                              ORDER BY epoch_us(ts), event_id) AS prev
+               FROM events)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(t - prev) AS BIGINT) AS max_gap_us,
+           MAX(t - prev) > 3600000000 AS outage
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def x213_outage_day_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x202's per-day outage audit served from a DAY-COMPACTED id-exact
+    segment store: the build lands the feed as three event-time slices
+    (hours [0,8), [8,16), [16,24) — each batch's segments are range-
+    disjoint within every day, the arrival-order contract of the
+    store), day-compacts through the day BEFORE the feed's last (closed
+    days collapse to one chained row each, the open day passes through
+    verbatim), lands the evening slice as a live tail — its closed-day
+    segments chain against the consolidated rows — and re-lands slice 0
+    at batch_id 0, the fresh-checkpoint replay the hwm ignores.  The
+    serve (``outage_from_store_with_ids``) must then equal x202
+    recomputed from raw events: a compaction that mis-folded a cross-
+    segment gap, double-served a replay, or lost the open day's rows
+    fails the value-hash on max_gap_us / n_events.
+
+    Scale shape: the store holds O(non-empty shards) rows per batch;
+    day-compaction bounds its directory count at O(1) consolidated
+    generation + one day's live dirs (vs ~35k dirs/year), preserving
+    the serve algebra exactly (pinned in tests/test_sketch.py) because
+    a closed day's chain folds losslessly into (min, max, Σcnt,
+    max-gap) — the serve's own quantities."""
+    import shutil
+
+    from ..operators.ann_index import corpus_fingerprint, ensure_index
+    from ..streaming.compaction import compact_outage_day
+    from ..streaming.stats import outage_from_store_with_ids, outage_segments_with_ids
+
+    events = load_table(spark, sf_dir, "events")
+    store = _tagged_dir(_SCRATCH, "outage_day_store", sf_dir=sf_dir)
+
+    def build() -> None:
+        shutil.rmtree(store, ignore_errors=True)
+        slices = [
+            events.filter((F.hour("ts") >= lo) & (F.hour("ts") < hi))
+            for lo, hi in ((0, 8), (8, 16), (16, 24))
+        ]
+        for i in (0, 1):
+            outage_segments_with_ids(slices[i], 900_000_000).write.parquet(
+                f"{store}/outage/batch_id={i}"
+            )
+        # closed days = everything before the feed's last day (one
+        # scalar read — a maintenance job computing its own cutoff)
+        through = events.select(
+            F.date_sub(F.max(F.to_date("ts")), 1).alias("d")
+        ).first()["d"]
+        compact_outage_day(spark, store, str(through), with_ids=True)
+        outage_segments_with_ids(slices[2], 900_000_000).write.parquet(
+            f"{store}/outage/batch_id=2"
+        )
+        # fresh-checkpoint replay: slice 0 re-lands at batch_id 0 <= hwm
+        outage_segments_with_ids(slices[0], 900_000_000).write.parquet(
+            f"{store}/outage/batch_id=0"
+        )
+        with open(os.path.join(store, "_STORE_DONE"), "w"):
+            pass
+
+    ensure_index(
+        build,
+        store,
+        marker="_STORE_DONE",
+        fingerprint=_fp_cached(
+            spark, sf_dir, "events",
+            lambda: corpus_fingerprint(events, id_col="event_id"),
+        ),
+    )
+    return outage_from_store_with_ids(spark, store)

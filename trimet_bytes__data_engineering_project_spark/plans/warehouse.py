@@ -147,11 +147,14 @@ def resolve_partition_dir(part_dir: str) -> str:
     that loads ``._current`` just before a concurrent compaction flips
     it can see the superseded generation vacuumed between the pointer
     read and the existence probe (pointer reads are not transactional
-    with the fileset probe).  On the missing-generation branch the
-    pointer is therefore RE-READ once and resolution retried; only a
-    pointer that STILL names the vanished generation is corruption
-    (round-11 advice — the retry distinguishes the benign
-    read-vs-compaction race from real pointer damage).
+    with the fileset probe).  On the missing-generation branch — and
+    equally on the missing-``_SUCCESS`` branch, since a vacuum's
+    recursive delete is not atomic and can remove ``_SUCCESS`` before
+    the dir itself vanishes — the pointer is therefore RE-READ once and
+    resolution retried; only a pointer that STILL names the vanished or
+    ``_SUCCESS``-less generation is corruption (round-11/12 advice —
+    the retry distinguishes the benign read-vs-vacuum race from real
+    pointer damage).
 
     All probes go through the Hadoop FileSystem API
     (streaming/hadoopfs.py), so the pointer is answered by the SAME
@@ -193,12 +196,21 @@ def resolve_partition_dir(part_dir: str) -> str:
                 "generation-0 files"
             )
         if not fs_exists(spark, os.path.join(gen_dir, "_SUCCESS")):
+            if attempt == 0:
+                # same benign race as the missing-generation branch: a
+                # vacuum's recursive delete is not atomic, so a reader
+                # can observe the superseded gen dir still present with
+                # its _SUCCESS already gone.  Re-read the pointer once;
+                # only a pointer that STILL names the _SUCCESS-less
+                # generation is corruption (round-12 advice).
+                continue
             raise CorruptPointerError(
-                f"{_pointer_path(part_dir)} names {gen}, but the generation "
-                "lacks _SUCCESS — the commit protocol flips the pointer only "
-                "after the fileset (including _SUCCESS) lands, so this is a "
-                "truncated or foreign-written generation, not a mid-"
-                "compaction state; refusing to silently fall back"
+                f"{_pointer_path(part_dir)} names {gen} (after a pointer "
+                "re-read), but the generation lacks _SUCCESS — the commit "
+                "protocol flips the pointer only after the fileset "
+                "(including _SUCCESS) lands, so this is a truncated or "
+                "foreign-written generation, not a mid-compaction or mid-"
+                "vacuum state; refusing to silently fall back"
             )
         return gen_dir
 

@@ -167,8 +167,12 @@ def register_landing_schema(spark: SparkSession, path: str, schema) -> int:
     version must keep its exact dataType in the new one (a type change
     would make parquet's per-file adaptation silently cast-or-null the
     OLD generations — the mistyped-generation hazard the streamed
-    landing kills per-batch), and every NEW column must be nullable
-    (old generations null-fill it).  Column removal is likewise
+    landing kills per-batch), no existing column may TIGHTEN from
+    nullable to non-nullable (old generations null-fill or genuinely
+    hold nulls in it — a non-null declaration would miscompile IS NULL
+    over them; relaxing non-nullable -> nullable is fine), and every
+    NEW column must be nullable (old generations null-fill it).
+    Column removal is likewise
     rejected: readers pinned to the registry must never lose a column
     that landed generations still carry.
 
@@ -198,6 +202,14 @@ def register_landing_schema(spark: SparkSession, path: str, schema) -> int:
                     f"{f.dataType.simpleString()} to {nf.dataType.simpleString()}"
                     " — old generations would silently cast-or-null under "
                     "the new declared type; re-land them instead"
+                )
+            if f.nullable and not nf.nullable:
+                raise SchemaEvolutionError(
+                    f"{path}: registration tightens {f.name!r} from nullable "
+                    "to non-nullable — old generations null-fill or genuinely "
+                    "hold nulls in it, and a non-null declaration would let "
+                    "the optimizer miscompile IS NULL predicates over them; "
+                    "nullability may only relax (non-nullable -> nullable)"
                 )
         old_names = {f.name for f in cur.fields}
         for f in schema.fields:

@@ -134,8 +134,13 @@ def compact_store(
     atomic PUT, then best-effort delete the folded batch dirs and the
     superseded generation — a cleanup failure leaves only dirs the
     serve path already ignores (warn-and-succeed, the round-12 swap
-    convention).  Single writer per store, readers safe concurrently
-    (they resolve the old pointer until the flip).
+    convention).  Single COMPACTOR per store; readers AND the landing
+    stream are safe concurrently: readers resolve the old pointer until
+    the flip, and the fold input is built from one directory listing
+    (prior consolidated gen ∪ exactly the dirs in (prior_hwm, new_hwm])
+    so a batch the stream lands mid-compaction — its batch_id is above
+    every listed one, hence above new_hwm — stays a live dir above the
+    recorded hwm, served exactly once, never folded-and-also-served.
 
     No-op (returns the current hwm) when nothing has landed above it."""
     import warnings
@@ -144,12 +149,11 @@ def compact_store(
 
     if kind == "outage":
         raise ValueError(
-            "the outage store is NOT compactable: its rows are ORDER-"
-            "SENSITIVE range segments whose serve chains consecutive "
-            "(seg_min, seg_max) pairs — no per-column groupBy fold "
-            "preserves the cross-segment gaps.  Its state is already "
-            "bounded (O(non-empty shards) rows per batch); if dir count "
-            "ever matters, re-land whole days through the batch form."
+            "the outage store is NOT compactable by column folds: its rows "
+            "are ORDER-SENSITIVE range segments whose serve chains "
+            "consecutive (seg_min, seg_max) pairs — no per-column groupBy "
+            "fold preserves the cross-segment gaps.  Use compact_outage_day "
+            "(the order-aware day-granularity re-segmentation) instead."
         )
     if group_cols is None or folds is None:
         spec = STORE_SPECS.get(kind)
@@ -171,7 +175,26 @@ def compact_store(
             raise ValueError(f"{base} has no landed generations to compact")
         return prior_hwm
     new_hwm = max(new)
-    rows, _ = store_rows(spark, store_path, kind)
+    # Fold input comes from THIS listing, not a store_rows re-list: the
+    # landing stream is a standing concurrent writer, and a batch that
+    # lands between two listings (b > new_hwm) must NOT be folded into
+    # the consolidated generation — it would then be served twice
+    # (consolidated + its still-live dir above the recorded hwm).  One
+    # listing, explicit paths: prior consolidated gen ∪ exactly the
+    # dirs with prior_hwm < b <= new_hwm (round-12 advice, TOCTOU).
+    needed = list(group_cols) + list(folds)
+    fold_dirs = [
+        d
+        for b, d in batches
+        if (prior_hwm is None or b > prior_hwm) and b <= new_hwm
+    ]
+    rows = spark.read.parquet(*fold_dirs).select(*needed)
+    if ptr:
+        rows = (
+            spark.read.parquet(os.path.join(base, ptr[0]))
+            .select(*needed)
+            .unionByName(rows)
+        )
     folded = rows.groupBy(*group_cols).agg(
         *[_FOLDS[how](col) for col, how in folds.items()]
     )
@@ -192,6 +215,155 @@ def compact_store(
             f"cleanup left {len(leftovers)} superseded dir(s) — harmless "
             "(the serve path ignores them); re-run compact_store or remove "
             "manually to reclaim space",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return new_hwm
+
+
+def compact_outage_day(
+    spark: SparkSession,
+    store_path: str,
+    through_day: str,
+    with_ids: bool = False,
+) -> int:
+    """Day-granularity re-segmentation for the OUTAGE store — the
+    order-aware compactor :func:`compact_store` refuses to be (r12
+    verdict item 7: the refusal message's "re-land whole days" remedy,
+    implemented).  The outage store's rows are range segments whose
+    serve chains consecutive (seg_min, seg_max) pairs per day, so a
+    per-column groupBy fold is unsound — but the serve's OWN chain
+    algebra is exactly a per-day fold: for a CLOSED day (every segment
+    already landed), the chained segments collapse losslessly into ONE
+    row
+
+      (day, min shard, min seg_min, max seg_max, Σcnt,
+       max(interior gaps ∪ cross-segment gaps))
+
+    because :func:`..streaming.stats.outage_from_segments` computes the
+    day audit from precisely those five quantities, and a LATER segment
+    of the same day chains against the consolidated row with the same
+    cross-gap (``next.seg_min − max seg_max``) it would have had against
+    the original tail segment.  Days AFTER ``through_day`` pass through
+    VERBATIM (they are still receiving segments at per-batch
+    granularity), so one consolidated generation holds both.
+
+    Same commit/replay protocol as :func:`compact_store`: one directory
+    listing (the TOCTOU rule — a batch the live stream lands
+    mid-compaction stays above the recorded hwm, served once), hidden
+    ``.consolidated-gen-<n>`` + atomic pointer flip, serve =
+    consolidated ∪ dirs above the hwm, fresh-checkpoint replays land at
+    or below the hwm and are ignored, cleanup is best-effort.
+
+    SOUNDNESS GUARDS, both loud: segments of a closed day that OVERLAP
+    raise (the serve's own contract — compacting them would bake a
+    silently-low max into the store forever, strictly worse than the
+    serve's per-read raise); ``with_ids=True`` applies the id-exact
+    serve's duplicate collapse FIRST (identical evidence rows across
+    batch_ids are one segment) and folds ``n_ids`` by sum and ``id_fp``
+    by the wrapping mod-2^64 sum — the consolidated fingerprint equals
+    the fingerprint of the day's id multiset, so a whole-day replay
+    under a new batch_id is still collapsible downstream.
+
+    What compaction SPENDS (documented, not hidden): per-segment
+    granularity below the hwm.  A zero-span duplicate of a closed day's
+    TRAILING segment arriving under a NEW high batch_id was detectable
+    pre-compaction (identical evidence row) and is not afterwards — but
+    the primary replay shape, a fresh-checkpoint restart, re-lands at
+    batch_id 0 ≤ hwm and is ignored outright; only an upstream
+    duplicate SEND of old ids lands high, and its >0-span flavors still
+    raise via the overlap check.  Compact only days that are genuinely
+    closed (through_day strictly before the feed's live edge).
+
+    Dir-growth math (why this exists): at one landing per 15 min the
+    store accretes ~35k ``batch_id=N`` dirs/year; day-compaction holds
+    the steady state at O(1) consolidated generation + one day's live
+    batch dirs (~96), the same bound compact_store gives the mergeable
+    stores."""
+    import warnings
+
+    from pyspark.sql import Window
+
+    from .hadoopfs import fs_delete, fs_write_text_atomic
+    from .stats import _wrapped_sum_sql
+
+    base = os.path.join(store_path, "outage")
+    ptr = _read_pointer(base)
+    batches = _batch_dirs(spark, base)
+    prior_hwm = ptr[1] if ptr else None
+    new = [b for b, _ in batches if prior_hwm is None or b > prior_hwm]
+    if not new:
+        if prior_hwm is None:
+            raise ValueError(f"{base} has no landed generations to compact")
+        return prior_hwm
+    new_hwm = max(new)
+
+    cols = ["day", "shard", "seg_min", "seg_max", "cnt", "interior_max_gap"]
+    if with_ids:
+        cols += ["n_ids", "id_fp"]
+    fold_dirs = [
+        d
+        for b, d in batches
+        if (prior_hwm is None or b > prior_hwm) and b <= new_hwm
+    ]
+    segs = spark.read.parquet(*fold_dirs).select(*cols)
+    if ptr:
+        segs = (
+            spark.read.parquet(os.path.join(base, ptr[0]))
+            .select(*cols)
+            .unionByName(segs)
+        )
+
+    closed = segs.filter(F.col("day") <= F.lit(through_day).cast("date"))
+    open_ = segs.filter(F.col("day") > F.lit(through_day).cast("date"))
+    if with_ids:
+        # the id-exact serve's collapse, applied BEFORE the fold so a
+        # replayed zero-span segment folds once, exactly as it serves
+        closed = closed.dropDuplicates(cols)
+
+    w = Window.partitionBy("day").orderBy("seg_min", "seg_max")
+    chained = closed.withColumn("prev_max", F.lag("seg_max").over(w))
+    if chained.filter(F.col("prev_max") > F.col("seg_min")).limit(1).count():
+        raise ValueError(
+            f"{base} holds overlapping segments at or before {through_day} — "
+            "the feed landed out of event-time order there; compacting would "
+            "bake a silently-low max_gap into the store.  Re-land the "
+            "affected days through the batch form (x202_feed_outage_audit) "
+            "first."
+        )
+    folds = [
+        F.min("shard").alias("shard"),
+        F.min("seg_min").alias("seg_min"),
+        F.max("seg_max").alias("seg_max"),
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.greatest(
+            F.max("interior_max_gap"),
+            F.max(F.col("seg_min") - F.col("prev_max")),
+        ).alias("interior_max_gap"),
+    ]
+    if with_ids:
+        folds += [
+            F.sum("n_ids").cast("long").alias("n_ids"),
+            _wrapped_sum_sql("id_fp").alias("id_fp"),
+        ]
+    folded = chained.groupBy("day").agg(*folds).select(*cols)
+    out = folded.unionByName(open_.select(*cols))
+
+    n = int(ptr[0].rsplit("-", 1)[1]) + 1 if ptr else 1
+    gen = f".consolidated-gen-{n}"
+    out.write.mode("overwrite").parquet(os.path.join(base, gen))
+    fs_write_text_atomic(_pointer(base), f"{gen}:{new_hwm}", spark)
+    leftovers = []
+    for b, d in batches:
+        if b <= new_hwm and not fs_delete(d):
+            leftovers.append(d)
+    if ptr and not fs_delete(os.path.join(base, ptr[0])):
+        leftovers.append(os.path.join(base, ptr[0]))
+    if leftovers:
+        warnings.warn(
+            f"outage day-compaction of {base} committed (hwm={new_hwm}), but "
+            f"cleanup left {len(leftovers)} superseded dir(s) — harmless "
+            "(the serve path ignores them); re-run or remove manually",
             RuntimeWarning,
             stacklevel=2,
         )

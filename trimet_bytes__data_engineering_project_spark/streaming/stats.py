@@ -479,9 +479,37 @@ def outage_segments_with_ids(batch_df: DataFrame, shard_us: int) -> DataFrame:
             F.count("*").cast("long").alias("cnt"),
             F.max(F.col("t") - F.col("prev")).alias("interior_max_gap"),
             F.count_distinct("event_id").cast("long").alias("n_ids"),
-            F.sum(F.xxhash64("event_id")).alias("id_fp"),
+            _wrapped_hash_sum("event_id").alias("id_fp"),
         )
     )
+
+
+def _wrapped_sum_sql(expr: str):
+    """``SUM(expr)`` over int64 values, wrapped mod 2^64 back into
+    int64 — the ANSI-PROOF fingerprint fold (round-12 advice): a plain
+    bigint SUM of hash values overflows int64 within a couple of rows,
+    which is a deterministic (and here harmless) wraparound under
+    non-ANSI sessions but raises ARITHMETIC_OVERFLOW under
+    ``spark.sql.ansi.enabled=true`` — killing the landing on a
+    perfectly healthy feed.  Summing in decimal(38,0) (exact up to
+    ~1e19 terms) and reducing mod 2^64 into two's complement yields
+    BIT-IDENTICAL values to the historical non-ANSI wraparound, so
+    stores landed before this change compare equal.  Also the fold
+    compact_outage_day uses to combine per-segment fingerprints into a
+    day fingerprint (sum of wrapped sums mod 2^64 = wrapped sum of the
+    union's hashes)."""
+    s = f"sum(cast(({expr}) as decimal(38,0)))"
+    m = f"pmod({s}, 18446744073709551616BD)"
+    return F.expr(
+        f"cast({m} - if({m} >= 9223372036854775808BD, "
+        "18446744073709551616BD, 0BD) as bigint)"
+    )
+
+
+def _wrapped_hash_sum(col: str):
+    """Order-independent id-multiset fingerprint:
+    ``SUM(xxhash64(col))`` under the wrapping fold above."""
+    return _wrapped_sum_sql(f"xxhash64({col})")
 
 
 def run_streaming_outage(
