@@ -2192,6 +2192,32 @@ def _x210_evolved_landing(spark, d):
     return QUERIES["x210_evolved_landing_stats"](spark, d)
 
 
+def _x211_registered_landing(spark, d):
+    # registry-served two-generation landing (register/land/evolve built
+    # once per scale dir by ensure_index, absorbed by the warm run): one
+    # text GET for _schema/current + the pinned multi-path scan + a
+    # 3-group map-side-combined agg — expect x210's scan-bound flat
+    # band; the catalog adds nothing per-row.
+    return QUERIES["x211_registered_landing_serve"](spark, d)
+
+
+def _x212_compacted_cms(spark, d):
+    # heavy-hitter probe over the COMPACTED cms store (land/fold/land/
+    # replay built once per scale dir): the serve folds <= depth*width
+    # counter rows regardless of corpus size, the exact-count side is
+    # one map-side-combined key shuffle — expect the count shuffle to
+    # dominate, counters O(1).
+    return QUERIES["x212_compacted_cms_serve"](spark, d)
+
+
+def _x213_outage_day_compacted(spark, d):
+    # per-day outage audit from the day-compacted id-exact segment
+    # store (time-sliced landings + compaction built once per scale
+    # dir): the serve chains O(non-empty shards) segment rows — KB-scale
+    # state independent of corpus rows — expect flat.
+    return QUERIES["x213_outage_day_compaction"](spark, d)
+
+
 def _x199_point_in_polygon(spark, d):
     # integer ray casting over the full scaled lineitem table: a
     # shuffle-free codegen scan + a <=3-group fold — flat band.
@@ -3019,6 +3045,9 @@ HEAVY += [
     ("x208_null_aware_notin_full", _x208_null_aware_notin),
     ("x209_dpp_full", _x209_dpp),
     ("x210_evolved_landing_full", _x210_evolved_landing),
+    ("x211_registered_landing_full", _x211_registered_landing),
+    ("x212_compacted_cms_serve", _x212_compacted_cms),
+    ("x213_outage_day_compacted", _x213_outage_day_compacted),
     ("x200_grid_density_full", _x200_grid_density),
     ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),

@@ -1646,3 +1646,79 @@ def test_store_compaction_any_interleaving_serves_truth(
         for r in rows.groupBy("bin_idx").agg(F.sum("cnt").alias("cnt")).collect()
     }
     assert got == dict(truth)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=3 * 86_400 * 1_000_000),
+        min_size=2,
+        max_size=30,
+    ),
+    st.lists(st.integers(min_value=1, max_value=29), min_size=0, max_size=2),
+    st.integers(min_value=0, max_value=2),  # compact after this many batches
+    st.integers(min_value=0, max_value=2),  # through_day = epoch day N
+    st.booleans(),
+)
+@SETTINGS
+def test_outage_day_compaction_serves_truth(
+    spark, tmp_path_factory, times, cuts, compact_after, through_epoch_day, with_ids
+):
+    """Property form of compact_outage_day (round 13): for ANY
+    event-time feed split into time-ordered batches, ANY compaction
+    point mid-stream, ANY day cutoff (including a day still receiving
+    later segments — they chain against the consolidated row), both
+    store variants, the serve after day-compaction plus a fresh-
+    checkpoint replay of batch 0 is bit-equal to the fresh fold over
+    every batch ever landed."""
+    import datetime
+    from functools import reduce
+
+    from trimet_bytes__data_engineering_project_spark.streaming.compaction import (
+        compact_outage_day,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_segments,
+        outage_from_segments_with_ids,
+        outage_from_store,
+        outage_from_store_with_ids,
+        outage_segments,
+        outage_segments_with_ids,
+    )
+
+    ordered = sorted(times)
+    rows = [(t, i) for i, t in enumerate(ordered)]  # unique ids
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {0, len(rows)})
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:]) if b > a] or [rows]
+    shard_us = 3_600_000_000
+
+    seg_fn = outage_segments_with_ids if with_ids else outage_segments
+    serve_store = outage_from_store_with_ids if with_ids else outage_from_store
+    serve_segs = outage_from_segments_with_ids if with_ids else outage_from_segments
+
+    def to_df(batch):
+        return spark.createDataFrame(batch, "tus long, event_id long").select(
+            "event_id", F.timestamp_micros(F.col("tus")).alias("ts")
+        )
+
+    union = lambda fs: reduce(lambda a, b: a.unionByName(b), fs)  # noqa: E731
+    want = [
+        tuple(r)
+        for r in serve_segs(union([seg_fn(to_df(b), shard_us) for b in batches])).collect()
+    ]
+
+    store = str(tmp_path_factory.mktemp("ostore"))
+    through = str(datetime.date(1970, 1, 1) + datetime.timedelta(days=through_epoch_day))
+    compact_at = min(compact_after, len(batches) - 1)
+    for i, b in enumerate(batches):
+        seg_fn(to_df(b), shard_us).write.mode("overwrite").parquet(
+            f"{store}/outage/batch_id={i}"
+        )
+        if i == compact_at:
+            compact_outage_day(spark, store, through, with_ids=with_ids)
+    # fresh-checkpoint replay: batch 0 re-lands verbatim at batch_id 0
+    # (<= hwm after the compaction above, so the serve ignores it)
+    seg_fn(to_df(batches[0]), shard_us).write.mode("overwrite").parquet(
+        f"{store}/outage/batch_id=0"
+    )
+    got = [tuple(r) for r in serve_store(spark, store).collect()]
+    assert got == want

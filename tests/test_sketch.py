@@ -796,3 +796,52 @@ def test_compact_outage_day_resegmentation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="overlapping segments"):
         compact_outage_day(spark, store3, "2024-01-01")
+
+
+def test_compact_outage_day_fold_input_single_listing_toctou(spark, tmp_path):
+    """compact_outage_day inherits compact_store's single-listing rule
+    (round-12 advice): a batch the live stream lands between the
+    compactor's listing and its fold must stay a live dir above the
+    recorded hwm — folded AND live would serve its segments twice
+    (inflating n_events).  Same deterministic simulation as the
+    compact_store pin: compaction under a monkeypatched stale listing
+    while the late batch already sits on disk."""
+    import trimet_bytes__data_engineering_project_spark.streaming.compaction as comp
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_segments,
+        outage_from_store,
+        outage_segments,
+    )
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(t, i) for t, i in rows], "ts string, event_id long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+
+    d = "2024-01-01 "
+    batches = [
+        [(d + "00:00:00", 1), (d + "00:10:00", 2)],
+        [(d + "02:00:00", 3), (d + "02:30:00", 4)],
+        [(d + "05:00:00", 5), (d + "05:15:00", 6)],  # lands mid-compaction
+    ]
+    store = str(tmp_path / "store")
+    seg = lambda rows: outage_segments(to_df(rows), 900_000_000)  # noqa: E731
+    for i, b in enumerate(batches):
+        seg(b).write.parquet(f"{store}/outage/batch_id={i}")
+
+    orig = comp._batch_dirs
+    comp._batch_dirs = lambda s, base: [e for e in orig(s, base) if e[0] <= 1]
+    try:
+        hwm = comp.compact_outage_day(spark, store, "2024-01-01")
+    finally:
+        comp._batch_dirs = orig
+    assert hwm == 1
+    assert os.path.isdir(f"{store}/outage/batch_id=2")  # late batch stays live
+
+    want = [
+        tuple(r)
+        for r in outage_from_segments(
+            seg(batches[0]).unionByName(seg(batches[1])).unionByName(seg(batches[2]))
+        ).collect()
+    ]
+    assert [tuple(r) for r in outage_from_store(spark, store).collect()] == want

@@ -50,6 +50,13 @@ BARS = {
     # (≈10% headroom over the WORST triad run) so round-12+ growth
     # (x210 onward) is priced separately.
     "subset_242_r11": 250.0,
+    # frozen at the round-13 open (243 queries = subset_242_r11 + the
+    # round-12 registration x210; driver r12 measured 219.9 s, the r12
+    # close quad spanned 224.4-260.0 s solo).  Bar = ~25% headroom over
+    # the driver measurement (≈6% over the quad's worst run — the same
+    # worst-run-plus-margin class as subset_242_r11) so round-13+
+    # growth (x211/x212/x213 onward) is priced separately.
+    "subset_243_r12": 275.0,
 }
 
 
