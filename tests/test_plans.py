@@ -844,3 +844,16 @@ def test_dynamic_partition_pruning_fires(spark):
     # bonus constraint propagation: the dim's derived date predicate is
     # ALSO pushed through the join as a static partition filter
     assert "datediff(service_date" in phys
+
+
+def test_compacted_cms_probe_broadcasts_counters(spark):
+    """x212: the heavy-hitter probe over the COMPACTED store keeps
+    x185's plan shape — the folded counters (≤ depth·width rows,
+    regardless of how many generations fed them) broadcast into the
+    probe join; the key side never shuffles for the join.  The store
+    read must not change the plan class."""
+    plan = plan_of(spark, "x212_compacted_cms_serve")
+    assert "BroadcastHashJoin" in plan
+    # the probe join itself is never a shuffle join (TakeOrdered's
+    # exchange for the top-k is fine; the counters side must broadcast)
+    assert "SortMergeJoin" not in plan
