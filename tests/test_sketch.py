@@ -845,3 +845,37 @@ def test_compact_outage_day_fold_input_single_listing_toctou(spark, tmp_path):
         ).collect()
     ]
     assert [tuple(r) for r in outage_from_store(spark, store).collect()] == want
+
+
+def test_compact_outage_day_rejects_malformed_cutoff(spark, tmp_path):
+    """A garbage through_day must refuse LOUDLY before any write: under
+    a non-ANSI session it would cast to NULL, classify every segment as
+    neither closed nor open, consolidate an EMPTY generation, and
+    delete the batch dirs — a typo becoming silent data loss.  The
+    eager ISO-date validation turns that into a ValueError with the
+    store untouched."""
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.streaming.compaction import (
+        compact_outage_day,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_store,
+        outage_segments,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1), ("2024-01-01 00:10:00", 2)],
+        "ts string, event_id long",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+    store = str(tmp_path / "store")
+    outage_segments(df, 900_000_000).write.parquet(f"{store}/outage/batch_id=0")
+    before = [tuple(r) for r in outage_from_store(spark, store).collect()]
+
+    for bad in ("2024-13-99", "tomorrow", "", "None"):
+        with pytest.raises(ValueError, match="not an ISO date"):
+            compact_outage_day(spark, store, bad)
+    # the store is untouched: no pointer, batch dir intact, serve equal
+    assert os.path.isdir(f"{store}/outage/batch_id=0")
+    assert not os.path.exists(f"{store}/outage/._consolidated")
+    assert [tuple(r) for r in outage_from_store(spark, store).collect()] == before

@@ -280,6 +280,7 @@ def compact_outage_day(
     the steady state at O(1) consolidated generation + one day's live
     batch dirs (~96), the same bound compact_store gives the mergeable
     stores."""
+    import datetime
     import warnings
 
     from pyspark.sql import Window
@@ -287,6 +288,20 @@ def compact_outage_day(
     from .hadoopfs import fs_delete, fs_write_text_atomic
     from .stats import _wrapped_sum_sql
 
+    # Validate EAGERLY, driver-side: under a non-ANSI session a garbage
+    # through_day would cast to NULL, making every row neither closed
+    # (day <= NULL) nor open (day > NULL) — the consolidated generation
+    # would be written EMPTY and the batch dirs deleted.  A compactor
+    # must never let a typo become silent data loss.
+    try:
+        datetime.date.fromisoformat(str(through_day))
+    except ValueError:
+        raise ValueError(
+            f"through_day={through_day!r} is not an ISO date (YYYY-MM-DD) — "
+            "refusing to compact: a malformed cutoff would classify every "
+            "segment as neither closed nor open and consolidate an empty "
+            "generation"
+        ) from None
     base = os.path.join(store_path, "outage")
     ptr = _read_pointer(base)
     batches = _batch_dirs(spark, base)
