@@ -3046,8 +3046,8 @@ HEAVY += [
     ("x209_dpp_full", _x209_dpp),
     ("x210_evolved_landing_full", _x210_evolved_landing),
     ("x211_registered_landing_full", _x211_registered_landing),
-    ("x212_compacted_cms_serve", _x212_compacted_cms),
-    ("x213_outage_day_compacted", _x213_outage_day_compacted),
+    ("x212_compacted_cms_full", _x212_compacted_cms),
+    ("x213_outage_day_full", _x213_outage_day_compacted),
     ("x200_grid_density_full", _x200_grid_density),
     ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),

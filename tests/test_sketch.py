@@ -879,3 +879,77 @@ def test_compact_outage_day_rejects_malformed_cutoff(spark, tmp_path):
     assert os.path.isdir(f"{store}/outage/batch_id=0")
     assert not os.path.exists(f"{store}/outage/._consolidated")
     assert [tuple(r) for r in outage_from_store(spark, store).collect()] == before
+
+
+def test_compact_outage_day_refuses_id_evidence_mismatch(spark, tmp_path):
+    """Round-13 review finding: with_ids=False on an id-bearing store
+    would SELECT AWAY the n_ids/id_fp columns, write an id-less
+    consolidated generation, and delete the batch dirs holding the only
+    copies — outage_from_store_with_ids would fail forever.  Both
+    mismatch directions refuse loudly with the store untouched."""
+    import pytest
+
+    from trimet_bytes__data_engineering_project_spark.streaming.compaction import (
+        compact_outage_day,
+    )
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_store_with_ids,
+        outage_segments,
+        outage_segments_with_ids,
+    )
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(t, i) for t, i in rows], "ts string, event_id long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+
+    rows = [("2024-01-01 00:00:00", 1), ("2024-01-01 00:10:00", 2)]
+    ids_store = str(tmp_path / "ids_store")
+    outage_segments_with_ids(to_df(rows), 900_000_000).write.parquet(
+        f"{ids_store}/outage/batch_id=0"
+    )
+    before = [tuple(r) for r in outage_from_store_with_ids(spark, ids_store).collect()]
+    with pytest.raises(ValueError, match="carries id evidence"):
+        compact_outage_day(spark, ids_store, "2024-01-01")  # with_ids omitted
+    assert os.path.isdir(f"{ids_store}/outage/batch_id=0")
+    assert not os.path.exists(f"{ids_store}/outage/._consolidated")
+    assert [
+        tuple(r) for r in outage_from_store_with_ids(spark, ids_store).collect()
+    ] == before
+
+    plain_store = str(tmp_path / "plain_store")
+    outage_segments(to_df(rows), 900_000_000).write.parquet(
+        f"{plain_store}/outage/batch_id=0"
+    )
+    with pytest.raises(ValueError, match="landed range-only"):
+        compact_outage_day(spark, plain_store, "2024-01-01", with_ids=True)
+    assert not os.path.exists(f"{plain_store}/outage/._consolidated")
+
+
+def test_compact_store_raises_on_mid_rewrite_fold_dir(spark, tmp_path):
+    """Round-13 review finding: a fresh-checkpoint replay re-lands a
+    FOLDED batch_id with mode('overwrite') — delete-then-commit — so a
+    fold racing it could read an empty dir and commit a consolidated
+    generation silently missing that batch (then ignore the re-land
+    forever, at/below the hwm).  The fold now pins its input to the
+    parquet FILES listed up-front; a dir caught mid-rewrite (no parquet
+    files yet) raises instead of folding partial content."""
+    import pytest
+
+    import trimet_bytes__data_engineering_project_spark.streaming.compaction as comp
+
+    store = str(tmp_path / "store")
+    for b in range(2):
+        spark.createDataFrame(
+            [(i, 10 + b) for i in range(3)], "bin_idx int, cnt long"
+        ).write.parquet(f"{store}/hist/batch_id={b}")
+    # simulate batch 1 caught mid-overwrite: data files deleted, dir present
+    for f in os.listdir(f"{store}/hist/batch_id=1"):
+        if f.endswith(".parquet"):
+            os.remove(f"{store}/hist/batch_id=1/{f}")
+    with pytest.raises(IOError, match="mid-compaction"):
+        comp.compact_store(spark, store, "hist")
+    # nothing committed: no pointer, batch 0 intact and still served
+    assert not os.path.exists(f"{store}/hist/._consolidated")
+    rows, hwm = comp.store_rows(spark, store, "hist")
+    assert hwm is None

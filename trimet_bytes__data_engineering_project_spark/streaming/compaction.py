@@ -93,6 +93,40 @@ def _batch_dirs(spark: SparkSession, base: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _fold_files(spark: SparkSession, fold_dirs: list[str]) -> list[str]:
+    """Explicit parquet FILE paths for a compaction's fold input — one
+    snapshot listing per dir, taken before the fold reads anything.
+
+    Why files and not dirs (round-13 review): a fresh-checkpoint replay
+    re-lands a FOLDED batch_id with ``mode("overwrite")`` — delete-
+    then-commit, not atomic — so a directory-path read racing that
+    rewrite could observe an empty/partial dir and commit a consolidated
+    generation silently MISSING that batch (the re-landed dir then sits
+    at/below the hwm, ignored forever).  Pinning the fold to the files
+    seen at listing time makes the race LOUD instead: a dir caught
+    mid-rewrite lists no parquet files (raise here), and a file deleted
+    after listing fails the read (Spark's default
+    ``ignoreMissingFiles=false``) — the compaction retries, nothing
+    commits wrong."""
+    from .hadoopfs import fs_list
+
+    files: list[str] = []
+    for d in fold_dirs:
+        part = [
+            os.path.join(d, n)
+            for n in fs_list(d, spark)
+            if n.endswith(".parquet")
+        ]
+        if not part:
+            raise IOError(
+                f"{d} holds no parquet files — a replaying stream is "
+                "re-landing it mid-compaction (overwrite is delete-then-"
+                "commit); quiesce the replay or retry after it lands"
+            )
+        files.extend(part)
+    return files
+
+
 def store_rows(spark: SparkSession, store_path: str, kind: str) -> tuple[DataFrame, int | None]:
     """The serve-side read: (rows, hwm).  Rows = the consolidated
     generation (``batch_id`` NULL — it spans many) ∪ batch dirs ABOVE
@@ -134,13 +168,18 @@ def compact_store(
     atomic PUT, then best-effort delete the folded batch dirs and the
     superseded generation — a cleanup failure leaves only dirs the
     serve path already ignores (warn-and-succeed, the round-12 swap
-    convention).  Single COMPACTOR per store; readers AND the landing
-    stream are safe concurrently: readers resolve the old pointer until
-    the flip, and the fold input is built from one directory listing
-    (prior consolidated gen ∪ exactly the dirs in (prior_hwm, new_hwm])
-    so a batch the stream lands mid-compaction — its batch_id is above
-    every listed one, hence above new_hwm — stays a live dir above the
-    recorded hwm, served exactly once, never folded-and-also-served.
+    convention).  Single COMPACTOR per store; readers AND a normally-
+    progressing landing stream are safe concurrently: readers resolve
+    the old pointer until the flip, and the fold input is built from one
+    directory listing (prior consolidated gen ∪ exactly the dirs in
+    (prior_hwm, new_hwm]) so a batch the stream lands mid-compaction —
+    its batch_id is above every listed one, hence above new_hwm — stays
+    a live dir above the recorded hwm, served exactly once, never
+    folded-and-also-served.  A stream REPLAYING folded batch_ids (fresh
+    checkpoint) concurrently with the fold cannot corrupt it either,
+    but loudly: the fold reads the exact FILES listed up-front
+    (_fold_files), so a dir caught mid-overwrite raises instead of
+    folding empty/partial content and ignoring the re-land forever.
 
     No-op (returns the current hwm) when nothing has landed above it."""
     import warnings
@@ -188,7 +227,7 @@ def compact_store(
         for b, d in batches
         if (prior_hwm is None or b > prior_hwm) and b <= new_hwm
     ]
-    rows = spark.read.parquet(*fold_dirs).select(*needed)
+    rows = spark.read.parquet(*_fold_files(spark, fold_dirs)).select(*needed)
     if ptr:
         rows = (
             spark.read.parquet(os.path.join(base, ptr[0]))
@@ -321,7 +360,27 @@ def compact_outage_day(
         for b, d in batches
         if (prior_hwm is None or b > prior_hwm) and b <= new_hwm
     ]
-    segs = spark.read.parquet(*fold_dirs).select(*cols)
+    segs = spark.read.parquet(*_fold_files(spark, fold_dirs))
+    # the flag must MATCH the store's landed shape (round-13 review):
+    # with_ids=False on an id-bearing store would silently SELECT AWAY
+    # the n_ids/id_fp evidence, write an id-less consolidated generation,
+    # and delete the batch dirs holding the only copies — after which
+    # outage_from_store_with_ids fails forever.  Same loud-refusal class
+    # as the through_day guard above.
+    has_ids = "n_ids" in segs.columns
+    if has_ids and not with_ids:
+        raise ValueError(
+            f"{base} carries id evidence (n_ids/id_fp) — pass "
+            "with_ids=True: compacting range-only would strip the id "
+            "columns from the consolidated generation and delete the "
+            "batch dirs holding their only copies"
+        )
+    if with_ids and not has_ids:
+        raise ValueError(
+            f"{base} has no n_ids/id_fp columns (landed range-only) — "
+            "call compact_outage_day without with_ids"
+        )
+    segs = segs.select(*cols)
     if ptr:
         segs = (
             spark.read.parquet(os.path.join(base, ptr[0]))
