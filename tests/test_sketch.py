@@ -933,7 +933,9 @@ def test_compact_store_raises_on_mid_rewrite_fold_dir(spark, tmp_path):
     generation silently missing that batch (then ignore the re-land
     forever, at/below the hwm).  The fold now pins its input to the
     parquet FILES listed up-front; a dir caught mid-rewrite (no parquet
-    files yet) raises instead of folding partial content."""
+    files AND no _SUCCESS — overwrite deletes the whole dir first and
+    recommits the marker last, so both vanish together) raises instead
+    of folding partial content."""
     import pytest
 
     import trimet_bytes__data_engineering_project_spark.streaming.compaction as comp
@@ -943,9 +945,13 @@ def test_compact_store_raises_on_mid_rewrite_fold_dir(spark, tmp_path):
         spark.createDataFrame(
             [(i, 10 + b) for i in range(3)], "bin_idx int, cnt long"
         ).write.parquet(f"{store}/hist/batch_id={b}")
-    # simulate batch 1 caught mid-overwrite: data files deleted, dir present
+    # simulate batch 1 caught mid-overwrite: the re-land's delete phase
+    # removed data files AND the commit marker (the dir itself already
+    # recreated by the in-flight write) — _SUCCESS must go too, else the
+    # signature is a committed-empty landing, which SKIPS (round-13
+    # advice disambiguation, pinned separately below)
     for f in os.listdir(f"{store}/hist/batch_id=1"):
-        if f.endswith(".parquet"):
+        if f.endswith(".parquet") or f == "_SUCCESS":
             os.remove(f"{store}/hist/batch_id=1/{f}")
     with pytest.raises(IOError, match="mid-compaction"):
         comp.compact_store(spark, store, "hist")
@@ -953,3 +959,136 @@ def test_compact_store_raises_on_mid_rewrite_fold_dir(spark, tmp_path):
     assert not os.path.exists(f"{store}/hist/._consolidated")
     rows, hwm = comp.store_rows(spark, store, "hist")
     assert hwm is None
+
+
+def test_compact_store_skips_committed_empty_landing(spark, tmp_path):
+    """Round-13 advice (compaction.py, low): a legitimately EMPTY landed
+    generation — empty micro-batch, _SUCCESS committed, zero part files
+    — shares the no-parquet signature with a mid-overwrite dir, and the
+    round-13 raise would have blocked that store's compaction forever
+    with a misleading diagnosis.  Disambiguated via _SUCCESS: the empty
+    landing contributes no rows, the fold skips it, the hwm advances
+    past it (so it is cleaned up), and the serve is unchanged."""
+    import pytest
+
+    import trimet_bytes__data_engineering_project_spark.streaming.compaction as comp
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(i, 10) for i in range(3)], "bin_idx int, cnt long"
+    ).write.parquet(f"{store}/hist/batch_id=0")
+    # batch 1: a committed-empty landing (marker only, no part files)
+    os.makedirs(f"{store}/hist/batch_id=1")
+    open(f"{store}/hist/batch_id=1/_SUCCESS", "w").close()
+
+    hwm = comp.compact_store(spark, store, "hist")
+    assert hwm == 1  # advanced PAST the empty landing
+    rows, got_hwm = comp.store_rows(spark, store, "hist")
+    assert got_hwm == 1
+    got = sorted(
+        map(tuple, rows.groupBy("bin_idx").agg(F.sum("cnt").alias("cnt")).collect())
+    )
+    assert got == [(i, 10) for i in range(3)]
+    assert not os.path.isdir(f"{store}/hist/batch_id=1")  # cleaned up
+
+    # a LATER committed-empty landing re-compacts fine too: the fold is
+    # the prior consolidated generation alone (identity refold)
+    os.makedirs(f"{store}/hist/batch_id=2")
+    open(f"{store}/hist/batch_id=2/_SUCCESS", "w").close()
+    assert comp.compact_store(spark, store, "hist") == 2
+    rows2, _ = comp.store_rows(spark, store, "hist")
+    got2 = sorted(
+        map(tuple, rows2.groupBy("bin_idx").agg(F.sum("cnt").alias("cnt")).collect())
+    )
+    assert got2 == got
+
+    # degenerate corner, loud: never compacted AND nothing but empty
+    # landings — there is no schema to consolidate under
+    empty = str(tmp_path / "empty_only")
+    os.makedirs(f"{empty}/hist/batch_id=0")
+    open(f"{empty}/hist/batch_id=0/_SUCCESS", "w").close()
+    with pytest.raises(ValueError, match="committed-empty"):
+        comp.compact_store(spark, empty, "hist")
+    # the outage day-compactor shares the corner via _fold_files
+    empty2 = str(tmp_path / "empty_outage")
+    os.makedirs(f"{empty2}/outage/batch_id=0")
+    open(f"{empty2}/outage/batch_id=0/_SUCCESS", "w").close()
+    with pytest.raises(ValueError, match="committed-empty"):
+        comp.compact_outage_day(spark, empty2, "2024-01-01")
+
+
+def test_compact_outage_day_refuses_prior_gen_id_evidence_mismatch(spark, tmp_path):
+    """Round-13 advice (compaction.py, medium): the id-evidence guard
+    inspected only the NEW batch dirs — a prior consolidated generation
+    carrying n_ids/id_fp plus range-only new batches passed
+    with_ids=False, and the column projection silently stripped the id
+    evidence from the consolidated rows before the superseded
+    generation was deleted: the exact data-loss class the guard exists
+    to prevent, entering through the other input.  The guard now reads
+    the prior generation's schema too and refuses ANY shape mismatch
+    between it, the fold dirs, and the flag — in both directions, with
+    the store untouched."""
+    import pytest
+
+    import trimet_bytes__data_engineering_project_spark.streaming.compaction as comp
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_from_store_with_ids,
+        outage_segments,
+        outage_segments_with_ids,
+    )
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(t, i) for t, i in rows], "ts string, event_id long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+
+    # id-bearing store, day-compacted once: gen-1 carries n_ids/id_fp
+    store = str(tmp_path / "store")
+    outage_segments_with_ids(
+        to_df([("2024-01-01 00:00:00", 1), ("2024-01-01 00:10:00", 2)]),
+        900_000_000,
+    ).write.parquet(f"{store}/outage/batch_id=0")
+    assert comp.compact_outage_day(spark, store, "2024-01-01", with_ids=True) == 0
+    before = [tuple(r) for r in outage_from_store_with_ids(spark, store).collect()]
+
+    # a broken producer lands a RANGE-ONLY batch on the id-bearing store
+    outage_segments(
+        to_df([("2024-01-02 00:00:00", 3), ("2024-01-02 00:05:00", 4)]),
+        900_000_000,
+    ).write.parquet(f"{store}/outage/batch_id=1")
+
+    # BOTH flag values refuse: no single compaction is sound for a
+    # store landed in two shapes
+    for flag in (False, True):
+        with pytest.raises(ValueError, match="shape mismatch"):
+            comp.compact_outage_day(spark, store, "2024-01-02", with_ids=flag)
+    # untouched: pointer still gen-1, the mismatched batch dir intact —
+    # so deleting the minority-shape dir and re-landing it through the
+    # matching form restores the serve captured above (`before`); the
+    # serve itself rightly fails while the mixed tail sits there (the
+    # store is in a broken upstream state, and nothing was lost)
+    assert comp._read_pointer(f"{store}/outage") == (".consolidated-gen-1", 0)
+    assert os.path.isdir(f"{store}/outage/batch_id=1")
+    shutil.rmtree(f"{store}/outage/batch_id=1")
+    assert [
+        tuple(r) for r in outage_from_store_with_ids(spark, store).collect()
+    ] == before
+
+    # reverse direction: prior gen RANGE-ONLY, new batches id-bearing —
+    # previously with_ids=True would have died inside the prior gen's
+    # projection with a confusing missing-column error; now the same
+    # loud shape refusal
+    store2 = str(tmp_path / "store2")
+    outage_segments(
+        to_df([("2024-01-01 00:00:00", 1), ("2024-01-01 00:10:00", 2)]),
+        900_000_000,
+    ).write.parquet(f"{store2}/outage/batch_id=0")
+    assert comp.compact_outage_day(spark, store2, "2024-01-01") == 0
+    outage_segments_with_ids(
+        to_df([("2024-01-02 00:00:00", 3), ("2024-01-02 00:05:00", 4)]),
+        900_000_000,
+    ).write.parquet(f"{store2}/outage/batch_id=1")
+    for flag in (False, True):
+        with pytest.raises(ValueError, match="shape mismatch"):
+            comp.compact_outage_day(spark, store2, "2024-01-02", with_ids=flag)
+    assert comp._read_pointer(f"{store2}/outage") == (".consolidated-gen-1", 0)

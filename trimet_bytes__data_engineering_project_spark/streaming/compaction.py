@@ -107,21 +107,30 @@ def _fold_files(spark: SparkSession, fold_dirs: list[str]) -> list[str]:
     mid-rewrite lists no parquet files (raise here), and a file deleted
     after listing fails the read (Spark's default
     ``ignoreMissingFiles=false``) — the compaction retries, nothing
-    commits wrong."""
+    commits wrong.
+
+    A dir with ``_SUCCESS`` but zero parquet files is the OTHER
+    no-parquet signature (round-13 advice): a legitimately EMPTY landed
+    generation — an empty micro-batch whose write committed zero part
+    files.  It contributes no rows, so it is skipped (and the caller's
+    hwm advance past it deletes it), never mistaken for a mid-overwrite
+    dir: an interrupted ``mode("overwrite")`` re-land deletes the whole
+    dir first, so _SUCCESS and parquet files vanish together.  Callers
+    must tolerate an EMPTY return (every fold dir an empty landing)."""
     from .hadoopfs import fs_list
 
     files: list[str] = []
     for d in fold_dirs:
-        part = [
-            os.path.join(d, n)
-            for n in fs_list(d, spark)
-            if n.endswith(".parquet")
-        ]
+        names = fs_list(d, spark)
+        part = [os.path.join(d, n) for n in names if n.endswith(".parquet")]
         if not part:
+            if "_SUCCESS" in names:
+                continue  # committed-empty landing: no rows to fold
             raise IOError(
-                f"{d} holds no parquet files — a replaying stream is "
-                "re-landing it mid-compaction (overwrite is delete-then-"
-                "commit); quiesce the replay or retry after it lands"
+                f"{d} holds no parquet files and no _SUCCESS marker — a "
+                "replaying stream is re-landing it mid-compaction "
+                "(overwrite is delete-then-commit); quiesce the replay or "
+                "retry after it lands"
             )
         files.extend(part)
     return files
@@ -227,12 +236,21 @@ def compact_store(
         for b, d in batches
         if (prior_hwm is None or b > prior_hwm) and b <= new_hwm
     ]
-    rows = spark.read.parquet(*_fold_files(spark, fold_dirs)).select(*needed)
+    files = _fold_files(spark, fold_dirs)
+    rows = spark.read.parquet(*files).select(*needed) if files else None
     if ptr:
-        rows = (
-            spark.read.parquet(os.path.join(base, ptr[0]))
-            .select(*needed)
-            .unionByName(rows)
+        prior = spark.read.parquet(os.path.join(base, ptr[0])).select(*needed)
+        rows = prior if rows is None else prior.unionByName(rows)
+    if rows is None:
+        # never compacted AND every landed generation is committed-empty:
+        # there is no schema to consolidate under — a later non-empty
+        # landing unblocks this, so refuse with the precise state rather
+        # than guessing column types from the spec names
+        raise ValueError(
+            f"{base}: every landed generation at or below batch_id="
+            f"{new_hwm} is a committed-empty landing and the store was "
+            "never compacted — nothing to fold yet; compact after a "
+            "non-empty landing"
         )
     folded = rows.groupBy(*group_cols).agg(
         *[_FOLDS[how](col) for col, how in folds.items()]
@@ -360,14 +378,40 @@ def compact_outage_day(
         for b, d in batches
         if (prior_hwm is None or b > prior_hwm) and b <= new_hwm
     ]
-    segs = spark.read.parquet(*_fold_files(spark, fold_dirs))
-    # the flag must MATCH the store's landed shape (round-13 review):
-    # with_ids=False on an id-bearing store would silently SELECT AWAY
-    # the n_ids/id_fp evidence, write an id-less consolidated generation,
-    # and delete the batch dirs holding the only copies — after which
+    files = _fold_files(spark, fold_dirs)
+    new_segs = spark.read.parquet(*files) if files else None
+    prior = spark.read.parquet(os.path.join(base, ptr[0])) if ptr else None
+    if new_segs is None and prior is None:
+        raise ValueError(
+            f"{base}: every landed generation at or below batch_id="
+            f"{new_hwm} is a committed-empty landing and the store was "
+            "never compacted — nothing to fold yet; compact after a "
+            "non-empty landing"
+        )
+    # the flag must MATCH the store's landed shape (round-13 review),
+    # checked against EVERY fold input — the new batch dirs AND the
+    # prior consolidated generation (round-13 advice: a prior id-bearing
+    # generation plus range-only new batches must not pass with_ids=False
+    # — the select(*cols) below would silently strip the n_ids/id_fp
+    # evidence from the consolidated rows before the superseded gen is
+    # deleted, the exact data-loss class this guard exists to prevent,
+    # entering through the other input).  with_ids=False on an id-bearing
+    # store would write an id-less consolidated generation and delete the
+    # dirs holding the only copies — after which
     # outage_from_store_with_ids fails forever.  Same loud-refusal class
     # as the through_day guard above.
-    has_ids = "n_ids" in segs.columns
+    new_has = None if new_segs is None else "n_ids" in new_segs.columns
+    prior_has = None if prior is None else "n_ids" in prior.columns
+    if new_has is not None and prior_has is not None and new_has != prior_has:
+        raise ValueError(
+            f"{base}: shape mismatch — the consolidated generation "
+            f"{'carries' if prior_has else 'lacks'} id evidence "
+            f"(n_ids/id_fp) while the new batch dirs "
+            f"{'carry' if new_has else 'lack'} it; the store landed in "
+            "two shapes and no single compaction flag is sound for both. "
+            "Re-land the minority shape through the matching form first."
+        )
+    has_ids = new_has if new_has is not None else prior_has
     if has_ids and not with_ids:
         raise ValueError(
             f"{base} carries id evidence (n_ids/id_fp) — pass "
@@ -380,13 +424,12 @@ def compact_outage_day(
             f"{base} has no n_ids/id_fp columns (landed range-only) — "
             "call compact_outage_day without with_ids"
         )
-    segs = segs.select(*cols)
-    if ptr:
-        segs = (
-            spark.read.parquet(os.path.join(base, ptr[0]))
-            .select(*cols)
-            .unionByName(segs)
-        )
+    if new_segs is None:
+        segs = prior.select(*cols)
+    elif prior is None:
+        segs = new_segs.select(*cols)
+    else:
+        segs = prior.select(*cols).unionByName(new_segs.select(*cols))
 
     closed = segs.filter(F.col("day") <= F.lit(through_day).cast("date"))
     open_ = segs.filter(F.col("day") > F.lit(through_day).cast("date"))
