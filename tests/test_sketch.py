@@ -1092,3 +1092,43 @@ def test_compact_outage_day_refuses_prior_gen_id_evidence_mismatch(spark, tmp_pa
         with pytest.raises(ValueError, match="shape mismatch"):
             comp.compact_outage_day(spark, store2, "2024-01-02", with_ids=flag)
     assert comp._read_pointer(f"{store2}/outage") == (".consolidated-gen-1", 0)
+
+
+def test_x216_build_chains_two_consolidated_generations(spark):
+    """The r13 verdict's done-condition for the multi-generation chain:
+    x216's store must hold a .consolidated-gen-2 pointer — generation 1
+    was folded INTO generation 2 and retired — with only the live tail
+    and the ignored replay as batch dirs.  Fresh build (rmtree first)
+    so the pin witnesses this code's lifecycle."""
+    from trimet_bytes__data_engineering_project_spark.plans.extensions import (
+        _SCRATCH,
+        _tagged_dir,
+    )
+    from trimet_bytes__data_engineering_project_spark.plans.registry import QUERIES
+    from trimet_bytes__data_engineering_project_spark.streaming.compaction import (
+        _read_pointer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = _tagged_dir(_SCRATCH, "recompacted_cms", sf_dir=sf)
+    shutil.rmtree(store, ignore_errors=True)
+
+    out = QUERIES["x216_recompacted_cms_serve"](spark, sf).collect()
+    # top-k capped by the distinct-user population (sf0.001 has < 20)
+    from trimet_bytes__data_engineering_project_spark.plans.tables import load_table
+
+    n_users = load_table(spark, sf, "events").select("user_id").distinct().count()
+    assert len(out) == min(20, n_users) > 0
+    # twice-compacted store still serves the EXACT sketch: every top
+    # user's estimate must be >= its true count (CMS one-sided error),
+    # and with this depth/width at sf0.001 collisions are absent
+    assert all(r.est == r.c for r in out)
+
+    assert _read_pointer(f"{store}/cms") == (".consolidated-gen-2", 3)
+    assert os.path.isdir(f"{store}/cms/.consolidated-gen-2")
+    assert not os.path.exists(f"{store}/cms/.consolidated-gen-1")  # retired
+    live = sorted(
+        d for d in os.listdir(f"{store}/cms") if d.startswith("batch_id=")
+    )
+    # batch 4 = live tail; batch 1 = the re-landed replay the serve ignores
+    assert live == ["batch_id=1", "batch_id=4"]

@@ -275,3 +275,46 @@ def test_registered_read_runs_no_footer_sweep_job(spark, tmp_path):
         sc.setLocalProperty("spark.job.description", None)
     assert len(jobs) == 0, f"read_registered ran {len(jobs)} construction jobs"
     assert df.count() == 200 and df.filter("quality IS NULL").count() == 100
+
+
+def test_registered_read_version_pin_and_exact_columns(spark, tmp_path):
+    """x217's serve path (r13 verdict item 7): read_registered at a
+    PINNED historical version serves exactly that version's columns —
+    later generations' extra columns are dropped by parquet's per-file
+    projection — and at ANY version the served column set is EXACTLY
+    the registered one: the landing's batch_id=N directory names must
+    not ride in as a partition-discovery column (Spark appends
+    partition columns even under an explicit schema; a catalog-governed
+    serve must not grow columns the registry never declared)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from trimet_bytes__data_engineering_project_spark.sources.readers import (
+        read_registered,
+        register_landing_schema,
+    )
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "landing")
+    v1 = StructType([StructField("doc_id", LongType()), StructField("n_chars", LongType())])
+    v2 = StructType(list(v1.fields) + [StructField("quality", DoubleType())])
+    register_landing_schema(spark, path, v1)
+    spark.range(10).selectExpr("id AS doc_id", "id*2 AS n_chars").write.parquet(
+        f"{path}/batch_id=0"
+    )
+    register_landing_schema(spark, path, v2)
+    spark.range(10, 20).selectExpr(
+        "id AS doc_id", "id*2 AS n_chars", "0.5 AS quality"
+    ).write.parquet(f"{path}/batch_id=1")
+
+    # pinned v1: exactly the v1 columns, over EVERY generation (gen 1's
+    # quality column dropped by the projection), values intact
+    pinned = read_registered(spark, path, version=1)
+    assert pinned.columns == ["doc_id", "n_chars"]
+    assert pinned.count() == 20
+    assert pinned.agg(F.sum("n_chars")).first()[0] == sum(2 * i for i in range(20))
+
+    # current: exactly the v2 columns — no batch_id partition leak
+    cur = read_registered(spark, path)
+    assert cur.columns == ["doc_id", "n_chars", "quality"]
+    assert cur.filter("quality IS NULL").count() == 10

@@ -264,10 +264,31 @@ def landing_schema(
     return StructType.fromJson(json.loads(txt))
 
 
-def read_registered(spark: SparkSession, path: str) -> DataFrame:
-    """:func:`read_with_schema` under the landing's OWN current
-    registered schema — the self-describing form of the scale read: the
-    catalog lives next to the data, the read costs one small text GET
-    plus the pinned multi-path scan, and no caller threads StructTypes
-    around."""
-    return read_with_schema(spark, path, landing_schema(spark, path))
+def read_registered(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """:func:`read_with_schema` under the landing's OWN registered
+    schema — the self-describing form of the scale read: the catalog
+    lives next to the data, the read costs one small text GET plus the
+    pinned multi-path scan, and no caller threads StructTypes around.
+
+    ``version`` pins a HISTORICAL schema (time-travel for readers that
+    must replay an old contract — e.g. a downstream job validated
+    against v1 keeps its exact column view while the landing evolves):
+    generations that postdate the pinned version carry extra columns,
+    and parquet's per-file projection simply drops them — the add-only
+    registration contract guarantees every v1 column still exists with
+    its exact type in every later generation, so a pinned read is
+    always well-defined.  Default (None) serves the current pointer.
+
+    The served columns are EXACTLY the registered ones (round 14): a
+    multi-generation landing's ``batch_id=N`` directory names would
+    otherwise ride in as a partition-discovery column — Spark appends
+    partition columns even under an explicit schema — and a
+    catalog-governed serve must not grow surprise columns the registry
+    never declared (the raw layout stays reachable via
+    :func:`read_with_schema` for maintenance jobs that want it)."""
+    schema = landing_schema(spark, path, version)
+    return read_with_schema(spark, path, schema).select(
+        *[f.name for f in schema.fields]
+    )

@@ -339,6 +339,25 @@ def bloom_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     return rows.groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))
 
 
+def funnel_min_table(
+    batch_df: DataFrame, stages: "tuple[str, ...]" = ("view", "click", "purchase")
+) -> DataFrame:
+    """One batch's (user_id, t_<stage>...) first-occurrence min table —
+    the landing unit of the funnel store, split out (round 14) so the
+    batch-built lifecycle query (x215) lands through the SAME
+    aggregation the stream does."""
+    aggs = [
+        F.min(
+            F.when(
+                F.col("event_type") == s,
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        ).alias(f"t_{s}")
+        for s in stages
+    ]
+    return batch_df.groupBy("user_id").agg(*aggs)
+
+
 def run_streaming_funnel(
     spark: SparkSession,
     landing_dir: str,
@@ -356,19 +375,8 @@ def run_streaming_funnel(
     the folded mins still order correctly).  Min is idempotent —
     at-least-once replay alone is exact, like the HLL/Bloom landings."""
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        aggs = [
-            F.min(
-                F.when(
-                    F.col("event_type") == s,
-                    F.unix_micros(F.col("ts").cast("timestamp")),
-                )
-            ).alias(f"t_{s}")
-            for s in stages
-        ]
-        (
-            batch_df.groupBy("user_id").agg(*aggs)
-            .write.mode("overwrite")
-            .parquet(f"{store_path}/funnel/batch_id={batch_id}")
+        funnel_min_table(batch_df, stages).write.mode("overwrite").parquet(
+            f"{store_path}/funnel/batch_id={batch_id}"
         )
 
     (
