@@ -57,6 +57,13 @@ BARS = {
     # worst-run-plus-margin class as subset_242_r11) so round-13+
     # growth (x211/x212/x213 onward) is priced separately.
     "subset_243_r12": 275.0,
+    # frozen at the round-14 open (246 queries = subset_243_r12 + the
+    # round-13 registrations x211/x212/x213; driver r13 measured
+    # 199.7 s — the fastest driver reading yet — and the r13 close
+    # triad+run-4 spanned 209.8-221.9 s solo).  Bar = 25% headroom
+    # over the driver measurement (~13% over the worst close run) so
+    # round-14+ growth (x214 onward) is priced separately.
+    "subset_246_r13": 250.0,
 }
 
 
