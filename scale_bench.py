@@ -2218,6 +2218,41 @@ def _x213_outage_day_compacted(spark, d):
     return QUERIES["x213_outage_day_compaction"](spark, d)
 
 
+def _x214_streamed_ingest(spark, d):
+    # per-vehicle audit over the STREAM-BUILT warehouse (two-landing
+    # checkpointed availableNow ingest built once per scale dir,
+    # absorbed by the warm run): the serve is one broadcast fact⋈dim
+    # join + a 97-key map-side-combined agg over the landed crumbs —
+    # expect linear-ish in corpus rows (the crumb scan), no state term.
+    return QUERIES["x214_streamed_ingest_serve"](spark, d)
+
+
+def _x215_compacted_funnel(spark, d):
+    # stage histogram over the COMPACTED funnel store (land x3/compact/
+    # replay built once per scale dir): the serve min-folds
+    # O(users) x 3 epoch-µs rows from consolidated ∪ tail — state
+    # scales with USERS, not events — then a 4-bucket agg; expect the
+    # x212 band (small key shuffle dominates, store O(1) dirs).
+    return QUERIES["x215_compacted_funnel_serve"](spark, d)
+
+
+def _x216_recompacted_cms(spark, d):
+    # x212's probe served through the TWICE-compacted store: the gen-2
+    # consolidated counters are the same <= depth*width rows as gen-1 —
+    # re-compaction must add NOTHING to the serve cost at any scale
+    # (the exact-count shuffle is the only O(rows) term).
+    return QUERIES["x216_recompacted_cms_serve"](spark, d)
+
+
+def _x217_version_pinned(spark, d):
+    # per-column profile at pinned schema v1 over the registered
+    # landing (shared store with x211, built once): one text GET + the
+    # pruned two-column scan + a single-row agg + stack — expect
+    # x211's scan-bound flat band; time travel is a projection, so the
+    # pin must cost nothing vs the current-pointer serve.
+    return QUERIES["x217_registered_version_pinned_serve"](spark, d)
+
+
 def _x199_point_in_polygon(spark, d):
     # integer ray casting over the full scaled lineitem table: a
     # shuffle-free codegen scan + a <=3-group fold — flat band.
@@ -3048,6 +3083,10 @@ HEAVY += [
     ("x211_registered_landing_full", _x211_registered_landing),
     ("x212_compacted_cms_full", _x212_compacted_cms),
     ("x213_outage_day_full", _x213_outage_day_compacted),
+    ("x214_streamed_ingest_full", _x214_streamed_ingest),
+    ("x215_compacted_funnel_full", _x215_compacted_funnel),
+    ("x216_recompacted_cms_full", _x216_recompacted_cms),
+    ("x217_version_pinned_full", _x217_version_pinned),
     ("x200_grid_density_full", _x200_grid_density),
     ("x201_nearest_station_full", _x201_nearest_station),
     ("x196_trend_slope_full", _x196_trend),
