@@ -610,7 +610,9 @@ def test_feed_outage_two_level_lag(spark):
     ev = spark.createDataFrame(data, "event_id long, tus long").select(
         "event_id", F.timestamp_micros(F.col("tus")).alias("ts")
     )
-    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+    # the queried function lives in plans.ext.audits since the round-14
+    # split: monkeypatching load_table must hit the OWNING module
+    import trimet_bytes__data_engineering_project_spark.plans.ext.audits as ext
 
     orig = ext.load_table
     try:
@@ -800,7 +802,9 @@ def test_notin_plans_null_aware_anti_join(spark):
     assert "LeftAnti, BuildRight, true" in p, p
 
     # three-valued edge: a real NULL in the subquery empties the result
-    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+    # the queried function lives in plans.ext.scale_probes since the round-14
+    # split: monkeypatching load_table must hit the OWNING module
+    import trimet_bytes__data_engineering_project_spark.plans.ext.scale_probes as ext
     from pyspark.sql import functions as F
 
     cust = spark.createDataFrame([(1, "A"), (2, "B")], "c_custkey long, c_mktsegment string")

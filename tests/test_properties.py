@@ -1312,7 +1312,9 @@ def test_two_level_lag_equals_naive_day_window(spark, rows, shard_us):
     invariant over ties (equal rows contribute a 0 gap wherever they
     land, and the gaps to their neighbors are unchanged), so the
     comparison stays deterministic without deduplication."""
-    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+    # the queried function lives in plans.ext.audits since the round-14
+    # split: monkeypatching load_table must hit the OWNING module
+    import trimet_bytes__data_engineering_project_spark.plans.ext.audits as ext
 
     ev = spark.createDataFrame(
         rows, "tus long, event_id long"
@@ -1370,7 +1372,9 @@ def test_polygon_blocking_is_lossless(spark, pts):
     the blocked+exact pipeline equals a brute-force ray cast against
     all 100 polygons with no blocking at all.  A candidate the buckets
     drop is a correctness bug, not a perf one."""
-    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+    # the queried function lives in plans.ext.scale_probes since the round-14
+    # split: monkeypatching load_table must hit the OWNING module
+    import trimet_bytes__data_engineering_project_spark.plans.ext.scale_probes as ext
     from pyspark.sql import functions as F
 
     li = spark.createDataFrame(
@@ -1435,7 +1439,9 @@ def test_outage_segment_store_equals_batch_x202(spark, rows, shard_us, cuts):
     Batches are cut at random positions of the time-sorted sequence
     (the feed's arrival-order contract); the INTERLEAVED case is pinned
     separately as a loud error in tests/test_sketch.py."""
-    import trimet_bytes__data_engineering_project_spark.plans.extensions as ext
+    # the queried function lives in plans.ext.audits since the round-14
+    # split: monkeypatching load_table must hit the OWNING module
+    import trimet_bytes__data_engineering_project_spark.plans.ext.audits as ext
     from trimet_bytes__data_engineering_project_spark.streaming.stats import (
         outage_from_segments,
         outage_segments,
