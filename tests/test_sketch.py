@@ -1132,3 +1132,75 @@ def test_x216_build_chains_two_consolidated_generations(spark):
     )
     # batch 4 = live tail; batch 1 = the re-landed replay the serve ignores
     assert live == ["batch_id=1", "batch_id=4"]
+
+
+def test_compact_store_refuses_partial_commit_dir(spark, tmp_path):
+    """Round-14 review: a re-land caught mid-COMMIT — part files already
+    renamed in, _SUCCESS not yet written (the committer writes it last)
+    — previously folded as a silently PARTIAL batch.  _fold_files now
+    requires the marker for NON-empty dirs too: parquet files without
+    _SUCCESS is a commit in flight, raise with the store untouched."""
+    import pytest
+
+    import trimet_bytes__data_engineering_project_spark.streaming.compaction as comp
+
+    store = str(tmp_path / "store")
+    for b in range(2):
+        spark.createDataFrame(
+            [(i, 10 + b) for i in range(3)], "bin_idx int, cnt long"
+        ).write.parquet(f"{store}/hist/batch_id={b}")
+    # batch 1 mid-commit: marker not yet written, data files present
+    os.remove(f"{store}/hist/batch_id=1/_SUCCESS")
+
+    with pytest.raises(IOError, match="no _SUCCESS marker"):
+        comp.compact_store(spark, store, "hist")
+    # nothing committed: no pointer, both dirs' data intact
+    assert not os.path.exists(f"{store}/hist/._consolidated")
+    assert comp.store_rows(spark, store, "hist")[1] is None
+
+    # the commit completing (marker lands) unblocks the same call
+    open(f"{store}/hist/batch_id=1/_SUCCESS", "w").close()
+    assert comp.compact_store(spark, store, "hist") == 1
+
+
+def test_compact_outage_day_refuses_mixed_shape_new_dirs(spark, tmp_path):
+    """Round-14 review: the id-evidence guard derived the new-batch
+    shape from the MULTI-PATH read, whose schema comes from a single
+    file — a fold set mixing id-bearing and range-only dirs resolved to
+    whichever file won, either stripping the id dirs' evidence
+    (with_ids=False passes) or null-filling the range-only rows into
+    undercounted folds (with_ids=True passes).  The shape is now read
+    PER DIR and any mixture refuses loudly, both flags, store
+    untouched."""
+    import pytest
+
+    import trimet_bytes__data_engineering_project_spark.streaming.compaction as comp
+    from trimet_bytes__data_engineering_project_spark.streaming.stats import (
+        outage_segments,
+        outage_segments_with_ids,
+    )
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(t, i) for t, i in rows], "ts string, event_id long"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_id")
+
+    # NEVER-compacted store: batch 0 id-bearing, batch 1 range-only —
+    # the mixture lives entirely within the new fold dirs
+    store = str(tmp_path / "store")
+    outage_segments_with_ids(
+        to_df([("2024-01-01 00:00:00", 1), ("2024-01-01 00:10:00", 2)]),
+        900_000_000,
+    ).write.parquet(f"{store}/outage/batch_id=0")
+    outage_segments(
+        to_df([("2024-01-01 01:00:00", 3), ("2024-01-01 01:05:00", 4)]),
+        900_000_000,
+    ).write.parquet(f"{store}/outage/batch_id=1")
+
+    for flag in (False, True):
+        with pytest.raises(ValueError, match="WITHIN the new batch dirs"):
+            comp.compact_outage_day(spark, store, "2024-01-01", with_ids=flag)
+    # untouched: never compacted, both dirs intact
+    assert comp._read_pointer(f"{store}/outage") is None
+    assert os.path.isdir(f"{store}/outage/batch_id=0")
+    assert os.path.isdir(f"{store}/outage/batch_id=1")

@@ -318,3 +318,39 @@ def test_registered_read_version_pin_and_exact_columns(spark, tmp_path):
     cur = read_registered(spark, path)
     assert cur.columns == ["doc_id", "n_chars", "quality"]
     assert cur.filter("quality IS NULL").count() == 10
+
+
+def test_registered_version_pin_bounds_checked(spark, tmp_path):
+    """Round-14 review: a pinned version must be COMMITTED history
+    (1..current).  An orphaned v<n>.json left by a registration that
+    crashed before flipping the current pointer must not serve a
+    never-committed contract, and a simply-nonexistent pin is the
+    caller's error, not registry corruption."""
+    import pytest
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from trimet_bytes__data_engineering_project_spark.sources.readers import (
+        read_registered,
+        register_landing_schema,
+    )
+
+    path = str(tmp_path / "landing")
+    v1 = StructType([StructField("doc_id", LongType()), StructField("n", LongType())])
+    register_landing_schema(spark, path, v1)
+    spark.range(5).selectExpr("id AS doc_id", "id AS n").write.parquet(
+        f"{path}/batch_id=0"
+    )
+
+    # a crashed registration: v2.json written, current never flipped
+    v2 = StructType(list(v1.fields) + [StructField("extra", DoubleType())])
+    with open(f"{path}/_schema/v2.json", "w") as f:
+        f.write(v2.json())
+
+    with pytest.raises(ValueError, match="never committed"):
+        read_registered(spark, path, version=2)
+    for bad in (0, 7, -1):
+        with pytest.raises(ValueError, match="never committed"):
+            read_registered(spark, path, version=bad)
+    # the committed version still serves
+    assert read_registered(spark, path, version=1).columns == ["doc_id", "n"]
+    assert read_registered(spark, path).count() == 5

@@ -238,7 +238,16 @@ def landing_schema(
     pinned historical one (time-travel for readers that must replay an
     old contract).  A pointer naming a missing version file fails
     loudly (the registry is corrupt), matching the warehouse pointer
-    contract."""
+    contract.
+
+    A pinned ``version`` is bounds-checked against the current pointer
+    (round-14 review): only versions the pointer has COMMITTED are
+    servable history.  Without the check, an orphaned ``v<n>.json``
+    left by a registration that crashed before flipping ``current``
+    (the documented write order) would serve a never-committed contract
+    — columns no generation carries, silently null-filled — and a
+    simply-nonexistent pin would be misreported as registry corruption
+    when the registry never named it."""
     import json
     import os
 
@@ -246,15 +255,25 @@ def landing_schema(
 
     from ..streaming.hadoopfs import fs_read_text
 
+    cur = fs_read_text(os.path.join(path, "_schema", "current"))
+    if cur is None:
+        if _absent_ok and version is None:
+            return None
+        raise ValueError(f"{path} has no registered landing schema")
+    cur_version = int(cur.strip().lstrip("v"))
     if version is None:
-        cur = fs_read_text(os.path.join(path, "_schema", "current"))
-        if cur is None:
-            if _absent_ok:
-                return None
-            raise ValueError(f"{path} has no registered landing schema")
         tag = cur.strip()
     else:
-        tag = f"v{int(version)}"
+        version = int(version)
+        if not 1 <= version <= cur_version:
+            raise ValueError(
+                f"{path}: pinned schema version v{version} was never "
+                f"committed — the registry's current pointer is "
+                f"v{cur_version} (committed history is v1..v{cur_version}; "
+                "an orphaned version file from a crashed registration is "
+                "not servable history)"
+            )
+        tag = f"v{version}"
     txt = fs_read_text(os.path.join(path, "_schema", f"{tag}.json"))
     if txt is None:
         raise IOError(

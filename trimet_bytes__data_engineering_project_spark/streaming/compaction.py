@@ -116,22 +116,33 @@ def _fold_files(spark: SparkSession, fold_dirs: list[str]) -> list[str]:
     hwm advance past it deletes it), never mistaken for a mid-overwrite
     dir: an interrupted ``mode("overwrite")`` re-land deletes the whole
     dir first, so _SUCCESS and parquet files vanish together.  Callers
-    must tolerate an EMPTY return (every fold dir an empty landing)."""
+    must tolerate an EMPTY return (every fold dir an empty landing).
+
+    ``_SUCCESS`` is required for NON-empty dirs too (round-14 review):
+    a re-land caught mid-COMMIT — the committer has renamed some part
+    files in but not yet written ``_SUCCESS`` — would otherwise fold as
+    a silently PARTIAL batch (the remaining rows lost from the
+    consolidated generation, the fully re-landed dir then ignored at/
+    below the hwm forever).  Every landing writer here commits through
+    Spark's FileOutputCommitter, which writes the marker last, so a
+    parquet-bearing dir without it is a commit in flight, never a
+    healthy landing — raise and retry."""
     from .hadoopfs import fs_list
 
     files: list[str] = []
     for d in fold_dirs:
         names = fs_list(d, spark)
         part = [os.path.join(d, n) for n in names if n.endswith(".parquet")]
-        if not part:
-            if "_SUCCESS" in names:
-                continue  # committed-empty landing: no rows to fold
+        if "_SUCCESS" not in names:
             raise IOError(
-                f"{d} holds no parquet files and no _SUCCESS marker — a "
+                f"{d} has no _SUCCESS marker "
+                f"({'some' if part else 'no'} parquet files present) — a "
                 "replaying stream is re-landing it mid-compaction "
-                "(overwrite is delete-then-commit); quiesce the replay or "
-                "retry after it lands"
+                "(overwrite deletes then commits, the marker lands last); "
+                "quiesce the replay or retry after it lands"
             )
+        if not part:
+            continue  # committed-empty landing: no rows to fold
         files.extend(part)
     return files
 
@@ -400,7 +411,33 @@ def compact_outage_day(
     # dirs holding the only copies — after which
     # outage_from_store_with_ids fails forever.  Same loud-refusal class
     # as the through_day guard above.
-    new_has = None if new_segs is None else "n_ids" in new_segs.columns
+    # The new-batch shape is checked PER DIR, not from the multi-path
+    # read (round-14 review): spark.read.parquet(*files) infers its
+    # schema from a single file, so a fold set MIXING id-bearing and
+    # range-only dirs would otherwise resolve to whichever file won —
+    # either silently stripping the id dirs' evidence (range-only wins,
+    # with_ids=False passes) or null-filling the range-only rows into
+    # undercounted folds (id-bearing wins, with_ids=True passes).  One
+    # footer read per dir; within a dir the shape is uniform because
+    # each landing is a single atomic write.
+    dir_files: dict[str, list[str]] = {}
+    for f in files:
+        dir_files.setdefault(os.path.dirname(f), []).append(f)
+    dir_has = {
+        d: "n_ids" in spark.read.parquet(fs[0]).columns
+        for d, fs in sorted(dir_files.items())
+    }
+    if len(set(dir_has.values())) > 1:
+        raise ValueError(
+            f"{base}: shape mismatch WITHIN the new batch dirs — "
+            f"{sorted(d for d, h in dir_has.items() if h)} carry id "
+            f"evidence (n_ids/id_fp) while "
+            f"{sorted(d for d, h in dir_has.items() if not h)} lack it; "
+            "the store landed in two shapes and no single compaction "
+            "flag is sound for both.  Re-land the minority shape through "
+            "the matching form first."
+        )
+    new_has = next(iter(dir_has.values())) if dir_has else None
     prior_has = None if prior is None else "n_ids" in prior.columns
     if new_has is not None and prior_has is not None and new_has != prior_has:
         raise ValueError(
