@@ -793,14 +793,26 @@ def kmeans_centroids(
     member = F.struct(F.col("vec_id").alias("i"), F.col("v").alias("v")).alias("m")
     data_n = data.withColumn("_vn", l2_norm(F.col("v")))
     for _ in range(n_iter):
-        assigned = (
+        # argmax via map-side-combinable max_by over (c_cos, -centroid_id)
+        # — identical selection and tie order to the rank-1 window this
+        # replaced (see assign_to_centroids: NaN orders greatest in both
+        # window sorts and struct comparisons), but the n×n_c scored
+        # rows fold to one row per vector BEFORE any exchange instead of
+        # all shuffling into a window sort — one full shuffle of the
+        # scored crossJoin removed per Lloyd round.
+        best = (
             data_n.crossJoin(F.broadcast(cents.withColumn("c_n", l2_norm(F.col("cvec")))))
             .withColumn(
                 "c_cos", dot(F.col("v"), F.col("cvec")) / (F.col("_vn") * F.col("c_n"))
             )
+            .groupBy("vec_id")
+            .agg(
+                F.expr("max_by(centroid_id, struct(c_cos, -centroid_id))").alias(
+                    "centroid_id"
+                ),
+                F.any_value(F.col("v")).alias("v"),
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "centroid_id")
-        best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
         lvl1 = (
             best.select("centroid_id", chunk, member)
             .groupBy("centroid_id", "chunk")

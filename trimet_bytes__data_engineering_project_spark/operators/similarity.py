@@ -50,11 +50,26 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def vector_literal(values: list[float]) -> Column:
-    """One ``array<double>`` literal in a single py4j call — building it
-    as ``F.array(*64 lits)`` costs ~10× more driver round-trips, which
-    dominates plan-build time for the ANN queries (the literal appears
-    once per hyperplane and per query vector)."""
-    return F.lit([float(v) for v in values])
+    """One ``array<double>`` literal in a single py4j round trip.
+
+    ``F.lit(list)`` is NOT one call in this PySpark: it expands to
+    ``array(lit(v0), lit(v1), …)`` — one gateway round trip per
+    element, measured ~33 ms per 64-float plane, which made literal
+    construction (32 planes × 64 floats ≈ 1.0 s) the single largest
+    term of the ANN queries' plan-build time.  Rendering the literal
+    as SQL text instead hands the whole array to the parser in one
+    call.  Values are bit-identical: ``repr`` round-trips doubles and
+    Spark's decimal-literal parse is correctly rounded; the rare
+    exponent-form repr goes through a string CAST, which parses the
+    same shortest-round-trip decimal."""
+    parts = []
+    for v in values:
+        r = repr(float(v))
+        if "e" in r or "E" in r or "n" in r or "f" in r:  # 1e-05 / nan / inf
+            parts.append(f"CAST('{r}' AS DOUBLE)")
+        else:
+            parts.append(f"{r}D")
+    return F.expr(f"array({', '.join(parts)})")
 
 
 def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int, vec_col: str = "embedding") -> DataFrame:

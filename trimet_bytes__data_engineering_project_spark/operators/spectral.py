@@ -166,36 +166,50 @@ def power_iteration_top_component(
             .groupBy("j")
             .agg(F.sum(F.col("xv") * F.col("u")).cast("long").alias("y"))
         )
-        n2 = y.agg(
-            F.sum(
-                F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
-            )
-            .cast("double")
-            .alias("n2")
-        )
+        # r14: the norm + normalize run ARRAY-LOCALLY on the assembled
+        # 1-row iterate instead of a separate n² aggregation plus a
+        # broadcast back onto the y rows — the decimal fold below is the
+        # same per-element DECIMAL(19,0)² product summed in
+        # DECIMAL(38,0) (exact, associative ⇒ fold ≡ SUM, identical
+        # overflow-to-NULL behavior), and the per-element normalize is
+        # the identical expression, so the iterate is bit-identical
+        # while each round drops one aggregation job and one broadcast
+        # exchange — pure stage-barrier overhead at any scale, and the
+        # dominant wall term of this operator at bench scale.  An empty
+        # corpus still yields the empty iterate (transform over [] is
+        # [], the fold over [] is 0 — no branch ever evaluates).
+        yarr = _assemble(y, "j", "y", "yarr")
+        n2 = F.aggregate(
+            F.transform(
+                F.col("yarr"),
+                lambda yv: yv.cast("decimal(19,0)") * yv.cast("decimal(19,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, p: acc + p,
+        ).cast("double")
         # NULL n2 = the DECIMAL(38,0) sum of squares overflowed (corpus
         # beyond the module-docstring ceiling) — hard error, NOT the
         # zero-corpus zero vector (n2 == 0) it would otherwise alias.
-        vrows = y.crossJoin(F.broadcast(n2)).select(
-            "j",
-            F.when(
-                F.col("n2") > 0,
-                F.floor(
-                    F.col("y").cast("double") * F.lit(float(sv)) / F.sqrt("n2")
-                ).cast("long"),
-            )
-            .when(F.col("n2") == 0, F.lit(0).cast("long"))
-            .otherwise(
-                F.expr(
-                    "CAST(raise_error('power_iteration_top_component: sum of"
-                    " squares overflowed DECIMAL(38,0) — corpus exceeds"
-                    " row_ceiling(d, xmax, sx, sv) (~5.8e8 at the defaults);"
-                    " lower sv or shard-and-average') AS BIGINT)"
+        v = yarr.select(n2.alias("n2"), "yarr").select(
+            F.transform(
+                F.col("yarr"),
+                lambda yv: F.when(
+                    F.col("n2") > 0,
+                    F.floor(
+                        yv.cast("double") * F.lit(float(sv)) / F.sqrt("n2")
+                    ).cast("long"),
                 )
-            )
-            .alias("v"),
+                .when(F.col("n2") == 0, F.lit(0).cast("long"))
+                .otherwise(
+                    F.expr(
+                        "CAST(raise_error('power_iteration_top_component: sum of"
+                        " squares overflowed DECIMAL(38,0) — corpus exceeds"
+                        " row_ceiling(d, xmax, sx, sv) (~5.8e8 at the defaults);"
+                        " lower sv or shard-and-average') AS BIGINT)"
+                    )
+                ),
+            ).alias("varr")
         )
-        v = _assemble(vrows, "j", "v", "varr")
     return (
         v.select(F.posexplode("varr").alias("dim_idx", "v_fp"))
         .select(F.col("dim_idx").cast("int"), "v_fp")
