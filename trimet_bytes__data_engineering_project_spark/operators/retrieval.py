@@ -298,11 +298,17 @@ def bm25_topk(
         .agg(F.count("*").cast("long").alias("tf"))
     )
     w_df = Window.partitionBy("term")
+    # dl is consumed twice (per-doc join + corpus stats) and Spark
+    # re-executes shared subtrees per consumer (the x100 finding) — a
+    # full regexp tokenization pass each.  Checkpointing the (doc_id,
+    # dl) projection (8 B/doc) halves the operator's corpus scans:
+    # tokenize once for the match pass, once for dl, instead of thrice.
+    dl = doc_lengths(docs, id_col, text_col).localCheckpoint(eager=False)
     matched = (
         matched_tf.withColumn("df", F.count("*").over(w_df).cast("long"))
         .join(F.broadcast(qterms), "term")
-        .join(doc_lengths(docs, id_col, text_col), "doc_id")
-        .crossJoin(F.broadcast(_avgdl_stats(doc_lengths(docs, id_col, text_col))))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(_avgdl_stats(dl)))
     )
     scored = matched.groupBy("query_id", "doc_id").agg(
         F.sum(_score_fp_col()).cast("long").alias("score_fp")
@@ -1294,7 +1300,12 @@ def bm25f_topk(
         .groupBy("doc_id", "term")
         .agg(F.sum("wt").cast("long").alias("tf"))
     )
-    wdl = _weighted_doc_lengths(docs, title_len, w_title, w_body, id_col, text_col)
+    # same dl-checkpoint rationale as bm25_topk: wdl feeds two
+    # consumers and each re-execution is a full weighted-tokenization
+    # pass over the corpus
+    wdl = _weighted_doc_lengths(
+        docs, title_len, w_title, w_body, id_col, text_col
+    ).localCheckpoint(eager=False)
     w_df = Window.partitionBy("term")
     matched = (
         matched_wtf.withColumn("df", F.count("*").over(w_df).cast("long"))

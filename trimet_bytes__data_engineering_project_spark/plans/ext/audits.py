@@ -271,12 +271,15 @@ def x178_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = materialize_queries(
         top_terms_queries(docs, F.col("doc_id") % 50 == 0, n_terms=3)
     )
+    # checkpoint the chunk corpus: bm25_topk scans its docs input twice
+    # (token match + dl), and each scan would otherwise re-run the whole
+    # chunker — the operator's dominant CPU term (measured r14)
     passages = chunk_documents(docs, size=200, stride=150).select(
         (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
         .cast("long")
         .alias("passage_id"),
         F.col("chunk_text").alias("text"),
-    )
+    ).localCheckpoint(eager=False)
     hits = bm25_topk(passages, queries, k=50, id_col="passage_id", text_col="text")
     parts = hits.select(
         "query_id",
