@@ -91,6 +91,21 @@ def word_types(
     )
 
 
+def _pair_structs(c):
+    """array<struct<a,b>> of the ADJACENT symbol pairs of array column
+    ``c`` (all occurrences, overlaps included), assembled array-locally
+    via ``zip_with(slice, slice)`` — shared by :func:`pair_counts` and
+    the fused delta step of :func:`bpe_learn_incremental`."""
+    return F.when(
+        F.size(c) >= 2,
+        F.zip_with(
+            F.slice(c, 1, F.size(c) - 1),
+            F.slice(c, 2, F.size(c) - 1),
+            lambda l, r: F.struct(l.alias("a"), r.alias("b")),
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
+
+
 def pair_counts(
     words: DataFrame, sym_col: str = "syms", weight_col: str | None = None
 ) -> DataFrame:
@@ -100,15 +115,7 @@ def pair_counts(
     the (a, b) count with map-side combine.  With ``weight_col`` each
     row's pairs count that many occurrences (the word-TYPE form —
     sums are identical to the per-occurrence table by construction)."""
-    c = F.col(sym_col)
-    pairs = F.when(
-        F.size(c) >= 2,
-        F.zip_with(
-            F.slice(c, 1, F.size(c) - 1),
-            F.slice(c, 2, F.size(c) - 1),
-            lambda l, r: F.struct(l.alias("a"), r.alias("b")),
-        ),
-    ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
+    pairs = _pair_structs(F.col(sym_col))
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("wt")
     return (
         words.select(F.explode(pairs).alias("p"), w)
@@ -133,16 +140,16 @@ def top_pair(
     return (rows[0].a, rows[0].b, rows[0].cnt) if rows else None
 
 
-def apply_merge(
-    words: DataFrame, a: str, b: str, sym_col: str = "syms"
-) -> DataFrame:
-    """Rewrite every symbol array with one merge rule, greedy
-    left-to-right: scan symbols with a (out, pend) fold — ``pend``
-    holds a just-seen ``a`` awaiting its ``b``; on ``b`` they fuse, on
-    another ``a`` the old pend flushes and the new one waits, else both
-    flush.  The merge-wins branch order makes the a==b run case come
-    out [aa, aa, ...] exactly like the reference implementation.  Pure
-    array fold: no shuffle, no explode, stays in codegen."""
+def _merge_fold_col(a: str, b: str, sym_col: str = "syms"):
+    """The greedy left-to-right merge REWRITE as a bare Column: scan
+    symbols with a (out, pend) fold — ``pend`` holds a just-seen ``a``
+    awaiting its ``b``; on ``b`` they fuse, on another ``a`` the old
+    pend flushes and the new one waits, else both flush.  The
+    merge-wins branch order makes the a==b run case come out
+    [aa, aa, ...] exactly like the reference implementation.  Pure
+    array fold: no shuffle, no explode, stays in codegen.  Exposed so
+    :func:`apply_merge` and the fused trainer step share one
+    construction."""
     la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
     nul = F.lit(None).cast("string")
 
@@ -174,8 +181,23 @@ def apply_merge(
             F.concat(acc["out"], F.array(acc["pend"]))
         )
 
-    merged = F.aggregate(F.col(sym_col), F.expr(_ACC_ZERO), step, finish)
-    return words.withColumn(sym_col, merged)
+    return F.aggregate(F.col(sym_col), F.expr(_ACC_ZERO), step, finish)
+
+
+def apply_merge(
+    words: DataFrame, a: str, b: str, sym_col: str = "syms"
+) -> DataFrame:
+    """Rewrite every symbol array with one merge rule
+    (:func:`_merge_fold_col` — greedy left-to-right, the reference
+    semantics).  UNCONDITIONAL on purpose: chained invocations
+    (``bpe_encode``'s rule chain) nest each rule's expression inside
+    the next, and a per-row CASE WHEN guard here would reference the
+    previous rule's tree THREE times (guard + fold input + passthrough)
+    — 3^rules expression growth, measured 2.4x SLOWER at 3 rules on
+    x127/x134 (r15; the same grow-the-tree trap as the r14 unroll
+    negative result).  The guarded form lives in
+    :func:`apply_merge_pruned` for MATERIALIZED inputs."""
+    return words.withColumn(sym_col, _merge_fold_col(a, b, sym_col))
 
 
 def has_adjacent_pair(a: str, b: str, sym_col: str = "syms"):
@@ -201,11 +223,18 @@ def apply_merge_pruned(
 ) -> DataFrame:
     """:func:`apply_merge` restricted to affected rows: unaffected
     word types pass through untouched (their arrays are provably
-    fixed points of the fold), affected ones take the greedy fold.
-    Identical output, one narrow scan + a fold over the affected
-    slice only."""
-    hit = has_adjacent_pair(a, b, sym_col)
-    return words.filter(~hit).unionByName(apply_merge(words.filter(hit), a, b, sym_col))
+    fixed points of the fold — it only copies symbols through when no
+    (a, b) adjacency fires), affected ones take the greedy fold.
+    r15: row-local CASE WHEN instead of the old filter/union plan
+    split — identical output, one scan, no union node.  Only for
+    MATERIALIZED inputs (a checkpointed table, as in ``bpe_learn``'s
+    per-step loop): applied to a DERIVED column the guard would
+    reference the input expression three times and chained rules grow
+    3^n — use plain :func:`apply_merge` there (see its docstring)."""
+    merged = F.when(
+        has_adjacent_pair(a, b, sym_col), _merge_fold_col(a, b, sym_col)
+    ).otherwise(F.col(sym_col))
+    return words.withColumn(sym_col, merged)
 
 
 def bpe_learn(
@@ -289,8 +318,10 @@ def bpe_learn_incremental(
     heap: the full pair count is paid ONCE; each subsequent step
     recounts only the AFFECTED word types (before and after the
     merge) and folds the signed difference into the standing counts
-    table.  Per step: one narrow `exists` scan for the affected set,
-    two tiny explodes over it, and a counts-table merge keyed (a, b)
+    table.  Per step: one narrow checkpointed pass over the word table
+    (hit flag + conditional fold side by side), ONE tiny explode of
+    signed pair deltas over the affected slice, and a counts-table
+    merge keyed (a, b)
     — the distinct-pair table, bounded by (symbol alphabet)^2-ish,
     orders of magnitude under vocabulary chars.  Bit-identical merge
     tables to :func:`bpe_learn` (pinned by test); the form that makes
@@ -306,24 +337,58 @@ def bpe_learn_incremental(
         a, b, cnt = best
         merges.append((k, a, b, cnt))
         if k < n_merges:
-            hit = has_adjacent_pair(a, b)
-            affected = words.filter(hit).localCheckpoint(eager=False)
-            rewritten = apply_merge(affected, a, b).localCheckpoint(eager=False)
-            neg = pair_counts(affected, weight_col="freq").select(
-                "a", "b", (-F.col("cnt")).alias("cnt")
+            # r15 fused step: ONE checkpointed pass carries the hit
+            # flag and the rewritten array side by side (CASE WHEN fold
+            # on affected rows only — apply_merge's row-local pruning),
+            # replacing the affected/rewritten/words-union checkpoint
+            # trio: one words-table block store per step instead of
+            # three, no filter/union plan split.  The count delta is a
+            # SINGLE scan of the affected slice emitting signed
+            # (pair, ±freq) entries — old pairs at -freq, new pairs at
+            # +freq, exactly the neg/pos union it replaces (the summed
+            # totals commute), folded into the standing counts table.
+            step_df = (
+                words.withColumn("_hit", has_adjacent_pair(a, b))
+                .withColumn(
+                    "_new",
+                    F.when(F.col("_hit"), _merge_fold_col(a, b)).otherwise(
+                        F.col("syms")
+                    ),
+                )
+                .localCheckpoint(eager=False)
             )
-            pos = pair_counts(rewritten, weight_col="freq")
+            signed = F.concat(
+                F.transform(
+                    _pair_structs(F.col("syms")),
+                    lambda p: F.struct(
+                        p["a"].alias("a"),
+                        p["b"].alias("b"),
+                        (-F.col("freq")).cast("long").alias("wt"),
+                    ),
+                ),
+                F.transform(
+                    _pair_structs(F.col("_new")),
+                    lambda p: F.struct(
+                        p["a"].alias("a"),
+                        p["b"].alias("b"),
+                        F.col("freq").cast("long").alias("wt"),
+                    ),
+                ),
+            )
+            deltas = (
+                step_df.filter(F.col("_hit"))
+                .select(F.explode(signed).alias("e"))
+                .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+                .agg(F.sum("e.wt").cast("long").alias("cnt"))
+            )
             counts = (
-                counts.unionByName(neg)
-                .unionByName(pos)
+                counts.unionByName(deltas)
                 .groupBy("a", "b")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
                 .filter(F.col("cnt") > 0)
                 .localCheckpoint(eager=False)
             )
-            words = words.filter(~hit).unionByName(rewritten).localCheckpoint(
-                eager=False
-            )
+            words = step_df.select("w", "freq", F.col("_new").alias("syms"))
     return docs.sparkSession.createDataFrame(
         merges, "step int, a string, b string, cnt long"
     )
