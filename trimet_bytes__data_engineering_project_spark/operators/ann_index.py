@@ -739,6 +739,7 @@ def kmeans_centroids(
     n_centroids: int = 16,
     n_iter: int = 3,
     vec_col: str = "embedding",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Spherical k-means coarse quantizer as DataFrame ops — the trained
     replacement for the deterministic first-``n_centroids``-by-id
@@ -751,9 +752,11 @@ def kmeans_centroids(
     seeds across the cone of directions, which first-N-by-id does not
     (measured: probe-1 recall@10 0.26 → 0.33 on the driver embeddings).
 
-    Each Lloyd iteration is: assign = broadcast-centroid crossJoin +
-    rank-1 window (identical shape to the IVF assignment itself, so it
-    costs what one index build costs); update = a deterministic
+    Each Lloyd iteration is: assign = broadcast-centroid crossJoin
+    folded per vector by map-side-combinable ``max_by(centroid_id,
+    struct(c_cos, -centroid_id))`` (identical selection and tie order
+    to the rank-1 window it replaced — see ``assign_to_centroids`` for
+    the equivalence argument); update = a deterministic
     TWO-LEVEL sequential fold — members fold in vec_id order inside
     fixed ``vec_id DIV 1024`` chunks, then the per-chunk partial sums
     fold in chunk order — so the mean is bit-stable across runs,
@@ -765,8 +768,10 @@ def kmeans_centroids(
     sum per chunk — never a whole inverted list in one buffer.  The
     fold is array-op codegen, dimension-independent (same plan at dim
     8 or 8192).  The updated centroids (n_c × dim doubles — a few KB)
-    are collected and re-broadcast per iteration, keeping every
-    iteration's plan shallow instead of stacking crossJoins.  The whole
+    chain round to round as a DataFrame broadcast — no driver sync in
+    the loop (r15; each round consumes the previous exactly once, so
+    the plan grows linearly with ``n_iter``), and the final table is
+    lazily checkpointed for its multi-consumer callers.  The whole
     procedure is deterministic given the corpus; empty clusters simply
     drop out (their id stops appearing), matching standard Lloyd
     behavior."""
@@ -835,15 +840,25 @@ def kmeans_centroids(
         total = F.aggregate(
             F.col("ps"), zero2, lambda acc, p: F.zip_with(acc, p["s"], lambda a, b: a + b)
         )
-        new = lvl2.select(
+        # r15: the per-round driver sync (collect + createDataFrame) is
+        # gone — the centroid table chains declaratively round to round
+        # (each round consumes the previous one exactly once, via the
+        # broadcast into the assignment, so the plan grows LINEARLY with
+        # n_iter — the power-iteration iterate pattern).  Values are
+        # bit-identical: the old round trip was an exact IEEE double
+        # round trip, every fold below is unchanged.
+        cents = lvl2.select(
             "centroid_id",
             F.transform(total, lambda x: x / F.col("n").cast("double")).alias("cvec"),
         )
-        rows = new.collect()  # n_c rows — the per-iteration driver sync of Lloyd
-        cents = spark.createDataFrame(
-            [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in rows],
-            "centroid_id long, cvec array<double>",
-        )
+    if checkpoint and n_iter > 0:
+        # consumers read the centroid table more than once (assignment +
+        # verify in semantic_dedup, build + probe in the IVF path); the
+        # lazy checkpoint keeps the Lloyd chain single-execution, the
+        # same cost profile as the LocalRelation it replaces.
+        # checkpoint=False exposes the raw round chain (plan inspection,
+        # or a single-consumer caller that wants pure lineage).
+        cents = cents.localCheckpoint(eager=False)
     return cents
 
 

@@ -286,10 +286,13 @@ def bm25_topk(
     join).  dl is a scan-side array-size projection (no shuffle); AQE
     broadcasts the matched side of the dl join when it fits.  The
     final top-k is one window keyed query_id with a streaming row
-    counter.  Three documents scans total (match / dl / stats; Spark
-    materializes no shared subplans across consumers — the x100
-    finding); the persisted-index serve (:func:`bm25_serve`) is the
-    at-scale form with ONE pruned postings scan."""
+    counter.  Two documents scans total: one for the match pass, one
+    for the checkpointed (doc_id, dl) projection that serves both the
+    per-doc join and the corpus stats (Spark materializes no shared
+    subplans across consumers — the x100 finding — so without the
+    checkpoint dl would tokenize twice, three scans in all); the
+    persisted-index serve (:func:`bm25_serve`) is the at-scale form
+    with ONE pruned postings scan."""
     qterms = queries.select("query_id", "term")
     matched_tf = (
         doc_tokens(docs, id_col, text_col)

@@ -61,7 +61,11 @@ def vector_literal(values: list[float]) -> Column:
     call.  Values are bit-identical: ``repr`` round-trips doubles and
     Spark's decimal-literal parse is correctly rounded; the rare
     exponent-form repr goes through a string CAST, which parses the
-    same shortest-round-trip decimal."""
+    same shortest-round-trip decimal.  Schema note: that CAST path
+    makes the array type ``containsNull=true`` (vs the non-null
+    ``F.lit`` array) — harmless while literals only feed intermediate
+    expressions, but assert non-null first if one ever reaches an
+    output schema."""
     parts = []
     for v in values:
         r = repr(float(v))
