@@ -323,13 +323,15 @@ def decontaminate(
     )
 
 
-def chunk_lines(text: Column, n: int = 4) -> Column:
-    """Re-segment a flat text into newline-joined fixed-stride word
-    chunks (``n`` tokens per line, last line short).  Two uses: a
-    fixed-window segmenter in its own right (the chunking step of
-    context packing), and the line fabricator for corpora whose
-    synthetic text carries no newline structure — :func:`dedup_lines`
-    needs lines to operate on.
+def chunk_line_array(text: Column, n: int = 4) -> Column:
+    """The fixed-stride chunk segmentation as an ARRAY column — one
+    element per would-be line, :func:`chunk_lines` without the newline
+    join.  Composing with :func:`dedup_line_arrays` skips the
+    join("\\n") → re-split round trip entirely (two full string
+    materializations of the corpus — r15); the equivalence is exact
+    because chunks are space-joined whitespace-split tokens (never
+    contain a newline) and ``tokens`` never yields an empty array
+    (split of "" is [""]), so split(join(arr, "\\n"), "\\n") == arr.
 
     Same single-bind lambda trick as :func:`all_shingles` (Catalyst
     does not CSE across lambda boundaries), all array exprs, codegen
@@ -343,9 +345,18 @@ def chunk_lines(text: Column, n: int = 4) -> Column:
             lambda i: F.array_join(F.slice(t, (i - 1) * n + 1, n), " "),
         )
 
-    return F.array_join(
-        F.element_at(F.transform(F.array(tokens(text)), _chunks), 1), "\n"
-    )
+    return F.element_at(F.transform(F.array(tokens(text)), _chunks), 1)
+
+
+def chunk_lines(text: Column, n: int = 4) -> Column:
+    """Re-segment a flat text into newline-joined fixed-stride word
+    chunks (``n`` tokens per line, last line short).  Two uses: a
+    fixed-window segmenter in its own right (the chunking step of
+    context packing), and the line fabricator for corpora whose
+    synthetic text carries no newline structure — :func:`dedup_lines`
+    needs lines to operate on.  (:func:`chunk_line_array` is the
+    un-joined form for composition with :func:`dedup_line_arrays`.)"""
+    return F.array_join(chunk_line_array(text, n), "\n")
 
 
 def dedup_lines(
@@ -376,6 +387,30 @@ def dedup_lines(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("h", F.md5("line"))
+    return _dedup_line_rows(lines, min_dup)
+
+
+def dedup_line_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    min_dup: int = 2,
+) -> DataFrame:
+    """:func:`dedup_lines` over a pre-split ARRAY of lines (e.g.
+    :func:`chunk_line_array`'s output) — identical result, minus the
+    newline join + re-split the text form pays when the lines were
+    fabricated from arrays in the first place (r15; the equivalence
+    argument is at chunk_line_array)."""
+    lines = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    ).withColumn("h", F.md5("line"))
+    return _dedup_line_rows(lines, min_dup)
+
+
+def _dedup_line_rows(lines: DataFrame, min_dup: int) -> DataFrame:
+    """Shared tail of the line-dedup pair: occurrence count on the line
+    hash, anti-join, order-restoring reassembly."""
     dup = (
         lines.groupBy("h")
         .agg(F.count("*").alias("n_occ"))

@@ -1010,15 +1010,9 @@ def kneser_ney_surprisal(
     t2 = (
         t2_counts.select("g", F.col("c").cast("long").alias("c2"))
         if t2_counts is not None
-        # four consumers (pre / nc / nt / the scored join): AQE exchange
-        # reuse already dedups the shared map stage, but each consumer
-        # still re-reduces the shuffle — materializing the FINAL count
-        # table saves the three re-aggregations (measured -11% on x95;
-        # the 2-consumer JM tables measured FLAT and stay uncheckpointed)
         else explode_grams(base, 2)
         .groupBy("g")
         .agg(F.count("*").cast("long").alias("c2"))
-        .localCheckpoint(eager=False)
     )
     pre = (
         t2.groupBy(F.substring_index("g", " ", 1).alias("w1"))
@@ -1351,14 +1345,9 @@ def modified_kneser_ney_surprisal(
     t2 = (
         t2_counts.select("g", F.col("c").cast("long").alias("c2"))
         if t2_counts is not None
-        # four consumers (pre / nc / the discount count-of-counts / the
-        # scored join) — same measured rationale as kneser_ney_surprisal:
-        # the checkpoint saves the per-consumer reduce-side re-aggregation
-        # that AQE exchange reuse does not (-12% on x98)
         else explode_grams(base, 2)
         .groupBy("g")
         .agg(F.count("*").cast("long").alias("c2"))
-        .localCheckpoint(eager=False)
     )
     pre = (
         t2.groupBy(F.substring_index("g", " ", 1).alias("w1"))

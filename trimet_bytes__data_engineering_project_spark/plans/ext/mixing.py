@@ -368,11 +368,16 @@ def x39_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting groups on md5(line) (shuffle carries hashes, not text);
     removal is a LEFT ANTI join against the duplicate-hash set;
     reassembly is the one shuffle that moves surviving text."""
-    from ...operators.dedup import chunk_lines, dedup_lines
+    from ...operators.dedup import chunk_line_array, dedup_line_arrays
 
     docs = load_table(spark, sf_dir, "documents")
-    lined = docs.select("doc_id", chunk_lines(F.col("text"), _CHUNK_N).alias("text"))
-    return dedup_lines(lined)
+    # r15: compose on the chunk ARRAY directly — split(join(arr)) == arr
+    # here (chunk_line_array's equivalence note), so the join("\n") +
+    # re-split string round trip over the whole corpus is pure waste
+    lined = docs.select(
+        "doc_id", chunk_line_array(F.col("text"), _CHUNK_N).alias("lines")
+    )
+    return dedup_line_arrays(lined)
 
 
 _SPAN_N = 8
