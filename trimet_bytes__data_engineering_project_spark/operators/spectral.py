@@ -133,12 +133,23 @@ def power_iteration_top_component(
     the all-zero vector (norm guard), never NULLs.  Fully declarative —
     no driver collect; the iterate lives as a 1-row DataFrame."""
     xq = quantize_embeddings(emb, sx, vec_col, id_col).localCheckpoint(eager=False)
-    dim = len(xq.select("xq").first()["xq"])
-    spark = emb.sparkSession
-    v = spark.range(1).select(
+    # r15: the start iterate derives IN-PLAN from the first row's array
+    # instead of a per-invocation first() driver action (one job + py4j
+    # fetch per call, serialized with plan build).  The value is the
+    # same _v0_fp(sv, d) = isqrt(sv²/d) exactly: sv² div d is exact
+    # int64, and floor(sqrt(m)) == isqrt(m) for every m < 2^52 in IEEE
+    # double (sqrt is correctly rounded and adjacent doubles around
+    # integers k ≤ 2^26 are spaced far tighter than the k − 1/(2k) gap,
+    # so sqrt(k²−1) never rounds up to k) — sv ≤ 2^20 keeps sv² ≤ 2^40.
+    # A zero-row corpus now yields the empty result instead of the
+    # former first()[...] TypeError.
+    q_fp = F.expr(f"CAST({sv}L * {sv}L AS LONG) div CAST(size(xq) AS LONG)")
+    v = xq.limit(1).select(
         F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda _: F.lit(_v0_fp(sv, dim)).cast("long"),
+            F.col("xq"),
+            # integer div FIRST (matching isqrt(sv*sv // d)), then the
+            # exact-for-<2^52 double sqrt + floor
+            lambda _: F.floor(F.sqrt(q_fp.cast("double"))).cast("long"),
         ).alias("varr")
     )
     for _ in range(iters):
