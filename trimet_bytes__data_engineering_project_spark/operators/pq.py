@@ -51,6 +51,7 @@ the float/int8 serves (round-6 hardening, ``ann_index.py``).
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -270,11 +271,17 @@ def _adc_parts(spark: SparkSession, path: str, qvec: list[float], m: int):
     table: dict[tuple[int, int], float] = {(r.m, r.code): r.p for r in dtab}
     ks = 1 + max(c for (_, c) in table)
     dt_rows = [[float(table[(j, c)]) for c in range(ks)] for j in range(m)]
-    dt_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dt_rows])
-    qn_row = spark.range(1).select(
-        F.sqrt(_sq_norm(vector_literal(qvec))).alias("qn")
-    ).collect()
-    return dt_col, float(qn_row[0].qn)
+    # r15: one parsed array literal per subspace row (vector_literal —
+    # bit-exact, pinned by test) instead of m x ks F.lit py4j round
+    # trips, and the query norm computed DRIVER-SIDE with the identical
+    # left-fold sequence _sq_norm evaluates (acc = (acc + x*x) in array
+    # order, IEEE doubles, math.sqrt == Math.sqrt correctly rounded) —
+    # drops the one-row Spark job this helper launched per probe.
+    dt_col = F.array(*[vector_literal(row) for row in dt_rows])
+    acc = 0.0
+    for x in qvec:
+        acc += float(x) * float(x)
+    return dt_col, math.sqrt(acc)
 
 
 def pq_adc_probe(
